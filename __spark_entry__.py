@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (UPSERT_CHECKSUM end-to-end sync) at
+sf0.001. ``queries()`` / ``oracle_sql()`` — one entry per implemented
+operator from SURVEY.md §2, verified against DuckDB at sf0.01.
 """
 
 from __future__ import annotations
@@ -12,27 +10,304 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from far_finer_airtable_firestore_sync_spark.config import UpdateType
+from far_finer_airtable_firestore_sync_spark.functions import casts
+from far_finer_airtable_firestore_sync_spark.functions.canonical import (
+    DUCKDB,
+    SPARK,
+    Field,
+    checksum_sql,
+    table_checksum_sql,
+    table_json_sql,
+)
+from far_finer_airtable_firestore_sync_spark.operators import dedup
+from far_finer_airtable_firestore_sync_spark.operators import strategies as st
+from far_finer_airtable_firestore_sync_spark.plans import scenarios as sc
+
+
+def _utc(spark: SparkSession) -> SparkSession:
+    # Oracle parity requires UTC wall-clock rendering (SURVEY.md §7).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: UPSERT_CHECKSUM (M4) strategy post-state on sf0.001."""
+    return _q_upsert_checksum(_utc(spark), "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# Parity operators
+# ---------------------------------------------------------------------------
+
+
+def _q_typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: catalog-driven cast select over a string-encoded source."""
+    _utc(spark)
+    raw = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderkey").cast("string").alias("amount"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("created"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        (F.col("o_orderkey") % 2 == 0).alias("flag"),
+        F.array(F.col("o_orderstatus"), F.col("o_orderpriority")).alias("tags"),
+        F.array(F.struct(F.col("o_orderpriority").alias("url"))).alias("files"),
+    )
+    catalog = {
+        "id": "number",
+        "status": "singleLineText",
+        "amount": "number",
+        "created": "dateTime",
+        "day": "date",
+        "flag": "checkbox",
+        "tags": "multipleSelects",
+        "files": "multipleAttachments",
+    }
+    return casts.typed_projection(raw, catalog)
+
+
+_TYPED_PROJECTION_SQL = """
+with raw as (
+  select o_orderkey as id,
+         o_orderstatus as status,
+         cast(o_orderkey as string) as amount,
+         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') as created,
+         strftime(o_orderdate, '%Y-%m-%d') as day,
+         (o_orderkey % 2 = 0) as flag,
+         [o_orderstatus, o_orderpriority] as tags,
+         [{'url': o_orderpriority}] as files
+  from orders
+)
+select cast(id as double) as id,
+       cast(status as string) as status,
+       cast(amount as double) as amount,
+       cast(cast(created as string) as timestamp) as created,
+       cast(cast(day as string) as date) as day,
+       cast(flag as boolean) as flag,
+       list_transform(tags, x -> cast(x as string)) as tags,
+       list_transform(files, a -> cast(a.url as string)) as files
+from raw
+"""
+
+
+def _q_keep_latest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: keep-latest row per customer across their orders."""
+    _utc(spark)
+    orders = _read(spark, sf_dir, "orders")
+    return dedup.keep_latest(
+        orders, "o_custkey", order_col="o_orderdate", tiebreak_col="o_orderkey"
+    )
+
+
+_KEEP_LATEST_SQL = dedup.keep_latest_sql(
+    "orders",
+    ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+     "o_orderpriority"],
+    "o_custkey",
+    "o_orderdate",
+    "o_orderkey",
+)
+
+
+def _q_null_pk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: skip NULL/'' primary keys (lib/DataProcessor.py:79-82)."""
+    _utc(spark)
+    df = _read(spark, sf_dir, "customer").withColumn(
+        "Name",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit(None))
+        .when(F.col("c_custkey") % 10 == 1, F.lit(""))
+        .otherwise(F.col("c_name")),
+    )
+    return dedup.filter_valid_pk(df, "Name")
+
+
+_NULL_PK_SQL = """
+with src as (
+  select *, case when c_custkey % 10 = 0 then null
+                 when c_custkey % 10 = 1 then ''
+                 else c_name end as "Name"
+  from customer
+)
+select * from src where "Name" is not null and "Name" <> ''
+"""
+
+
+def _q_row_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: canonical-JSON MD5 row checksum."""
+    _utc(spark)
+    return _read(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(checksum_sql(sc.CUSTOMER_FIELDS, SPARK)).alias("checksum"),
+    )
+
+
+_ROW_CHECKSUM_SQL = (
+    f"select c_custkey, {checksum_sql(sc.CUSTOMER_FIELDS, DUCKDB)} as checksum "
+    "from customer"
+)
+
+
+def _q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: whole-table aggregate checksum (1 row)."""
+    _utc(spark)
+    _read(spark, sf_dir, "customer").createOrReplaceTempView("_q_tc_customer")
+    tj = table_json_sql(sc.CUSTOMER_FIELDS, "c_custkey", SPARK, "_q_tc_customer")
+    tc = table_checksum_sql(tj, "customer", "sync_view")
+    return spark.range(1).select(F.expr(tc).alias("table_checksum"))
+
+
+def _table_checksum_oracle() -> str:
+    tj = table_json_sql(sc.CUSTOMER_FIELDS, "c_custkey", DUCKDB, "customer")
+    tc = table_checksum_sql(tj, "customer", "sync_view")
+    return f"select {tc} as table_checksum"
+
+
+# -- strategies --------------------------------------------------------------
+
+
+def _q_full_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    s = sc.source_batch(spark, sf_dir)
+    t = sc.target_prestate(spark, sf_dir, UpdateType.FULL_REFRESH, with_version=False)
+    return st.full_refresh(s, t, sc.spec_for(UpdateType.FULL_REFRESH))
+
+
+_FULL_REFRESH_SQL = f"""
+select {sc.PAYLOAD_COLS},
+       {sc.new_doc_id_sql(UpdateType.FULL_REFRESH)} as doc_id,
+       'full_refresh' as update_type,
+       {sc.RUN_TS_SQL} as write_timestamp
+from ({sc.S_SQL})
+"""
+
+
+def _q_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    s = sc.source_batch(spark, sf_dir)
+    t = sc.target_prestate(spark, sf_dir, UpdateType.REPLACE, with_version=False)
+    return st.replace(s, t, sc.spec_for(UpdateType.REPLACE))
+
+
+_REPLACE_SQL = f"""
+with s as ({sc.S_SQL}), t as ({sc.t_sql(UpdateType.REPLACE, with_version=False)})
+select t.* from t where not exists (select 1 from s where s.c_custkey = t.c_custkey)
+union all
+select {sc.PAYLOAD_COLS},
+       {sc.new_doc_id_sql(UpdateType.REPLACE)} as doc_id,
+       'replace' as update_type,
+       {sc.RUN_TS_SQL} as write_timestamp
+from s
+"""
+
+
+def _q_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    s = sc.source_batch(spark, sf_dir)
+    t = sc.target_prestate(spark, sf_dir, UpdateType.APPEND)
+    return st.append(s, t, sc.spec_for(UpdateType.APPEND))
+
+
+_APPEND_SQL = f"""
+with s as ({sc.S_SQL}), t as ({sc.t_sql(UpdateType.APPEND)})
+select t.* from t
+union all
+select {sc.PAYLOAD_COLS},
+       {sc.new_doc_id_sql(UpdateType.APPEND)} as doc_id,
+       'append' as update_type,
+       {sc.RUN_TS_SQL} as write_timestamp,
+       cast({sc.RUN_VERSION} as bigint) as version_id
+from s
+where not exists (select 1 from t where t.c_custkey = s.c_custkey)
+"""
+
+
+def _q_upsert_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    s = sc.source_batch(spark, sf_dir)
+    t = sc.target_prestate(spark, sf_dir, UpdateType.UPSERT_CHECKSUM)
+    return st.upsert_checksum(s, t, sc.spec_for(UpdateType.UPSERT_CHECKSUM))
+
+
+def _upsert_sql(ut: UpdateType, delete_missing: bool) -> str:
+    keep_t_only = (
+        ""
+        if delete_missing
+        else """
+union all
+select c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       doc_id, update_type, write_timestamp, version_id
+from t where not exists (select 1 from s where s.c_custkey = t.c_custkey)
+"""
+    )
+    return f"""
+with s as ({sc.S_SQL}), t as ({sc.t_sql(ut)}),
+s_cs as (select *, {sc.duck_cs()} as _scs from s),
+t_cs as (select *, {sc.duck_cs()} as _tcs from t)
+select s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment,
+       t.doc_id,
+       case when s._scs <> t._tcs then '{ut.value}' else t.update_type end as update_type,
+       case when s._scs <> t._tcs then {sc.RUN_TS_SQL} else t.write_timestamp end as write_timestamp,
+       case when s._scs <> t._tcs then cast({sc.RUN_VERSION} as bigint) else t.version_id end as version_id
+from s_cs s join t_cs t using (c_custkey)
+union all
+select c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       {sc.new_doc_id_sql(ut)} as doc_id,
+       '{ut.value}' as update_type,
+       {sc.RUN_TS_SQL} as write_timestamp,
+       cast({sc.RUN_VERSION} as bigint) as version_id
+from s where not exists (select 1 from t where t.c_custkey = s.c_custkey)
+{keep_t_only}
+"""
+
+
+def _q_upsert_checksum_with_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    s = sc.source_batch(spark, sf_dir)
+    t = sc.target_prestate(spark, sf_dir, UpdateType.UPSERT_CHECKSUM_WITH_DELETE)
+    return st.upsert_checksum_with_delete(
+        s, t, sc.spec_for(UpdateType.UPSERT_CHECKSUM_WITH_DELETE)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "typed_projection": _q_typed_projection,
+        "keep_latest_dedup": _q_keep_latest_dedup,
+        "null_pk_filter": _q_null_pk_filter,
+        "row_checksum": _q_row_checksum,
+        "table_checksum": _q_table_checksum,
+        "strategy_full_refresh": _q_full_refresh,
+        "strategy_replace": _q_replace,
+        "strategy_append": _q_append,
+        "strategy_upsert_checksum": _q_upsert_checksum,
+        "strategy_upsert_checksum_with_delete": _q_upsert_checksum_with_delete,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "typed_projection": _TYPED_PROJECTION_SQL,
+        "keep_latest_dedup": _KEEP_LATEST_SQL,
+        "null_pk_filter": _NULL_PK_SQL,
+        "row_checksum": _ROW_CHECKSUM_SQL,
+        "table_checksum": _table_checksum_oracle(),
+        "strategy_full_refresh": _FULL_REFRESH_SQL,
+        "strategy_replace": _REPLACE_SQL,
+        "strategy_append": _APPEND_SQL,
+        "strategy_upsert_checksum": _upsert_sql(UpdateType.UPSERT_CHECKSUM, False),
+        "strategy_upsert_checksum_with_delete": _upsert_sql(
+            UpdateType.UPSERT_CHECKSUM_WITH_DELETE, True
+        ),
+    }

@@ -1,0 +1,186 @@
+"""DocumentStore: a parquet-backed keyed document collection (K1-K7).
+
+Reference: ``FirestoreWrapper`` (lib/FirestoreWrapper.py:17-169) — a
+mutable keyed collection with point get/set/delete, predicate queries,
+ordered scans, and atomic batched writes.
+
+Spark-first equivalent: a **versioned parquet table**. Every mutation
+is expressed as a *post-state DataFrame* and committed by writing a new
+immutable version directory, then atomically flipping a pointer file —
+read-modify-overwrite with snapshot isolation, the plain-parquet
+analog of a Delta commit (Delta itself is not in this image; the
+interface is MERGE-shaped so a Delta backend can slot in).
+
+Point ops (K1-K5) are provided for API parity but implemented as plan
+rewrites over the whole post-state; at scale callers should use the
+strategy builders (one MERGE-shaped plan per batch) instead of point
+mutations — the anti-pattern SURVEY.md §4 flags in the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_POINTER = "_LATEST"
+
+
+class DocumentStore:
+    """Keyed document collection over versioned parquet directories."""
+
+    def __init__(self, spark: SparkSession, root: str, key_col: str = "doc_id"):
+        self.spark = spark
+        self.root = root
+        self.key_col = key_col
+        os.makedirs(root, exist_ok=True)
+
+    # -- commit protocol ----------------------------------------------------
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.root, _POINTER)
+
+    def current_version_dir(self) -> Optional[str]:
+        try:
+            with open(self._pointer_path()) as fh:
+                rel = json.load(fh)["version_dir"]
+            return os.path.join(self.root, rel)
+        except FileNotFoundError:
+            return None
+
+    def read(self) -> Optional[DataFrame]:
+        """Current snapshot, or None if the store is empty."""
+        vd = self.current_version_dir()
+        if vd is None:
+            return None
+        return self.spark.read.parquet(vd)
+
+    def read_or_empty(self, like: DataFrame) -> DataFrame:
+        """Current snapshot, or an empty frame shaped like ``like``."""
+        df = self.read()
+        if df is not None:
+            return df
+        return self.spark.createDataFrame([], like.schema)
+
+    def commit(self, post_state: DataFrame) -> str:
+        """Write ``post_state`` as a new immutable version and flip the
+        pointer — the atomic 'batch commit' (K7 analog,
+        lib/FirestoreWrapper.py:102-123)."""
+        rel = f"v-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.root, rel)
+        post_state.write.mode("errorifexists").parquet(out)
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version_dir": rel}, fh)
+        os.replace(tmp, self._pointer_path())
+        return out
+
+    # -- reads (S5-S8) -------------------------------------------------------
+
+    def get_document(self, doc_id: Any) -> Optional[dict]:
+        """S5 point read (lib/FirestoreWrapper.py:72-84). Data-skipping
+        on parquet min/max makes this a pruned scan."""
+        df = self.read()
+        if df is None:
+            return None
+        rows = df.filter(F.col(self.key_col) == F.lit(doc_id)).limit(1).collect()
+        return rows[0].asDict(recursive=True) if rows else None
+
+    def query_documents(self, field: str, op: str, value: Any) -> DataFrame:
+        """S6 predicate scan (lib/FirestoreWrapper.py:86-92)."""
+        df = self.read()
+        if df is None:
+            raise ValueError("empty store")
+        ops = {
+            "==": F.col(field) == F.lit(value),
+            "<": F.col(field) < F.lit(value),
+            "<=": F.col(field) <= F.lit(value),
+            ">": F.col(field) > F.lit(value),
+            ">=": F.col(field) >= F.lit(value),
+        }
+        return df.filter(ops[op])
+
+    def query_documents_not_equal(self, field: str, value: Any) -> DataFrame:
+        """S7: Firestore ``!=`` excludes docs missing the field — match
+        with an explicit isNotNull conjunct (SURVEY.md §2.1 S7)."""
+        df = self.read()
+        if df is None:
+            raise ValueError("empty store")
+        return df.filter(F.col(field).isNotNull() & (F.col(field) != F.lit(value)))
+
+    def query_all_versions(self, update_type: str) -> DataFrame:
+        """S8 ordered scan (lib/FirestoreWrapper.py:125-131)."""
+        df = self.read()
+        if df is None:
+            raise ValueError("empty store")
+        return df.filter(F.col("update_type") == update_type).orderBy(
+            F.col("version_id").desc()
+        )
+
+    # -- point mutations (K1-K6; parity API, not the scale path) -------------
+
+    def _as_row_df(self, data: dict, like: Optional[DataFrame]) -> DataFrame:
+        if like is not None:
+            row = {f.name: data.get(f.name) for f in like.schema.fields}
+            return self.spark.createDataFrame([Row(**row)], like.schema)
+        return self.spark.createDataFrame([Row(**data)])
+
+    def add_document(self, data: dict) -> str:
+        """K1 insert with synthetic id (lib/FirestoreWrapper.py:43-52)."""
+        doc_id = uuid.uuid4().hex
+        self.add_document_with_id(doc_id, data)
+        return doc_id
+
+    def add_document_with_id(self, doc_id: Any, data: dict) -> None:
+        """K2 insert at explicit id (lib/FirestoreWrapper.py:133-141)."""
+        cur = self.read()
+        row = self._as_row_df({**data, self.key_col: doc_id}, cur)
+        post = row if cur is None else cur.unionByName(row, allowMissingColumns=True)
+        self.commit(post)
+
+    def update_document(self, doc_id: Any, data: dict) -> None:
+        """K3 upsert-merge: partial-field update of one doc
+        (lib/FirestoreWrapper.py:54-62) — untouched columns survive."""
+        cur = self.read()
+        if cur is None:
+            raise ValueError("empty store")
+        updates = {
+            k: F.when(F.col(self.key_col) == F.lit(doc_id), F.lit(v)).otherwise(
+                F.col(k)
+            )
+            for k, v in data.items()
+            if k in cur.columns
+        }
+        self.commit(cur.withColumns(updates))
+
+    def set_document(self, doc_id: Any, data: dict) -> None:
+        """K4 overwrite: delete-then-set (lib/FirestoreWrapper.py:143-169)."""
+        cur = self.read()
+        row = self._as_row_df({**data, self.key_col: doc_id}, cur)
+        if cur is None:
+            self.commit(row)
+            return
+        self.commit(
+            cur.filter(F.col(self.key_col) != F.lit(doc_id)).unionByName(
+                row, allowMissingColumns=True
+            )
+        )
+
+    def delete_document(self, doc_id: Any) -> None:
+        """K5 delete by id (lib/FirestoreWrapper.py:64-70)."""
+        cur = self.read()
+        if cur is None:
+            return
+        self.commit(cur.filter(F.col(self.key_col) != F.lit(doc_id)))
+
+    def clear_collection(self) -> None:
+        """K6 truncate (lib/FirestoreWrapper.py:37-41)."""
+        cur = self.read()
+        if cur is not None:
+            self.commit(self.spark.createDataFrame([], cur.schema))
