@@ -276,6 +276,289 @@ def _q_upsert_checksum_with_delete(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    s = sc.source_batch(spark, sf_dir)
+    t = sc.target_prestate(
+        spark, sf_dir, UpdateType.SOFT_DELETE, with_version=False, with_is_deleted=True
+    )
+    return st.soft_delete(s, t, sc.spec_for(UpdateType.SOFT_DELETE))
+
+
+_SOFT_DELETE_SQL = f"""
+with s as ({sc.S_SQL}),
+t as ({sc.t_sql(UpdateType.SOFT_DELETE, with_version=False, with_is_deleted=True)}),
+s_cs as (select *, {sc.duck_cs()} as _scs from s),
+t_cs as (select *, {sc.duck_cs()} as _tcs from t)
+select s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment,
+       t.doc_id, t.update_type,
+       case when s._scs <> t._tcs or t.is_deleted then {sc.RUN_TS_SQL}
+            else t.write_timestamp end as write_timestamp,
+       false as is_deleted
+from s_cs s join t_cs t using (c_custkey)
+union all
+select c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       {sc.new_doc_id_sql(UpdateType.SOFT_DELETE)} as doc_id,
+       'soft_delete' as update_type, {sc.RUN_TS_SQL} as write_timestamp,
+       false as is_deleted
+from s where not exists (select 1 from t where t.c_custkey = s.c_custkey)
+union all
+select c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       doc_id, update_type,
+       case when not is_deleted then {sc.RUN_TS_SQL} else write_timestamp end,
+       true as is_deleted
+from t where not exists (select 1 from s where s.c_custkey = t.c_custkey)
+"""
+
+
+def _q_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    s = sc.source_batch(spark, sf_dir)
+    t = sc.target_prestate(
+        spark, sf_dir, UpdateType.VERSIONED, with_latest=True
+    )
+    return st.versioned(s, t, sc.spec_for(UpdateType.VERSIONED))
+
+
+_VERSIONED_SQL = f"""
+with s as ({sc.S_SQL}), t as ({sc.t_sql(UpdateType.VERSIONED, with_latest=True)})
+select c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       doc_id, update_type, write_timestamp, version_id,
+       false as latest,
+       cast(null as timestamp) as start_date, cast(null as timestamp) as end_date
+from t
+union all
+select c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       {sc.new_doc_id_sql(UpdateType.VERSIONED)} as doc_id,
+       'versioned' as update_type, {sc.RUN_TS_SQL} as write_timestamp,
+       cast({sc.RUN_VERSION} as bigint) as version_id,
+       true as latest, {sc.RUN_TS_SQL} as start_date,
+       cast(null as timestamp) as end_date
+from s
+"""
+
+
+def _q_versioned_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    s = sc.source_batch(spark, sf_dir)
+    t = sc.target_prestate(
+        spark, sf_dir, UpdateType.VERSIONED_CHECKSUM,
+        with_latest=True, with_history=True,
+    )
+    return st.versioned_checksum(s, t, sc.spec_for(UpdateType.VERSIONED_CHECKSUM))
+
+
+_VERSIONED_CHECKSUM_SQL = f"""
+with s as ({sc.S_SQL}),
+t as ({sc.t_sql(UpdateType.VERSIONED_CHECKSUM, with_latest=True, with_history=True)}),
+lat as (
+  select * from t
+  qualify row_number() over (
+    partition by c_custkey
+    order by coalesce(version_id, 0) desc, doc_id desc
+  ) = 1
+),
+s_cs as (select *, {sc.duck_cs()} as _scs from s),
+l_cs as (select c_custkey, {sc.duck_cs()} as _tcs from lat),
+chg as (
+  select s.c_custkey from s_cs s left join l_cs l using (c_custkey)
+  where l.c_custkey is null or s._scs <> l._tcs
+)
+select c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       doc_id, update_type, write_timestamp, version_id,
+       case when latest and c_custkey in (select c_custkey from chg)
+            then false else latest end as latest
+from t
+union all
+select c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       {sc.new_doc_id_sql(UpdateType.VERSIONED_CHECKSUM)} as doc_id,
+       'versioned_checksum' as update_type, {sc.RUN_TS_SQL} as write_timestamp,
+       cast({sc.RUN_VERSION} as bigint) as version_id, true as latest
+from s where c_custkey in (select c_custkey from chg)
+"""
+
+
+def _q_versioned_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    s = sc.source_batch(spark, sf_dir)
+    t = sc.target_prestate(
+        spark, sf_dir, UpdateType.VERSIONED_SET, with_latest=True
+    )
+    return st.versioned_set(s, t, sc.spec_for(UpdateType.VERSIONED_SET))
+
+
+_VERSIONED_SET_SQL = f"""
+with s as ({sc.S_SQL}), t as ({sc.t_sql(UpdateType.VERSIONED_SET, with_latest=True)}),
+s_cs as (select *, {sc.duck_cs()} as _scs from s),
+tl_cs as (select *, {sc.duck_cs()} as _tcs from t where latest),
+gate as (
+  select count(*) > 0 as g from (
+    select 1
+    from s_cs s full outer join tl_cs t on s.c_custkey = t.c_custkey
+    where s.c_custkey is null or t.c_custkey is null or s._scs <> t._tcs
+  )
+)
+select c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       doc_id, update_type, write_timestamp, version_id,
+       case when g and latest then false else latest end as latest
+from t cross join gate
+union all
+select c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       {sc.new_doc_id_sql(UpdateType.VERSIONED_SET)} as doc_id,
+       'versioned_set' as update_type, {sc.RUN_TS_SQL} as write_timestamp,
+       cast({sc.RUN_VERSION} as bigint) as version_id, true as latest
+from s cross join gate where g
+"""
+
+
+def _q_versioned_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    s = sc.source_batch(spark, sf_dir)
+    t = sc.table_doc_prestate(spark, UpdateType.VERSIONED_TABLE_CHECKSUM, False)
+    return st.versioned_table_checksum(
+        s, t, sc.spec_for(UpdateType.VERSIONED_TABLE_CHECKSUM)
+    )
+
+
+def _versioned_table_checksum_oracle() -> str:
+    u = UpdateType.VERSIONED_TABLE_CHECKSUM
+    tj = table_json_sql(sc.CUSTOMER_FIELDS, "c_custkey", DUCKDB, "s")
+    tc = table_checksum_sql(tj, "customer", "sync_view")
+    return f"""
+with s as ({sc.S_SQL}),
+doc as (select {tj} as table_data, {tc} as table_checksum),
+gate as (select (select table_checksum from doc) <> 'oldcs-1' as g)
+select doc_id, update_type, write_timestamp, version_id, table_checksum,
+       table_data, metadata_name, metadata_view,
+       case when g and latest then false else latest end as latest
+from ({sc.table_doc_prestate_sql(u, False)}) cross join gate
+union all
+select md5('ins:{u.value}:' || d.table_checksum || ':{sc.RUN_VERSION}') as doc_id,
+       '{u.value}' as update_type, {sc.RUN_TS_SQL} as write_timestamp,
+       cast({sc.RUN_VERSION} as bigint) as version_id,
+       d.table_checksum, d.table_data,
+       'customer' as metadata_name, 'sync_view' as metadata_view,
+       true as latest
+from doc d cross join gate where g
+"""
+
+
+def _q_upsert_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    s = sc.source_batch(spark, sf_dir)
+    t = sc.table_doc_prestate(spark, UpdateType.UPSERT_TABLE_CHECKSUM, True)
+    return st.upsert_table_checksum(
+        s, t, sc.spec_for(UpdateType.UPSERT_TABLE_CHECKSUM)
+    )
+
+
+def _upsert_table_checksum_oracle() -> str:
+    u = UpdateType.UPSERT_TABLE_CHECKSUM
+    tj = table_json_sql(sc.CUSTOMER_FIELDS, "c_custkey", DUCKDB, "s")
+    tc = table_checksum_sql(tj, "customer", "sync_view")
+    return f"""
+with s as ({sc.S_SQL}),
+doc as (select {tj} as table_data, {tc} as table_checksum),
+gate as (select (select table_checksum from doc) <> 'oldcs-1' as g)
+select doc_id, update_type, write_timestamp, version_id, table_checksum,
+       table_data, metadata_name, metadata_view
+from ({sc.table_doc_prestate_sql(u, True)}) cross join gate
+where doc_id <> 'customer' or not g
+union all
+select 'customer' as doc_id, '{u.value}' as update_type,
+       {sc.RUN_TS_SQL} as write_timestamp,
+       cast({sc.RUN_VERSION} as bigint) as version_id,
+       d.table_checksum, d.table_data,
+       'customer' as metadata_name, 'sync_view' as metadata_view
+from doc d cross join gate where g
+"""
+
+
+# -- scans / utility operators ----------------------------------------------
+
+
+def _q_predicate_scan_ne(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: Firestore-semantics != scan (missing field excluded)."""
+    _utc(spark)
+    df = _read(spark, sf_dir, "customer").withColumn(
+        "seg",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit(None)).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    return df.filter(F.col("seg").isNotNull() & (F.col("seg") != "BUILDING"))
+
+
+_PREDICATE_NE_SQL = """
+with src as (
+  select *, case when c_custkey % 10 = 0 then null else c_mktsegment end as seg
+  from customer
+)
+select * from src where seg is not null and seg <> 'BUILDING'
+"""
+
+
+def _q_ordered_scan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/D4: ordered scan + limit (deterministic tie-break)."""
+    _utc(spark)
+    return (
+        _read(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+_ORDERED_SCAN_SQL = (
+    "select * from orders order by o_totalprice desc, o_orderkey asc limit 100"
+)
+
+
+def _q_string_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 string normalization: strip tabs, trim (lib/utils.py:26-28)."""
+    _utc(spark)
+    dirty = _read(spark, sf_dir, "documents").withColumn(
+        "text", F.expr("chr(9) || '  ' || text || chr(9) || chr(9)")
+    )
+    return dirty.select(
+        "doc_id",
+        F.expr("trim(regexp_replace(text, chr(9) || '+', ''))").alias("clean_text"),
+    )
+
+
+_STRING_CLEANUP_SQL = """
+with dirty as (select doc_id, chr(9) || '  ' || text || chr(9) || chr(9) as text from documents)
+select doc_id, trim(regexp_replace(text, chr(9) || '+', '', 'g')) as clean_text
+from dirty
+"""
+
+
+def _q_key_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6/D7: key-set diff between batch and target (anti joins)."""
+    _utc(spark)
+    s = sc.source_batch(spark, sf_dir).select("c_custkey")
+    t = sc.target_prestate(spark, sf_dir, UpdateType.UPSERT_CHECKSUM).select(
+        "c_custkey"
+    )
+    added = s.join(t, "c_custkey", "left_anti").withColumn(
+        "change", F.lit("added")
+    )
+    removed = t.join(s, "c_custkey", "left_anti").withColumn(
+        "change", F.lit("removed")
+    )
+    return added.unionByName(removed)
+
+
+_KEY_SET_DIFF_SQL = f"""
+with s as (select c_custkey from ({sc.S_SQL})),
+t as (select c_custkey from customer where c_custkey % 3 <> 0)
+select c_custkey, 'added' as change from s
+where not exists (select 1 from t where t.c_custkey = s.c_custkey)
+union all
+select c_custkey, 'removed' as change from t
+where not exists (select 1 from s where s.c_custkey = t.c_custkey)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -293,6 +576,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strategy_append": _q_append,
         "strategy_upsert_checksum": _q_upsert_checksum,
         "strategy_upsert_checksum_with_delete": _q_upsert_checksum_with_delete,
+        "strategy_soft_delete": _q_soft_delete,
+        "strategy_versioned": _q_versioned,
+        "strategy_versioned_checksum": _q_versioned_checksum,
+        "strategy_versioned_set": _q_versioned_set,
+        "strategy_versioned_table_checksum": _q_versioned_table_checksum,
+        "strategy_upsert_table_checksum": _q_upsert_table_checksum,
+        "predicate_scan_ne": _q_predicate_scan_ne,
+        "ordered_scan_topk": _q_ordered_scan_topk,
+        "string_cleanup": _q_string_cleanup,
+        "key_set_diff": _q_key_set_diff,
     }
 
 
@@ -310,4 +603,14 @@ def oracle_sql() -> dict[str, str]:
         "strategy_upsert_checksum_with_delete": _upsert_sql(
             UpdateType.UPSERT_CHECKSUM_WITH_DELETE, True
         ),
+        "strategy_soft_delete": _SOFT_DELETE_SQL,
+        "strategy_versioned": _VERSIONED_SQL,
+        "strategy_versioned_checksum": _VERSIONED_CHECKSUM_SQL,
+        "strategy_versioned_set": _VERSIONED_SET_SQL,
+        "strategy_versioned_table_checksum": _versioned_table_checksum_oracle(),
+        "strategy_upsert_table_checksum": _upsert_table_checksum_oracle(),
+        "predicate_scan_ne": _PREDICATE_NE_SQL,
+        "ordered_scan_topk": _ORDERED_SCAN_SQL,
+        "string_cleanup": _STRING_CLEANUP_SQL,
+        "key_set_diff": _KEY_SET_DIFF_SQL,
     }

@@ -75,8 +75,14 @@ def target_prestate(
     with_version: bool = True,
     with_latest: bool = False,
     with_is_deleted: bool = False,
+    with_history: bool = False,
 ) -> DataFrame:
-    """T: simulated pre-existing target state with engine columns."""
+    """T: simulated pre-existing target state with engine columns.
+
+    ``with_history`` adds an older version row (version_id=3,
+    latest=false, drifted payload) for keys with ``c_custkey % 13 == 0``
+    — multi-version keys for the VERSIONED_* latest-resolution path.
+    """
     df = (
         read_customer(spark, sf_dir)
         .filter("c_custkey % 3 <> 0")
@@ -100,6 +106,27 @@ def target_prestate(
         df = df.withColumn("latest", F.lit(True))
     if with_is_deleted:
         df = df.withColumn("is_deleted", F.col("c_custkey") % 11 == 0)
+    if with_history:
+        hist = (
+            read_customer(spark, sf_dir)
+            .filter("c_custkey % 3 <> 0 and c_custkey % 13 = 0")
+            .withColumn("c_acctbal", F.col("c_acctbal") + 5.0)
+            .withColumns(
+                {
+                    "doc_id": F.md5(
+                        F.concat(F.lit("doc0:"), F.col("c_custkey").cast("string"))
+                    ),
+                    "update_type": F.lit(update_type.value),
+                    "write_timestamp": F.lit(PRE_TS).cast("timestamp"),
+                    "version_id": F.lit(3).cast("bigint"),
+                }
+            )
+        )
+        if with_latest:
+            hist = hist.withColumn("latest", F.lit(False))
+        if with_is_deleted:
+            hist = hist.withColumn("is_deleted", F.lit(False))
+        df = df.unionByName(hist)
     return df
 
 
@@ -116,6 +143,7 @@ def t_sql(
     with_version: bool = True,
     with_latest: bool = False,
     with_is_deleted: bool = False,
+    with_history: bool = False,
 ) -> str:
     cols = [
         "c_custkey",
@@ -133,7 +161,29 @@ def t_sql(
         cols.append("true as latest")
     if with_is_deleted:
         cols.append("(c_custkey % 11 = 0) as is_deleted")
-    return f"select {', '.join(cols)} from customer where c_custkey % 3 <> 0"
+    base = f"select {', '.join(cols)} from customer where c_custkey % 3 <> 0"
+    if not with_history:
+        return base
+    hcols = [
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal + 5.0 as c_acctbal",
+        "c_mktsegment",
+        "md5('doc0:' || cast(c_custkey as string)) as doc_id",
+        f"'{update_type.value}' as update_type",
+        f"timestamp '{PRE_TS:%Y-%m-%d %H:%M:%S}' as write_timestamp",
+        "cast(3 as bigint) as version_id",
+    ]
+    if with_latest:
+        hcols.append("false as latest")
+    if with_is_deleted:
+        hcols.append("false as is_deleted")
+    hist = (
+        f"select {', '.join(hcols)} from customer "
+        "where c_custkey % 3 <> 0 and c_custkey % 13 = 0"
+    )
+    return f"{base} union all {hist}"
 
 
 def duck_cs(prefix: str = "") -> str:
@@ -149,3 +199,55 @@ def new_doc_id_sql(update_type: UpdateType, pk_expr: str = "c_custkey") -> str:
     return (
         f"md5('ins:{update_type.value}:' || cast({pk_expr} as string) || ':{RUN_VERSION}')"
     )
+
+
+# -- table-as-one-document prestates (M9/M10) --------------------------------
+
+TABLE_DOC_SCHEMA = (
+    "doc_id string, update_type string, write_timestamp timestamp, "
+    "version_id bigint, table_checksum string, table_data string, "
+    "metadata_name string, metadata_view string, latest boolean"
+)
+
+
+def table_doc_prestate(
+    spark: SparkSession, update_type: UpdateType, keyed_by_name: bool
+) -> DataFrame:
+    """T for the table strategies: two stored versions (M9) or one
+    named doc plus an unrelated doc (M10)."""
+    if keyed_by_name:
+        rows = [
+            ("customer", update_type.value, PRE_TS, 7, "oldcs-1", "{}",
+             "customer", "sync_view", None),
+            ("othertable", update_type.value, PRE_TS, 7, "othercs", "{}",
+             "othertable", "sync_view", None),
+        ]
+    else:
+        rows = [
+            ("tdoc1", update_type.value, PRE_TS, 7, "oldcs-1", "{}",
+             "customer", "sync_view", True),
+            ("tdoc0", update_type.value, PRE_TS, 3, "oldcs-0", "{}",
+             "customer", "sync_view", False),
+        ]
+    df = spark.createDataFrame(rows, TABLE_DOC_SCHEMA)
+    return df.drop("latest") if keyed_by_name else df
+
+
+def table_doc_prestate_sql(update_type: UpdateType, keyed_by_name: bool) -> str:
+    ts = f"timestamp '{PRE_TS:%Y-%m-%d %H:%M:%S}'"
+    u = update_type.value
+    if keyed_by_name:
+        vals = (
+            f"('customer','{u}',{ts},cast(7 as bigint),'oldcs-1','{{}}','customer','sync_view'),"
+            f"('othertable','{u}',{ts},cast(7 as bigint),'othercs','{{}}','othertable','sync_view')"
+        )
+        cols = ("doc_id,update_type,write_timestamp,version_id,table_checksum,"
+                "table_data,metadata_name,metadata_view")
+    else:
+        vals = (
+            f"('tdoc1','{u}',{ts},cast(7 as bigint),'oldcs-1','{{}}','customer','sync_view',true),"
+            f"('tdoc0','{u}',{ts},cast(3 as bigint),'oldcs-0','{{}}','customer','sync_view',false)"
+        )
+        cols = ("doc_id,update_type,write_timestamp,version_id,table_checksum,"
+                "table_data,metadata_name,metadata_view,latest")
+    return f"select * from (values {vals}) as t({cols})"
