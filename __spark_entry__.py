@@ -24,6 +24,7 @@ from far_finer_airtable_firestore_sync_spark.functions.canonical import (
 )
 from far_finer_airtable_firestore_sync_spark.operators import dedup
 from far_finer_airtable_firestore_sync_spark.operators import strategies as st
+from far_finer_airtable_firestore_sync_spark.plans import ext_queries as ext
 from far_finer_airtable_firestore_sync_spark.plans import scenarios as sc
 
 
@@ -586,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordered_scan_topk": _q_ordered_scan_topk,
         "string_cleanup": _q_string_cleanup,
         "key_set_diff": _q_key_set_diff,
+        **ext.EXT_QUERIES,
     }
 
 
@@ -613,4 +615,5 @@ def oracle_sql() -> dict[str, str]:
         "ordered_scan_topk": _ORDERED_SCAN_SQL,
         "string_cleanup": _STRING_CLEANUP_SQL,
         "key_set_diff": _KEY_SET_DIFF_SQL,
+        **ext.ext_oracles(),
     }

@@ -1,0 +1,290 @@
+"""Dual-dialect SQL emitters for text-analysis / similarity primitives.
+
+Every metric is defined ONCE here and rendered for both Spark SQL and
+DuckDB, so each operator's ``queries()`` entry and its oracle share a
+single source of truth (same policy as functions/canonical.py).
+
+Portability rules used throughout:
+- hashes are md5 hex strings (both engines, lowercase hex) — min/max
+  over them is lexicographic and engine-independent; the engine's fast
+  path may swap in ``xxhash64`` (Spark-only, JVM-speed) via the
+  ``hash_fn`` parameter where no oracle is required;
+- no backslash escapes in generated SQL (dialects disagree) — char
+  classes are written without ``\\`` and tabs via ``chr(9)``;
+- ratios/scores are integer-derived doubles (exact division) so both
+  engines produce bit-identical values.
+"""
+
+from __future__ import annotations
+
+from far_finer_airtable_firestore_sync_spark.functions.canonical import DUCKDB, SPARK
+
+# ---------------------------------------------------------------------------
+# dialect primitives
+# ---------------------------------------------------------------------------
+
+
+def rx_count(col: str, pat: str, dialect: str) -> str:
+    """Count regex matches."""
+    if dialect == SPARK:
+        return f"regexp_count({col}, '{pat}')"
+    return f"len(regexp_extract_all({col}, '{pat}'))"
+
+
+def rx_strip(col: str, pat: str, dialect: str) -> str:
+    """Remove every match of ``pat``."""
+    if dialect == SPARK:
+        return f"regexp_replace({col}, '{pat}', '')"
+    return f"regexp_replace({col}, '{pat}', '', 'g')"
+
+
+def split_ws(col: str, dialect: str) -> str:
+    """Split on single spaces (fixture text is single-space separated)."""
+    if dialect == SPARK:
+        return f"split({col}, ' ')"
+    return f"string_split({col}, ' ')"
+
+
+def lfilter(arr: str, lam: str, dialect: str) -> str:
+    return (f"filter({arr}, {lam})" if dialect == SPARK
+            else f"list_filter({arr}, {lam})")
+
+
+def ltransform(arr: str, lam: str, dialect: str) -> str:
+    return (f"transform({arr}, {lam})" if dialect == SPARK
+            else f"list_transform({arr}, {lam})")
+
+
+def lsize(arr: str, dialect: str) -> str:
+    return f"size({arr})" if dialect == SPARK else f"len({arr})"
+
+
+def lmin(arr: str, dialect: str) -> str:
+    return f"array_min({arr})" if dialect == SPARK else f"list_min({arr})"
+
+
+def ldistinct(arr: str, dialect: str) -> str:
+    return (f"array_distinct({arr})" if dialect == SPARK
+            else f"list_distinct({arr})")
+
+
+def seq(lo: str, hi: str, dialect: str) -> str:
+    """Integer range as an array/list (inclusive)."""
+    if dialect == SPARK:
+        return f"sequence({lo}, {hi})"
+    return f"generate_series({lo}, {hi})"
+
+
+def contains_any(x: str, words: list[str], dialect: str) -> str:
+    lit = ", ".join(f"'{w}'" for w in words)
+    if dialect == SPARK:
+        return f"array_contains(array({lit}), {x})"
+    return f"list_contains([{lit}], {x})"
+
+
+# ---------------------------------------------------------------------------
+# token counting / quality / language-id
+# ---------------------------------------------------------------------------
+
+WORD = "[A-Za-z0-9]+"
+NONWORD = "[^A-Za-z0-9]"
+PUNCT = "[.,;:!?]"
+
+#: tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "de", "y", "es", "un"],
+    "fr": ["le", "la", "de", "et", "est", "un"],
+}
+
+
+def whitespace_token_count(col: str, dialect: str) -> str:
+    return rx_count(col, "[^ ]+", dialect)
+
+
+def word_token_count(col: str, dialect: str) -> str:
+    """BPE-ish unit count: word tokens via regex (SURVEY-mandated
+    token-counting heuristic; a real BPE is a model artifact)."""
+    return rx_count(col, WORD, dialect)
+
+
+def char_count_no_ws(col: str, dialect: str) -> str:
+    return f"length({rx_strip(col, '[ ]+', dialect)})"
+
+
+def stopword_count(col: str, lang: str, dialect: str) -> str:
+    toks = split_ws(f"lower({col})", dialect)
+    hits = lfilter(toks, f"x -> {contains_any('x', STOPWORDS[lang], dialect)}", dialect)
+    return lsize(hits, dialect)
+
+
+def quality_exprs(col: str, dialect: str) -> dict[str, str]:
+    """Document-quality signals: lengths, punctuation ratio, stopword
+    ratio, mean token length, composite score — all exact-arithmetic
+    doubles, identical across engines."""
+    n_tok = whitespace_token_count(col, dialect)
+    n_words = word_token_count(col, dialect)
+    n_chars = f"length({col})"
+    n_punct = rx_count(col, PUNCT, dialect)
+    n_stop = stopword_count(col, "en", dialect)
+    word_chars = f"length({rx_strip(col, NONWORD, dialect)})"
+    # greatest(..., 1) denominators: Spark 4 runs ANSI mode (div/0
+    # throws), DuckDB returns inf — sidestep both.
+    punct_ratio = f"(cast({n_punct} as double) / greatest({n_chars}, 1))"
+    stop_ratio = f"(cast({n_stop} as double) / greatest({n_tok}, 1))"
+    mean_tok_len = f"(cast({word_chars} as double) / greatest({n_words}, 1))"
+    score = (
+        f"(0.4 * least(cast({n_tok} as double) / 64.0, 1.0)"
+        f" + 0.4 * least({stop_ratio} * 8.0, 1.0)"
+        f" + 0.2 * (1.0 - least({punct_ratio} * 20.0, 1.0)))"
+    )
+    return {
+        "n_chars_total": n_chars,
+        "n_tokens_ws": n_tok,
+        "n_tokens_word": n_words,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "mean_token_len": mean_tok_len,
+        "quality_score": score,
+    }
+
+
+def langid_exprs(col: str, dialect: str) -> dict[str, str]:
+    """Stopword-vote language id with deterministic tie-break
+    (alphabetical lang order; 'und' when nothing matches)."""
+    scores = {lang: stopword_count(col, lang, dialect) for lang in STOPWORDS}
+    out = {f"score_{lang}": expr for lang, expr in scores.items()}
+    langs = sorted(STOPWORDS)  # tie-break order
+    best = f"greatest({', '.join(scores[lg] for lg in langs)})"
+    pred = "case "
+    for lg in langs:
+        pred += f"when {scores[lg]} = {best} and {best} > 0 then '{lg}' "
+    pred += "else 'und' end"
+    out["lang_pred"] = pred
+    return out
+
+
+# ---------------------------------------------------------------------------
+# shingles / fingerprints / minhash / simhash
+# ---------------------------------------------------------------------------
+
+
+def shingles(col: str, n: int, dialect: str, max_chars: int | None = None) -> str:
+    """Distinct character n-gram array of ``col`` (optionally truncated
+    to bound oracle cost)."""
+    base = f"substring({col}, 1, {max_chars})" if max_chars else col
+    idx = seq("1", f"greatest(length({base}) - {n - 1}, 1)", dialect)
+    grams = ltransform(idx, f"i -> substring({base}, i, {n})", dialect)
+    return ldistinct(grams, dialect)
+
+
+def minhash_signature(
+    col: str, n: int, seeds: int, dialect: str, max_chars: int | None = 256
+) -> list[str]:
+    """K minhash values: for seed s, min over shingles of
+    md5('s:'||shingle) — lexicographic min of hex strings, portable."""
+    sh = shingles(col, n, dialect, max_chars)
+    out = []
+    for s in range(seeds):
+        hashed = ltransform(sh, f"x -> md5('{s}:' || x)", dialect)
+        out.append(lmin(hashed, dialect))
+    return out
+
+
+def band_keys(sig_exprs: list[str], rows_per_band: int) -> list[str]:
+    """LSH band keys: hash of each consecutive group of signature
+    values (dialect-neutral: md5/concat only)."""
+    keys = []
+    for b in range(0, len(sig_exprs), rows_per_band):
+        group = sig_exprs[b : b + rows_per_band]
+        keys.append(f"md5('b{b}:' || {' || '.join(group)})")
+    return keys
+
+
+def doc_fingerprint(col: str, dialect: str, n: int = 8) -> dict[str, str]:
+    """Document fingerprints: full-content hash of normalized text plus
+    a winnowing-style min-shingle hash (stable under suffix edits)."""
+    norm = f"lower(trim({rx_strip(col, '[ ]+', dialect)}))"
+    sh = shingles(col, n, dialect, max_chars=None)
+    minsh = lmin(ltransform(sh, "x -> md5(x)", dialect), dialect)
+    return {"content_hash": f"md5({norm})", "min_shingle_hash": minsh}
+
+
+def token_hashes(col: str, dialect: str, max_chars: int | None = 128) -> str:
+    """md5 hex per distinct lowercase token — the shared input of
+    :func:`simhash64_from_hashes` (compute once in a CTE, not per bit)."""
+    base = f"substring({col}, 1, {max_chars})" if max_chars else col
+    toks = ldistinct(split_ws(f"lower({base})", dialect), dialect)
+    return ltransform(toks, "t -> md5(t)", dialect)
+
+
+def simhash64_from_hashes(hashes_col: str, dialect: str) -> str:
+    """64-bit SimHash over precomputed token hashes, emitted as a
+    16-char hex string.
+
+    Per token: 64 bits from md5 hex digits; per bit: +1/-1 vote summed
+    over tokens; bit set iff vote > 0. Pure integer arithmetic ->
+    portable across engines.
+    """
+    hexdigits = "0123456789abcdef"
+
+    def digit_val(pos: int) -> str:
+        # 1-based position into the 32-char md5 hex; value = hex digit
+        return (
+            f"(position(substring(h, {pos}, 1) in '{hexdigits}') - 1)"
+        )
+
+    digit_parts = []
+    for d in range(16):  # output hex digit d covers bits 4d..4d+3
+        bit_terms = []
+        for k in range(4):
+            shift = 3 - k
+            bit = f"(cast(floor({digit_val(d + 1)} / {2 ** shift}) as int) % 2)"
+            vote_arr = ltransform(hashes_col, f"h -> 2 * {bit} - 1", dialect)
+            agg = (
+                f"aggregate({vote_arr}, 0, (a, x) -> a + x)"
+                if dialect == SPARK
+                else f"list_sum({vote_arr})"
+            )
+            bit_terms.append(f"(case when {agg} > 0 then {2 ** shift} else 0 end)")
+        dv = " + ".join(bit_terms)
+        digit_parts.append(f"substring('{hexdigits}', cast(({dv}) as int) + 1, 1)")
+    return " || ".join(digit_parts)
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity (quantized-exact, portable)
+# ---------------------------------------------------------------------------
+
+
+def quantize(col: str, dialect: str, scale: int = 1000) -> str:
+    """float array -> bigint array on a fixed grid. Integer dot
+    products are exact and order-independent — the portable basis for
+    cosine parity across engines (float sums are not associative)."""
+    lam = f"x -> cast(round(cast(x as double) * {scale}) as bigint)"
+    return ltransform(col, lam, dialect)
+
+
+def dot_int(a: str, b: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            f"cast(0 as bigint), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> {a}[i] * {b}[i]))"
+    )
+
+
+def cosine_quantized(a: str, b: str, dialect: str) -> str:
+    """cosine(a, b) over quantized vectors: exact integer dot/norms,
+    one final double division (IEEE — identical in both engines)."""
+    dot = dot_int(a, b, dialect)
+    na = dot_int(a, a, dialect)
+    nb = dot_int(b, b, dialect)
+    return (
+        f"(cast({dot} as double) / (sqrt(cast({na} as double)) * "
+        f"sqrt(cast({nb} as double))))"
+    )

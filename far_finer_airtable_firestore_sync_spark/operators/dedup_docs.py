@@ -1,0 +1,215 @@
+"""Document-level deduplication families for training-data pipelines.
+
+North-star extensions (SURVEY.md §2.7 / BASELINE.json): exact dedup,
+MinHash+LSH near-dup candidate generation, n-gram Jaccard
+verification, SimHash near-dup bucketing.
+
+Scale design (the 100 TB story):
+- **exact**: one hash-groupBy on a 32-byte digest — the shuffle carries
+  (digest, id), never the document text; map-side partial aggregation
+  collapses same-partition copies before the exchange.
+- **MinHash+LSH**: signatures are per-row projections (scan-speed);
+  the only shuffle is the band-bucket self-join, whose fan-out is
+  bounded by bucket size, not corpus size (classic LSH contract:
+  candidates ~ true near-dups + tunable noise). Skewed buckets (e.g.
+  boilerplate) are handled by AQE skew-join splitting.
+- **verification**: Jaccard runs only on candidate pairs — the
+  expensive O(|doc|) comparison never touches the full N² space.
+- hash functions: ``md5`` (portable, oracle-checkable) or
+  ``xxhash64`` (Spark-native, ~5x faster — the production default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from far_finer_airtable_firestore_sync_spark.functions import textsql as tx
+from far_finer_airtable_firestore_sync_spark.functions.canonical import SPARK
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: one row per distinct content hash with the kept
+    (minimum) id and the duplicate count."""
+    return (
+        df.select(
+            F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col)
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("kept_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup applied: keep the min-id representative per content.
+
+    max_by/min_by-free formulation: semi-join back on (hash, kept id)
+    so the full rows never ride the aggregation shuffle.
+    """
+    groups = exact_dedup_groups(df, text_col, id_col)
+    keyed = df.withColumn("content_hash", F.md5(F.col(text_col)))
+    return (
+        keyed.join(
+            groups.select("content_hash", F.col("kept_id").alias(id_col)),
+            on=["content_hash", id_col],
+            how="left_semi",
+        ).drop("content_hash")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    seeds: int = 8,
+    max_chars: int | None = 256,
+) -> DataFrame:
+    """Per-doc MinHash signature columns ``s0..s{k-1}`` (md5-hex min)."""
+    sig = tx.minhash_signature(f"`{text_col}`", shingle_n, seeds, SPARK, max_chars)
+    return df.select(
+        F.col(id_col), *[F.expr(e).alias(f"s{i}") for i, e in enumerate(sig)]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    seeds: int = 8,
+    rows_per_band: int = 2,
+    max_chars: int | None = 256,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: distinct (id_a < id_b) pairs
+    sharing at least one signature band.
+
+    Plan shape: project signatures -> explode band keys (seeds /
+    rows_per_band rows per doc) -> self-join on the band key. The join
+    key is a 32-char digest: uniform, broadcast-unfriendly by design,
+    and the shuffle is proportional to bands * N, not N².
+    """
+    sigs = minhash_signatures(df, text_col, id_col, shingle_n, seeds, max_chars)
+    keys = tx.band_keys([f"s{i}" for i in range(seeds)], rows_per_band)
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.expr(k) for k in keys])
+        ).alias("band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    max_chars: int | None = 256,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard similarity.
+
+    Joins shingle sets onto the (small) candidate-pair table — at
+    scale both joins broadcast the pair side. Jaccard is an integer
+    ratio (exact across engines).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.expr(tx.shingles(f"`{text_col}`", shingle_n, SPARK, max_chars)).alias(
+            "_sh"
+        ),
+    )
+    j = (
+        pairs.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a")),
+            "id_a",
+        ).join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b")),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / F.greatest(union, F.lit(1))
+    return (
+        j.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance ``max_hamming``.
+
+    Scale path: block on the four 16-bit quarters of the simhash — two
+    docs within Hamming distance 3 of each other must agree exactly on
+    at least one quarter (pigeonhole), so the self-join key is a
+    16-bit block, never the full N² comparison.
+    """
+    from far_finer_airtable_firestore_sync_spark.operators.text_analysis import simhash
+
+    sh = simhash(df, text_col, id_col)
+    quarters = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"q{i}:"), F.substring("simhash", 1 + 4 * i, 4))
+                    for i in range(4)
+                ]
+            )
+        ).alias("block"),
+    )
+    a, b = quarters.alias("a"), quarters.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    # Hamming distance over hex strings: popcount of per-digit XOR.
+    ham = F.expr(
+        "aggregate(transform(sequence(1, 16), i -> "
+        " bit_count(cast("
+        "   (position(substring(sh_a, i, 1) in '0123456789abcdef') - 1) "
+        "   ^ (position(substring(sh_b, i, 1) in '0123456789abcdef') - 1) "
+        " as int))), 0, (a, x) -> a + x)"
+    )
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

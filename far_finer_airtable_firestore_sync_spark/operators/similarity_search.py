@@ -1,0 +1,244 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star extension (SURVEY.md §2.7): approximate nearest neighbor.
+
+Three tiers, slowest-exact to fastest-approximate:
+
+1. **Brute-force quantized** (`cosine_topk`) — the oracle-checkable
+   baseline. Vectors are quantized to a fixed integer grid so dot
+   products are exact integer folds (order-independent — float sums
+   are not associative across engines/partitions); one final IEEE
+   division yields bit-identical cosines in Spark and DuckDB.
+2. **Brute-force Arrow** (`cosine_topk_pandas`) — same semantics, the
+   production fast path: queries broadcast to every partition, numpy
+   matmul per Arrow batch via mapInPandas, top-k per partition then a
+   tiny global top-k. The corpus is never shuffled at all — the only
+   movement is (queries x k) rows per partition to the final reduce.
+3. **IVF-lite** (`ivf_topk`) — the 100 TB path: a deterministic
+   centroid subset partitions the corpus into buckets (one shuffle,
+   done once at index build); queries probe only the ``nprobe``
+   nearest buckets, so per-query work drops from O(N) to
+   O(nprobe * N / n_centroids). Recall < 1 by construction — that is
+   the ANN contract.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from far_finer_airtable_firestore_sync_spark.functions import textsql as tx
+from far_finer_airtable_firestore_sync_spark.functions.canonical import SPARK
+
+
+def _quantized(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    return df.withColumn(out, F.expr(tx.quantize(f"`{vec_col}`", SPARK)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (quantized-portable).
+
+    Output: (query_id, neighbor_id, cosine, rank). Self-matches are
+    excluded. Ties broken by neighbor id (deterministic).
+    """
+    c = _quantized(corpus, vec_col, "_qv").select(
+        F.col(id_col).alias("neighbor_id"), "_qv"
+    )
+    q = _quantized(queries, vec_col, "_qq").select(
+        F.col(id_col).alias("query_id"), "_qq"
+    )
+    cos = F.expr(tx.cosine_quantized("_qq", "_qv", SPARK))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Arrow/numpy brute-force top-k — the single-node-speed baseline.
+
+    Per partition: one matmul (batch x dim) @ (dim x n_queries), then
+    per-partition top-k; global top-k finishes on (partitions * q * k)
+    rows only.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    q_rows = queries.select(id_col, vec_col).collect()  # small by contract
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((q_ids, q_norm))
+
+    schema = "query_id long, neighbor_id long, cosine double"
+
+    def part(it):
+        import pandas as pd  # noqa: PLC0415
+
+        ids, qn = bq.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ qn.T  # (rows, n_queries)
+            nid = pdf[id_col].to_numpy()
+            out = []
+            for j, qid in enumerate(ids):
+                col = sims[:, j]
+                mask = nid != qid
+                cand_idx = np.nonzero(mask)[0]
+                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")[:k]]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": nid[top], "cosine": col[top]}
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(part, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return partial.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (quantized cosine,
+    deterministic argmax by (cosine desc, centroid id asc)).
+
+    This is the one-time index build: a broadcast of the centroid set
+    against the corpus scan, one small shuffle if the caller
+    repartitions by ``centroid_id`` afterwards (bucketed layout).
+    """
+    c = _quantized(corpus, vec_col, "_qv")
+    cents = _quantized(centroids, vec_col, "_qc").select(
+        F.col(id_col).alias(centroid_id), "_qc"
+    )
+    cos = F.expr(tx.cosine_quantized("_qv", "_qc", SPARK))
+    scored = c.crossJoin(F.broadcast(cents)).withColumn("_cos", cos)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_cos").desc(), F.col(centroid_id).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_qc", "_cos")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: probe only the ``nprobe`` nearest buckets.
+
+    Recall is approximate; determinism is exact (quantized scores,
+    id tie-breaks), so the result is still oracle-checkable.
+    """
+    assigned = ivf_assign(corpus, centroids, vec_col, id_col)
+    # queries -> their nprobe nearest centroids
+    q = _quantized(queries, vec_col, "_qq").select(
+        F.col(id_col).alias("query_id"), "_qq"
+    )
+    cents = _quantized(centroids, vec_col, "_qc").select(
+        F.col(id_col).alias("centroid_id"), "_qc"
+    )
+    qcos = F.expr(tx.cosine_quantized("_qq", "_qc", SPARK))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_qcos").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("_qcos", qcos)
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "centroid_id", "_qq")
+    )
+    # search only the probed buckets: equi-join on centroid_id
+    cos = F.expr(tx.cosine_quantized("_qq", "_qv", SPARK))
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    centroids: Optional[DataFrame] = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= threshold).
+
+    With ``centroids`` given, pairs are only searched within the same
+    IVF bucket (the scale path: near-identical vectors land in the
+    same bucket); without, a full self-join (test scale only).
+    """
+    if centroids is not None:
+        assigned = ivf_assign(corpus, centroids, vec_col, id_col)
+        a = assigned.alias("a")
+        b = assigned.alias("b")
+        join_cond = (F.col("a.centroid_id") == F.col("b.centroid_id")) & (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
+    else:
+        a = _quantized(corpus, vec_col, "_qv").alias("a")
+        b = _quantized(corpus, vec_col, "_qv").alias("b")
+        join_cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    cos = F.expr(tx.cosine_quantized("a._qv", "b._qv", SPARK))
+    return (
+        a.join(b, join_cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

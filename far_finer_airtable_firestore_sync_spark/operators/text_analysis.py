@@ -1,0 +1,72 @@
+"""Text-analysis operators for training-data pipelines.
+
+North-star extensions (SURVEY.md §2.7): language-ID (stopword-vote
+heuristic), quality scoring, token counting, and document
+fingerprinting over a ``documents``-shaped table.
+
+All metrics are single ``select`` projections of codegen'd built-in
+expressions (functions/textsql.py) — no Python in the hot path, no
+shuffle: at 100 TB these run embarrassingly parallel at scan speed and
+pipeline into downstream filters (e.g. ``quality_score >= 0.5`` prunes
+before any join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from far_finer_airtable_firestore_sync_spark.functions import textsql as tx
+from far_finer_airtable_firestore_sync_spark.functions.canonical import SPARK
+
+
+def _project(df: DataFrame, id_col: str, exprs: dict[str, str]) -> DataFrame:
+    return df.select(
+        F.col(id_col), *[F.expr(e).alias(name) for name, e in exprs.items()]
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace + word-regex token counts and char counts."""
+    c = f"`{text_col}`"
+    return _project(
+        df,
+        id_col,
+        {
+            "n_tokens_ws": tx.whitespace_token_count(c, SPARK),
+            "n_tokens_word": tx.word_token_count(c, SPARK),
+            "n_chars_no_ws": tx.char_count_no_ws(c, SPARK),
+        },
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length/punctuation/stopword quality signals + composite score."""
+    return _project(df, id_col, tx.quality_exprs(f"`{text_col}`", SPARK))
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language prediction with deterministic ties."""
+    return _project(df, id_col, tx.langid_exprs(f"`{text_col}`", SPARK))
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content hash + winnowing-style min-shingle hash per document."""
+    return _project(df, id_col, tx.doc_fingerprint(f"`{text_col}`", SPARK))
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash (hex) per document.
+
+    Two-stage select: token hashes materialize once per row, then the
+    64 bit-votes fold over that array — keeps the md5 work O(tokens)
+    instead of O(64 * tokens).
+    """
+    hashed = df.select(
+        F.col(id_col),
+        F.expr(tx.token_hashes(f"`{text_col}`", SPARK)).alias("_th"),
+    )
+    return hashed.select(
+        F.col(id_col),
+        F.expr(tx.simhash64_from_hashes("_th", SPARK)).alias("simhash"),
+    )

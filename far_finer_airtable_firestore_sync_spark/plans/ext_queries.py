@@ -1,0 +1,314 @@
+"""Driver-contract entries for the training-data-pipeline extensions.
+
+Each operator has a PySpark callable and a DuckDB oracle generated
+from the same dual-dialect emitters (functions/textsql.py), run over a
+deterministic corpus derived from ``documents``/``embeddings`` with
+synthesized exact and near duplicates (the raw fixture has none).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from far_finer_airtable_firestore_sync_spark.functions import textsql as tx
+from far_finer_airtable_firestore_sync_spark.functions.canonical import DUCKDB, SPARK
+from far_finer_airtable_firestore_sync_spark.operators import (
+    dedup_docs,
+    similarity_search,
+    text_analysis,
+)
+
+NEAR_SUFFIX = " near duplicate suffix"
+
+# ---------------------------------------------------------------------------
+# corpus with synthesized duplicates
+# ---------------------------------------------------------------------------
+
+
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + near-dup copies (%10 keys, suffix appended) + exact
+    copies (%17 keys) at offset ids."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    near = d.filter("doc_id % 10 = 0").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_SUFFIX)).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    exact = d.filter("doc_id % 17 = 0").select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text", "lang", "source",
+        "n_chars",
+    )
+    return d.unionByName(near).unionByName(exact)
+
+
+CORPUS_SQL = f"""
+select doc_id, text, lang, source, n_chars from documents
+union all
+select doc_id + 1000000, text || '{NEAR_SUFFIX}', lang, source, n_chars
+from documents where doc_id % 10 = 0
+union all
+select doc_id + 2000000, text, lang, source, n_chars
+from documents where doc_id % 17 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.token_counts(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def token_counts_oracle() -> str:
+    e = {
+        "n_tokens_ws": tx.whitespace_token_count("text", DUCKDB),
+        "n_tokens_word": tx.word_token_count("text", DUCKDB),
+        "n_chars_no_ws": tx.char_count_no_ws("text", DUCKDB),
+    }
+    cols = ", ".join(f"{v} as {k}" for k, v in e.items())
+    return f"select doc_id, {cols} from documents"
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.quality_scores(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def quality_oracle() -> str:
+    e = tx.quality_exprs("text", DUCKDB)
+    cols = ", ".join(f"{v} as {k}" for k, v in e.items())
+    return f"select doc_id, {cols} from documents"
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.language_id(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def langid_oracle() -> str:
+    e = tx.langid_exprs("text", DUCKDB)
+    cols = ", ".join(f'{v} as "{k}"' for k, v in e.items())
+    return f"select doc_id, {cols} from documents"
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.fingerprints(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def fingerprint_oracle() -> str:
+    e = tx.doc_fingerprint("text", DUCKDB)
+    cols = ", ".join(f"{v} as {k}" for k, v in e.items())
+    return f"select doc_id, {cols} from documents"
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.simhash(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def simhash_oracle() -> str:
+    th = tx.token_hashes("text", DUCKDB)
+    sh = tx.simhash64_from_hashes("_th", DUCKDB)
+    return f"""
+with hashed as (select doc_id, {th} as _th from documents)
+select doc_id, {sh} as simhash from hashed
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup families
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_docs.exact_dedup_groups(dedup_corpus(spark, sf_dir))
+
+
+EXACT_DEDUP_SQL = f"""
+with corpus as ({CORPUS_SQL})
+select md5(text) as content_hash, min(doc_id) as kept_id,
+       count(*) as n_copies
+from corpus group by md5(text)
+"""
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_docs.lsh_candidate_pairs(dedup_corpus(spark, sf_dir))
+
+
+def _duck_sig_cols() -> str:
+    sig = tx.minhash_signature("text", 5, 8, DUCKDB, 256)
+    return ", ".join(f"{e} as s{i}" for i, e in enumerate(sig))
+
+
+def _duck_band_keys() -> str:
+    keys = tx.band_keys([f"s{i}" for i in range(8)], 2)
+    return "[" + ", ".join(keys) + "]"
+
+
+LSH_PAIRS_SQL = f"""
+with corpus as ({CORPUS_SQL}),
+sig as (select doc_id, {_duck_sig_cols()} from corpus),
+bands as (select doc_id, unnest({_duck_band_keys()}) as band_key from sig)
+select distinct a.doc_id as id_a, b.doc_id as id_b
+from bands a join bands b
+  on a.band_key = b.band_key and a.doc_id < b.doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup_corpus(spark, sf_dir)
+    pairs = dedup_docs.lsh_candidate_pairs(corpus)
+    return dedup_docs.ngram_jaccard_pairs(corpus, pairs)
+
+
+NGRAM_JACCARD_SQL = f"""
+with corpus as ({CORPUS_SQL}),
+sig as (select doc_id, {_duck_sig_cols()} from corpus),
+bands as (select doc_id, unnest({_duck_band_keys()}) as band_key from sig),
+pairs as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from bands a join bands b
+    on a.band_key = b.band_key and a.doc_id < b.doc_id
+),
+sh as (select doc_id, {tx.shingles("text", 5, DUCKDB, 256)} as shs from corpus)
+select id_a, id_b, jaccard from (
+  select p.id_a, p.id_b,
+         cast(len(list_intersect(a.shs, b.shs)) as double)
+           / greatest(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)), 1)
+           as jaccard
+  from pairs p
+  join sh a on a.doc_id = p.id_a
+  join sh b on b.doc_id = p.id_b
+) where jaccard >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity_search.cosine_topk(emb, emb.filter("vec_id < 5"), k=10)
+
+
+def _qz(col: str) -> str:
+    return tx.quantize(col, DUCKDB)
+
+
+def cosine_topk_oracle() -> str:
+    cos = tx.cosine_quantized("qq", "qv", DUCKDB)
+    return f"""
+with q as (select vec_id as query_id, {_qz("embedding")} as qq
+           from embeddings where vec_id < 5),
+c as (select vec_id as neighbor_id, {_qz("embedding")} as qv from embeddings),
+scored as (
+  select query_id, neighbor_id, {cos} as cosine
+  from c cross join q where neighbor_id <> query_id
+)
+select query_id, neighbor_id, cosine,
+       cast(rank as int) as rank
+from (
+  select *, row_number() over (
+    partition by query_id order by cosine desc, neighbor_id asc
+  ) as rank from scored
+) where rank <= 10
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity_search.ivf_topk(
+        emb,
+        emb.filter("vec_id < 5"),
+        emb.filter("vec_id % 100 = 0"),
+        k=10,
+        nprobe=2,
+    )
+
+
+def ivf_topk_oracle() -> str:
+    cos_vc = tx.cosine_quantized("qv", "qc", DUCKDB)
+    cos_qc = tx.cosine_quantized("qq", "qc", DUCKDB)
+    cos_qv = tx.cosine_quantized("p.qq", "a.qv", DUCKDB)
+    return f"""
+with c as (select vec_id, {_qz("embedding")} as qv from embeddings),
+cents as (select vec_id as centroid_id, {_qz("embedding")} as qc
+          from embeddings where vec_id % 100 = 0),
+q as (select vec_id as query_id, {_qz("embedding")} as qq
+      from embeddings where vec_id < 5),
+assigned as (
+  select vec_id, qv, centroid_id from (
+    select c.vec_id, c.qv, cents.centroid_id,
+           row_number() over (
+             partition by c.vec_id
+             order by {cos_vc} desc, cents.centroid_id asc
+           ) as rn
+    from c cross join cents
+  ) where rn = 1
+),
+probes as (
+  select query_id, qq, centroid_id from (
+    select q.query_id, q.qq, cents.centroid_id,
+           row_number() over (
+             partition by q.query_id
+             order by {cos_qc} desc, cents.centroid_id asc
+           ) as rn
+    from q cross join cents
+  ) where rn <= 2
+),
+scored as (
+  select p.query_id, a.vec_id as neighbor_id, {cos_qv} as cosine
+  from assigned a join probes p on a.centroid_id = p.centroid_id
+  where a.vec_id <> p.query_id
+)
+select query_id, neighbor_id, cosine, cast(rank as int) as rank
+from (
+  select *, row_number() over (
+    partition by query_id order by cosine desc, neighbor_id asc
+  ) as rank from scored
+) where rank <= 10
+"""
+
+
+EXT_QUERIES = {
+    "text_token_counts": q_token_counts,
+    "text_quality": q_quality,
+    "text_langid": q_langid,
+    "text_fingerprint": q_fingerprint,
+    "text_simhash": q_simhash,
+    "dedup_exact_groups": q_exact_dedup_groups,
+    "dedup_lsh_pairs": q_lsh_pairs,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "similarity_cosine_topk": q_cosine_topk,
+    "similarity_ivf_topk": q_ivf_topk,
+}
+
+
+def ext_oracles() -> dict[str, str]:
+    return {
+        "text_token_counts": token_counts_oracle(),
+        "text_quality": quality_oracle(),
+        "text_langid": langid_oracle(),
+        "text_fingerprint": fingerprint_oracle(),
+        "text_simhash": simhash_oracle(),
+        "dedup_exact_groups": EXACT_DEDUP_SQL,
+        "dedup_lsh_pairs": LSH_PAIRS_SQL,
+        "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+        "similarity_cosine_topk": cosine_topk_oracle(),
+        "similarity_ivf_topk": ivf_topk_oracle(),
+    }

@@ -1,0 +1,123 @@
+"""Unit checks for the training-data-pipeline extension operators.
+
+The DuckDB oracle gate covers value parity; these tests pin the
+*semantics* on tiny hand-built inputs (the oracle can't tell us the
+answers are the RIGHT answers, only that both engines agree).
+"""
+
+import pytest
+from pyspark.sql import Row
+
+from far_finer_airtable_firestore_sync_spark.operators import (
+    dedup_docs,
+    similarity_search,
+    text_analysis,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat on the mat and the dog sat too"),
+            Row(doc_id=2, text="the cat sat on the mat and the dog sat too"),  # exact dup
+            Row(doc_id=3, text="the cat sat on the mat and the dog sat too quickly"),  # near dup
+            Row(doc_id=4, text="completely different content about spark engines"),
+            Row(doc_id=5, text="der hund und die katze das ist ein haus"),
+        ]
+    )
+
+
+def test_exact_dedup(docs):
+    groups = {r["kept_id"]: r["n_copies"] for r in
+              dedup_docs.exact_dedup_groups(docs).collect()}
+    assert groups[1] == 2  # docs 1+2 collapse, min id kept
+    kept = {r["doc_id"] for r in dedup_docs.exact_dedup(docs).collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_lsh_finds_near_dups_and_jaccard_verifies(docs):
+    pairs = dedup_docs.lsh_candidate_pairs(docs)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got  # dups collide
+    verified = dedup_docs.ngram_jaccard_pairs(docs, pairs, threshold=0.5)
+    v = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert v[(1, 2)] == 1.0
+    assert 0.5 <= v[(1, 3)] < 1.0
+    assert (1, 4) not in v and (1, 5) not in v
+
+
+def test_simhash_near_dup_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup_docs.simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical text -> identical simhash
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_langid_and_quality(docs):
+    lid = {r["doc_id"]: r["lang_pred"] for r in
+           text_analysis.language_id(docs).collect()}
+    assert lid[1] == "en"
+    assert lid[5] == "de"
+    q = {r["doc_id"]: r for r in text_analysis.quality_scores(docs).collect()}
+    assert 0.0 <= q[1]["quality_score"] <= 1.0
+    assert q[1]["stopword_ratio"] > q[5]["stopword_ratio"]  # en stopwords
+
+
+def test_token_counts(docs, spark):
+    tc = {r["doc_id"]: r for r in text_analysis.token_counts(docs).collect()}
+    assert tc[1]["n_tokens_ws"] == 11
+    assert tc[1]["n_tokens_word"] == 11
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),   # near vec 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.95, 0.05]),  # near vec 2
+        Row(vec_id=4, embedding=[0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_cosine_topk_exact(vectors):
+    out = similarity_search.cosine_topk(
+        vectors, vectors.filter("vec_id = 0"), k=2
+    ).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 1  # closest to [1,0,0]
+    assert all(r["query_id"] == 0 for r in out)
+
+
+def test_cosine_topk_pandas_matches_exact(vectors):
+    exact = similarity_search.cosine_topk(vectors, vectors.filter("vec_id <= 1"), k=3)
+    fast = similarity_search.cosine_topk_pandas(
+        vectors, vectors.filter("vec_id <= 1"), k=3
+    )
+    e = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in exact.collect()}
+    f = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in fast.collect()}
+    assert e == f
+
+
+def test_ivf_topk_probes_buckets(vectors):
+    cents = vectors.filter("vec_id in (0, 2, 4)")
+    out = similarity_search.ivf_topk(
+        vectors, vectors.filter("vec_id = 1"), cents, k=2, nprobe=1
+    ).collect()
+    # vec 1's bucket is centroid 0 -> neighbors restricted to that bucket
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])][0] == 0
+
+
+def test_embedding_near_dup(vectors):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity_search.embedding_near_dup_pairs(
+            vectors, threshold=0.95
+        ).collect()
+    }
+    assert (0, 1) in pairs and (2, 3) in pairs
+    assert (0, 2) not in pairs
