@@ -24,6 +24,7 @@ from far_finer_airtable_firestore_sync_spark.functions.canonical import (
 )
 from far_finer_airtable_firestore_sync_spark.operators import dedup
 from far_finer_airtable_firestore_sync_spark.operators import strategies as st
+from far_finer_airtable_firestore_sync_spark.plans import agg_queries as agg
 from far_finer_airtable_firestore_sync_spark.plans import ext_queries as ext
 from far_finer_airtable_firestore_sync_spark.plans import scenarios as sc
 
@@ -588,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_cleanup": _q_string_cleanup,
         "key_set_diff": _q_key_set_diff,
         **ext.EXT_QUERIES,
+        **agg.AGG_QUERIES,
     }
 
 
@@ -616,4 +618,5 @@ def oracle_sql() -> dict[str, str]:
         "string_cleanup": _STRING_CLEANUP_SQL,
         "key_set_diff": _KEY_SET_DIFF_SQL,
         **ext.ext_oracles(),
+        **agg.AGG_ORACLES,
     }

@@ -1,0 +1,338 @@
+"""Analytic query entries: aggregations, windows, sessionization,
+streaming — the 'engine exposes Spark's native query power over synced
+tables' half of SURVEY.md §2.7.
+
+Float-sum determinism: every SUM over a double column goes through
+``decimal`` (exact, order-independent) and is cast back to double at
+the end — partition order in Spark and scan order in DuckDB then
+cannot perturb the value (float addition is not associative; this is
+the only way a distributed sum can hash-match a single-node oracle
+bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events carries NANOS parquet timestamps, which Spark's vectorized
+    reader rejects; read them as int64 and convert at µs precision —
+    `ts div 1000` truncates exactly like DuckDB's ns->µs narrowing, so
+    both engines see identical timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+_DEC = "decimal(18,2)"
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: 2-key groupBy, 7 aggregates.
+
+    Whole plan is scan -> partial hash agg -> exchange(2 keys) ->
+    final agg; the shuffle carries one row per (flag, status) per
+    partition.
+    """
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    qty = F.col("l_quantity").cast(_DEC)
+    ep = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    tax = F.col("l_tax").cast(_DEC)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(ep * (F.lit(1).cast(_DEC) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(ep * (F.lit(1).cast(_DEC) - disc) * (F.lit(1).cast(_DEC) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = f"""
+select l_returnflag, l_linestatus,
+  cast(sum(cast(l_quantity as {_DEC})) as double) as sum_qty,
+  cast(sum(cast(l_extendedprice as {_DEC})) as double) as sum_base_price,
+  cast(sum(cast(l_extendedprice as {_DEC}) * (cast(1 as {_DEC}) - cast(l_discount as {_DEC}))) as double) as sum_disc_price,
+  cast(sum(cast(l_extendedprice as {_DEC}) * (cast(1 as {_DEC}) - cast(l_discount as {_DEC})) * (cast(1 as {_DEC}) + cast(l_tax as {_DEC}))) as double) as sum_charge,
+  cast(sum(cast(l_quantity as {_DEC})) as double) / count(*) as avg_qty,
+  cast(sum(cast(l_discount as {_DEC})) as double) / count(*) as avg_disc,
+  count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '1998-09-02 00:00:00'
+group by l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-table star join + group: broadcast the dims, shuffle the fact
+    once. Catalyst picks broadcast-hash for nation/customer
+    automatically (check .explain: BroadcastHashJoin x3)."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+REVENUE_BY_NATION_SQL = f"""
+select n_name,
+  cast(sum(cast(l_extendedprice as {_DEC}) * (cast(1 as {_DEC}) - cast(l_discount as {_DEC}))) as double) as revenue,
+  count(distinct o_orderkey) as n_orders
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+group by n_name
+"""
+
+
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by total price (window + filter)."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        _read(spark, sf_dir, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+TOPK_ORDERS_SQL = """
+select o_custkey, o_orderkey, o_totalprice, cast(rk as int) as rk from (
+  select o_custkey, o_orderkey, o_totalprice,
+         row_number() over (
+           partition by o_custkey
+           order by o_totalprice desc, o_orderkey asc
+         ) as rk
+  from orders
+) where rk <= 3
+"""
+
+
+def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate over the event stream table
+    (batch form; the streaming form is `streaming_window_agg`)."""
+    _utc(spark)
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+EVENTS_WINDOW_SQL = f"""
+select date_trunc('hour', ts) as window_start, event_type,
+       count(*) as n_events,
+       cast(sum(cast(value as {_DEC})) as double) as total_value,
+       count(distinct user_id) as n_users
+from events
+group by 1, 2
+"""
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    sum of session breaks, then per-session rollup. Two window passes
+    over the same (user_id, ts) partitioning — one shuffle, reused.
+    """
+    _utc(spark)
+    ev = read_events(spark, sf_dir)
+    ev.createOrReplaceTempView("_ffs_events")
+    return ev.sparkSession.sql(SESSIONIZATION_BODY.format(rel="_ffs_events"))
+
+
+SESSIONIZATION_BODY = """
+with marked as (
+  select user_id, ts, event_id, value,
+    case when unix_micros(ts) - lag(unix_micros(ts)) over (
+           partition by user_id order by ts, event_id
+         ) > 1800000000 then 1
+         when lag(ts) over (partition by user_id order by ts, event_id) is null then 1
+         else 0 end as is_start
+  from {rel}
+),
+sessions as (
+  select user_id, ts, event_id, value,
+    sum(is_start) over (
+      partition by user_id order by ts, event_id
+      rows between unbounded preceding and current row
+    ) as session_idx
+  from marked
+)
+select user_id, cast(session_idx as bigint) as session_idx,
+       count(*) as n_events,
+       min(ts) as session_start, max(ts) as session_end,
+       cast(sum(cast(value as decimal(18,2))) as double) as session_value
+from sessions
+group by user_id, session_idx
+"""
+
+SESSIONIZATION_SQL = SESSIONIZATION_BODY.replace(
+    "unix_micros(ts)", "epoch_us(ts)"
+).format(rel="events")
+
+
+def q_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregate (subtotals + grand total)."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ROLLUP_SQL = f"""
+select l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity as {_DEC})) as double) as sum_qty,
+       count(*) as n
+from lineitem
+group by rollup (l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts: status rows x priority columns."""
+    _utc(spark)
+    orders = _read(spark, sf_dir, "orders")
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", pris)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderstatus",
+            *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"n_{p[0]}") for p in pris],
+        )
+    )
+
+
+PIVOT_SQL = """
+select o_orderstatus,
+  count(*) filter (where o_orderpriority = '1-URGENT') as n_1,
+  count(*) filter (where o_orderpriority = '2-HIGH') as n_2,
+  count(*) filter (where o_orderpriority = '3-MEDIUM') as n_3,
+  count(*) filter (where o_orderpriority = '4-NOT SPECIFIED') as n_4,
+  count(*) filter (where o_orderpriority = '5-LOW') as n_5
+from orders group by o_orderstatus
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless JSON access: extract props.k, bucket and aggregate."""
+    _utc(spark)
+    ev = read_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select((k % 10).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+JSON_PROPS_SQL = """
+select cast(json_extract_string(props, '$.k') as bigint) % 10 as k_bucket,
+       count(*) as n
+from events group by 1
+"""
+
+
+def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming execution: file stream -> watermarked
+    tumbling windows -> complete-mode memory sink, driven to
+    completion; the oracle checks the final table against batch SQL."""
+    _utc(spark)
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        read_event_stream,
+        run_stream_to_memory,
+        windowed_event_aggregates,
+    )
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    agg = windowed_event_aggregates(stream, window="1 hour", watermark="30 minutes")
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    return run_stream_to_memory(agg, f"_ffs_stream_{_STREAM_SEQ}")
+
+
+_STREAM_SEQ = 0
+
+STREAMING_WINDOW_SQL = f"""
+select date_trunc('hour', ts) as window_start, event_type,
+       count(*) as n_events,
+       cast(sum(cast(value as {_DEC})) as double) as total_value
+from events
+group by 1, 2
+"""
+
+
+AGG_QUERIES = {
+    "agg_pricing_summary": q_pricing_summary,
+    "agg_revenue_by_nation": q_revenue_by_nation,
+    "window_topk_orders": q_topk_orders_per_customer,
+    "events_window_agg": q_events_window_agg,
+    "sessionization": q_sessionization,
+    "agg_rollup": q_rollup_flag_status,
+    "pivot_status_priority": q_pivot_status_by_priority,
+    "json_props_extract": q_json_props,
+    "streaming_window_agg": q_streaming_window_agg,
+}
+
+AGG_ORACLES = {
+    "agg_pricing_summary": PRICING_SUMMARY_SQL,
+    "agg_revenue_by_nation": REVENUE_BY_NATION_SQL,
+    "window_topk_orders": TOPK_ORDERS_SQL,
+    "events_window_agg": EVENTS_WINDOW_SQL,
+    "sessionization": SESSIONIZATION_SQL,
+    "agg_rollup": ROLLUP_SQL,
+    "pivot_status_priority": PIVOT_SQL,
+    "json_props_extract": JSON_PROPS_SQL,
+    "streaming_window_agg": STREAMING_WINDOW_SQL,
+}

@@ -1,0 +1,136 @@
+"""Structured Streaming extensions (SURVEY.md §7 step 11).
+
+The reference is batch-only, invoked manually (try_it_out.py:51-52,
+72-73). Continuous sync is its natural streaming extension: every
+micro-batch replays a strategy plan through ``foreachBatch`` — the
+engine's strategies are pure post-state builders, so they compose with
+streaming unchanged.
+
+Also provides watermarked windowed aggregation over an event stream
+(late-data tolerant) — the streaming counterpart of the batch
+``events`` queries.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from far_finer_airtable_firestore_sync_spark.config import SyncSpec
+from far_finer_airtable_firestore_sync_spark.operators.strategies import get_strategy
+from far_finer_airtable_firestore_sync_spark.sources.store import DocumentStore
+
+#: events fixture carries NANOS parquet timestamps — declare ts as
+#: int64 (with nanosAsLong) and convert at µs precision (same
+#: truncation DuckDB applies when narrowing ns -> µs).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: Optional[int] = None
+) -> DataFrame:
+    """File-based event stream (parquet directory, or a single file
+    which gets staged into a temp directory — streaming sources require
+    a directory)."""
+    import os
+    import shutil
+    import tempfile
+
+    if os.path.isfile(path):
+        staged = tempfile.mkdtemp(prefix="ffs-stream-")
+        shutil.copy(path, os.path.join(staged, os.path.basename(path)))
+        path = staged
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path).withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+
+
+def windowed_event_aggregates(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type with a watermark for
+    late data. Sums go through decimal so micro-batch order cannot
+    perturb the result (float addition is not associative)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    agg: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a (bounded) file stream to completion into a memory sink;
+    returns the result table. Synchronous — test/oracle harness use."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return agg.sparkSession.table(query_name)
+
+
+def continuous_sync(
+    stream: DataFrame,
+    spec: SyncSpec,
+    store: DocumentStore,
+    checkpoint_dir: str,
+    query_name: str = "continuous_sync",
+):
+    """Continuous sync: each micro-batch replays the configured
+    strategy against the current store snapshot and commits the
+    post-state — exactly-once per batch via the store's atomic pointer
+    flip plus the stream checkpoint.
+    """
+    strategy = get_strategy(spec.update_type)
+
+    def sync_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        target = store.read()
+        if target is None:
+            target = batch_df.sparkSession.createDataFrame([], batch_df.schema)
+        post = strategy(batch_df, target, spec)
+        # Materialize before the pointer flip: post reads the current
+        # version directory that commit() will supersede.
+        store.commit(post.localCheckpoint())
+
+    return (
+        stream.writeStream.foreachBatch(sync_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
