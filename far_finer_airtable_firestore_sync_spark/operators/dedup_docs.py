@@ -64,46 +64,52 @@ def exact_dedup(
     )
 
 
+def with_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 9,
+    max_chars: int | None = 256,
+) -> DataFrame:
+    """(id, _sh) with the distinct character-n-gram set per doc —
+    computed ONCE and shared by signatures and Jaccard verification."""
+    return df.select(
+        F.col(id_col),
+        F.expr(tx.shingles(f"`{text_col}`", shingle_n, SPARK, max_chars)).alias(
+            "_sh"
+        ),
+    )
+
+
+def signatures_from_shingles(shingled: DataFrame, seeds: int = 8) -> DataFrame:
+    """MinHash signature columns ``s0..s{k-1}`` from a shingle array:
+    min over md5('<seed>:'||shingle) — shingling cost paid once, the
+    k hash passes fold over the in-memory array."""
+    id_col = shingled.columns[0]
+    sigs = [
+        F.expr(
+            f"array_min(transform(_sh, x -> md5('{s}:' || x)))"
+        ).alias(f"s{s}")
+        for s in range(seeds)
+    ]
+    return shingled.select(F.col(id_col), F.col("_sh"), *sigs)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    shingle_n: int = 5,
+    shingle_n: int = 9,
     seeds: int = 8,
     max_chars: int | None = 256,
 ) -> DataFrame:
     """Per-doc MinHash signature columns ``s0..s{k-1}`` (md5-hex min)."""
-    sig = tx.minhash_signature(f"`{text_col}`", shingle_n, seeds, SPARK, max_chars)
-    return df.select(
-        F.col(id_col), *[F.expr(e).alias(f"s{i}") for i, e in enumerate(sig)]
-    )
+    return signatures_from_shingles(
+        with_shingles(df, text_col, id_col, shingle_n, max_chars), seeds
+    ).drop("_sh")
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle_n: int = 5,
-    seeds: int = 8,
-    rows_per_band: int = 2,
-    max_chars: int | None = 256,
-) -> DataFrame:
-    """MinHash-LSH near-dup candidates: distinct (id_a < id_b) pairs
-    sharing at least one signature band.
-
-    Plan shape: project signatures -> explode band keys (seeds /
-    rows_per_band rows per doc) -> self-join on the band key. The join
-    key is a 32-char digest: uniform, broadcast-unfriendly by design,
-    and the shuffle is proportional to bands * N, not N².
-    """
-    sigs = minhash_signatures(df, text_col, id_col, shingle_n, seeds, max_chars)
-    keys = tx.band_keys([f"s{i}" for i in range(seeds)], rows_per_band)
-    bands = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[F.expr(k) for k in keys])
-        ).alias("band_key"),
-    )
+def _pairs_from_bands(bands: DataFrame, id_col: str) -> DataFrame:
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -120,26 +126,69 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 9,
+    seeds: int = 8,
+    rows_per_band: int = 4,
+    max_chars: int | None = 256,
+    cache: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: distinct (id_a < id_b) pairs
+    sharing at least one signature band.
+
+    Plan shape: project signatures -> explode band keys (seeds /
+    rows_per_band rows per doc) -> self-join on the band key. The join
+    key is a 32-char digest: uniform, broadcast-unfriendly by design,
+    and the shuffle is proportional to bands * N, not N².
+
+    Parameter note (measured on the fixture corpus, small vocabulary):
+    2-row bands produced ~1M candidates from 5.5k docs (576-doc
+    buckets); 9-char shingles with 4-row bands cut that to ~500 while
+    still catching every synthesized near-dup. Band selectivity IS the
+    scale knob: candidates ~ sum(bucket^2).
+
+    ``cache`` persists the exploded band table so the self-join's two
+    sides don't recompute the signatures (Spark would otherwise
+    re-evaluate the whole minhash per join input).
+    """
+    sigs = minhash_signatures(df, text_col, id_col, shingle_n, seeds, max_chars)
+    keys = tx.band_keys([f"s{i}" for i in range(seeds)], rows_per_band)
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.expr(k) for k in keys])
+        ).alias("band_key"),
+    )
+    if cache:
+        bands = bands.persist()
+    return _pairs_from_bands(bands, id_col)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    shingle_n: int = 5,
+    shingle_n: int = 9,
     max_chars: int | None = 256,
     threshold: float = 0.5,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Verify candidate pairs with exact n-gram Jaccard similarity.
 
     Joins shingle sets onto the (small) candidate-pair table — at
     scale both joins broadcast the pair side. Jaccard is an integer
-    ratio (exact across engines).
+    ratio (exact across engines). Pass ``shingled`` (from
+    :func:`with_shingles`, persisted) to reuse shingle arrays already
+    computed for the LSH stage.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.expr(tx.shingles(f"`{text_col}`", shingle_n, SPARK, max_chars)).alias(
-            "_sh"
-        ),
+    sh = (
+        shingled
+        if shingled is not None
+        else with_shingles(df, text_col, id_col, shingle_n, max_chars)
     )
     j = (
         pairs.join(
@@ -156,6 +205,33 @@ def ngram_jaccard_pairs(
     return (
         j.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 9,
+    seeds: int = 8,
+    rows_per_band: int = 4,
+    max_chars: int | None = 256,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle once -> minhash -> LSH bucket
+    self-join -> exact Jaccard verification, with the shingle arrays
+    persisted and shared across stages (one pass over the text)."""
+    shingled = with_shingles(df, text_col, id_col, shingle_n, max_chars).persist()
+    sigs = signatures_from_shingles(shingled, seeds).drop("_sh")
+    keys = tx.band_keys([f"s{i}" for i in range(seeds)], rows_per_band)
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.expr(k) for k in keys])).alias("band_key"),
+    ).persist()
+    pairs = _pairs_from_bands(bands, id_col)
+    return ngram_jaccard_pairs(
+        df, pairs, text_col, id_col, shingle_n, max_chars, threshold,
+        shingled=shingled,
     )
 
 

@@ -21,6 +21,16 @@ from far_finer_airtable_firestore_sync_spark.operators import (
 
 NEAR_SUFFIX = " near duplicate suffix"
 
+# LSH parameters shared by the Spark entries and the DuckDB oracles.
+# Measured on the fixture corpus (tiny vocabulary): 5-char shingles +
+# 2-row bands exploded to ~1M candidate pairs at sf0.1; 9-char
+# shingles + 4-row bands keep it ~500 while catching every
+# synthesized near-dup.
+SHINGLE_N = 9
+SEEDS = 8
+ROWS_PER_BAND = 4
+MAX_CHARS = 256
+
 # ---------------------------------------------------------------------------
 # corpus with synthesized duplicates
 # ---------------------------------------------------------------------------
@@ -145,16 +155,22 @@ from corpus group by md5(text)
 
 
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup_docs.lsh_candidate_pairs(dedup_corpus(spark, sf_dir))
+    return dedup_docs.lsh_candidate_pairs(
+        dedup_corpus(spark, sf_dir),
+        shingle_n=SHINGLE_N,
+        seeds=SEEDS,
+        rows_per_band=ROWS_PER_BAND,
+        max_chars=MAX_CHARS,
+    )
 
 
 def _duck_sig_cols() -> str:
-    sig = tx.minhash_signature("text", 5, 8, DUCKDB, 256)
+    sig = tx.minhash_signature("text", SHINGLE_N, SEEDS, DUCKDB, MAX_CHARS)
     return ", ".join(f"{e} as s{i}" for i, e in enumerate(sig))
 
 
 def _duck_band_keys() -> str:
-    keys = tx.band_keys([f"s{i}" for i in range(8)], 2)
+    keys = tx.band_keys([f"s{i}" for i in range(SEEDS)], ROWS_PER_BAND)
     return "[" + ", ".join(keys) + "]"
 
 
@@ -169,9 +185,14 @@ from bands a join bands b
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = dedup_corpus(spark, sf_dir)
-    pairs = dedup_docs.lsh_candidate_pairs(corpus)
-    return dedup_docs.ngram_jaccard_pairs(corpus, pairs)
+    return dedup_docs.near_dup_pairs(
+        dedup_corpus(spark, sf_dir),
+        shingle_n=SHINGLE_N,
+        seeds=SEEDS,
+        rows_per_band=ROWS_PER_BAND,
+        max_chars=MAX_CHARS,
+        threshold=0.5,
+    )
 
 
 NGRAM_JACCARD_SQL = f"""
@@ -183,7 +204,7 @@ pairs as (
   from bands a join bands b
     on a.band_key = b.band_key and a.doc_id < b.doc_id
 ),
-sh as (select doc_id, {tx.shingles("text", 5, DUCKDB, 256)} as shs from corpus)
+sh as (select doc_id, {tx.shingles("text", SHINGLE_N, DUCKDB, MAX_CHARS)} as shs from corpus)
 select id_a, id_b, jaccard from (
   select p.id_a, p.id_b,
          cast(len(list_intersect(a.shs, b.shs)) as double)
