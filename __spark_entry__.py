@@ -26,6 +26,7 @@ from far_finer_airtable_firestore_sync_spark.operators import dedup
 from far_finer_airtable_firestore_sync_spark.operators import strategies as st
 from far_finer_airtable_firestore_sync_spark.plans import agg_queries as agg
 from far_finer_airtable_firestore_sync_spark.plans import ext_queries as ext
+from far_finer_airtable_firestore_sync_spark.plans import join_queries as jq
 from far_finer_airtable_firestore_sync_spark.plans import scenarios as sc
 
 
@@ -590,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_set_diff": _q_key_set_diff,
         **ext.EXT_QUERIES,
         **agg.AGG_QUERIES,
+        **jq.JOIN_QUERIES,
     }
 
 
@@ -619,4 +621,5 @@ def oracle_sql() -> dict[str, str]:
         "key_set_diff": _KEY_SET_DIFF_SQL,
         **ext.ext_oracles(),
         **agg.AGG_ORACLES,
+        **jq.JOIN_ORACLES,
     }

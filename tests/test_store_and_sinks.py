@@ -1,0 +1,141 @@
+"""DocumentStore (K1-K7, S5-S8), CSV sink (K8), spec validation, and
+plan-shape regression checks (pushdown / broadcast / partial agg)."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from far_finer_airtable_firestore_sync_spark.config import (
+    SyncSpec,
+    SyncSpecBuilder,
+    UpdateType,
+)
+from far_finer_airtable_firestore_sync_spark.functions.canonical import Field
+from far_finer_airtable_firestore_sync_spark.sources.csv_sink import (
+    ordered_columns,
+    write_csv,
+)
+from far_finer_airtable_firestore_sync_spark.sources.store import DocumentStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return DocumentStore(spark, str(tmp_path / "store"))
+
+
+def test_store_point_ops(spark, store):
+    doc_id = store.add_document({"name": "a", "v": 1})
+    store.add_document_with_id("fixed", {"name": "b", "v": 2})
+    assert store.get_document(doc_id)["name"] == "a"
+    assert store.get_document("fixed")["v"] == 2
+    # K3 merge-update: untouched fields survive
+    store.update_document("fixed", {"v": 9})
+    d = store.get_document("fixed")
+    assert d["v"] == 9 and d["name"] == "b"
+    # K4 overwrite replaces the whole doc (missing fields -> null)
+    store.set_document("fixed", {"name": "c"})
+    d = store.get_document("fixed")
+    assert d["name"] == "c" and d["v"] is None
+    # K5 delete / K6 truncate
+    store.delete_document(doc_id)
+    assert store.get_document(doc_id) is None
+    store.clear_collection()
+    assert store.read().count() == 0
+
+
+def test_store_queries_and_versioning(spark, store):
+    for i, (ut, v) in enumerate([("a", 1), ("a", 3), ("b", 2)]):
+        store.add_document_with_id(f"d{i}", {"update_type": ut, "version_id": v})
+    # S6 predicate scan + S7 Firestore != semantics
+    assert store.query_documents("update_type", "==", "a").count() == 2
+    store.add_document_with_id("d9", {"update_type": None, "version_id": 9})
+    assert store.query_documents_not_equal("update_type", "a").count() == 1
+    # S8 ordered scan
+    versions = [
+        r["version_id"] for r in store.query_all_versions("a").collect()
+    ]
+    assert versions == [3, 1]
+    # snapshot isolation: old version dirs remain until vacuumed
+    assert len(glob.glob(os.path.join(store.root, "v-*"))) >= 4
+
+
+def test_csv_sink_priority_ordering(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "x", 2, None)], "zeta int, name string, alpha int, extra string"
+    )
+    order = write_csv(
+        df, str(tmp_path / "out"), priority_fields=["name", "missing", "zeta"]
+    )
+    # priority fields first (only those present), remainder sorted
+    assert order == ["name", "zeta", "alpha", "extra"]
+    part = glob.glob(str(tmp_path / "out" / "*.csv"))
+    header = open(part[0]).readline().strip()
+    assert header == "name,zeta,alpha,extra"
+    assert ordered_columns(["b", "a"]) == ["a", "b"]
+
+
+def test_spec_validation():
+    with pytest.raises(ValueError, match="primary_key"):
+        SyncSpec(primary_key="pk", update_type=UpdateType.APPEND,
+                 payload_fields=(Field("other", "string"),))
+    with pytest.raises(ValueError, match="missing"):
+        SyncSpecBuilder().with_primary_key("x").build()
+    spec = (
+        SyncSpecBuilder()
+        .with_primary_key("k")
+        .with_update_type(UpdateType.REPLACE)
+        .with_field("k", "long")
+        .with_table("t", "v")
+        .build()
+    )
+    assert spec.with_update_type(UpdateType.APPEND).update_type == UpdateType.APPEND
+
+
+# -- plan-shape regression tests (the 100 TB contract, SCALE.md) ------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_pruning_reach_scan(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .filter("l_shipdate < '1995-01-01'")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # column pruning: only 3 columns read
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_shipdate" in plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["agg_revenue_by_nation"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_keep_latest_uses_partial_aggregation(spark):
+    from far_finer_airtable_firestore_sync_spark.operators.dedup import keep_latest
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    plan = _plan(keep_latest(orders, "o_custkey", "o_orderdate", "o_orderkey"))
+    assert "partial_max_by" in plan  # map-side combine before the exchange
+    assert plan.count("Exchange") == 1  # exactly one shuffle
+
+
+def test_checksum_is_codegen_not_udf(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["row_checksum"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # '*(n)' node prefix == whole-stage-codegen'd stage
+    assert "*(1) Project" in plan
