@@ -1,0 +1,114 @@
+"""Custom Python DataSource, record unwrap, stateful streaming, secrets."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from far_finer_airtable_firestore_sync_spark.secrets import (
+    Secrets,
+    env_provider,
+    static_provider,
+)
+from far_finer_airtable_firestore_sync_spark.sources import record_source
+
+
+@pytest.fixture()
+def page_dir(tmp_path):
+    """Three 'pages' of Airtable-shaped records."""
+    recs = [
+        {"id": f"rec{i}", "createdTime": f"2024-01-{i + 1:02d}T00:00:00Z",
+         "fields": {"Name": f"n{i}", "Score": i * 1.5, "Tag": None}}
+        for i in range(9)
+    ]
+    d = tmp_path / "pages"
+    d.mkdir()
+    for p in range(3):
+        with open(d / f"page-{p}.jsonl", "w") as fh:
+            for rec in recs[p * 3 : (p + 1) * 3]:
+                fh.write(json.dumps(rec) + "\n")
+    return str(d)
+
+
+def test_record_feed_datasource(spark, page_dir):
+    assert record_source.register(spark)
+    df = (
+        spark.read.format("record_feed")
+        .option("path", page_dir)
+        .option("fields", "Name, Score, Tag")
+        .load()
+    )
+    assert df.columns == ["_record_id", "_created_time", "Name", "Score", "Tag"]
+    rows = {r["_record_id"]: r for r in df.collect()}
+    assert len(rows) == 9
+    assert rows["rec4"]["Name"] == "n4"
+    assert rows["rec4"]["Score"] == "6.0"  # strings until the cast stage
+    assert rows["rec4"]["Tag"] is None
+    # one partition per page -> parallel fetch
+    assert df.rdd.getNumPartitions() == 3
+    # catalog-driven typed projection composes on top
+    from far_finer_airtable_firestore_sync_spark.functions.casts import (
+        typed_projection,
+    )
+
+    typed = typed_projection(
+        df.select("Name", "Score"), {"Name": "singleLineText", "Score": "number"}
+    )
+    assert dict(typed.dtypes)["Score"] == "double"
+
+
+def test_unwrap_records(spark):
+    df = spark.createDataFrame(
+        [("r1", {"Name": "a", "Created": "2024-01-01"})],
+        "id string, fields struct<Name:string, Created:string>",
+    )
+    out = record_source.unwrap_records(df)
+    assert out.columns == ["id", "Name", "Created"]
+    assert out.collect()[0]["Name"] == "a"
+    with pytest.raises(ValueError, match="struct"):
+        record_source.unwrap_records(df.select("id"), "id")
+
+
+def test_stateful_user_profiles(spark, tmp_path):
+    from far_finer_airtable_firestore_sync_spark.streaming import stateful, sync
+
+    stream = sync.read_event_stream(spark, "/root/testdata/sf0.001/events.parquet")
+    profiles = stateful.user_profiles(stream)
+    q = (
+        profiles.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_profiles")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["user_id"]: r for r in spark.table("t_profiles").collect()}
+    # cross-check against batch aggregation
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import read_events
+
+    batch = {
+        r["user_id"]: r
+        for r in read_events(spark, "/root/testdata/sf0.001")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_seen"),
+        )
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for uid, b in batch.items():
+        assert got[uid]["n_events"] == b["n_events"]
+        assert got[uid]["last_seen"] == b["last_seen"]
+
+
+def test_secrets_chain(monkeypatch):
+    monkeypatch.setenv("FFS_KEY", "from-env")
+    s = Secrets([static_provider({"other": "x"}), env_provider()])
+    assert s.get_api_key("FFS_KEY") == "from-env"
+    assert s.get_api_key("other") == "x"
+    with pytest.raises(KeyError):
+        s.get_api_key("missing")
