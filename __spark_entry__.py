@@ -480,6 +480,37 @@ from doc d cross join gate where g
 # -- scans / utility operators ----------------------------------------------
 
 
+def _q_view_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: view scan = visible-column subset + server-side row filter,
+    both pushed into the parquet scan by Catalyst."""
+    _utc(spark)
+    from far_finer_airtable_firestore_sync_spark.sources.tables import (
+        View,
+        read_view,
+    )
+
+    view = View(
+        columns=("o_orderkey", "o_custkey", "o_totalprice"),
+        predicate="o_orderstatus = 'O' and o_totalprice > 1000",
+    )
+    return read_view(spark, sf_dir, "orders", view)
+
+
+_VIEW_SCAN_SQL = """
+select o_orderkey, o_custkey, o_totalprice from orders
+where o_orderstatus = 'O' and o_totalprice > 1000
+"""
+
+
+def _q_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/E3: point read by key (parquet data-skipping scan)."""
+    _utc(spark)
+    return _read(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
+
+
+_POINT_READ_SQL = "select * from customer where c_custkey = 42"
+
+
 def _q_predicate_scan_ne(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7: Firestore-semantics != scan (missing field excluded)."""
     _utc(spark)
@@ -585,6 +616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strategy_versioned_set": _q_versioned_set,
         "strategy_versioned_table_checksum": _q_versioned_table_checksum,
         "strategy_upsert_table_checksum": _q_upsert_table_checksum,
+        "view_scan": _q_view_scan,
+        "point_read": _q_point_read,
         "predicate_scan_ne": _q_predicate_scan_ne,
         "ordered_scan_topk": _q_ordered_scan_topk,
         "string_cleanup": _q_string_cleanup,
@@ -615,6 +648,8 @@ def oracle_sql() -> dict[str, str]:
         "strategy_versioned_set": _VERSIONED_SET_SQL,
         "strategy_versioned_table_checksum": _versioned_table_checksum_oracle(),
         "strategy_upsert_table_checksum": _upsert_table_checksum_oracle(),
+        "view_scan": _VIEW_SCAN_SQL,
+        "point_read": _POINT_READ_SQL,
         "predicate_scan_ne": _PREDICATE_NE_SQL,
         "ordered_scan_topk": _ORDERED_SCAN_SQL,
         "string_cleanup": _STRING_CLEANUP_SQL,

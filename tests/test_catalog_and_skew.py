@@ -1,0 +1,84 @@
+"""Field-type catalog (S3), schema drift (D7), skew mitigation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from far_finer_airtable_firestore_sync_spark.operators.skew import (
+    salted_aggregate,
+    salted_join,
+)
+from far_finer_airtable_firestore_sync_spark.sources.tables import (
+    fetch_field_types,
+    schema_drift,
+)
+
+
+def test_fetch_field_types_maps_spark_to_catalog(spark):
+    df = spark.createDataFrame(
+        [],
+        "name string, score double, ok boolean, d date, ts timestamp, "
+        "tags array<string>, att array<struct<url:string>>, n int",
+    )
+    cat = fetch_field_types(df)
+    assert cat == {
+        "name": "singleLineText",
+        "score": "number",
+        "ok": "checkbox",
+        "d": "date",
+        "ts": "dateTime",
+        "tags": "multipleSelects",
+        "att": "multipleAttachments",
+        "n": "singleLineText",  # unknown -> string default
+    }
+
+
+def test_schema_drift_report():
+    rep = schema_drift(["a", "b", "c"], ["b", "c", "d"])
+    assert rep == {
+        "added_fields": ["d"],
+        "removed_fields": ["a"],
+        "symmetric_difference": ["a", "d"],
+    }
+
+
+@pytest.fixture()
+def skewed(spark):
+    # one hot key (90%) + long tail
+    return spark.range(0, 10000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 50).cast("string")))
+        .alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+
+
+def test_salted_aggregate_matches_plain(spark, skewed):
+    plain = {
+        (r["k"]): (r["total"], r["n"])
+        for r in skewed.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count("v").alias("n"))
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["total"], r["n"])
+        for r in salted_aggregate(
+            skewed, "k", {"total": ("sum", "v"), "n": ("count", "v")}
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("k1", "A"), ("k2", "B")], "k string, label string"
+    )
+    plain = sorted(
+        map(tuple, skewed.join(dim, "k").select("k", "v", "label").collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            salted_join(skewed, dim, "k").select("k", "v", "label").collect(),
+        )
+    )
+    assert salted == plain
