@@ -208,6 +208,46 @@ def ngram_jaccard_pairs(
     )
 
 
+def signatures_from_shingles_fast(
+    shingled: DataFrame, seeds: int = 8
+) -> DataFrame:
+    """Production fast path: xxhash64-based minhash (JVM-native 64-bit
+    hash, ~5x cheaper than md5). Same LSH semantics; numeric
+    signatures. Not oracle-checked (DuckDB has no xxhash64) — the md5
+    variant is the cross-engine-verified twin."""
+    id_col = shingled.columns[0]
+    sigs = [
+        F.expr(f"array_min(transform(_sh, x -> xxhash64(x, {s})))").alias(f"s{s}")
+        for s in range(seeds)
+    ]
+    return shingled.select(F.col(id_col), F.col("_sh"), *sigs)
+
+
+def lsh_candidate_pairs_fast(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 9,
+    seeds: int = 8,
+    rows_per_band: int = 4,
+    max_chars: int | None = 256,
+) -> DataFrame:
+    """xxhash64 LSH candidates — identical pipeline shape to
+    :func:`lsh_candidate_pairs`, numeric band keys."""
+    sigs = signatures_from_shingles_fast(
+        with_shingles(df, text_col, id_col, shingle_n, max_chars), seeds
+    ).drop("_sh")
+    band_exprs = []
+    for b in range(0, seeds, rows_per_band):
+        group = [f"s{i}" for i in range(b, min(b + rows_per_band, seeds))]
+        band_exprs.append(f"xxhash64({', '.join(group)}, {b})")
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.expr(k) for k in band_exprs])).alias("band_key"),
+    ).persist()
+    return _pairs_from_bands(bands, id_col)
+
+
 def near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",

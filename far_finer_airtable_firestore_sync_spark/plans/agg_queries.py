@@ -313,6 +313,105 @@ group by 1, 2
 """
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over key sets (§2.7 set operations)."""
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer")
+    a = cust.filter("c_custkey % 2 = 0").select("c_custkey")
+    b = cust.filter("c_custkey % 3 = 0").select("c_custkey")
+    return (
+        a.union(b).distinct().withColumn("op", F.lit("union"))
+        .unionByName(a.intersect(b).withColumn("op", F.lit("intersect")))
+        .unionByName(a.exceptAll(b).distinct().withColumn("op", F.lit("except")))
+    )
+
+
+SET_OPS_SQL = """
+with a as (select c_custkey from customer where c_custkey % 2 = 0),
+b as (select c_custkey from customer where c_custkey % 3 = 0)
+select c_custkey, 'union' as op from (select * from a union select * from b)
+union all
+select c_custkey, 'intersect' as op from (select * from a intersect select * from b)
+union all
+select c_custkey, 'except' as op from (select * from a except select * from b)
+"""
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all subtotal combinations)."""
+    _utc(spark)
+    orders = _read(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total"),
+    )
+
+
+CUBE_SQL = f"""
+select o_orderstatus, o_orderpriority, count(*) as n,
+       cast(sum(cast(o_totalprice as {_DEC})) as double) as total
+from orders group by cube (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar-function coverage in one projection."""
+    _utc(spark)
+    return _read(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr("upper(p_brand)").alias("brand_u"),
+        F.expr("lower(p_type)").alias("type_l"),
+        F.expr("substring(p_name, 1, 8)").alias("name8"),
+        F.expr("length(p_name)").alias("name_len"),
+        F.expr("replace(p_type, ' ', '_')").alias("type_us"),
+        F.expr("concat(p_brand, ':', cast(p_size as string))").alias("brand_size"),
+        F.expr("abs(p_retailprice - 1000.0)").alias("price_dist"),
+        F.expr("round(p_retailprice / 7.0, 2)").alias("price_div"),
+        F.expr("cast(floor(sqrt(cast(p_size as double)) * 100) as bigint)").alias(
+            "size_sqrt100"
+        ),
+        F.expr("pmod(p_partkey, 97)").alias("key_mod"),
+        F.expr("greatest(p_size, 25)").alias("size_floor25"),
+    )
+
+
+SCALAR_FUNCS_SQL = """
+select p_partkey,
+  upper(p_brand) as brand_u,
+  lower(p_type) as type_l,
+  substring(p_name, 1, 8) as name8,
+  length(p_name) as name_len,
+  replace(p_type, ' ', '_') as type_us,
+  concat(p_brand, ':', cast(p_size as string)) as brand_size,
+  abs(p_retailprice - 1000.0) as price_dist,
+  round(p_retailprice / 7.0, 2) as price_div,
+  cast(floor(sqrt(cast(p_size as double)) * 100) as bigint) as size_sqrt100,
+  p_partkey % 97 as key_mod,
+  greatest(p_size, 25) as size_floor25
+from part
+"""
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple distinct aggregates in one group (expand-based plan)."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+DISTINCT_AGG_SQL = """
+select l_returnflag,
+       count(distinct l_partkey) as n_parts,
+       count(distinct l_suppkey) as n_supps,
+       count(*) as n_rows
+from lineitem group by l_returnflag
+"""
+
+
 AGG_QUERIES = {
     "agg_pricing_summary": q_pricing_summary,
     "agg_revenue_by_nation": q_revenue_by_nation,
@@ -323,6 +422,10 @@ AGG_QUERIES = {
     "pivot_status_priority": q_pivot_status_by_priority,
     "json_props_extract": q_json_props,
     "streaming_window_agg": q_streaming_window_agg,
+    "set_ops": q_set_ops,
+    "agg_cube": q_cube_agg,
+    "scalar_functions": q_scalar_functions,
+    "agg_multi_distinct": q_distinct_agg,
 }
 
 AGG_ORACLES = {
@@ -335,4 +438,8 @@ AGG_ORACLES = {
     "pivot_status_priority": PIVOT_SQL,
     "json_props_extract": JSON_PROPS_SQL,
     "streaming_window_agg": STREAMING_WINDOW_SQL,
+    "set_ops": SET_OPS_SQL,
+    "agg_cube": CUBE_SQL,
+    "scalar_functions": SCALAR_FUNCS_SQL,
+    "agg_multi_distinct": DISTINCT_AGG_SQL,
 }

@@ -222,6 +222,19 @@ select id_a, id_b, jaccard from (
 # ---------------------------------------------------------------------------
 
 
+def q_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production xxhash64 LSH path — rows-only check (no DuckDB
+    xxhash64); the md5 twin `dedup_lsh_pairs` is the value-checked
+    variant of the same pipeline."""
+    return dedup_docs.lsh_candidate_pairs_fast(
+        dedup_corpus(spark, sf_dir),
+        shingle_n=SHINGLE_N,
+        seeds=SEEDS,
+        rows_per_band=ROWS_PER_BAND,
+        max_chars=MAX_CHARS,
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity_search.cosine_topk(emb, emb.filter("vec_id < 5"), k=10)
@@ -314,6 +327,7 @@ EXT_QUERIES = {
     "text_simhash": q_simhash,
     "dedup_exact_groups": q_exact_dedup_groups,
     "dedup_lsh_pairs": q_lsh_pairs,
+    "dedup_lsh_pairs_fast": q_lsh_pairs_fast,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "similarity_cosine_topk": q_cosine_topk,
     "similarity_ivf_topk": q_ivf_topk,
