@@ -53,6 +53,9 @@ def main() -> None:
         # Force full evaluation of every column (not just count paths).
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Drop intermediates persisted by pipeline operators so queries
+        # don't contend for storage memory across measurements.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

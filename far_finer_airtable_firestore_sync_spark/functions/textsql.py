@@ -119,35 +119,59 @@ def stopword_count(col: str, lang: str, dialect: str) -> str:
     return lsize(hits, dialect)
 
 
-def quality_exprs(col: str, dialect: str) -> dict[str, str]:
-    """Document-quality signals: lengths, punctuation ratio, stopword
-    ratio, mean token length, composite score — all exact-arithmetic
-    doubles, identical across engines."""
-    n_tok = whitespace_token_count(col, dialect)
-    n_words = word_token_count(col, dialect)
-    n_chars = f"length({col})"
-    n_punct = rx_count(col, PUNCT, dialect)
-    n_stop = stopword_count(col, "en", dialect)
-    word_chars = f"length({rx_strip(col, NONWORD, dialect)})"
-    # greatest(..., 1) denominators: Spark 4 runs ANSI mode (div/0
-    # throws), DuckDB returns inf — sidestep both.
-    punct_ratio = f"(cast({n_punct} as double) / greatest({n_chars}, 1))"
-    stop_ratio = f"(cast({n_stop} as double) / greatest({n_tok}, 1))"
-    mean_tok_len = f"(cast({word_chars} as double) / greatest({n_words}, 1))"
+def quality_base_exprs(col: str, dialect: str) -> dict[str, str]:
+    """The six integer base counts every quality metric derives from.
+    Computing these ONCE (a staging select) avoids re-evaluating the
+    splits/regexes per derived column — Spark does not CSE across
+    projection outputs."""
+    return {
+        "n_chars_total": f"length({col})",
+        "n_tokens_ws": whitespace_token_count(col, dialect),
+        "n_tokens_word": word_token_count(col, dialect),
+        "_n_punct": rx_count(col, PUNCT, dialect),
+        "_n_stop": stopword_count(col, "en", dialect),
+        "_word_chars": f"length({rx_strip(col, NONWORD, dialect)})",
+    }
+
+
+def quality_derived_exprs(b: dict[str, str]) -> dict[str, str]:
+    """Ratios/score from base-count references (column names in the
+    staged path, inline expressions in the one-shot oracle path) —
+    defined once so both paths share the exact formulas.
+
+    greatest(..., 1) denominators: Spark 4 runs ANSI mode (div/0
+    throws), DuckDB returns inf — sidestep both."""
+    punct_ratio = (
+        f"(cast({b['_n_punct']} as double) / greatest({b['n_chars_total']}, 1))"
+    )
+    stop_ratio = (
+        f"(cast({b['_n_stop']} as double) / greatest({b['n_tokens_ws']}, 1))"
+    )
+    mean_tok_len = (
+        f"(cast({b['_word_chars']} as double) / greatest({b['n_tokens_word']}, 1))"
+    )
     score = (
-        f"(0.4 * least(cast({n_tok} as double) / 64.0, 1.0)"
+        f"(0.4 * least(cast({b['n_tokens_ws']} as double) / 64.0, 1.0)"
         f" + 0.4 * least({stop_ratio} * 8.0, 1.0)"
         f" + 0.2 * (1.0 - least({punct_ratio} * 20.0, 1.0)))"
     )
     return {
-        "n_chars_total": n_chars,
-        "n_tokens_ws": n_tok,
-        "n_tokens_word": n_words,
         "punct_ratio": punct_ratio,
         "stopword_ratio": stop_ratio,
         "mean_token_len": mean_tok_len,
         "quality_score": score,
     }
+
+
+def quality_exprs(col: str, dialect: str) -> dict[str, str]:
+    """One-shot (inline) form: every metric as a standalone expression
+    — used by the DuckDB oracle; the Spark operator stages the base
+    counts instead (same formulas by construction)."""
+    base = quality_base_exprs(col, dialect)
+    derived = quality_derived_exprs(base)
+    out = {k: v for k, v in base.items() if not k.startswith("_")}
+    out.update(derived)
+    return out
 
 
 def langid_exprs(col: str, dialect: str) -> dict[str, str]:
@@ -192,13 +216,56 @@ def minhash_signature(
     return out
 
 
+#: modulus for the Kirsch-Mitzenmacher hash family (< 2^56 so the
+#: 14-hex-digit operands never overflow int64 pre-reduction)
+KM_MOD = 72057594037927931
+
+
+def hex_to_bigint(expr: str, dialect: str) -> str:
+    """Parse a (≤15-char) hex string to bigint in either dialect."""
+    if dialect == SPARK:
+        return f"cast(conv({expr}, 16, 10) as bigint)"
+    return f"(('0x' || {expr})::bigint)"
+
+
+def km_digest_pairs(shingles_expr: str, dialect: str) -> str:
+    """ONE md5 per shingle -> (a, b) bigint pair from two 14-hex-digit
+    windows of the digest. The Kirsch-Mitzenmacher basis: k hash
+    functions h_i = (a + i*b) mod P derived from one digest, instead
+    of k md5 invocations (~5x less hashing — md5 dominates minhash
+    cost)."""
+    hexes = ltransform(shingles_expr, "x -> md5(x)", dialect)
+    a = hex_to_bigint("substring(h, 1, 14)", dialect)
+    b = hex_to_bigint("substring(h, 15, 14)", dialect)
+    if dialect == SPARK:
+        pair = f"named_struct('a', {a}, 'b', {b})"
+    else:
+        pair = f"{{'a': {a}, 'b': {b}}}"
+    return ltransform(hexes, f"h -> {pair}", dialect)
+
+
+def km_signature_exprs(ab_col: str, seeds: int, dialect: str) -> list[str]:
+    """Per-seed minhash over precomputed (a, b) pairs: pure integer
+    folds, no further hashing."""
+    out = []
+    for i in range(seeds):
+        h = f"(p.a + {i + 1} * p.b) % {KM_MOD}"
+        out.append(lmin(ltransform(ab_col, f"p -> {h}", dialect), dialect))
+    return out
+
+
 def band_keys(sig_exprs: list[str], rows_per_band: int) -> list[str]:
     """LSH band keys: hash of each consecutive group of signature
-    values (dialect-neutral: md5/concat only)."""
+    values (dialect-neutral: md5/concat only). Values are cast to
+    string and ':'-separated so variable-length (numeric) signatures
+    cannot alias across boundaries."""
     keys = []
     for b in range(0, len(sig_exprs), rows_per_band):
-        group = sig_exprs[b : b + rows_per_band]
-        keys.append(f"md5('b{b}:' || {' || '.join(group)})")
+        group = [
+            f"cast({e} as string)" for e in sig_exprs[b : b + rows_per_band]
+        ]
+        joined = " || ':' || ".join(group)
+        keys.append(f"md5('b{b}:' || {joined})")
     return keys
 
 

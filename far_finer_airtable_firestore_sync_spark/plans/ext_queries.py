@@ -165,7 +165,9 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_sig_cols() -> str:
-    sig = tx.minhash_signature("text", SHINGLE_N, SEEDS, DUCKDB, MAX_CHARS)
+    sh = tx.shingles("text", SHINGLE_N, DUCKDB, MAX_CHARS)
+    ab = tx.km_digest_pairs(sh, DUCKDB)
+    sig = tx.km_signature_exprs(f"({ab})", SEEDS, DUCKDB)
     return ", ".join(f"{e} as s{i}" for i, e in enumerate(sig))
 
 
