@@ -81,6 +81,30 @@ class DocumentStore:
         os.replace(tmp, self._pointer_path())
         return out
 
+    def vacuum(self, keep_last: int = 3) -> list[str]:
+        """Remove version directories older than the ``keep_last`` most
+        recent (the current pointer target is always kept). Returns the
+        removed paths. Snapshot readers of removed versions fail —
+        same contract as Delta VACUUM."""
+        import shutil
+
+        versions = sorted(
+            d
+            for d in os.listdir(self.root)
+            if d.startswith("v-") and os.path.isdir(os.path.join(self.root, d))
+        )
+        current = self.current_version_dir()
+        keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+        if current is not None:
+            keep.add(os.path.basename(current))
+        removed = []
+        for d in versions:
+            if d not in keep:
+                path = os.path.join(self.root, d)
+                shutil.rmtree(path)
+                removed.append(path)
+        return removed
+
     # -- reads (S5-S8) -------------------------------------------------------
 
     def get_document(self, doc_id: Any) -> Optional[dict]:
