@@ -249,6 +249,54 @@ def _insert_rows(
     return j_or_s.select(*cols)
 
 
+def _classified_post_state(
+    j: DataFrame,
+    spec: SyncSpec,
+    touch: Column,
+    stamps: dict[str, Column],
+    t_columns: list[str],
+) -> DataFrame:
+    """ONE pass over the full-outer classify join producing the
+    post-state of every row class with per-column CASEs:
+
+    - matched & touch: payload from s, stamps overwritten, other target
+      columns survive (Firestore merge=True parity);
+    - matched & !touch: target row unchanged;
+    - source-only: insert (payload + new doc_id + stamps);
+    - target-only: target row unchanged (caller filters if deleting).
+
+    This is THE scale shape: a branched union would re-shuffle source
+    and target once per branch (measured: 7 exchanges for M4); the
+    single-join form needs exactly one exchange per join side.
+    """
+    pk = spec.primary_key
+    s_present = F.col(f"s.{pk}").isNotNull()
+    t_present = F.col(f"t.{pk}").isNotNull()
+    payload_names = set(spec.payload_names)
+    out: list[Column] = []
+    for c in t_columns:
+        if c in payload_names:
+            val = (
+                F.when(s_present & t_present & touch, F.col(f"s.{c}"))
+                .when(s_present & ~t_present, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+            )
+        elif c == "doc_id":
+            val = F.when(t_present, F.col("t.doc_id")).otherwise(
+                _new_doc_id(spec, "s")
+            )
+        elif c in stamps:
+            val = (
+                F.when(s_present & t_present & touch, stamps[c])
+                .when(s_present & ~t_present, stamps[c])
+                .otherwise(F.col(f"t.{c}"))
+            )
+        else:
+            val = F.col(f"t.{c}")
+        out.append(val.alias(c))
+    return j.select(*out, s_present.alias("_s_present"), t_present.alias("_t_present"))
+
+
 def _upsert_core(
     source: DataFrame, target: DataFrame, spec: SyncSpec, delete_missing: bool
 ) -> DataFrame:
@@ -262,29 +310,24 @@ def _upsert_core(
     dups = ranked.filter(F.col("_rn") > 1).drop("_rn")
 
     j = _classify(source, pick, spec)
-    s_present = F.col(f"s.{pk}").isNotNull()
-    t_present = F.col(f"t.{pk}").isNotNull()
-    changed = F.col("_s_cs") != F.col("_t_cs")
     stamps = {
         "update_type": F.lit(spec.update_type.value),
         "write_timestamp": _run_ts(spec),
         "version_id": F.lit(spec.version_id).cast("bigint"),
     }
-
-    matched = _merge_matched(
-        j.filter(s_present & t_present), spec, changed, stamps, t.columns
+    merged = _classified_post_state(
+        j, spec, F.col("_s_cs") != F.col("_t_cs"), stamps, t.columns
     )
-    inserts = _insert_rows(j.filter(s_present & ~t_present), spec, stamps)
-    parts = [matched, inserts]
     if delete_missing:
         # M5's second loop deletes every doc whose key is absent from
         # the batch (lib/UpdateStrategies.py:289-294) — duplicates of
         # *present* keys survive (their pk is in processed_records).
-        parts.append(dups.join(source.select(pk).distinct(), on=pk, how="left_semi"))
+        main = merged.filter(F.col("_s_present")).drop("_s_present", "_t_present")
+        kept_dups = dups.join(source.select(pk).distinct(), on=pk, how="left_semi")
     else:
-        parts.append(dups)
-        parts.append(pick.join(source.select(pk).distinct(), on=pk, how="left_anti"))
-    return _union(*parts)
+        main = merged.drop("_s_present", "_t_present")
+        kept_dups = dups
+    return _union(main, kept_dups)
 
 
 def soft_delete(source: DataFrame, target: DataFrame, spec: SyncSpec) -> DataFrame:
@@ -311,35 +354,56 @@ def soft_delete(source: DataFrame, target: DataFrame, spec: SyncSpec) -> DataFra
     s_present = F.col(f"s.{pk}").isNotNull()
     t_present = F.col(f"t.{pk}").isNotNull()
     was_deleted = F.coalesce(F.col("t.is_deleted"), F.lit(False))
-    touch = (F.col("_s_cs") != F.col("_t_cs")) | was_deleted
-    stamps = {
-        "update_type": F.lit(spec.update_type.value),
-        "write_timestamp": _run_ts(spec),
-        "is_deleted": F.lit(False),
-    }
-
-    matched = _merge_matched(
-        j.filter(s_present & t_present), spec, touch, stamps, t.columns
+    write = s_present & (
+        ~t_present | (F.col("_s_cs") != F.col("_t_cs")) | was_deleted
     )
-    inserts = _insert_rows(j.filter(s_present & ~t_present), spec, stamps)
+    t_only_alive = ~s_present & ~was_deleted  # second loop (:112-118)
 
-    # Second loop (:112-118): every alive doc whose key is absent from
-    # the batch gets tombstoned (is_deleted=true, fresh timestamp) —
-    # applies to duplicate rows too (the loop visits all docs).
-    def tombstone(df: DataFrame) -> DataFrame:
-        t_only = df.join(source.select(pk).distinct(), on=pk, how="left_anti")
-        alive = ~F.coalesce(F.col("is_deleted"), F.lit(False))
-        return t_only.withColumns(
-            {
-                "is_deleted": F.when(alive, F.lit(True)).otherwise(F.col("is_deleted")),
-                "write_timestamp": F.when(alive, _run_ts(spec)).otherwise(
-                    F.col("write_timestamp")
-                ),
-            }
-        )
+    payload_names = set(spec.payload_names)
+    out: list[Column] = []
+    for c in t.columns:
+        if c in payload_names:
+            val = F.when(write, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+        elif c == "doc_id":
+            val = F.when(t_present, F.col("t.doc_id")).otherwise(
+                _new_doc_id(spec, "s")
+            )
+        elif c == "update_type":
+            val = F.when(write, F.lit(spec.update_type.value)).otherwise(
+                F.col("t.update_type")
+            )
+        elif c == "write_timestamp":
+            # fresh stamp on writes AND on tombstoning (:115)
+            val = F.when(write | t_only_alive, _run_ts(spec)).otherwise(
+                F.col("t.write_timestamp")
+            )
+        elif c == "is_deleted":
+            val = (
+                F.when(write, F.lit(False))
+                .when(t_only_alive, F.lit(True))
+                .otherwise(F.col("t.is_deleted"))
+            )
+        else:
+            val = F.col(f"t.{c}")
+        out.append(val.alias(c))
+    main = j.select(*out)
 
+    # Duplicate (non-pick) target rows: tombstoned if their key left
+    # the batch (the reference's second loop visits all docs), kept
+    # as-is otherwise. Dup sets are small; the joins are cheap.
+    alive = ~F.coalesce(F.col("is_deleted"), F.lit(False))
+    dups_t_only = dups.join(
+        source.select(pk).distinct(), on=pk, how="left_anti"
+    ).withColumns(
+        {
+            "is_deleted": F.when(alive, F.lit(True)).otherwise(F.col("is_deleted")),
+            "write_timestamp": F.when(alive, _run_ts(spec)).otherwise(
+                F.col("write_timestamp")
+            ),
+        }
+    )
     dups_matched = dups.join(source.select(pk).distinct(), on=pk, how="left_semi")
-    return _union(matched, inserts, tombstone(pick), tombstone(dups), dups_matched)
+    return _union(main, dups_t_only, dups_matched)
 
 
 def versioned(source: DataFrame, target: DataFrame, spec: SyncSpec) -> DataFrame:
@@ -383,22 +447,13 @@ def versioned_checksum(
         ["doc_id", "update_type", "write_timestamp", "version_id", "latest"],
     )
     pk = spec.primary_key
-    # Latest existing version per key: max_by with (version_id, doc_id)
-    # deterministic tie-break (reference sort is stable on arbitrary
-    # Firestore order — SURVEY.md §7 hard-part #2).
-    latest_per_key = (
-        t.groupBy(pk)
-        .agg(
-            F.max_by(
-                F.struct(*[F.col(c) for c in t.columns]),
-                F.struct(
-                    F.coalesce(F.col("version_id"), F.lit(0)).alias("v"),
-                    F.col("doc_id").alias("d"),
-                ),
-            ).alias("_row")
-        )
-        .select(*[F.col(f"_row.{c}").alias(c) for c in t.columns])
-    )
+    # Latest existing version per key via the same ranked window the
+    # flip pass reads — identical subtrees let Spark reuse the t-side
+    # exchange (verified: ReusedExchange in the no-broadcast plan).
+    # Deterministic (version_id, doc_id) tie-break replaces the
+    # reference's arbitrary existing_docs sort (SURVEY.md hard-part #2).
+    ranked = _pick_one_per_key(t, spec)
+    latest_per_key = ranked.filter(F.col("_rn") == 1).drop("_rn")
     j = _classify(source, latest_per_key, spec, how="left_outer")
     t_present = F.col(f"t.{pk}").isNotNull()
     changed_keys = (
@@ -419,7 +474,8 @@ def versioned_checksum(
     # (:181-187 flips docs with latest=true among that key's versions).
     flip = F.coalesce(F.col("latest"), F.lit(False)) & F.col("_chg").isNotNull()
     old = (
-        t.join(
+        ranked.drop("_rn")
+        .join(
             changed_keys.withColumn("_chg", F.lit(1)),
             on=pk,
             how="left_outer",
