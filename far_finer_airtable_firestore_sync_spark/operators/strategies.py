@@ -103,9 +103,6 @@ def purge_other_update_types(target: DataFrame, spec: SyncSpec) -> DataFrame:
     return target.filter(u.isNull() | (u == spec.update_type.value))
 
 
-def _payload(df: DataFrame, spec: SyncSpec, qualifier: str) -> list[Column]:
-    return [F.col(f"{qualifier}.{f.name}").alias(f.name) for f in spec.payload_fields]
-
 
 def _union(*dfs: DataFrame) -> DataFrame:
     out = dfs[0]
@@ -217,36 +214,6 @@ def _pick_one_per_key(t: DataFrame, spec: SyncSpec) -> DataFrame:
     w = Window.partitionBy(spec.primary_key).orderBy(*order)
     return t.withColumn("_rn", F.row_number().over(w))
 
-
-def _merge_matched(
-    j: DataFrame, spec: SyncSpec, touch: Column, stamps: dict[str, Column],
-    t_columns: list[str],
-) -> DataFrame:
-    """Column-wise merge of matched (s, t) pairs: where ``touch`` holds,
-    payload comes from s and ``stamps`` overwrite; every other target
-    column survives (Firestore ``set(..., merge=True)`` parity,
-    lib/FirestoreWrapper.py:54-62)."""
-    payload_names = set(spec.payload_names)
-    out: list[Column] = []
-    for c in t_columns:
-        if c in payload_names:
-            out.append(F.when(touch, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c))
-        elif c in stamps:
-            out.append(F.when(touch, stamps[c]).otherwise(F.col(f"t.{c}")).alias(c))
-        else:
-            out.append(F.col(f"t.{c}").alias(c))
-    return j.select(*out)
-
-
-def _insert_rows(
-    j_or_s: DataFrame, spec: SyncSpec, stamps: dict[str, Column], qualifier: str = "s"
-) -> DataFrame:
-    cols = [
-        F.col(f"{qualifier}.{f.name}").alias(f.name) for f in spec.payload_fields
-    ]
-    cols.append(_new_doc_id(spec, qualifier).alias("doc_id"))
-    cols.extend(expr.alias(name) for name, expr in stamps.items())
-    return j_or_s.select(*cols)
 
 
 def _classified_post_state(

@@ -321,6 +321,50 @@ from (
 """
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within IVF buckets, over a
+    corpus with synthesized exact-duplicate vectors (vec_id+100000)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    copies = emb.filter("vec_id % 50 = 0").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(copies)
+    cents = emb.filter("vec_id % 100 = 0")
+    return similarity_search.embedding_near_dup_pairs(
+        corpus, threshold=0.98, centroids=cents
+    )
+
+
+def embedding_near_dup_oracle() -> str:
+    cos_vc = tx.cosine_quantized("qv", "qc", DUCKDB)
+    cos_ab = tx.cosine_quantized("a.qv", "b.qv", DUCKDB)
+    return f"""
+with corpus as (
+  select vec_id, embedding from embeddings
+  union all
+  select vec_id + 100000, embedding from embeddings where vec_id % 50 = 0
+),
+c as (select vec_id, {_qz("embedding")} as qv from corpus),
+cents as (select vec_id as centroid_id, {_qz("embedding")} as qc
+          from embeddings where vec_id % 100 = 0),
+assigned as (
+  select vec_id, qv, centroid_id from (
+    select c.vec_id, c.qv, cents.centroid_id,
+           row_number() over (
+             partition by c.vec_id
+             order by {cos_vc} desc, cents.centroid_id asc
+           ) as rn
+    from c cross join cents
+  ) where rn = 1
+)
+select id_a, id_b, cosine from (
+  select a.vec_id as id_a, b.vec_id as id_b, {cos_ab} as cosine
+  from assigned a join assigned b
+    on a.centroid_id = b.centroid_id and a.vec_id < b.vec_id
+) where cosine >= 0.98
+"""
+
+
 EXT_QUERIES = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
@@ -333,6 +377,7 @@ EXT_QUERIES = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "similarity_cosine_topk": q_cosine_topk,
     "similarity_ivf_topk": q_ivf_topk,
+    "similarity_near_dup": q_embedding_near_dup,
 }
 
 
@@ -348,4 +393,5 @@ def ext_oracles() -> dict[str, str]:
         "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
         "similarity_cosine_topk": cosine_topk_oracle(),
         "similarity_ivf_topk": ivf_topk_oracle(),
+        "similarity_near_dup": embedding_near_dup_oracle(),
     }

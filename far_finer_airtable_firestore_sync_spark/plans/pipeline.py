@@ -34,6 +34,7 @@ from far_finer_airtable_firestore_sync_spark.sources.store import DocumentStore
 class SyncResult:
     post_state: DataFrame
     committed_path: Optional[str]
+    metrics: Optional[dict] = None
 
 
 class SyncPipeline:
@@ -53,12 +54,28 @@ class SyncPipeline:
         self.dedup_order_col = dedup_order_col
         self.dedup_tiebreak_col = dedup_tiebreak_col
 
-    def build_post_state(self, source: DataFrame) -> DataFrame:
-        """The full lazy plan, no side effects (useful for .explain)."""
+    def build_post_state(
+        self, source: DataFrame, observations: Optional[list] = None
+    ) -> DataFrame:
+        """The full lazy plan, no side effects (useful for .explain).
+
+        When ``observations`` is given (a list to append to), the plan
+        carries two ``Observation`` metrics (D8 parity — the reference
+        logs record counts, lib/DataProcessor.py:35,94): ``sync_in``
+        (valid-pk batch rows) and ``sync_out`` (post-state rows) —
+        collected for free during the commit action, no extra job.
+        """
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         df = source
         if self.catalog is not None:
             df = typed_projection(df, self.catalog)
         df = filter_valid_pk(df, self.spec.primary_key)
+        if observations is not None:
+            obs_in = Observation("sync_in")
+            df = df.observe(obs_in, F.count(F.lit(1)).alias("rows"))
+            observations.append(obs_in)
         if self.dedup_order_col is not None and self.dedup_order_col in df.columns:
             df = keep_latest(
                 df,
@@ -70,9 +87,21 @@ class SyncPipeline:
         if target is None:
             target = df.sparkSession.createDataFrame([], df.schema)
         strategy = get_strategy(self.spec.update_type)
-        return strategy(df, target, self.spec)
+        post = strategy(df, target, self.spec)
+        if observations is not None:
+            obs_out = Observation("sync_out")
+            post = post.observe(obs_out, F.count(F.lit(1)).alias("rows"))
+            observations.append(obs_out)
+        return post
 
     def run(self, source: DataFrame, commit: bool = True) -> SyncResult:
-        post = self.build_post_state(source)
-        path = self.store.commit(post) if commit else None
-        return SyncResult(post_state=post, committed_path=path)
+        observations: list = []
+        post = self.build_post_state(source, observations if commit else None)
+        metrics = None
+        path = None
+        if commit:
+            path = self.store.commit(post)
+            metrics = {
+                obs._name: obs.get for obs in observations
+            }
+        return SyncResult(post_state=post, committed_path=path, metrics=metrics)
