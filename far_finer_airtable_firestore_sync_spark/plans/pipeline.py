@@ -60,10 +60,12 @@ class SyncPipeline:
         """The full lazy plan, no side effects (useful for .explain).
 
         When ``observations`` is given (a list to append to), the plan
-        carries two ``Observation`` metrics (D8 parity — the reference
-        logs record counts, lib/DataProcessor.py:35,94): ``sync_in``
-        (valid-pk batch rows) and ``sync_out`` (post-state rows) —
-        collected for free during the commit action, no extra job.
+        root carries an ``Observation`` (D8 parity — the reference logs
+        record counts, lib/DataProcessor.py:35,94) with the post-state
+        row count, collected for free during the commit action. Only
+        the root is observed: strategies legitimately reuse the source
+        subtree across join legs, and a duplicated CollectMetrics node
+        is rejected by Spark.
         """
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
@@ -72,10 +74,6 @@ class SyncPipeline:
         if self.catalog is not None:
             df = typed_projection(df, self.catalog)
         df = filter_valid_pk(df, self.spec.primary_key)
-        if observations is not None:
-            obs_in = Observation("sync_in")
-            df = df.observe(obs_in, F.count(F.lit(1)).alias("rows"))
-            observations.append(obs_in)
         if self.dedup_order_col is not None and self.dedup_order_col in df.columns:
             df = keep_latest(
                 df,
@@ -90,7 +88,15 @@ class SyncPipeline:
         post = strategy(df, target, self.spec)
         if observations is not None:
             obs_out = Observation("sync_out")
-            post = post.observe(obs_out, F.count(F.lit(1)).alias("rows"))
+            post = post.observe(
+                obs_out,
+                F.count(F.lit(1)).alias("rows"),
+                # DISTINCT aggregates are rejected in observed metrics;
+                # the sketch version is allowed and advisory-accurate
+                F.approx_count_distinct(F.col(self.spec.primary_key)).alias(
+                    "approx_distinct_keys"
+                ),
+            )
             observations.append(obs_out)
         return post
 
