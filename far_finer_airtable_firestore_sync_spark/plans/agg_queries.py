@@ -412,6 +412,83 @@ from lineitem group by l_returnflag
 """
 
 
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup: customer-name pairs within edit distance 2, blocked
+    on (nation, name prefix) so the quadratic comparison never crosses
+    blocks — the classic blocking-key pattern for entity resolution.
+    ``levenshtein`` is a built-in in both engines (identical ints)."""
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("replace(c_name, '#', '')").alias("name"),
+    )
+    blocked = cust.withColumn("block", F.expr("substring(name, 1, 9)"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    lev = F.expr("levenshtein(a.name, b.name)")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            lev.alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 2)
+    )
+
+
+FUZZY_NAME_SQL = """
+with cust as (
+  select c_custkey, c_nationkey, replace(c_name, '#', '') as name
+  from customer
+),
+blocked as (select *, substring(name, 1, 9) as block from cust)
+select a.c_custkey as id_a, b.c_custkey as id_b,
+       levenshtein(a.name, b.name) as edit_distance
+from blocked a join blocked b
+  on a.block = b.block and a.c_nationkey = b.c_nationkey
+ and a.c_custkey < b.c_custkey
+where levenshtein(a.name, b.name) <= 2
+"""
+
+
+def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median order price per status via rank selection (both
+    engines pick identical middle elements; the two-middle average is
+    one deterministic double operation)."""
+    _utc(spark)
+    orders = _read(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_ffs_orders_med")
+    return spark.sql(MEDIAN_BODY.format(rel="_ffs_orders_med"))
+
+
+MEDIAN_BODY = """
+with ranked as (
+  select o_orderstatus, o_totalprice,
+         row_number() over (
+           partition by o_orderstatus
+           order by o_totalprice, o_orderkey
+         ) as rn,
+         count(*) over (partition by o_orderstatus) as n
+  from {rel}
+)
+select o_orderstatus,
+       (sum(case when rn in (cast(floor((n + 1) / 2) as int), cast(floor((n + 2) / 2) as int))
+                 then o_totalprice else 0.0 end)
+        / count(case when rn in (cast(floor((n + 1) / 2) as int), cast(floor((n + 2) / 2) as int))
+                     then 1 end)) as median_price
+from ranked
+group by o_orderstatus
+"""
+
+MEDIAN_SQL = MEDIAN_BODY.format(rel="orders")
+
+
 AGG_QUERIES = {
     "agg_pricing_summary": q_pricing_summary,
     "agg_revenue_by_nation": q_revenue_by_nation,
@@ -426,6 +503,8 @@ AGG_QUERIES = {
     "agg_cube": q_cube_agg,
     "scalar_functions": q_scalar_functions,
     "agg_multi_distinct": q_distinct_agg,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "agg_exact_median": q_exact_median,
 }
 
 AGG_ORACLES = {
@@ -442,4 +521,6 @@ AGG_ORACLES = {
     "agg_cube": CUBE_SQL,
     "scalar_functions": SCALAR_FUNCS_SQL,
     "agg_multi_distinct": DISTINCT_AGG_SQL,
+    "fuzzy_name_pairs": FUZZY_NAME_SQL,
+    "agg_exact_median": MEDIAN_SQL,
 }

@@ -81,6 +81,53 @@ class DocumentStore:
         os.replace(tmp, self._pointer_path())
         return out
 
+    def read_version(self, version_dir: str) -> DataFrame:
+        """Time travel: read a specific committed version directory."""
+        return self.spark.read.parquet(version_dir)
+
+    def list_versions(self) -> list[str]:
+        """Committed version directories, oldest first."""
+        return sorted(
+            os.path.join(self.root, d)
+            for d in os.listdir(self.root)
+            if d.startswith("v-") and os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def diff_versions(
+        self, old_dir: str, new_dir: str, key_col: Optional[str] = None
+    ) -> DataFrame:
+        """CDC between two snapshots: one row per changed document with
+        ``change_type`` in (insert, delete, update).
+
+        Built on the store's immutable versions (the parquet analog of
+        Delta time travel): full-outer join on the key, rows compared
+        column-wise. One shuffle per side on the key.
+        """
+        key = key_col or self.key_col
+        old = self.read_version(old_dir).alias("o")
+        new = self.read_version(new_dir).alias("n")
+        cols = [c for c in new.columns if c != key]
+        j = old.join(new, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+        o_present = F.col(f"o.{key}").isNotNull()
+        n_present = F.col(f"n.{key}").isNotNull()
+        same = F.lit(True)
+        for c in cols:
+            same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        change = (
+            F.when(~o_present, F.lit("insert"))
+            .when(~n_present, F.lit("delete"))
+            .when(~same, F.lit("update"))
+        )
+        return (
+            j.withColumn("change_type", change)
+            .filter(F.col("change_type").isNotNull())
+            .select(
+                F.coalesce(F.col(f"n.{key}"), F.col(f"o.{key}")).alias(key),
+                "change_type",
+                *[F.col(f"n.{c}").alias(c) for c in cols],
+            )
+        )
+
     def vacuum(self, keep_last: int = 3) -> list[str]:
         """Remove version directories older than the ``keep_last`` most
         recent (the current pointer target is always kept). Returns the

@@ -139,3 +139,22 @@ def test_checksum_is_codegen_not_udf(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # '*(n)' node prefix == whole-stage-codegen'd stage
     assert "*(1) Project" in plan
+
+
+def test_diff_versions_cdc(spark, store):
+    store.add_document_with_id("a", {"v": 1})
+    store.add_document_with_id("b", {"v": 2})
+    v1 = store.current_version_dir()
+    store.update_document("a", {"v": 10})
+    store.delete_document("b")
+    store.add_document_with_id("c", {"v": 3})
+    v2 = store.current_version_dir()
+    diff = {
+        r["doc_id"]: (r["change_type"], r["v"])
+        for r in store.diff_versions(v1, v2).collect()
+    }
+    assert diff == {
+        "a": ("update", 10),
+        "b": ("delete", None),
+        "c": ("insert", 3),
+    }
