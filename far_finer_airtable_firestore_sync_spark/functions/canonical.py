@@ -81,6 +81,54 @@ def _json_escape(expr: str) -> str:
     return esc_q
 
 
+def _double_repr(expr: str, dialect: str) -> str:
+    """Fixed-point 6-decimal canonical text for a double — computed in
+    INTEGER space, not printf.
+
+    ``%.6f`` is NOT portable: Java's Formatter pads zeros beyond the
+    shortest round-trip repr while C expands the exact binary value, so
+    digits diverge once |x| needs >~15 significant digits (found by the
+    cross-engine fuzz test at |x| ~ 1e12). Instead: one IEEE multiply
+    ``abs(x) * 1e6`` and one ``round`` (half-away in both engines),
+    then exact bigint div/mod formatting — bit-identical everywhere.
+
+    Tiers: |x| < 8e12 -> full 6-decimal fixed point; larger -> integer
+    part via decimal(38,0) (fraction is below 1 ulp there) with
+    ``.000000``; >= 1e37 or non-finite -> explicit markers.
+    """
+    x = f"cast({expr} as double)"
+    div = "div" if dialect == SPARK else "//"
+    n = f"cast(round(abs({x}) * 1000000.0) as bigint)"
+    sign = f"case when {x} < cast(0 as double) then '-' else '' end"
+    small = (
+        f"{sign} || cast({n} {div} 1000000 as string) || '.' || "
+        f"lpad(cast({n} % 1000000 as string), 6, '0')"
+    )
+    big = (
+        f"{sign} || cast(cast(round(abs({x})) as decimal(38,0)) as string)"
+        " || '.000000'"
+    )
+    def scaled(denom: str) -> str:
+        # one IEEE divide (correctly rounded, engine-identical), one
+        # round, exact decimal formatting — no printf anywhere
+        return (
+            f"{sign} || 'e{denom}:' || "
+            f"cast(cast(round(abs({x}) / 1.0e{denom}) as decimal(38,0)) as string)"
+        )
+
+    return (
+        f"case when {expr} is null then null "
+        f"when isnan({x}) then 'NaN' "
+        f"when {x} = cast('Infinity' as double) then 'Infinity' "
+        f"when {x} = cast('-Infinity' as double) then '-Infinity' "
+        f"when abs({x}) >= cast(1e160 as double) then ({scaled('271')}) "
+        f"when abs({x}) >= cast(1e67 as double) then ({scaled('130')}) "
+        f"when abs({x}) >= cast(1e37 as double) then ({scaled('30')}) "
+        f"when abs({x}) >= cast(8e12 as double) then ({big}) "
+        f"else ({small}) end"
+    )
+
+
 def _scalar_repr(expr: str, kind: str, dialect: str) -> str:
     """SQL producing the canonical JSON text of one scalar value.
 
@@ -90,11 +138,7 @@ def _scalar_repr(expr: str, kind: str, dialect: str) -> str:
     if kind == "string":
         return f"chr(34) || {_json_escape(expr)} || chr(34)"
     if kind == "double":
-        fmt = "format_string" if dialect == SPARK else "printf"
-        return (
-            f"case when {expr} is null then null "
-            f"else {fmt}('%.6f', cast({expr} as double)) end"
-        )
+        return _double_repr(expr, dialect)
     if kind in ("long", "int"):
         return f"cast({expr} as string)"
     if kind == "boolean":
