@@ -412,6 +412,46 @@ from lineitem group by l_returnflag
 """
 
 
+def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode/flatten: classic word count over the documents corpus
+    (explode is THE array-to-rows operator; shuffle on the word)."""
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.expr("split(lower(text), ' ')")).alias("word"))
+        .filter("word <> ''")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+WORD_COUNT_SQL = """
+select word, count(*) as n from (
+  select unnest(string_split(lower(text), ' ')) as word from documents
+) where word <> ''
+group by word
+"""
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide metric columns -> (key, metric, value) rows."""
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', c_acctbal, 'nationkey', cast(c_nationkey as double))"
+        ).alias("metric", "value"),
+    )
+
+
+UNPIVOT_SQL = """
+select c_custkey, 'acctbal' as metric, c_acctbal as value from customer
+union all
+select c_custkey, 'nationkey', cast(c_nationkey as double) from customer
+"""
+
+
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy dedup: customer-name pairs within edit distance 2, blocked
     on (nation, name prefix) so the quadratic comparison never crosses
@@ -505,6 +545,8 @@ AGG_QUERIES = {
     "agg_multi_distinct": q_distinct_agg,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "agg_exact_median": q_exact_median,
+    "word_count": q_word_count,
+    "unpivot_metrics": q_unpivot,
 }
 
 AGG_ORACLES = {
@@ -523,4 +565,6 @@ AGG_ORACLES = {
     "agg_multi_distinct": DISTINCT_AGG_SQL,
     "fuzzy_name_pairs": FUZZY_NAME_SQL,
     "agg_exact_median": MEDIAN_SQL,
+    "word_count": WORD_COUNT_SQL,
+    "unpivot_metrics": UNPIVOT_SQL,
 }

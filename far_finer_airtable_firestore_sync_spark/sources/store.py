@@ -68,13 +68,24 @@ class DocumentStore:
             return df
         return self.spark.createDataFrame([], like.schema)
 
-    def commit(self, post_state: DataFrame) -> str:
+    def commit(
+        self, post_state: DataFrame, partition_by: Optional[list[str]] = None
+    ) -> str:
         """Write ``post_state`` as a new immutable version and flip the
         pointer — the atomic 'batch commit' (K7 analog,
-        lib/FirestoreWrapper.py:102-123)."""
+        lib/FirestoreWrapper.py:102-123).
+
+        ``partition_by`` lays the version out hive-partitioned so later
+        scans filtered on those columns prune whole directories
+        (PartitionFilters in the read plan) — the parquet analog of the
+        reference's server-side predicate pushdown at 100 TB scale.
+        """
         rel = f"v-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.root, rel)
-        post_state.write.mode("errorifexists").parquet(out)
+        writer = post_state.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out)
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"version_dir": rel}, fh)

@@ -158,3 +158,15 @@ def test_diff_versions_cdc(spark, store):
         "b": ("delete", None),
         "c": ("insert", 3),
     }
+
+
+def test_partitioned_commit_prunes(spark, store):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(100)],
+        "doc_id int, update_type string, v double",
+    )
+    store.commit(df, partition_by=["update_type"])
+    scan = store.read().filter("update_type = 'a'")
+    plan = _plan(scan)
+    assert "PartitionFilters: [isnotnull(update_type" in plan
+    assert scan.count() == 50
