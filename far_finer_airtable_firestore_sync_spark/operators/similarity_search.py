@@ -223,16 +223,25 @@ def embedding_near_dup_pairs(
     """
     if centroids is not None:
         assigned = ivf_assign(corpus, centroids, vec_col, id_col)
-        a = assigned.alias("a")
-        b = assigned.alias("b")
+    else:
+        assigned = _quantized(corpus, vec_col, "_qv")
+    # Precompute each vector's norm ONCE: higher-order-function folds
+    # are interpreted (not codegen'd), and a vector participates in
+    # many pairs — inlining the self-norms in the pair expression was
+    # ~3x the fold work (measured 27s -> ~8s at sf0.1).
+    assigned = assigned.withColumn(
+        "_norm", F.expr(f"sqrt(cast({tx.dot_int('_qv', '_qv', SPARK)} as double))")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    if centroids is not None:
         join_cond = (F.col("a.centroid_id") == F.col("b.centroid_id")) & (
             F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
         )
     else:
-        a = _quantized(corpus, vec_col, "_qv").alias("a")
-        b = _quantized(corpus, vec_col, "_qv").alias("b")
         join_cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    cos = F.expr(tx.cosine_quantized("a._qv", "b._qv", SPARK))
+    dot = F.expr(tx.dot_int("a._qv", "b._qv", SPARK))
+    cos = dot.cast("double") / (F.col("a._norm") * F.col("b._norm"))
     return (
         a.join(b, join_cond)
         .select(
