@@ -534,6 +534,21 @@ group by o_orderstatus
 MEDIAN_SQL = MEDIAN_BODY.format(rel="orders")
 
 
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (HLL distinct, approximate quantiles) — the
+    100 TB statistics path (exact distinct/percentile shuffle all
+    values; sketches are bounded-size mergeable state). Declared
+    rows-only for the oracle: sketch internals are engine-specific;
+    error bounds are asserted in tests instead."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99_price"),
+    )
+
+
 AGG_QUERIES = {
     "agg_pricing_summary": q_pricing_summary,
     "agg_revenue_by_nation": q_revenue_by_nation,
@@ -552,6 +567,7 @@ AGG_QUERIES = {
     "agg_exact_median": q_exact_median,
     "word_count": q_word_count,
     "unpivot_metrics": q_unpivot,
+    "approx_stats": q_approx_stats,
 }
 
 AGG_ORACLES = {

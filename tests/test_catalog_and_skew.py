@@ -82,3 +82,27 @@ def test_salted_join_matches_plain(spark, skewed):
         )
     )
     assert salted == plain
+
+
+def test_approx_stats_error_bounds(spark):
+    """Sketch aggregates stay within declared error of exact values."""
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        q_approx_stats,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r["l_returnflag"]: r for r in q_approx_stats(spark, sf).collect()}
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["approx_parts"] - e["parts"]) / e["parts"] < 0.05
+        assert abs(a["approx_median_price"] - e["median"]) / e["median"] < 0.02
