@@ -534,6 +534,66 @@ group by o_orderstatus
 MEDIAN_SQL = MEDIAN_BODY.format(rel="orders")
 
 
+def q_unshipped_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: top-10 open orders by pending revenue for one
+    market segment — selective dim filter, fact join, agg, top-k."""
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'")
+    orders = _read(spark, sf_dir, "orders").filter("o_orderstatus = 'O'")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+UNSHIPPED_REVENUE_SQL = f"""
+select o_orderkey, o_orderdate, o_orderpriority,
+  cast(sum(cast(l_extendedprice as {_DEC}) * (cast(1 as {_DEC}) - cast(l_discount as {_DEC}))) as double) as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+where c_mktsegment = 'BUILDING' and o_orderstatus = 'O'
+group by o_orderkey, o_orderdate, o_orderpriority
+order by revenue desc, o_orderkey asc
+limit 10
+"""
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: scan-heavy filtered single aggregate — the
+    pure predicate-pushdown + codegen showcase."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.02, 0.09))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+FORECAST_REVENUE_SQL = f"""
+select cast(sum(cast(l_extendedprice as {_DEC}) * cast(l_discount as {_DEC})) as double) as revenue,
+       count(*) as n
+from lineitem
+where l_shipdate >= timestamp '1995-01-01' and l_shipdate < timestamp '1997-01-01'
+  and l_discount between 0.02 and 0.09 and l_quantity < 24
+"""
+
+
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates (HLL distinct, approximate quantiles) — the
     100 TB statistics path (exact distinct/percentile shuffle all
@@ -568,6 +628,8 @@ AGG_QUERIES = {
     "word_count": q_word_count,
     "unpivot_metrics": q_unpivot,
     "approx_stats": q_approx_stats,
+    "unshipped_revenue_topk": q_unshipped_revenue_topk,
+    "forecast_revenue": q_forecast_revenue,
 }
 
 AGG_ORACLES = {
@@ -588,4 +650,6 @@ AGG_ORACLES = {
     "agg_exact_median": MEDIAN_SQL,
     "word_count": WORD_COUNT_SQL,
     "unpivot_metrics": UNPIVOT_SQL,
+    "unshipped_revenue_topk": UNSHIPPED_REVENUE_SQL,
+    "forecast_revenue": FORECAST_REVENUE_SQL,
 }

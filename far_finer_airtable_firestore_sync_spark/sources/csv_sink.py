@@ -45,3 +45,40 @@ def write_csv(
         out = out.coalesce(1)
     out.write.mode("overwrite").option("header", True).csv(path)
     return order
+
+
+def write_table_doc_csv(
+    spark,
+    table_json: str,
+    path: str,
+    priority_fields: Optional[Sequence[str]] = None,
+) -> list[str]:
+    """The reference's exact K8 use case: export a table-as-one-document
+    JSON string (``{"pk": {field: value, ...}, ...}``) to CSV
+    (lib/utils.py:34-67 consumes exactly this shape).
+
+    Parsed driver-side by design — a table-doc is one row by contract
+    (the reference also processes it in-process); the write itself is
+    a normal distributed CSV write. Header = union of keys, priority
+    fields first, rest sorted, missing values blank.
+    """
+    import json
+
+    data = json.loads(table_json)
+    if not data:
+        return []
+    fieldnames: set = set()
+    for nested in data.values():
+        fieldnames.update(nested.keys())
+    order = ordered_columns(sorted(fieldnames), priority_fields)
+    rows = [
+        tuple(
+            None if nested.get(c) is None else str(nested.get(c))
+            for c in order
+        )
+        for nested in data.values()
+    ]
+    schema = ", ".join(f"`{c}` string" for c in order)
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    return order

@@ -170,3 +170,27 @@ def test_partitioned_commit_prunes(spark, store):
     plan = _plan(scan)
     assert "PartitionFilters: [isnotnull(update_type" in plan
     assert scan.count() == 50
+
+
+def test_table_doc_csv_roundtrip(spark, tmp_path):
+    """K8's real input shape: a table-as-one-document JSON export."""
+    import json
+
+    from far_finer_airtable_firestore_sync_spark.sources.csv_sink import (
+        write_table_doc_csv,
+    )
+
+    table_json = json.dumps(
+        {
+            "k1": {"Name": "k1", "score": 1.5, "extra": "x"},
+            "k2": {"Name": "k2", "score": 2.5},
+        }
+    )
+    order = write_table_doc_csv(
+        spark, table_json, str(tmp_path / "doc_csv"), priority_fields=["Name"]
+    )
+    assert order == ["Name", "extra", "score"]
+    part = glob.glob(str(tmp_path / "doc_csv" / "*.csv"))[0]
+    lines = open(part).read().strip().splitlines()
+    assert lines[0] == "Name,extra,score"
+    assert sorted(lines[1:]) == ["k1,x,1.5", "k2,,2.5"]
