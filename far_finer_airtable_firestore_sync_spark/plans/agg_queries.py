@@ -594,6 +594,68 @@ where l_shipdate >= timestamp '1995-01-01' and l_shipdate < timestamp '1997-01-0
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel per user: signup -> first click after signup ->
+    first purchase after that click; stage counts. One shuffle on
+    user_id, conditional min aggregates (no joins)."""
+    _utc(spark)
+    ev = read_events(spark, sf_dir)
+    ev.createOrReplaceTempView("_ffs_funnel_events")
+    return spark.sql(FUNNEL_BODY.format(rel="_ffs_funnel_events"))
+
+
+FUNNEL_BODY = """
+with per_user as (
+  select user_id,
+    min(case when event_type = 'signup' then ts end) as t_signup
+  from {rel} group by user_id
+),
+with_click as (
+  select p.user_id, p.t_signup,
+    min(case when e.event_type = 'click' and e.ts >= p.t_signup then e.ts end) as t_click
+  from per_user p join {rel} e on e.user_id = p.user_id
+  where p.t_signup is not null
+  group by p.user_id, p.t_signup
+),
+with_purchase as (
+  select c.user_id, c.t_signup, c.t_click,
+    min(case when e.event_type = 'purchase' and e.ts >= c.t_click then e.ts end) as t_purchase
+  from with_click c join {rel} e on e.user_id = c.user_id
+  group by c.user_id, c.t_signup, c.t_click
+)
+select
+  count(*) as n_signed_up,
+  count(t_click) as n_clicked_after,
+  count(t_purchase) as n_purchased_after
+from with_purchase
+"""
+
+FUNNEL_SQL = FUNNEL_BODY.format(rel="events")
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week x
+    activity week with distinct-user counts."""
+    _utc(spark)
+    ev = read_events(spark, sf_dir)
+    ev.createOrReplaceTempView("_ffs_cohort_events")
+    return spark.sql(COHORT_BODY.format(rel="_ffs_cohort_events"))
+
+
+COHORT_BODY = """
+with first_seen as (
+  select user_id, cast(date_trunc('week', min(ts)) as date) as cohort_week
+  from {rel} group by user_id
+)
+select f.cohort_week, cast(date_trunc('week', e.ts) as date) as activity_week,
+       count(distinct e.user_id) as active_users
+from {rel} e join first_seen f on e.user_id = f.user_id
+group by 1, 2
+"""
+
+COHORT_SQL = COHORT_BODY.format(rel="events")
+
+
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates (HLL distinct, approximate quantiles) — the
     100 TB statistics path (exact distinct/percentile shuffle all
@@ -630,6 +692,8 @@ AGG_QUERIES = {
     "approx_stats": q_approx_stats,
     "unshipped_revenue_topk": q_unshipped_revenue_topk,
     "forecast_revenue": q_forecast_revenue,
+    "event_funnel": q_funnel,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 AGG_ORACLES = {
@@ -652,4 +716,6 @@ AGG_ORACLES = {
     "unpivot_metrics": UNPIVOT_SQL,
     "unshipped_revenue_topk": UNSHIPPED_REVENUE_SQL,
     "forecast_revenue": FORECAST_REVENUE_SQL,
+    "event_funnel": FUNNEL_SQL,
+    "retention_cohorts": COHORT_SQL,
 }
