@@ -365,6 +365,45 @@ select id_a, id_b, cosine from (
 """
 
 
+def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive term search through an inverted index: build
+    (term -> doc) postings via explode, then AND-match by counting
+    distinct matched terms per doc. At scale the postings table is the
+    materialized index (partitioned by term); the query side is a tiny
+    broadcast."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    postings = (
+        docs.select(
+            "doc_id",
+            F.explode(F.expr("array_distinct(split(lower(text), ' '))")).alias("term"),
+        )
+    )
+    terms = ["spark", "window", "merge"]
+    hits = (
+        postings.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .filter(F.col("n_matched") == len(terms))
+        .select("doc_id")
+    )
+    return hits.join(docs, "doc_id").select("doc_id", "lang", "source", "n_chars")
+
+
+TEXT_SEARCH_SQL = """
+with postings as (
+  select doc_id, unnest(list_distinct(string_split(lower(text), ' '))) as term
+  from documents
+),
+hits as (
+  select doc_id from postings
+  where term in ('spark', 'window', 'merge')
+  group by doc_id having count(*) = 3
+)
+select d.doc_id, d.lang, d.source, d.n_chars
+from hits h join documents d on d.doc_id = h.doc_id
+"""
+
+
 EXT_QUERIES = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
@@ -378,6 +417,7 @@ EXT_QUERIES = {
     "similarity_cosine_topk": q_cosine_topk,
     "similarity_ivf_topk": q_ivf_topk,
     "similarity_near_dup": q_embedding_near_dup,
+    "text_search": q_text_search,
 }
 
 
@@ -394,4 +434,5 @@ def ext_oracles() -> dict[str, str]:
         "similarity_cosine_topk": cosine_topk_oracle(),
         "similarity_ivf_topk": ivf_topk_oracle(),
         "similarity_near_dup": embedding_near_dup_oracle(),
+        "text_search": TEXT_SEARCH_SQL,
     }

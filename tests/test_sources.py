@@ -112,3 +112,42 @@ def test_secrets_chain(monkeypatch):
     assert s.get_api_key("other") == "x"
     with pytest.raises(KeyError):
         s.get_api_key("missing")
+
+
+def test_connector_to_store_e2e(spark, page_dir, tmp_path):
+    """The 'reference user switches to this repo' flow: record-feed
+    connector -> typed projection -> pipeline -> document store."""
+    from far_finer_airtable_firestore_sync_spark.config import (
+        SyncSpecBuilder,
+        UpdateType,
+    )
+    from far_finer_airtable_firestore_sync_spark.plans.pipeline import SyncPipeline
+    from far_finer_airtable_firestore_sync_spark.sources.store import DocumentStore
+
+    record_source.register(spark)
+    raw = (
+        spark.read.format("record_feed")
+        .option("path", page_dir)
+        .option("fields", "Name, Score, Tag")
+        .load()
+        .withColumnRenamed("_created_time", "Created")
+        .drop("_record_id")
+    )
+    spec = (
+        SyncSpecBuilder()
+        .with_primary_key("Name")
+        .with_update_type(UpdateType.UPSERT_CHECKSUM)
+        .with_field("Name", "string")
+        .with_field("Created", "timestamp")
+        .with_field("Score", "double")
+        .with_field("Tag", "string")
+        .build()
+    )
+    store = DocumentStore(spark, str(tmp_path / "store"))
+    catalog = {"Name": "singleLineText", "Created": "dateTime", "Score": "number"}
+    res = SyncPipeline(spec, store, catalog=catalog).run(raw)
+    out = {r["Name"]: r.asDict() for r in store.read().collect()}
+    assert len(out) == 9
+    assert out["n4"]["Score"] == 6.0  # string from the feed -> double
+    assert out["n4"]["Created"].year == 2024
+    assert res.metrics["sync_out"]["rows"] == 9
