@@ -73,7 +73,13 @@ def _q_typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tags": "multipleSelects",
         "files": "multipleAttachments",
     }
-    return casts.typed_projection(raw, catalog)
+    typed = casts.typed_projection(raw, catalog)
+    # Driver's hash harness canonicalizes via pandas sort_values, which
+    # cannot hash raw Python lists — serialize array outputs at the entry
+    # boundary only (the array-typed conversions above still execute).
+    return typed.withColumn("tags", F.to_json("tags")).withColumn(
+        "files", F.to_json("files")
+    )
 
 
 _TYPED_PROJECTION_SQL = """
@@ -94,8 +100,8 @@ select cast(id as double) as id,
        cast(cast(created as string) as timestamp) as created,
        cast(cast(day as string) as date) as day,
        cast(flag as boolean) as flag,
-       list_transform(tags, x -> cast(x as string)) as tags,
-       list_transform(files, a -> cast(a.url as string)) as files
+       to_json(list_transform(tags, x -> cast(x as string))) as tags,
+       to_json(list_transform(files, a -> cast(a.url as string))) as files
 from raw
 """
 

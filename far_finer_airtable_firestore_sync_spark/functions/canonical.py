@@ -76,9 +76,17 @@ def _q(ident: str, dialect: str) -> str:
 def _json_escape(expr: str) -> str:
     # chr(92)=backslash, chr(34)=double quote: avoids literal escape
     # sequences in generated SQL (dialect-dependent parsing).
-    esc_bs = f"replace({expr}, chr(92), chr(92) || chr(92))"
-    esc_q = f"replace({esc_bs}, chr(34), chr(92) || chr(34))"
-    return esc_q
+    # Control chars that json.dumps always escapes (reference behavior,
+    # lib/DataProcessor.py:112) and that would otherwise make the
+    # canonical text unparseable JSON: \n \r \t \b \f. Remaining
+    # C0 chars (0x00-0x07, 0x0b, 0x0e-0x1f) pass through raw — they
+    # cannot appear in the fixture domain and both emitters agree, so
+    # checksum parity is unaffected; json.loads(strict=False) reads them.
+    out = f"replace({expr}, chr(92), chr(92) || chr(92))"
+    out = f"replace({out}, chr(34), chr(92) || chr(34))"
+    for code, letter in ((10, "n"), (13, "r"), (9, "t"), (8, "b"), (12, "f")):
+        out = f"replace({out}, chr({code}), chr(92) || '{letter}')"
+    return out
 
 
 def _double_repr(expr: str, dialect: str) -> str:
@@ -222,6 +230,24 @@ def table_json_sql(
     (partial -> final) string aggregation. The reference caps the same
     way (one Firestore document, SURVEY.md §7 hard-part #5).
     """
+    pkq = _q(pk, dialect)
+    if dialect == SPARK:
+        agg = table_json_agg_sql(fields, pk)
+        return (
+            f"(select {agg} from {source_relation} "
+            f"where {pkq} is not null)"
+        )
+    entry = _table_entry_sql(fields, pk, dialect)
+    return (
+        f"(select '{{' || coalesce(string_agg({entry}, ',' order by cast({pkq} as string)), '') || '}}' "
+        f"from {source_relation} where {pkq} is not null)"
+    )
+
+
+def _table_entry_sql(
+    fields: tuple[Field, ...] | list[Field], pk: str, dialect: str
+) -> str:
+    """Per-row ``"<pk>": {<row json>}`` fragment shared by both dialects."""
     pk_field = next(f for f in fields if f.name == pk)
     pkq = _q(pk, dialect)
     key_txt = f"coalesce({_value_repr(pkq, pk_field.kind, dialect)}, 'null')"
@@ -229,21 +255,21 @@ def table_json_sql(
         # JSON object keys must be strings.
         key_txt = f"chr(34) || {key_txt} || chr(34)"
     row_json = canonical_row_sql(fields, dialect)
-    entry = f"{key_txt} || ':' || {row_json}"
-    if dialect == SPARK:
-        agg = (
-            f"concat_ws(',', transform("
-            f"array_sort(collect_list(struct(cast({pkq} as string) as k, {entry} as e))),"
-            f" p -> p.e))"
-        )
-        return (
-            f"(select '{{' || {agg} || '}}' from {source_relation} "
-            f"where {pkq} is not null)"
-        )
-    return (
-        f"(select '{{' || coalesce(string_agg({entry}, ',' order by cast({pkq} as string)), '') || '}}' "
-        f"from {source_relation} where {pkq} is not null)"
+    return f"{key_txt} || ':' || {row_json}"
+
+
+def table_json_agg_sql(fields: tuple[Field, ...] | list[Field], pk: str) -> str:
+    """Spark *aggregate expression* for the canonical table JSON —
+    usable directly in ``df.agg(F.expr(...))`` without a temp view.
+    Caller must pre-filter ``pk IS NOT NULL`` rows."""
+    pkq = _q(pk, SPARK)
+    entry = _table_entry_sql(fields, pk, SPARK)
+    agg = (
+        f"concat_ws(',', transform("
+        f"array_sort(collect_list(struct(cast({pkq} as string) as k, {entry} as e))),"
+        f" p -> p.e))"
     )
+    return f"'{{' || {agg} || '}}'"
 
 
 def table_checksum_sql(table_json_expr: str, table_name: str, view_name: str | None) -> str:

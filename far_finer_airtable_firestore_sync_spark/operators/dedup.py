@@ -8,9 +8,10 @@ missing ``Created`` gets ``now()`` (:84) — i.e. sorts newest.
 The reference's tie-break is "first seen wins" in Python-dict iteration
 order (:86-92) — nondeterministic for a distributed engine, so we
 define a deterministic total order instead (SURVEY.md §7 hard-part #2):
-``(order_col DESC NULLS FIRST, tiebreak_col ASC)``. NULLS FIRST on the
-descending order column reproduces the missing-``Created``-is-newest
-behavior.
+``(order_col DESC NULLS FIRST, tiebreak_col DESC)`` — i.e. MAX(tiebreak)
+wins, matching both the ``max_by`` struct ordering below and
+``keep_latest_sql``. NULLS FIRST on the descending order column
+reproduces the missing-``Created``-is-newest behavior.
 
 Scale note: implemented as ``groupBy(pk).agg(max_by(...))`` — a hash
 aggregate with map-side partial aggregation, so the shuffle carries at

@@ -266,13 +266,30 @@ def near_dup_pairs(
     rows_per_band: int = 4,
     max_chars: int | None = 256,
     threshold: float = 0.5,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Full near-dup pipeline: shingle once -> minhash -> LSH bucket
     self-join -> exact Jaccard verification, with the shingle arrays
-    persisted and shared across stages (one pass over the text)."""
+    persisted and shared across stages (one pass over the text).
+
+    ``hash_family``: ``"md5"`` (oracle-portable) or ``"xxhash64"``
+    (production fast path). The families bucket differently so their
+    *candidate* sets differ, but the Jaccard-verified output is the
+    same >=threshold pair set (asserted by
+    tests/test_round2_fixes.py::test_lsh_hash_families_agree_post_jaccard).
+    """
+    if hash_family not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     shingled = with_shingles(df, text_col, id_col, shingle_n, max_chars).persist()
-    sigs = signatures_from_shingles(shingled, seeds).drop("_sh")
-    keys = tx.band_keys([f"s{i}" for i in range(seeds)], rows_per_band)
+    if hash_family == "md5":
+        sigs = signatures_from_shingles(shingled, seeds).drop("_sh")
+        keys = tx.band_keys([f"s{i}" for i in range(seeds)], rows_per_band)
+    else:
+        sigs = signatures_from_shingles_fast(shingled, seeds).drop("_sh")
+        keys = []
+        for b in range(0, seeds, rows_per_band):
+            group = [f"s{i}" for i in range(b, min(b + rows_per_band, seeds))]
+            keys.append(f"cast(xxhash64({', '.join(group)}, {b}) as string)")
     bands = sigs.select(
         F.col(id_col),
         F.explode(F.array(*[F.expr(k) for k in keys])).alias("band_key"),

@@ -39,7 +39,7 @@ from far_finer_airtable_firestore_sync_spark.functions.canonical import (
     Field,
     checksum_sql,
     table_checksum_sql,
-    table_json_sql,
+    table_json_agg_sql,
 )
 
 # Engine-column spark types (subset stamped varies per strategy).
@@ -86,6 +86,26 @@ def _run_ts(spec: SyncSpec) -> Column:
 
 def _checksum(spec: SyncSpec) -> Column:
     return F.expr(checksum_sql(spec.payload_fields, SPARK))
+
+
+def _ensure_payload_cols(df: DataFrame, spec: SyncSpec) -> DataFrame:
+    """Backfill payload columns absent from one side as typed NULLs.
+
+    Schema-evolution parity: the reference's checksum skips keys absent
+    from a record (lib/DataProcessor.py:111 ``if k in record``), so a
+    payload field added to the spec between runs degrades gracefully —
+    old target docs just checksum-differ and get updated. Without this,
+    referencing the new column on the stored target would raise
+    AnalysisException. Canonical NULL renders as JSON ``null``, so the
+    checksum stays well-defined and differs from any non-null source
+    value, which is exactly the update trigger we want.
+    """
+    missing = {
+        f.name: F.lit(None).cast(f.kind)
+        for f in spec.payload_fields
+        if f.name not in df.columns
+    }
+    return df.withColumns(missing) if missing else df
 
 
 def purge_other_update_types(target: DataFrame, spec: SyncSpec) -> DataFrame:
@@ -170,8 +190,8 @@ def _classify(
     and presence flags. Checksums are computed *before* the join so the
     expressions resolve unambiguously and evaluate in the scan stage.
     """
-    s = source.withColumn("_s_cs", _checksum(spec)).alias("s")
-    t = target.withColumn("_t_cs", _checksum(spec)).alias("t")
+    s = _ensure_payload_cols(source, spec).withColumn("_s_cs", _checksum(spec)).alias("s")
+    t = _ensure_payload_cols(target, spec).withColumn("_t_cs", _checksum(spec)).alias("t")
     return s.join(
         t, F.col(f"s.{spec.primary_key}") == F.col(f"t.{spec.primary_key}"), how
     )
@@ -267,9 +287,12 @@ def _classified_post_state(
 def _upsert_core(
     source: DataFrame, target: DataFrame, spec: SyncSpec, delete_missing: bool
 ) -> DataFrame:
-    t = _ensure_engine_cols(
-        purge_other_update_types(target, spec),
-        ["doc_id", "update_type", "write_timestamp", "version_id"],
+    t = _ensure_payload_cols(
+        _ensure_engine_cols(
+            purge_other_update_types(target, spec),
+            ["doc_id", "update_type", "write_timestamp", "version_id"],
+        ),
+        spec,
     )
     pk = spec.primary_key
     ranked = _pick_one_per_key(t, spec)
@@ -308,9 +331,12 @@ def soft_delete(source: DataFrame, target: DataFrame, spec: SyncSpec) -> DataFra
                            (payload kept, lib/UpdateStrategies.py:115);
     target-only & dead  -> unchanged.
     """
-    t = _ensure_engine_cols(
-        purge_other_update_types(target, spec),
-        ["doc_id", "update_type", "write_timestamp", "is_deleted"],
+    t = _ensure_payload_cols(
+        _ensure_engine_cols(
+            purge_other_update_types(target, spec),
+            ["doc_id", "update_type", "write_timestamp", "is_deleted"],
+        ),
+        spec,
     )
     pk = spec.primary_key
     ranked = _pick_one_per_key(t, spec)
@@ -511,8 +537,6 @@ def versioned_set(source: DataFrame, target: DataFrame, spec: SyncSpec) -> DataF
 # Table-as-one-document strategies
 # ---------------------------------------------------------------------------
 
-_TBL_VIEW_SEQ = 0
-
 TABLE_DOC_COLUMNS = [
     "doc_id",
     "update_type",
@@ -537,18 +561,22 @@ def build_table_doc(source: DataFrame, spec: SyncSpec) -> DataFrame:
     Single-row aggregate by design — same cardinality cap as one
     Firestore document (SURVEY.md §7 hard-part #5); the row-level
     strategies remain the 100 TB path.
+
+    Built with the DataFrame API (no temp views) so concurrent
+    table-doc builds in one SparkSession cannot race or leak catalog
+    entries.
     """
-    global _TBL_VIEW_SEQ
-    _TBL_VIEW_SEQ += 1
-    view = f"_ffs_tbl_{_TBL_VIEW_SEQ}"
-    source.createOrReplaceTempView(view)
-    tj = table_json_sql(spec.payload_fields, spec.primary_key, SPARK, view)
-    tc = table_checksum_sql(tj, spec.table_name, spec.view_name)
-    return source.sparkSession.range(1).select(
-        F.expr(tj).alias("table_data"),
-        F.expr(tc).alias("table_checksum"),
-        F.lit(spec.table_name).alias("metadata_name"),
-        F.lit(spec.view_name).cast("string").alias("metadata_view"),
+    tj = table_json_agg_sql(spec.payload_fields, spec.primary_key)
+    tc = table_checksum_sql("table_data", spec.table_name, spec.view_name)
+    return (
+        source.filter(F.col(spec.primary_key).isNotNull())
+        .agg(F.expr(tj).alias("table_data"))
+        .select(
+            "table_data",
+            F.expr(tc).alias("table_checksum"),
+            F.lit(spec.table_name).alias("metadata_name"),
+            F.lit(spec.view_name).cast("string").alias("metadata_view"),
+        )
     )
 
 

@@ -83,12 +83,27 @@ from purchases p join clicks c
  and epoch_us(c.click_ts) - epoch_us(p.ts) between 0 and 3600000000
 """
 
-#: (spark pattern, duckdb pattern) pairs for the permissive parser
+#: (spark pattern, duckdb pattern, has_tz_offset) for the permissive
+#: parser. Strings are pre-normalized (ISO 'T' separator -> space,
+#: trailing 'Z' -> '+00:00') so one 'yyyy-MM-dd HH:mm:ss...' family
+#: covers Airtable's own emission format 2024-12-23T10:00:00.000Z
+#: (reference accepts it via dateutil, lib/DataProcessor.py:142-148).
+#: Fraction digits are pinned per format because the engines disagree
+#: off the 3/6-digit shapes: Spark parses '.N+' as a decimal fraction
+#: of a second while DuckDB %g is integer milliseconds (exactly <=3
+#: digits) and %f integer microseconds — they agree only at exactly 3
+#: (%g) and exactly 6 (%f) digits, so %g must precede %f in the chain.
 _DT_FORMATS = [
-    ("yyyy-MM-dd HH:mm:ss", "%Y-%m-%d %H:%M:%S"),
+    ("yyyy-MM-dd HH:mm:ss.SSSXXX", "%Y-%m-%d %H:%M:%S.%g%z", True),
+    ("yyyy-MM-dd HH:mm:ss.SSSSSSXXX", "%Y-%m-%d %H:%M:%S.%f%z", True),
+    ("yyyy-MM-dd HH:mm:ssXXX", "%Y-%m-%d %H:%M:%S%z", True),
+    ("yyyy-MM-dd HH:mm:ss.SSS", "%Y-%m-%d %H:%M:%S.%g", False),
+    ("yyyy-MM-dd HH:mm:ss.SSSSSS", "%Y-%m-%d %H:%M:%S.%f", False),
+    ("yyyy-MM-dd HH:mm:ss", "%Y-%m-%d %H:%M:%S", False),
     ("MM/dd/yyyy HH:mm:ss", "%m/%d/%Y %H:%M:%S"),
     ("dd.MM.yyyy", "%d.%m.%Y"),
     ("yyyy-MM-dd", "%Y-%m-%d"),
+    ("MMM dd, yyyy", "%b %d, %Y"),
 ]
 
 
@@ -96,49 +111,86 @@ _DT_FORMATS = [
 #: failed-parse path of a try_to_timestamp chain (~5x faster: parse
 #: exceptions are expensive, regex prefilters are codegen'd)
 _DT_SHAPES = [
-    ("^[0-9]{4}-[0-9]{2}-[0-9]{2} ", "yyyy-MM-dd HH:mm:ss"),
+    ("^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9:]{8}[.][0-9]{3}[+-][0-9]{2}:[0-9]{2}$",
+     "yyyy-MM-dd HH:mm:ss.SSSXXX"),
+    ("^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9:]{8}[+-][0-9]{2}:[0-9]{2}$",
+     "yyyy-MM-dd HH:mm:ssXXX"),
+    ("^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9:]{8}[.][0-9]{3}$",
+     "yyyy-MM-dd HH:mm:ss.SSS"),
+    ("^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9:]{8}$", "yyyy-MM-dd HH:mm:ss"),
     ("^[0-9]{2}/[0-9]{2}/[0-9]{4} ", "MM/dd/yyyy HH:mm:ss"),
     ("^[0-9]{2}[.][0-9]{2}[.][0-9]{4}$", "dd.MM.yyyy"),
     ("^[0-9]{4}-[0-9]{2}-[0-9]{2}$", "yyyy-MM-dd"),
 ]
 
+#: ISO normalization: 'T' date/time separator -> space; trailing 'Z'
+#: -> '+00:00' (DuckDB strptime %z rejects a literal Z). Group ref is
+#: $1 in Spark but \1 in DuckDB — built with chr(92) to keep the
+#: generated SQL free of backslash literals (dialect parsing differs).
+def _dt_normalize(col: str, dialect: str) -> str:
+    group = "'$1 '" if dialect == "spark" else "chr(92) || '1 '"
+    t_fixed = (
+        f"regexp_replace({col}, '^([0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}})T', {group})"
+    )
+    return f"regexp_replace({t_fixed}, 'Z$', '+00:00')"
+
 
 def parse_datetime_any(col: str) -> str:
     """D5 parity (lib/DataProcessor.py:142-148): permissive multi-format
     datetime parse — the declarative analog of dateutil's fallback
-    chain. Regex shape-dispatch to the matching format first (fast
-    path, no parse exceptions), then a try_to_timestamp chain for
-    anything the shapes miss."""
+    chain, covering the source system's own ISO-8601 emission (T
+    separator, millisecond fraction, Z/±HH:MM offset; offsets are
+    converted to UTC wall-clock via the UTC-pinned session). Regex
+    shape-dispatch to the matching format first (fast path, no parse
+    exceptions), then a try_to_timestamp chain for anything the shapes
+    miss."""
+    norm = _dt_normalize(col, "spark")
     shaped = " ".join(
-        f"when {col} rlike '{rx}' then try_to_timestamp({col}, '{fmt}')"
+        f"when _dt rlike '{rx}' then try_to_timestamp(_dt, '{fmt}')"
         for rx, fmt in _DT_SHAPES
     )
     attempts = ", ".join(
-        f"try_to_timestamp({col}, '{sp}')" for sp, _ in _DT_FORMATS
+        f"try_to_timestamp(_dt, '{f[0]}')" for f in _DT_FORMATS
     )
-    return f"coalesce(case {shaped} end, {attempts})"
+    chain = f"coalesce(case {shaped} end, {attempts})"
+    # lateral-style alias via a scalar subexpression is not available in
+    # a plain expression; inline the normalized string instead.
+    return chain.replace("_dt", f"({norm})")
 
 
 def parse_datetime_any_duckdb(col: str) -> str:
-    attempts = ", ".join(
-        f"try_strptime({col}, '{du}')" for _, du in _DT_FORMATS
-    )
-    return f"coalesce({attempts})"
+    norm = _dt_normalize(col, "duckdb")
+    attempts = []
+    for f in _DT_FORMATS:
+        du, tz = f[1], (f[2] if len(f) > 2 else False)
+        e = f"try_strptime(({norm}), '{du}')"
+        if tz:
+            # %z yields TIMESTAMPTZ; render as UTC wall-clock TIMESTAMP
+            # (session-timezone independent) to match Spark.
+            e = f"({e} at time zone 'UTC')"
+        attempts.append(e)
+    return f"coalesce({', '.join(attempts)})"
 
 
 def q_datetime_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-trip: format timestamps four different ways by key, parse
-    them all back with the permissive parser."""
+    """Round-trip: format timestamps seven different ways by key —
+    including the source system's own ISO-8601 emission shapes
+    (``2024-12-23T10:00:00.000Z``, explicit ``+05:30`` offset) and a
+    month-name form — and parse them all back with the permissive
+    parser."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     varied = orders.select(
         "o_orderkey",
         F.expr(
-            "case cast(o_orderkey % 4 as int) "
+            "case cast(o_orderkey % 7 as int) "
             "when 0 then date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') "
             "when 1 then date_format(o_orderdate, 'MM/dd/yyyy HH:mm:ss') "
             "when 2 then date_format(o_orderdate, 'dd.MM.yyyy') "
-            "else date_format(o_orderdate, 'yyyy-MM-dd') end"
+            "when 3 then date_format(o_orderdate, 'yyyy-MM-dd') "
+            "when 4 then date_format(o_orderdate, \"yyyy-MM-dd'T'HH:mm:ss.SSS\") || 'Z' "
+            "when 5 then date_format(o_orderdate, \"yyyy-MM-dd'T'HH:mm:ss\") || '+05:30' "
+            "else date_format(o_orderdate, 'MMM dd, yyyy') end"
         ).alias("raw"),
     )
     return varied.select(
@@ -150,11 +202,14 @@ def datetime_parse_oracle() -> str:
     return f"""
 with varied as (
   select o_orderkey,
-    case cast(o_orderkey % 4 as int)
+    case cast(o_orderkey % 7 as int)
       when 0 then strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
       when 1 then strftime(o_orderdate, '%m/%d/%Y %H:%M:%S')
       when 2 then strftime(o_orderdate, '%d.%m.%Y')
-      else strftime(o_orderdate, '%Y-%m-%d') end as raw
+      when 3 then strftime(o_orderdate, '%Y-%m-%d')
+      when 4 then strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g') || 'Z'
+      when 5 then strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '+05:30'
+      else strftime(o_orderdate, '%b %d, %Y') end as raw
   from orders
 )
 select o_orderkey, raw, {parse_datetime_any_duckdb("raw")} as parsed from varied

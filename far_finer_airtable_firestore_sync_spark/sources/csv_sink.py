@@ -64,7 +64,9 @@ def write_table_doc_csv(
     """
     import json
 
-    data = json.loads(table_json)
+    # strict=False: canonical table JSON leaves rare C0 control chars
+    # unescaped (functions/canonical.py _json_escape) — accept them.
+    data = json.loads(table_json, strict=False)
     if not data:
         return []
     fieldnames: set = set()

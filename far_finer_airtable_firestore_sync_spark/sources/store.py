@@ -32,8 +32,24 @@ from pyspark.sql import types as T
 _POINTER = "_LATEST"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """The store's pointer moved between read() and commit()."""
+
+
 class DocumentStore:
-    """Keyed document collection over versioned parquet directories."""
+    """Keyed document collection over versioned parquet directories.
+
+    Concurrency contract: **single writer per store root**. ``commit``
+    is last-writer-wins — two concurrent commits that read the same
+    base snapshot will both succeed and the later pointer flip silently
+    discards the earlier post-state; ``vacuum`` may likewise remove a
+    version directory a concurrently-built lazy plan still reads.
+    Callers needing detection can pass ``expected_version=
+    store.current_version_dir()`` captured at read time: the commit
+    then fails with :class:`ConcurrentCommitError` if the pointer moved
+    (optimistic concurrency; the flip itself remains non-transactional
+    on plain parquet — a Delta backend would close that gap).
+    """
 
     def __init__(self, spark: SparkSession, root: str, key_col: str = "doc_id"):
         self.spark = spark
@@ -69,7 +85,10 @@ class DocumentStore:
         return self.spark.createDataFrame([], like.schema)
 
     def commit(
-        self, post_state: DataFrame, partition_by: Optional[list[str]] = None
+        self,
+        post_state: DataFrame,
+        partition_by: Optional[list[str]] = None,
+        expected_version: Optional[str] = None,
     ) -> str:
         """Write ``post_state`` as a new immutable version and flip the
         pointer — the atomic 'batch commit' (K7 analog,
@@ -86,6 +105,11 @@ class DocumentStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out)
+        if expected_version is not None and self.current_version_dir() != expected_version:
+            raise ConcurrentCommitError(
+                f"store {self.root}: pointer moved past {expected_version!r} "
+                "since read(); refusing to clobber the concurrent commit"
+            )
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"version_dir": rel}, fh)
