@@ -9,11 +9,27 @@ InputPartition per page/shard, executors fetch + unwrap their pages in
 parallel, and the declared schema gives Catalyst column pruning over
 the unwrapped fields.
 
-Offline stand-in: pages live in a directory of JSON-lines files (one
-file = one page = one partition) — exactly the paged-REST layout; a
-live connector only swaps `_read_page` for an HTTP call per page, the
-planning/unwrap/typing machinery is identical. No instructions are
-taken from the reference; only the record envelope format is mirrored.
+Two fetch modes:
+
+- **JSONL pages** (``option("path", dir)``): pages live in a directory
+  of JSON-lines files (one file = one page = one InputPartition) —
+  the paged-REST layout frozen to disk; executor-parallel, the scale
+  path for replayed feeds.
+- **Live HTTP** (``option("url", endpoint)``): the connector GETs the
+  endpoint with the standard offset-token paging contract — response
+  ``{"records": [...], "offset": "<token>"}``, request
+  ``?offset=<token>``, last page omits the token — with bounded
+  retry + backoff on 429/5xx (public REST pattern; behavioral parity
+  with lib/AirtableDataFetcher.py:14-37). Token paging is inherently
+  sequential (page N's response carries page N+1's token), so HTTP
+  mode plans ONE partition that walks the chain; freeze feeds to
+  JSONL pages for parallel re-reads.
+
+The fetch hook itself (:class:`HttpPageFetcher` /
+:func:`iter_record_pages`) is pluggable and picklable — tests inject a
+fake fetcher; a real deployment points it at its gateway. No
+instructions are taken from the reference; only the record envelope
+format is mirrored.
 
 Also provides :func:`unwrap_records` — the batch-DataFrame form of the
 same unwrap (P1's ``record['fields']`` projection,
@@ -24,7 +40,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Iterator
+from typing import Iterator, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -41,16 +57,93 @@ except ImportError:  # pragma: no cover - older pyspark
     _HAS_DATASOURCE_API = False
 
 
-class RecordFeedDataSource(DataSource):
-    """``spark.read.format("record_feed").option("path", dir)``.
+class HttpPageFetcher:
+    """Fetch one page of the record feed over HTTP with bounded retry.
 
-    Options:
-      path       directory of ``page-*.jsonl`` files (one per partition)
-      fields     comma-separated field names to unwrap (the schema);
-                 every unwrapped field is read as string — the typed
-                 projection stage applies the field-type catalog after
-                 (same two-stage shape as the reference: fetch, then
-                 DataProcessor casts).
+    Callable ``(offset_token | None) -> {"records": [...], "offset"?:
+    str}``. Retries 429 and 5xx responses and transport errors up to
+    ``max_retries`` times with linear backoff (attempt * backoff_s);
+    4xx other than 429 raise immediately (client bugs should not burn
+    the retry budget). Picklable: holds only plain config, so it ships
+    to executors inside an InputPartition.
+    """
+
+    def __init__(
+        self,
+        url: str,
+        headers: Optional[dict] = None,
+        max_retries: int = 3,
+        backoff_s: float = 1.0,
+        timeout_s: float = 30.0,
+    ):
+        self.url = url
+        self.headers = dict(headers or {})
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.timeout_s = timeout_s
+
+    def __call__(self, offset: Optional[str]) -> dict:
+        import time
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        url = self.url
+        if offset:
+            sep = "&" if "?" in url else "?"
+            url = f"{url}{sep}offset={urllib.parse.quote(offset)}"
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            if attempt:
+                time.sleep(self.backoff_s * attempt)
+            try:
+                req = urllib.request.Request(url, headers=self.headers)
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                    return json.loads(resp.read().decode("utf-8"))
+            except urllib.error.HTTPError as e:
+                if e.code != 429 and e.code < 500:
+                    raise
+                last_err = e
+            except urllib.error.URLError as e:
+                last_err = e
+        raise RuntimeError(
+            f"record feed fetch failed after {self.max_retries + 1} attempts: "
+            f"{last_err}"
+        ) from last_err
+
+
+def iter_record_pages(
+    fetch_page, max_pages: int = 100_000
+) -> Iterator[list[dict]]:
+    """Walk the offset-token chain: call ``fetch_page(token)`` starting
+    at ``None``, follow each response's ``offset`` until a page omits
+    it. ``fetch_page`` is any callable with the page contract —
+    :class:`HttpPageFetcher` or an injected fake. ``max_pages`` bounds
+    a server that keeps echoing tokens (defensive, not expected)."""
+    token: Optional[str] = None
+    for _ in range(max_pages):
+        page = fetch_page(token)
+        yield page.get("records", [])
+        token = page.get("offset")
+        if not token:
+            return
+    raise RuntimeError(f"record feed did not terminate within {max_pages} pages")
+
+
+class RecordFeedDataSource(DataSource):
+    """``spark.read.format("record_feed").option(...)``.
+
+    Options (exactly one of ``path`` / ``url``):
+      path        directory of ``page-*.jsonl`` files (one per partition)
+      url         HTTP endpoint with offset-token paging (one partition,
+                  sequential chain walk — see module docstring)
+      fields      comma-separated field names to unwrap (the schema);
+                  every unwrapped field is read as string — the typed
+                  projection stage applies the field-type catalog after
+                  (same two-stage shape as the reference: fetch, then
+                  DataProcessor casts).
+      maxRetries / backoffS / timeoutS / headerAuthorization
+                  HTTP fetch knobs (url mode only).
     """
 
     @classmethod
@@ -63,20 +156,39 @@ class RecordFeedDataSource(DataSource):
         return f"_record_id string, _created_time string, {cols}"
 
     def reader(self, schema: T.StructType) -> "RecordFeedReader":
-        return RecordFeedReader(self.options["path"], schema)
+        if "url" in self.options:
+            headers = {}
+            if "headerAuthorization" in self.options:
+                headers["Authorization"] = self.options["headerAuthorization"]
+            fetcher = HttpPageFetcher(
+                self.options["url"],
+                headers=headers,
+                max_retries=int(self.options.get("maxRetries", 3)),
+                backoff_s=float(self.options.get("backoffS", 1.0)),
+                timeout_s=float(self.options.get("timeoutS", 30.0)),
+            )
+            return RecordFeedReader(None, schema, fetcher)
+        return RecordFeedReader(self.options["path"], schema, None)
 
 
 class PagePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: Optional[str], fetcher=None):
         self.path = path
+        self.fetcher = fetcher
 
 
 class RecordFeedReader(DataSourceReader):
-    def __init__(self, path: str, schema: T.StructType):
+    def __init__(
+        self, path: Optional[str], schema: T.StructType, fetcher=None
+    ):
         self.path = path
         self.schema = schema
+        self.fetcher = fetcher
 
     def partitions(self) -> list[PagePartition]:
+        if self.fetcher is not None:
+            # token paging is sequential: one partition walks the chain
+            return [PagePartition(None, self.fetcher)]
         # one partition per page file -> executor-parallel fetch
         pages = sorted(
             os.path.join(self.path, f)
@@ -85,9 +197,16 @@ class RecordFeedReader(DataSourceReader):
         )
         return [PagePartition(p) for p in pages]
 
+    def _records(self, partition: PagePartition) -> Iterator[dict]:
+        if partition.fetcher is not None:
+            for records in iter_record_pages(partition.fetcher):
+                yield from records
+        else:
+            yield from _read_page(partition.path)
+
     def read(self, partition: PagePartition) -> Iterator[tuple]:
         field_names = [f.name for f in self.schema.fields[2:]]
-        for rec in _read_page(partition.path):
+        for rec in self._records(partition):
             fields = rec.get("fields", {})
             yield (
                 rec.get("id"),
@@ -100,8 +219,7 @@ class RecordFeedReader(DataSourceReader):
 
 
 def _read_page(path: str) -> Iterator[dict]:
-    """One 'page fetch'. A live connector replaces this with the HTTP
-    GET for the page's offset token."""
+    """One frozen 'page fetch' from a JSONL page file."""
     with open(path) as fh:
         for line in fh:
             if line.strip():

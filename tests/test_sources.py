@@ -151,3 +151,139 @@ def test_connector_to_store_e2e(spark, page_dir, tmp_path):
     assert out["n4"]["Score"] == 6.0  # string from the feed -> double
     assert out["n4"]["Created"].year == 2024
     assert res.metrics["sync_out"]["rows"] == 9
+
+
+# ---------------------------------------------------------------------------
+# HTTP fetch hook (VERDICT round-1 item 5)
+# ---------------------------------------------------------------------------
+
+
+def _mk_records(lo, hi):
+    return [
+        {"id": f"rec{i}", "createdTime": f"2024-01-{i + 1:02d}T00:00:00Z",
+         "fields": {"Name": f"n{i}", "Score": i * 1.5}}
+        for i in range(lo, hi)
+    ]
+
+
+def test_iter_record_pages_fake_fetcher_pagination():
+    """Offset-token chain: None -> 'p1' -> 'p2' -> done; fetcher sees
+    exactly the tokens the responses handed out."""
+    pages = {
+        None: {"records": _mk_records(0, 3), "offset": "p1"},
+        "p1": {"records": _mk_records(3, 6), "offset": "p2"},
+        "p2": {"records": _mk_records(6, 8)},  # no offset -> last page
+    }
+    seen = []
+
+    def fake(token):
+        seen.append(token)
+        return pages[token]
+
+    got = [r["id"] for page in record_source.iter_record_pages(fake) for r in page]
+    assert got == [f"rec{i}" for i in range(8)]
+    assert seen == [None, "p1", "p2"]
+
+
+def test_iter_record_pages_bounds_runaway_chain():
+    with pytest.raises(RuntimeError, match="did not terminate"):
+        list(record_source.iter_record_pages(
+            lambda tok: {"records": [], "offset": "again"}, max_pages=5
+        ))
+
+
+@pytest.fixture()
+def feed_server():
+    """Local HTTP server speaking the offset-token paging contract,
+    flaky on demand: first `fail_first` hits per path return 503."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    state = {"hits": 0, "fail_first": 0, "unauthorized": False}
+    pages = {
+        None: {"records": _mk_records(0, 3), "offset": "tok-1"},
+        "tok-1": {"records": _mk_records(3, 6), "offset": "tok-2"},
+        "tok-2": {"records": _mk_records(6, 8)},
+    }
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            state["hits"] += 1
+            if state["unauthorized"] and self.headers.get("Authorization") != "Bearer k":
+                self.send_response(401)
+                self.end_headers()
+                return
+            if state["hits"] <= state["fail_first"]:
+                self.send_response(503)
+                self.end_headers()
+                return
+            q = parse_qs(urlparse(self.path).query)
+            token = q.get("offset", [None])[0]
+            body = json.dumps(pages[token]).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/v0/records", state
+    srv.shutdown()
+
+
+def test_http_fetcher_retries_then_succeeds(feed_server):
+    url, state = feed_server
+    state["fail_first"] = 2  # two 503s, then healthy
+    fetcher = record_source.HttpPageFetcher(url, max_retries=3, backoff_s=0.01)
+    got = [r["id"] for page in record_source.iter_record_pages(fetcher)
+           for r in page]
+    assert got == [f"rec{i}" for i in range(8)]
+    assert state["hits"] == 5  # 2 failures + 3 pages
+
+
+def test_http_fetcher_exhausts_retries(feed_server):
+    url, state = feed_server
+    state["fail_first"] = 99
+    fetcher = record_source.HttpPageFetcher(url, max_retries=2, backoff_s=0.01)
+    with pytest.raises(RuntimeError, match="after 3 attempts"):
+        fetcher(None)
+    assert state["hits"] == 3
+
+
+def test_http_fetcher_client_error_no_retry(feed_server):
+    import urllib.error
+
+    url, state = feed_server
+    state["unauthorized"] = True
+    fetcher = record_source.HttpPageFetcher(url, max_retries=3, backoff_s=0.01)
+    with pytest.raises(urllib.error.HTTPError):
+        fetcher(None)
+    assert state["hits"] == 1  # 401 must not burn the retry budget
+    ok = record_source.HttpPageFetcher(
+        url, headers={"Authorization": "Bearer k"}, backoff_s=0.01
+    )
+    assert [r["id"] for r in ok(None)["records"]] == ["rec0", "rec1", "rec2"]
+
+
+def test_record_feed_datasource_http_mode(spark, feed_server):
+    """The connector end-to-end over live HTTP: same schema/unwrap as
+    the JSONL path, sequential token walk in one partition."""
+    url, _ = feed_server
+    assert record_source.register(spark)
+    df = (
+        spark.read.format("record_feed")
+        .option("url", url)
+        .option("backoffS", "0.01")
+        .option("fields", "Name, Score")
+        .load()
+    )
+    assert df.columns == ["_record_id", "_created_time", "Name", "Score"]
+    rows = {r["_record_id"]: r for r in df.collect()}
+    assert len(rows) == 8
+    assert rows["rec7"]["Score"] == "10.5"
+    assert df.rdd.getNumPartitions() == 1
