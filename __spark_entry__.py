@@ -599,6 +599,102 @@ where not exists (select 1 from s where s.c_custkey = t.c_custkey)
 """
 
 
+def _q_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocumentStore.diff_versions CDC: commit two deterministic
+    snapshots derived from ``customer`` into a real store, then diff
+    them (insert/delete/update classification via full-outer join).
+    Drives the actual versioned-store code path, not a reenactment."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer")
+    old = cust.filter("c_custkey % 3 != 0").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    new = cust.filter("c_custkey % 7 != 0").select(
+        "c_custkey",
+        "c_name",
+        F.expr(
+            "cast(case when c_custkey % 5 = 0 then c_acctbal + 10 "
+            "else c_acctbal end as double)"
+        ).alias("c_acctbal"),
+    )
+    store = DocumentStore(spark, tempfile.mkdtemp(prefix="ffs_cdc_"), "c_custkey")
+    v_old = store.commit(old)
+    v_new = store.commit(new)
+    return store.diff_versions(v_old, v_new)
+
+
+_STORE_CDC_SQL = """
+with old as (
+  select c_custkey, c_name, c_acctbal from customer where c_custkey % 3 <> 0
+),
+new as (
+  select c_custkey, c_name,
+         cast(case when c_custkey % 5 = 0 then c_acctbal + 10
+              else c_acctbal end as double) as c_acctbal
+  from customer where c_custkey % 7 <> 0
+)
+select coalesce(n.c_custkey, o.c_custkey) as c_custkey,
+       case when o.c_custkey is null then 'insert'
+            when n.c_custkey is null then 'delete'
+            when o.c_name is distinct from n.c_name
+              or o.c_acctbal is distinct from n.c_acctbal then 'update'
+       end as change_type,
+       n.c_name as c_name, n.c_acctbal as c_acctbal
+from old o full outer join new n on o.c_custkey = n.c_custkey
+where case when o.c_custkey is null then 'insert'
+           when n.c_custkey is null then 'delete'
+           when o.c_name is distinct from n.c_name
+             or o.c_acctbal is distinct from n.c_acctbal then 'update'
+      end is not null
+"""
+
+
+def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation: two-stage (key, salt) partial ->
+    per-key merge. Result must be identical to the plain GROUP BY the
+    oracle runs (decimal sums: order-independent, exact)."""
+    from far_finer_airtable_firestore_sync_spark.operators.skew import (
+        salted_aggregate,
+    )
+
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem").withColumn(
+        "_price_dec", F.col("l_extendedprice").cast("decimal(18,2)")
+    )
+    out = salted_aggregate(
+        li,
+        "l_suppkey",
+        {
+            "revenue": ("sum", "_price_dec"),
+            "n_items": ("count", "_price_dec"),
+            "max_qty": ("max", "l_quantity"),
+        },
+        salt_buckets=8,
+    )
+    return out.select(
+        "l_suppkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("n_items").cast("long").alias("n_items"),
+        "max_qty",
+    )
+
+
+_SALTED_AGG_SQL = """
+select l_suppkey,
+       cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as revenue,
+       cast(count(l_extendedprice) as bigint) as n_items,
+       max(l_quantity) as max_qty
+from lineitem
+group by l_suppkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -628,6 +724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordered_scan_topk": _q_ordered_scan_topk,
         "string_cleanup": _q_string_cleanup,
         "key_set_diff": _q_key_set_diff,
+        "store_cdc_diff": _q_store_cdc,
+        "salted_agg_revenue": _q_salted_agg,
         **ext.EXT_QUERIES,
         **agg.AGG_QUERIES,
         **jq.JOIN_QUERIES,
@@ -660,6 +758,8 @@ def oracle_sql() -> dict[str, str]:
         "ordered_scan_topk": _ORDERED_SCAN_SQL,
         "string_cleanup": _STRING_CLEANUP_SQL,
         "key_set_diff": _KEY_SET_DIFF_SQL,
+        "store_cdc_diff": _STORE_CDC_SQL,
+        "salted_agg_revenue": _SALTED_AGG_SQL,
         **ext.ext_oracles(),
         **agg.AGG_ORACLES,
         **jq.JOIN_ORACLES,

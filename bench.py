@@ -3,14 +3,18 @@
 ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
 "queries": {...}, "sf": ...}.
 
-Each query is executed via a count-style action that forces full
-evaluation without collecting result rows to the driver.
+Each query is executed via a noop write that forces full evaluation
+without collecting result rows to the driver. The suite runs
+$SPARK_GRAFT_REPEATS times (default 3) and reports the per-query
+MEDIAN — this host is a shared VM with heavy run-to-run variance, so
+single-shot numbers are not attributable (VERDICT round-1 item 9).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -46,17 +50,22 @@ def main() -> None:
     ).collect()
 
     qs = e.queries()
-    timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # Force full evaluation of every column (not just count paths).
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # Drop intermediates persisted by pipeline operators so queries
-        # don't contend for storage memory across measurements.
-        spark.catalog.clearCache()
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in qs}
+    # Round-robin whole-suite passes (not back-to-back per query) so a
+    # transient host-load spike cannot poison all of one query's runs.
+    for _ in range(repeats):
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # Force full evaluation of every column (not just count paths).
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+            # Drop intermediates persisted by pipeline operators so queries
+            # don't contend for storage memory across measurements.
+            spark.catalog.clearCache()
 
+    timings = {n: round(statistics.median(t), 3) for n, t in samples.items()}
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
@@ -66,6 +75,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -301,6 +301,66 @@ def near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Dedup clusters from a near-dup pair list: (doc_id, component)
+    where component = min doc id reachable through the pair graph.
+
+    A training pipeline keeps ONE doc per component, not one per pair
+    — pairs alone over-delete when dups chain (a~b, b~c).
+
+    Iterative min-label propagation (the standard large-graph CC
+    shape): each round joins labels across edges and keeps the
+    per-node min; converges in O(component diameter) rounds — near-dup
+    clusters are shallow (dup chains, not long paths), so the bound is
+    small in practice. ``localCheckpoint`` truncates the plan between
+    rounds (iterative lineage would otherwise grow exponentially).
+    Raises after ``max_iters`` rather than returning a half-propagated
+    labeling.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.groupBy("u").agg(F.min("v").alias("lbl"))
+    labels = labels.select(
+        "u", F.least(F.col("u"), F.col("lbl")).alias("lbl")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        # neighbor labels -> per-node min (including own label)
+        via_edges = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .select("u", "lbl")
+        )
+        new_labels = (
+            labels.unionByName(via_edges)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels.select(
+                F.col("u").alias("doc_id"), F.col("lbl").alias("component")
+            )
+    edges.unpersist()
+    raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -4,11 +4,17 @@ North-star extension: treat media as opaque ``binary`` columns with a
 typed metadata struct, and run decode / feature-extract / resize /
 frame-sample as Arrow-batched ``mapInPandas`` stages.
 
-The decode step itself is STUBBED (no image/audio libs in this
-container): ``decoder="fake"`` is a deterministic byte-level stand-in
-so the Spark-side contract — schema, batch shape, partitioning, null
-handling — is real and tested; ``decoder="pillow"`` raises
-``NotImplementedError`` until a real codec is wired in.
+Decoders (pluggable, per the ``decoder=`` argument):
+
+- ``"ppm"`` — REAL image decode for Netpbm P6 (dependency-free byte
+  parsing): width/height + per-channel means. Undecodable bytes yield
+  a NULL feature (row survives; decode errors are data, not crashes).
+- ``"wav"`` — REAL audio decode via the stdlib ``wave`` module:
+  channels/rate/duration + mean absolute amplitude.
+- ``"fake"`` — deterministic digest-based stand-in (contract tests).
+- ``"pillow"`` — raises ``NotImplementedError``: general-purpose
+  codecs (PNG/JPEG) are not installable in this container; wire
+  Pillow here with the same mapInPandas contract when available.
 
 Scale notes: media rows are large, so the operators avoid shuffling
 binary payloads — every stage is a mapInPandas projection (no
@@ -20,7 +26,7 @@ enough that one Arrow batch of blobs fits executor memory.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+from typing import Iterator, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -52,7 +58,7 @@ def attach_media_columns(
     )
 
 
-def _fake_decode(content: bytes) -> list[float]:
+def _fake_decode(content: bytes) -> Optional[list[float]]:
     """Deterministic stand-in 'decoder': 8 features from the digest.
 
     NOT a real decode — a byte-stable fake so the distributed plumbing
@@ -62,18 +68,92 @@ def _fake_decode(content: bytes) -> list[float]:
     return [b / 255.0 for b in h[:8]]
 
 
+def parse_ppm(content: bytes) -> Optional[tuple[int, int, int, bytes]]:
+    """Parse a binary Netpbm P6 image: (width, height, maxval, rgb
+    bytes), or None if the bytes are not a well-formed P6."""
+    import re
+
+    # header = magic, width, height, maxval; exactly ONE whitespace byte
+    # separates maxval from the raster (raster bytes may themselves be
+    # whitespace values, so a free-form split would eat pixels).
+    # Comments not supported — fixture-grade subset of the spec.
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", content)
+    if m is None:
+        return None
+    width, height, maxval = int(m[1]), int(m[2]), int(m[3])
+    raw = content[m.end():]
+    need = width * height * 3
+    if width <= 0 or height <= 0 or maxval <= 0 or len(raw) < need:
+        return None
+    return width, height, maxval, raw[:need]
+
+
+def _ppm_decode(content: bytes) -> Optional[list[float]]:
+    """REAL image decode (P6): [width, height, mean_r, mean_g, mean_b]
+    with channel means normalized by maxval."""
+    parsed = parse_ppm(content)
+    if parsed is None:
+        return None
+    width, height, maxval, raw = parsed
+    n = width * height
+    sums = [0, 0, 0]
+    for i in range(0, 3 * n, 3):
+        sums[0] += raw[i]
+        sums[1] += raw[i + 1]
+        sums[2] += raw[i + 2]
+    return [
+        float(width),
+        float(height),
+        sums[0] / (n * maxval),
+        sums[1] / (n * maxval),
+        sums[2] / (n * maxval),
+    ]
+
+
+def _wav_decode(content: bytes) -> Optional[list[float]]:
+    """REAL audio decode via stdlib ``wave``: [n_channels, sample_rate,
+    duration_ms, mean_abs_amplitude] (16-bit PCM; other widths yield
+    metadata with a NaN-free 0.0 amplitude placeholder)."""
+    import io
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            nch, width, rate, nframes = (
+                w.getnchannels(), w.getsampwidth(), w.getframerate(),
+                w.getnframes(),
+            )
+            frames = w.readframes(nframes)
+    except (wave.Error, EOFError, struct.error):
+        return None
+    duration_ms = 1000.0 * nframes / rate if rate else 0.0
+    mean_abs = 0.0
+    if width == 2 and frames:
+        n = len(frames) // 2
+        vals = struct.unpack(f"<{n}h", frames[: 2 * n])
+        mean_abs = sum(abs(v) for v in vals) / (n * 32768.0) if n else 0.0
+    return [float(nch), float(rate), duration_ms, mean_abs]
+
+
+_DECODERS = {"fake": _fake_decode, "ppm": _ppm_decode, "wav": _wav_decode}
+
+
 def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     """Decode + feature-extract via Arrow-batched mapInPandas.
 
     One projection stage: no shuffle, blobs never leave their
-    partition; output rows are small feature vectors.
+    partition; output rows are small feature vectors. Undecodable or
+    NULL payloads produce ``feature = NULL`` (bad media is data to
+    quarantine downstream, not a job failure).
     """
-    if decoder != "fake":
+    if decoder not in _DECODERS:
         raise NotImplementedError(
-            f"decoder {decoder!r}: real media codecs are not available in "
-            "this environment; wire Pillow/torchaudio here and keep the "
-            "same mapInPandas contract"
+            f"decoder {decoder!r}: general-purpose media codecs are not "
+            "available in this environment; wire Pillow/torchaudio here "
+            f"and keep the same mapInPandas contract (have: {sorted(_DECODERS)})"
         )
+    decode = _DECODERS[decoder]
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -82,7 +162,7 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
             feats, hashes, sizes = [], [], []
             for content in pdf["content"]:
                 b = bytes(content) if content is not None else b""
-                feats.append(_fake_decode(b))
+                feats.append(decode(b))
                 hashes.append(hashlib.md5(b).hexdigest())
                 sizes.append(len(b))
             yield pd.DataFrame(
@@ -96,6 +176,43 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
             )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_ppm(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of P6 images — a REAL pixel transform
+    with the production plumbing (mapInPandas projection, blobs stay
+    in their partition). Output column ``content`` holds the resized
+    P6 bytes; undecodable inputs pass through as NULL."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        def one(content) -> Optional[bytes]:
+            parsed = parse_ppm(bytes(content) if content is not None else b"")
+            if parsed is None:
+                return None
+            w, h, maxval, raw = parsed
+            out = bytearray()
+            for y in range(out_h):
+                sy = y * h // out_h
+                base = sy * w
+                for x in range(out_w):
+                    sx = x * w // out_w
+                    p = (base + sx) * 3
+                    out += raw[p : p + 3]
+            header = f"P6\n{out_w} {out_h}\n{maxval}\n".encode()
+            return header + bytes(out)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "content": [one(c) for c in pdf["content"]],
+                }
+            )
+
+    return df.mapInPandas(run, "media_id long, media_type string, content binary")
 
 
 def frame_sample(

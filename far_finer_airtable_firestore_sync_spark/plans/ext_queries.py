@@ -404,6 +404,112 @@ from hits h join documents d on d.doc_id = h.doc_id
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: Jaccard-verified pairs -> connected
+    components via iterative min-label propagation. Oracle: the same
+    pair SQL + a recursive transitive-closure CTE (DuckDB WITH
+    RECURSIVE) — an iterative Spark algorithm hash-checked against a
+    declarative fixpoint."""
+    pairs = dedup_docs.near_dup_pairs(
+        dedup_corpus(spark, sf_dir),
+        shingle_n=SHINGLE_N,
+        seeds=SEEDS,
+        rows_per_band=ROWS_PER_BAND,
+        max_chars=MAX_CHARS,
+        threshold=0.5,
+    )
+    return dedup_docs.connected_components(pairs)
+
+
+def dedup_components_oracle() -> str:
+    return f"""
+with recursive verified as ({NGRAM_JACCARD_SQL}),
+edges as (
+  select id_a as u, id_b as v from verified
+  union
+  select id_b as u, id_a as v from verified
+),
+reach(u, v) as (
+  select u, u as v from (select distinct u from edges)
+  union
+  select e.u, r.v from edges e join reach r on e.v = r.u
+)
+select u as doc_id, min(v) as component from reach group by u
+"""
+
+
+def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF ranked disjunctive search over the inverted index.
+
+    Postings (doc, term, tf) via explode; idf = ln((N+1)/(df_t+1))
+    quantized to a 1e-6 integer grid so the per-doc score is an exact
+    integer sum (cross-engine: float tf-idf sums are order-dependent;
+    the single final division back to double is IEEE-exact). Top-50 by
+    (score DESC, doc_id) — deterministic.
+
+    Scale shape: postings explode is a projection; tf/df are partial
+    aggregates on the term key; the query-term filter prunes before
+    any shuffle. At 100 TB the postings table is the materialized
+    index, partitioned by term.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ["spark", "window", "merge"]
+    postings = docs.select(
+        "doc_id",
+        F.explode(F.expr("split(lower(text), ' ')")).alias("term"),
+    ).filter(F.col("term").isin(terms))
+    tf = postings.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = docs.count()  # scalar; fixture-deterministic
+    idf = df_t.withColumn(
+        "idf_q",
+        F.expr(
+            f"cast(round(ln(({n_docs} + 1.0) / (df_t + 1.0)) * 1000000) as bigint)"
+        ),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg((F.sum(F.col("tf") * F.col("idf_q"))).alias("score_int"))
+    )
+    return (
+        scored.select(
+            "doc_id", (F.col("score_int") / 1000000.0).alias("tfidf")
+        )
+        .orderBy(F.col("tfidf").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
+def tfidf_search_oracle() -> str:
+    return """
+with n as (select count(*) as n_docs from documents),
+postings as (
+  select doc_id, unnest(string_split(lower(text), ' ')) as term
+  from documents
+),
+tf as (
+  select doc_id, term, count(*) as tf from postings
+  where term in ('spark', 'window', 'merge')
+  group by doc_id, term
+),
+idf as (
+  select term,
+         cast(round(ln((n.n_docs + 1.0) / (count(distinct doc_id) + 1.0)) * 1000000) as bigint) as idf_q
+  from tf cross join n group by term, n.n_docs
+),
+scored as (
+  select tf.doc_id, sum(tf.tf * idf.idf_q) as score_int
+  from tf join idf on tf.term = idf.term
+  group by tf.doc_id
+)
+select doc_id, score_int / 1000000.0 as tfidf
+from scored
+order by tfidf desc, doc_id asc
+limit 50
+"""
+
+
 EXT_QUERIES = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
@@ -418,6 +524,8 @@ EXT_QUERIES = {
     "similarity_ivf_topk": q_ivf_topk,
     "similarity_near_dup": q_embedding_near_dup,
     "text_search": q_text_search,
+    "text_tfidf_search": q_tfidf_search,
+    "dedup_components": q_dedup_components,
 }
 
 
@@ -435,4 +543,6 @@ def ext_oracles() -> dict[str, str]:
         "similarity_ivf_topk": ivf_topk_oracle(),
         "similarity_near_dup": embedding_near_dup_oracle(),
         "text_search": TEXT_SEARCH_SQL,
+        "text_tfidf_search": tfidf_search_oracle(),
+        "dedup_components": dedup_components_oracle(),
     }

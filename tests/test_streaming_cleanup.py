@@ -170,3 +170,91 @@ def test_frame_sample(spark):
     frames = multimodal.frame_sample(media, every_n_bytes=64, max_frames=8).collect()
     assert len(frames) == 5  # ceil-ish: offsets 0..4 for 300 bytes
     assert all(len(bytes(f["frame_bytes"])) <= 64 for f in frames)
+
+
+# -- real decoders (round 2): PPM images, WAV audio ---------------------------
+
+
+def _ppm_bytes(w, h, rgb=(10, 20, 30), maxval=255):
+    return f"P6\n{w} {h}\n{maxval}\n".encode() + bytes(rgb) * (w * h)
+
+
+def _wav_bytes(rate=8000, n=800, amplitude=16384):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(struct.pack(f"<{n}h", *([amplitude] * n)))
+    return buf.getvalue()
+
+
+def _media_df(spark, blobs, media_type):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("media_type", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, b, media_type) for i, b in enumerate(blobs)], schema
+    )
+
+
+def test_ppm_decode_real_pixels(spark):
+    """The PPM decoder reads actual pixel data: known 4x2 image with
+    uniform RGB(10,20,30) -> exact channel means. Edge rows (null,
+    empty, corrupt header, truncated raster, large blob) yield NULL
+    features without failing the job."""
+    good = _ppm_bytes(4, 2)
+    large = _ppm_bytes(200, 100)  # 60 kB raster
+    truncated = _ppm_bytes(4, 2)[:-5]
+    blobs = [good, large, truncated, b"", None, b"JFIF not a ppm"]
+    out = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(
+            _media_df(spark, blobs, "image/x-portable-pixmap"), decoder="ppm"
+        ).collect()
+    }
+    assert out[0]["feature"] == [4.0, 2.0, 10 / 255, 20 / 255, 30 / 255]
+    assert out[1]["feature"][:2] == [200.0, 100.0]
+    assert out[1]["n_bytes"] > 60000
+    for bad in (2, 3, 4, 5):
+        assert out[bad]["feature"] is None
+    assert out[4]["n_bytes"] == 0  # null payload treated as empty
+
+
+def test_ppm_resize_roundtrip(spark):
+    """resize -> decode round-trip: output dims change, uniform color
+    survives nearest-neighbor exactly."""
+    media = _media_df(spark, [_ppm_bytes(8, 4), None], "image/x-portable-pixmap")
+    resized = multimodal.resize_ppm(media, 2, 2)
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_features(resized, decoder="ppm").collect()
+    }
+    assert feats[0] == [2.0, 2.0, 10 / 255, 20 / 255, 30 / 255]
+    assert feats[1] is None
+
+
+def test_wav_decode_real_audio(spark):
+    """The WAV decoder reads real PCM: constant half-scale amplitude
+    -> mean_abs 0.5; duration from frames/rate."""
+    blobs = [_wav_bytes(rate=8000, n=800), b"", b"RIFFgarbage"]
+    out = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_features(
+            _media_df(spark, blobs, "audio/wav"), decoder="wav"
+        ).collect()
+    }
+    nch, rate, dur_ms, mean_abs = out[0]
+    assert (nch, rate, dur_ms) == (1.0, 8000.0, 100.0)
+    assert abs(mean_abs - 0.5) < 1e-9
+    assert out[1] is None and out[2] is None
