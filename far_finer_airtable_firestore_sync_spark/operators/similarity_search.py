@@ -208,6 +208,65 @@ def ivf_topk(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd iterations of (spherical-ish) k-means: refine an initial
+    centroid set against the corpus — the real IVF index build, not
+    just a deterministic seed subset.
+
+    Every step is exact and cross-engine portable: assignment uses
+    quantized-cosine argmax (integer dots, id tie-break); the new
+    centroid is the per-dimension MEAN of member vectors computed in
+    integer space (bigint sums / count — one exact IEEE division per
+    dimension); re-quantization rounds back onto the integer grid.
+    Empty clusters keep their previous centroid.
+
+    Plan shape per iteration: one broadcast of the K centroids, one
+    (id)-windowed argmax, one (centroid, dim) partial aggregation —
+    shuffle rows ~ K * dims, never the corpus. Output:
+    (vec_id, embedding) rows usable anywhere a centroid set is.
+    """
+    dims = None  # inferred lazily from the first centroid row
+    cents = centroids.select(id_col, vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, vec_col, id_col)
+        per_dim = (
+            assigned.select(
+                "centroid_id", F.posexplode("_qv").alias("pos", "qval")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(
+                F.sum("qval").alias("qsum"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        # reassemble: per-dim mean back to a double array in pos order,
+        # de-quantized off the integer grid (quantize() scale = 1000)
+        refined = (
+            per_dim.groupBy("centroid_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, "
+                    "(cast(qsum as double) / n) / 1000.0 as dim))), p -> p.dim)"
+                ).alias("_new_emb")
+            )
+        )
+        cents = (
+            cents.withColumnRenamed(id_col, "centroid_id")
+            .join(refined, "centroid_id", "left_outer")
+            .select(
+                F.col("centroid_id").alias(id_col),
+                F.coalesce(F.col("_new_emb"), F.col(vec_col)).alias(vec_col),
+            )
+        )
+    return cents
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

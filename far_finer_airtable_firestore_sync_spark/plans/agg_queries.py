@@ -302,6 +302,35 @@ def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, f"_ffs_stream_{_STREAM_SEQ}")
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming dedup: every event arrives twice across distinct
+    micro-batches (duplicated file stream, one file per trigger);
+    watermarked dropDuplicates keeps the first-seen row per event_id.
+    Oracle: plain DISTINCT over the batch table."""
+    _utc(spark)
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        read_event_stream_duplicated,
+        run_stream_to_memory,
+        streaming_dedup,
+    )
+
+    stream = read_event_stream_duplicated(
+        spark, f"{sf_dir}/events.parquet", copies=2
+    )
+    deduped = streaming_dedup(stream, ["event_id"], watermark="1 hour").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    return run_stream_to_memory(
+        deduped, f"_ffs_stream_dedup_{_STREAM_SEQ}", output_mode="append"
+    )
+
+
+STREAMING_DEDUP_SQL = """
+select event_id, ts, user_id, event_type, value from events
+"""
+
 _STREAM_SEQ = 0
 
 STREAMING_WINDOW_SQL = f"""
@@ -681,6 +710,7 @@ AGG_QUERIES = {
     "pivot_status_priority": q_pivot_status_by_priority,
     "json_props_extract": q_json_props,
     "streaming_window_agg": q_streaming_window_agg,
+    "streaming_dedup": q_streaming_dedup,
     "set_ops": q_set_ops,
     "agg_cube": q_cube_agg,
     "scalar_functions": q_scalar_functions,
@@ -706,6 +736,7 @@ AGG_ORACLES = {
     "pivot_status_priority": PIVOT_SQL,
     "json_props_extract": JSON_PROPS_SQL,
     "streaming_window_agg": STREAMING_WINDOW_SQL,
+    "streaming_dedup": STREAMING_DEDUP_SQL,
     "set_ops": SET_OPS_SQL,
     "agg_cube": CUBE_SQL,
     "scalar_functions": SCALAR_FUNCS_SQL,

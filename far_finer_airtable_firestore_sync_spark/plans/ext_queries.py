@@ -321,6 +321,99 @@ from (
 """
 
 
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a REAL index build: two Lloyd iterations refine the
+    seed centroids (integer-exact per-dim means), then the ANN probe
+    runs against the refined buckets. The oracle unrolls both
+    iterations as CTEs — an iterative ML algorithm, hash-verified."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    refined = similarity_search.kmeans_refine(
+        emb, emb.filter("vec_id % 100 = 0"), iters=2
+    )
+    return similarity_search.ivf_topk(
+        emb, emb.filter("vec_id < 5"), refined, k=10, nprobe=2
+    )
+
+
+def ivf_kmeans_topk_oracle(iters: int = 2) -> str:
+    qz = "list_transform({0}, x -> cast(round(cast(x as double) * 1000) as bigint))"
+    cos = tx.cosine_quantized  # (a, b, dialect)
+    ctes = [
+        f"c as (select vec_id, {_qz('embedding')} as qv from embeddings)",
+        "cents0 as (select vec_id as centroid_id, embedding as emb "
+        "from embeddings where vec_id % 100 = 0)",
+    ]
+    for i in range(iters):
+        ctes += [
+            f"qc{i} as (select centroid_id, {qz.format(f'emb')} as qc from cents{i})",
+            f"""asg{i} as (
+  select vec_id, qv, centroid_id from (
+    select c.vec_id, c.qv, q.centroid_id,
+           row_number() over (
+             partition by c.vec_id
+             order by {cos('c.qv', 'q.qc', DUCKDB)} desc, q.centroid_id asc
+           ) as rn
+    from c cross join qc{i} q
+  ) where rn = 1
+)""",
+            f"""expl{i} as (
+  select centroid_id, unnest(qv) as qval,
+         unnest(generate_series(1, len(qv))) as pos
+  from asg{i}
+)""",
+            f"""perdim{i} as (
+  select centroid_id, pos, sum(qval) as qsum, count(*) as n
+  from expl{i} group by 1, 2
+)""",
+            f"""ref{i} as (
+  select centroid_id, list((cast(qsum as double) / n) / 1000.0 order by pos) as emb
+  from perdim{i} group by centroid_id
+)""",
+            f"""cents{i + 1} as (
+  select c.centroid_id, coalesce(r.emb, c.emb) as emb
+  from cents{i} c left join ref{i} r on r.centroid_id = c.centroid_id
+)""",
+        ]
+    final = f"""qcf as (select centroid_id, {qz.format('emb')} as qc from cents{iters}),
+q as (select vec_id as query_id, {_qz('embedding')} as qq
+      from embeddings where vec_id < 5),
+assigned as (
+  select vec_id, qv, centroid_id from (
+    select c.vec_id, c.qv, f.centroid_id,
+           row_number() over (
+             partition by c.vec_id
+             order by {cos('c.qv', 'f.qc', DUCKDB)} desc, f.centroid_id asc
+           ) as rn
+    from c cross join qcf f
+  ) where rn = 1
+),
+probes as (
+  select query_id, qq, centroid_id from (
+    select q.query_id, q.qq, f.centroid_id,
+           row_number() over (
+             partition by q.query_id
+             order by {cos('q.qq', 'f.qc', DUCKDB)} desc, f.centroid_id asc
+           ) as rn
+    from q cross join qcf f
+  ) where rn <= 2
+),
+scored as (
+  select p.query_id, a.vec_id as neighbor_id, {cos('p.qq', 'a.qv', DUCKDB)} as cosine
+  from assigned a join probes p on a.centroid_id = p.centroid_id
+  where a.vec_id <> p.query_id
+)"""
+    return (
+        "with " + ",\n".join(ctes) + ",\n" + final + """
+select query_id, neighbor_id, cosine, cast(rank as int) as rank
+from (
+  select *, row_number() over (
+    partition by query_id order by cosine desc, neighbor_id asc
+  ) as rank from scored
+) where rank <= 10
+"""
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within IVF buckets, over a
     corpus with synthesized exact-duplicate vectors (vec_id+100000)."""
@@ -522,6 +615,7 @@ EXT_QUERIES = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "similarity_cosine_topk": q_cosine_topk,
     "similarity_ivf_topk": q_ivf_topk,
+    "similarity_ivf_kmeans_topk": q_ivf_kmeans_topk,
     "similarity_near_dup": q_embedding_near_dup,
     "text_search": q_text_search,
     "text_tfidf_search": q_tfidf_search,
@@ -541,6 +635,7 @@ def ext_oracles() -> dict[str, str]:
         "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
         "similarity_cosine_topk": cosine_topk_oracle(),
         "similarity_ivf_topk": ivf_topk_oracle(),
+        "similarity_ivf_kmeans_topk": ivf_kmeans_topk_oracle(),
         "similarity_near_dup": embedding_near_dup_oracle(),
         "text_search": TEXT_SEARCH_SQL,
         "text_tfidf_search": tfidf_search_oracle(),

@@ -87,6 +87,38 @@ def windowed_event_aggregates(
     )
 
 
+def read_event_stream_duplicated(
+    spark: SparkSession, path: str, copies: int = 2
+) -> DataFrame:
+    """Stage ``copies`` copies of one events file into a stream
+    directory with ``maxFilesPerTrigger=1`` — every record arrives
+    ``copies`` times across distinct micro-batches, the exact shape
+    streaming dedup must handle (state lives across batches, not
+    within one)."""
+    import os
+    import shutil
+    import tempfile
+
+    staged = tempfile.mkdtemp(prefix="ffs-stream-dup-")
+    for i in range(copies):
+        shutil.copy(path, os.path.join(staged, f"copy-{i}.parquet"))
+    return read_event_stream(spark, staged, max_files_per_trigger=1)
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: first-seen row per key wins; the
+    watermark bounds the dedup state (keys older than the watermark
+    are dropped from state — at 100 TB the state store would otherwise
+    grow without bound). The LLM-pipeline use: exactly-once document
+    ingestion from an at-least-once feed."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
 def run_stream_to_memory(
     agg: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

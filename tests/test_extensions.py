@@ -121,3 +121,56 @@ def test_embedding_near_dup(vectors):
     }
     assert (0, 1) in pairs and (2, 3) in pairs
     assert (0, 2) not in pairs
+
+
+def test_connected_components_chained_dups(spark):
+    """a~b, b~c chain -> one component; isolated pair -> its own."""
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=7, id_b=9),
+         Row(id_a=3, id_b=4)]
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dedup_docs.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+
+def test_kmeans_refine_moves_centroids_to_cluster_means(spark):
+    """Two obvious clusters, seeds off-center: one iteration lands each
+    centroid on its cluster's mean; a second iteration is a fixpoint."""
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.9, 0.1]),
+            Row(vec_id=3, embedding=[0.0, 1.0]),
+            Row(vec_id=4, embedding=[0.1, 0.9]),
+        ]
+    )
+    seeds = spark.createDataFrame(
+        [Row(vec_id=100, embedding=[0.8, 0.3]), Row(vec_id=200, embedding=[0.3, 0.8])]
+    )
+    one = {
+        r["vec_id"]: r["embedding"]
+        for r in similarity_search.kmeans_refine(corpus, seeds, iters=1).collect()
+    }
+    assert one[100] == pytest.approx([0.95, 0.05])
+    assert one[200] == pytest.approx([0.05, 0.95])
+    two = {
+        r["vec_id"]: r["embedding"]
+        for r in similarity_search.kmeans_refine(corpus, seeds, iters=2).collect()
+    }
+    assert two == one  # converged after one step on this geometry
+
+
+def test_kmeans_refine_keeps_empty_cluster_centroid(spark):
+    corpus = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 0.0])])
+    seeds = spark.createDataFrame(
+        [Row(vec_id=10, embedding=[1.0, 0.0]), Row(vec_id=20, embedding=[-1.0, 0.0])]
+    )
+    got = {
+        r["vec_id"]: r["embedding"]
+        for r in similarity_search.kmeans_refine(corpus, seeds, iters=1).collect()
+    }
+    assert got[10] == pytest.approx([1.0, 0.0])
+    assert got[20] == [-1.0, 0.0]  # empty cluster: centroid unchanged
