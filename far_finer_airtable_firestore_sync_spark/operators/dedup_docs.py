@@ -415,3 +415,34 @@ def simhash_near_dup_pairs(
     return cand.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 9,
+    max_chars: int | None = 256,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing at least one
+    character n-gram with any benchmark doc, with the count of
+    distinct benchmark docs hit. Training sets must drop (or flag)
+    these rows or eval numbers are contaminated.
+
+    Plan: both sides shingle once (scan-side projection), explode to
+    (shingle, id) postings, equi-join on the shingle. The benchmark
+    side is small by definition — Spark broadcasts it, so the corpus
+    never shuffles; output is (doc_id, n_benchmark_hits).
+    """
+    c_sh = with_shingles(corpus, text_col, id_col, shingle_n, max_chars)
+    b_sh = with_shingles(benchmark, text_col, id_col, shingle_n, max_chars)
+    c_post = c_sh.select(F.col(id_col), F.explode("_sh").alias("gram"))
+    b_post = b_sh.select(
+        F.col(id_col).alias("_bench_id"), F.explode("_sh").alias("gram")
+    )
+    return (
+        c_post.join(F.broadcast(b_post), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_bench_id").alias("n_benchmark_hits"))
+    )

@@ -86,3 +86,111 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         F.col(id_col),
         F.expr(tx.simhash64_from_hashes("_th", SPARK)).alias("simhash"),
     )
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    rate_pct: int,
+    strata_rates: dict[str, int] | None = None,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Deterministic hash sampling: keep a row iff the first byte of
+    md5(key) falls under the rate threshold.
+
+    Unlike rand()-based sampling this is reproducible across engines,
+    runs, and cluster sizes — the property a training pipeline needs so
+    a sample (or train/val/test split) is stable under re-execution.
+    ``strata_rates`` overrides the rate per stratum (stratified
+    sampling); rates are integer percents mapped to a hex threshold
+    (pct * 256 / 100 first-byte values).
+    """
+
+    def thresh(pct: int) -> str:
+        # 'g' sorts above every hex digit -> keep-all sentinel (a
+        # 3-char '100' would sort BELOW most 2-char buckets)
+        v = pct * 256 // 100
+        return "g" if v >= 256 else format(v, "02x")
+
+    bucket = F.substring(F.md5(F.col(key_col).cast("string")), 1, 2)
+    if strata_rates:
+        if strata_col is None:
+            raise ValueError("strata_rates requires strata_col")
+        cond = F.lit(None).cast("boolean")
+        expr = None
+        for val, pct in strata_rates.items():
+            c = (F.col(strata_col) == val) & (bucket < thresh(pct))
+            expr = c if expr is None else expr | c
+        other = ~F.col(strata_col).isin(list(strata_rates)) & (
+            bucket < thresh(rate_pct)
+        )
+        return df.filter(expr | other)
+    return df.filter(bucket < thresh(rate_pct))
+
+
+def hash_sample_sql(
+    key_col: str, rate_pct: int, strata_rates: dict[str, int] | None = None,
+    strata_col: str | None = None,
+) -> str:
+    """WHERE-clause fragment mirroring :func:`hash_sample` (dialect
+    neutral: md5/substring/string compare behave identically)."""
+
+    def thresh(pct: int) -> str:
+        v = pct * 256 // 100
+        return "g" if v >= 256 else format(v, "02x")
+
+    bucket = f"substring(md5(cast({key_col} as varchar)), 1, 2)"
+    if not strata_rates:
+        return f"{bucket} < '{thresh(rate_pct)}'"
+    parts = [
+        f"({strata_col} = '{v}' and {bucket} < '{thresh(p)}')"
+        for v, p in strata_rates.items()
+    ]
+    quoted = ", ".join(f"'{v}'" for v in strata_rates)
+    parts.append(f"({strata_col} not in ({quoted}) and {bucket} < '{thresh(rate_pct)}')")
+    return "(" + " or ".join(parts) + ")"
+
+
+def class_balance_cap(
+    df: DataFrame, group_col: str, cap: int, order_col: str = "doc_id"
+) -> DataFrame:
+    """Cap every group at ``cap`` rows (deterministic keep order) —
+    downsampling over-represented classes/sources before training.
+    One window shuffle on the group key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def chunk_text(
+    df: DataFrame,
+    chunk_chars: int = 200,
+    stride: int = 150,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-size character windows —
+    sequence packing for training. Output: (doc_id, chunk_no,
+    chunk_text, n_chunks). Pure explode projection: no shuffle, chunk
+    rows stay on the scan partition.
+    """
+    c = f"`{text_col}`"
+    n_chunks = (
+        f"cast(greatest(ceil((length({c}) - {chunk_chars}) / {stride}.0), 0) "
+        "+ 1 as int)"
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_chunks} - 1), "
+                f"i -> substring({c}, i * {stride} + 1, {chunk_chars}))"
+            )
+        ).alias("chunk_no", "chunk_text"),
+        F.expr(n_chunks).alias("n_chunks"),
+    )

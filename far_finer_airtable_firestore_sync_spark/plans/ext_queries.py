@@ -603,6 +603,87 @@ limit 50
 """
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified hash sampling: 30% of 'en' docs, 10%
+    of 'de', 20% default — reproducible across runs/engines/cluster
+    sizes (md5 bucket, no rand())."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_analysis.hash_sample(
+        docs, "doc_id", 20, strata_rates={"en": 30, "de": 10}, strata_col="lang"
+    )
+
+
+def hash_sample_oracle() -> str:
+    where = text_analysis.hash_sample_sql(
+        "doc_id", 20, strata_rates={"en": 30, "de": 10}, strata_col="lang"
+    )
+    return f"select * from documents where {where}"
+
+
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class balancing: cap every (lang, source) group at 8 docs
+    (deterministic keep order by doc_id; cap binds on the larger
+    groups at sf0.01)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = docs.withColumn(
+        "_grp", F.concat_ws("|", F.col("lang"), F.col("source"))
+    )
+    return text_analysis.class_balance_cap(docs, "_grp", 8).drop("_grp")
+
+
+CLASS_BALANCE_SQL = """
+select doc_id, text, lang, source, n_chars from (
+  select *, row_number() over (
+    partition by lang, source order by doc_id asc
+  ) as _rn from documents
+) where _rn <= 8
+"""
+
+
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: overlapping 200-char windows, stride 150."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_analysis.chunk_text(docs, chunk_chars=200, stride=150)
+
+
+TEXT_CHUNKING_SQL = """
+with base as (
+  select doc_id, text,
+         cast(greatest(ceil((length(text) - 200) / 150.0), 0) + 1 as int) as n_chunks
+  from documents
+)
+select doc_id, unnest(generate_series(0, n_chunks - 1)) as chunk_no,
+       unnest(list_transform(generate_series(0, n_chunks - 1),
+              i -> substring(text, i * 150 + 1, 200))) as chunk_text,
+       n_chunks
+from base
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 9-gram with
+    the held-out 'benchmark' subset (doc_id % 97 = 0), with distinct
+    benchmark-doc hit counts. Benchmark side broadcasts; corpus never
+    shuffles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter("doc_id % 97 != 0")
+    bench = docs.filter("doc_id % 97 = 0")
+    return dedup_docs.contamination_hits(
+        corpus, bench, shingle_n=SHINGLE_N, max_chars=MAX_CHARS
+    )
+
+
+def decontaminate_oracle() -> str:
+    sh = tx.shingles("text", SHINGLE_N, DUCKDB, MAX_CHARS)
+    return f"""
+with c as (select doc_id, unnest({sh}) as gram from documents where doc_id % 97 <> 0),
+b as (select doc_id as bench_id, unnest({sh}) as gram from documents where doc_id % 97 = 0)
+select c.doc_id, count(distinct b.bench_id) as n_benchmark_hits
+from c join b on c.gram = b.gram
+group by c.doc_id
+"""
+
+
 EXT_QUERIES = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
@@ -620,6 +701,10 @@ EXT_QUERIES = {
     "text_search": q_text_search,
     "text_tfidf_search": q_tfidf_search,
     "dedup_components": q_dedup_components,
+    "sample_hash_stratified": q_hash_sample,
+    "class_balance_cap": q_class_balance,
+    "text_chunking": q_text_chunking,
+    "decontaminate_benchmark": q_decontaminate,
 }
 
 
@@ -640,4 +725,8 @@ def ext_oracles() -> dict[str, str]:
         "text_search": TEXT_SEARCH_SQL,
         "text_tfidf_search": tfidf_search_oracle(),
         "dedup_components": dedup_components_oracle(),
+        "sample_hash_stratified": hash_sample_oracle(),
+        "class_balance_cap": CLASS_BALANCE_SQL,
+        "text_chunking": TEXT_CHUNKING_SQL,
+        "decontaminate_benchmark": decontaminate_oracle(),
     }

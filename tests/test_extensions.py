@@ -174,3 +174,42 @@ def test_kmeans_refine_keeps_empty_cluster_centroid(spark):
     }
     assert got[10] == pytest.approx([1.0, 0.0])
     assert got[20] == [-1.0, 0.0]  # empty cluster: centroid unchanged
+
+
+def test_hash_sample_deterministic_and_stratified(spark, docs):
+    s1 = {r["doc_id"] for r in
+          text_analysis.hash_sample(docs, "doc_id", 50).collect()}
+    s2 = {r["doc_id"] for r in
+          text_analysis.hash_sample(docs, "doc_id", 50).collect()}
+    assert s1 == s2  # reproducible: no rand()
+    # rate 100 keeps everything, rate 0 keeps nothing
+    assert len(text_analysis.hash_sample(docs, "doc_id", 100).collect()) == 5
+    assert text_analysis.hash_sample(docs, "doc_id", 0).count() == 0
+
+
+def test_chunk_text_boundaries(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a" * 350), Row(doc_id=2, text="short")]
+    )
+    chunks = text_analysis.chunk_text(docs, chunk_chars=200, stride=150).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 350 chars -> chunks at offsets 0 and 150 (150+200 covers to 350)
+    assert [len(r["chunk_text"]) for r in sorted(by_doc[1], key=lambda r: r["chunk_no"])] == [200, 200]
+    assert all(r["n_chunks"] == 2 for r in by_doc[1])
+    # short doc -> exactly one whole-text chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short"
+
+
+def test_contamination_hits_flags_overlap(spark):
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text="the quick brown fox jumps over"),
+         Row(doc_id=2, text="completely unrelated content here")]
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="quick brown fox indeed")]
+    )
+    got = {r["doc_id"]: r["n_benchmark_hits"] for r in
+           dedup_docs.contamination_hits(corpus, bench, shingle_n=9).collect()}
+    assert got == {1: 1}  # doc 2 shares no 9-gram
