@@ -194,3 +194,34 @@ def test_table_doc_csv_roundtrip(spark, tmp_path):
     lines = open(part).read().strip().splitlines()
     assert lines[0] == "Name,extra,score"
     assert sorted(lines[1:]) == ["k1,x,1.5", "k2,,2.5"]
+
+
+def test_revenue_preagg_no_expand(spark):
+    """Round-2 rewrite: count(distinct) became a plain count over the
+    per-order pre-aggregate — the plan must have no Expand node."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["agg_revenue_by_nation"](spark, "/root/testdata/sf0.001"))
+    assert "Expand" not in plan
+
+
+def test_tfidf_and_contamination_broadcast_small_sides(spark):
+    import __spark_entry__ as e
+
+    q = e.queries()
+    plan = _plan(q["text_tfidf_search"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan  # idf side broadcasts
+    plan = _plan(q["decontaminate_benchmark"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan  # benchmark postings broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_aggregate_two_stage_plan(spark):
+    """Salted agg = exactly two aggregation keys in sequence:
+    (key, salt) partial then (key) merge; salt never escapes."""
+    import __spark_entry__ as e
+
+    df = e.queries()["salted_agg_revenue"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "_salt" not in df.columns
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 stages
