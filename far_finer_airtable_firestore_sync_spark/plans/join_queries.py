@@ -135,7 +135,7 @@ def _dt_normalize(col: str, dialect: str) -> str:
     return f"regexp_replace({t_fixed}, 'Z$', '+00:00')"
 
 
-def parse_datetime_any(col: str) -> str:
+def parse_datetime_any(col: str, pre_normalized: bool = False) -> str:
     """D5 parity (lib/DataProcessor.py:142-148): permissive multi-format
     datetime parse — the declarative analog of dateutil's fallback
     chain, covering the source system's own ISO-8601 emission (T
@@ -143,7 +143,14 @@ def parse_datetime_any(col: str) -> str:
     converted to UTC wall-clock via the UTC-pinned session). Regex
     shape-dispatch to the matching format first (fast path, no parse
     exceptions), then a try_to_timestamp chain for anything the shapes
-    miss."""
+    miss.
+
+    The ISO normalization is referenced by every shape/format branch;
+    a plain SQL expression cannot bind a local, so by default it is
+    inlined ~18x. Hot paths can project it ONCE
+    (``withColumn(c, F.expr(normalize_datetime_string(c)))``) and call
+    with ``pre_normalized=True`` — a modest win (the parse attempts
+    dominate; CASE short-circuits most normalization copies anyway)."""
     norm = _dt_normalize(col, "spark")
     shaped = " ".join(
         f"when _dt rlike '{rx}' then try_to_timestamp(_dt, '{fmt}')"
@@ -153,9 +160,12 @@ def parse_datetime_any(col: str) -> str:
         f"try_to_timestamp(_dt, '{f[0]}')" for f in _DT_FORMATS
     )
     chain = f"coalesce(case {shaped} end, {attempts})"
-    # lateral-style alias via a scalar subexpression is not available in
-    # a plain expression; inline the normalized string instead.
-    return chain.replace("_dt", f"({norm})")
+    return chain.replace("_dt", f"`{col}`" if pre_normalized else f"({norm})")
+
+
+def normalize_datetime_string(col: str, dialect: str = "spark") -> str:
+    """Public form of the ISO normalization for pre-projection."""
+    return _dt_normalize(col, dialect)
 
 
 def parse_datetime_any_duckdb(col: str) -> str:
@@ -193,8 +203,17 @@ def q_datetime_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "else date_format(o_orderdate, 'MMM dd, yyyy') end"
         ).alias("raw"),
     )
-    return varied.select(
-        "o_orderkey", "raw", F.expr(parse_datetime_any("raw")).alias("parsed")
+    return (
+        varied.withColumn(
+            "_norm", F.expr(normalize_datetime_string("raw"))
+        )
+        .select(
+            "o_orderkey",
+            "raw",
+            F.expr(parse_datetime_any("_norm", pre_normalized=True)).alias(
+                "parsed"
+            ),
+        )
     )
 
 
