@@ -763,4 +763,8 @@ def oracle_sql() -> dict[str, str]:
         **ext.ext_oracles(),
         **agg.AGG_ORACLES,
         **jq.JOIN_ORACLES,
+        # streaming range join replays the batch range-join semantics;
+        # paired here because agg_queries must not import join_queries
+        # (join_queries already imports agg_queries).
+        "streaming_range_join": jq.RANGE_JOIN_SQL,
     }

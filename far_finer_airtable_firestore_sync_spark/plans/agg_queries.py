@@ -339,6 +339,32 @@ STREAMING_DEDUP_SQL = """
 select event_id, ts, user_id, event_type, value from events
 """
 
+
+def q_streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream inner join: purchases joined to same-user
+    clicks within 1 hour after, watermarked on both sides so join
+    state is bounded. Oracle: the batch range join over the same
+    events (identical semantics once the bounded replay drains)."""
+    _utc(spark)
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        read_event_stream,
+        run_stream_to_memory,
+        stream_stream_interval_join,
+    )
+
+    purchases = read_event_stream(spark, f"{sf_dir}/events.parquet").filter(
+        "event_type = 'purchase'"
+    )
+    clicks = read_event_stream(spark, f"{sf_dir}/events.parquet").filter(
+        "event_type = 'click'"
+    )
+    joined = stream_stream_interval_join(purchases, clicks, horizon="1 hour")
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    return run_stream_to_memory(
+        joined, f"_ffs_stream_rj_{_STREAM_SEQ}", output_mode="append"
+    )
+
 _STREAM_SEQ = 0
 
 STREAMING_WINDOW_SQL = f"""
@@ -719,6 +745,7 @@ AGG_QUERIES = {
     "json_props_extract": q_json_props,
     "streaming_window_agg": q_streaming_window_agg,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_range_join": q_streaming_range_join,
     "set_ops": q_set_ops,
     "agg_cube": q_cube_agg,
     "scalar_functions": q_scalar_functions,

@@ -90,3 +90,29 @@ def schema_drift(
         "removed_fields": sorted(old_s - new_s),
         "symmetric_difference": sorted(old_s ^ new_s),
     }
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int,
+    path: Optional[str] = None,
+    sort: bool = True,
+) -> None:
+    """Persist a table hash-bucketed (and per-bucket sorted) on the
+    join/aggregation key — the co-location layout for 100 TB.
+
+    Two tables bucketed on the same key with the same bucket count
+    join WITHOUT any Exchange (the scan itself satisfies the join's
+    required distribution; sorted buckets also skip the Sort) — the
+    shuffle cost moves to write time, paid once, instead of per query.
+    Plan-verified by tests/test_store_and_sinks.py.
+    ``path`` places the table outside the session warehouse (tests).
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table_name)

@@ -119,6 +119,50 @@ def streaming_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
 
 
+def stream_stream_interval_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchase events joined to the same
+    user's clicks within ``horizon`` AFTER the purchase — the
+    streaming form of the batch range join (plans/join_queries.py).
+
+    Both watermarks bound the join state: a side's rows older than
+    (watermark + horizon) can no longer match and are evicted — state
+    is O(events per horizon window), independent of stream length.
+    Matches emit as soon as both sides arrive (inner join), so a
+    bounded replay produces exactly the batch join's result.
+    """
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id"),
+            F.col("user_id"),
+            F.col("ts"),
+        )
+    )
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("r_click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"user_id = c_user_id and click_ts >= ts "
+            f"and click_ts <= ts + interval {horizon}"
+        ),
+    ).select(
+        "event_id", "user_id", "ts",
+        "r_click_id", F.col("click_ts").alias("r_click_ts"),
+    )
+
+
 def run_stream_to_memory(
     agg: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -225,3 +225,30 @@ def test_salted_aggregate_two_stage_plan(spark):
     plan = _plan(df)
     assert "_salt" not in df.columns
     assert plan.count("HashAggregate") >= 4  # partial+final x 2 stages
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located bucketed layout: same key, same bucket count ->
+    the sort-merge join runs with zero Exchange (and zero Sort) —
+    write-once shuffle, per-query free co-location."""
+    from pyspark.sql import Row
+
+    from far_finer_airtable_firestore_sync_spark.sources.tables import (
+        write_bucketed,
+    )
+
+    left = spark.createDataFrame([Row(k=i, a=i * 2) for i in range(1000)])
+    right = spark.createDataFrame([Row(k=i, b=i * 3) for i in range(0, 1000, 2)])
+    write_bucketed(left, "t_bk_left", "k", 4, path=str(tmp_path / "l"))
+    write_bucketed(right, "t_bk_right", "k", 4, path=str(tmp_path / "r"))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_bk_left").join(spark.table("t_bk_right"), "k")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == 500
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("drop table if exists t_bk_left")
+        spark.sql("drop table if exists t_bk_right")
