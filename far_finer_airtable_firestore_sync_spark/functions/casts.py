@@ -80,6 +80,64 @@ def typed_projection(df: DataFrame, catalog: Mapping[str, str]) -> DataFrame:
     return df.select(*exprs)
 
 
+#: types whose conversion can fail on malformed input (string/array
+#: conversions are total functions).
+_FALLIBLE = {"number", "checkbox", "date", "dateTime"}
+
+
+def _try_convert_sql(col_ref: str, airtable_type: str) -> str:
+    """Spark-only fallible conversion that yields NULL instead of
+    raising under ANSI mode — the detection probe for quarantine."""
+    if airtable_type == "number":
+        return f"try_cast({col_ref} as double)"
+    if airtable_type == "checkbox":
+        return f"try_cast({col_ref} as boolean)"
+    if airtable_type == "date":
+        return f"try_cast(cast({col_ref} as string) as date)"
+    if airtable_type == "dateTime":
+        return f"try_to_timestamp(cast({col_ref} as string))"
+    return convert_sql(col_ref, airtable_type, SPARK)
+
+
+def typed_projection_with_quarantine(
+    df: DataFrame, catalog: Mapping[str, str]
+) -> tuple[DataFrame, DataFrame]:
+    """Typed projection with a dead-letter side: returns
+    ``(good, quarantine)``.
+
+    A row is quarantined when any fallible conversion turns a NON-NULL
+    input into NULL (corrupt value) — the production alternative to
+    the reference's log-and-continue (lib/DataProcessor.py:35-37):
+    bad records are data to audit, not rows to silently mangle. The
+    quarantine frame keeps the ORIGINAL untyped row plus
+    ``_bad_fields`` (array of offending column names). Both outputs
+    are filters over one scan — Spark evaluates the probe expressions
+    in the scan stage, no shuffle, no second read.
+    """
+    probes: list[tuple[str, Column]] = []
+    for name in df.columns:
+        at_type = catalog.get(name, "singleLineText")
+        if at_type in _FALLIBLE:
+            bad = F.col(name).isNotNull() & F.expr(
+                _try_convert_sql(f"`{name}`", at_type)
+            ).isNull()
+            probes.append((name, bad))
+    if not probes:
+        empty = df.filter(F.lit(False)).withColumn(
+            "_bad_fields", F.lit(None).cast("array<string>")
+        )
+        return typed_projection(df, catalog), empty
+    any_bad = probes[0][1]
+    for _, b in probes[1:]:
+        any_bad = any_bad | b
+    reasons = F.array_compact(
+        F.array(*[F.when(b, F.lit(n)) for n, b in probes])
+    )
+    good = typed_projection(df.filter(~any_bad), catalog)
+    quarantine = df.filter(any_bad).withColumn("_bad_fields", reasons)
+    return good, quarantine
+
+
 def typed_projection_sql(
     columns: list[str],
     catalog: Mapping[str, str],

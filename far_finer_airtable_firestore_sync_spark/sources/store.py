@@ -163,6 +163,28 @@ class DocumentStore:
             )
         )
 
+    def compact(
+        self,
+        target_rows_per_file: int = 1_000_000,
+        partition_by: Optional[list[str]] = None,
+    ) -> str:
+        """Rewrite the current snapshot with right-sized files.
+
+        Point-mutation-heavy histories accumulate small files (every
+        commit writes its own directory); scans then pay per-file open
+        cost and tiny row groups defeat parquet's columnar encodings.
+        Compaction = read current version, coalesce to
+        ceil(rows / target_rows_per_file) files, commit as a new
+        version (old versions stay readable until vacuum). At 100 TB
+        this is the routine maintenance job, run off the write path.
+        """
+        df = self.read()
+        if df is None:
+            raise ValueError(f"store {self.root} is empty; nothing to compact")
+        n = df.count()
+        n_files = max(1, -(-n // target_rows_per_file))
+        return self.commit(df.coalesce(n_files), partition_by=partition_by)
+
     def vacuum(self, keep_last: int = 3) -> list[str]:
         """Remove version directories older than the ``keep_last`` most
         recent (the current pointer target is always kept). Returns the

@@ -163,3 +163,47 @@ def test_parse_datetime_iso_shapes(spark):
     want = [w for _, w in ISO_CASES]
     assert got_s == want
     assert got_d == want
+
+
+def test_typed_projection_quarantine(spark):
+    from far_finer_airtable_firestore_sync_spark.functions.casts import (
+        typed_projection_with_quarantine,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(id="1", amount="12.5", day="2024-01-31"),
+            Row(id="2", amount="not-a-number", day="2024-01-31"),
+            Row(id="3", amount="7", day="Jan32-bogus"),
+            Row(id="4", amount=None, day=None),  # NULLs are fine, not corrupt
+        ]
+    )
+    catalog = {"id": "singleLineText", "amount": "number", "day": "date"}
+    good, bad = typed_projection_with_quarantine(df, catalog)
+    good_rows = {r["id"]: r for r in good.collect()}
+    assert set(good_rows) == {"1", "4"}
+    assert good_rows["1"]["amount"] == 12.5
+    assert good_rows["4"]["amount"] is None
+    bad_rows = {r["id"]: r["_bad_fields"] for r in bad.collect()}
+    assert bad_rows == {"2": ["amount"], "3": ["day"]}
+    # quarantine keeps the original raw values for audit
+    raw = {r["id"]: r["amount"] for r in bad.collect()}
+    assert raw["2"] == "not-a-number"
+
+
+def test_store_compact_reduces_files(spark, tmp_path):
+    import glob
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "s"))
+    df = spark.range(1000).selectExpr("cast(id as string) as doc_id", "id as v")
+    store.commit(df.repartition(16))  # fragmented: 16 small files
+    frag = len(glob.glob(store.current_version_dir() + "/*.parquet"))
+    assert frag >= 16
+    store.compact(target_rows_per_file=1_000_000)
+    compacted = len(glob.glob(store.current_version_dir() + "/*.parquet"))
+    assert compacted == 1
+    assert store.read().count() == 1000
