@@ -414,6 +414,17 @@ from (
     )
 
 
+def q_brp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH ANN — rows-only check (the
+    hyperplane draw is JVM-internal, not reproducible in DuckDB);
+    recall vs the exact top-k is pinned by
+    tests/test_extensions.py::test_brp_lsh_recall_vs_exact."""
+    from far_finer_airtable_firestore_sync_spark.operators import ann_mllib
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_mllib.brp_lsh_topk(emb, emb.filter("vec_id < 5"), k=10)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within IVF buckets, over a
     corpus with synthesized exact-duplicate vectors (vec_id+100000)."""
@@ -697,6 +708,7 @@ EXT_QUERIES = {
     "similarity_cosine_topk": q_cosine_topk,
     "similarity_ivf_topk": q_ivf_topk,
     "similarity_ivf_kmeans_topk": q_ivf_kmeans_topk,
+    "similarity_brp_lsh_topk": q_brp_lsh_topk,
     "similarity_near_dup": q_embedding_near_dup,
     "text_search": q_text_search,
     "text_tfidf_search": q_tfidf_search,

@@ -213,3 +213,23 @@ def test_contamination_hits_flags_overlap(spark):
     got = {r["doc_id"]: r["n_benchmark_hits"] for r in
            dedup_docs.contamination_hits(corpus, bench, shingle_n=9).collect()}
     assert got == {1: 1}  # doc 2 shares no 9-gram
+
+
+def test_brp_lsh_recall_vs_exact(spark):
+    """MLlib BRP-LSH top-k must recover most of the exact top-k
+    (recall >= 0.8 at these settings on the fixture embeddings)."""
+    from far_finer_airtable_firestore_sync_spark.operators import ann_mllib
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    exact = similarity_search.cosine_topk(emb, queries, k=10)
+    approx = ann_mllib.brp_lsh_topk(emb, queries, k=10)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert e, "exact top-k must be non-empty"
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"recall {recall}"
+    # determinism: same seed -> identical result set
+    again = {(r["query_id"], r["neighbor_id"])
+             for r in ann_mllib.brp_lsh_topk(emb, queries, k=10).collect()}
+    assert a == again
