@@ -107,3 +107,54 @@ def test_fuzz_checksum_parity(spark, tmp_path):
     )
     mismatches = [i for i in s_rows if s_rows[i] != d_rows[i]]
     assert not mismatches, f"{len(mismatches)} digest mismatches, first: {mismatches[:5]}"
+
+
+def test_fuzz_datetime_parse_parity(spark, tmp_path):
+    """Seeded-random timestamps rendered in every supported input
+    shape, parsed by BOTH engines — any format-list drift (fraction
+    digits, offset handling, month names) shows up as a mismatch."""
+    from far_finer_airtable_firestore_sync_spark.plans.join_queries import (
+        parse_datetime_any,
+        parse_datetime_any_duckdb,
+    )
+
+    rng = random.Random(7)
+    base = datetime(1995, 1, 1)
+    shapes = [
+        lambda d: d.strftime("%Y-%m-%d %H:%M:%S"),
+        lambda d: d.strftime("%m/%d/%Y %H:%M:%S"),
+        lambda d: d.strftime("%d.%m.%Y"),
+        lambda d: d.strftime("%Y-%m-%d"),
+        lambda d: d.strftime("%Y-%m-%dT%H:%M:%S") + f".{rng.randrange(1000):03d}Z",
+        lambda d: d.strftime("%Y-%m-%dT%H:%M:%S")
+        + f".{rng.randrange(1000000):06d}"
+        + rng.choice(["+00:00", "+05:30", "-08:00"]),
+        lambda d: d.strftime("%b %d, %Y"),
+        lambda d: "garbage-" + str(rng.randrange(10**6)),
+    ]
+    raws = []
+    for i in range(400):
+        d = base + timedelta(seconds=rng.randrange(10**9))
+        raws.append(shapes[i % len(shapes)](d))
+    path = str(tmp_path / "dtfuzz.parquet")
+    pq.write_table(pa.table({"raw": raws}), path)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    got_s = [
+        r["p"]
+        for r in spark.read.parquet(path)
+        .selectExpr(f"{parse_datetime_any('raw')} as p")
+        .collect()
+    ]
+    con = duckdb.connect()
+    got_d = [
+        r[0]
+        for r in con.execute(
+            f"select {parse_datetime_any_duckdb('raw')} as p "
+            f"from read_parquet('{path}')"
+        ).fetchall()
+    ]
+    assert got_s == got_d
+    # garbage shape parses to NULL, everything else parses
+    for raw, v in zip(raws, got_s):
+        assert (v is None) == raw.startswith("garbage-"), raw
