@@ -33,9 +33,14 @@ def rx_count(col: str, pat: str, dialect: str) -> str:
 
 def rx_strip(col: str, pat: str, dialect: str) -> str:
     """Remove every match of ``pat``."""
+    return rx_replace(col, pat, "", dialect)
+
+
+def rx_replace(col: str, pat: str, repl: str, dialect: str) -> str:
+    """Replace every match of ``pat`` with literal ``repl``."""
     if dialect == SPARK:
-        return f"regexp_replace({col}, '{pat}', '')"
-    return f"regexp_replace({col}, '{pat}', '', 'g')"
+        return f"regexp_replace({col}, '{pat}', '{repl}')"
+    return f"regexp_replace({col}, '{pat}', '{repl}', 'g')"
 
 
 def split_ws(col: str, dialect: str) -> str:
@@ -61,6 +66,23 @@ def lsize(arr: str, dialect: str) -> str:
 
 def lmin(arr: str, dialect: str) -> str:
     return f"array_min({arr})" if dialect == SPARK else f"list_min({arr})"
+
+
+def lmax(arr: str, dialect: str) -> str:
+    return f"array_max({arr})" if dialect == SPARK else f"list_max({arr})"
+
+
+def lslice(arr: str, start: str, count: int, dialect: str) -> str:
+    """``count`` elements of ``arr`` starting at 1-based ``start``."""
+    if dialect == SPARK:
+        return f"slice({arr}, {start}, {count})"
+    return f"list_slice({arr}, {start}, {start} + {count - 1})"
+
+
+def ljoin(arr: str, sep: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"array_join({arr}, '{sep}')"
+    return f"array_to_string({arr}, '{sep}')"
 
 
 def ldistinct(arr: str, dialect: str) -> str:
@@ -186,6 +208,84 @@ def langid_exprs(col: str, dialect: str) -> dict[str, str]:
         pred += f"when {scores[lg]} = {best} and {best} > 0 then '{lg}' "
     pred += "else 'und' end"
     out["lang_pred"] = pred
+    return out
+
+
+def word_ngrams(warr: str, g: int, dialect: str) -> str:
+    """Word ``g``-grams (space-joined) from a word array. Short docs
+    (< g words) yield one truncated gram — same convention as
+    ``shingles``."""
+    idx = seq("1", f"greatest({lsize(warr, dialect)} - {g - 1}, 1)", dialect)
+    gram = ljoin(lslice(warr, "i", g, dialect), " ", dialect)
+    return ltransform(idx, f"i -> {gram}", dialect)
+
+
+#: PII patterns — portable Java-regex/RE2 subset (no backslash escapes,
+#: no lookaround): email-shaped tokens and NANP-style 555 exchange
+#: numbers. Heuristic scrubbing patterns, not a compliance guarantee.
+PII_EMAIL = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+[A-Za-z0-9]"
+PII_PHONE = "555-[0-9]{4}"
+
+
+def pii_exprs(col: str, dialect: str) -> dict[str, str]:
+    """Match counts + scrubbed text. Replacement order is fixed
+    (emails first) so the two dialects rewrite identically."""
+    redacted = rx_replace(
+        rx_replace(col, PII_EMAIL, "<EMAIL>", dialect),
+        PII_PHONE,
+        "<PHONE>",
+        dialect,
+    )
+    return {
+        "n_emails": rx_count(col, PII_EMAIL, dialect),
+        "n_phones": rx_count(col, PII_PHONE, dialect),
+        "text_redacted": redacted,
+    }
+
+
+def word_chunks(warr: str, chunk_words: int, dialect: str) -> str:
+    """Non-overlapping ``chunk_words``-word chunks (space-joined) of a
+    word array; the last chunk may be short. Empty arrays yield one
+    empty chunk (guarded sequence)."""
+    n_chunks = f"cast(ceil({lsize(warr, dialect)} / {chunk_words}.0) as int)"
+    idx = seq("0", f"greatest({n_chunks} - 1, 0)", dialect)
+    chunk = ljoin(
+        lslice(warr, f"i * {chunk_words} + 1", chunk_words, dialect),
+        " ",
+        dialect,
+    )
+    return ltransform(idx, f"i -> {chunk}", dialect)
+
+
+def repetition_metric_exprs(warr: str, dialect: str) -> dict[str, str]:
+    """Gopher-style within-document repetition signals from a word
+    array: duplicate-word fraction, most-frequent-word fraction, and
+    duplicate word-2/3-gram fractions (Rae et al. 2021, "Scaling
+    Language Models", Table A1 — public paper). All ratios are exact
+    integer-derived double divisions, so Spark and DuckDB agree
+    bit-for-bit.
+
+    Per-doc cost is O(words × distinct words) array work — fine for
+    bounded documents (cap the text upstream, as the LSH path does
+    with max_chars); the plan itself is a zero-shuffle projection."""
+    n = lsize(warr, dialect)
+    nd = lsize(ldistinct(warr, dialect), dialect)
+    per_word = lsize(lfilter(warr, "y -> y = x", dialect), dialect)
+    counts = ltransform(ldistinct(warr, dialect), f"x -> {per_word}", dialect)
+    out = {
+        "n_words": n,
+        "dup_word_frac": f"(cast({n} - {nd} as double) / greatest({n}, 1))",
+        "top_word_frac": (
+            f"(cast({lmax(counts, dialect)} as double) / greatest({n}, 1))"
+        ),
+    }
+    for g in (2, 3):
+        grams = word_ngrams(warr, g, dialect)
+        gn = lsize(grams, dialect)
+        gnd = lsize(ldistinct(grams, dialect), dialect)
+        out[f"dup_{g}gram_frac"] = (
+            f"(cast({gn} - {gnd} as double) / greatest({gn}, 1))"
+        )
     return out
 
 

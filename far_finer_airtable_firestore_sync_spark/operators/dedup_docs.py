@@ -64,6 +64,54 @@ def exact_dedup(
     )
 
 
+def chunk_dedup(
+    df: DataFrame,
+    chunk_words: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style duplicate-chunk removal across the whole corpus
+    (Raffel et al. 2020 §2.2 dedupe rule, word-chunk variant): split
+    each document into non-overlapping ``chunk_words``-word chunks,
+    keep only the first corpus-wide occurrence of each chunk (min
+    (doc_id, chunk_no)), and rebuild documents from their surviving
+    chunks. Documents whose every chunk appeared earlier drop out.
+
+    Scale shape: two shuffles — a groupBy on the chunk digest whose
+    partial ``min(struct)`` collapses same-partition copies before the
+    exchange, then a per-doc rebuild groupBy. The digest groupBy keys
+    on a uniform 32-byte hash, so it cannot skew; the rebuild shuffle
+    carries only surviving chunks.
+    """
+    from far_finer_airtable_firestore_sync_spark.operators._util import spread
+
+    staged = spread(df).select(
+        F.col(id_col),
+        F.expr(tx.split_ws(f"`{text_col}`", SPARK)).alias("_w"),
+    )
+    exploded = staged.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(tx.word_chunks("_w", chunk_words, SPARK))
+        ).alias("chunk_no", "chunk"),
+    )
+    keeper = (
+        exploded.groupBy(F.md5(F.col("chunk")).alias("_d"))
+        .agg(F.min(F.struct(id_col, "chunk_no", "chunk")).alias("k"))
+        .select("k.*")
+    )
+    return keeper.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_no", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("text_kept"),
+    )
+
+
 def with_shingles(
     df: DataFrame,
     text_col: str = "text",
@@ -299,6 +347,30 @@ def near_dup_pairs(
         df, pairs, text_col, id_col, shingle_n, max_chars, threshold,
         shingled=shingled,
     )
+
+
+def apply_near_dedup(
+    corpus: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    broadcast_members: bool = True,
+) -> DataFrame:
+    """Apply near-dup removal: every cluster keeps only its min-id
+    representative (``component`` label from ``connected_components``);
+    docs in no cluster pass through untouched.
+
+    Plan: anti-join the corpus against the non-representative cluster
+    members on the id. The member list is proportional to the near-dup
+    count — orders of magnitude smaller than the corpus — so it
+    broadcasts and the corpus never shuffles (set
+    ``broadcast_members=False`` for pathologically duplicate-heavy
+    corpora and let AQE pick the strategy)."""
+    losers = components.filter(
+        F.col(id_col) != F.col("component")
+    ).select(id_col)
+    if broadcast_members:
+        losers = F.broadcast(losers)
+    return corpus.join(losers, on=id_col, how="left_anti")
 
 
 def connected_components(

@@ -59,9 +59,39 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def repetition_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition filters: duplicate-word
+    fraction, top-word fraction, duplicate 2/3-gram fractions.
+
+    Two-stage select: the word array materializes once per row, then
+    every metric folds over it (Spark doesn't CSE the split across
+    projection outputs). Zero shuffle — pure scan-speed projection
+    that pipelines into a downstream `dup_2gram_frac < 0.2` filter.
+    """
+    from far_finer_airtable_firestore_sync_spark.operators._util import spread
+
+    staged = spread(df).select(
+        F.col(id_col),
+        F.expr(tx.split_ws(f"`{text_col}`", SPARK)).alias("_w"),
+    )
+    exprs = tx.repetition_metric_exprs("_w", SPARK)
+    return staged.select(
+        F.col(id_col), *[F.expr(e).alias(k) for k, e in exprs.items()]
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-vote language prediction with deterministic ties."""
     return _project(df, id_col, tx.langid_exprs(f"`{text_col}`", SPARK))
+
+
+def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Regex PII scrub: count + redact email-shaped tokens and
+    555-exchange phone numbers. Zero-shuffle codegen'd projection —
+    the scrub runs at scan speed and the counts feed an audit sink."""
+    return _project(df, id_col, tx.pii_exprs(f"`{text_col}`", SPARK))
 
 
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -110,6 +110,50 @@ def langid_oracle() -> str:
     return f"select doc_id, {cols} from documents"
 
 
+def _pii_fixture_text(dialect: str) -> str:
+    """Deterministically inject synthetic emails/phones into every 3rd
+    doc (the raw fixture has none) — same expression both dialects."""
+    s = "string" if dialect == SPARK else "varchar"
+    return (
+        "case when doc_id % 3 = 0 then text || ' contact user' || "
+        f"cast(doc_id as {s}) || '@example.com or 555-' || "
+        f"lpad(cast(doc_id % 10000 as {s}), 4, '0') else text end"
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.select(
+        "doc_id", F.expr(_pii_fixture_text(SPARK)).alias("text")
+    )
+    return text_analysis.pii_redact(injected)
+
+
+def pii_redact_oracle() -> str:
+    e = tx.pii_exprs("text", DUCKDB)
+    cols = ",\n       ".join(f"{v} as {k}" for k, v in e.items())
+    return f"""
+with injected as (select doc_id, {_pii_fixture_text(DUCKDB)} as text
+                  from documents)
+select doc_id,
+       {cols}
+from injected
+"""
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.repetition_scores(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def repetition_oracle() -> str:
+    w = tx.split_ws("text", DUCKDB)
+    e = tx.repetition_metric_exprs(w, DUCKDB)
+    cols = ",\n       ".join(f"{v} as {k}" for k, v in e.items())
+    return f"select doc_id,\n       {cols}\nfrom documents"
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.fingerprints(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -151,6 +195,36 @@ with corpus as ({CORPUS_SQL})
 select md5(text) as content_hash, min(doc_id) as kept_id,
        count(*) as n_copies
 from corpus group by md5(text)
+"""
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide duplicate-chunk removal on the corpus with
+    synthesized duplicates: exact copies lose every chunk; near-dup
+    copies keep only their suffix-altered tail chunk."""
+    return dedup_docs.chunk_dedup(dedup_corpus(spark, sf_dir), chunk_words=10)
+
+
+def chunk_dedup_oracle() -> str:
+    w = tx.split_ws("text", DUCKDB)
+    chunks = tx.word_chunks("w", 10, DUCKDB)
+    n = tx.lsize("ch", DUCKDB)
+    return f"""
+with corpus as ({CORPUS_SQL}),
+chunked as (select doc_id, {chunks} as ch
+            from (select doc_id, {w} as w from corpus)),
+c as (select doc_id,
+             unnest(generate_series(1, {n})) - 1 as chunk_no,
+             unnest(ch) as chunk
+      from chunked),
+k as (select doc_id, chunk_no, chunk,
+             row_number() over (partition by chunk
+                                order by doc_id, chunk_no) as rn
+      from c)
+select doc_id, count(*) as n_kept,
+       string_agg(chunk, ' ' order by chunk_no) as text_kept
+from k where rn = 1
+group by doc_id
 """
 
 
@@ -542,6 +616,47 @@ select u as doc_id, min(v) as component from reach group by u
 """
 
 
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal: LSH candidates -> Jaccard verify
+    -> connected components -> keep one representative per cluster.
+    The synthesized exact/near copies all drop; their originals (and
+    all untouched docs) survive."""
+    corpus = dedup_corpus(spark, sf_dir)
+    pairs = dedup_docs.near_dup_pairs(
+        corpus,
+        shingle_n=SHINGLE_N,
+        seeds=SEEDS,
+        rows_per_band=ROWS_PER_BAND,
+        max_chars=MAX_CHARS,
+        threshold=0.5,
+    )
+    comps = dedup_docs.connected_components(pairs)
+    return dedup_docs.apply_near_dedup(corpus, comps).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def dedup_apply_oracle() -> str:
+    return f"""
+with recursive verified as ({NGRAM_JACCARD_SQL}),
+edges as (
+  select id_a as u, id_b as v from verified
+  union
+  select id_b as u, id_a as v from verified
+),
+reach(u, v) as (
+  select u, u as v from (select distinct u from edges)
+  union
+  select e.u, r.v from edges e join reach r on e.v = r.u
+),
+comp as (select u as doc_id, min(v) as component from reach group by u),
+corpus as ({CORPUS_SQL})
+select c.doc_id, c.lang, c.source, c.n_chars
+from corpus c left join comp on comp.doc_id = c.doc_id
+where comp.doc_id is null or comp.component = c.doc_id
+"""
+
+
 def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF ranked disjunctive search over the inverted index.
 
@@ -699,9 +814,12 @@ EXT_QUERIES = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
     "text_langid": q_langid,
+    "text_repetition": q_repetition,
+    "text_pii_redact": q_pii_redact,
     "text_fingerprint": q_fingerprint,
     "text_simhash": q_simhash,
     "dedup_exact_groups": q_exact_dedup_groups,
+    "dedup_chunks_corpus": q_chunk_dedup,
     "dedup_lsh_pairs": q_lsh_pairs,
     "dedup_lsh_pairs_fast": q_lsh_pairs_fast,
     "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -713,6 +831,7 @@ EXT_QUERIES = {
     "text_search": q_text_search,
     "text_tfidf_search": q_tfidf_search,
     "dedup_components": q_dedup_components,
+    "dedup_apply_near": q_dedup_apply,
     "sample_hash_stratified": q_hash_sample,
     "class_balance_cap": q_class_balance,
     "text_chunking": q_text_chunking,
@@ -725,9 +844,12 @@ def ext_oracles() -> dict[str, str]:
         "text_token_counts": token_counts_oracle(),
         "text_quality": quality_oracle(),
         "text_langid": langid_oracle(),
+        "text_repetition": repetition_oracle(),
+        "text_pii_redact": pii_redact_oracle(),
         "text_fingerprint": fingerprint_oracle(),
         "text_simhash": simhash_oracle(),
         "dedup_exact_groups": EXACT_DEDUP_SQL,
+        "dedup_chunks_corpus": chunk_dedup_oracle(),
         "dedup_lsh_pairs": LSH_PAIRS_SQL,
         "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
         "similarity_cosine_topk": cosine_topk_oracle(),
@@ -737,6 +859,7 @@ def ext_oracles() -> dict[str, str]:
         "text_search": TEXT_SEARCH_SQL,
         "text_tfidf_search": tfidf_search_oracle(),
         "dedup_components": dedup_components_oracle(),
+        "dedup_apply_near": dedup_apply_oracle(),
         "sample_hash_stratified": hash_sample_oracle(),
         "class_balance_cap": CLASS_BALANCE_SQL,
         "text_chunking": TEXT_CHUNKING_SQL,

@@ -164,21 +164,39 @@ def stream_stream_interval_join(
 
 
 def run_stream_to_memory(
-    agg: DataFrame, query_name: str, output_mode: str = "complete"
+    agg: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drive a (bounded) file stream to completion into a memory sink;
-    returns the result table. Synchronous — test/oracle harness use."""
-    q = (
-        agg.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
+    returns the result table. Synchronous — test/oracle harness use.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    duration of the stream (restored after): a streaming query freezes
+    its state-store partition count at start, and every stateful
+    operator pays per-partition store setup + checkpoint I/O each
+    batch — a stream-stream join at the batch default of 32 opens 128
+    stores. Size it to key arrival rate, not the batch shuffle width
+    (None = leave the session setting alone)."""
+    sess = agg.sparkSession
+    prev = sess.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        sess.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return agg.sparkSession.table(query_name)
+        sess.conf.set("spark.sql.shuffle.partitions", prev)
+    return sess.table(query_name)
 
 
 def continuous_sync(

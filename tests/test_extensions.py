@@ -233,3 +233,56 @@ def test_brp_lsh_recall_vs_exact(spark):
     again = {(r["query_id"], r["neighbor_id"])
              for r in ann_mllib.brp_lsh_topk(emb, queries, k=10).collect()}
     assert a == again
+
+
+def test_repetition_scores(spark):
+    rows = {r["doc_id"]: r for r in text_analysis.repetition_scores(
+        spark.createDataFrame([
+            Row(doc_id=1, text="a a a a"),          # one word repeated
+            Row(doc_id=2, text="a b c d"),          # all distinct
+            Row(doc_id=3, text="a b a b a b"),      # repeated 2-grams
+        ])
+    ).collect()}
+    assert rows[1]["dup_word_frac"] == 0.75 and rows[1]["top_word_frac"] == 1.0
+    assert rows[2]["dup_word_frac"] == 0.0 and rows[2]["dup_2gram_frac"] == 0.0
+    # "a b a b a b": 2-grams = [ab, ba, ab, ba, ab] -> 3 dups / 5
+    assert rows[3]["dup_2gram_frac"] == pytest.approx(3 / 5)
+    assert rows[3]["top_word_frac"] == 0.5
+
+
+def test_chunk_dedup_keeps_first_occurrence(spark):
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text="w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 x1 x2"),
+        Row(doc_id=2, text="w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 y1 y2"),  # chunk 0 dup
+        Row(doc_id=3, text="w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),        # fully dup
+    ])
+    got = {r["doc_id"]: r for r in
+           dedup_docs.chunk_dedup(corpus, chunk_words=10).collect()}
+    assert got[1]["n_kept"] == 2 and got[1]["text_kept"].endswith("x1 x2")
+    assert got[2]["n_kept"] == 1 and got[2]["text_kept"] == "y1 y2"
+    assert 3 not in got  # every chunk seen earlier -> doc drops out
+
+
+def test_pii_redact(spark):
+    got = text_analysis.pii_redact(spark.createDataFrame([
+        Row(doc_id=1, text="mail bob.smith@corp.example.org or 555-0199 now"),
+        Row(doc_id=2, text="no pii here"),
+    ])).collect()
+    rows = {r["doc_id"]: r for r in got}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_phones"] == 1
+    assert rows[1]["text_redacted"] == "mail <EMAIL> or <PHONE> now"
+    assert rows[2]["n_emails"] == 0 and rows[2]["text_redacted"] == "no pii here"
+
+
+def test_apply_near_dedup_keeps_representatives(spark):
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in range(1, 6)]
+    )
+    comps = spark.createDataFrame([
+        Row(doc_id=1, component=1), Row(doc_id=2, component=1),
+        Row(doc_id=3, component=1),  # cluster {1,2,3} keeps 1
+        Row(doc_id=4, component=4),  # singleton cluster keeps itself
+    ])
+    kept = {r["doc_id"] for r in
+            dedup_docs.apply_near_dedup(corpus, comps).collect()}
+    assert kept == {1, 4, 5}  # 5 was in no cluster

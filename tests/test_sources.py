@@ -287,3 +287,24 @@ def test_record_feed_datasource_http_mode(spark, feed_server):
     assert len(rows) == 8
     assert rows["rec7"]["Score"] == "10.5"
     assert df.rdd.getNumPartitions() == 1
+
+
+def test_secrets_file_provider(tmp_path, monkeypatch):
+    """Manager-shaped file provider: versioned latest, plain values,
+    swallow-errors fall-through to env (lib/Secrets.py:38-52 chain)."""
+    import json
+
+    from far_finer_airtable_firestore_sync_spark.secrets import file_provider
+
+    doc = {"api_key": {"1": "old", "2": "new"}, "plain": "v"}
+    p = tmp_path / "secrets.json"
+    p.write_text(json.dumps(doc))
+    s = Secrets([file_provider(str(p)), env_provider()])
+    assert s.get_api_key("api_key") == "new"       # versions/latest
+    assert s.get_api_key("plain") == "v"
+    monkeypatch.setenv("ONLY_ENV", "env-val")
+    assert s.get_api_key("ONLY_ENV") == "env-val"  # falls through
+    assert file_provider(str(p), version="1")("api_key") == "old"
+    assert file_provider("/nonexistent.json")("api_key") is None
+    with pytest.raises(KeyError):
+        s.get_api_key("missing_everywhere")
