@@ -264,6 +264,11 @@ def kmeans_refine(
                 F.coalesce(F.col("_new_emb"), F.col(vec_col)).alias(vec_col),
             )
         )
+        # Materialize the K-row centroid frame and truncate lineage:
+        # without this, iteration N's broadcast re-executes every prior
+        # iteration, and the downstream consumer re-executes them all
+        # again (measured ~2x on the sf0.1 index build).
+        cents = cents.localCheckpoint(eager=True)
     return cents
 
 
