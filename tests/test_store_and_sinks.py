@@ -252,3 +252,33 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("drop table if exists t_bk_left")
         spark.sql("drop table if exists t_bk_right")
+
+
+def test_chunk_dedup_plan_shape(spark):
+    """Digest groupBy must combine map-side (partial min) and the
+    whole pipeline needs exactly 3 exchanges: spread repartition,
+    digest groupBy, per-doc rebuild."""
+    from far_finer_airtable_firestore_sync_spark.operators.dedup_docs import chunk_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(chunk_dedup(docs, chunk_words=10))
+    assert "partial_min" in plan
+    assert plan.count("Exchange") == 3
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_apply_near_dedup_is_broadcast_anti_join(spark):
+    """Removal must not shuffle the corpus: broadcast anti-join."""
+    from pyspark.sql import Row
+
+    from far_finer_airtable_firestore_sync_spark.operators.dedup_docs import (
+        apply_near_dedup,
+    )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    comps = spark.createDataFrame(
+        [Row(doc_id=1, component=1), Row(doc_id=2, component=1)]
+    )
+    plan = _plan(apply_near_dedup(corpus, comps))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
