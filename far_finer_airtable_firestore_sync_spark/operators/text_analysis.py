@@ -197,6 +197,47 @@ def class_balance_cap(
     )
 
 
+def mixture_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+    target_total: int = 10000,
+) -> DataFrame:
+    """Temperature-style domain mixing: weight_s ∝ n_s^alpha,
+    normalized across sources — the standard up/down-weighting of
+    corpus domains before sampling a training mix.
+
+    For ``alpha=0.5`` every step is bit-portable: sqrt is
+    IEEE-exactly-rounded, weights quantize onto an integer grid
+    (floor(sqrt(n)·10^6)), the normalizer is an exact bigint sum, and
+    expected doc counts use bigint floor division. Other alphas go
+    through ``pow``, which is NOT guaranteed identically rounded
+    across engines — fine for production, excluded from the oracle.
+
+    Plan: one groupBy (partial count), then a 1-row broadcast cross
+    join for the normalizer — the K-source frame never shuffles again.
+    """
+    agg = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    root = (
+        "sqrt(cast(n_docs as double))"
+        if alpha == 0.5
+        else f"power(cast(n_docs as double), {alpha})"
+    )
+    q = agg.withColumn(
+        "_qw", F.expr(f"cast(floor({root} * 1000000) as bigint)")
+    )
+    total = q.agg(F.sum("_qw").alias("_total"))
+    return (
+        q.crossJoin(F.broadcast(total))
+        .select(
+            group_col,
+            "n_docs",
+            F.expr("cast(_qw as double) / _total").alias("weight"),
+            F.expr(f"_qw * {target_total} div _total").alias("expected_docs"),
+        )
+    )
+
+
 def chunk_text(
     df: DataFrame,
     chunk_chars: int = 200,

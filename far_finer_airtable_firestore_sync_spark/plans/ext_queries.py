@@ -766,6 +766,33 @@ select doc_id, text, lang, source, n_chars from (
 """
 
 
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt-temperature domain mixing over (lang, source) pairs via a
+    composite key so the fixture has enough groups to reweight."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.expr("lang || '/' || source").alias("domain"), "doc_id"
+    )
+    return text_analysis.mixture_weights(
+        docs, group_col="domain", alpha=0.5, target_total=10000
+    )
+
+
+MIXTURE_WEIGHTS_SQL = """
+with agg as (
+  select lang || '/' || source as domain, count(*) as n_docs
+  from documents group by 1
+),
+q as (select domain, n_docs,
+             cast(floor(sqrt(cast(n_docs as double)) * 1000000) as bigint) as qw
+      from agg),
+t as (select cast(sum(qw) as bigint) as total from q)
+select domain, n_docs,
+       cast(qw as double) / total as weight,
+       cast(qw * 10000 // total as bigint) as expected_docs
+from q cross join t
+"""
+
+
 def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: overlapping 200-char windows, stride 150."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -834,6 +861,7 @@ EXT_QUERIES = {
     "dedup_apply_near": q_dedup_apply,
     "sample_hash_stratified": q_hash_sample,
     "class_balance_cap": q_class_balance,
+    "mixture_weights": q_mixture_weights,
     "text_chunking": q_text_chunking,
     "decontaminate_benchmark": q_decontaminate,
 }
@@ -862,6 +890,7 @@ def ext_oracles() -> dict[str, str]:
         "dedup_apply_near": dedup_apply_oracle(),
         "sample_hash_stratified": hash_sample_oracle(),
         "class_balance_cap": CLASS_BALANCE_SQL,
+        "mixture_weights": MIXTURE_WEIGHTS_SQL,
         "text_chunking": TEXT_CHUNKING_SQL,
         "decontaminate_benchmark": decontaminate_oracle(),
     }

@@ -286,3 +286,18 @@ def test_apply_near_dedup_keeps_representatives(spark):
     kept = {r["doc_id"] for r in
             dedup_docs.apply_near_dedup(corpus, comps).collect()}
     assert kept == {1, 4, 5}  # 5 was in no cluster
+
+
+def test_mixture_weights_sqrt_temperature(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="a") for i in range(16)]
+        + [Row(doc_id=100 + i, source="b") for i in range(4)]
+        + [Row(doc_id=200, source="c")]
+    )
+    got = {r["source"]: r for r in
+           text_analysis.mixture_weights(docs, group_col="source").collect()}
+    # sqrt weights 4:2:1 -> 4/7, 2/7, 1/7; bigint floor division at 10k
+    assert got["a"]["weight"] == pytest.approx(4 / 7)
+    assert got["a"]["expected_docs"] == 5714
+    assert got["b"]["expected_docs"] == 2857
+    assert got["c"]["expected_docs"] == 1428
