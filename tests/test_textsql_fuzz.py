@@ -1,0 +1,120 @@
+"""Randomized cross-engine parity for the text-analysis emitters.
+
+The DuckDB oracle gate proves parity on the fixture corpus; this fuzz
+proves it on adversarial text — empty strings, runs of spaces (empty
+tokens), PII-like near-misses ("a@b.", "@@", trailing hyphens/dots),
+unicode, punctuation soup. Any regex-dialect or list-function drift
+between Spark (Java regex) and DuckDB (RE2) shows up as a row mismatch.
+"""
+
+import random
+import string
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from far_finer_airtable_firestore_sync_spark.functions import textsql as tx
+from far_finer_airtable_firestore_sync_spark.functions.canonical import DUCKDB, SPARK
+
+TRICKY = [
+    "", " ", "   ", "a", "a b", "a  b", " leading", "trailing ",
+    "user@example.com", "a@b.", "@@", "a@-", "x@y-", "bob..s@ex..com",
+    "555-0199", "555-123", "x555-00000", "pre555-1234post",
+    "the the the", "a.b@c.d more a.b@c.d",
+    "日本語 テキスト here", "emoji 🎉 mid", "punct!?.,;: soup",
+    "der die das und", "el la de y es", "the a of and",
+]
+
+WORDS = ["the", "cat", "sat", "a", "b", "Data", "x9", "user@h.io",
+         "555-0000", "!", "?!", "..", "émile", "汉", "-", "@"]
+
+
+def _random_texts(n=400, seed=11):
+    rng = random.Random(seed)
+    texts = []
+    for _ in range(n):
+        if rng.random() < 0.25:
+            texts.append(rng.choice(TRICKY))
+            continue
+        k = rng.randint(0, 30)
+        parts = []
+        for _ in range(k):
+            if rng.random() < 0.15:
+                parts.append(rng.choice(TRICKY).replace(" ", "_") or "_")
+            elif rng.random() < 0.2:
+                parts.append(
+                    "".join(rng.choices(string.printable[:94], k=rng.randint(1, 8)))
+                    .replace(" ", "~")
+                )
+            else:
+                parts.append(rng.choice(WORDS))
+        sep = "  " if rng.random() < 0.1 else " "
+        texts.append(sep.join(parts))
+    return texts
+
+
+def _exprs(dialect: str) -> dict[str, str]:
+    out = dict(tx.pii_exprs("text", dialect))
+    warr = tx.split_ws("text", dialect)
+    out.update(tx.repetition_metric_exprs(warr, dialect))
+    out["n_chunks"] = tx.lsize(tx.word_chunks(warr, 5, dialect), dialect)
+    out["rejoined"] = tx.ljoin(tx.word_chunks(warr, 5, dialect), " ", dialect)
+    out["lang_pred"] = tx.langid_exprs("text", dialect)["lang_pred"]
+    return out
+
+
+def test_fuzz_text_emitter_parity(spark, tmp_path):
+    texts = _random_texts()
+    path = str(tmp_path / "texts.parquet")
+    pq.write_table(
+        pa.table({
+            "id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }),
+        path,
+    )
+
+    s_cols = ", ".join(f"{v} as {k}" for k, v in _exprs(SPARK).items())
+    spark.read.parquet(path).createOrReplaceTempView("t_fuzz")
+    s_rows = {
+        r["id"]: tuple(r)[1:]
+        for r in spark.sql(f"select id, {s_cols} from t_fuzz").collect()
+    }
+
+    d_cols = ", ".join(f"{v} as {k}" for k, v in _exprs(DUCKDB).items())
+    con = duckdb.connect()
+    con.execute(f"create view t_fuzz as select * from read_parquet('{path}')")
+    d_rows = {r[0]: r[1:] for r in con.execute(
+        f"select id, {d_cols} from t_fuzz").fetchall()}
+
+    mismatches = [
+        (i, texts[i], s_rows[i], d_rows[i])
+        for i in s_rows
+        if s_rows[i] != d_rows[i]
+    ]
+    assert not mismatches, f"{len(mismatches)} mismatches, first: {mismatches[:3]}"
+
+
+def test_chunk_dedup_idempotent(spark):
+    """Property: after corpus chunk dedup, no chunk appears twice —
+    re-running the operator on the rebuilt corpus is the identity."""
+    from pyspark.sql import functions as F
+
+    from far_finer_airtable_firestore_sync_spark.operators.dedup_docs import (
+        chunk_dedup,
+    )
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        dedup_corpus,
+    )
+
+    once = chunk_dedup(
+        dedup_corpus(spark, "/root/testdata/sf0.001"), chunk_words=10
+    ).persist()
+    again = chunk_dedup(
+        once.select(F.col("doc_id"), F.col("text_kept").alias("text")),
+        chunk_words=10,
+    )
+    a = {(r["doc_id"], r["text_kept"]) for r in once.collect()}
+    b = {(r["doc_id"], r["text_kept"]) for r in again.collect()}
+    assert a == b
