@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from far_finer_airtable_firestore_sync_spark.config import SyncSpec
+from far_finer_airtable_firestore_sync_spark.config import SyncSpec, UpdateType
+from far_finer_airtable_firestore_sync_spark.functions.canonical import Field
 from far_finer_airtable_firestore_sync_spark.operators.strategies import get_strategy
 from far_finer_airtable_firestore_sync_spark.sources.store import DocumentStore
 
@@ -216,11 +217,17 @@ def continuous_sync(
     store: DocumentStore,
     checkpoint_dir: str,
     query_name: str = "continuous_sync",
+    output_mode: str = "append",
 ):
     """Continuous sync: each micro-batch replays the configured
     strategy against the current store snapshot and commits the
     post-state — exactly-once per batch via the store's atomic pointer
     flip plus the stream checkpoint.
+
+    ``output_mode`` matters when ``stream`` contains a streaming
+    aggregation: "append" hands the strategy only windows finalized by
+    the watermark; "update" hands it every window the batch touched
+    (the continuous-rollup case).
     """
     strategy = get_strategy(spec.update_type)
 
@@ -235,7 +242,58 @@ def continuous_sync(
 
     return (
         stream.writeStream.foreachBatch(sync_batch)
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .queryName(query_name)
         .start()
+    )
+
+
+def continuous_rollup(
+    stream: DataFrame,
+    store: DocumentStore,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    query_name: str = "continuous_rollup",
+):
+    """Timescale-style continuous aggregate ("hypertable rollup"): a
+    time-bucketed aggregate over an event stream, maintained
+    incrementally in the document store. Each micro-batch emits only
+    the (window, event_type) buckets it touched (update mode); the
+    checksum-upsert strategy rewrites exactly those documents, so the
+    store always holds the current materialized rollup, queryable with
+    snapshot isolation and version history.
+
+    Scale: per-batch work ∝ buckets touched by that batch (not the
+    rollup's size) on the stream side; the watermark bounds the agg
+    state. Sums run through decimal, so the rollup is bit-identical no
+    matter how the stream was micro-batched.
+    """
+    agg = windowed_event_aggregates(stream, window, watermark)
+    rolled = agg.select(
+        F.concat_ws(
+            "|",
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss"),
+            F.col("event_type"),
+        ).alias("bucket_id"),
+        "window_start",
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    spec = SyncSpec(
+        primary_key="bucket_id",
+        update_type=UpdateType.UPSERT_CHECKSUM,
+        payload_fields=(
+            Field("bucket_id", "string"),
+            Field("window_start", "timestamp"),
+            Field("event_type", "string"),
+            Field("n_events", "long"),
+            Field("total_value", "double"),
+        ),
+        table_name="event_rollup",
+    )
+    return continuous_sync(
+        rolled, spec, store, checkpoint_dir, query_name, output_mode="update"
     )

@@ -258,3 +258,41 @@ def test_wav_decode_real_audio(spark):
     assert (nch, rate, dur_ms) == (1.0, 8000.0, 100.0)
     assert abs(mean_abs - 0.5) < 1e-9
     assert out[1] is None and out[2] is None
+
+
+def test_continuous_rollup_matches_batch(spark, tmp_path):
+    """Hypertable-style continuous aggregate: events replayed in two
+    micro-batches (time-split files, boundary window touched by both)
+    must leave the store holding exactly the batch rollup."""
+    import pyarrow.parquet as pq
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    cut = sorted(src["ts"].to_pylist())[len(src) // 2]
+    src_dir = tmp_path / "rollup-in"
+    src_dir.mkdir()
+    pq.write_table(src.filter(__import__("pyarrow").compute.less(src["ts"], cut)),
+                   src_dir / "part1.parquet")
+    pq.write_table(src.filter(__import__("pyarrow").compute.greater_equal(src["ts"], cut)),
+                   src_dir / "part2.parquet")
+
+    stream = streaming.read_event_stream(spark, str(src_dir),
+                                         max_files_per_trigger=1)
+    store = DocumentStore(spark, str(tmp_path / "rollup-store"))
+    q = streaming.continuous_rollup(stream, store, str(tmp_path / "rollup-ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["bucket_id"]): (r["n_events"], r["total_value"])
+        for r in store.read().collect()
+    }
+    batch = streaming.windowed_event_aggregates(
+        streaming.read_event_stream(spark, "/root/testdata/sf0.001/events.parquet")
+    )
+    expect = {}
+    for r in streaming.run_stream_to_memory(batch, "t_rollup_batch").collect():
+        key = f"{r['window_start']:%Y-%m-%d %H:%M:%S}|{r['event_type']}"
+        expect[key] = (r["n_events"], r["total_value"])
+    assert got == expect
