@@ -208,6 +208,39 @@ def ivf_topk(
     )
 
 
+def embedding_dim_stats(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-dimension corpus statistics (mean, variance) for embedding
+    preprocessing — centering, whitening, quantizer calibration.
+
+    Exactness: values fold on the quantized integer grid (bigint
+    sum(qv), sum(qv²)), and each output is ONE IEEE division of exact
+    integers — mean = s1/(n·scale), var = (n·s2 − s1²)/(n²·scale²) —
+    so both engines agree bit-for-bit regardless of partitioning.
+
+    Plan: posexplode projection + one (dim)-keyed partial aggregation;
+    the shuffle carries dims × input-partitions partial rows, never
+    the vectors."""
+    per = _quantized(df, vec_col, "_qv").select(
+        F.posexplode("_qv").alias("dim", "qv")
+    )
+    agg = per.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("qv").alias("_s1"),
+        F.sum(F.expr("qv * qv")).alias("_s2"),
+    )
+    return agg.select(
+        "dim",
+        "n_vecs",
+        F.expr("cast(_s1 as double) / (n_vecs * 1000)").alias("mean"),
+        F.expr(
+            "cast(n_vecs * _s2 - _s1 * _s1 as double)"
+            " / (cast(n_vecs as double) * n_vecs * 1000000)"
+        ).alias("variance"),
+    )
+
+
 def kmeans_refine(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -488,6 +488,29 @@ from (
     )
 
 
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity_search.embedding_dim_stats(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+
+
+def embedding_dim_stats_oracle() -> str:
+    qz = _qz("embedding")
+    return f"""
+with q as (select {qz} as qv from embeddings),
+per as (select unnest(generate_series(0, len(qv) - 1)) as dim,
+               unnest(qv) as v from q),
+agg as (select dim, count(*) as n_vecs,
+               sum(v) as s1, sum(v * v) as s2
+        from per group by dim)
+select dim, n_vecs,
+       cast(s1 as double) / (n_vecs * 1000) as mean,
+       cast(n_vecs * s2 - s1 * s1 as double)
+         / (cast(n_vecs as double) * n_vecs * 1000000) as variance
+from agg
+"""
+
+
 def q_brp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH ANN — rows-only check (the
     hyperplane draw is JVM-internal, not reproducible in DuckDB);
@@ -854,6 +877,7 @@ EXT_QUERIES = {
     "similarity_ivf_topk": q_ivf_topk,
     "similarity_ivf_kmeans_topk": q_ivf_kmeans_topk,
     "similarity_brp_lsh_topk": q_brp_lsh_topk,
+    "embedding_dim_stats": q_embedding_dim_stats,
     "similarity_near_dup": q_embedding_near_dup,
     "text_search": q_text_search,
     "text_tfidf_search": q_tfidf_search,
@@ -884,6 +908,7 @@ def ext_oracles() -> dict[str, str]:
         "similarity_ivf_topk": ivf_topk_oracle(),
         "similarity_ivf_kmeans_topk": ivf_kmeans_topk_oracle(),
         "similarity_near_dup": embedding_near_dup_oracle(),
+        "embedding_dim_stats": embedding_dim_stats_oracle(),
         "text_search": TEXT_SEARCH_SQL,
         "text_tfidf_search": tfidf_search_oracle(),
         "dedup_components": dedup_components_oracle(),

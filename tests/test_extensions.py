@@ -301,3 +301,16 @@ def test_mixture_weights_sqrt_temperature(spark):
     assert got["a"]["expected_docs"] == 5714
     assert got["b"]["expected_docs"] == 2857
     assert got["c"]["expected_docs"] == 1428
+
+
+def test_embedding_dim_stats_exact(spark):
+    emb = spark.createDataFrame([
+        Row(vec_id=1, embedding=[0.0, 1.0]),
+        Row(vec_id=2, embedding=[2.0, 1.0]),
+        Row(vec_id=3, embedding=[4.0, 1.0]),
+    ])
+    got = {r["dim"]: r for r in
+           similarity_search.embedding_dim_stats(emb).collect()}
+    assert got[0]["mean"] == 2.0 and got[0]["variance"] == pytest.approx(8 / 3)
+    assert got[1]["mean"] == 1.0 and got[1]["variance"] == 0.0
+    assert got[0]["n_vecs"] == 3
