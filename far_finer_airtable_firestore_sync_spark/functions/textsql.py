@@ -50,6 +50,15 @@ def split_ws(col: str, dialect: str) -> str:
     return f"string_split({col}, ' ')"
 
 
+def split_ws_safe(col: str, dialect: str) -> str:
+    """``split_ws`` with null ≡ '' — the repetition/chunking contract
+    treats a missing document as an empty one. Necessary for parity:
+    a null word array otherwise flows through ``greatest``/`array_join`
+    differently per engine (Spark's greatest skips nulls, DuckDB's
+    returns null)."""
+    return split_ws(f"coalesce({col}, '')", dialect)
+
+
 def lfilter(arr: str, lam: str, dialect: str) -> str:
     return (f"filter({arr}, {lam})" if dialect == SPARK
             else f"list_filter({arr}, {lam})")

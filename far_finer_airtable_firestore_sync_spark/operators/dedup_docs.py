@@ -87,7 +87,7 @@ def chunk_dedup(
 
     staged = spread(df).select(
         F.col(id_col),
-        F.expr(tx.split_ws(f"`{text_col}`", SPARK)).alias("_w"),
+        F.expr(tx.split_ws_safe(f"`{text_col}`", SPARK)).alias("_w"),
     )
     exploded = staged.select(
         F.col(id_col),

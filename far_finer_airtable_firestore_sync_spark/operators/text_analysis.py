@@ -74,7 +74,7 @@ def repetition_scores(
 
     staged = spread(df).select(
         F.col(id_col),
-        F.expr(tx.split_ws(f"`{text_col}`", SPARK)).alias("_w"),
+        F.expr(tx.split_ws_safe(f"`{text_col}`", SPARK)).alias("_w"),
     )
     exprs = tx.repetition_metric_exprs("_w", SPARK)
     return staged.select(

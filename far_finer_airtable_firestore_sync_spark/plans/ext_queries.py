@@ -148,7 +148,7 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def repetition_oracle() -> str:
-    w = tx.split_ws("text", DUCKDB)
+    w = tx.split_ws_safe("text", DUCKDB)
     e = tx.repetition_metric_exprs(w, DUCKDB)
     cols = ",\n       ".join(f"{v} as {k}" for k, v in e.items())
     return f"select doc_id,\n       {cols}\nfrom documents"
@@ -206,7 +206,7 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def chunk_dedup_oracle() -> str:
-    w = tx.split_ws("text", DUCKDB)
+    w = tx.split_ws_safe("text", DUCKDB)
     chunks = tx.word_chunks("w", 10, DUCKDB)
     n = tx.lsize("ch", DUCKDB)
     return f"""

@@ -34,6 +34,9 @@ def _random_texts(n=400, seed=11):
     rng = random.Random(seed)
     texts = []
     for _ in range(n):
+        if rng.random() < 0.03:
+            texts.append(None)  # null text ≡ empty doc contract
+            continue
         if rng.random() < 0.25:
             texts.append(rng.choice(TRICKY))
             continue
@@ -56,7 +59,7 @@ def _random_texts(n=400, seed=11):
 
 def _exprs(dialect: str) -> dict[str, str]:
     out = dict(tx.pii_exprs("text", dialect))
-    warr = tx.split_ws("text", dialect)
+    warr = tx.split_ws_safe("text", dialect)
     out.update(tx.repetition_metric_exprs(warr, dialect))
     out["n_chunks"] = tx.lsize(tx.word_chunks(warr, 5, dialect), dialect)
     out["rejoined"] = tx.ljoin(tx.word_chunks(warr, 5, dialect), " ", dialect)
