@@ -623,10 +623,30 @@ def _q_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "else c_acctbal end as double)"
         ).alias("c_acctbal"),
     )
-    store = DocumentStore(spark, tempfile.mkdtemp(prefix="ffs_cdc_"), "c_custkey")
+    root = tempfile.mkdtemp(prefix="ffs_cdc_")
+    _TMP_DIRS.append(root)  # reaped at exit; diff plan reads it lazily
+    store = DocumentStore(spark, root, "c_custkey")
     v_old = store.commit(old)
     v_new = store.commit(new)
     return store.diff_versions(v_old, v_new)
+
+
+#: Scratch store roots created by contract entries; removed at process
+#: exit (not eagerly — the returned DataFrames read them lazily).
+_TMP_DIRS: list[str] = []
+
+
+def _reap_tmp_dirs() -> None:
+    import shutil
+
+    for d in _TMP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _TMP_DIRS.clear()
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_reap_tmp_dirs)
 
 
 _STORE_CDC_SQL = """

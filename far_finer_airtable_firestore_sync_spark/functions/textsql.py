@@ -238,16 +238,16 @@ PII_PHONE = "555-[0-9]{4}"
 
 def pii_exprs(col: str, dialect: str) -> dict[str, str]:
     """Match counts + scrubbed text. Replacement order is fixed
-    (emails first) so the two dialects rewrite identically."""
-    redacted = rx_replace(
-        rx_replace(col, PII_EMAIL, "<EMAIL>", dialect),
-        PII_PHONE,
-        "<PHONE>",
-        dialect,
-    )
+    (emails first) so the two dialects rewrite identically. n_phones
+    is counted on the email-redacted intermediate, not the raw text,
+    so it always equals the number of <PHONE> substitutions actually
+    made (a phone-shaped run inside an email local-part is consumed
+    by the email redaction and must not be double-counted)."""
+    email_redacted = rx_replace(col, PII_EMAIL, "<EMAIL>", dialect)
+    redacted = rx_replace(email_redacted, PII_PHONE, "<PHONE>", dialect)
     return {
         "n_emails": rx_count(col, PII_EMAIL, dialect),
-        "n_phones": rx_count(col, PII_PHONE, dialect),
+        "n_phones": rx_count(email_redacted, PII_PHONE, dialect),
         "text_redacted": redacted,
     }
 

@@ -83,7 +83,9 @@ def parse_ppm(content: bytes) -> Optional[tuple[int, int, int, bytes]]:
     width, height, maxval = int(m[1]), int(m[2]), int(m[3])
     raw = content[m.end():]
     need = width * height * 3
-    if width <= 0 or height <= 0 or maxval <= 0 or len(raw) < need:
+    # maxval > 255 means 2-byte big-endian samples per the P6 spec —
+    # the 1-byte indexing below would silently misread them, so reject.
+    if width <= 0 or height <= 0 or not (0 < maxval <= 255) or len(raw) < need:
         return None
     return width, height, maxval, raw[:need]
 

@@ -264,7 +264,6 @@ def kmeans_refine(
     shuffle rows ~ K * dims, never the corpus. Output:
     (vec_id, embedding) rows usable anywhere a centroid set is.
     """
-    dims = None  # inferred lazily from the first centroid row
     cents = centroids.select(id_col, vec_col)
     for _ in range(iters):
         assigned = ivf_assign(corpus, cents, vec_col, id_col)

@@ -146,14 +146,17 @@ def hash_sample(
     if strata_rates:
         if strata_col is None:
             raise ValueError("strata_rates requires strata_col")
-        cond = F.lit(None).cast("boolean")
         expr = None
         for val, pct in strata_rates.items():
             c = (F.col(strata_col) == val) & (bucket < thresh(pct))
             expr = c if expr is None else expr | c
-        other = ~F.col(strata_col).isin(list(strata_rates)) & (
-            bucket < thresh(rate_pct)
+        # NULL strata must take the default rate: `col.isin(...)` is NULL
+        # for NULL input, which would silently drop every NULL-stratum row
+        # from the sample even at rate 100.
+        not_in = ~F.coalesce(
+            F.col(strata_col).isin(list(strata_rates)), F.lit(False)
         )
+        other = not_in & (bucket < thresh(rate_pct))
         return df.filter(expr | other)
     return df.filter(bucket < thresh(rate_pct))
 
@@ -177,19 +180,28 @@ def hash_sample_sql(
         for v, p in strata_rates.items()
     ]
     quoted = ", ".join(f"'{v}'" for v in strata_rates)
-    parts.append(f"({strata_col} not in ({quoted}) and {bucket} < '{thresh(rate_pct)}')")
+    parts.append(
+        f"(not coalesce({strata_col} in ({quoted}), false) "
+        f"and {bucket} < '{thresh(rate_pct)}')"
+    )
     return "(" + " or ".join(parts) + ")"
 
 
 def class_balance_cap(
-    df: DataFrame, group_col: str, cap: int, order_col: str = "doc_id"
+    df: DataFrame,
+    group_col: str | list[str],
+    cap: int,
+    order_col: str = "doc_id",
 ) -> DataFrame:
     """Cap every group at ``cap`` rows (deterministic keep order) —
     downsampling over-represented classes/sources before training.
-    One window shuffle on the group key."""
+    One window shuffle on the group key. Multi-column groups are
+    partitioned on the column tuple directly (NULL-safe, no separator
+    collisions a string-concat composite key would allow)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    cols = [group_col] if isinstance(group_col, str) else list(group_col)
+    w = Window.partitionBy(*cols).orderBy(F.col(order_col).asc())
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= cap)

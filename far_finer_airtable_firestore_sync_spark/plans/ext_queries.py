@@ -702,13 +702,16 @@ def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("term").isin(terms))
     tf = postings.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-    n_docs = docs.count()  # scalar; fixture-deterministic
-    idf = df_t.withColumn(
+    # N as a broadcast 1-row aggregate, not an eager .count(): keeps the
+    # corpus-size scan inside this one job (single plan, AQE-visible)
+    # instead of a separate driver-blocking full pass over the table.
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = df_t.join(F.broadcast(n_docs)).withColumn(
         "idf_q",
         F.expr(
-            f"cast(round(ln(({n_docs} + 1.0) / (df_t + 1.0)) * 1000000) as bigint)"
+            "cast(round(ln((n_docs + 1.0) / (df_t + 1.0)) * 1000000) as bigint)"
         ),
-    )
+    ).drop("n_docs")
     scored = (
         tf.join(F.broadcast(idf), "term")
         .groupBy("doc_id")
@@ -774,10 +777,7 @@ def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic keep order by doc_id; cap binds on the larger
     groups at sf0.01)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    docs = docs.withColumn(
-        "_grp", F.concat_ws("|", F.col("lang"), F.col("source"))
-    )
-    return text_analysis.class_balance_cap(docs, "_grp", 8).drop("_grp")
+    return text_analysis.class_balance_cap(docs, ["lang", "source"], 8)
 
 
 CLASS_BALANCE_SQL = """

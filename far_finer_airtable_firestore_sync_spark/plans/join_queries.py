@@ -85,19 +85,19 @@ from purchases p join clicks c
 
 #: (spark pattern, duckdb pattern, has_tz_offset) for the permissive
 #: parser. Strings are pre-normalized (ISO 'T' separator -> space,
-#: trailing 'Z' -> '+00:00') so one 'yyyy-MM-dd HH:mm:ss...' family
-#: covers Airtable's own emission format 2024-12-23T10:00:00.000Z
-#: (reference accepts it via dateutil, lib/DataProcessor.py:142-148).
-#: Fraction digits are pinned per format because the engines disagree
-#: off the 3/6-digit shapes: Spark parses '.N+' as a decimal fraction
-#: of a second while DuckDB %g is integer milliseconds (exactly <=3
-#: digits) and %f integer microseconds — they agree only at exactly 3
-#: (%g) and exactly 6 (%f) digits, so %g must precede %f in the chain.
+#: trailing 'Z' -> '+00:00', fraction right-padded/truncated to exactly
+#: 6 digits) so one 'yyyy-MM-dd HH:mm:ss...' family covers Airtable's
+#: own emission format 2024-12-23T10:00:00.000Z (reference accepts it
+#: via dateutil, lib/DataProcessor.py:142-148). The fraction width is
+#: pinned to 6 because the engines disagree off the 3/6-digit shapes:
+#: Spark parses '.N+' as a decimal fraction of a second while DuckDB
+#: %g is integer milliseconds and %f integer microseconds — they agree
+#: only at exactly 3 (%g) and exactly 6 (%f) digits. Normalizing every
+#: fraction to 6 digits makes any ISO width 1-9 parse to the same
+#: microsecond value in both engines (dateutil-style truncation >6).
 _DT_FORMATS = [
-    ("yyyy-MM-dd HH:mm:ss.SSSXXX", "%Y-%m-%d %H:%M:%S.%g%z", True),
     ("yyyy-MM-dd HH:mm:ss.SSSSSSXXX", "%Y-%m-%d %H:%M:%S.%f%z", True),
     ("yyyy-MM-dd HH:mm:ssXXX", "%Y-%m-%d %H:%M:%S%z", True),
-    ("yyyy-MM-dd HH:mm:ss.SSS", "%Y-%m-%d %H:%M:%S.%g", False),
     ("yyyy-MM-dd HH:mm:ss.SSSSSS", "%Y-%m-%d %H:%M:%S.%f", False),
     ("yyyy-MM-dd HH:mm:ss", "%Y-%m-%d %H:%M:%S", False),
     ("MM/dd/yyyy HH:mm:ss", "%m/%d/%Y %H:%M:%S"),
@@ -111,12 +111,12 @@ _DT_FORMATS = [
 #: failed-parse path of a try_to_timestamp chain (~5x faster: parse
 #: exceptions are expensive, regex prefilters are codegen'd)
 _DT_SHAPES = [
-    ("^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9:]{8}[.][0-9]{3}[+-][0-9]{2}:[0-9]{2}$",
-     "yyyy-MM-dd HH:mm:ss.SSSXXX"),
+    ("^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9:]{8}[.][0-9]{6}[+-][0-9]{2}:[0-9]{2}$",
+     "yyyy-MM-dd HH:mm:ss.SSSSSSXXX"),
     ("^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9:]{8}[+-][0-9]{2}:[0-9]{2}$",
      "yyyy-MM-dd HH:mm:ssXXX"),
-    ("^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9:]{8}[.][0-9]{3}$",
-     "yyyy-MM-dd HH:mm:ss.SSS"),
+    ("^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9:]{8}[.][0-9]{6}$",
+     "yyyy-MM-dd HH:mm:ss.SSSSSS"),
     ("^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9:]{8}$", "yyyy-MM-dd HH:mm:ss"),
     ("^[0-9]{2}/[0-9]{2}/[0-9]{4} ", "MM/dd/yyyy HH:mm:ss"),
     ("^[0-9]{2}[.][0-9]{2}[.][0-9]{4}$", "dd.MM.yyyy"),
@@ -124,15 +124,35 @@ _DT_SHAPES = [
 ]
 
 #: ISO normalization: 'T' date/time separator -> space; trailing 'Z'
-#: -> '+00:00' (DuckDB strptime %z rejects a literal Z). Group ref is
-#: $1 in Spark but \1 in DuckDB — built with chr(92) to keep the
-#: generated SQL free of backslash literals (dialect parsing differs).
+#: -> '+00:00' (DuckDB strptime %z rejects a literal Z); second
+#: fraction truncated then right-padded to exactly 6 digits so both
+#: engines read it with identical (decimal, microsecond) semantics.
+#: Group ref is $1 in Spark but \1 in DuckDB — built with chr(92) to
+#: keep the generated SQL free of backslash literals (dialect parsing
+#: differs). The padding replacement '$10$2' / '\10\2' is parsed as
+#: group-1 + literal '0' + group-2 in both engines (neither has a
+#: group 10); the seconds-colon anchor keeps it off dd.MM.yyyy dates.
 def _dt_normalize(col: str, dialect: str) -> str:
-    group = "'$1 '" if dialect == "spark" else "chr(92) || '1 '"
+    if dialect == "spark":
+        group, pad = "'$1 '", "'$10$2'"
+        trunc = "'$1'"
+    else:
+        bs = "chr(92)"
+        group = f"{bs} || '1 '"
+        pad = f"{bs} || '10' || {bs} || '2'"
+        trunc = f"{bs} || '1'"
     t_fixed = (
         f"regexp_replace({col}, '^([0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}})T', {group})"
     )
-    return f"regexp_replace({t_fixed}, 'Z$', '+00:00')"
+    z_fixed = f"regexp_replace({t_fixed}, 'Z$', '+00:00')"
+    f_trunc = (
+        f"regexp_replace({z_fixed}, '(:[0-9]{{2}}[.][0-9]{{6}})[0-9]+', {trunc})"
+    )
+    pad_pat = "(:[0-9]{2}[.][0-9]{1,5})([+-][0-9]{2}:[0-9]{2})?$"
+    out = f_trunc
+    for _ in range(5):
+        out = f"regexp_replace({out}, '{pad_pat}', {pad})"
+    return out
 
 
 def parse_datetime_any(col: str, pre_normalized: bool = False) -> str:

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from typing import Any, Optional
@@ -99,16 +100,25 @@ class DocumentStore:
         (PartitionFilters in the read plan) — the parquet analog of the
         reference's server-side predicate pushdown at 100 TB scale.
         """
+        if expected_version is not None and self.current_version_dir() != expected_version:
+            raise ConcurrentCommitError(
+                f"store {self.root}: pointer moved past {expected_version!r} "
+                "since read(); refusing to clobber the concurrent commit"
+            )
         rel = f"v-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.root, rel)
         writer = post_state.write.mode("errorifexists")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out)
+        # Re-check after the (slow) write: a concurrent commit may have
+        # flipped the pointer mid-write. Remove the orphan version dir so
+        # list_versions()/vacuum never see a never-committed snapshot.
         if expected_version is not None and self.current_version_dir() != expected_version:
+            shutil.rmtree(out, ignore_errors=True)
             raise ConcurrentCommitError(
                 f"store {self.root}: pointer moved past {expected_version!r} "
-                "since read(); refusing to clobber the concurrent commit"
+                "during write; refusing to clobber the concurrent commit"
             )
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w") as fh:

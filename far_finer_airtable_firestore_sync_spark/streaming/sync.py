@@ -101,9 +101,28 @@ def read_event_stream_duplicated(
     import tempfile
 
     staged = tempfile.mkdtemp(prefix="ffs-stream-dup-")
+    _STAGED_DIRS.append(staged)
     for i in range(copies):
         shutil.copy(path, os.path.join(staged, f"copy-{i}.parquet"))
     return read_event_stream(spark, staged, max_files_per_trigger=1)
+
+
+# Staged stream directories are process-scoped scratch; reaped at exit so
+# repeated bench/gate runs don't accumulate event-file copies in /tmp.
+_STAGED_DIRS: list = []
+
+
+def _reap_staged_dirs() -> None:
+    import shutil
+
+    for d in _STAGED_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _STAGED_DIRS.clear()
+
+
+import atexit as _atexit
+
+_atexit.register(_reap_staged_dirs)
 
 
 def streaming_dedup(
@@ -112,12 +131,20 @@ def streaming_dedup(
     watermark: str = "1 hour",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Streaming exact dedup: first-seen row per key wins; the
-    watermark bounds the dedup state (keys older than the watermark
-    are dropped from state — at 100 TB the state store would otherwise
-    grow without bound). The LLM-pipeline use: exactly-once document
-    ingestion from an at-least-once feed."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+    """Streaming exact dedup: first-seen row per key wins.
+
+    Uses ``dropDuplicatesWithinWatermark`` so per-key state is evicted
+    once the watermark passes the key's event time + delay — plain
+    ``dropDuplicates(key_cols)`` would never evict (the event-time
+    column isn't in the key set), so on a long-running at-least-once
+    feed state would grow O(total distinct keys) until executors OOM.
+    Duplicates arriving later than the watermark horizon are dropped as
+    late data, which is the same outcome. State is O(keys per watermark
+    horizon), independent of stream length. The LLM-pipeline use:
+    exactly-once document ingestion from an at-least-once feed."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
 
 
 def stream_stream_interval_join(
