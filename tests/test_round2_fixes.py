@@ -138,6 +138,14 @@ ISO_CASES = [
     ("2024-12-23T10:00:00+05:30", datetime(2024, 12, 23, 4, 30, 0)),
     ("2024-12-23T10:00:00.123+00:00", datetime(2024, 12, 23, 10, 0, 0, 123000)),
     ("2024-12-23T10:00:00.123456", datetime(2024, 12, 23, 10, 0, 0, 123456)),
+    # off-grid fraction widths (1/2/4/5/7/9 digits): normalized to 6
+    # digits pre-parse so both engines read identical microseconds
+    ("2024-12-23T10:00:00.1Z", datetime(2024, 12, 23, 10, 0, 0, 100000)),
+    ("2024-12-23T10:00:00.12", datetime(2024, 12, 23, 10, 0, 0, 120000)),
+    ("2024-12-23T10:00:00.1234+00:00", datetime(2024, 12, 23, 10, 0, 0, 123400)),
+    ("2024-12-23T10:00:00.12345", datetime(2024, 12, 23, 10, 0, 0, 123450)),
+    ("2024-12-23T10:00:00.1234567Z", datetime(2024, 12, 23, 10, 0, 0, 123456)),
+    ("2024-12-23T10:00:00.123456789", datetime(2024, 12, 23, 10, 0, 0, 123456)),
     ("Dec 23, 2024", datetime(2024, 12, 23)),
     ("2024-12-23", datetime(2024, 12, 23)),
     ("not a date", None),
