@@ -860,6 +860,72 @@ group by c.doc_id
 """
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment — a pure hash
+    projection (zero shuffle), stable under corpus growth and engine
+    swaps. The count-by-split summary keeps the contract row small
+    while still hashing every assignment."""
+    from far_finer_airtable_firestore_sync_spark.operators import packing
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = packing.corpus_split(
+        docs, "doc_id", {"train": 90, "val": 5, "test": 5}
+    )
+    return (
+        out.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+def corpus_split_oracle() -> str:
+    from far_finer_airtable_firestore_sync_spark.operators import packing
+
+    case = packing.corpus_split_sql(
+        "doc_id", {"train": 90, "val": 5, "test": 5}
+    )
+    return f"""
+select {case} as split, lang, count(*) as n_docs
+from documents group by 1, 2 order by 1, 2
+"""
+
+
+#: context-window capacity (in regex word tokens) for packing entries
+PACK_CAPACITY = 512
+
+
+def q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing per lang stream: window
+    cumsum arithmetic, one shuffle on the stream key, exact integer
+    pack indices in both engines."""
+    from far_finer_airtable_firestore_sync_spark.operators import packing
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return packing.pack_concat_chunks(docs, PACK_CAPACITY)
+
+
+def pack_concat_oracle() -> str:
+    from far_finer_airtable_firestore_sync_spark.operators import packing
+
+    return packing.pack_concat_chunks_sql(PACK_CAPACITY)
+
+
+def q_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-atomic greedy next-fit packing: sequential per-stream scan
+    via applyInPandas (parallel across streams), hash-checked against
+    a DuckDB recursive-CTE expression of the same recurrence."""
+    from far_finer_airtable_firestore_sync_spark.operators import packing
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return packing.pack_next_fit(docs, PACK_CAPACITY)
+
+
+def pack_next_fit_oracle() -> str:
+    from far_finer_airtable_firestore_sync_spark.operators import packing
+
+    return packing.pack_next_fit_sql(PACK_CAPACITY)
+
+
 EXT_QUERIES = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
@@ -888,6 +954,9 @@ EXT_QUERIES = {
     "mixture_weights": q_mixture_weights,
     "text_chunking": q_text_chunking,
     "decontaminate_benchmark": q_decontaminate,
+    "corpus_split": q_corpus_split,
+    "pack_concat_chunks": q_pack_concat,
+    "pack_next_fit": q_pack_next_fit,
 }
 
 
@@ -918,4 +987,7 @@ def ext_oracles() -> dict[str, str]:
         "mixture_weights": MIXTURE_WEIGHTS_SQL,
         "text_chunking": TEXT_CHUNKING_SQL,
         "decontaminate_benchmark": decontaminate_oracle(),
+        "corpus_split": corpus_split_oracle(),
+        "pack_concat_chunks": pack_concat_oracle(),
+        "pack_next_fit": pack_next_fit_oracle(),
     }

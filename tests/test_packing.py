@@ -1,0 +1,89 @@
+"""Sequence packing + corpus split invariants (operators/packing.py)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from far_finer_airtable_firestore_sync_spark.operators import packing
+
+CAP = 10
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # lang a: sizes 4, 4, 4 -> next-fit packs [4+4], [4]
+        Row(doc_id="a1", lang="a", text="w w w w"),
+        Row(doc_id="a2", lang="a", text="w w w w"),
+        Row(doc_id="a3", lang="a", text="w w w w"),
+        # lang b: oversize doc (12 > CAP) between small ones
+        Row(doc_id="b1", lang="b", text="w w"),
+        Row(doc_id="b2", lang="b", text=" ".join(["w"] * 12)),
+        Row(doc_id="b3", lang="b", text="w"),
+        # lang c: empty doc
+        Row(doc_id="c1", lang="c", text=""),
+        Row(doc_id="c2", lang="c", text="w w w"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_next_fit_never_splits_and_never_overflows(spark, docs):
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in packing.pack_next_fit(docs, CAP).collect()
+    }
+    # a: [a1+a2 = 8], [a3]
+    assert out["a1"]["pack_id"] == out["a2"]["pack_id"] == 0
+    assert out["a3"]["pack_id"] == 1
+    # b: b1 in pack0; oversize b2 alone in pack1; b3 in pack2
+    assert out["b1"]["pack_id"] == 0
+    assert out["b2"]["pack_id"] == 1 and out["b2"]["pack_fill"] == 12
+    assert out["b3"]["pack_id"] == 2
+    # no pack except oversize-alone ever exceeds capacity
+    for r in out.values():
+        assert r["pack_fill"] <= CAP or r["n_tokens"] > CAP
+    # empty doc takes no space
+    assert out["c1"]["n_tokens"] == 0
+    assert out["c2"]["pack_fill"] == 3
+
+
+def test_concat_chunks_offsets_are_consistent(spark, docs):
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in packing.pack_concat_chunks(docs, CAP).collect()
+    }
+    # lang a stream: 4,4,4 tokens -> starts at 0,4,8; a3 spans packs
+    assert (out["a1"]["pack_first"], out["a1"]["pack_offset"]) == (0, 0)
+    assert (out["a2"]["pack_first"], out["a2"]["pack_offset"]) == (0, 4)
+    assert out["a3"]["pack_first"] == 0 and out["a3"]["pack_last"] == 1
+    # every doc: pack_offset == cumulative-before % CAP and
+    # pack_last >= pack_first
+    for r in out.values():
+        assert 0 <= r["pack_offset"] < CAP
+        assert r["pack_last"] >= r["pack_first"]
+    # empty doc occupies no token: pack_last == pack_first
+    assert out["c1"]["pack_last"] == out["c1"]["pack_first"]
+
+
+def test_corpus_split_stable_and_complete(spark):
+    df = spark.createDataFrame([Row(doc_id=f"d{i}") for i in range(1000)])
+    out = packing.corpus_split(df, "doc_id", {"train": 90, "val": 5, "test": 5})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] + counts["val"] + counts["test"] == 1000
+    # roughly proportional (hash uniformity at n=1000)
+    assert counts["train"] > 800 and counts["val"] < 120
+
+    # stability: a doc's label is independent of the rest of the corpus
+    sub = packing.corpus_split(
+        df.limit(100), "doc_id", {"train": 90, "val": 5, "test": 5}
+    )
+    full = {r["doc_id"]: r["split"] for r in out.collect()}
+    for r in sub.collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_corpus_split_rejects_bad_weights():
+    with pytest.raises(ValueError):
+        packing._split_thresholds({"train": 50, "val": 10})
