@@ -205,6 +205,37 @@ def quality_exprs(col: str, dialect: str) -> dict[str, str]:
     return out
 
 
+def quality_classifier_exprs(
+    col: str, dialect: str, threshold_milli: int = 550
+) -> dict[str, str]:
+    """Model-based quality filtering with a FIXED linear model — the
+    fasttext-style classifier gate of a training pipeline, expressed
+    so the score is bit-identical across engines.
+
+    Four saturating features on a 0..1000 integer grid (length,
+    stopword density, punctuation noise, alphanumeric density), a
+    fixed weight vector, and integer division only — no floats
+    anywhere, so the score (and the keep/drop verdict) is exact on
+    any engine/cluster. Real deployments would learn the weights; the
+    integer-grid scoring harness is the part that has to scale."""
+    b = quality_base_exprs(col, dialect)
+    intdiv = "div" if dialect == SPARK else "//"
+    tok = f"greatest({b['n_tokens_ws']}, 1)"
+    chars = f"greatest({b['n_chars_total']}, 1)"
+    f_len = f"least((1000 * {b['n_tokens_ws']}) {intdiv} 64, 1000)"
+    f_stop = f"least((8000 * {b['_n_stop']}) {intdiv} {tok}, 1000)"
+    f_punct = f"(1000 - least((20000 * {b['_n_punct']}) {intdiv} {chars}, 1000))"
+    f_alpha = f"least((1200 * {b['_word_chars']}) {intdiv} {chars}, 1000)"
+    score = (
+        f"((400 * {f_len} + 250 * {f_stop} + 200 * {f_punct} "
+        f"+ 150 * {f_alpha}) {intdiv} 1000)"
+    )
+    return {
+        "clf_score_milli": f"cast({score} as bigint)",
+        "clf_keep": f"({score} >= {threshold_milli})",
+    }
+
+
 def langid_exprs(col: str, dialect: str) -> dict[str, str]:
     """Stopword-vote language id with deterministic tie-break
     (alphabetical lang order; 'und' when nothing matches)."""

@@ -162,6 +162,62 @@ from c
 """
 
 
+def corpus_shard_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: str = "s0",
+    out_shard: str = "shard_id",
+    out_pos: str = "pos_in_shard",
+) -> DataFrame:
+    """Deterministic pre-training shuffle + sharding: every doc gets a
+    (shard, position) from a seeded hash of its key.
+
+    The order within a shard is the hash order — statistically random
+    but fully reproducible: re-running with the same seed on any
+    engine or cluster size yields the identical layout, and changing
+    ``seed`` is a full reshuffle. One shuffle on the shard key; the
+    per-shard ``row_number`` bounds the window partition at
+    corpus/n_shards (pick n_shards so a shard fits an executor —
+    thousands at 100 TB)."""
+    h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    with_h = df.withColumn("_h", h).withColumn(
+        out_shard,
+        F.expr(f"{tx.hex_to_bigint('substring(_h, 1, 15)', SPARK)} % {n_shards}"),
+    )
+    w = Window.partitionBy(out_shard).orderBy(
+        F.col("_h").asc(), F.col(key_col).asc()
+    )
+    return with_h.withColumn(
+        out_pos, F.row_number().over(w) - F.lit(1)
+    ).drop("_h")
+
+
+def corpus_shard_shuffle_sql(
+    key_col: str,
+    n_shards: int,
+    seed: str = "s0",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of ``corpus_shard_shuffle`` (same hash layout)."""
+    from far_finer_airtable_firestore_sync_spark.functions.canonical import (
+        DUCKDB,
+    )
+
+    hb = tx.hex_to_bigint("substring(_h, 1, 15)", DUCKDB)
+    return f"""
+with h as (
+  select *, md5('{seed}' || cast({key_col} as varchar)) as _h from {table}
+),
+s as (select *, {hb} % {n_shards} as shard_id from h)
+select * exclude (_h),
+       row_number() over (
+         partition by shard_id order by _h asc, {key_col} asc
+       ) - 1 as pos_in_shard
+from s
+"""
+
+
 _NEXT_FIT_FIELDS = [
     ("pack_id", T.LongType()),
     ("pack_fill", T.LongType()),

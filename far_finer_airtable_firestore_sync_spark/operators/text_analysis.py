@@ -59,6 +59,25 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def quality_classify(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_milli: int = 550,
+) -> DataFrame:
+    """Model-based quality gate: fixed-weight integer-grid linear
+    classifier (see ``textsql.quality_classifier_exprs``). Zero
+    shuffle — a codegen'd projection; the keep/drop verdict is
+    bit-identical across engines and cluster sizes."""
+    exprs = tx.quality_classifier_exprs(
+        f"`{text_col}`", SPARK, threshold_milli
+    )
+    return df.select(
+        F.col(id_col),
+        *[F.expr(e).alias(k) for k, e in exprs.items()],
+    )
+
+
 def repetition_scores(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

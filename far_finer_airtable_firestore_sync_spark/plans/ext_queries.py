@@ -926,6 +926,42 @@ def pack_next_fit_oracle() -> str:
     return packing.pack_next_fit_sql(PACK_CAPACITY)
 
 
+N_SHARDS = 16
+
+
+def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded shuffle + sharding for training layout:
+    (shard_id, pos_in_shard) is a pure function of (seed, doc_id)."""
+    from far_finer_airtable_firestore_sync_spark.operators import packing
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    return packing.corpus_shard_shuffle(docs, "doc_id", N_SHARDS)
+
+
+def shard_shuffle_oracle() -> str:
+    from far_finer_airtable_firestore_sync_spark.operators import packing
+
+    inner = packing.corpus_shard_shuffle_sql(
+        "doc_id", N_SHARDS, table="(select doc_id, lang, source from documents)"
+    )
+    return inner
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight integer-grid quality classifier over documents —
+    the model-based filtering gate, exact on any engine."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_analysis.quality_classify(docs)
+
+
+def quality_classifier_oracle() -> str:
+    exprs = tx.quality_classifier_exprs("text", DUCKDB)
+    sel = ", ".join(f"{e} as {k}" for k, e in exprs.items())
+    return f"select doc_id, {sel} from documents"
+
+
 EXT_QUERIES = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
@@ -957,6 +993,8 @@ EXT_QUERIES = {
     "corpus_split": q_corpus_split,
     "pack_concat_chunks": q_pack_concat,
     "pack_next_fit": q_pack_next_fit,
+    "corpus_shard_shuffle": q_shard_shuffle,
+    "quality_classifier": q_quality_classifier,
 }
 
 
@@ -990,4 +1028,6 @@ def ext_oracles() -> dict[str, str]:
         "corpus_split": corpus_split_oracle(),
         "pack_concat_chunks": pack_concat_oracle(),
         "pack_next_fit": pack_next_fit_oracle(),
+        "corpus_shard_shuffle": shard_shuffle_oracle(),
+        "quality_classifier": quality_classifier_oracle(),
     }

@@ -87,3 +87,47 @@ def test_corpus_split_stable_and_complete(spark):
 def test_corpus_split_rejects_bad_weights():
     with pytest.raises(ValueError):
         packing._split_thresholds({"train": 50, "val": 10})
+
+
+def test_shard_shuffle_deterministic_and_contiguous(spark):
+    df = spark.createDataFrame([Row(doc_id=f"d{i}") for i in range(300)])
+    a = packing.corpus_shard_shuffle(df, "doc_id", 8, seed="s1")
+    layout = {(r["doc_id"]): (r["shard_id"], r["pos_in_shard"])
+              for r in a.collect()}
+    # re-run: identical layout (no rand() anywhere)
+    again = {(r["doc_id"]): (r["shard_id"], r["pos_in_shard"])
+             for r in packing.corpus_shard_shuffle(df, "doc_id", 8, seed="s1").collect()}
+    assert layout == again
+    # different seed: a genuinely different layout
+    other = {(r["doc_id"]): (r["shard_id"], r["pos_in_shard"])
+             for r in packing.corpus_shard_shuffle(df, "doc_id", 8, seed="s2").collect()}
+    assert layout != other
+    # positions are 0..n-1 within every shard, no gaps
+    by_shard: dict[int, list[int]] = {}
+    for shard, pos in layout.values():
+        by_shard.setdefault(shard, []).append(pos)
+    assert len(by_shard) == 8  # 300 keys over 8 shards: all occupied
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+
+
+def test_quality_classifier_integer_exact(spark):
+    from far_finer_airtable_firestore_sync_spark.operators import (
+        text_analysis,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id="long", text="the a of and to in is " * 20),
+            Row(doc_id="short", text="x"),
+            Row(doc_id="noisy", text="!!! ??? ... ;;; :::" * 10),
+        ]
+    )
+    out = {r["doc_id"]: r.asDict()
+           for r in text_analysis.quality_classify(df).collect()}
+    for r in out.values():
+        assert isinstance(r["clf_score_milli"], int)
+        assert r["clf_keep"] == (r["clf_score_milli"] >= 550)
+    assert out["long"]["clf_keep"] is True
+    assert out["short"]["clf_keep"] is False
+    assert out["noisy"]["clf_keep"] is False
