@@ -58,6 +58,41 @@ def attach_media_columns(
     )
 
 
+def synth_ppm_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic P6 image per row (fixture synthesis): a solid
+    (w x h) raster whose dimensions and RGB are pure functions of the
+    id — so downstream REAL decode output is closed-form predictable
+    (the oracle recomputes the expected features from the id alone,
+    hash-verifying the actual byte-parsing path).
+
+    Same mapInPandas shape as production ingestion: blobs are born and
+    decoded inside one partition, never shuffled."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = i % 16 + 1, i % 8 + 1
+                px = bytes([i % 256, (i * 7) % 256, (i * 13) % 256])
+                blobs.append(
+                    f"P6 {w} {h} 255 ".encode("ascii") + px * (w * h)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "content": blobs,
+                    "media_type": "image/x-portable-pixmap",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, "media_id long, content binary, media_type string"
+    )
+
+
 def _fake_decode(content: bytes) -> Optional[list[float]]:
     """Deterministic stand-in 'decoder': 8 features from the digest.
 

@@ -962,6 +962,53 @@ def quality_classifier_oracle() -> str:
     return f"select doc_id, {sel} from documents"
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-decode path, driver-verified: deterministic P6 blobs
+    are synthesized per doc (dimensions/RGB are pure functions of the
+    id), then parsed by the actual byte-level PPM decoder
+    (mapInPandas, blobs never shuffled). The oracle recomputes the
+    expected features closed-form from the id — any header-parse or
+    raster-indexing regression breaks the hash."""
+    from far_finer_airtable_firestore_sync_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blobs = multimodal.synth_ppm_blobs(docs, "doc_id")
+    feats = multimodal.extract_features(blobs, decoder="ppm")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.expr("cast(element_at(feature, 1) as bigint)").alias("width"),
+        F.expr("cast(element_at(feature, 2) as bigint)").alias("height"),
+        F.expr("element_at(feature, 3)").alias("mean_r"),
+        F.expr("element_at(feature, 4)").alias("mean_g"),
+        F.expr("element_at(feature, 5)").alias("mean_b"),
+    )
+
+
+def multimodal_decode_oracle() -> str:
+    # closed-form replay of the synthesized image: solid color =>
+    # channel mean is exactly color/255; n_bytes = header + 3wh
+    return """
+with p as (
+  select doc_id,
+         doc_id % 16 + 1 as w,
+         doc_id % 8 + 1 as h,
+         doc_id % 256 as r,
+         (doc_id * 7) % 256 as g,
+         (doc_id * 13) % 256 as b
+  from documents
+)
+select doc_id as media_id,
+       length('P6 ' || w || ' ' || h || ' 255 ') + 3 * w * h as n_bytes,
+       cast(w as bigint) as width,
+       cast(h as bigint) as height,
+       r / 255.0 as mean_r,
+       g / 255.0 as mean_g,
+       b / 255.0 as mean_b
+from p
+"""
+
+
 EXT_QUERIES = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
@@ -995,6 +1042,7 @@ EXT_QUERIES = {
     "pack_next_fit": q_pack_next_fit,
     "corpus_shard_shuffle": q_shard_shuffle,
     "quality_classifier": q_quality_classifier,
+    "multimodal_decode": q_multimodal_decode,
 }
 
 
@@ -1030,4 +1078,5 @@ def ext_oracles() -> dict[str, str]:
         "pack_next_fit": pack_next_fit_oracle(),
         "corpus_shard_shuffle": shard_shuffle_oracle(),
         "quality_classifier": quality_classifier_oracle(),
+        "multimodal_decode": multimodal_decode_oracle(),
     }
