@@ -89,6 +89,51 @@ def test_corpus_split_rejects_bad_weights():
         packing._split_thresholds({"train": 50, "val": 10})
 
 
+def test_fuzz_next_fit_parity_vs_recursive_cte(spark, tmp_path):
+    """Randomized cross-engine parity: the sequential applyInPandas
+    next-fit scan and the DuckDB recursive-CTE recurrence must place
+    every doc identically — including empty docs, oversize docs, and
+    exact-capacity boundaries."""
+    import random
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(600):
+        lang = rng.choice(["a", "b", "c", "d"])
+        # token counts biased toward edges: 0, CAP, CAP+1, tiny, huge
+        n = rng.choice([0, 1, 2, CAP - 1, CAP, CAP + 1, rng.randint(0, 3 * CAP)])
+        rows.append((f"d{i:04d}", lang, " ".join(["w"] * n)))
+    path = str(tmp_path / "fuzzdocs.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.string()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }),
+        path,
+    )
+
+    got_s = {
+        (r["lang"], r["doc_id"]): (r["n_tokens"], r["pack_id"], r["pack_fill"])
+        for r in packing.pack_next_fit(
+            spark.read.parquet(path), CAP
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{path}')"
+    )
+    got_d = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in con.execute(packing.pack_next_fit_sql(CAP)).fetchall()
+    }
+    assert got_s == got_d
+
+
 def test_shard_shuffle_deterministic_and_contiguous(spark):
     df = spark.createDataFrame([Row(doc_id=f"d{i}") for i in range(300)])
     a = packing.corpus_shard_shuffle(df, "doc_id", 8, seed="s1")
