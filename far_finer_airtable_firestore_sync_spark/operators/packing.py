@@ -83,10 +83,14 @@ def corpus_split_sql(key_col: str, weights: dict[str, int]) -> str:
     return f"case {arms}end"
 
 
+def _stream_cols(stream_col: str | list[str]) -> list[str]:
+    return [stream_col] if isinstance(stream_col, str) else list(stream_col)
+
+
 def pack_concat_chunks(
     df: DataFrame,
     capacity: int,
-    stream_col: str = "lang",
+    stream_col: str | list[str] = "lang",
     order_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -103,14 +107,15 @@ def pack_concat_chunks(
     All integer window arithmetic over one shuffle on the stream key;
     at 100 TB the stream key is (source, lang, shard) so no single
     window partition exceeds a shard."""
+    cols = _stream_cols(stream_col)
     tokens = F.expr(tx.word_token_count(text_col, SPARK))
     w = (
-        Window.partitionBy(stream_col)
+        Window.partitionBy(*cols)
         .orderBy(F.col(order_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     with_tok = df.select(
-        stream_col, order_col, tokens.cast("bigint").alias("n_tokens")
+        *cols, order_col, tokens.cast("bigint").alias("n_tokens")
     )
     cum = with_tok.withColumn(
         "_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
@@ -118,7 +123,7 @@ def pack_concat_chunks(
     # `div` = exact integer division (no double round-trip), the same
     # op as DuckDB's `//` on bigints
     return cum.select(
-        F.col(stream_col),
+        *[F.col(c) for c in cols],
         F.col(order_col),
         "n_tokens",
         F.expr(f"_before div {capacity}").alias("pack_first"),
@@ -132,7 +137,7 @@ def pack_concat_chunks(
 def pack_concat_chunks_sql(
     capacity: int,
     table: str = "documents",
-    stream_col: str = "lang",
+    stream_col: str | list[str] = "lang",
     order_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
@@ -141,20 +146,21 @@ def pack_concat_chunks_sql(
         DUCKDB,
     )
 
+    streams = ", ".join(_stream_cols(stream_col))
     tok = tx.word_token_count(text_col, DUCKDB)
     return f"""
 with t as (
-  select {stream_col}, {order_col},
+  select {streams}, {order_col},
          cast({tok} as bigint) as n_tokens
   from {table}
 ),
 c as (
   select *, coalesce(sum(n_tokens) over (
-    partition by {stream_col} order by {order_col} asc
+    partition by {streams} order by {order_col} asc
     rows between unbounded preceding and 1 preceding
   ), 0) as _before from t
 )
-select {stream_col}, {order_col}, n_tokens,
+select {streams}, {order_col}, n_tokens,
        _before // {capacity} as pack_first,
        (_before + greatest(n_tokens - 1, 0)) // {capacity} as pack_last,
        _before % {capacity} as pack_offset
@@ -227,7 +233,7 @@ _NEXT_FIT_FIELDS = [
 def pack_next_fit(
     df: DataFrame,
     capacity: int,
-    stream_col: str = "lang",
+    stream_col: str | list[str] = "lang",
     order_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -242,13 +248,14 @@ def pack_next_fit(
     Arrow-batched, nothing ever collects to the driver. Output adds
     (pack_id, pack_fill) where pack_fill is the pack's fill AFTER
     placing the doc."""
+    cols = _stream_cols(stream_col)
     tokens = F.expr(tx.word_token_count(text_col, SPARK))
     slim = df.select(
-        stream_col, order_col, tokens.cast("bigint").alias("n_tokens")
+        *cols, order_col, tokens.cast("bigint").alias("n_tokens")
     )
     schema = T.StructType(
-        [slim.schema[stream_col], slim.schema[order_col],
-         slim.schema["n_tokens"]]
+        [slim.schema[c] for c in cols]
+        + [slim.schema[order_col], slim.schema["n_tokens"]]
         + [T.StructField(n, t) for n, t in _NEXT_FIT_FIELDS]
     )
 
@@ -272,13 +279,13 @@ def pack_next_fit(
         pdf["pack_fill"] = pd.Series(fills, dtype="int64")
         return pdf
 
-    return slim.groupBy(stream_col).applyInPandas(pack, schema)
+    return slim.groupBy(*cols).applyInPandas(pack, schema)
 
 
 def pack_next_fit_sql(
     capacity: int,
     table: str = "documents",
-    stream_col: str = "lang",
+    stream_col: str | list[str] = "lang",
     order_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
@@ -288,29 +295,33 @@ def pack_next_fit_sql(
         DUCKDB,
     )
 
+    cols = _stream_cols(stream_col)
+    streams = ", ".join(cols)
+    d_streams = ", ".join(f"d.{c}" for c in cols)
+    join_on = " and ".join(f"d.{c} = p.{c}" for c in cols)
     tok = tx.word_token_count(text_col, DUCKDB)
     return f"""
 with recursive t as (
-  select {stream_col}, {order_col},
+  select {streams}, {order_col},
          cast({tok} as bigint) as n_tokens,
          row_number() over (
-           partition by {stream_col} order by {order_col} asc
+           partition by {streams} order by {order_col} asc
          ) as _rn
   from {table}
 ),
-packed({stream_col}, {order_col}, n_tokens, _rn, pack_id, pack_fill) as (
-  select {stream_col}, {order_col}, n_tokens, _rn,
+packed({streams}, {order_col}, n_tokens, _rn, pack_id, pack_fill) as (
+  select {streams}, {order_col}, n_tokens, _rn,
          cast(0 as bigint), n_tokens
   from t where _rn = 1
   union all
-  select d.{stream_col}, d.{order_col}, d.n_tokens, d._rn,
+  select {d_streams}, d.{order_col}, d.n_tokens, d._rn,
          case when p.pack_fill + d.n_tokens > {capacity}
               then p.pack_id + 1 else p.pack_id end,
          case when p.pack_fill + d.n_tokens > {capacity}
               then d.n_tokens else p.pack_fill + d.n_tokens end
   from t d join packed p
-    on d.{stream_col} = p.{stream_col} and d._rn = p._rn + 1
+    on {join_on} and d._rn = p._rn + 1
 )
-select {stream_col}, {order_col}, n_tokens, pack_id, pack_fill
+select {streams}, {order_col}, n_tokens, pack_id, pack_fill
 from packed
 """

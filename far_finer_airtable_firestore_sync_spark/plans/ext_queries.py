@@ -894,36 +894,42 @@ from documents group by 1, 2 order by 1, 2
 PACK_CAPACITY = 512
 
 
+#: packing streams on the (lang, source) tuple — more, smaller
+#: streams = more parallel scans; at 100 TB the key adds a shard digit
+PACK_STREAMS = ["lang", "source"]
+
+
 def q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-then-chunk sequence packing per lang stream: window
-    cumsum arithmetic, one shuffle on the stream key, exact integer
-    pack indices in both engines."""
+    """Concat-then-chunk sequence packing per (lang, source) stream:
+    window cumsum arithmetic, one shuffle on the stream key, exact
+    integer pack indices in both engines."""
     from far_finer_airtable_firestore_sync_spark.operators import packing
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return packing.pack_concat_chunks(docs, PACK_CAPACITY)
+    return packing.pack_concat_chunks(docs, PACK_CAPACITY, PACK_STREAMS)
 
 
 def pack_concat_oracle() -> str:
     from far_finer_airtable_firestore_sync_spark.operators import packing
 
-    return packing.pack_concat_chunks_sql(PACK_CAPACITY)
+    return packing.pack_concat_chunks_sql(PACK_CAPACITY, stream_col=PACK_STREAMS)
 
 
 def q_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-atomic greedy next-fit packing: sequential per-stream scan
-    via applyInPandas (parallel across streams), hash-checked against
-    a DuckDB recursive-CTE expression of the same recurrence."""
+    via applyInPandas (parallel across (lang, source) streams),
+    hash-checked against a DuckDB recursive-CTE expression of the
+    same recurrence."""
     from far_finer_airtable_firestore_sync_spark.operators import packing
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return packing.pack_next_fit(docs, PACK_CAPACITY)
+    return packing.pack_next_fit(docs, PACK_CAPACITY, PACK_STREAMS)
 
 
 def pack_next_fit_oracle() -> str:
     from far_finer_airtable_firestore_sync_spark.operators import packing
 
-    return packing.pack_next_fit_sql(PACK_CAPACITY)
+    return packing.pack_next_fit_sql(PACK_CAPACITY, stream_col=PACK_STREAMS)
 
 
 N_SHARDS = 16
