@@ -1,0 +1,42 @@
+"""Cluster-size invariance: results must be identical multisets when
+the shuffle width changes (4 vs 32 partitions) — the property that
+makes every determinism claim in SCALE.md hold on a real cluster,
+where partition counts differ from the test harness.
+
+Covers one entry per shuffle-heavy family: hash-agg dedup, LSH
+self-join, window packing, salted aggregation, seeded shard shuffle.
+"""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ENTRIES = [
+    "keep_latest_dedup",
+    "dedup_lsh_pairs",
+    "pack_next_fit",
+    "salted_agg_revenue",
+    "corpus_shard_shuffle",
+]
+
+
+def _canon(df):
+    return sorted(
+        tuple(str(v) for v in row) for row in df.collect()
+    )
+
+
+@pytest.mark.parametrize("name", ENTRIES)
+def test_result_invariant_under_shuffle_width(spark, name):
+    q = entry_mod.queries()[name]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        narrow = _canon(q(spark, SF_DIR))
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = _canon(q(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert narrow == wide
