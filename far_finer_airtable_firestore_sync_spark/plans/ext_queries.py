@@ -1015,6 +1015,76 @@ from p
 """
 
 
+def q_llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data assembly line as ONE composed plan:
+    model-quality gate -> exact dedup (first id per content digest)
+    -> train/val/test split -> per-(split, lang) corpus stats with
+    concat-chunk pack counts.
+
+    Every stage is an operator with its own green oracle; this entry
+    proves they COMPOSE — one declarative plan, no driver round-trips
+    between stages, so Catalyst sees (and can pipeline) the whole
+    thing: the quality filter prunes at scan, dedup is one digest
+    groupBy, the split is a projection, and the final rollup is one
+    partial-agg shuffle."""
+    from far_finer_airtable_firestore_sync_spark.operators import packing
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clf = tx.quality_classifier_exprs("text", SPARK)
+    kept = docs.filter(F.expr(clf["clf_keep"]))
+    first_per_digest = (
+        kept.groupBy(F.md5(F.col("text")).alias("_digest"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    uniq = kept.join(first_per_digest, "doc_id")
+    split = packing.corpus_split(
+        uniq, "doc_id", {"train": 90, "val": 5, "test": 5}
+    )
+    tokens = F.expr(tx.word_token_count("text", SPARK))
+    return (
+        split.select("split", "lang", tokens.cast("bigint").alias("_t"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_t").alias("n_tokens"),
+            F.expr(f"cast(ceil(sum(_t) / {PACK_CAPACITY}.0) as bigint)").alias(
+                "n_packs"
+            ),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def llm_pipeline_oracle() -> str:
+    from far_finer_airtable_firestore_sync_spark.operators import packing
+
+    clf = tx.quality_classifier_exprs("text", DUCKDB)
+    split_case = packing.corpus_split_sql(
+        "doc_id", {"train": 90, "val": 5, "test": 5}
+    )
+    tok = tx.word_token_count("text", DUCKDB)
+    return f"""
+with kept as (
+  select * from documents where {clf['clf_keep']}
+),
+uniq as (
+  select * from kept where doc_id in (
+    select min(doc_id) from kept group by md5(text)
+  )
+),
+split as (
+  select *, {split_case} as split from uniq
+)
+select split, lang,
+       count(*) as n_docs,
+       sum(cast({tok} as bigint)) as n_tokens,
+       cast(ceil(sum(cast({tok} as bigint)) / {PACK_CAPACITY}.0) as bigint)
+         as n_packs
+from split group by split, lang order by split, lang
+"""
+
+
 EXT_QUERIES = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
@@ -1049,6 +1119,7 @@ EXT_QUERIES = {
     "corpus_shard_shuffle": q_shard_shuffle,
     "quality_classifier": q_quality_classifier,
     "multimodal_decode": q_multimodal_decode,
+    "llm_pipeline_e2e": q_llm_pipeline_e2e,
 }
 
 
@@ -1085,4 +1156,5 @@ def ext_oracles() -> dict[str, str]:
         "corpus_shard_shuffle": shard_shuffle_oracle(),
         "quality_classifier": quality_classifier_oracle(),
         "multimodal_decode": multimodal_decode_oracle(),
+        "llm_pipeline_e2e": llm_pipeline_oracle(),
     }
