@@ -347,3 +347,58 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def truncate_normalize(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Matryoshka-style truncation: keep the first ``dim`` dimensions
+    and L2-renormalize — the standard way to trade embedding quality
+    for index size when the model was trained with nested losses.
+
+    Output components are renormalized onto a ``scale`` integer grid:
+    q_i * scale / sqrt(sum q^2) with exact bigint numerators, one
+    correctly-rounded sqrt and one division — bit-identical across
+    engines. Zero shuffle (pure projection); all-zero truncations
+    yield NULL components (no 0/0)."""
+    q = F.expr(tx.quantize(f"slice(`{vec_col}`, 1, {dim})", SPARK))
+    with_q = df.select(F.col(id_col), q.alias("_qt"))
+    norm = f"sqrt(cast({tx.dot_int('_qt', '_qt', SPARK)} as double))"
+    comp = (
+        f"transform(_qt, x -> cast(round(cast(x as bigint) * {scale} / "
+        f"nullif({norm}, 0.0)) as bigint))"
+    )
+    return with_q.select(
+        F.col(id_col), F.expr(comp).alias("_nv")
+    )
+
+
+def truncate_normalize_sql(
+    dim: int,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of ``truncate_normalize`` (exploded per-dim rows:
+    the driver hasher takes scalars, not arrays)."""
+    from far_finer_airtable_firestore_sync_spark.functions.canonical import (
+        DUCKDB,
+    )
+
+    q = tx.quantize(f"({vec_col})[1:{dim}]", DUCKDB)
+    norm = f"sqrt(cast({tx.dot_int('qt', 'qt', DUCKDB)} as double))"
+    return f"""
+with q as (select {id_col}, {q} as qt from {table}),
+n as (select {id_col}, qt, {norm} as nrm from q)
+select {id_col},
+       unnest(generate_series(0, len(qt) - 1)) as pos,
+       unnest(list_transform(qt, x -> cast(round(
+         cast(x as bigint) * {scale} / nullif(nrm, 0.0)) as bigint)))
+         as q_val
+from n
+"""

@@ -511,6 +511,21 @@ from agg
 """
 
 
+def q_truncate_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation to 16 dims + integer-grid L2
+    renormalization, exploded to per-dimension rows (the driver
+    hasher takes scalars, not arrays — typed_projection lesson)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nv = similarity_search.truncate_normalize(emb, 16)
+    return nv.select(
+        "vec_id", F.posexplode("_nv").alias("pos", "q_val")
+    )
+
+
+def truncate_normalize_oracle() -> str:
+    return similarity_search.truncate_normalize_sql(16)
+
+
 def q_brp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH ANN — rows-only check (the
     hyperplane draw is JVM-internal, not reproducible in DuckDB);
@@ -1120,6 +1135,7 @@ EXT_QUERIES = {
     "quality_classifier": q_quality_classifier,
     "multimodal_decode": q_multimodal_decode,
     "llm_pipeline_e2e": q_llm_pipeline_e2e,
+    "embedding_truncate_normalize": q_truncate_normalize,
 }
 
 
@@ -1157,4 +1173,5 @@ def ext_oracles() -> dict[str, str]:
         "quality_classifier": quality_classifier_oracle(),
         "multimodal_decode": multimodal_decode_oracle(),
         "llm_pipeline_e2e": llm_pipeline_oracle(),
+        "embedding_truncate_normalize": truncate_normalize_oracle(),
     }
