@@ -84,6 +84,37 @@ def test_corpus_split_stable_and_complete(spark):
         assert full[r["doc_id"]] == r["split"]
 
 
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_projection_ops_have_zero_exchange(spark):
+    """corpus_split, quality_classify, and truncate_normalize are pure
+    projections — any Exchange in the plan is a regression that would
+    turn a scan-speed op into a shuffle at 100 TB."""
+    from far_finer_airtable_firestore_sync_spark.operators import (
+        similarity_search,
+        text_analysis,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for df in (
+        packing.corpus_split(docs, "doc_id", {"train": 90, "val": 5, "test": 5}),
+        text_analysis.quality_classify(docs),
+        similarity_search.truncate_normalize(emb, 16),
+    ):
+        assert "Exchange" not in _plan(df)
+
+
+def test_pack_concat_single_shuffle(spark):
+    """Concat-chunk packing = exactly one shuffle (on the stream key);
+    the cumsum window must reuse that partitioning, not add its own."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(packing.pack_concat_chunks(docs, 512, ["lang", "source"]))
+    assert plan.count("Exchange") == 1
+
+
 def test_corpus_split_rejects_bad_weights():
     with pytest.raises(ValueError):
         packing._split_thresholds({"train": 50, "val": 10})
