@@ -340,6 +340,60 @@ select event_id, ts, user_id, event_type, value from events
 """
 
 
+def q_streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming session windows: native session_window stateful
+    operator in append mode; far-future sentinel events flush the
+    watermark so every real session finalizes in the bounded replay.
+    Oracle: batch gap-sessionization with the session_window boundary
+    rule (a gap of exactly 30 min starts a new session)."""
+    _utc(spark)
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        read_event_stream_with_flush,
+        run_stream_to_memory,
+        streaming_session_aggregates,
+    )
+
+    stream = read_event_stream_with_flush(spark, f"{sf_dir}/events.parquet")
+    sess = streaming_session_aggregates(
+        stream, gap="30 minutes", watermark="30 minutes"
+    )
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    out = run_stream_to_memory(
+        sess, f"_ffs_stream_sess_{_STREAM_SEQ}", output_mode="append"
+    )
+    return out.filter("user_id >= 0")
+
+
+#: batch replay of session_window semantics: [start, start+gap) is
+#: half-open, so diff == gap starts a NEW session (>= not >)
+STREAMING_SESSION_SQL = """
+with marked as (
+  select user_id, ts, event_id, value,
+    case when epoch_us(ts) - lag(epoch_us(ts)) over (
+           partition by user_id order by ts, event_id
+         ) >= 1800000000 then 1
+         when lag(ts) over (partition by user_id order by ts, event_id) is null then 1
+         else 0 end as is_start
+  from events
+),
+sessions as (
+  select user_id, ts, value,
+    sum(is_start) over (
+      partition by user_id order by ts, event_id
+      rows between unbounded preceding and current row
+    ) as session_idx
+  from marked
+)
+select user_id,
+       min(ts) as session_start, max(ts) as session_last,
+       count(*) as n_events,
+       cast(sum(cast(value as decimal(18,2))) as double) as session_value
+from sessions
+group by user_id, session_idx
+"""
+
+
 def q_streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stream-stream inner join: purchases joined to same-user
     clicks within 1 hour after, watermarked on both sides so join
@@ -745,6 +799,7 @@ AGG_QUERIES = {
     "json_props_extract": q_json_props,
     "streaming_window_agg": q_streaming_window_agg,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_session_agg": q_streaming_session_agg,
     "streaming_range_join": q_streaming_range_join,
     "set_ops": q_set_ops,
     "agg_cube": q_cube_agg,
@@ -772,6 +827,7 @@ AGG_ORACLES = {
     "json_props_extract": JSON_PROPS_SQL,
     "streaming_window_agg": STREAMING_WINDOW_SQL,
     "streaming_dedup": STREAMING_DEDUP_SQL,
+    "streaming_session_agg": STREAMING_SESSION_SQL,
     "set_ops": SET_OPS_SQL,
     "agg_cube": CUBE_SQL,
     "scalar_functions": SCALAR_FUNCS_SQL,

@@ -107,6 +107,89 @@ def read_event_stream_duplicated(
     return read_event_stream(spark, staged, max_files_per_trigger=1)
 
 
+def read_event_stream_with_flush(
+    spark: SparkSession, path: str, n_sentinels: int = 2
+) -> DataFrame:
+    """Stage one events file plus ``n_sentinels`` far-future sentinel
+    events (user_id = -1, year 2100+) as separate trigger files.
+
+    Append-mode session/window aggregations only emit a group once the
+    watermark passes it; a bounded replay's watermark stops short of
+    the last real events, so their sessions would never finalize. The
+    sentinels advance the watermark past every real session (two of
+    them: the watermark moves at end-of-batch, and eviction happens on
+    the batch AFTER it moves). Callers filter ``user_id >= 0``
+    post-aggregation."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    staged = tempfile.mkdtemp(prefix="ffs-stream-flush-")
+    _STAGED_DIRS.append(staged)
+    shutil.copy(path, os.path.join(staged, "000-events.parquet"))
+    base_ns = 4_102_444_800_000_000_000  # 2100-01-01 in epoch nanos
+    day_ns = 86_400_000_000_000
+    for i in range(n_sentinels):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([-1 - i], pa.int64()),
+                "ts": pa.array([base_ns + i * day_ns], pa.int64()),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["_sentinel"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array([None], pa.string()),
+            }
+        )
+        f = os.path.join(staged, f"{i + 1:03d}-sentinel.parquet")
+        pq.write_table(tbl, f)
+        # file source orders batches by modification time
+        mt = _time.time() + i + 1
+        os.utime(f, (mt, mt))
+    return read_event_stream(spark, staged, max_files_per_trigger=1)
+
+
+def streaming_session_aggregates(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based session windows per user over the event stream — the
+    streaming counterpart of the batch sessionization query, built on
+    the native ``session_window`` stateful operator (merging session
+    state, watermark-bounded: closed sessions emit once and leave the
+    store, so state is O(open sessions), not O(history)).
+
+    Emits (user_id, session_start, session_last, n_events,
+    session_value): session_last = window.end - gap = the last event's
+    timestamp, matching the batch oracle's max(ts). Sums go through
+    decimal so micro-batch arrival order cannot perturb them. Boundary
+    semantics: events exactly ``gap`` apart start a NEW session
+    (windows are [start, end)); the oracle must use >= on the gap."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.expr(f"session_window.end - interval {gap}").alias(
+                "session_last"
+            ),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 # Staged stream directories are process-scoped scratch; reaped at exit so
 # repeated bench/gate runs don't accumulate event-file copies in /tmp.
 _STAGED_DIRS: list = []
