@@ -103,7 +103,9 @@ _DT_FORMATS = [
     ("MM/dd/yyyy HH:mm:ss", "%m/%d/%Y %H:%M:%S"),
     ("dd.MM.yyyy", "%d.%m.%Y"),
     ("yyyy-MM-dd", "%Y-%m-%d"),
+    ("yyyy/MM/dd", "%Y/%m/%d"),
     ("MMM dd, yyyy", "%b %d, %Y"),
+    ("dd MMM yyyy", "%d %b %Y"),
 ]
 
 
@@ -121,6 +123,8 @@ _DT_SHAPES = [
     ("^[0-9]{2}/[0-9]{2}/[0-9]{4} ", "MM/dd/yyyy HH:mm:ss"),
     ("^[0-9]{2}[.][0-9]{2}[.][0-9]{4}$", "dd.MM.yyyy"),
     ("^[0-9]{4}-[0-9]{2}-[0-9]{2}$", "yyyy-MM-dd"),
+    ("^[0-9]{4}/[0-9]{2}/[0-9]{2}$", "yyyy/MM/dd"),
+    ("^[0-9]{2} [A-Za-z]{3} [0-9]{4}$", "dd MMM yyyy"),
 ]
 
 #: ISO normalization: 'T' date/time separator -> space; trailing 'Z'
@@ -203,23 +207,25 @@ def parse_datetime_any_duckdb(col: str) -> str:
 
 
 def q_datetime_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-trip: format timestamps seven different ways by key —
+    """Round-trip: format timestamps nine different ways by key —
     including the source system's own ISO-8601 emission shapes
-    (``2024-12-23T10:00:00.000Z``, explicit ``+05:30`` offset) and a
-    month-name form — and parse them all back with the permissive
-    parser."""
+    (``2024-12-23T10:00:00.000Z``, explicit ``+05:30`` offset),
+    month-name forms both ways, and slash dates — and parse them all
+    back with the permissive parser."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     varied = orders.select(
         "o_orderkey",
         F.expr(
-            "case cast(o_orderkey % 7 as int) "
+            "case cast(o_orderkey % 9 as int) "
             "when 0 then date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') "
             "when 1 then date_format(o_orderdate, 'MM/dd/yyyy HH:mm:ss') "
             "when 2 then date_format(o_orderdate, 'dd.MM.yyyy') "
             "when 3 then date_format(o_orderdate, 'yyyy-MM-dd') "
             "when 4 then date_format(o_orderdate, \"yyyy-MM-dd'T'HH:mm:ss.SSS\") || 'Z' "
             "when 5 then date_format(o_orderdate, \"yyyy-MM-dd'T'HH:mm:ss\") || '+05:30' "
+            "when 6 then date_format(o_orderdate, 'yyyy/MM/dd') "
+            "when 7 then date_format(o_orderdate, 'dd MMM yyyy') "
             "else date_format(o_orderdate, 'MMM dd, yyyy') end"
         ).alias("raw"),
     )
@@ -241,13 +247,15 @@ def datetime_parse_oracle() -> str:
     return f"""
 with varied as (
   select o_orderkey,
-    case cast(o_orderkey % 7 as int)
+    case cast(o_orderkey % 9 as int)
       when 0 then strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
       when 1 then strftime(o_orderdate, '%m/%d/%Y %H:%M:%S')
       when 2 then strftime(o_orderdate, '%d.%m.%Y')
       when 3 then strftime(o_orderdate, '%Y-%m-%d')
       when 4 then strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g') || 'Z'
       when 5 then strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '+05:30'
+      when 6 then strftime(o_orderdate, '%Y/%m/%d')
+      when 7 then strftime(o_orderdate, '%d %b %Y')
       else strftime(o_orderdate, '%b %d, %Y') end as raw
   from orders
 )
