@@ -21,15 +21,26 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events carries NANOS parquet timestamps, which Spark's vectorized
-    reader rejects; read them as int64 and convert at µs precision —
-    `ts div 1000` truncates exactly like DuckDB's ns->µs narrowing, so
-    both engines see identical timestamps."""
+    """Load events with `ts` normalized to a session-TZ (UTC) timestamp.
+
+    Fixture generations differ in the physical type of `ts`: NANOS
+    parquet timestamps surface as int64 under ``nanosAsLong`` (convert
+    at µs precision — `ts div 1000` truncates exactly like DuckDB's
+    ns->µs narrowing), newer fixtures carry timestamp[us] which Spark
+    reads as TIMESTAMP_NTZ (cast to TIMESTAMP; with the session TZ
+    pinned to UTC the wall-clock value is preserved bit-for-bit)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", _ts_as_timestamp(dict(df.dtypes)["ts"]))
+
+
+def _ts_as_timestamp(dtype: str):
+    """Expression normalizing an events `ts` column of the given dtype
+    to TimestampType (µs precision, UTC session TZ)."""
+    if dtype == "bigint":  # nanos-as-long fixtures
+        return F.expr("timestamp_micros(ts div 1000)")
+    return F.col("ts").cast("timestamp")
 
 
 def _utc(spark: SparkSession) -> None:

@@ -24,9 +24,11 @@ from far_finer_airtable_firestore_sync_spark.functions.canonical import Field
 from far_finer_airtable_firestore_sync_spark.operators.strategies import get_strategy
 from far_finer_airtable_firestore_sync_spark.sources.store import DocumentStore
 
-#: events fixture carries NANOS parquet timestamps — declare ts as
-#: int64 (with nanosAsLong) and convert at µs precision (same
-#: truncation DuckDB applies when narrowing ns -> µs).
+#: Fallback stream schema for fixture generations whose events `ts` is
+#: NANOS parquet timestamps surfacing as int64 under ``nanosAsLong``
+#: (converted at µs precision — same truncation DuckDB applies when
+#: narrowing ns -> µs). Newer fixtures carry timestamp[us]; the reader
+#: peeks at the footer and adapts.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -44,7 +46,12 @@ def read_event_stream(
 ) -> DataFrame:
     """File-based event stream (parquet directory, or a single file
     which gets staged into a temp directory — streaming sources require
-    a directory)."""
+    a directory).
+
+    The stream schema is peeked from the existing parquet footers (a
+    metadata-only batch read) so `ts` may be either int64 nanos or a
+    native parquet timestamp; both normalize to TimestampType at µs
+    precision with the session TZ pinned to UTC."""
     import os
     import shutil
     import tempfile
@@ -54,12 +61,19 @@ def read_event_stream(
         shutil.copy(path, os.path.join(staged, os.path.basename(path)))
         path = staged
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:  # empty dir: files arrive later — assume nanos
+        schema = EVENTS_SCHEMA
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(path).withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    stream = reader.parquet(path)
+    ts_type = schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_aggregates(
@@ -131,13 +145,23 @@ def read_event_stream_with_flush(
     staged = tempfile.mkdtemp(prefix="ffs-stream-flush-")
     _STAGED_DIRS.append(staged)
     shutil.copy(path, os.path.join(staged, "000-events.parquet"))
+    # sentinel ts must match the main file's physical type exactly —
+    # a schema'd stream reads every file with one schema
+    ts_type = pq.read_schema(path).field("ts").type
     base_ns = 4_102_444_800_000_000_000  # 2100-01-01 in epoch nanos
     day_ns = 86_400_000_000_000
     for i in range(n_sentinels):
+        ns = base_ns + i * day_ns
+        if pa.types.is_timestamp(ts_type):
+            ts_arr = pa.array([ns // 1000], pa.int64()).cast(
+                pa.timestamp("us")
+            ).cast(ts_type)
+        else:
+            ts_arr = pa.array([ns], pa.int64())
         tbl = pa.table(
             {
                 "event_id": pa.array([-1 - i], pa.int64()),
-                "ts": pa.array([base_ns + i * day_ns], pa.int64()),
+                "ts": ts_arr,
                 "user_id": pa.array([-1], pa.int64()),
                 "event_type": pa.array(["_sentinel"], pa.string()),
                 "value": pa.array([0.0], pa.float64()),
