@@ -296,3 +296,194 @@ def chunk_text(
         ).alias("chunk_no", "chunk_text"),
         F.expr(n_chunks).alias("n_chunks"),
     )
+
+
+def quality_quantile_filter(
+    df: DataFrame,
+    group_col: str = "lang",
+    keep_milli: int = 300,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group DYNAMIC quality gate: keep the top ``keep_milli``/1000
+    fraction of each group's documents by classifier score — the
+    threshold adapts to each group's score distribution instead of a
+    single global cutoff (low-resource languages aren't wiped out by a
+    threshold tuned on English).
+
+    Scale design — the corpus never goes through a window: (1) score is
+    a codegen'd integer projection; (2) a groupBy on (group, score)
+    builds a per-group score HISTOGRAM with map-side partial counts, so
+    the shuffle carries at most groups x distinct-scores rows (scores
+    live on a 0..1000 grid — bounded regardless of corpus size); (3) a
+    running sum over the tiny histogram picks each group's threshold
+    score; (4) thresholds broadcast back onto the corpus as a plain
+    filter. A row is kept iff strictly more than (1000-keep_milli)/1000
+    of its group's rows score <= it: ``cum * 1000 > (1000-keep) *
+    total`` — bigint-exact, so the verdict is bit-identical across
+    engines and partitionings. Ties at the threshold score all keep
+    (the cut is on score VALUE, not row rank).
+    """
+    from pyspark.sql import Window
+
+    score = tx.quality_classifier_exprs(f"`{text_col}`", SPARK)[
+        "clf_score_milli"
+    ]
+    scored = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.expr(score).alias("score_milli"),
+    )
+    hist = scored.groupBy(group_col, "score_milli").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    # running count and group total come out of ONE exchange on the
+    # histogram (same partition key, two frames) — the corpus is
+    # scanned exactly once for the threshold side
+    w_cum = Window.partitionBy(group_col).orderBy("score_milli")
+    w_tot = Window.partitionBy(group_col)
+    thresholds = (
+        hist.select(
+            F.col(group_col),
+            F.col("score_milli"),
+            F.sum("_n").over(w_cum).alias("_cum"),
+            F.sum("_n").over(w_tot).alias("_total"),
+        )
+        .filter(
+            F.expr(f"_cum * 1000 > ({1000 - keep_milli}) * _total")
+        )
+        .groupBy(group_col)
+        .agg(F.min("score_milli").alias("_keep_from"))
+    )
+    return (
+        scored.join(F.broadcast(thresholds), group_col)
+        .filter(F.col("score_milli") >= F.col("_keep_from"))
+        .select(id_col, group_col, "score_milli")
+    )
+
+
+def quality_quantile_filter_sql(
+    dialect_score: str,
+    group_col: str = "lang",
+    keep_milli: int = 300,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle twin of :func:`quality_quantile_filter` (same histogram
+    construction; ``dialect_score`` is the classifier score expression
+    in the oracle dialect)."""
+    return f"""
+with scored as (
+  select {id_col}, {group_col}, {dialect_score} as score_milli from {table}
+),
+hist as (
+  select {group_col}, score_milli, count(*) as n
+  from scored group by 1, 2
+),
+cum as (
+  select {group_col}, score_milli,
+         cast(sum(n) over (partition by {group_col} order by score_milli) as bigint) as cum,
+         cast(sum(n) over (partition by {group_col}) as bigint) as total
+  from hist
+),
+th as (
+  select {group_col}, min(score_milli) as keep_from
+  from cum where cum * 1000 > ({1000 - keep_milli}) * total
+  group by 1
+)
+select s.{id_col}, s.{group_col}, s.score_milli
+from scored s join th using ({group_col})
+where s.score_milli >= th.keep_from
+"""
+
+
+def token_budget_allocation(
+    df: DataFrame,
+    budget: int = 1_000_000,
+    group_cols: tuple[str, str] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a global token
+    budget across corpus cells, proportional to each cell's token
+    count — the planning step of "train on B tokens drawn across
+    domains" that turns a mixture into concrete per-cell token quotas
+    which sum to EXACTLY the budget (floor-divide alone undershoots).
+
+    Every step is bigint-exact: per-cell whitespace-token sums (one
+    map-side-combined groupBy over the corpus), ``base = B*n div
+    total``, remainders ranked on the K-cell frame (K = number of
+    domain cells, tiny at any corpus size — the only window runs
+    there), and the leftover ``B - sum(base)`` cells with the largest
+    remainders get +1. Deterministic tie-break: (remainder DESC,
+    group_cols ASC).
+    """
+    from pyspark.sql import Window
+
+    g1, g2 = group_cols
+    tok = tx.quality_base_exprs(f"`{text_col}`", SPARK)["n_tokens_ws"]
+    cells = (
+        df.select(F.col(g1), F.col(g2), F.expr(tok).alias("_t"))
+        .groupBy(g1, g2)
+        .agg(F.sum("_t").alias("n_tokens"))
+    )
+    total = cells.agg(F.sum("n_tokens").alias("_total"))
+    based = cells.crossJoin(F.broadcast(total)).select(
+        g1,
+        g2,
+        "n_tokens",
+        F.expr(f"n_tokens * {budget} div _total").alias("_base"),
+        F.expr(f"(n_tokens * {budget}) % _total").alias("_rem"),
+    )
+    leftover = based.agg(
+        (F.lit(budget) - F.sum("_base")).alias("_leftover")
+    )
+    w = Window.orderBy(
+        F.col("_rem").desc(), F.col(g1).asc(), F.col(g2).asc()
+    )
+    return (
+        based.withColumn("_rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            g1,
+            g2,
+            "n_tokens",
+            F.expr(
+                "cast(_base + (case when _rk <= _leftover then 1 else 0 end)"
+                " as bigint)"
+            ).alias("alloc_tokens"),
+        )
+    )
+
+
+def token_budget_allocation_sql(
+    dialect_tokens: str,
+    budget: int = 1_000_000,
+    group_cols: tuple[str, str] = ("lang", "source"),
+    table: str = "documents",
+) -> str:
+    """Oracle twin of :func:`token_budget_allocation`."""
+    g1, g2 = group_cols
+    return f"""
+with tok as (select {g1}, {g2}, {dialect_tokens} as t from {table}),
+cells as (
+  select {g1}, {g2}, cast(sum(t) as bigint) as n_tokens
+  from tok group by 1, 2
+),
+tot as (select cast(sum(n_tokens) as bigint) as total from cells),
+b as (
+  select {g1}, {g2}, n_tokens,
+         (n_tokens * {budget}) // total as base,
+         (n_tokens * {budget}) % total as rem
+  from cells cross join tot
+),
+lo as (select {budget} - cast(sum(base) as bigint) as leftover from b),
+r as (
+  select *, row_number() over (
+    order by rem desc, {g1} asc, {g2} asc
+  ) as rk from b
+)
+select {g1}, {g2}, n_tokens,
+       cast(base + (case when rk <= leftover then 1 else 0 end) as bigint)
+         as alloc_tokens
+from r cross join lo
+"""

@@ -1100,6 +1100,36 @@ from split group by split, lang order by split, lang
 """
 
 
+def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language dynamic quality gate: top 30% of each language's
+    docs by classifier score. The corpus never windows — a bounded
+    (lang, score-grid) histogram picks thresholds that broadcast back
+    as a filter."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_analysis.quality_quantile_filter(
+        docs, group_col="lang", keep_milli=300
+    )
+
+
+def quality_quantile_oracle() -> str:
+    score = tx.quality_classifier_exprs("text", DUCKDB)["clf_score_milli"]
+    return text_analysis.quality_quantile_filter_sql(
+        score, group_col="lang", keep_milli=300
+    )
+
+
+def q_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton apportionment of a 1M-token budget across (lang,
+    source) cells; quotas sum to exactly the budget."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_analysis.token_budget_allocation(docs, budget=1_000_000)
+
+
+def token_budget_oracle() -> str:
+    toks = tx.quality_base_exprs("text", DUCKDB)["n_tokens_ws"]
+    return text_analysis.token_budget_allocation_sql(toks, budget=1_000_000)
+
+
 EXT_QUERIES = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
@@ -1136,6 +1166,8 @@ EXT_QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "llm_pipeline_e2e": q_llm_pipeline_e2e,
     "embedding_truncate_normalize": q_truncate_normalize,
+    "quality_quantile_filter": q_quality_quantile_filter,
+    "token_budget_allocation": q_token_budget_allocation,
 }
 
 
@@ -1174,4 +1206,6 @@ def ext_oracles() -> dict[str, str]:
         "multimodal_decode": multimodal_decode_oracle(),
         "llm_pipeline_e2e": llm_pipeline_oracle(),
         "embedding_truncate_normalize": truncate_normalize_oracle(),
+        "quality_quantile_filter": quality_quantile_oracle(),
+        "token_budget_allocation": token_budget_oracle(),
     }

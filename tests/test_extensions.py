@@ -314,3 +314,79 @@ def test_embedding_dim_stats_exact(spark):
     assert got[0]["mean"] == 2.0 and got[0]["variance"] == pytest.approx(8 / 3)
     assert got[1]["mean"] == 1.0 and got[1]["variance"] == 0.0
     assert got[0]["n_vecs"] == 3
+
+
+def test_quality_quantile_filter_per_group_fraction(spark):
+    # two groups with linearly spread scores via text length; the gate
+    # keeps the top ~30% of each group by score VALUE (ties all keep)
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en", text="the and is " * (i + 1))
+         for i in range(10)]
+        + [Row(doc_id=100 + i, lang="de", text="word " * (2 * i + 1))
+           for i in range(10)]
+    )
+    out = text_analysis.quality_quantile_filter(
+        docs, group_col="lang", keep_milli=300
+    )
+    rows = out.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, kept in by_lang.items():
+        # at least 30% kept, and never the whole group (scores spread)
+        assert 3 <= len(kept) <= 6, (lang, len(kept))
+    # kept rows are exactly those scoring >= the per-group threshold:
+    # re-derive from the full scored frame
+    scored = text_analysis.quality_classify(docs)
+    full = {(r["doc_id"]): r["clf_score_milli"] for r in scored.collect()}
+    langs = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    for lang in by_lang:
+        group_scores = sorted(
+            s for d, s in full.items() if langs[d] == lang
+        )
+        n = len(group_scores)
+        kept_scores = sorted(r["score_milli"] for r in by_lang[lang])
+        thr = min(kept_scores)
+        # every group row at/above thr is kept, none below
+        assert sum(1 for s in group_scores if s >= thr) == len(kept_scores)
+        # cume_dist criterion: strictly more than 70% of rows <= kept
+        n_le = sum(1 for s in group_scores if s <= thr)
+        assert n_le * 1000 > 700 * n
+
+
+def test_quality_quantile_filter_no_full_table_window(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en", text="some text here") for i in range(4)]
+    )
+    out = text_analysis.quality_quantile_filter(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # thresholds must come back as a broadcast join, and any Window
+    # must sit above an aggregate (histogram), never over the raw scan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_token_budget_allocation_exact_sum(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en", source=f"s{i % 7}",
+             text="w " * ((i % 13) + 1)) for i in range(50)]
+    )
+    budget = 999_983  # prime: guarantees nonzero remainders
+    out = text_analysis.token_budget_allocation(docs, budget=budget)
+    rows = out.collect()
+    assert sum(r["alloc_tokens"] for r in rows) == budget
+    # proportionality: every quota within 1 of the exact share
+    total = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        exact = budget * r["n_tokens"] / total
+        assert abs(r["alloc_tokens"] - exact) <= 1
+
+
+def test_token_budget_allocation_deterministic(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="l", source="s", text="a b c") for i in range(3)]
+    )
+    a = text_analysis.token_budget_allocation(docs, budget=100).collect()
+    b = text_analysis.token_budget_allocation(
+        docs.repartition(7), budget=100
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
