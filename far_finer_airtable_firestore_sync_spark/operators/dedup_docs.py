@@ -518,3 +518,117 @@ def contamination_hits(
         .groupBy(id_col)
         .agg(F.count_distinct("_bench_id").alias("n_benchmark_hits"))
     )
+
+
+def bloom_positions_exprs(
+    gram_col: str, m_bits: int, k: int, dialect: str
+) -> list[str]:
+    """The k Bloom bit positions of one n-gram: md5 once, two
+    14-hex-digit windows -> (a, b), positions ((a + i*b) mod P) mod m
+    (Kirsch-Mitzenmacher family, same basis the minhash path uses).
+    Pure integer arithmetic after one md5 — bit-identical across
+    engines."""
+    a = tx.hex_to_bigint(f"substring(md5({gram_col}), 1, 14)", dialect)
+    b = tx.hex_to_bigint(f"substring(md5({gram_col}), 15, 14)", dialect)
+    return [
+        f"((({a} + {i + 1} * {b}) % {tx.KM_MOD}) % {m_bits})"
+        for i in range(k)
+    ]
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 9,
+    m_bits: int = 1 << 18,
+    k: int = 2,
+    max_chars: int | None = 256,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the 100 TB path for
+    "flag every training doc sharing an n-gram with the benchmark".
+
+    The exact join (:func:`contamination_hits`) broadcasts the
+    benchmark's raw grams — G grams x ~shingle_n bytes each. The Bloom
+    form collapses them to at most k*G integer bit positions in
+    [0, m_bits): a fixed-size broadcast no matter how long the grams
+    are, probed with k bigint semi-joins. Error is ONE-SIDED: a gram
+    is flagged iff ALL k of its positions are set, so every truly
+    shared gram is flagged (the exact hit set is always a subset —
+    test-asserted) and false positives are bounded by
+    (1 - e^(-kG/m))^k.
+
+    Determinism: positions come from the md5 Kirsch-Mitzenmacher
+    family, so even this *approximate* structure is value-verified
+    against the DuckDB oracle — not a rows-only entry.
+
+    Output: (doc_id, n_suspect_grams) for corpus docs with >= 1
+    flagged gram.
+    """
+    b_grams = (
+        with_shingles(benchmark, text_col, id_col, shingle_n, max_chars)
+        .select(F.explode("_sh").alias("gram"))
+        .distinct()
+    )
+    pos_exprs = bloom_positions_exprs("gram", m_bits, k, SPARK)
+    bench_pos = None
+    for e in pos_exprs:
+        part = b_grams.select(F.expr(e).alias("pos"))
+        bench_pos = part if bench_pos is None else bench_pos.unionByName(part)
+    bench_pos = bench_pos.distinct()
+
+    c_grams = with_shingles(corpus, text_col, id_col, shingle_n, max_chars)
+    probe = c_grams.select(
+        F.col(id_col), F.explode("_sh").alias("gram")
+    ).select(
+        F.col(id_col),
+        F.col("gram"),
+        *[F.expr(e).alias(f"_p{i}") for i, e in enumerate(pos_exprs)],
+    )
+    for i in range(k):
+        probe = probe.join(
+            F.broadcast(bench_pos.withColumnRenamed("pos", f"_p{i}")),
+            f"_p{i}",
+            "left_semi",
+        )
+    return probe.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_suspect_grams")
+    )
+
+
+def bloom_decontaminate_sql(
+    corpus_sql: str,
+    benchmark_sql: str,
+    shingle_n: int = 9,
+    m_bits: int = 1 << 18,
+    k: int = 2,
+    max_chars: int | None = 256,
+) -> str:
+    """Oracle twin of :func:`bloom_decontaminate` (DuckDB dialect).
+    ``corpus_sql`` / ``benchmark_sql`` are subqueries yielding
+    (doc_id, text)."""
+    from far_finer_airtable_firestore_sync_spark.functions.canonical import (
+        DUCKDB,
+    )
+
+    sh = tx.shingles("text", shingle_n, DUCKDB, max_chars)
+    pos = bloom_positions_exprs("gram", m_bits, k, DUCKDB)
+    pos_union = " union ".join(
+        f"select {e} as pos from bg" for e in pos
+    )
+    probes = " and ".join(
+        f"{e} in (select pos from bench_pos)" for e in pos
+    )
+    return f"""
+with bg as (
+  select distinct unnest({sh}) as gram from ({benchmark_sql})
+),
+bench_pos as ({pos_union}),
+cg as (
+  select doc_id, unnest({sh}) as gram from ({corpus_sql})
+)
+select doc_id, count(*) as n_suspect_grams
+from cg where {probes}
+group by doc_id
+"""

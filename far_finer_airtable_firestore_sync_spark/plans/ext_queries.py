@@ -1130,6 +1130,61 @@ def token_budget_oracle() -> str:
     return text_analysis.token_budget_allocation_sql(toks, budget=1_000_000)
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination over the same corpus/benchmark
+    split as the exact entry — the fixed-size-broadcast scale path,
+    value-verified (positions are md5-KM integers, exact in both
+    engines)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter("doc_id % 97 != 0")
+    bench = docs.filter("doc_id % 97 = 0")
+    return dedup_docs.bloom_decontaminate(
+        corpus, bench, shingle_n=SHINGLE_N, max_chars=MAX_CHARS
+    )
+
+
+def decontaminate_bloom_oracle() -> str:
+    return dedup_docs.bloom_decontaminate_sql(
+        "select doc_id, text from documents where doc_id % 97 <> 0",
+        "select doc_id, text from documents where doc_id % 97 = 0",
+        shingle_n=SHINGLE_N,
+        max_chars=MAX_CHARS,
+    )
+
+
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout profile on orders: Morton-interleave
+    (custkey, orderdate-day) and report each range bucket's bounding
+    box — tight boxes on BOTH dims == min/max stats prune scans
+    filtered on either."""
+    from far_finer_airtable_firestore_sync_spark.operators import layout
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        F.expr("o_custkey % 65536").alias("x"),
+        F.expr(
+            "datediff(cast(o_orderdate as date), date'1992-01-01') % 65536"
+        ).alias("y"),
+    )
+    return layout.zorder_bucket_profile(
+        orders, "x", "y", order_col="o_orderkey", n_buckets=32
+    )
+
+
+def layout_zorder_oracle() -> str:
+    from far_finer_airtable_firestore_sync_spark.operators import layout
+
+    return layout.zorder_bucket_profile_sql(
+        "o_custkey % 65536",
+        "date_diff('day', DATE '1992-01-01', cast(o_orderdate as date))"
+        " % 65536",
+        "o_orderkey",
+        "orders",
+        DUCKDB,
+        n_buckets=32,
+    )
+
+
 EXT_QUERIES = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
@@ -1168,6 +1223,8 @@ EXT_QUERIES = {
     "embedding_truncate_normalize": q_truncate_normalize,
     "quality_quantile_filter": q_quality_quantile_filter,
     "token_budget_allocation": q_token_budget_allocation,
+    "decontaminate_bloom": q_decontaminate_bloom,
+    "layout_zorder": q_layout_zorder,
 }
 
 
@@ -1208,4 +1265,6 @@ def ext_oracles() -> dict[str, str]:
         "embedding_truncate_normalize": truncate_normalize_oracle(),
         "quality_quantile_filter": quality_quantile_oracle(),
         "token_budget_allocation": token_budget_oracle(),
+        "decontaminate_bloom": decontaminate_bloom_oracle(),
+        "layout_zorder": layout_zorder_oracle(),
     }

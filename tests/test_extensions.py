@@ -7,6 +7,7 @@ answers are the RIGHT answers, only that both engines agree).
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from far_finer_airtable_firestore_sync_spark.operators import (
     dedup_docs,
@@ -390,3 +391,60 @@ def test_token_budget_allocation_deterministic(spark):
         docs.repartition(7), budget=100
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_morton_key_interleaves_bits(spark):
+    from far_finer_airtable_firestore_sync_spark.operators import layout
+
+    # x=0b101 -> even lanes 0b010001; y=0b011 -> odd lanes 0b001010
+    df = spark.createDataFrame([Row(x=5, y=3)])
+    got = df.select(
+        F.expr(layout.morton_key_expr("x", "y", "spark")).alias("z")
+    ).collect()[0]["z"]
+    # interleave(101, 011) = y2x2 y1x1 y0x0 = 01 11 01 10? compute:
+    # bit i of x at 2i: x0=1->1, x1=0, x2=1->bit4 ; y: y0=1->bit1,
+    # y1=1->bit3, y2=0 => 1 + 2 + 8 + 16 = 27
+    assert got == 27
+    # identity corners
+    for x, y, want in [(0, 0, 0), (65535, 0, 0x55555555),
+                       (0, 65535, 0xAAAAAAAA)]:
+        v = spark.createDataFrame([Row(x=x, y=y)]).select(
+            F.expr(layout.morton_key_expr("x", "y", "spark")).alias("z")
+        ).collect()[0]["z"]
+        assert v == want, (x, y, v)
+
+
+def test_zorder_layout_range_partitions(spark):
+    from far_finer_airtable_firestore_sync_spark.operators import layout
+
+    df = spark.createDataFrame(
+        [Row(a=i % 100, b=(i * 7) % 100) for i in range(500)]
+    )
+    out = layout.zorder_layout(df, "a", "b", n_files=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "Sort" in plan
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i,
+             text=f"document number {i} with some unique words {i * 37}")
+         for i in range(40)]
+    )
+    corpus = docs.filter("doc_id % 5 != 0")
+    bench = docs.filter("doc_id % 5 = 0")
+    exact = {
+        r["doc_id"]
+        for r in dedup_docs.contamination_hits(
+            corpus, bench, shingle_n=9
+        ).collect()
+    }
+    bloom = {
+        r["doc_id"]
+        for r in dedup_docs.bloom_decontaminate(
+            corpus, bench, shingle_n=9
+        ).collect()
+    }
+    # one-sided error: every exact hit must be flagged by the bloom
+    assert exact <= bloom
