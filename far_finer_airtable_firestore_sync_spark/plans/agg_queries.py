@@ -696,6 +696,44 @@ limit 10
 """
 
 
+def q_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: order-priority counts for one quarter of
+    orders having at least one line item shipped >90 days after the
+    order date — the big-big LEFT SEMI join. Semi join deduplicates
+    the probe side by construction (no DISTINCT pass), the quarter
+    filter pushes into the orders scan, and only (l_orderkey,
+    l_shipdate) is read from lineitem (column pruning)."""
+    _utc(spark)
+    orders = _read(spark, sf_dir, "orders").filter(
+        "o_orderdate >= timestamp'1996-01-01'"
+        " and o_orderdate < timestamp'1996-04-01'"
+    )
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate.cast("date")
+        > F.date_add(orders.o_orderdate.cast("date"), 90)
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORDER_PRIORITY_SEMI_SQL = """
+select o_orderpriority, count(*) as order_count
+from orders o
+where o.o_orderdate >= timestamp '1996-01-01'
+  and o.o_orderdate < timestamp '1996-04-01'
+  and exists (
+    select 1 from lineitem l
+    where l.l_orderkey = o.o_orderkey
+      and cast(l.l_shipdate as date) > cast(o.o_orderdate as date) + 90
+  )
+group by o_orderpriority
+"""
+
+
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-shaped: scan-heavy filtered single aggregate — the
     pure predicate-pushdown + codegen showcase."""
@@ -822,6 +860,7 @@ AGG_QUERIES = {
     "unpivot_metrics": q_unpivot,
     "approx_stats": q_approx_stats,
     "unshipped_revenue_topk": q_unshipped_revenue_topk,
+    "order_priority_semi": q_order_priority_semi,
     "forecast_revenue": q_forecast_revenue,
     "event_funnel": q_funnel,
     "retention_cohorts": q_retention_cohorts,
@@ -848,6 +887,7 @@ AGG_ORACLES = {
     "word_count": WORD_COUNT_SQL,
     "unpivot_metrics": UNPIVOT_SQL,
     "unshipped_revenue_topk": UNSHIPPED_REVENUE_SQL,
+    "order_priority_semi": ORDER_PRIORITY_SEMI_SQL,
     "forecast_revenue": FORECAST_REVENUE_SQL,
     "event_funnel": FUNNEL_SQL,
     "retention_cohorts": COHORT_SQL,
