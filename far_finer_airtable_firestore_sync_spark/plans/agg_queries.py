@@ -734,6 +734,36 @@ group by o_orderpriority
 """
 
 
+def q_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: distribution of customers by order count,
+    including zero-order customers — LEFT OUTER join + two-level
+    aggregation. count(o_orderkey) (not count(*)) makes the
+    unmatched-row count 0; the first aggregate's shuffle key is the
+    customer key, the second runs on the tiny histogram."""
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    orders = _read(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+CUSTOMER_ORDER_HISTOGRAM_SQL = """
+select c_count, count(*) as custdist
+from (
+  select c_custkey, count(o_orderkey) as c_count
+  from customer left outer join orders on c_custkey = o_custkey
+  group by c_custkey
+)
+group by c_count
+"""
+
+
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-shaped: scan-heavy filtered single aggregate — the
     pure predicate-pushdown + codegen showcase."""
@@ -861,6 +891,7 @@ AGG_QUERIES = {
     "approx_stats": q_approx_stats,
     "unshipped_revenue_topk": q_unshipped_revenue_topk,
     "order_priority_semi": q_order_priority_semi,
+    "customer_order_histogram": q_customer_order_histogram,
     "forecast_revenue": q_forecast_revenue,
     "event_funnel": q_funnel,
     "retention_cohorts": q_retention_cohorts,
@@ -888,6 +919,7 @@ AGG_ORACLES = {
     "unpivot_metrics": UNPIVOT_SQL,
     "unshipped_revenue_topk": UNSHIPPED_REVENUE_SQL,
     "order_priority_semi": ORDER_PRIORITY_SEMI_SQL,
+    "customer_order_histogram": CUSTOMER_ORDER_HISTOGRAM_SQL,
     "forecast_revenue": FORECAST_REVENUE_SQL,
     "event_funnel": FUNNEL_SQL,
     "retention_cohorts": COHORT_SQL,
