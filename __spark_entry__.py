@@ -633,20 +633,9 @@ def _q_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Scratch store roots created by contract entries; removed at process
 #: exit (not eagerly — the returned DataFrames read them lazily).
-_TMP_DIRS: list[str] = []
-
-
-def _reap_tmp_dirs() -> None:
-    import shutil
-
-    for d in _TMP_DIRS:
-        shutil.rmtree(d, ignore_errors=True)
-    _TMP_DIRS.clear()
-
-
-import atexit as _atexit  # noqa: E402
-
-_atexit.register(_reap_tmp_dirs)
+from far_finer_airtable_firestore_sync_spark.operators._util import (  # noqa: E402
+    _SCRATCH_DIRS as _TMP_DIRS,
+)
 
 
 _STORE_CDC_SQL = """

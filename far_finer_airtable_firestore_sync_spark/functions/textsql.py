@@ -219,6 +219,17 @@ def quality_classifier_exprs(
     any engine/cluster. Real deployments would learn the weights; the
     integer-grid scoring harness is the part that has to scale."""
     b = quality_base_exprs(col, dialect)
+    return quality_classifier_from_base(b, dialect, threshold_milli)
+
+
+def quality_classifier_from_base(
+    b: dict[str, str], dialect: str, threshold_milli: int = 550
+) -> dict[str, str]:
+    """Classifier score/verdict from base-count REFERENCES — pass
+    column names of a staged :func:`quality_base_exprs` select so the
+    splits/regexes evaluate once per row (Spark does not CSE across
+    projection outputs), or the inline expressions for the one-shot
+    oracle path. Same formulas either way by construction."""
     intdiv = "div" if dialect == SPARK else "//"
     tok = f"greatest({b['n_tokens_ws']}, 1)"
     chars = f"greatest({b['n_chars_total']}, 1)"

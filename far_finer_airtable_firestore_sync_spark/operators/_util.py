@@ -21,3 +21,27 @@ def spread(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     if df.rdd.getNumPartitions() < max(int(target * min_fraction), 1):
         return df.repartition(target)
     return df
+
+
+_SCRATCH_DIRS: list[str] = []
+
+
+def register_scratch_dir(path: str) -> str:
+    """Register a temp directory for removal at interpreter exit —
+    the one shared reaper for stream staging dirs and store scratch
+    space (single place to change cleanup policy)."""
+    _SCRATCH_DIRS.append(path)
+    return path
+
+
+def _reap_scratch_dirs() -> None:
+    import shutil
+
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _SCRATCH_DIRS.clear()
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_reap_scratch_dirs)

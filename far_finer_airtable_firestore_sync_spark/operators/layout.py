@@ -38,8 +38,13 @@ def _shl(expr: str, n: int, dialect: str) -> str:
 
 def _spread16(expr: str, dialect: str) -> str:
     """Spread the low 16 bits of ``expr`` into the even bit positions
-    of a 32-bit lane (classic magic-mask cascade, integer-exact)."""
-    out = f"({expr} & 65535)"
+    of a 32-bit lane (classic magic-mask cascade, integer-exact).
+
+    The input is cast to bigint FIRST: an IntegerType input whose bit
+    15 is set would otherwise reach bit 31 after the interleave shift
+    and wrap negative under 32-bit shiftleft (Spark) while staying
+    positive in DuckDB — breaking both key order and parity."""
+    out = f"(cast({expr} as bigint) & 65535)"
     for n, mask in _SPREAD_STEPS:
         out = f"(({out} | {_shl(out, n, dialect)}) & {mask})"
     return out

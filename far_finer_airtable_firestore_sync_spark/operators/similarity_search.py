@@ -234,8 +234,12 @@ def embedding_dim_stats(
         "dim",
         "n_vecs",
         F.expr("cast(_s1 as double) / (n_vecs * 1000)").alias("mean"),
+        # numerator in decimal(38,0): n*s2 ~ n^2*1e6 exceeds int64 at
+        # ~3M vectors (DuckDB's sum() is already hugeint; this keeps
+        # the Spark side exact to ~1e16 vectors)
         F.expr(
-            "cast(n_vecs * _s2 - _s1 * _s1 as double)"
+            "cast(cast(n_vecs as decimal(38,0)) * _s2"
+            " - cast(_s1 as decimal(38,0)) * _s1 as double)"
             " / (cast(n_vecs as double) * n_vecs * 1000000)"
         ).alias("variance"),
     )

@@ -190,7 +190,12 @@ def _classify(
     and presence flags. Checksums are computed *before* the join so the
     expressions resolve unambiguously and evaluate in the scan stage.
     """
-    s = _ensure_payload_cols(source, spec).withColumn("_s_cs", _checksum(spec)).alias("s")
+    # backfill is TARGET-only: a stored doc predating a spec field is
+    # the graceful schema-evolution case; a SOURCE feed missing a spec
+    # payload column is an upstream regression that must fail loudly
+    # (backfilling it would silently overwrite real target values
+    # with NULL on every matched row)
+    s = source.withColumn("_s_cs", _checksum(spec)).alias("s")
     t = _ensure_payload_cols(target, spec).withColumn("_t_cs", _checksum(spec)).alias("t")
     return s.join(
         t, F.col(f"s.{spec.primary_key}") == F.col(f"t.{spec.primary_key}"), how

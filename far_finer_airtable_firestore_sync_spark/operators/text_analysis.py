@@ -68,11 +68,20 @@ def quality_classify(
     """Model-based quality gate: fixed-weight integer-grid linear
     classifier (see ``textsql.quality_classifier_exprs``). Zero
     shuffle — a codegen'd projection; the keep/drop verdict is
-    bit-identical across engines and cluster sizes."""
-    exprs = tx.quality_classifier_exprs(
-        f"`{text_col}`", SPARK, threshold_milli
+    bit-identical across engines and cluster sizes.
+
+    Two-stage: the base counts (splits/regexes) evaluate ONCE, the
+    score derives from the staged columns (Spark doesn't CSE across
+    projection outputs — the one-shot form re-ran the stopword split
+    per feature reference)."""
+    base = tx.quality_base_exprs(f"`{text_col}`", SPARK)
+    staged = df.select(
+        F.col(id_col), *[F.expr(e).alias(k) for k, e in base.items()]
     )
-    return df.select(
+    exprs = tx.quality_classifier_from_base(
+        {k: k for k in base}, SPARK, threshold_milli
+    )
+    return staged.select(
         F.col(id_col),
         *[F.expr(e).alias(k) for k, e in exprs.items()],
     )
@@ -280,8 +289,13 @@ def chunk_text(
     sequence packing for training. Output: (doc_id, chunk_no,
     chunk_text, n_chunks). Pure explode projection: no shuffle, chunk
     rows stay on the scan partition.
+
+    NULL text coalesces to '' (one empty chunk) so the doc survives
+    the stage with an audit trail — posexplode over a NULL array would
+    silently drop the row, breaking count reconciliation across
+    pipeline stages (same convention as split_ws_safe).
     """
-    c = f"`{text_col}`"
+    c = f"coalesce(`{text_col}`, '')"
     n_chunks = (
         f"cast(greatest(ceil((length({c}) - {chunk_chars}) / {stride}.0), 0) "
         "+ 1 as int)"
@@ -326,10 +340,16 @@ def quality_quantile_filter(
     """
     from pyspark.sql import Window
 
-    score = tx.quality_classifier_exprs(f"`{text_col}`", SPARK)[
+    base = tx.quality_base_exprs(f"`{text_col}`", SPARK)
+    staged = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        *[F.expr(e).alias(k) for k, e in base.items()],
+    )
+    score = tx.quality_classifier_from_base({k: k for k in base}, SPARK)[
         "clf_score_milli"
     ]
-    scored = df.select(
+    scored = staged.select(
         F.col(id_col),
         F.col(group_col),
         F.expr(score).alias("score_milli"),
@@ -355,8 +375,14 @@ def quality_quantile_filter(
         .groupBy(group_col)
         .agg(F.min("score_milli").alias("_keep_from"))
     )
+    # null-safe equality: a NULL group is a stratum like any other
+    # (it built its own histogram row); plain equi-join would silently
+    # drop every NULL-group doc
+    th = thresholds.withColumnRenamed(group_col, "_g")
     return (
-        scored.join(F.broadcast(thresholds), group_col)
+        scored.join(
+            F.broadcast(th), scored[group_col].eqNullSafe(th["_g"])
+        )
         .filter(F.col("score_milli") >= F.col("_keep_from"))
         .select(id_col, group_col, "score_milli")
     )
@@ -392,7 +418,8 @@ th as (
   group by 1
 )
 select s.{id_col}, s.{group_col}, s.score_milli
-from scored s join th using ({group_col})
+from scored s
+join th on s.{group_col} is not distinct from th.{group_col}
 where s.score_milli >= th.keep_from
 """
 
@@ -427,12 +454,24 @@ def token_budget_allocation(
         .agg(F.sum("_t").alias("n_tokens"))
     )
     total = cells.agg(F.sum("n_tokens").alias("_total"))
+    # n_tokens * budget runs in decimal(38,0): at 100 TB a cell can
+    # hold ~1e13 tokens, and 1e13 * 1e6 overflows int64. The mod is
+    # exact on decimals (no scale expansion) and the division
+    # (num - rem) / total is exactly divisible, so the decimal result
+    # is integral — no rounding anywhere. DuckDB's oracle twin gets
+    # the same values via hugeint.
     based = cells.crossJoin(F.broadcast(total)).select(
         g1,
         g2,
         "n_tokens",
-        F.expr(f"n_tokens * {budget} div _total").alias("_base"),
-        F.expr(f"(n_tokens * {budget}) % _total").alias("_rem"),
+        F.expr(
+            f"cast((cast(n_tokens as decimal(38,0)) * {budget}"
+            f" - (cast(n_tokens as decimal(38,0)) * {budget}) % _total)"
+            " / _total as bigint)"
+        ).alias("_base"),
+        F.expr(
+            f"(cast(n_tokens as decimal(38,0)) * {budget}) % _total"
+        ).alias("_rem"),
     )
     leftover = based.agg(
         (F.lit(budget) - F.sum("_base")).alias("_leftover")
@@ -472,8 +511,8 @@ cells as (
 tot as (select cast(sum(n_tokens) as bigint) as total from cells),
 b as (
   select {g1}, {g2}, n_tokens,
-         (n_tokens * {budget}) // total as base,
-         (n_tokens * {budget}) % total as rem
+         cast((n_tokens::hugeint * {budget}) // total as bigint) as base,
+         (n_tokens::hugeint * {budget}) % total as rem
   from cells cross join tot
 ),
 lo as (select {budget} - cast(sum(base) as bigint) as leftover from b),

@@ -839,13 +839,13 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_CHUNKING_SQL = """
 with base as (
-  select doc_id, text,
-         cast(greatest(ceil((length(text) - 200) / 150.0), 0) + 1 as int) as n_chunks
+  select doc_id, coalesce(text, '') as t,
+         cast(greatest(ceil((length(coalesce(text, '')) - 200) / 150.0), 0) + 1 as int) as n_chunks
   from documents
 )
 select doc_id, unnest(generate_series(0, n_chunks - 1)) as chunk_no,
        unnest(list_transform(generate_series(0, n_chunks - 1),
-              i -> substring(text, i * 150 + 1, 200))) as chunk_text,
+              i -> substring(t, i * 150 + 1, 200))) as chunk_text,
        n_chunks
 from base
 """
@@ -1045,8 +1045,14 @@ def q_llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from far_finer_airtable_firestore_sync_spark.operators import packing
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    clf = tx.quality_classifier_exprs("text", SPARK)
-    kept = docs.filter(F.expr(clf["clf_keep"]))
+    # stage the base counts so the gate's splits/regexes run once per
+    # row (codegen pipelines the select+filter in the scan stage)
+    clf_base = tx.quality_base_exprs("text", SPARK)
+    staged = docs.select(
+        "*", *[F.expr(e).alias(k) for k, e in clf_base.items()]
+    )
+    clf = tx.quality_classifier_from_base({k: k for k in clf_base}, SPARK)
+    kept = staged.filter(F.expr(clf["clf_keep"])).drop(*clf_base.keys())
     first_per_digest = (
         kept.groupBy(F.md5(F.col("text")).alias("_digest"))
         .agg(F.min("doc_id").alias("doc_id"))

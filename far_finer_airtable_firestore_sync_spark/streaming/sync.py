@@ -214,22 +214,12 @@ def streaming_session_aggregates(
     )
 
 
-# Staged stream directories are process-scoped scratch; reaped at exit so
-# repeated bench/gate runs don't accumulate event-file copies in /tmp.
-_STAGED_DIRS: list = []
-
-
-def _reap_staged_dirs() -> None:
-    import shutil
-
-    for d in _STAGED_DIRS:
-        shutil.rmtree(d, ignore_errors=True)
-    _STAGED_DIRS.clear()
-
-
-import atexit as _atexit
-
-_atexit.register(_reap_staged_dirs)
+# Staged stream directories are process-scoped scratch; reaped at exit
+# (shared machinery with the entry-module scratch dirs) so repeated
+# bench/gate runs don't accumulate event-file copies in /tmp.
+from far_finer_airtable_firestore_sync_spark.operators._util import (  # noqa: E402
+    _SCRATCH_DIRS as _STAGED_DIRS,
+)
 
 
 def streaming_dedup(

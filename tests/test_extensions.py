@@ -412,6 +412,22 @@ def test_morton_key_interleaves_bits(spark):
             F.expr(layout.morton_key_expr("x", "y", "spark")).alias("z")
         ).collect()[0]["z"]
         assert v == want, (x, y, v)
+    # IntegerType input with bit 15 set must NOT wrap negative
+    # (32-bit shiftleft would put y's top bit at position 31)
+    from pyspark.sql import types as T
+
+    idf = spark.createDataFrame(
+        [(32768, 32768)],
+        T.StructType([
+            T.StructField("x", T.IntegerType()),
+            T.StructField("y", T.IntegerType()),
+        ]),
+    )
+    v = idf.select(
+        F.expr(layout.morton_key_expr("x", "y", "spark")).alias("z")
+    ).collect()[0]["z"]
+    assert v == (1 << 30) | (1 << 31)
+    assert v > 0
 
 
 def test_zorder_layout_range_partitions(spark):
@@ -448,3 +464,76 @@ def test_bloom_decontaminate_superset_of_exact(spark):
     }
     # one-sided error: every exact hit must be flagged by the bloom
     assert exact <= bloom
+
+
+def test_quality_quantile_filter_keeps_null_group(spark):
+    # NULL group is a stratum like any other — the null-safe join must
+    # not drop it
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang=None, text="the and is " * (i + 1))
+         for i in range(10)]
+        + [Row(doc_id=100 + i, lang="en", text="the and is " * (i + 1))
+           for i in range(10)]
+    )
+    out = text_analysis.quality_quantile_filter(
+        docs, group_col="lang", keep_milli=300
+    ).collect()
+    langs = {r["lang"] for r in out}
+    assert None in langs and "en" in langs
+    n_null = sum(1 for r in out if r["lang"] is None)
+    assert 3 <= n_null <= 6
+
+
+def test_chunk_text_null_text_survives(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text="abcd")]
+    )
+    out = text_analysis.chunk_text(docs, chunk_chars=3, stride=2)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # NULL text doc emits one empty chunk instead of vanishing
+    assert [r["chunk_text"] for r in by_doc[1]] == [""]
+    assert by_doc[1][0]["n_chunks"] == 1
+    assert sorted(r["chunk_text"] for r in by_doc[2]) == ["abc", "cd"]
+
+
+def test_quality_quantile_filter_matches_cume_dist_reference(spark):
+    """The histogram-threshold plan must select exactly the rows a
+    direct per-row cume_dist window would (same keep rule, computed
+    the naive way) — fuzzed over a deterministic pseudo-random corpus
+    with ties and uneven groups."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(42)
+    words = ["the", "and", "is", "xx!", "zz", "of", "%%%", "data"]
+    rows = [
+        Row(
+            doc_id=i,
+            lang=rng.choice(["en", "de", "fr", None]),
+            text=" ".join(rng.choice(words)
+                          for _ in range(rng.randint(1, 40))),
+        )
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows)
+    for keep_milli in (100, 300, 500, 900):
+        got = {
+            r["doc_id"]
+            for r in text_analysis.quality_quantile_filter(
+                docs, group_col="lang", keep_milli=keep_milli
+            ).collect()
+        }
+        scored = text_analysis.quality_classify(docs).join(
+            docs.select("doc_id", "lang"), "doc_id"
+        )
+        w = Window.partitionBy("lang").orderBy("clf_score_milli")
+        ref = {
+            r["doc_id"]
+            for r in scored.withColumn("cd", F.cume_dist().over(w))
+            .filter(F.expr(f"cd * 1000 > {1000 - keep_milli}"))
+            .collect()
+        }
+        assert got == ref, (keep_milli, len(got), len(ref))

@@ -215,3 +215,21 @@ def test_store_compact_reduces_files(spark, tmp_path):
     compacted = len(glob.glob(store.current_version_dir() + "/*.parquet"))
     assert compacted == 1
     assert store.read().count() == 1000
+
+
+def test_missing_source_payload_column_fails_loudly(spark):
+    """A SOURCE feed missing a spec payload column is an upstream
+    regression: it must raise at plan time, not silently backfill NULL
+    and overwrite real target values on every matched row."""
+    from pyspark.sql.utils import AnalysisException
+
+    spec = _spec((Field("name", "string"), Field("score", "double"),
+                  Field("tier", "string")))
+    source = spark.createDataFrame([Row(name="a", score=1.0)])  # no tier
+    target = spark.createDataFrame(
+        [Row(name="a", score=1.0, tier="gold", doc_id="d1",
+             update_type=UpdateType.UPSERT_CHECKSUM.value,
+             write_timestamp=datetime(2020, 1, 1), version_id=7)]
+    )
+    with pytest.raises(AnalysisException):
+        st.upsert_checksum(source, target, spec).collect()
