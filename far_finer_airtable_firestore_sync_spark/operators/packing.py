@@ -325,3 +325,80 @@ packed({streams}, {order_col}, n_tokens, _rn, pack_id, pack_fill) as (
 select {streams}, {order_col}, n_tokens, pack_id, pack_fill
 from packed
 """
+
+
+def corpus_interleave(
+    df: DataFrame,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "s0",
+    out_pos: str = "interleave_pos",
+) -> DataFrame:
+    """Proportional domain interleave: a deterministic global training
+    order in which every group's documents are spread evenly through
+    the epoch instead of clumped (group k with n_k docs out of N
+    occupies positions ~N/n_k apart) — the curriculum-neutral way to
+    mix domains so no stretch of training is single-domain.
+
+    Each doc gets the fractional key (2·rn − 1) / (2·n_g) — the
+    midpoint-rank of its group in seeded-hash order — and the global
+    order sorts on that fraction. Both divisions are IEEE double ops
+    on integers < 2^53 (identically rounded on any engine); ties
+    across groups break on (group, rn), so the order is total and
+    reproducible. Plan: one bounded per-group window (rank + count
+    share the exchange) plus the global ordering — the profiling
+    entry materializes positions with a global window; the production
+    write path is ``repartitionByRange`` on the fraction, same as the
+    Z-order layout.
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.col("_h").asc(), F.col(key_col).asc()
+    )
+    w_n = Window.partitionBy(group_col)
+    staged = (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_n", F.count(F.lit(1)).over(w_n))
+        .withColumn(
+            "_frac",
+            F.expr("cast(2 * _rn - 1 as double) / cast(2 * _n as double)"),
+        )
+    )
+    w_global = Window.orderBy(
+        F.col("_frac").asc(), F.col(group_col).asc(), F.col("_rn").asc()
+    )
+    return staged.withColumn(
+        out_pos, F.row_number().over(w_global) - F.lit(1)
+    ).drop("_h", "_rn", "_n", "_frac")
+
+
+def corpus_interleave_sql(
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "s0",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`corpus_interleave`."""
+    return f"""
+with h as (
+  select *, md5('{seed}' || cast({key_col} as varchar)) as _h from {table}
+),
+r as (
+  select *,
+         row_number() over (
+           partition by {group_col} order by _h asc, {key_col} asc
+         ) as _rn,
+         count(*) over (partition by {group_col}) as _n
+  from h
+),
+f as (
+  select *, cast(2 * _rn - 1 as double) / cast(2 * _n as double) as _frac
+  from r
+)
+select * exclude (_h, _rn, _n, _frac),
+       row_number() over (
+         order by _frac asc, {group_col} asc, _rn asc
+       ) - 1 as interleave_pos
+from f
+"""

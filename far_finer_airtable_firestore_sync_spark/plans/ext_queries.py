@@ -1191,6 +1191,27 @@ def layout_zorder_oracle() -> str:
     )
 
 
+def q_corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional source interleave over documents: a deterministic
+    global training order with every source spread evenly through the
+    epoch."""
+    from far_finer_airtable_firestore_sync_spark.operators import packing
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    return packing.corpus_interleave(docs, group_col="source")
+
+
+def corpus_interleave_oracle() -> str:
+    from far_finer_airtable_firestore_sync_spark.operators import packing
+
+    return packing.corpus_interleave_sql(
+        group_col="source",
+        table="(select doc_id, source from documents)",
+    )
+
+
 EXT_QUERIES = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
@@ -1231,6 +1252,7 @@ EXT_QUERIES = {
     "token_budget_allocation": q_token_budget_allocation,
     "decontaminate_bloom": q_decontaminate_bloom,
     "layout_zorder": q_layout_zorder,
+    "corpus_interleave": q_corpus_interleave,
 }
 
 
@@ -1273,4 +1295,5 @@ def ext_oracles() -> dict[str, str]:
         "token_budget_allocation": token_budget_oracle(),
         "decontaminate_bloom": decontaminate_bloom_oracle(),
         "layout_zorder": layout_zorder_oracle(),
+        "corpus_interleave": corpus_interleave_oracle(),
     }

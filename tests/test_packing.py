@@ -207,3 +207,32 @@ def test_quality_classifier_integer_exact(spark):
     assert out["long"]["clf_keep"] is True
     assert out["short"]["clf_keep"] is False
     assert out["noisy"]["clf_keep"] is False
+
+
+def test_corpus_interleave_spreads_groups_evenly(spark):
+    from pyspark.sql import Row
+
+    from far_finer_airtable_firestore_sync_spark.operators import packing
+
+    # 90 docs of 'big', 10 of 'small': small docs should appear about
+    # every 10 positions, never clumped at one end
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="big") for i in range(90)]
+        + [Row(doc_id=1000 + i, source="small") for i in range(10)]
+    )
+    out = packing.corpus_interleave(docs, group_col="source").collect()
+    assert sorted(r["interleave_pos"] for r in out) == list(range(100))
+    small_pos = sorted(
+        r["interleave_pos"] for r in out if r["source"] == "small"
+    )
+    gaps = [b - a for a, b in zip(small_pos, small_pos[1:])]
+    # perfect spacing would be 10; allow jitter but forbid clumping
+    assert max(gaps) <= 12 and min(gaps) >= 8
+    assert small_pos[0] <= 10  # starts near the beginning
+    # deterministic under repartition
+    again = packing.corpus_interleave(
+        docs.repartition(7), group_col="source"
+    ).collect()
+    assert {(r["doc_id"], r["interleave_pos"]) for r in out} == {
+        (r["doc_id"], r["interleave_pos"]) for r in again
+    }
