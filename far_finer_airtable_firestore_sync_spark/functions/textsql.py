@@ -496,6 +496,21 @@ def dot_int(a: str, b: str, dialect: str) -> str:
     )
 
 
+def l2sq_int(a: str, b: str, dialect: str) -> str:
+    """Squared L2 distance between two quantized bigint arrays —
+    exact integer arithmetic, order-independent, identical in both
+    engines."""
+    if dialect == SPARK:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            f"cast(0 as bigint), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
 def cosine_quantized(a: str, b: str, dialect: str) -> str:
     """cosine(a, b) over quantized vectors: exact integer dot/norms,
     one final double division (IEEE — identical in both engines)."""

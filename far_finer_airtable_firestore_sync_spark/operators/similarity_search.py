@@ -20,6 +20,11 @@ Three tiers, slowest-exact to fastest-approximate:
    nearest buckets, so per-query work drops from O(N) to
    O(nprobe * N / n_centroids). Recall < 1 by construction — that is
    the ANN contract.
+4. **Product quantization** (`pq_encode` / `pq_topk`) — the
+   compressed-index path: each vector stored as M sub-codes, queries
+   rank by LUT-summed asymmetric distances (O(M) per pair, the scan
+   never touches raw vectors). Composes with IVF (probe buckets,
+   then ADC-rank inside them).
 """
 
 from __future__ import annotations
@@ -406,3 +411,149 @@ select {id_col},
          as q_val
 from n
 """
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m_subspaces: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization index build: split each vector into
+    ``m_subspaces`` contiguous subspaces and store, per vector, the id
+    of the nearest codebook entry in each subspace (squared-L2 on the
+    integer grid; ties break on codebook id). Output: (vec_id, codes)
+    with ``codes`` an m-length int array — the classic PQ compressed
+    index, M small ints per vector instead of D floats.
+
+    Codebook entries are the subspace slices of the ``codebooks``
+    rows (one shared seed set; per-subspace codebooks fall out of the
+    slicing). The assignment is a broadcast of M x C tiny sub-vectors
+    against the corpus scan — no corpus shuffle beyond the final
+    groupBy that packs M codes back into one array per vector.
+    """
+    ds = dim // m_subspaces
+    sub = (
+        f"explode(transform(sequence(0, {m_subspaces - 1}), "
+        f"m -> struct(m as m, slice(_qv, m * {ds} + 1, {ds}) as sub)))"
+    )
+    c_sub = (
+        _quantized(corpus, vec_col, "_qv")
+        .select(F.col(id_col), F.expr(sub).alias("_e"))
+        .select(id_col, F.col("_e.m").alias("m"), F.col("_e.sub").alias("_sv"))
+    )
+    k_sub = (
+        _quantized(codebooks, vec_col, "_qv")
+        .select(F.col(id_col).alias("_code"), F.expr(sub).alias("_e"))
+        .select("_code", F.col("_e.m").alias("m"), F.col("_e.sub").alias("_kv"))
+    )
+    d2 = F.expr(tx.l2sq_int("_sv", "_kv", SPARK))
+    w = Window.partitionBy(id_col, "m").orderBy(
+        F.col("_d2").asc(), F.col("_code").asc()
+    )
+    coded = (
+        c_sub.join(F.broadcast(k_sub), "m")
+        .withColumn("_d2", d2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "m", "_code")
+    )
+    return coded.groupBy(id_col).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(m, _code))),"
+            " s -> s._code)"
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    m_subspaces: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ/ADC approximate nearest neighbors: rank corpus vectors by
+    the asymmetric distance sum_m ||q_sub_m - codebook[m][code_m]||^2
+    — the query compares against each vector's M codes via a
+    precomputed lookup table, O(M) per pair instead of O(D).
+
+    The LUT (per query: M x C squared distances, integer-exact) is a
+    tiny broadcast; the corpus side carries only (vec_id, codes), so
+    the scan reads the compressed index, never the raw vectors — at
+    100 TB that is the difference between scanning M bytes and D
+    floats per vector. Approximation error comes from quantizing to
+    codebook cells; determinism is exact (bigint distances, id
+    tie-breaks), so the result remains value-verifiable cross-engine.
+
+    Output: (query_id, neighbor_id, approx_d2, rank).
+    """
+    ds = dim // m_subspaces
+    codes = pq_encode(
+        corpus, codebooks, m_subspaces, dim, vec_col, id_col
+    )
+    sub = (
+        f"explode(transform(sequence(0, {m_subspaces - 1}), "
+        f"m -> struct(m as m, slice(_qv, m * {ds} + 1, {ds}) as sub)))"
+    )
+    q_sub = (
+        _quantized(queries, vec_col, "_qv")
+        .select(F.col(id_col).alias("query_id"), F.expr(sub).alias("_e"))
+        .select(
+            "query_id", F.col("_e.m").alias("m"), F.col("_e.sub").alias("_sv")
+        )
+    )
+    k_sub = (
+        _quantized(codebooks, vec_col, "_qv")
+        .select(F.col(id_col).alias("_code"), F.expr(sub).alias("_e"))
+        .select("_code", F.col("_e.m").alias("m"), F.col("_e.sub").alias("_kv"))
+    )
+    d2 = F.expr(tx.l2sq_int("_sv", "_kv", SPARK))
+    # LUT rows -> per-query nested array: lut[m][code_rank] = d2, with
+    # codebook ids sorted so positions match the code values' rank
+    lut_rows = q_sub.join(F.broadcast(k_sub), "m").select(
+        "query_id", "m", "_code", d2.alias("_d2")
+    )
+    lut = (
+        lut_rows.groupBy("query_id", "m")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(_code, _d2))),"
+                " s -> struct(s._code as code, s._d2 as d2))"
+            ).alias("_row")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, _row))),"
+                " s -> s._row)"
+            ).alias("_lut")
+        )
+    )
+    # ADC: zip each vector's codes with the per-subspace LUT rows and
+    # sum the matching entries — O(M) filter+sum per (query, vector)
+    approx = F.expr(
+        "aggregate(zip_with(codes, _lut, (cd, row) ->"
+        " filter(row, e -> e.code = cd)[0].d2),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(lut))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            approx.alias("approx_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1212,6 +1212,66 @@ def corpus_interleave_oracle() -> str:
     )
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k: corpus compressed to 4 codes
+    per vector (16-dim subspaces, codebook = every-40th vector's
+    slices); queries rank by LUT-summed squared distances. The scan
+    side reads the compressed index only."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity_search.pq_topk(
+        emb,
+        emb.filter("vec_id % 100 = 0"),
+        emb.filter("vec_id % 40 = 0"),
+        k=10,
+        m_subspaces=4,
+        dim=64,
+    )
+
+
+def pq_topk_oracle() -> str:
+    qz = tx.quantize("embedding", DUCKDB)
+    d2 = tx.l2sq_int("sv", "kv", DUCKDB)
+    return f"""
+with m_idx as (select unnest(generate_series(0, 3)) as m),
+cq as (select vec_id, {qz} as qv from embeddings),
+kq as (select vec_id as code, {qz} as qv from embeddings
+       where vec_id % 40 = 0),
+qq as (select vec_id as query_id, {qz} as qv from embeddings
+       where vec_id % 100 = 0),
+csub as (select vec_id, m, list_slice(qv, m * 16 + 1, (m + 1) * 16) as sv
+         from cq cross join m_idx),
+ksub as (select code, m, list_slice(qv, m * 16 + 1, (m + 1) * 16) as kv
+         from kq cross join m_idx),
+qsub as (select query_id, m,
+                list_slice(qv, m * 16 + 1, (m + 1) * 16) as sv
+         from qq cross join m_idx),
+codes as (
+  select vec_id, m, code from (
+    select c.vec_id, c.m, k.code,
+           row_number() over (
+             partition by c.vec_id, c.m
+             order by {d2} asc, k.code asc
+           ) as rn
+    from csub c join ksub k using (m)
+  ) where rn = 1
+),
+lut as (select q.query_id, q.m, k.code, {d2} as d2
+        from qsub q join ksub k using (m)),
+adc as (
+  select l.query_id, c.vec_id as neighbor_id,
+         cast(sum(l.d2) as bigint) as approx_d2
+  from codes c join lut l on c.m = l.m and c.code = l.code
+  where c.vec_id <> l.query_id
+  group by 1, 2
+)
+select query_id, neighbor_id, approx_d2, cast(rn as int) as rank from (
+  select *, row_number() over (
+    partition by query_id order by approx_d2 asc, neighbor_id asc
+  ) as rn from adc
+) where rn <= 10
+"""
+
+
 EXT_QUERIES = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
@@ -1253,6 +1313,7 @@ EXT_QUERIES = {
     "decontaminate_bloom": q_decontaminate_bloom,
     "layout_zorder": q_layout_zorder,
     "corpus_interleave": q_corpus_interleave,
+    "similarity_pq_topk": q_pq_topk,
 }
 
 
@@ -1296,4 +1357,5 @@ def ext_oracles() -> dict[str, str]:
         "decontaminate_bloom": decontaminate_bloom_oracle(),
         "layout_zorder": layout_zorder_oracle(),
         "corpus_interleave": corpus_interleave_oracle(),
+        "similarity_pq_topk": pq_topk_oracle(),
     }

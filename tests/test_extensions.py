@@ -537,3 +537,50 @@ def test_quality_quantile_filter_matches_cume_dist_reference(spark):
             .collect()
         }
         assert got == ref, (keep_milli, len(got), len(ref))
+
+
+def test_pq_encode_picks_nearest_subspace_codes(spark):
+    # dim=4, M=2 subspaces of 2; codebook vectors chosen so the
+    # nearest sub-code differs per subspace
+    corpus = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 1.0])]
+    )
+    codebook = spark.createDataFrame(
+        [
+            Row(vec_id=10, embedding=[1.0, 0.0, 1.0, 0.0]),
+            Row(vec_id=20, embedding=[0.0, 1.0, 0.0, 1.0]),
+        ]
+    )
+    codes = similarity_search.pq_encode(
+        corpus, codebook, m_subspaces=2, dim=4
+    ).collect()[0]["codes"]
+    # subspace 0: [1,0] is nearer code 10's [1,0]; subspace 1: [0,1]
+    # is nearer code 20's [0,1]
+    assert codes == [10, 20]
+
+
+def test_pq_topk_finds_cluster_neighbors(spark):
+    # two tight clusters in 4-d; PQ with per-cluster codebook entries
+    # must rank same-cluster vectors first
+    a = [1.0, 0.0, 1.0, 0.0]
+    b = [0.0, 1.0, 0.0, 1.0]
+
+    def jitter(v, eps):
+        return [x + eps if x > 0.5 else x for x in v]
+
+    corpus = spark.createDataFrame(
+        [Row(vec_id=1, embedding=a),
+         Row(vec_id=2, embedding=jitter(a, 0.01)),
+         Row(vec_id=3, embedding=jitter(a, 0.02)),
+         Row(vec_id=4, embedding=b),
+         Row(vec_id=5, embedding=jitter(b, 0.01)),
+         Row(vec_id=6, embedding=jitter(b, 0.02))]
+    )
+    codebook = corpus.filter("vec_id in (1, 4)")
+    out = similarity_search.pq_topk(
+        corpus, corpus.filter("vec_id = 2"), codebook, k=2,
+        m_subspaces=2, dim=4,
+    ).collect()
+    neighbors = {r["neighbor_id"] for r in out}
+    # both returned neighbors are from vec 2's own cluster
+    assert neighbors <= {1, 3}
