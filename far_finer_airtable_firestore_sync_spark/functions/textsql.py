@@ -490,9 +490,10 @@ def dot_int(a: str, b: str, dialect: str) -> str:
             f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
             f"cast(0 as bigint), (acc, v) -> acc + v)"
         )
+    # coalesce: DuckDB list_sum([]) is NULL, Spark's aggregate seed is 0
     return (
-        f"list_sum(list_transform(generate_series(1, len({a})), "
-        f"i -> {a}[i] * {b}[i]))"
+        f"coalesce(list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> {a}[i] * {b}[i])), 0)"
     )
 
 
@@ -505,9 +506,10 @@ def l2sq_int(a: str, b: str, dialect: str) -> str:
             f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
             f"cast(0 as bigint), (acc, v) -> acc + v)"
         )
+    # coalesce: DuckDB list_sum([]) is NULL, Spark's aggregate seed is 0
     return (
-        f"list_sum(list_transform(generate_series(1, len({a})), "
-        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        f"coalesce(list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 0)"
     )
 
 

@@ -434,6 +434,12 @@ def pq_encode(
     against the corpus scan — no corpus shuffle beyond the final
     groupBy that packs M codes back into one array per vector.
     """
+    if dim % m_subspaces:
+        raise ValueError(
+            f"dim={dim} must divide evenly into m_subspaces="
+            f"{m_subspaces} — trailing dimensions would be silently "
+            "dropped from every code and distance"
+        )
     ds = dim // m_subspaces
     sub = (
         f"explode(transform(sequence(0, {m_subspaces - 1}), "

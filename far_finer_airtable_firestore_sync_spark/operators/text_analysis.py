@@ -337,10 +337,15 @@ def quality_quantile_filter(
     total`` — bigint-exact, so the verdict is bit-identical across
     engines and partitionings. Ties at the threshold score all keep
     (the cut is on score VALUE, not row rank).
+
+    NULL text coalesces to '' before scoring (the split_ws_safe
+    convention), so score_milli is never NULL — a NULL histogram row
+    would sort NULLS FIRST in Spark but NULLS LAST in DuckDB and break
+    the threshold parity.
     """
     from pyspark.sql import Window
 
-    base = tx.quality_base_exprs(f"`{text_col}`", SPARK)
+    base = tx.quality_base_exprs(f"coalesce(`{text_col}`, '')", SPARK)
     staged = df.select(
         F.col(id_col),
         F.col(group_col),

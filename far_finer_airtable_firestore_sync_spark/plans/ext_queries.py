@@ -1118,7 +1118,9 @@ def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def quality_quantile_oracle() -> str:
-    score = tx.quality_classifier_exprs("text", DUCKDB)["clf_score_milli"]
+    score = tx.quality_classifier_exprs("coalesce(text, '')", DUCKDB)[
+        "clf_score_milli"
+    ]
     return text_analysis.quality_quantile_filter_sql(
         score, group_col="lang", keep_milli=300
     )

@@ -58,6 +58,7 @@ def read_event_stream(
 
     if os.path.isfile(path):
         staged = tempfile.mkdtemp(prefix="ffs-stream-")
+        _STAGED_DIRS.append(staged)
         shutil.copy(path, os.path.join(staged, os.path.basename(path)))
         path = staged
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

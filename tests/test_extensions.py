@@ -584,3 +584,9 @@ def test_pq_topk_finds_cluster_neighbors(spark):
     neighbors = {r["neighbor_id"] for r in out}
     # both returned neighbors are from vec 2's own cluster
     assert neighbors <= {1, 3}
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    emb = spark.createDataFrame([Row(vec_id=1, embedding=[1.0] * 70)])
+    with pytest.raises(ValueError, match="divide evenly"):
+        similarity_search.pq_encode(emb, emb, m_subspaces=4, dim=70)
