@@ -521,15 +521,33 @@ def contamination_hits(
 
 
 def bloom_positions_exprs(
-    gram_col: str, m_bits: int, k: int, dialect: str
+    gram_col: str,
+    m_bits: int,
+    k: int,
+    dialect: str,
+    hash_family: str = "md5",
 ) -> list[str]:
-    """The k Bloom bit positions of one n-gram: md5 once, two
-    14-hex-digit windows -> (a, b), positions ((a + i*b) mod P) mod m
-    (Kirsch-Mitzenmacher family, same basis the minhash path uses).
-    Pure integer arithmetic after one md5 — bit-identical across
-    engines."""
-    a = tx.hex_to_bigint(f"substring(md5({gram_col}), 1, 14)", dialect)
-    b = tx.hex_to_bigint(f"substring(md5({gram_col}), 15, 14)", dialect)
+    """The k Bloom bit positions of one n-gram: hash once, derive
+    (a, b), positions ((a + i*b) mod P) mod m (Kirsch-Mitzenmacher
+    family, same basis the minhash path uses). Pure integer
+    arithmetic after the hash.
+
+    ``hash_family``: ``"md5"`` (two 14-hex-digit digest windows —
+    bit-identical across engines, the oracle-portable form) or
+    ``"xxhash64"`` (two seeded JVM-native hashes, Spark-only — the
+    production fast path, ~5x less hashing cost; same one-sided-error
+    contract because only the hash family changes, not the
+    all-k-positions-set rule)."""
+    if hash_family == "xxhash64":
+        if dialect != SPARK:
+            raise ValueError("xxhash64 bloom positions are Spark-only")
+        a = f"pmod(xxhash64({gram_col}, 1), {tx.KM_MOD})"
+        b = f"pmod(xxhash64({gram_col}, 2), {tx.KM_MOD})"
+    elif hash_family == "md5":
+        a = tx.hex_to_bigint(f"substring(md5({gram_col}), 1, 14)", dialect)
+        b = tx.hex_to_bigint(f"substring(md5({gram_col}), 15, 14)", dialect)
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family}")
     return [
         f"((({a} + {i + 1} * {b}) % {tx.KM_MOD}) % {m_bits})"
         for i in range(k)
@@ -545,6 +563,7 @@ def bloom_decontaminate(
     m_bits: int = 1 << 18,
     k: int = 2,
     max_chars: int | None = 256,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Bloom-filter benchmark decontamination — the 100 TB path for
     "flag every training doc sharing an n-gram with the benchmark".
@@ -571,7 +590,7 @@ def bloom_decontaminate(
         .select(F.explode("_sh").alias("gram"))
         .distinct()
     )
-    pos_exprs = bloom_positions_exprs("gram", m_bits, k, SPARK)
+    pos_exprs = bloom_positions_exprs("gram", m_bits, k, SPARK, hash_family)
     bench_pos = None
     for e in pos_exprs:
         part = b_grams.select(F.expr(e).alias("pos"))

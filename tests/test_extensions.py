@@ -590,3 +590,29 @@ def test_pq_rejects_indivisible_dim(spark):
     emb = spark.createDataFrame([Row(vec_id=1, embedding=[1.0] * 70)])
     with pytest.raises(ValueError, match="divide evenly"):
         similarity_search.pq_encode(emb, emb, m_subspaces=4, dim=70)
+
+
+def test_bloom_decontaminate_xxhash64_superset_of_exact(spark):
+    """The production hash family keeps the one-sided-error contract:
+    every exact hit is flagged (only the hash family changes, not the
+    all-positions-set rule)."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i,
+             text=f"document number {i} with some unique words {i * 37}")
+         for i in range(40)]
+    )
+    corpus = docs.filter("doc_id % 5 != 0")
+    bench = docs.filter("doc_id % 5 = 0")
+    exact = {
+        r["doc_id"]
+        for r in dedup_docs.contamination_hits(
+            corpus, bench, shingle_n=9
+        ).collect()
+    }
+    bloom = {
+        r["doc_id"]
+        for r in dedup_docs.bloom_decontaminate(
+            corpus, bench, shingle_n=9, hash_family="xxhash64"
+        ).collect()
+    }
+    assert exact <= bloom
