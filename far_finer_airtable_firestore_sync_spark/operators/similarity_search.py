@@ -563,3 +563,114 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    m_subspaces: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF + PQ composed — the production ANN shape (FAISS IVFPQ):
+    coarse centroids partition the corpus into buckets; inside the
+    probed buckets, ranking uses the PQ compressed codes via the ADC
+    lookup table. Per query: O(nprobe * N / n_centroids) candidates x
+    O(M) work each, reading only (bucket, codes) — never raw vectors.
+
+    Both stages are the already-verified primitives (`ivf_assign`,
+    `pq_encode`, the LUT build of `pq_topk`), so the composition
+    stays integer-exact and oracle-checkable end to end.
+
+    Output: (query_id, neighbor_id, approx_d2, rank).
+    """
+    ds = dim // m_subspaces
+    bucketed = ivf_assign(corpus, centroids, vec_col, id_col).select(
+        id_col, "centroid_id"
+    )
+    codes = pq_encode(corpus, codebooks, m_subspaces, dim, vec_col, id_col)
+    indexed = codes.join(bucketed, id_col)
+
+    # queries -> nprobe nearest coarse buckets (same as ivf_topk)
+    q = _quantized(queries, vec_col, "_qq").select(
+        F.col(id_col).alias("query_id"), "_qq"
+    )
+    cents = _quantized(centroids, vec_col, "_qc").select(
+        F.col(id_col).alias("centroid_id"), "_qc"
+    )
+    qcos = F.expr(tx.cosine_quantized("_qq", "_qc", SPARK))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_qcos").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("_qcos", qcos)
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+
+    # per-query ADC lookup table (same construction as pq_topk)
+    sub = (
+        f"explode(transform(sequence(0, {m_subspaces - 1}), "
+        f"m -> struct(m as m, slice(_qv, m * {ds} + 1, {ds}) as sub)))"
+    )
+    q_sub = (
+        _quantized(queries, vec_col, "_qv")
+        .select(F.col(id_col).alias("query_id"), F.expr(sub).alias("_e"))
+        .select(
+            "query_id", F.col("_e.m").alias("m"), F.col("_e.sub").alias("_sv")
+        )
+    )
+    k_sub = (
+        _quantized(codebooks, vec_col, "_qv")
+        .select(F.col(id_col).alias("_code"), F.expr(sub).alias("_e"))
+        .select("_code", F.col("_e.m").alias("m"), F.col("_e.sub").alias("_kv"))
+    )
+    d2 = F.expr(tx.l2sq_int("_sv", "_kv", SPARK))
+    lut_rows = q_sub.join(F.broadcast(k_sub), "m").select(
+        "query_id", "m", "_code", d2.alias("_d2")
+    )
+    lut = (
+        lut_rows.groupBy("query_id", "m")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(_code, _d2))),"
+                " s -> struct(s._code as code, s._d2 as d2))"
+            ).alias("_row")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, _row))),"
+                " s -> s._row)"
+            ).alias("_lut")
+        )
+    )
+
+    approx = F.expr(
+        "aggregate(zip_with(codes, _lut, (cd, row) ->"
+        " filter(row, e -> e.code = cd)[0].d2),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    scored = (
+        indexed.join(F.broadcast(probes), "centroid_id")
+        .join(F.broadcast(lut), "query_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            approx.alias("approx_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

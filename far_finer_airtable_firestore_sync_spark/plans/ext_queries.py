@@ -1274,6 +1274,94 @@ select query_id, neighbor_id, approx_d2, cast(rn as int) as rank from (
 """
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF+PQ (FAISS-IVFPQ shape): coarse buckets from
+    every-50th vector, PQ codes from every-40th; queries probe 2
+    buckets and ADC-rank the compressed codes inside them."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity_search.ivfpq_topk(
+        emb,
+        emb.filter("vec_id % 100 = 0"),
+        emb.filter("vec_id % 50 = 0"),
+        emb.filter("vec_id % 40 = 0"),
+        k=10,
+        nprobe=2,
+        m_subspaces=4,
+        dim=64,
+    )
+
+
+def ivfpq_topk_oracle() -> str:
+    qz = tx.quantize("embedding", DUCKDB)
+    d2 = tx.l2sq_int("sv", "kv", DUCKDB)
+    cos = tx.cosine_quantized("v.qv", "c.qv", DUCKDB)
+    return f"""
+with m_idx as (select unnest(generate_series(0, 3)) as m),
+cq as (select vec_id, {qz} as qv from embeddings),
+cents as (select vec_id as centroid_id, {qz} as qv from embeddings
+          where vec_id % 50 = 0),
+kq as (select vec_id as code, {qz} as qv from embeddings
+       where vec_id % 40 = 0),
+qq as (select vec_id as query_id, {qz} as qv from embeddings
+       where vec_id % 100 = 0),
+assigned as (
+  select vec_id, centroid_id from (
+    select v.vec_id, c.centroid_id,
+           row_number() over (
+             partition by v.vec_id
+             order by {cos} desc, c.centroid_id asc
+           ) as rn
+    from cq v cross join cents c
+  ) where rn = 1
+),
+probes as (
+  select query_id, centroid_id from (
+    select v.query_id, c.centroid_id,
+           row_number() over (
+             partition by v.query_id
+             order by {cos} desc, c.centroid_id asc
+           ) as rn
+    from (select query_id, qv from qq) v(query_id, qv)
+         cross join cents c
+  ) where rn <= 2
+),
+csub as (select vec_id, m, list_slice(qv, m * 16 + 1, (m + 1) * 16) as sv
+         from cq cross join m_idx),
+ksub as (select code, m, list_slice(qv, m * 16 + 1, (m + 1) * 16) as kv
+         from kq cross join m_idx),
+qsub as (select query_id, m,
+                list_slice(qv, m * 16 + 1, (m + 1) * 16) as sv
+         from qq cross join m_idx),
+codes as (
+  select vec_id, m, code from (
+    select c.vec_id, c.m, k.code,
+           row_number() over (
+             partition by c.vec_id, c.m
+             order by {d2} asc, k.code asc
+           ) as rn
+    from csub c join ksub k using (m)
+  ) where rn = 1
+),
+lut as (select q.query_id, q.m, k.code, {d2} as d2
+        from qsub q join ksub k using (m)),
+adc as (
+  select l.query_id, c.vec_id as neighbor_id,
+         cast(sum(l.d2) as bigint) as approx_d2
+  from codes c
+  join assigned a on c.vec_id = a.vec_id
+  join probes p on a.centroid_id = p.centroid_id
+  join lut l on c.m = l.m and c.code = l.code and l.query_id = p.query_id
+  where c.vec_id <> l.query_id
+  group by 1, 2
+)
+select query_id, neighbor_id, approx_d2, cast(rn as int) as rank from (
+  select *, row_number() over (
+    partition by query_id order by approx_d2 asc, neighbor_id asc
+  ) as rn from adc
+) where rn <= 10
+"""
+
+
 EXT_QUERIES = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
@@ -1316,6 +1404,7 @@ EXT_QUERIES = {
     "layout_zorder": q_layout_zorder,
     "corpus_interleave": q_corpus_interleave,
     "similarity_pq_topk": q_pq_topk,
+    "similarity_ivfpq_topk": q_ivfpq_topk,
 }
 
 
@@ -1360,4 +1449,5 @@ def ext_oracles() -> dict[str, str]:
         "layout_zorder": layout_zorder_oracle(),
         "corpus_interleave": corpus_interleave_oracle(),
         "similarity_pq_topk": pq_topk_oracle(),
+        "similarity_ivfpq_topk": ivfpq_topk_oracle(),
     }

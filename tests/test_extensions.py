@@ -616,3 +616,27 @@ def test_bloom_decontaminate_xxhash64_superset_of_exact(spark):
         ).collect()
     }
     assert exact <= bloom
+
+
+def test_ivfpq_full_probe_equals_pq(spark):
+    """With nprobe >= n_buckets the IVF restriction is vacuous, so
+    IVFPQ must return exactly pq_topk's ranking."""
+    import random
+
+    rng = random.Random(7)
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+         for i in range(30)]
+    )
+    queries = emb.filter("vec_id < 2")
+    cents = emb.filter("vec_id % 10 = 0")   # 3 coarse buckets
+    books = emb.filter("vec_id % 7 = 0")
+    pq = similarity_search.pq_topk(
+        emb, queries, books, k=5, m_subspaces=2, dim=8
+    )
+    ivfpq = similarity_search.ivfpq_topk(
+        emb, queries, cents, books, k=5, nprobe=3, m_subspaces=2, dim=8
+    )
+    a = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in pq.collect()}
+    b = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in ivfpq.collect()}
+    assert a == b
