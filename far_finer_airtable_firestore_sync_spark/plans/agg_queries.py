@@ -734,6 +734,47 @@ group by o_orderpriority
 """
 
 
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: customers behind the largest orders — a
+    HAVING aggregate on the fact table feeding a semi-restriction of
+    the join. The lineitem groupBy runs FIRST (map-side partial sums,
+    shuffle on orderkey), and only qualifying orderkeys reach the
+    orders/customer joins — at scale the qualifying set is tiny, so
+    both joins broadcast it."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select("l_orderkey", F.col("_q").cast("double").alias("total_qty"))
+    )
+    return (
+        orders.join(
+            F.broadcast(big), orders.o_orderkey == big.l_orderkey
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+    )
+
+
+LARGE_ORDERS_SQL = f"""
+select c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       cast(big._q as double) as total_qty
+from orders
+join (select l_orderkey, sum(cast(l_quantity as {_DEC})) as _q
+      from lineitem group by l_orderkey
+      having sum(cast(l_quantity as {_DEC})) > 300) big
+  on o_orderkey = big.l_orderkey
+join customer on o_custkey = c_custkey
+"""
+
+
 def q_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13-shaped: distribution of customers by order count,
     including zero-order customers — LEFT OUTER join + two-level
@@ -892,6 +933,7 @@ AGG_QUERIES = {
     "unshipped_revenue_topk": q_unshipped_revenue_topk,
     "order_priority_semi": q_order_priority_semi,
     "customer_order_histogram": q_customer_order_histogram,
+    "large_orders": q_large_orders,
     "forecast_revenue": q_forecast_revenue,
     "event_funnel": q_funnel,
     "retention_cohorts": q_retention_cohorts,
@@ -920,6 +962,7 @@ AGG_ORACLES = {
     "unshipped_revenue_topk": UNSHIPPED_REVENUE_SQL,
     "order_priority_semi": ORDER_PRIORITY_SEMI_SQL,
     "customer_order_histogram": CUSTOMER_ORDER_HISTOGRAM_SQL,
+    "large_orders": LARGE_ORDERS_SQL,
     "forecast_revenue": FORECAST_REVENUE_SQL,
     "event_funnel": FUNNEL_SQL,
     "retention_cohorts": COHORT_SQL,
