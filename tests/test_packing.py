@@ -236,3 +236,68 @@ def test_corpus_interleave_spreads_groups_evenly(spark):
     assert {(r["doc_id"], r["interleave_pos"]) for r in out} == {
         (r["doc_id"], r["interleave_pos"]) for r in again
     }
+
+
+def test_token_budget_allocation_fuzz_exact_sum(spark):
+    """Seeded-random corpora: quotas always sum to exactly the budget
+    and stay within 1 of the proportional share (Hamilton invariants),
+    across skewed/uniform/tiny cell layouts and odd budgets."""
+    import random
+
+    from pyspark.sql import Row
+
+    from far_finer_airtable_firestore_sync_spark.operators import (
+        text_analysis,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        n_cells = rng.randint(2, 12)
+        rows = []
+        doc = 0
+        for c in range(n_cells):
+            # heavily skewed token mass across cells
+            n_docs = rng.choice([1, 2, 5, 20, 60])
+            for _ in range(n_docs):
+                rows.append(
+                    Row(
+                        doc_id=doc,
+                        lang=f"l{c % 3}",
+                        source=f"s{c}",
+                        text="w " * rng.randint(1, 50),
+                    )
+                )
+                doc += 1
+        budget = rng.choice([1, 97, 10_001, 999_983])
+        out = text_analysis.token_budget_allocation(
+            spark.createDataFrame(rows), budget=budget
+        ).collect()
+        assert sum(r["alloc_tokens"] for r in out) == budget, trial
+        total = sum(r["n_tokens"] for r in out)
+        for r in out:
+            exact = budget * r["n_tokens"] / total
+            assert abs(r["alloc_tokens"] - exact) <= 1, (trial, r)
+
+
+def test_corpus_interleave_fuzz_permutation(spark):
+    """Random group layouts: interleave positions are always a perfect
+    0..N-1 permutation, and each group's positions are hash-order
+    deterministic."""
+    import random
+
+    from pyspark.sql import Row
+
+    from far_finer_airtable_firestore_sync_spark.operators import packing
+
+    rng = random.Random(99)
+    for trial in range(3):
+        rows = []
+        doc = 0
+        for g in range(rng.randint(1, 6)):
+            for _ in range(rng.randint(1, 40)):
+                rows.append(Row(doc_id=doc, source=f"g{g}"))
+                doc += 1
+        out = packing.corpus_interleave(
+            spark.createDataFrame(rows), group_col="source"
+        ).collect()
+        assert sorted(r["interleave_pos"] for r in out) == list(range(doc)), trial
