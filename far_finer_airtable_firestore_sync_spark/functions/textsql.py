@@ -490,10 +490,13 @@ def dot_int(a: str, b: str, dialect: str) -> str:
             f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
             f"cast(0 as bigint), (acc, v) -> acc + v)"
         )
-    # coalesce: DuckDB list_sum([]) is NULL, Spark's aggregate seed is 0
+    # empty lists: DuckDB list_sum([]) is NULL where Spark's aggregate
+    # seed is 0 — coalesce. NULL inputs: Spark returns NULL, so the
+    # case guard keeps that (a bare coalesce would turn NULL into 0).
     return (
+        f"case when {a} is null or {b} is null then null else "
         f"coalesce(list_sum(list_transform(generate_series(1, len({a})), "
-        f"i -> {a}[i] * {b}[i])), 0)"
+        f"i -> {a}[i] * {b}[i])), 0) end"
     )
 
 
@@ -506,10 +509,13 @@ def l2sq_int(a: str, b: str, dialect: str) -> str:
             f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
             f"cast(0 as bigint), (acc, v) -> acc + v)"
         )
-    # coalesce: DuckDB list_sum([]) is NULL, Spark's aggregate seed is 0
+    # empty lists: DuckDB list_sum([]) is NULL where Spark's aggregate
+    # seed is 0 — coalesce. NULL inputs: Spark returns NULL, so the
+    # case guard keeps that (a bare coalesce would turn NULL into 0).
     return (
+        f"case when {a} is null or {b} is null then null else "
         f"coalesce(list_sum(list_transform(generate_series(1, len({a})), "
-        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 0)"
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 0) end"
     )
 
 

@@ -178,23 +178,10 @@ def ivf_topk(
     id tie-breaks), so the result is still oracle-checkable.
     """
     assigned = ivf_assign(corpus, centroids, vec_col, id_col)
-    # queries -> their nprobe nearest centroids
-    q = _quantized(queries, vec_col, "_qq").select(
-        F.col(id_col).alias("query_id"), "_qq"
-    )
-    cents = _quantized(centroids, vec_col, "_qc").select(
-        F.col(id_col).alias("centroid_id"), "_qc"
-    )
-    qcos = F.expr(tx.cosine_quantized("_qq", "_qc", SPARK))
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("_qcos").desc(), F.col("centroid_id").asc()
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("_qcos", qcos)
-        .withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "centroid_id", "_qq")
+    # queries -> their nprobe nearest centroids (query vector kept for
+    # the in-bucket rescore)
+    probes = _probe_buckets(
+        queries, centroids, nprobe, vec_col, id_col, keep_query_vec=True
     )
     # search only the probed buckets: equi-join on centroid_id
     cos = F.expr(tx.cosine_quantized("_qq", "_qv", SPARK))
@@ -436,9 +423,9 @@ def pq_encode(
     """
     if dim % m_subspaces:
         raise ValueError(
-            f"dim={dim} must divide evenly into m_subspaces="
-            f"{m_subspaces} — trailing dimensions would be silently "
-            "dropped from every code and distance"
+            f"m_subspaces={m_subspaces} must divide dim={dim} evenly "
+            "— trailing dimensions would be silently dropped from "
+            "every code and distance"
         )
     ds = dim // m_subspaces
     sub = (
@@ -499,10 +486,52 @@ def pq_topk(
 
     Output: (query_id, neighbor_id, approx_d2, rank).
     """
-    ds = dim // m_subspaces
     codes = pq_encode(
         corpus, codebooks, m_subspaces, dim, vec_col, id_col
     )
+    lut = _adc_lut(queries, codebooks, m_subspaces, dim, vec_col, id_col)
+    scored = (
+        codes.crossJoin(F.broadcast(lut))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            _adc_sum().alias("approx_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _adc_sum():
+    """ADC distance: zip each vector's codes with the per-subspace LUT
+    rows and sum the matching entries — O(M) filter+sum per
+    (query, vector). Shared by pq_topk and ivfpq_topk. (A function,
+    not a module constant: F.expr needs an active SparkContext.)"""
+    return F.expr(
+        "aggregate(zip_with(codes, _lut, (cd, row) ->"
+        " filter(row, e -> e.code = cd)[0].d2),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
+def _adc_lut(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    m_subspaces: int,
+    dim: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-query ADC lookup table (query_id, _lut) with
+    ``_lut[m][code_rank] = d2``: codebook ids sorted so positions match
+    the code values' rank — the single definition pq_topk and
+    ivfpq_topk both broadcast."""
+    ds = dim // m_subspaces
     sub = (
         f"explode(transform(sequence(0, {m_subspaces - 1}), "
         f"m -> struct(m as m, slice(_qv, m * {ds} + 1, {ds}) as sub)))"
@@ -520,12 +549,10 @@ def pq_topk(
         .select("_code", F.col("_e.m").alias("m"), F.col("_e.sub").alias("_kv"))
     )
     d2 = F.expr(tx.l2sq_int("_sv", "_kv", SPARK))
-    # LUT rows -> per-query nested array: lut[m][code_rank] = d2, with
-    # codebook ids sorted so positions match the code values' rank
     lut_rows = q_sub.join(F.broadcast(k_sub), "m").select(
         "query_id", "m", "_code", d2.alias("_d2")
     )
-    lut = (
+    return (
         lut_rows.groupBy("query_id", "m")
         .agg(
             F.expr(
@@ -541,27 +568,37 @@ def pq_topk(
             ).alias("_lut")
         )
     )
-    # ADC: zip each vector's codes with the per-subspace LUT rows and
-    # sum the matching entries — O(M) filter+sum per (query, vector)
-    approx = F.expr(
-        "aggregate(zip_with(codes, _lut, (cd, row) ->"
-        " filter(row, e -> e.code = cd)[0].d2),"
-        " cast(0 as bigint), (acc, v) -> acc + v)"
+
+
+def _probe_buckets(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
+    keep_query_vec: bool = False,
+) -> DataFrame:
+    """Each query's ``nprobe`` nearest coarse buckets (quantized
+    cosine, deterministic tie-breaks) — shared by ivf_topk (which also
+    carries the query vector for the in-bucket rescore) and
+    ivfpq_topk (which only needs the bucket ids)."""
+    q = _quantized(queries, vec_col, "_qq").select(
+        F.col(id_col).alias("query_id"), "_qq"
     )
-    scored = (
-        codes.crossJoin(F.broadcast(lut))
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            approx.alias("approx_d2"),
-        )
+    cents = _quantized(centroids, vec_col, "_qc").select(
+        F.col(id_col).alias("centroid_id"), "_qc"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    qcos = F.expr(tx.cosine_quantized("_qq", "_qc", SPARK))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_qcos").desc(), F.col("centroid_id").asc()
     )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    out = ["query_id", "centroid_id"] + (["_qq"] if keep_query_vec else [])
+    return (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("_qcos", qcos)
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select(*out)
     )
 
 
@@ -589,75 +626,13 @@ def ivfpq_topk(
 
     Output: (query_id, neighbor_id, approx_d2, rank).
     """
-    ds = dim // m_subspaces
     bucketed = ivf_assign(corpus, centroids, vec_col, id_col).select(
         id_col, "centroid_id"
     )
     codes = pq_encode(corpus, codebooks, m_subspaces, dim, vec_col, id_col)
     indexed = codes.join(bucketed, id_col)
-
-    # queries -> nprobe nearest coarse buckets (same as ivf_topk)
-    q = _quantized(queries, vec_col, "_qq").select(
-        F.col(id_col).alias("query_id"), "_qq"
-    )
-    cents = _quantized(centroids, vec_col, "_qc").select(
-        F.col(id_col).alias("centroid_id"), "_qc"
-    )
-    qcos = F.expr(tx.cosine_quantized("_qq", "_qc", SPARK))
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("_qcos").desc(), F.col("centroid_id").asc()
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("_qcos", qcos)
-        .withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "centroid_id")
-    )
-
-    # per-query ADC lookup table (same construction as pq_topk)
-    sub = (
-        f"explode(transform(sequence(0, {m_subspaces - 1}), "
-        f"m -> struct(m as m, slice(_qv, m * {ds} + 1, {ds}) as sub)))"
-    )
-    q_sub = (
-        _quantized(queries, vec_col, "_qv")
-        .select(F.col(id_col).alias("query_id"), F.expr(sub).alias("_e"))
-        .select(
-            "query_id", F.col("_e.m").alias("m"), F.col("_e.sub").alias("_sv")
-        )
-    )
-    k_sub = (
-        _quantized(codebooks, vec_col, "_qv")
-        .select(F.col(id_col).alias("_code"), F.expr(sub).alias("_e"))
-        .select("_code", F.col("_e.m").alias("m"), F.col("_e.sub").alias("_kv"))
-    )
-    d2 = F.expr(tx.l2sq_int("_sv", "_kv", SPARK))
-    lut_rows = q_sub.join(F.broadcast(k_sub), "m").select(
-        "query_id", "m", "_code", d2.alias("_d2")
-    )
-    lut = (
-        lut_rows.groupBy("query_id", "m")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(_code, _d2))),"
-                " s -> struct(s._code as code, s._d2 as d2))"
-            ).alias("_row")
-        )
-        .groupBy("query_id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(m, _row))),"
-                " s -> s._row)"
-            ).alias("_lut")
-        )
-    )
-
-    approx = F.expr(
-        "aggregate(zip_with(codes, _lut, (cd, row) ->"
-        " filter(row, e -> e.code = cd)[0].d2),"
-        " cast(0 as bigint), (acc, v) -> acc + v)"
-    )
+    probes = _probe_buckets(queries, centroids, nprobe, vec_col, id_col)
+    lut = _adc_lut(queries, codebooks, m_subspaces, dim, vec_col, id_col)
     scored = (
         indexed.join(F.broadcast(probes), "centroid_id")
         .join(F.broadcast(lut), "query_id")
@@ -665,7 +640,7 @@ def ivfpq_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            approx.alias("approx_d2"),
+            _adc_sum().alias("approx_d2"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -588,7 +588,7 @@ def test_pq_topk_finds_cluster_neighbors(spark):
 
 def test_pq_rejects_indivisible_dim(spark):
     emb = spark.createDataFrame([Row(vec_id=1, embedding=[1.0] * 70)])
-    with pytest.raises(ValueError, match="divide evenly"):
+    with pytest.raises(ValueError, match="must divide dim"):
         similarity_search.pq_encode(emb, emb, m_subspaces=4, dim=70)
 
 
