@@ -640,3 +640,30 @@ def test_ivfpq_full_probe_equals_pq(spark):
     a = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in pq.collect()}
     b = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in ivfpq.collect()}
     assert a == b
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_shape_plans(spark):
+    """Plan-shape regressions for the TPC-H-shaped entries: pushdown
+    reaches the scans, the semi join IS a semi join, and the Q18
+    HAVING aggregate feeds the join as a broadcast."""
+    import far_finer_airtable_firestore_sync_spark.plans.agg_queries as a
+
+    sf = "/root/testdata/sf0.001"
+    semi = _plan(a.q_order_priority_semi(spark, sf))
+    assert "LeftSemi" in semi
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual" in semi
+    # lineitem side reads only the two needed columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp" in semi
+
+    hist = _plan(a.q_customer_order_histogram(spark, sf))
+    assert "LeftOuter" in hist or "RightOuter" in hist
+    # two-level aggregate: partial_count present
+    assert "partial_count" in hist
+
+    big = _plan(a.q_large_orders(spark, sf))
+    assert "BroadcastHashJoin" in big
+    assert "partial_sum" in big  # HAVING aggregate is map-side combined
