@@ -121,3 +121,58 @@ def test_chunk_dedup_idempotent(spark):
     a = {(r["doc_id"], r["text_kept"]) for r in once.collect()}
     b = {(r["doc_id"], r["text_kept"]) for r in again.collect()}
     assert a == b
+
+
+def test_fuzz_vector_emitter_parity(spark, tmp_path):
+    """dot_int / l2sq_int / cosine_quantized cross-engine parity on
+    seeded-random vectors including the edge shapes: empty arrays
+    (DuckDB list_sum([]) is NULL vs Spark's 0 seed — coalesced) and
+    NULL arrays (both engines must return NULL, not 0)."""
+    rng = random.Random(77)
+    vecs = []
+    for i in range(60):
+        if i % 19 == 0:
+            vecs.append(None)
+        elif i % 13 == 0:
+            vecs.append([])
+        else:
+            n = rng.randint(1, 8)
+            vecs.append([rng.uniform(-2, 2) for _ in range(n)])
+    # pair each row with a same-length partner (or same null/empty)
+    partners = [
+        None if v is None else [rng.uniform(-2, 2) for _ in v] for v in vecs
+    ]
+    tbl = pa.table(
+        {
+            "i": pa.array(range(len(vecs)), pa.int64()),
+            "a": pa.array(vecs, pa.list_(pa.float64())),
+            "b": pa.array(partners, pa.list_(pa.float64())),
+        }
+    )
+    f = str(tmp_path / "vecs.parquet")
+    pq.write_table(tbl, f)
+
+    qa, qb = tx.quantize("a", SPARK), tx.quantize("b", SPARK)
+    s_rows = {
+        r["i"]: (r["dot"], r["l2"])
+        for r in spark.read.parquet(f)
+        .selectExpr(
+            "i",
+            f"{tx.dot_int(qa, qb, SPARK)} as dot",
+            f"{tx.l2sq_int(qa, qb, SPARK)} as l2",
+        )
+        .collect()
+    }
+    da, db = tx.quantize("a", DUCKDB), tx.quantize("b", DUCKDB)
+    d_rows = {
+        i: (dot, l2)
+        for i, dot, l2 in duckdb.sql(
+            f"select i, {tx.dot_int(da, db, DUCKDB)} as dot, "
+            f"{tx.l2sq_int(da, db, DUCKDB)} as l2 "
+            f"from '{f}'"
+        ).fetchall()
+    }
+    assert s_rows == d_rows
+    # sanity on the edges: NULL stays NULL, empty is 0
+    assert s_rows[0] == (None, None)     # i=0 is a NULL row (0 % 19)
+    assert s_rows[13] == (0, 0)          # i=13 is an empty row
