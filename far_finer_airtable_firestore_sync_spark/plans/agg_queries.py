@@ -775,6 +775,95 @@ join customer on o_custkey = c_custkey
 """
 
 
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: share of one month's revenue from PROMO-type
+    parts — month filter pushed to the lineitem scan, part dimension
+    broadcast, conditional aggregate folded into one row. Sums stay
+    decimal (order-independent); the final ratio is one IEEE division
+    of two exactly-agreed doubles, then a commutative multiply —
+    bit-identical cross-engine."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem").filter(
+        "l_shipdate >= timestamp'1996-03-01'"
+        " and l_shipdate < timestamp'1996-04-01'"
+    )
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(
+            F.lit(0).cast(_DEC)
+        )).cast("double").alias("promo_revenue"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+    ).select(
+        "promo_revenue",
+        "total_revenue",
+        F.expr("promo_revenue / total_revenue * 100").alias("promo_pct"),
+    )
+
+
+PROMO_REVENUE_SQL = f"""
+with agg as (
+  select
+    cast(sum(case when p_type = 'PROMO'
+      then cast(l_extendedprice as {_DEC}) * (cast(1 as {_DEC}) - cast(l_discount as {_DEC}))
+      else cast(0 as {_DEC}) end) as double) as promo_revenue,
+    cast(sum(cast(l_extendedprice as {_DEC}) * (cast(1 as {_DEC}) - cast(l_discount as {_DEC}))) as double) as total_revenue
+  from lineitem join part on l_partkey = p_partkey
+  where l_shipdate >= timestamp '1996-03-01'
+    and l_shipdate < timestamp '1996-04-01'
+)
+select promo_revenue, total_revenue,
+       promo_revenue / total_revenue * 100 as promo_pct
+from agg
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: revenue under an OR of brand/size/quantity
+    conjunction groups — the disjunctive-predicate join. Catalyst
+    extracts the common `l_partkey = p_partkey` equi-condition and
+    pushes the per-side conjuncts into the scans; the residual OR
+    evaluates post-join."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    rev = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        "(p_brand = 'Brand#1' and p_size between 1 and 15"
+        " and l_quantity between 1 and 20)"
+        " or (p_brand = 'Brand#7' and p_size between 10 and 30"
+        " and l_quantity between 10 and 35)"
+        " or (p_brand = 'Brand#20' and p_size between 20 and 50"
+        " and l_quantity between 20 and 50)"
+    )
+    return joined.filter(cond).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+DISJUNCTIVE_REVENUE_SQL = f"""
+select
+  cast(sum(cast(l_extendedprice as {_DEC}) * (cast(1 as {_DEC}) - cast(l_discount as {_DEC}))) as double) as revenue,
+  count(*) as n_lineitems
+from lineitem join part on l_partkey = p_partkey
+where (p_brand = 'Brand#1' and p_size between 1 and 15
+       and l_quantity between 1 and 20)
+   or (p_brand = 'Brand#7' and p_size between 10 and 30
+       and l_quantity between 10 and 35)
+   or (p_brand = 'Brand#20' and p_size between 20 and 50
+       and l_quantity between 20 and 50)
+"""
+
+
 def q_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13-shaped: distribution of customers by order count,
     including zero-order customers — LEFT OUTER join + two-level
@@ -934,6 +1023,8 @@ AGG_QUERIES = {
     "order_priority_semi": q_order_priority_semi,
     "customer_order_histogram": q_customer_order_histogram,
     "large_orders": q_large_orders,
+    "promo_revenue": q_promo_revenue,
+    "disjunctive_revenue": q_disjunctive_revenue,
     "forecast_revenue": q_forecast_revenue,
     "event_funnel": q_funnel,
     "retention_cohorts": q_retention_cohorts,
@@ -963,6 +1054,8 @@ AGG_ORACLES = {
     "order_priority_semi": ORDER_PRIORITY_SEMI_SQL,
     "customer_order_histogram": CUSTOMER_ORDER_HISTOGRAM_SQL,
     "large_orders": LARGE_ORDERS_SQL,
+    "promo_revenue": PROMO_REVENUE_SQL,
+    "disjunctive_revenue": DISJUNCTIVE_REVENUE_SQL,
     "forecast_revenue": FORECAST_REVENUE_SQL,
     "event_funnel": FUNNEL_SQL,
     "retention_cohorts": COHORT_SQL,
