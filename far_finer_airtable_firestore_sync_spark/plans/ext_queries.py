@@ -1362,6 +1362,74 @@ select query_id, neighbor_id, approx_d2, cast(rn as int) as rank from (
 """
 
 
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card: the standard corpus-composition report a
+    dataset release ships — doc/token counts, exact-duplicate rate
+    (distinct content hashes), and the dominant language per source.
+
+    Two aggregations over one staged scan: a per-source rollup
+    (count-distinct on the 32-byte digest, never the text) and a tiny
+    (source, lang) count frame whose per-source argmax picks the top
+    language (ties break lang-ascending). At 100 TB both shuffles
+    carry digests and counts — the text never leaves the scan."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = tx.whitespace_token_count("text", SPARK)
+    staged = docs.select(
+        "source",
+        "lang",
+        F.expr(ws).alias("_t"),
+        F.md5("text").alias("_h"),
+    )
+    rollup = staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_t").alias("n_tokens"),
+        F.count_distinct("_h").alias("n_distinct_texts"),
+    )
+    per_lang = staged.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("_n").desc(), F.col("lang").asc()
+    )
+    top = (
+        per_lang.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.col("_n").alias("top_lang_docs"),
+        )
+    )
+    return rollup.join(top, "source")
+
+
+def corpus_datacard_oracle() -> str:
+    ws = tx.whitespace_token_count("text", DUCKDB)
+    return f"""
+with s as (
+  select source, lang, {ws} as t, md5(text) as h from documents
+),
+a as (
+  select source, count(*) as n_docs, cast(sum(t) as bigint) as n_tokens,
+         count(distinct h) as n_distinct_texts
+  from s group by 1
+),
+l as (select source, lang, count(*) as n from s group by 1, 2),
+top as (
+  select source, lang as top_lang, n as top_lang_docs from (
+    select *, row_number() over (
+      partition by source order by n desc, lang asc
+    ) as rn from l
+  ) where rn = 1
+)
+select a.source, a.n_docs, a.n_tokens, a.n_distinct_texts,
+       top.top_lang, top.top_lang_docs
+from a join top using (source)
+"""
+
+
 EXT_QUERIES = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
@@ -1405,6 +1473,7 @@ EXT_QUERIES = {
     "corpus_interleave": q_corpus_interleave,
     "similarity_pq_topk": q_pq_topk,
     "similarity_ivfpq_topk": q_ivfpq_topk,
+    "corpus_datacard": q_corpus_datacard,
 }
 
 
@@ -1450,4 +1519,5 @@ def ext_oracles() -> dict[str, str]:
         "corpus_interleave": corpus_interleave_oracle(),
         "similarity_pq_topk": pq_topk_oracle(),
         "similarity_ivfpq_topk": ivfpq_topk_oracle(),
+        "corpus_datacard": corpus_datacard_oracle(),
     }
