@@ -1367,11 +1367,15 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataset release ships — doc/token counts, exact-duplicate rate
     (distinct content hashes), and the dominant language per source.
 
-    Two aggregations over one staged scan: a per-source rollup
-    (count-distinct on the 32-byte digest, never the text) and a tiny
-    (source, lang) count frame whose per-source argmax picks the top
-    language (ties break lang-ascending). At 100 TB both shuffles
-    carry digests and counts — the text never leaves the scan."""
+    Two aggregations over one persisted staged projection: a
+    per-source rollup (count-distinct on the 32-hex-char digest,
+    never the text) and a tiny (source, lang) count frame whose
+    per-source argmax picks the top language (ties break
+    lang-ascending with NULLs last — pinned, because Spark defaults
+    NULLS FIRST under ASC while DuckDB defaults NULLS LAST). The
+    persist keeps the token-count regex and md5 to one evaluation per
+    row; at 100 TB both shuffles carry digests and counts — the text
+    never leaves the scan."""
     from pyspark.sql import Window
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1381,7 +1385,7 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.expr(ws).alias("_t"),
         F.md5("text").alias("_h"),
-    )
+    ).persist()
     rollup = staged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_t").alias("n_tokens"),
@@ -1391,7 +1395,7 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("_n")
     )
     w = Window.partitionBy("source").orderBy(
-        F.col("_n").desc(), F.col("lang").asc()
+        F.col("_n").desc(), F.col("lang").asc_nulls_last()
     )
     top = (
         per_lang.withColumn("_rn", F.row_number().over(w))
@@ -1420,7 +1424,7 @@ l as (select source, lang, count(*) as n from s group by 1, 2),
 top as (
   select source, lang as top_lang, n as top_lang_docs from (
     select *, row_number() over (
-      partition by source order by n desc, lang asc
+      partition by source order by n desc, lang asc nulls last
     ) as rn from l
   ) where rn = 1
 )

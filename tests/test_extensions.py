@@ -667,3 +667,14 @@ def test_tpch_shape_plans(spark):
     big = _plan(a.q_large_orders(spark, sf))
     assert "BroadcastHashJoin" in big
     assert "partial_sum" in big  # HAVING aggregate is map-side combined
+
+    promo = _plan(a.q_promo_revenue(spark, sf))
+    assert "BroadcastHashJoin" in promo  # part dimension broadcasts
+    # month filter reaches the lineitem scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual" in promo
+
+    disj = _plan(a.q_disjunctive_revenue(spark, sf))
+    assert "BroadcastHashJoin" in disj
+    # the common equi-condition is extracted; per-side conjuncts push
+    # into the scans as Or filters
+    assert "PushedFilters: [IsNotNull(l_partkey), Or(Or(" in disj

@@ -124,10 +124,13 @@ def test_chunk_dedup_idempotent(spark):
 
 
 def test_fuzz_vector_emitter_parity(spark, tmp_path):
-    """dot_int / l2sq_int / cosine_quantized cross-engine parity on
-    seeded-random vectors including the edge shapes: empty arrays
-    (DuckDB list_sum([]) is NULL vs Spark's 0 seed — coalesced) and
-    NULL arrays (both engines must return NULL, not 0)."""
+    """dot_int / l2sq_int cross-engine parity on seeded-random
+    vectors including the edge shapes: empty arrays (DuckDB
+    list_sum([]) is NULL vs Spark's 0 seed — coalesced) and NULL
+    arrays (both engines must return NULL, not 0). cosine_quantized
+    is checked on the well-formed rows only (0-norm/empty vectors hit
+    IEEE 0/0, whose NULL-vs-NaN rendering is engine-specific and not
+    part of the operator contract)."""
     rng = random.Random(77)
     vecs = []
     for i in range(60):
@@ -176,3 +179,21 @@ def test_fuzz_vector_emitter_parity(spark, tmp_path):
     # sanity on the edges: NULL stays NULL, empty is 0
     assert s_rows[0] == (None, None)     # i=0 is a NULL row (0 % 19)
     assert s_rows[13] == (0, 0)          # i=13 is an empty row
+
+    # cosine parity on well-formed rows (non-null, non-empty)
+    ok = "a is not null and b is not null and len(a) > 0"
+    s_cos = {
+        r["i"]: r["c"]
+        for r in spark.read.parquet(f)
+        .where("a is not null and b is not null and size(a) > 0")
+        .selectExpr("i", f"{tx.cosine_quantized(qa, qb, SPARK)} as c")
+        .collect()
+    }
+    d_cos = {
+        i: c
+        for i, c in duckdb.sql(
+            f"select i, {tx.cosine_quantized(da, db, DUCKDB)} as c "
+            f"from '{f}' where {ok}"
+        ).fetchall()
+    }
+    assert s_cos == d_cos
