@@ -109,23 +109,9 @@ _DT_FORMATS = [
 ]
 
 
-#: cheap shape tests that pick the right format without paying the
-#: failed-parse path of a try_to_timestamp chain (~5x faster: parse
-#: exceptions are expensive, regex prefilters are codegen'd)
-_DT_SHAPES = [
-    ("^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9:]{8}[.][0-9]{6}[+-][0-9]{2}:[0-9]{2}$",
-     "yyyy-MM-dd HH:mm:ss.SSSSSSXXX"),
-    ("^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9:]{8}[+-][0-9]{2}:[0-9]{2}$",
-     "yyyy-MM-dd HH:mm:ssXXX"),
-    ("^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9:]{8}[.][0-9]{6}$",
-     "yyyy-MM-dd HH:mm:ss.SSSSSS"),
-    ("^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9:]{8}$", "yyyy-MM-dd HH:mm:ss"),
-    ("^[0-9]{2}/[0-9]{2}/[0-9]{4} ", "MM/dd/yyyy HH:mm:ss"),
-    ("^[0-9]{2}[.][0-9]{2}[.][0-9]{4}$", "dd.MM.yyyy"),
-    ("^[0-9]{4}-[0-9]{2}-[0-9]{2}$", "yyyy-MM-dd"),
-    ("^[0-9]{4}/[0-9]{2}/[0-9]{2}$", "yyyy/MM/dd"),
-    ("^[0-9]{2} [A-Za-z]{3} [0-9]{4}$", "dd MMM yyyy"),
-]
+#: Shape dispatch lives inline in parse_datetime_any: post-normalization
+#: the ISO family is discriminated by LENGTH alone and the other shapes
+#: by one separator character, so no regex prefilter list is needed.
 
 #: ISO normalization: 'T' date/time separator -> space; trailing 'Z'
 #: -> '+00:00' (DuckDB strptime %z rejects a literal Z); second
@@ -156,7 +142,20 @@ def _dt_normalize(col: str, dialect: str) -> str:
     out = f_trunc
     for _ in range(5):
         out = f"regexp_replace({out}, '{pad_pat}', {pad})"
-    return out
+    # Fast-path gate: every normalization rule triggers on a 'T'
+    # separator, a trailing 'Z', or a '.'+digit fraction — strings with
+    # none of those are provably unchanged by the 8 regex passes above,
+    # so one cheap test skips them (most real shapes: plain dates,
+    # space-separated timestamps, bare offsets). False positives (e.g.
+    # an uppercase month containing 'T') just take the full path and
+    # come out unchanged — the gate can only skip provably-identity
+    # inputs, never alter a result.
+    gate_rx = "[TZ]|[.][0-9]"
+    if dialect == "spark":
+        test = f"{col} rlike '{gate_rx}'"
+    else:
+        test = f"regexp_matches({col}, '{gate_rx}')"
+    return f"case when {test} then {out} else {col} end"
 
 
 def parse_datetime_any(col: str, pre_normalized: bool = False) -> str:
@@ -176,14 +175,34 @@ def parse_datetime_any(col: str, pre_normalized: bool = False) -> str:
     with ``pre_normalized=True`` — a modest win (the parse attempts
     dominate; CASE short-circuits most normalization copies anyway)."""
     norm = _dt_normalize(col, "spark")
-    shaped = " ".join(
-        f"when _dt rlike '{rx}' then try_to_timestamp(_dt, '{fmt}')"
-        for rx, fmt in _DT_SHAPES
+    # Constant-time dispatch: after normalization the ISO family has a
+    # unique LENGTH per shape (fraction pinned to 6 digits, offset to
+    # +HH:MM), and the non-ISO shapes are separated by one separator
+    # char — so the happy path costs two substr + one length + one
+    # try_to_timestamp, zero regex. A mis-dispatched string parses to
+    # NULL and falls through to the full format chain below, so the
+    # dispatch can only speed up, never change, the result.
+    shaped = (
+        "case substr(_dt, 3, 1) "
+        "when '/' then try_to_timestamp(_dt, 'MM/dd/yyyy HH:mm:ss') "
+        "when '.' then try_to_timestamp(_dt, 'dd.MM.yyyy') "
+        "when ' ' then try_to_timestamp(_dt, 'dd MMM yyyy') "
+        "else case substr(_dt, 5, 1) "
+        "when '-' then case length(_dt) "
+        "when 10 then try_to_timestamp(_dt, 'yyyy-MM-dd') "
+        "when 19 then try_to_timestamp(_dt, 'yyyy-MM-dd HH:mm:ss') "
+        "when 26 then try_to_timestamp(_dt, 'yyyy-MM-dd HH:mm:ss.SSSSSS') "
+        "when 25 then try_to_timestamp(_dt, 'yyyy-MM-dd HH:mm:ssXXX') "
+        "when 32 then try_to_timestamp(_dt, 'yyyy-MM-dd HH:mm:ss.SSSSSSXXX') "
+        "end "
+        "when '/' then try_to_timestamp(_dt, 'yyyy/MM/dd') "
+        "else try_to_timestamp(_dt, 'MMM dd, yyyy') "
+        "end end"
     )
     attempts = ", ".join(
         f"try_to_timestamp(_dt, '{f[0]}')" for f in _DT_FORMATS
     )
-    chain = f"coalesce(case {shaped} end, {attempts})"
+    chain = f"coalesce({shaped}, {attempts})"
     return chain.replace("_dt", f"`{col}`" if pre_normalized else f"({norm})")
 
 
