@@ -365,8 +365,12 @@ def corpus_interleave(
             F.expr("cast(2 * _rn - 1 as double) / cast(2 * _n as double)"),
         )
     )
+    # _frac ties occur whenever two groups have equal size, so the
+    # group tie-break must pin NULL ordering explicitly: Spark asc is
+    # NULLS FIRST, DuckDB's is NULLS LAST, and a NULL group value is a
+    # valid stratum here (matching quality_quantile_filter).
     w_global = Window.orderBy(
-        F.col("_frac").asc(), F.col(group_col).asc(), F.col("_rn").asc()
+        F.col("_frac").asc(), F.col(group_col).asc_nulls_last(), F.col("_rn").asc()
     )
     return staged.withColumn(
         out_pos, F.row_number().over(w_global) - F.lit(1)
@@ -398,7 +402,7 @@ f as (
 )
 select * exclude (_h, _rn, _n, _frac),
        row_number() over (
-         order by _frac asc, {group_col} asc, _rn asc
+         order by _frac asc, {group_col} asc nulls last, _rn asc
        ) - 1 as interleave_pos
 from f
 """

@@ -481,8 +481,14 @@ def token_budget_allocation(
     leftover = based.agg(
         (F.lit(budget) - F.sum("_base")).alias("_leftover")
     )
+    # Pin NULL ordering on every key: Spark's desc is NULLS LAST /
+    # asc NULLS FIRST while DuckDB defaults differ, and a NULL group
+    # cell (or NULL _rem from an all-NULL-text cell) would otherwise
+    # rank differently cross-engine and shift the +1 allocations.
     w = Window.orderBy(
-        F.col("_rem").desc(), F.col(g1).asc(), F.col(g2).asc()
+        F.col("_rem").desc_nulls_last(),
+        F.col(g1).asc_nulls_last(),
+        F.col(g2).asc_nulls_last(),
     )
     return (
         based.withColumn("_rk", F.row_number().over(w))
@@ -523,7 +529,7 @@ b as (
 lo as (select {budget} - cast(sum(base) as bigint) as leftover from b),
 r as (
   select *, row_number() over (
-    order by rem desc, {g1} asc, {g2} asc
+    order by rem desc nulls last, {g1} asc nulls last, {g2} asc nulls last
   ) as rk from b
 )
 select {g1}, {g2}, n_tokens,

@@ -63,9 +63,19 @@ def read_event_stream(
         path = staged
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
+    # Only an EMPTY directory (files arrive later) may fall back to the
+    # assumed-nanos schema; a corrupt footer or permission error must
+    # propagate, or the stream could silently apply the wrong ts
+    # normalization to real files.
+    import glob as _glob
+
+    has_files = any(
+        not os.path.basename(f).startswith(("_", "."))
+        for f in _glob.glob(os.path.join(path, "*.parquet"))
+    )
+    if has_files:
         schema = spark.read.parquet(path).schema
-    except Exception:  # empty dir: files arrive later — assume nanos
+    else:
         schema = EVENTS_SCHEMA
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
