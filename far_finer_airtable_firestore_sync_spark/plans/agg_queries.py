@@ -985,16 +985,74 @@ COHORT_SQL = COHORT_BODY.format(rel="events")
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates (HLL distinct, approximate quantiles) — the
     100 TB statistics path (exact distinct/percentile shuffle all
-    values; sketches are bounded-size mergeable state). Declared
-    rows-only for the oracle: sketch internals are engine-specific;
-    error bounds are asserted in tests instead."""
+    values; sketches are bounded-size mergeable state).
+
+    Banded oracle (sketch internals are engine-specific, so raw sketch
+    outputs can never hash-match): each engine asserts ITS OWN sketch
+    against ITS OWN exact aggregate — HLL distinct within 3x the
+    declared rsd, approximate quantiles within a rank tolerance — and
+    emits the verdict booleans plus the exact distinct count. The
+    booleans are deterministically true whenever the sketches honor
+    their error contracts, and the exact count compares bit-exactly,
+    so the driver's hash gate now covers this entry."""
     _utc(spark)
     li = _read(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99_price"),
+    ap = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_apx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_apx_med"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("_apx_p99"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    j = li.join(F.broadcast(ap), "l_returnflag")
+    return (
+        j.groupBy(
+            "l_returnflag", "exact_parts", "_apx_parts", "_apx_med", "_apx_p99"
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("_apx_med"), 1).otherwise(0)
+            ).alias("_le_med"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("_apx_p99"), 1).otherwise(0)
+            ).alias("_le_p99"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_apx_parts") - F.col("exact_parts"))
+                <= 0.06 * F.col("exact_parts")
+            ).alias("parts_in_band"),
+            (F.col("_le_med") / F.col("_n")).between(0.49, 0.51).alias(
+                "median_in_band"
+            ),
+            (F.col("_le_p99") / F.col("_n")).between(0.98, 1.0).alias(
+                "p99_in_band"
+            ),
+        )
+    )
+
+
+APPROX_STATS_SQL = """
+with ap as (
+  select l_returnflag,
+         approx_count_distinct(l_partkey) as apx_parts,
+         approx_quantile(l_extendedprice, 0.5) as apx_med,
+         approx_quantile(l_extendedprice, 0.99) as apx_p99,
+         count(distinct l_partkey) as exact_parts
+  from lineitem group by 1
+)
+select a.l_returnflag, a.exact_parts,
+       abs(a.apx_parts - a.exact_parts) <= 0.06 * a.exact_parts
+         as parts_in_band,
+       (sum(case when l.l_extendedprice <= a.apx_med then 1 else 0 end)
+          * 1.0 / count(*)) between 0.49 and 0.51 as median_in_band,
+       (sum(case when l.l_extendedprice <= a.apx_p99 then 1 else 0 end)
+          * 1.0 / count(*)) between 0.98 and 1.0 as p99_in_band
+from lineitem l join ap a using (l_returnflag)
+group by 1, 2, a.apx_parts, a.apx_med, a.apx_p99
+"""
 
 
 AGG_QUERIES = {
@@ -1050,6 +1108,7 @@ AGG_ORACLES = {
     "agg_exact_median": MEDIAN_SQL,
     "word_count": WORD_COUNT_SQL,
     "unpivot_metrics": UNPIVOT_SQL,
+    "approx_stats": APPROX_STATS_SQL,
     "unshipped_revenue_topk": UNSHIPPED_REVENUE_SQL,
     "order_priority_semi": ORDER_PRIORITY_SEMI_SQL,
     "customer_order_histogram": CUSTOMER_ORDER_HISTOGRAM_SQL,
