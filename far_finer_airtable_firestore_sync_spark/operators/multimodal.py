@@ -12,9 +12,12 @@ Decoders (pluggable, per the ``decoder=`` argument):
 - ``"wav"`` — REAL audio decode via the stdlib ``wave`` module:
   channels/rate/duration + mean absolute amplitude.
 - ``"fake"`` — deterministic digest-based stand-in (contract tests).
-- ``"pillow"`` — raises ``NotImplementedError``: general-purpose
-  codecs (PNG/JPEG) are not installable in this container; wire
-  Pillow here with the same mapInPandas contract when available.
+- ``"pillow"`` — general image codecs (PNG/JPEG/…) behind a guarded
+  import: registered only when Pillow is importable (it is not baked
+  into this container — the decoder self-tests via Pillow-encoded
+  bytes when present, and requesting it without Pillow raises
+  ``NotImplementedError`` naming the dependency). Same feature shape
+  as ``"ppm"``: [width, height, band means...].
 
 Scale notes: media rows are large, so the operators avoid shuffling
 binary payloads — every stage is a mapInPandas projection (no
@@ -173,7 +176,46 @@ def _wav_decode(content: bytes) -> Optional[list[float]]:
     return [float(nch), float(rate), duration_ms, mean_abs]
 
 
+try:  # optional dependency: general image codecs
+    from PIL import Image as _PILImage
+except ImportError:  # container default: Pillow absent
+    _PILImage = None
+
+
+def _pillow_decode(content: bytes) -> Optional[list[float]]:
+    """REAL general-image decode (PNG/JPEG/… via Pillow when
+    installed): [width, height, band means normalized to 0..1],
+    matching the `"ppm"` feature shape so downstream consumers are
+    codec-agnostic. Undecodable bytes yield None (quarantine row)."""
+    import io
+
+    try:
+        img = _PILImage.open(io.BytesIO(content))
+        img.load()
+    except Exception:
+        return None
+    stats = []
+    for band_hist in _band_histograms(img):
+        total = sum(band_hist)
+        if total == 0:
+            stats.append(0.0)
+        else:
+            stats.append(
+                sum(i * c for i, c in enumerate(band_hist)) / (total * 255.0)
+            )
+    return [float(img.width), float(img.height), *stats]
+
+
+def _band_histograms(img) -> list[list[int]]:
+    """Per-band 256-bin histograms (Pillow packs them back-to-back)."""
+    hist = img.histogram()
+    n_bands = max(1, len(hist) // 256)
+    return [hist[b * 256:(b + 1) * 256] for b in range(n_bands)]
+
+
 _DECODERS = {"fake": _fake_decode, "ppm": _ppm_decode, "wav": _wav_decode}
+if _PILImage is not None:
+    _DECODERS["pillow"] = _pillow_decode
 
 
 def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
@@ -187,8 +229,9 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     if decoder not in _DECODERS:
         raise NotImplementedError(
             f"decoder {decoder!r}: general-purpose media codecs are not "
-            "available in this environment; wire Pillow/torchaudio here "
-            f"and keep the same mapInPandas contract (have: {sorted(_DECODERS)})"
+            "available in this environment (installing Pillow enables "
+            "'pillow' for PNG/JPEG; wire torchaudio similarly), keeping "
+            f"the same mapInPandas contract (have: {sorted(_DECODERS)})"
         )
     decode = _DECODERS[decoder]
 

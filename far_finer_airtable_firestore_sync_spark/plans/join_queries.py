@@ -95,6 +95,12 @@ from purchases p join clicks c
 #: only at exactly 3 (%g) and exactly 6 (%f) digits. Normalizing every
 #: fraction to 6 digits makes any ISO width 1-9 parse to the same
 #: microsecond value in both engines (dateutil-style truncation >6).
+#: Optional 4th element: a DuckDB-side shape guard regex. Spark's
+#: ``yyyy`` requires >= 4 digits while C-style ``%Y`` happily reads
+#: ``99`` as year 0099 — the guard pins the DuckDB twin to the shapes
+#: Spark accepts so a two-digit-year string parses in NEITHER engine
+#: (dateutil's 50-year-window guess for those is not reproducible
+#: cross-engine; documented residual, DIVERGENCES #12).
 _DT_FORMATS = [
     ("yyyy-MM-dd HH:mm:ss.SSSSSSXXX", "%Y-%m-%d %H:%M:%S.%f%z", True),
     ("yyyy-MM-dd HH:mm:ssXXX", "%Y-%m-%d %H:%M:%S%z", True),
@@ -106,6 +112,18 @@ _DT_FORMATS = [
     ("yyyy/MM/dd", "%Y/%m/%d"),
     ("MMM dd, yyyy", "%b %d, %Y"),
     ("dd MMM yyyy", "%d %b %Y"),
+    # dateutil-grammar widening (coverage fuzz, tests/test_dateutil_
+    # coverage.py): month names both widths, US dash/bare-slash dates,
+    # 12-hour clock, compact/dotted ISO.
+    ("MM/dd/yyyy hh:mm a", "%m/%d/%Y %I:%M %p", False,
+     "^[0-9]{2}/[0-9]{2}/[0-9]{4} "),
+    ("MM/dd/yyyy", "%m/%d/%Y", False, "^[0-9]{2}/[0-9]{2}/[0-9]{4}$"),
+    ("MM-dd-yyyy", "%m-%d-%Y", False, "^[0-9]{2}-[0-9]{2}-[0-9]{4}$"),
+    ("MMM dd yyyy", "%b %d %Y"),
+    ("MMMM dd, yyyy", "%B %d, %Y"),
+    ("dd MMMM yyyy", "%d %B %Y"),
+    ("yyyy.MM.dd", "%Y.%m.%d"),
+    ("yyyyMMdd", "%Y%m%d"),
 ]
 
 
@@ -184,7 +202,9 @@ def parse_datetime_any(col: str, pre_normalized: bool = False) -> str:
     # dispatch can only speed up, never change, the result.
     shaped = (
         "case substr(_dt, 3, 1) "
-        "when '/' then try_to_timestamp(_dt, 'MM/dd/yyyy HH:mm:ss') "
+        "when '/' then case length(_dt) "
+        "when 10 then try_to_timestamp(_dt, 'MM/dd/yyyy') "
+        "else try_to_timestamp(_dt, 'MM/dd/yyyy HH:mm:ss') end "
         "when '.' then try_to_timestamp(_dt, 'dd.MM.yyyy') "
         "when ' ' then try_to_timestamp(_dt, 'dd MMM yyyy') "
         "else case substr(_dt, 5, 1) "
@@ -216,11 +236,17 @@ def parse_datetime_any_duckdb(col: str) -> str:
     attempts = []
     for f in _DT_FORMATS:
         du, tz = f[1], (f[2] if len(f) > 2 else False)
+        guard = f[3] if len(f) > 3 else None
         e = f"try_strptime(({norm}), '{du}')"
         if tz:
             # %z yields TIMESTAMPTZ; render as UTC wall-clock TIMESTAMP
             # (session-timezone independent) to match Spark.
             e = f"({e} at time zone 'UTC')"
+        if guard:
+            e = (
+                f"(case when regexp_matches(({norm}), '{guard}')"
+                f" then {e} end)"
+            )
         attempts.append(e)
     return f"coalesce({', '.join(attempts)})"
 

@@ -157,11 +157,42 @@ def test_multimodal_feature_extraction(spark):
     assert sorted(map(str, feats)) == sorted(map(str, again))
 
 
-def test_multimodal_real_decoder_is_stubbed(spark):
+@pytest.mark.skipif(
+    multimodal._PILImage is not None, reason="Pillow installed"
+)
+def test_multimodal_pillow_decoder_absent_raises(spark):
+    """Without Pillow the 'pillow' decoder is unregistered and asking
+    for it names the missing dependency instead of failing mid-job."""
     docs = spark.createDataFrame([Row(text="x")])
     media = multimodal.attach_media_columns(docs, "text")
     with pytest.raises(NotImplementedError):
         multimodal.extract_features(media, decoder="pillow")
+
+
+@pytest.mark.skipif(
+    multimodal._PILImage is None, reason="Pillow not installed"
+)
+def test_multimodal_pillow_decoder_real_png(spark):
+    """With Pillow present, real PNG bytes decode to [w, h, band
+    means] through the same mapInPandas plumbing as the PPM path."""
+    import io
+
+    img = multimodal._PILImage.new("RGB", (4, 2), (255, 0, 128))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    docs = spark.createDataFrame([Row(blob=bytearray(buf.getvalue()))])
+    media = multimodal.attach_media_columns(docs, "blob", "image/png")
+    feats = multimodal.extract_features(media, decoder="pillow").collect()
+    assert len(feats) == 1
+    w, h, r, g, b = feats[0]["feature"]
+    assert (w, h) == (4.0, 2.0)
+    assert abs(r - 1.0) < 1e-6 and abs(g) < 1e-6 and abs(b - 128 / 255) < 1e-6
+    # garbage bytes quarantine as NULL feature, not a job failure
+    bad = multimodal.attach_media_columns(
+        spark.createDataFrame([Row(blob=bytearray(b"not an image"))]), "blob"
+    )
+    out = multimodal.extract_features(bad, decoder="pillow").collect()
+    assert out[0]["feature"] is None
 
 
 def test_frame_sample(spark):
