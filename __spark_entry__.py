@@ -704,6 +704,66 @@ group by l_suppkey
 """
 
 
+def _skewed_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hot-key fixture: ~30% of lineitem rows remapped to
+    key 0 (``l_orderkey % 10 < 3``), the rest keep their supplier key —
+    the 'boilerplate document / null-ish default' shape that pins one
+    reducer at 100 TB."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.select(
+        F.expr(
+            "case when l_orderkey % 10 < 3 then 0 else l_suppkey end"
+        ).alias("k"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("_price_dec"),
+    )
+
+
+def _q_skew_hot_unsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline plain GROUP BY on the 30%-hot-key fixture: one exchange
+    hash-partitioned on k, so the hot key lands on a single reducer.
+    Benched side-by-side with the salted twin below."""
+    _utc(spark)
+    return (
+        _skewed_lineitem(spark, sf_dir)
+        .groupBy("k")
+        .agg(
+            F.sum("_price_dec").cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+def _q_skew_hot_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated twin: two-stage (k, salt) partial -> per-key
+    merge spreads the hot key over the salt buckets; identical result
+    by construction (decimal sums are order-independent)."""
+    from far_finer_airtable_firestore_sync_spark.operators.skew import (
+        salted_aggregate,
+    )
+
+    _utc(spark)
+    out = salted_aggregate(
+        _skewed_lineitem(spark, sf_dir),
+        "k",
+        {"revenue": ("sum", "_price_dec"), "n_items": ("count", "_price_dec")},
+        salt_buckets=16,
+    )
+    return out.select(
+        "k",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("n_items").cast("long").alias("n_items"),
+    )
+
+
+_SKEW_HOT_SQL = """
+select case when l_orderkey % 10 < 3 then 0 else l_suppkey end as k,
+       cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as revenue,
+       cast(count(*) as bigint) as n_items
+from lineitem
+group by 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -735,6 +795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_set_diff": _q_key_set_diff,
         "store_cdc_diff": _q_store_cdc,
         "salted_agg_revenue": _q_salted_agg,
+        "skew_hot_key_unsalted": _q_skew_hot_unsalted,
+        "skew_hot_key_salted": _q_skew_hot_salted,
         **ext.EXT_QUERIES,
         **agg.AGG_QUERIES,
         **jq.JOIN_QUERIES,
@@ -769,6 +831,8 @@ def oracle_sql() -> dict[str, str]:
         "key_set_diff": _KEY_SET_DIFF_SQL,
         "store_cdc_diff": _STORE_CDC_SQL,
         "salted_agg_revenue": _SALTED_AGG_SQL,
+        "skew_hot_key_unsalted": _SKEW_HOT_SQL,
+        "skew_hot_key_salted": _SKEW_HOT_SQL,
         **ext.ext_oracles(),
         **agg.AGG_ORACLES,
         **jq.JOIN_ORACLES,

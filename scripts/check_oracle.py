@@ -5,11 +5,17 @@ through DuckDB on the same parquet tables, then compares row count,
 schema (sorted column names) and an order-insensitive value multiset.
 
 Usage: python scripts/check_oracle.py [sf_dir] [name ...]
+
+Set ORACLE_JSON_OUT=<path> to also write a machine-readable artifact
+(one record per entry: status/rows/error) — committed per round as
+ORACLE_LOCAL_r{N}.json so the half of the contract the driver's
+50-query sample never touches stays auditable.
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 from datetime import date, datetime
 
@@ -70,6 +76,7 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -79,11 +86,13 @@ def main() -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
+            records[name] = {"status": "fail", "error": f"spark: {ex}"[:300]}
             failures += 1
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"WEAK {name}: no oracle, rows={len(s_rows)}")
+            records[name] = {"status": "weak_no_oracle", "rows": len(s_rows)}
             continue
         try:
             res = con.execute(sql)
@@ -91,6 +100,7 @@ def main() -> int:
             d_rows = res.fetchall()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
+            records[name] = {"status": "fail", "error": f"duckdb: {ex}"[:300]}
             failures += 1
             continue
 
@@ -106,11 +116,36 @@ def main() -> int:
                 problems.append(f"values differ, first diffs: {diff}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
+            records[name] = {"status": "fail", "error": "; ".join(problems)[:300]}
             failures += 1
         else:
             print(f"OK   {name}: rows={len(s_rows)}")
+            records[name] = {
+                "status": "ok",
+                "rows": len(s_rows),
+                "rows_match": True,
+                "schema_match": True,
+                "values_match": True,
+            }
 
     spark.stop()
+    out_path = os.environ.get("ORACLE_JSON_OUT")
+    if out_path and not only:
+        import json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "n_entries": len(records),
+            "n_ok": sum(1 for r in records.values() if r["status"] == "ok"),
+            "n_weak": sum(
+                1 for r in records.values() if r["status"] == "weak_no_oracle"
+            ),
+            "n_fail": failures,
+            "entries": records,
+        }
+        with open(out_path, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=True)
+        print(f"wrote {out_path}")
     return 1 if failures else 0
 
 
