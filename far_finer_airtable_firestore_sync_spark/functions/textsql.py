@@ -354,6 +354,20 @@ def shingles(col: str, n: int, dialect: str, max_chars: int | None = None) -> st
     return ldistinct(grams, dialect)
 
 
+def char_bigrams(col: str, dialect: str) -> str:
+    """Non-distinct character bigram array of ``col`` (LM training /
+    scoring multiset; order preserved). Spark's ``sequence(1, 0)``
+    counts DOWN, so the short-string case needs an explicit empty
+    guard; DuckDB's ``generate_series(1, 0)`` is already empty."""
+    idx = seq("1", f"length({col}) - 1", dialect)
+    grams = ltransform(idx, f"i -> substring({col}, i, 2)", dialect)
+    if dialect == SPARK:
+        return (
+            f"case when length({col}) < 2 then array() else {grams} end"
+        )
+    return grams
+
+
 def minhash_signature(
     col: str, n: int, seeds: int, dialect: str, max_chars: int | None = 256
 ) -> list[str]:

@@ -345,6 +345,73 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with k-means buckets, then
+    within each cluster drop every vector that has a near-duplicate
+    (quantized cosine >= ``threshold``) ranked ahead of it under the
+    deterministic keep-order (cosine-to-centroid ASC — SemDeDup keeps
+    the example FARTHEST from the centroid — id ASC tie-break).
+
+    Returns the surviving rows: (id, centroid_id, cos_to_centroid).
+
+    Scale shape: one broadcast centroid assignment (no corpus
+    shuffle), then a self-join keyed on ``centroid_id`` — cost is
+    sum over clusters of |cluster|^2, the SemDeDup contract (cluster
+    count is chosen so clusters stay small). No all-pairs join; the
+    dropped-set anti-join is on the id key. All comparisons run on
+    the integer quantization grid, so results are engine-exact.
+    """
+    assigned = ivf_assign(corpus, centroids, vec_col, id_col)
+    cents = _quantized(centroids, vec_col, "_qc").select(
+        F.col(id_col).alias("centroid_id"), "_qc"
+    )
+    cos_c = F.expr(tx.cosine_quantized("_qv", "_qc", SPARK))
+    # Precompute each vector's norm ONCE (same rationale as
+    # embedding_near_dup_pairs: higher-order-function folds are
+    # interpreted, and each vector joins into many pairs — inlining
+    # cosine_quantized per pair is 3 folds/pair instead of 1). The
+    # pair cosine dot/(norm_a*norm_b) evaluates the exact same double
+    # expression the SQL twin's inline form does.
+    scored = (
+        assigned.join(F.broadcast(cents), "centroid_id")
+        .withColumn("cos_to_centroid", cos_c)
+        .drop("_qc")
+        .withColumn(
+            "_norm",
+            F.expr(f"sqrt(cast({tx.dot_int('_qv', '_qv', SPARK)} as double))"),
+        )
+    )
+    a, b = scored.alias("a"), scored.alias("b")
+    keep_before = (
+        (F.col("a.cos_to_centroid") < F.col("b.cos_to_centroid"))
+        | (
+            (F.col("a.cos_to_centroid") == F.col("b.cos_to_centroid"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        )
+    )
+    pair_dot = F.expr(tx.dot_int("a._qv", "b._qv", SPARK))
+    pair_cos = pair_dot.cast("double") / (F.col("a._norm") * F.col("b._norm"))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id")) & keep_before,
+        )
+        .filter(pair_cos >= F.lit(threshold))
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return scored.join(dropped, id_col, "left_anti").select(
+        id_col, "centroid_id", "cos_to_centroid"
+    )
+
+
 def truncate_normalize(
     df: DataFrame,
     dim: int,

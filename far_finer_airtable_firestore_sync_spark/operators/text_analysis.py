@@ -537,3 +537,143 @@ select {g1}, {g2}, n_tokens,
          as alloc_tokens
 from r cross join lo
 """
+
+
+def lm_bigram_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    grid: int = 1_000_000,
+    max_chars: int | None = 256,
+) -> DataFrame:
+    """CCNet-style statistical-LM quality scoring (Wenzek et al. 2020,
+    arXiv:1911.00359 use a KenLM n-gram model; this is the same shape
+    with a self-trained character-bigram model): score every document
+    by its average negative log-likelihood under add-one-smoothed
+    bigram statistics of the corpus itself. High ``avg_nll`` = text
+    whose character transitions are unlike the corpus (mojibake,
+    binary spill, boilerplate soup) — the classic perplexity filter.
+
+    Cross-engine exactness: per-bigram log-probs are quantized to a
+    1/``grid`` integer (the tf-idf idiom), per-doc totals are exact
+    integer sums, and the single final division back to double is
+    IEEE-exact. P(b) = (c2(b)+1) / (c1(prefix)+V) with V = distinct
+    bigram count (add-one over the observed bigram vocabulary).
+
+    Scale shape: the model is two partial aggregations keyed on the
+    bigram (alphabet-squared cardinality — tiny), broadcast back; the
+    scoring pass is explode -> broadcast join -> per-doc sum. The
+    corpus shuffles only (bigram, count) pairs and per-doc partials,
+    never text. At 100 TB, train the model on a hash-sample
+    (sample_hash) and score the full corpus with the same plan.
+    """
+    # max_chars bounds the per-doc fold (the transform lambda is
+    # interpreted, not codegen'd): train and score on each doc's
+    # prefix — the CCNet move of scoring a bounded unit rather than
+    # unbounded documents. The SQL twin applies the same cap.
+    base = (
+        f"substring(`{text_col}`, 1, {max_chars})"
+        if max_chars
+        else f"`{text_col}`"
+    )
+    # Hoist the normalization into its own projection: char_bigrams
+    # references its argument inside the per-element lambda, so an
+    # inline lower(substring(...)) would re-normalize the whole prefix
+    # once PER BIGRAM (CollapseProject keeps non-cheap exprs staged).
+    pre = df.select(F.col(id_col), F.expr(f"lower({base})").alias("_t"))
+    grams = pre.select(
+        F.col(id_col),
+        F.explode(F.expr(tx.char_bigrams("_t", SPARK))).alias("b"),
+    )
+    # One shuffle over (doc, bigram) counts feeds BOTH the model and
+    # the scoring pass; materialized so the explode doesn't re-execute
+    # per branch. Downstream rows are docs x distinct-bigrams-per-doc,
+    # far smaller than the raw bigram stream.
+    doc_b = (
+        grams.groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    c2 = doc_b.groupBy("b").agg(F.sum("n").alias("c2"))
+    c1 = (
+        c2.groupBy(F.expr("substring(b, 1, 1)").alias("p"))
+        .agg(F.sum("c2").alias("c1"))
+    )
+    v = c2.agg(F.count(F.lit(1)).alias("v"))
+    model = (
+        c2.withColumn("p", F.expr("substring(b, 1, 1)"))
+        .join(c1, "p")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "b",
+            F.expr(
+                f"cast(round(ln((c2 + 1.0) / (c1 + v)) * {grid}) as bigint)"
+            ).alias("q"),
+        )
+    )
+    scored = (
+        doc_b.join(F.broadcast(model), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            (-F.sum(F.col("n") * F.col("q"))).alias("_nll_q"),
+        )
+    )
+    # Docs too short for one bigram never reach `grams`; restore them
+    # with NULL scores (a length filter is a different operator's job).
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left_outer")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            (
+                F.col("_nll_q").cast("double")
+                / F.col("n_bigrams")
+                / F.lit(float(grid))
+            ).alias("avg_nll"),
+        )
+    )
+
+
+def lm_bigram_score_sql(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    table: str = "documents",
+    grid: int = 1_000_000,
+    max_chars: int | None = 256,
+) -> str:
+    """DuckDB twin of :func:`lm_bigram_score`."""
+    from far_finer_airtable_firestore_sync_spark.functions.canonical import (
+        DUCKDB,
+    )
+
+    base = (
+        f"substring({text_col}, 1, {max_chars})" if max_chars else text_col
+    )
+    norm = f"lower({base})"
+    bigrams = tx.char_bigrams(norm, DUCKDB)
+    return f"""
+with grams as (
+  select {id_col}, unnest({bigrams}) as b from {table}
+),
+c2 as (select b, count(*) as c2 from grams group by b),
+c1 as (select substring(b, 1, 1) as p, sum(c2) as c1 from c2 group by 1),
+v as (select count(*) as v from c2),
+model as (
+  select b,
+         cast(round(ln((c2 + 1.0) / (c1 + v)) * {grid}) as bigint) as q
+  from c2 join c1 on substring(c2.b, 1, 1) = c1.p cross join v
+),
+scored as (
+  select g.{id_col},
+         cast(count(*) as bigint) as n_bigrams,
+         -sum(q) as nll_q
+  from grams g join model using (b)
+  group by 1
+)
+select d.{id_col},
+       coalesce(s.n_bigrams, 0) as n_bigrams,
+       cast(s.nll_q as double) / s.n_bigrams / {grid}.0 as avg_nll
+from {table} d left join scored s using ({id_col})
+"""

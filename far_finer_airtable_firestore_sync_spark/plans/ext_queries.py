@@ -1434,6 +1434,61 @@ from a join top using (source)
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication over the near-dup corpus (exact
+    duplicate vectors synthesized at vec_id+100000): k-means-bucketed
+    intra-cluster cosine pruning, keep-farthest-from-centroid."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    copies = emb.filter("vec_id % 50 = 0").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(copies)
+    cents = emb.filter("vec_id % 100 = 0")
+    return similarity_search.semantic_dedup(corpus, cents, threshold=0.98)
+
+
+def semantic_dedup_oracle() -> str:
+    cos_vc = tx.cosine_quantized("c.qv", "cents.qc", DUCKDB)
+    cos_ab = tx.cosine_quantized("a.qv", "b.qv", DUCKDB)
+    return f"""
+with corpus as (
+  select vec_id, embedding from embeddings
+  union all
+  select vec_id + 100000, embedding from embeddings where vec_id % 50 = 0
+),
+c as (select vec_id, {_qz("embedding")} as qv from corpus),
+cents as (select vec_id as centroid_id, {_qz("embedding")} as qc
+          from embeddings where vec_id % 100 = 0),
+assigned as (
+  select vec_id, qv, centroid_id, cosv as cos_to_centroid from (
+    select c.vec_id, c.qv, cents.centroid_id, {cos_vc} as cosv,
+           row_number() over (
+             partition by c.vec_id
+             order by {cos_vc} desc, cents.centroid_id asc
+           ) as rn
+    from c cross join cents
+  ) where rn = 1
+),
+dropped as (
+  select distinct b.vec_id
+  from assigned a join assigned b
+    on a.centroid_id = b.centroid_id
+   and (a.cos_to_centroid < b.cos_to_centroid
+        or (a.cos_to_centroid = b.cos_to_centroid and a.vec_id < b.vec_id))
+  where {cos_ab} >= 0.98
+)
+select vec_id, centroid_id, cos_to_centroid from assigned
+where vec_id not in (select vec_id from dropped)
+"""
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained char-bigram LM negative-log-likelihood per doc —
+    the CCNet-shaped perplexity quality filter."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_analysis.lm_bigram_score(docs)
+
+
 EXT_QUERIES = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
@@ -1478,6 +1533,8 @@ EXT_QUERIES = {
     "similarity_pq_topk": q_pq_topk,
     "similarity_ivfpq_topk": q_ivfpq_topk,
     "corpus_datacard": q_corpus_datacard,
+    "dedup_semantic": q_semantic_dedup,
+    "text_lm_score": q_lm_score,
 }
 
 
@@ -1524,4 +1581,6 @@ def ext_oracles() -> dict[str, str]:
         "similarity_pq_topk": pq_topk_oracle(),
         "similarity_ivfpq_topk": ivfpq_topk_oracle(),
         "corpus_datacard": corpus_datacard_oracle(),
+        "dedup_semantic": semantic_dedup_oracle(),
+        "text_lm_score": text_analysis.lm_bigram_score_sql(),
     }

@@ -678,3 +678,67 @@ def test_tpch_shape_plans(spark):
     # the common equi-condition is extracted; per-side conjuncts push
     # into the scans as Or filters
     assert "PushedFilters: [IsNotNull(l_partkey), Or(Or(" in disj
+
+
+def test_semantic_dedup_drops_exact_duplicates_keeps_farthest(spark):
+    """SemDeDup semantics: an exact-duplicate vector pair collapses to
+    one survivor, chosen by the (cos-to-centroid ASC, id ASC) keep
+    order; singleton clusters survive untouched."""
+    from pyspark.sql import Row
+
+    from far_finer_airtable_firestore_sync_spark.operators import (
+        similarity_search,
+    )
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),   # centroid seed A
+        Row(vec_id=1, embedding=[0.0, 1.0, 0.0]),   # centroid seed B
+        Row(vec_id=10, embedding=[0.9, 0.1, 0.0]),  # cluster A
+        Row(vec_id=11, embedding=[0.9, 0.1, 0.0]),  # exact dup of 10
+        Row(vec_id=12, embedding=[0.2, 0.9, 0.0]),  # cluster B, alone
+    ]
+    corpus = spark.createDataFrame(rows)
+    cents = corpus.filter("vec_id < 2")
+    out = {
+        r["vec_id"]: r
+        for r in similarity_search.semantic_dedup(
+            corpus, cents, threshold=0.98
+        ).collect()
+    }
+    # cluster A is one near-dup group: 10 and 11 are exact duplicates
+    # and both are within 0.98 of seed 0; the farthest-from-centroid
+    # rank keeps the dup pair's min-id member (10) and drops both 11
+    # (id tie-break) and 0 (cos-to-centroid 1.0 ranks last). Cluster
+    # B's two vectors are below threshold and both survive.
+    assert set(out) == {1, 10, 12}
+    assert out[10]["centroid_id"] == 0 and out[12]["centroid_id"] == 1
+
+
+def test_lm_bigram_score_flags_unlike_text(spark):
+    """Corpus-trained bigram LM: a doc whose char transitions never
+    appear elsewhere in the corpus scores a higher avg NLL than the
+    docs that define the corpus distribution; sub-bigram docs get
+    NULL score and 0 n_bigrams."""
+    from pyspark.sql import Row
+
+    from far_finer_airtable_firestore_sync_spark.operators import (
+        text_analysis,
+    )
+
+    normal = "the quick brown fox jumps over the lazy dog and then "
+    rows = [Row(doc_id=i, text=normal * 3) for i in range(8)]
+    rows.append(Row(doc_id=100, text="zq xj qz jx zx qj " * 8))
+    rows.append(Row(doc_id=101, text="k"))
+    out = {
+        r["doc_id"]: r
+        for r in text_analysis.lm_bigram_score(
+            spark.createDataFrame(rows)
+        ).collect()
+    }
+    assert out[101]["n_bigrams"] == 0 and out[101]["avg_nll"] is None
+    base = max(out[i]["avg_nll"] for i in range(8))
+    assert out[100]["avg_nll"] > base * 1.5
+    # NLL is a proper positive quantity under add-one smoothing
+    assert all(
+        r["avg_nll"] > 0 for r in out.values() if r["avg_nll"] is not None
+    )
