@@ -997,12 +997,19 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the driver's hash gate now covers this entry."""
     _utc(spark)
     li = _read(spark, sf_dir, "lineitem")
-    ap = li.groupBy("l_returnflag").agg(
+    # Keep the exact DISTINCT in its OWN aggregate: mixing it with the
+    # sketch aggs makes Spark's distinct-rewrite carry a full
+    # 10000-accuracy percentile digest per (flag, partkey) group —
+    # ~20k serialized sketches through the shuffle instead of 3.
+    sk = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("_apx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_apx_med"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("_apx_p99"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    ex = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    ap = sk.join(ex, "l_returnflag")
     j = li.join(F.broadcast(ap), "l_returnflag")
     return (
         j.groupBy(
