@@ -106,6 +106,14 @@ def seq(lo: str, hi: str, dialect: str) -> str:
     return f"generate_series({lo}, {hi})"
 
 
+def explode_as(arr: str, alias: str, dialect: str) -> str:
+    """Row-per-element select-list fragment: Spark ``explode``, DuckDB
+    ``unnest`` (both legal alongside plain columns in a SELECT)."""
+    if dialect == SPARK:
+        return f"explode({arr}) as {alias}"
+    return f"unnest({arr}) as {alias}"
+
+
 def contains_any(x: str, words: list[str], dialect: str) -> str:
     lit = ", ".join(f"'{w}'" for w in words)
     if dialect == SPARK:

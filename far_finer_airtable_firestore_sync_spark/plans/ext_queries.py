@@ -770,6 +770,196 @@ limit 50
 """
 
 
+def _bm25_body(dialect: str, rel: str) -> str:
+    """Okapi BM25 ranked search (Robertson & Sparck Jones; the SPLADE /
+    Elasticsearch default scorer), one body rendered per dialect.
+
+    score(D,Q) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    with k1=1.2, b=0.75, idf = ln((N-df+0.5)/(df+0.5)+1) (the
+    non-negative "plus one" variant). Every float is derived from exact
+    integers (tf, df, dl, N, total_words) through one pinned expression
+    shape, idf and the per-term score are quantized to a 1e-6 integer
+    grid, and the per-doc sum is an integer sum — cross-engine exact
+    (same policy as the TF-IDF entry above).
+
+    Scale shape: identical to TF-IDF — postings explode is a
+    projection, the query-term filter prunes before the (doc,term)
+    shuffle, idf/avgdl are broadcast 1-row/|Q|-row aggregates. dl
+    rides the postings rows so no second corpus scan joins it back.
+    """
+    warr = tx.split_ws_safe("text", dialect)
+    return f"""
+with words as (
+  select doc_id, {tx.lsize('warr', dialect)} as dl, warr
+  from (select doc_id, {warr} as warr from {rel})
+),
+n as (select count(*) as n_docs, sum(dl) as total_words from words),
+postings as (
+  select doc_id, dl, {tx.explode_as('warr', 'term', dialect)} from words
+),
+tf as (
+  select doc_id, dl, term, count(*) as tf from postings
+  where term in ('spark', 'window', 'merge')
+  group by doc_id, dl, term
+),
+idf as (
+  select term,
+         cast(round(ln((n.n_docs - count(*) + 0.5) / (count(*) + 0.5) + 1.0)
+              * 1000000) as bigint) as idf_q
+  from tf cross join n group by term, n.n_docs
+),
+scored as (
+  select tf.doc_id,
+         sum(cast(round(
+           (idf.idf_q / 1000000.0) * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75
+              * cast(tf.dl * n.n_docs as double) / n.total_words))
+           * 1000000) as bigint)) as score_int
+  from tf join idf on tf.term = idf.term cross join n
+  group by tf.doc_id
+)
+select doc_id, cast(score_int as double) / 1000000.0 as bm25
+from scored
+order by bm25 desc, doc_id asc
+limit 50
+"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-50 over documents (see ``_bm25_body``)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("_ffs_bm25_docs")
+    return spark.sql(_bm25_body(SPARK, "_ffs_bm25_docs"))
+
+
+def _source_overlap_body(dialect: str, rel: str) -> str:
+    """Cross-source n-gram contamination audit: Jaccard overlap of the
+    distinct word-3-gram sets of every source pair — the corpus-level
+    "how much does web-crawl A repeat web-crawl B" report that decides
+    whether two sources should be mixed or deduped against each other.
+
+    Scale shape: grams are hashed to 56-bit bigint digests BEFORE any
+    shuffle (text never leaves the scan stage); per-source distinct
+    sets are partial aggregates on the digest key; the pair counts come
+    from a self-equi-join on digest whose fan-out per gram is bounded
+    by the source count squared (sources are few by definition), never
+    by corpus size. Output is |S|^2/2 rows — tiny at any scale.
+    """
+    warr = tx.split_ws_safe("text", dialect)
+    digest = tx.hex_to_bigint("substring(md5(gram), 1, 14)", dialect)
+    return f"""
+with grams as (
+  select distinct source, {tx.explode_as(tx.word_ngrams('warr', 3, dialect),
+                                         'gram', dialect)}
+  from (select source, {warr} as warr from {rel})
+),
+hashed as (select source, {digest} as g from grams),
+sizes as (select source, count(*) as n_grams from hashed group by source),
+inter as (
+  select a.source as source_a, b.source as source_b, count(*) as n_shared
+  from hashed a join hashed b on a.g = b.g and a.source < b.source
+  group by a.source, b.source
+),
+joined as (
+  select i.source_a, i.source_b, sa.n_grams as grams_a,
+         sb.n_grams as grams_b, i.n_shared
+  from inter i
+  join sizes sa on i.source_a = sa.source
+  join sizes sb on i.source_b = sb.source
+)
+select source_a, source_b, grams_a, grams_b, n_shared,
+       cast(n_shared as double) / (grams_a + grams_b - n_shared) as jaccard
+from joined
+order by jaccard desc, source_a asc, source_b asc
+"""
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source contamination matrix (see ``_source_overlap_body``)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("_ffs_overlap_docs")
+    return spark.sql(_source_overlap_body(SPARK, "_ffs_overlap_docs"))
+
+
+#: DSIR feature-space size (hashed word-bigram buckets) and the
+#: "target domain" sources the importance weights steer toward.
+DSIR_BUCKETS = 512
+DSIR_TARGET_SOURCES = ("src0", "src1")
+
+
+def _dsir_body(dialect: str, rel: str) -> str:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", arXiv:2302.03169):
+    score every document by the log likelihood ratio of a hashed
+    word-bigram bag-of-features model fit on a target domain vs the
+    raw corpus; resampling by this weight selects raw data that looks
+    like the target.
+
+    log w(x) = sum_features c_x(b) * [ln p_tgt(b) - ln p_raw(b)] with
+    add-one smoothing over the fixed bucket count. The per-bucket log
+    ratio is ONE ln call on a ratio of exact-integer products,
+    quantized to a 1e-6 grid; per-doc weights are integer sums — exact
+    across engines.
+
+    Scale shape: one postings explode hashed to bucket ids bounded by
+    DSIR_BUCKETS (the shuffle key domain is fixed, never grows with
+    the corpus); the bucket weight table is a broadcast of ≤ buckets
+    rows; per-doc weights are a partial aggregate on doc_id. The
+    target-corpus pass is a filtered re-aggregation of the same
+    postings, not a second scan.
+    """
+    warr = tx.split_ws_safe("text", dialect)
+    digest = tx.hex_to_bigint("substring(md5(gram), 1, 14)", dialect)
+    tgt = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    nb = DSIR_BUCKETS
+    return f"""
+with feats as (
+  select doc_id, source, ({digest}) % {nb} as b
+  from (
+    select doc_id, source,
+           {tx.explode_as(tx.word_ngrams('warr', 2, dialect), 'gram', dialect)}
+    from (select doc_id, source, {warr} as warr from {rel})
+  )
+),
+doc_feats as (
+  select doc_id, source, b, count(*) as c from feats group by doc_id, source, b
+),
+raw as (select b, cast(sum(c) as bigint) as cr from doc_feats group by b),
+tgt as (
+  select b, cast(sum(c) as bigint) as ct from doc_feats
+  where source in ({tgt}) group by b
+),
+totals as (
+  select cast(sum(cr) as bigint) as r_total from raw
+),
+t_totals as (
+  select cast(coalesce(sum(ct), 0) as bigint) as t_total from tgt
+),
+bucket_w as (
+  select r.b,
+         cast(round(ln(
+           cast((coalesce(t.ct, 0) + 1) * (tt.r_total + {nb}) as double)
+           / cast((r.cr + 1) * (tu.t_total + {nb}) as double)
+         ) * 1000000) as bigint) as lr_q
+  from raw r
+  left join tgt t on r.b = t.b
+  cross join totals tt cross join t_totals tu
+)
+select d.doc_id,
+       cast(sum(d.c) as bigint) as n_feats,
+       cast(sum(d.c * w.lr_q) as double) / 1000000.0 as dsir_logw
+from doc_feats d join bucket_w w on d.b = w.b
+group by d.doc_id
+"""
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weights (see ``_dsir_body``)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("_ffs_dsir_docs")
+    return spark.sql(_dsir_body(SPARK, "_ffs_dsir_docs"))
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified hash sampling: 30% of 'en' docs, 10%
     of 'de', 20% default — reproducible across runs/engines/cluster
@@ -1535,6 +1725,9 @@ EXT_QUERIES = {
     "corpus_datacard": q_corpus_datacard,
     "dedup_semantic": q_semantic_dedup,
     "text_lm_score": q_lm_score,
+    "text_bm25_search": q_bm25_search,
+    "source_overlap_matrix": q_source_overlap,
+    "dsir_importance_weights": q_dsir_weights,
 }
 
 
@@ -1583,4 +1776,7 @@ def ext_oracles() -> dict[str, str]:
         "corpus_datacard": corpus_datacard_oracle(),
         "dedup_semantic": semantic_dedup_oracle(),
         "text_lm_score": text_analysis.lm_bigram_score_sql(),
+        "text_bm25_search": _bm25_body(DUCKDB, "documents"),
+        "source_overlap_matrix": _source_overlap_body(DUCKDB, "documents"),
+        "dsir_importance_weights": _dsir_body(DUCKDB, "documents"),
     }
