@@ -960,6 +960,241 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_dsir_body(SPARK, "_ffs_dsir_docs"))
 
 
+#: repeated-span window size (words) — spans of >= this many
+#: consecutive words that occur more than once corpus-wide are flagged.
+SPAN_WORDS = 5
+
+
+def _repeated_spans_body(dialect: str, rel: str) -> str:
+    """Approximate exact-substring duplicate-span flagging (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — their suffix-array pass, re-expressed as a
+    shuffle-friendly postings plan): every window of SPAN_WORDS
+    consecutive words whose digest occurs >= 2 times anywhere in the
+    corpus is flagged, and per-doc overlapping flagged windows are
+    merged into maximal spans (gaps-and-islands).
+
+    Output: (doc_id, span_start, span_end, span_words) with 1-based
+    word positions.
+
+    Scale shape: positions explode scan-side into (doc, pos, 56-bit
+    digest) rows — raw text never shuffles; the duplicate-gram set is
+    a partial-aggregated HAVING on the digest key; flagging is an
+    equi-join back on that same digest (co-partitioned — AQE reuses
+    the exchange); the island merge is one per-doc window. Unlike a
+    true suffix array there is no global sort over the corpus
+    characters — cost is 3 integer-keyed shuffles.
+    """
+    warr = tx.split_ws_safe("text", dialect)
+    gram = tx.ljoin(tx.lslice("warr", "i", SPAN_WORDS, dialect), " ", dialect)
+    digest = tx.hex_to_bigint(f"substring(md5({gram}), 1, 14)", dialect)
+    idx = tx.seq("1", f"n - {SPAN_WORDS - 1}", dialect)
+    return f"""
+with words as (
+  select doc_id, warr, {tx.lsize('warr', dialect)} as n
+  from (select doc_id, {warr} as warr from {rel})
+),
+posg as (
+  select doc_id, i, {digest} as g
+  from (
+    select doc_id, warr, {tx.explode_as(idx, 'i', dialect)}
+    from words where n >= {SPAN_WORDS}
+  )
+),
+dupg as (select g from posg group by g having count(*) >= 2),
+flagged as (select p.doc_id, p.i from posg p join dupg d on p.g = d.g),
+islands as (
+  select doc_id, i,
+         i - row_number() over (partition by doc_id order by i asc) as isl
+  from flagged
+)
+select doc_id,
+       cast(min(i) as int) as span_start,
+       cast(max(i) + {SPAN_WORDS - 1} as int) as span_end,
+       cast(max(i) - min(i) + {SPAN_WORDS} as int) as span_words
+from islands
+group by doc_id, isl
+"""
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span report over the synthesized-dup corpus (see
+    ``_repeated_spans_body``)."""
+    dedup_corpus(spark, sf_dir).createOrReplaceTempView("_ffs_span_docs")
+    return spark.sql(_repeated_spans_body(SPARK, "_ffs_span_docs"))
+
+
+#: UniMax epoch cap: no source may repeat more than this many times.
+UNIMAX_EPOCH_CAP = 4
+
+
+def _unimax_body(dialect: str, rel: str) -> str:
+    """UniMax mixture allocation (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", arXiv:2304.09151): spread the token budget as
+    uniformly as possible across sources, capping every source at
+    UNIMAX_EPOCH_CAP epochs of its own data. This is the exact
+    waterfill: alloc_s = min(cap_s, lambda) where lambda makes the
+    allocations sum to the budget — computed in closed form from the
+    capacity-ascending prefix sums (the first rank whose capacity
+    covers the equal-split of the remaining budget fixes lambda), no
+    iteration, no driver loop.
+
+    Budget here: half the corpus's total whitespace tokens. All
+    comparisons happen on exact bigint products; the only doubles are
+    the final alloc/epochs divisions — cross-engine exact.
+
+    Output: (source, n_tokens, cap_tokens, alloc_tokens, epochs).
+
+    Scale shape: per-source token counts are one partial aggregate;
+    everything after runs on |sources| rows (a broadcast-scale frame);
+    the "window over sorted capacities" is bounded by source count,
+    never corpus size.
+    """
+    wc = tx.lsize(tx.split_ws_safe("text", dialect), dialect)
+    e = UNIMAX_EPOCH_CAP
+    return f"""
+with caps as (
+  select source, cast(sum({wc}) as bigint) as toks,
+         cast(sum({wc}) * {e} as bigint) as cap
+  from {rel} group by source
+),
+budget as (
+  select cast(floor(sum(toks) / 2.0) as bigint) as b from caps
+),
+sorted as (
+  select source, toks, cap,
+         row_number() over (order by cap asc, source asc) as r,
+         sum(cap) over (
+           order by cap asc, source asc rows unbounded preceding
+         ) as pref,
+         count(*) over () as n
+  from caps
+),
+lam as (
+  select (b.b - (s.pref - s.cap)) as rem_num, (s.n - s.r + 1) as rem_den
+  from sorted s cross join budget b
+  where s.cap * (s.n - s.r + 1) >= (b.b - (s.pref - s.cap))
+  order by s.r asc limit 1
+),
+alloc as (
+  select s.source, s.toks, s.cap,
+         least(cast(s.cap as double),
+               cast(l.rem_num as double) / l.rem_den) as alloc_tokens
+  from sorted s left join lam l on 1 = 1
+)
+select source, toks as n_tokens, cap as cap_tokens,
+       coalesce(alloc_tokens, cast(cap as double)) as alloc_tokens,
+       coalesce(alloc_tokens, cast(cap as double)) / toks as epochs
+from alloc
+"""
+
+
+def q_mixture_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax per-source token allocation (see ``_unimax_body``)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("_ffs_unimax_docs")
+    return spark.sql(_unimax_body(SPARK, "_ffs_unimax_docs"))
+
+
+#: RRF constant (Cormack et al. 2009's k=60) and per-ranker depth.
+RRF_K = 60
+RRF_DEPTH = 50
+
+
+def _hybrid_rrf_body(dialect: str, docs_rel: str, emb_rel: str) -> str:
+    """Hybrid lexical+vector retrieval with reciprocal-rank fusion
+    (Cormack, Clarke & Buettcher 2009): fuse the BM25 top-50 for the
+    standing query terms with the cosine top-50 for a query embedding
+    (vec_id 0, which is doc_id 0's vector — ids are aligned) by
+    rrf(d) = sum_r 1/(RRF_K + rank_r(d)), missing rankers contribute
+    0. Top-20 by (rrf DESC, doc_id).
+
+    Each 1/(k+rank) term is one exact double division and the fusion
+    sum is two-term fixed-order addition — cross-engine exact.
+
+    Scale shape: the two ranker arms are the BM25 postings plan and
+    the broadcast-query cosine scan from their standalone entries;
+    fusion itself joins two depth-bounded (<= RRF_DEPTH rows) frames —
+    broadcast scale regardless of corpus size.
+    """
+    warr = tx.split_ws_safe("text", dialect)
+    qz = tx.quantize("embedding", dialect)
+    cos = tx.cosine_quantized("qq", "cv", dialect)
+    return f"""
+with words as (
+  select doc_id, {tx.lsize('warr', dialect)} as dl, warr
+  from (select doc_id, {warr} as warr from {docs_rel})
+),
+n as (select count(*) as n_docs, sum(dl) as total_words from words),
+postings as (
+  select doc_id, dl, {tx.explode_as('warr', 'term', dialect)} from words
+),
+tf as (
+  select doc_id, dl, term, count(*) as tf from postings
+  where term in ('spark', 'window', 'merge')
+  group by doc_id, dl, term
+),
+idf as (
+  select term,
+         cast(round(ln((n.n_docs - count(*) + 0.5) / (count(*) + 0.5) + 1.0)
+              * 1000000) as bigint) as idf_q
+  from tf cross join n group by term, n.n_docs
+),
+bm25 as (
+  select tf.doc_id,
+         sum(cast(round(
+           (idf.idf_q / 1000000.0) * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75
+              * cast(tf.dl * n.n_docs as double) / n.total_words))
+           * 1000000) as bigint)) as score_int
+  from tf join idf on tf.term = idf.term cross join n
+  group by tf.doc_id
+),
+text_rank as (
+  select doc_id, r_text from (
+    select doc_id, cast(row_number() over (
+      order by score_int desc, doc_id asc) as int) as r_text
+    from bm25
+  ) where r_text <= {RRF_DEPTH}
+),
+qv as (select {qz} as qq from {emb_rel} where vec_id = 0),
+cos as (
+  select vec_id, {cos} as cosine
+  from (select vec_id, {qz} as cv from {emb_rel}) cross join qv
+  where vec_id <> 0
+),
+vec_rank as (
+  select doc_id, r_vec from (
+    select vec_id as doc_id, cast(row_number() over (
+      order by cosine desc, vec_id asc) as int) as r_vec
+    from cos
+  ) where r_vec <= {RRF_DEPTH}
+),
+fused as (
+  select coalesce(t.doc_id, v.doc_id) as doc_id, t.r_text, v.r_vec,
+         coalesce(cast(1 as double) / ({RRF_K} + t.r_text), 0.0)
+         + coalesce(cast(1 as double) / ({RRF_K} + v.r_vec), 0.0) as rrf
+  from text_rank t full join vec_rank v on t.doc_id = v.doc_id
+)
+select doc_id, r_text, r_vec, rrf
+from fused
+order by rrf desc, doc_id asc
+limit 20
+"""
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25+cosine RRF top-20 (see ``_hybrid_rrf_body``)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_rrf_docs"
+    )
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "_ffs_rrf_emb"
+    )
+    return spark.sql(_hybrid_rrf_body(SPARK, "_ffs_rrf_docs", "_ffs_rrf_emb"))
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified hash sampling: 30% of 'en' docs, 10%
     of 'de', 20% default — reproducible across runs/engines/cluster
@@ -1728,6 +1963,9 @@ EXT_QUERIES = {
     "text_bm25_search": q_bm25_search,
     "source_overlap_matrix": q_source_overlap,
     "dsir_importance_weights": q_dsir_weights,
+    "dedup_repeated_spans": q_repeated_spans,
+    "mixture_unimax": q_mixture_unimax,
+    "search_hybrid_rrf": q_hybrid_rrf,
 }
 
 
@@ -1779,4 +2017,9 @@ def ext_oracles() -> dict[str, str]:
         "text_bm25_search": _bm25_body(DUCKDB, "documents"),
         "source_overlap_matrix": _source_overlap_body(DUCKDB, "documents"),
         "dsir_importance_weights": _dsir_body(DUCKDB, "documents"),
+        "dedup_repeated_spans": _repeated_spans_body(
+            DUCKDB, f"({CORPUS_SQL})"
+        ),
+        "mixture_unimax": _unimax_body(DUCKDB, "documents"),
+        "search_hybrid_rrf": _hybrid_rrf_body(DUCKDB, "documents", "embeddings"),
     }

@@ -93,3 +93,107 @@ def test_dsir_prefers_target_looking_docs(spark):
     assert set(out) == {*range(8), 100, 101}
     # the target-looking raw doc outranks the dissimilar one
     assert out[100] > out[101]
+
+
+from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (  # noqa: E402
+    SPAN_WORDS,
+    UNIMAX_EPOCH_CAP,
+    _hybrid_rrf_body,
+    _repeated_spans_body,
+    _unimax_body,
+)
+
+
+def test_repeated_spans_merge_and_unique_docs_excluded(spark):
+    shared = "one two three four five six seven"  # 7 words, window 5
+    rel = _docs_view(
+        spark,
+        [
+            Row(doc_id=1, text=f"{shared} tail1 a b c"),
+            Row(doc_id=2, text=f"head1 head2 {shared} x y"),
+            Row(doc_id=3, text="totally unique words nothing here repeats q r"),
+            # within-doc repetition: the same 5-gram twice in one doc
+            Row(doc_id=4, text="p q r s t filler p q r s t"),
+        ],
+        "_t_spans",
+    )
+    rows = spark.sql(_repeated_spans_body(SPARK, "_t_spans")).collect()
+    spans = {}
+    for r in rows:
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_words"])
+        )
+    assert 3 not in spans
+    # the 3 overlapping flagged windows of the 7-word phrase merge into
+    # ONE maximal span per doc
+    assert spans[1] == [(1, 7, 7)]
+    assert spans[2] == [(3, 9, 7)]
+    # within-doc: both occurrences flagged, disjoint -> two spans
+    assert sorted(spans[4]) == [(1, 5, 5), (7, 11, 5)]
+    # width invariant
+    assert all(
+        e - s + 1 == w and w >= SPAN_WORDS
+        for sp in spans.values()
+        for (s, e, w) in sp
+    )
+
+
+def test_unimax_waterfill_invariants(spark):
+    rel = _docs_view(
+        spark,
+        [
+            # tiny source: capacity below the fair share -> fully used
+            Row(doc_id=1, source="tiny", text="a b"),
+            # two big sources soak up the rest equally
+            Row(doc_id=2, source="big1", text=" ".join(["w"] * 40)),
+            Row(doc_id=3, source="big2", text=" ".join(["v"] * 40)),
+        ],
+        "_t_unimax",
+    )
+    rows = {r["source"]: r for r in spark.sql(_unimax_body(SPARK, "_t_unimax")).collect()}
+    total = 2 + 40 + 40
+    budget = total // 2  # 41
+    # budget exhausted exactly, nobody over cap, epochs capped
+    assert abs(sum(r["alloc_tokens"] for r in rows.values()) - budget) < 1e-9
+    for r in rows.values():
+        assert r["alloc_tokens"] <= r["cap_tokens"] + 1e-9
+        assert r["epochs"] <= UNIMAX_EPOCH_CAP + 1e-9
+    # tiny source saturates its epoch cap; the big two split the rest
+    assert rows["tiny"]["alloc_tokens"] == rows["tiny"]["cap_tokens"] == 8.0
+    assert rows["big1"]["alloc_tokens"] == rows["big2"]["alloc_tokens"] == 16.5
+
+
+def test_hybrid_rrf_rewards_agreement(spark):
+    # doc 1: strong text match; doc 2: nothing; embeddings make doc 1
+    # ALSO the nearest neighbor of the query vector (vec 0).
+    _docs_view(
+        spark,
+        [
+            Row(doc_id=0, text="query doc about spark window merge"),
+            Row(doc_id=1, text="spark window merge spark window"),
+            Row(doc_id=2, text="irrelevant filler words only here"),
+            Row(doc_id=3, text="spark mentioned once somewhere deep"),
+        ],
+        "_t_rrf_docs",
+    )
+    emb = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.99, 0.1, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0, 0.0]),
+    ]
+    spark.createDataFrame(emb).selectExpr(
+        "vec_id", "cast(embedding as array<float>) as embedding"
+    ).createOrReplaceTempView("_t_rrf_emb")
+    rows = spark.sql(
+        _hybrid_rrf_body(SPARK, "_t_rrf_docs", "_t_rrf_emb")
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    # doc 1 fuses both arms and must rank first overall
+    assert rows[0]["doc_id"] == 1
+    assert by_id[1]["r_text"] is not None and by_id[1]["r_vec"] is not None
+    # fusion arithmetic: rrf == 1/(60+r_text) + 1/(60+r_vec)
+    r = by_id[1]
+    assert abs(r["rrf"] - (1 / (60 + r["r_text"]) + 1 / (60 + r["r_vec"]))) < 1e-12
+    # doc 2 never matches the text arm
+    assert by_id[2]["r_text"] is None and by_id[2]["r_vec"] is not None
