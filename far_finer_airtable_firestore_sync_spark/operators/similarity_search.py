@@ -163,6 +163,26 @@ def ivf_assign(
     )
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF index as parquet partitioned by
+    ``centroid_id`` — the production layout step SCALE.md describes:
+    once on disk, a probe of ``nprobe`` buckets is a PARTITION-PRUNED
+    scan (the `centroid_id IN (...)` filter never touches the other
+    buckets' files), so per-query cost is O(nprobe·N/C) rows read,
+    not a full-index scan. Plan-verified by
+    tests/test_extensions.py::test_ivf_index_probe_is_partition_pruned.
+    """
+    ivf_assign(corpus, centroids, vec_col, id_col).write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(path)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

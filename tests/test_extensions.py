@@ -742,3 +742,36 @@ def test_lm_bigram_score_flags_unlike_text(spark):
     assert all(
         r["avg_nll"] > 0 for r in out.values() if r["avg_nll"] is not None
     )
+
+
+def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
+    """The materialized IVF layout must make a bucket probe a
+    partition-pruned scan: the centroid_id filter lands in
+    PartitionFilters (directory-level pruning, zero data filters on
+    the vector rows) and only the probed buckets' files are read."""
+    from far_finer_airtable_firestore_sync_spark.operators.similarity_search import (
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter("vec_id < 4")
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, cents, path)
+
+    idx = spark.read.parquet(path)
+    probe = idx.filter(F.col("centroid_id").isin(0, 2))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+    # directory layout really is one partition dir per bucket, and the
+    # pruned read returns exactly the probed buckets' rows
+    import os
+
+    dirs = {d for d in os.listdir(path) if d.startswith("centroid_id=")}
+    assert len(dirs) == 4
+    full = {r["centroid_id"] for r in idx.collect()}
+    probed = {r["centroid_id"] for r in probe.collect()}
+    assert full == {0, 1, 2, 3} and probed == {0, 2}
+    # every corpus vector landed in exactly one bucket
+    assert idx.count() == emb.count()
