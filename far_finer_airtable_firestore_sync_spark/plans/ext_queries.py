@@ -787,9 +787,29 @@ def _bm25_body(dialect: str, rel: str) -> str:
     shuffle, idf/avgdl are broadcast 1-row/|Q|-row aggregates. dl
     rides the postings rows so no second corpus scan joins it back.
     """
-    warr = tx.split_ws_safe("text", dialect)
     return f"""
-with words as (
+with {_bm25_ctes(dialect, rel)}
+select doc_id, cast(score_int as double) / 1000000.0 as bm25
+from bm25_scored
+order by bm25 desc, doc_id asc
+limit 50
+"""
+
+
+def _bm25_ctes(dialect: str, rel: str) -> str:
+    """The shared BM25 CTE block (``bm25_scored`` is the final CTE):
+    used by both the standalone entry and the hybrid-RRF fusion.
+
+    Decimal-literal trap (fuzz-caught): a bare ``1000000.0`` / ``2.2``
+    / ``0.5`` literal makes BOTH engines run DECIMAL arithmetic — with
+    different precision/scale promotion rules, so the 1e-6-grid
+    quantization can land one unit apart. Every float literal is
+    therefore cast to double explicitly, pinning the whole chain to
+    IEEE double ops that the engines execute identically.
+    """
+    warr = tx.split_ws_safe("text", dialect)
+    d = "cast({} as double)".format
+    return f"""words as (
   select doc_id, {tx.lsize('warr', dialect)} as dl, warr
   from (select doc_id, {warr} as warr from {rel})
 ),
@@ -804,25 +824,21 @@ tf as (
 ),
 idf as (
   select term,
-         cast(round(ln((n.n_docs - count(*) + 0.5) / (count(*) + 0.5) + 1.0)
-              * 1000000) as bigint) as idf_q
+         cast(round(ln(
+           (n.n_docs - count(*) + {d('0.5')}) / (count(*) + {d('0.5')})
+           + {d('1.0')}) * 1000000) as bigint) as idf_q
   from tf cross join n group by term, n.n_docs
 ),
-scored as (
+bm25_scored as (
   select tf.doc_id,
          sum(cast(round(
-           (idf.idf_q / 1000000.0) * (tf.tf * 2.2)
-           / (tf.tf + 1.2 * (0.25 + 0.75
+           (tf.tf * (idf.idf_q / {d('1000000')}) * {d('2.2')})
+           / (tf.tf + {d('1.2')} * ({d('0.25')} + {d('0.75')}
               * cast(tf.dl * n.n_docs as double) / n.total_words))
            * 1000000) as bigint)) as score_int
   from tf join idf on tf.term = idf.term cross join n
   group by tf.doc_id
-)
-select doc_id, cast(score_int as double) / 1000000.0 as bm25
-from scored
-order by bm25 desc, doc_id asc
-limit 50
-"""
+)"""
 
 
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1060,13 +1076,14 @@ with caps as (
   from {rel} group by source
 ),
 budget as (
-  select cast(floor(sum(toks) / 2.0) as bigint) as b from caps
+  select cast(floor(cast(sum(toks) as double) / 2) as bigint) as b from caps
 ),
 sorted as (
   select source, toks, cap,
-         row_number() over (order by cap asc, source asc) as r,
+         row_number() over (
+           order by cap asc, source asc nulls last) as r,
          sum(cap) over (
-           order by cap asc, source asc rows unbounded preceding
+           order by cap asc, source asc nulls last rows unbounded preceding
          ) as pref,
          count(*) over () as n
   from caps
@@ -1118,44 +1135,15 @@ def _hybrid_rrf_body(dialect: str, docs_rel: str, emb_rel: str) -> str:
     fusion itself joins two depth-bounded (<= RRF_DEPTH rows) frames —
     broadcast scale regardless of corpus size.
     """
-    warr = tx.split_ws_safe("text", dialect)
     qz = tx.quantize("embedding", dialect)
     cos = tx.cosine_quantized("qq", "cv", dialect)
     return f"""
-with words as (
-  select doc_id, {tx.lsize('warr', dialect)} as dl, warr
-  from (select doc_id, {warr} as warr from {docs_rel})
-),
-n as (select count(*) as n_docs, sum(dl) as total_words from words),
-postings as (
-  select doc_id, dl, {tx.explode_as('warr', 'term', dialect)} from words
-),
-tf as (
-  select doc_id, dl, term, count(*) as tf from postings
-  where term in ('spark', 'window', 'merge')
-  group by doc_id, dl, term
-),
-idf as (
-  select term,
-         cast(round(ln((n.n_docs - count(*) + 0.5) / (count(*) + 0.5) + 1.0)
-              * 1000000) as bigint) as idf_q
-  from tf cross join n group by term, n.n_docs
-),
-bm25 as (
-  select tf.doc_id,
-         sum(cast(round(
-           (idf.idf_q / 1000000.0) * (tf.tf * 2.2)
-           / (tf.tf + 1.2 * (0.25 + 0.75
-              * cast(tf.dl * n.n_docs as double) / n.total_words))
-           * 1000000) as bigint)) as score_int
-  from tf join idf on tf.term = idf.term cross join n
-  group by tf.doc_id
-),
+with {_bm25_ctes(dialect, docs_rel)},
 text_rank as (
   select doc_id, r_text from (
     select doc_id, cast(row_number() over (
       order by score_int desc, doc_id asc) as int) as r_text
-    from bm25
+    from bm25_scored
   ) where r_text <= {RRF_DEPTH}
 ),
 qv as (select {qz} as qq from {emb_rel} where vec_id = 0),
@@ -1173,8 +1161,10 @@ vec_rank as (
 ),
 fused as (
   select coalesce(t.doc_id, v.doc_id) as doc_id, t.r_text, v.r_vec,
-         coalesce(cast(1 as double) / ({RRF_K} + t.r_text), 0.0)
-         + coalesce(cast(1 as double) / ({RRF_K} + v.r_vec), 0.0) as rrf
+         coalesce(cast(1 as double) / ({RRF_K} + t.r_text),
+                  cast(0 as double))
+         + coalesce(cast(1 as double) / ({RRF_K} + v.r_vec),
+                    cast(0 as double)) as rrf
   from text_rank t full join vec_rank v on t.doc_id = v.doc_id
 )
 select doc_id, r_text, r_vec, rrf

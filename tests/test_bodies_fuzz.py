@@ -1,0 +1,133 @@
+"""Randomized cross-engine parity for the round-3 dual-dialect bodies
+(BM25, source overlap, DSIR, repeated spans, UniMax, hybrid RRF).
+
+The oracle gate proves parity on the fixture corpus; this fuzz proves
+it on adversarial corpora — NULL/empty texts, single-word docs, NULL
+sources, duplicate spans by construction, tied capacities. Any
+NULL-ordering, decimal-vs-double, or sequence-direction drift between
+the engines shows up as a row mismatch.
+"""
+
+import math
+import random
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from far_finer_airtable_firestore_sync_spark.functions.canonical import DUCKDB, SPARK
+from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+    _bm25_body,
+    _dsir_body,
+    _hybrid_rrf_body,
+    _repeated_spans_body,
+    _source_overlap_body,
+    _unimax_body,
+)
+
+WORDS = ["spark", "window", "merge", "the", "cat", "sat", "a", "b", "c",
+         "data", "x", "y", "z", "value", "row"]
+
+
+def _random_corpus(n=120, seed=23):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        if rng.random() < 0.05:
+            text = None
+        elif rng.random() < 0.05:
+            text = ""
+        elif rng.random() < 0.08:
+            text = rng.choice(WORDS)  # single word: below span window
+        else:
+            k = rng.randint(2, 25)
+            text = " ".join(rng.choices(WORDS, k=k))
+        # planted duplicate spans: every 9th doc shares a 6-word prefix
+        # (above the 5-word window, so spans MUST be found)
+        if i % 9 == 0 and i > 0:
+            text = "alpha beta gamma delta epsilon zeta " + (text or "")
+        source = None if rng.random() < 0.07 else f"s{rng.randint(0, 4)}"
+        # make capacity ties likely: sources draw from few doc shapes
+        rows.append({"doc_id": i, "source": source, "text": text})
+    return rows
+
+
+def _random_embeddings(n=120, seed=29, dim=8):
+    rng = random.Random(seed)
+    return [
+        {"vec_id": i, "embedding": [rng.uniform(-1, 1) for _ in range(dim)]}
+        for i in range(n)
+    ]
+
+
+def _norm(rows):
+    out = []
+    for r in rows:
+        t = []
+        for v in r:
+            if isinstance(v, float):
+                assert not math.isnan(v), f"NaN leaked: {rows[:2]}"
+                t.append(round(v, 9))
+            else:
+                t.append(v)
+        out.append(tuple(t))
+    return sorted(out, key=repr)
+
+
+def test_fuzz_body_parity(spark, tmp_path):
+    docs = _random_corpus()
+    dpath = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in docs], pa.int64()),
+            "source": pa.array([r["source"] for r in docs], pa.string()),
+            "text": pa.array([r["text"] for r in docs], pa.string()),
+        }),
+        dpath,
+    )
+    emb = _random_embeddings()
+    epath = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([r["vec_id"] for r in emb], pa.int64()),
+            "embedding": pa.array(
+                [r["embedding"] for r in emb], pa.list_(pa.float32())
+            ),
+        }),
+        epath,
+    )
+
+    spark.read.parquet(dpath).createOrReplaceTempView("fz_docs")
+    spark.read.parquet(epath).createOrReplaceTempView("fz_emb")
+    con = duckdb.connect()
+    con.execute(f"create view fz_docs as select * from read_parquet('{dpath}')")
+    con.execute(f"create view fz_emb as select * from read_parquet('{epath}')")
+
+    bodies = {
+        "bm25": (_bm25_body(SPARK, "fz_docs"), _bm25_body(DUCKDB, "fz_docs")),
+        "overlap": (
+            _source_overlap_body(SPARK, "fz_docs"),
+            _source_overlap_body(DUCKDB, "fz_docs"),
+        ),
+        "dsir": (_dsir_body(SPARK, "fz_docs"), _dsir_body(DUCKDB, "fz_docs")),
+        "spans": (
+            _repeated_spans_body(SPARK, "fz_docs"),
+            _repeated_spans_body(DUCKDB, "fz_docs"),
+        ),
+        "unimax": (
+            _unimax_body(SPARK, "fz_docs"),
+            _unimax_body(DUCKDB, "fz_docs"),
+        ),
+        "rrf": (
+            _hybrid_rrf_body(SPARK, "fz_docs", "fz_emb"),
+            _hybrid_rrf_body(DUCKDB, "fz_docs", "fz_emb"),
+        ),
+    }
+    for name, (s_sql, d_sql) in bodies.items():
+        s_rows = _norm([tuple(r) for r in spark.sql(s_sql).collect()])
+        d_rows = _norm(con.execute(d_sql).fetchall())
+        assert s_rows == d_rows, (
+            f"{name}: {len(s_rows)} vs {len(d_rows)} rows; "
+            f"first spark={s_rows[:2]} duck={d_rows[:2]}"
+        )
+        assert s_rows, f"{name}: fuzz corpus produced no rows (weak test)"
