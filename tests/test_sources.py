@@ -308,3 +308,64 @@ def test_secrets_file_provider(tmp_path, monkeypatch):
     assert file_provider("/nonexistent.json")("api_key") is None
     with pytest.raises(KeyError):
         s.get_api_key("missing_everywhere")
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    """JSONL sink/source: documents round-trip losslessly, corrupt
+    lines land in the quarantine frame (not dropped, not fatal), and
+    gzip compression is transparent."""
+    from pyspark.sql import types as T
+
+    from far_finer_airtable_firestore_sync_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "docs_jsonl")
+    order = write_jsonl(docs, out, compression="gzip")
+    assert order == sorted(docs.columns)
+
+    # corrupt shard: 2 broken lines + 1 good line alongside the export
+    extra = tmp_path / "docs_jsonl" / "part-extra.json.gz"
+    import gzip
+
+    with gzip.open(extra, "wt") as f:
+        f.write('{"doc_id": 990001, "lang": "en", "n_chars": 5, '
+                '"source": "manual", "text": "hello"}\n')
+        f.write('{"doc_id": "not close-braced...\n')
+        f.write('totally not json\n')
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    good, quarantine = read_jsonl(spark, out, schema)
+    n_docs = docs.count()
+    assert good.count() == n_docs + 1
+    assert quarantine.count() == 2
+    assert {r["raw_line"] for r in quarantine.collect()} == {
+        '{"doc_id": "not close-braced...', "totally not json",
+    }
+    # lossless round-trip of the original rows (ignore the manual one)
+    a = {tuple(r) for r in docs.select(*sorted(docs.columns)).collect()}
+    b = {
+        tuple(r)
+        for r in good.filter("doc_id < 990000")
+        .select(*sorted(docs.columns))
+        .collect()
+    }
+    assert a == b
+
+
+def test_write_jsonl_rejects_unknown_column_order(spark, tmp_path):
+    import pytest as _pytest
+
+    from far_finer_airtable_firestore_sync_spark.sources.jsonl import write_jsonl
+
+    df = spark.range(3).selectExpr("id", "id * 2 as v")
+    with _pytest.raises(ValueError, match="absent"):
+        write_jsonl(df, str(tmp_path / "x"), column_order=["id", "nope"])
