@@ -351,6 +351,41 @@ select event_id, ts, user_id, event_type, value from events
 """
 
 
+def q_streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-static enrichment: the file event stream broadcast-
+    joins the static customer dimension inside every micro-batch —
+    stateless (no state store, no watermark), append mode emits each
+    enriched row exactly once. Oracle: the equivalent batch join."""
+    _utc(spark)
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        read_event_stream,
+        run_stream_to_memory,
+        stream_static_enrich,
+    )
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = stream_static_enrich(
+        stream,
+        dim,
+        F.col("user_id") == F.col("c_custkey"),
+        ["event_id", "user_id", "event_type", "value", "c_mktsegment"],
+    )
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    return run_stream_to_memory(
+        enriched, f"_ffs_stream_enrich_{_STREAM_SEQ}", output_mode="append"
+    )
+
+
+STREAMING_ENRICH_SQL = """
+select e.event_id, e.user_id, e.event_type, e.value, c.c_mktsegment
+from events e join customer c on e.user_id = c.c_custkey
+"""
+
+
 def q_streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming session windows: native session_window stateful
     operator in append mode; far-future sentinel events flush the
@@ -1073,6 +1108,7 @@ AGG_QUERIES = {
     "json_props_extract": q_json_props,
     "streaming_window_agg": q_streaming_window_agg,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_enrich_join": q_streaming_enrich_join,
     "streaming_session_agg": q_streaming_session_agg,
     "streaming_range_join": q_streaming_range_join,
     "set_ops": q_set_ops,
@@ -1106,6 +1142,7 @@ AGG_ORACLES = {
     "json_props_extract": JSON_PROPS_SQL,
     "streaming_window_agg": STREAMING_WINDOW_SQL,
     "streaming_dedup": STREAMING_DEDUP_SQL,
+    "streaming_enrich_join": STREAMING_ENRICH_SQL,
     "streaming_session_agg": STREAMING_SESSION_SQL,
     "set_ops": SET_OPS_SQL,
     "agg_cube": CUBE_SQL,

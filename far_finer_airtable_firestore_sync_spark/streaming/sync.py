@@ -299,6 +299,26 @@ def stream_stream_interval_join(
     )
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: "Column",
+    select_cols: list,
+) -> DataFrame:
+    """Stream-static dimension enrichment — the canonical streaming
+    join shape: every micro-batch hash-joins against the (broadcast)
+    static side, which Spark re-resolves per batch (so a
+    slowly-changing dimension table picks up updates between batches).
+
+    Crucially STATELESS: unlike stream-stream joins there is no state
+    store, no watermark, and no output-mode restriction — append mode
+    emits each enriched row exactly once. At scale the dimension
+    broadcast is the same size whether the stream does 1 row/s or 1M
+    rows/s; a too-big dimension falls back to a per-batch shuffle
+    join, at which point pre-bucket the dimension on the join key."""
+    return stream.join(F.broadcast(dim), on).select(*select_cols)
+
+
 def run_stream_to_memory(
     agg: DataFrame,
     query_name: str,

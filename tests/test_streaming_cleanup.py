@@ -327,3 +327,39 @@ def test_continuous_rollup_matches_batch(spark, tmp_path):
         key = f"{r['window_start']:%Y-%m-%d %H:%M:%S}|{r['event_type']}"
         expect[key] = (r["n_events"], r["total_value"])
     assert got == expect
+
+
+def test_stream_static_enrich_stateless_and_matches_batch(spark, tmp_path):
+    """Stream-static enrichment: per-batch broadcast join, stateless
+    (no state-store rows reported), inner-join semantics drop
+    unmatched stream rows, result equals the batch join."""
+    src_dir = tmp_path / "enrich-in"
+    src_dir.mkdir()
+    rows = [
+        Row(event_id=i, ts=1_700_000_000_000_000_000 + i, user_id=i % 4,
+            event_type="click", value=float(i), props="{}")
+        for i in range(20)
+    ]
+    spark.createDataFrame(rows).write.parquet(str(src_dir), mode="overwrite")
+    stream = streaming.read_event_stream(spark, str(src_dir))
+    dim = spark.createDataFrame(
+        [Row(c_custkey=0, seg="A"), Row(c_custkey=1, seg="B")]
+    )
+    enriched = streaming.stream_static_enrich(
+        stream, dim, F.col("user_id") == F.col("c_custkey"),
+        ["event_id", "user_id", "value", "seg"],
+    )
+    # stateless: the streaming plan has no stateful operator to report
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory").queryName("t_enrich").start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.lastProgress
+        assert progress is None or progress["stateOperators"] == []
+    finally:
+        q.stop()
+    got = {(r["event_id"], r["seg"]) for r in spark.table("t_enrich").collect()}
+    want = {(i, "A" if i % 4 == 0 else "B") for i in range(20) if i % 4 in (0, 1)}
+    assert got == want
