@@ -363,3 +363,64 @@ def test_stream_static_enrich_stateless_and_matches_batch(spark, tmp_path):
     got = {(r["event_id"], r["seg"]) for r in spark.table("t_enrich").collect()}
     want = {(i, "A" if i % 4 == 0 else "B") for i in range(20) if i % 4 in (0, 1)}
     assert got == want
+
+
+def test_continuous_sync_restart_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart resilience: a second query started on the SAME
+    checkpoint + store must not reprocess the already-committed file
+    (APPEND strategy would visibly duplicate rows if it did), and must
+    pick up files that arrived while the query was down."""
+    src_dir = tmp_path / "restart-in"
+    src_dir.mkdir()
+    spec = SyncSpec(
+        primary_key="pk",
+        update_type=UpdateType.APPEND,
+        payload_fields=(
+            Field("pk", "long"),
+            Field("event_type", "string"),
+            Field("value", "double"),
+        ),
+    )
+    store = DocumentStore(spark, str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def start_query():
+        events = streaming.read_event_stream(spark, str(src_dir))
+        batch = events.select(
+            F.col("event_id").alias("pk"), F.col("event_type"), F.col("value")
+        )
+        return streaming.continuous_sync(batch, spec, store, ckpt)
+
+    import glob
+    import shutil
+
+    def stage_file(rows, name):
+        tmp = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(rows).coalesce(1).write.parquet(str(tmp))
+        part = glob.glob(str(tmp / "part-*.parquet"))[0]
+        shutil.copy(part, src_dir / name)
+
+    rows1 = [Row(event_id=i, ts=10**18 + i, user_id=i, event_type="a",
+                 value=1.0, props="{}") for i in range(50)]
+    rows2 = [Row(event_id=1000 + i, ts=10**18 + i, user_id=i, event_type="b",
+                 value=2.0, props="{}") for i in range(30)]
+    stage_file(rows1, "f1.parquet")
+    q = start_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert store.read().count() == 50
+
+    # file lands while the query is DOWN; restart from the checkpoint
+    stage_file(rows2, "f2.parquet")
+    q = start_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = store.read()
+    # 50 + 30, file 1 NOT re-appended by the restarted query
+    assert out.count() == 80
+    assert out.filter("event_type = 'a'").count() == 50
+    assert out.filter("event_type = 'b'").count() == 30
