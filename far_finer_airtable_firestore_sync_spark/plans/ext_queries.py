@@ -1185,6 +1185,66 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_hybrid_rrf_body(SPARK, "_ffs_rrf_docs", "_ffs_rrf_emb"))
 
 
+#: corpus CTE planting C4-rule-triggering shapes into the fixture
+#: documents (the raw fixture has no punctuation/braces/boilerplate).
+C4_CORPUS_BODY = """
+select doc_id,
+       case
+         when doc_id % 11 = 0 then 'lorem ipsum ' || text
+         when doc_id % 7 = 0 then text || ' function() {{'
+         when doc_id % 5 = 0 then substring(text, 1, 10)
+         when doc_id % 3 = 0 then text || ' done.'
+         else text
+       end as text
+from {rel}
+"""
+
+
+def _c4_rules_body(dialect: str, rel: str) -> str:
+    """C4-style heuristic cleaning rules (Raffel et al. 2020, "Exploring
+    the Limits of Transfer Learning...", arXiv:1910.10683 §2.2, the C4
+    pipeline): per-document rule flags plus the fused keep verdict —
+    terminal punctuation, minimum word count, no code braces, no
+    "lorem ipsum" boilerplate, no blocklisted words. Flags are emitted
+    (not just the filtered frame) so the drop reasons are auditable —
+    the data-card companion of the filter.
+
+    Scale shape: pure scan-side string predicates (LIKE/length/word
+    count), zero shuffle, pipelines into downstream dedup. The rules
+    that need line structure in real corpora (3+ sentence minimum,
+    per-line terminal punctuation) collapse to their document-level
+    forms here because the fixture is single-line; the predicates are
+    the same expressions applied per split element when lines exist.
+    """
+    t = "coalesce(text, '')"
+    wc = tx.lsize(tx.split_ws_safe("text", dialect), dialect)
+    return f"""
+select doc_id,
+       ({t} like '%.') as ends_terminal,
+       cast({wc} as int) as n_words,
+       ({wc} >= 5) as words_ok,
+       (not {t} like '%{{%') as no_brace,
+       (not lower({t}) like '%lorem ipsum%') as no_lorem,
+       (not (lower({t}) like '%badword1%'
+             or lower({t}) like '%badword2%')) as no_blocklist,
+       (({t} like '%.') and {wc} >= 5 and (not {t} like '%{{%')
+        and (not lower({t}) like '%lorem ipsum%')
+        and (not (lower({t}) like '%badword1%'
+                  or lower({t}) like '%badword2%'))) as kept
+from {rel}
+"""
+
+
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 rule flags over the rule-shape-planted corpus (see
+    ``_c4_rules_body``)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_c4_base"
+    )
+    corpus = C4_CORPUS_BODY.format(rel="_ffs_c4_base")
+    return spark.sql(_c4_rules_body(SPARK, f"({corpus})"))
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified hash sampling: 30% of 'en' docs, 10%
     of 'de', 20% default — reproducible across runs/engines/cluster
@@ -1956,6 +2016,7 @@ EXT_QUERIES = {
     "dedup_repeated_spans": q_repeated_spans,
     "mixture_unimax": q_mixture_unimax,
     "search_hybrid_rrf": q_hybrid_rrf,
+    "text_c4_rules": q_c4_rules,
 }
 
 
@@ -2012,4 +2073,7 @@ def ext_oracles() -> dict[str, str]:
         ),
         "mixture_unimax": _unimax_body(DUCKDB, "documents"),
         "search_hybrid_rrf": _hybrid_rrf_body(DUCKDB, "documents", "embeddings"),
+        "text_c4_rules": _c4_rules_body(
+            DUCKDB, f"({C4_CORPUS_BODY.format(rel='documents')})"
+        ),
     }

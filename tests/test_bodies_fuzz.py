@@ -17,7 +17,9 @@ import pyarrow.parquet as pq
 
 from far_finer_airtable_firestore_sync_spark.functions.canonical import DUCKDB, SPARK
 from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+    C4_CORPUS_BODY,
     _bm25_body,
+    _c4_rules_body,
     _dsir_body,
     _hybrid_rrf_body,
     _repeated_spans_body,
@@ -121,6 +123,10 @@ def test_fuzz_body_parity(spark, tmp_path):
         "rrf": (
             _hybrid_rrf_body(SPARK, "fz_docs", "fz_emb"),
             _hybrid_rrf_body(DUCKDB, "fz_docs", "fz_emb"),
+        ),
+        "c4": (
+            _c4_rules_body(SPARK, f"({C4_CORPUS_BODY.format(rel='fz_docs')})"),
+            _c4_rules_body(DUCKDB, f"({C4_CORPUS_BODY.format(rel='fz_docs')})"),
         ),
     }
     for name, (s_sql, d_sql) in bodies.items():

@@ -197,3 +197,29 @@ def test_hybrid_rrf_rewards_agreement(spark):
     assert abs(r["rrf"] - (1 / (60 + r["r_text"]) + 1 / (60 + r["r_vec"]))) < 1e-12
     # doc 2 never matches the text arm
     assert by_id[2]["r_text"] is None and by_id[2]["r_vec"] is not None
+
+
+def test_c4_rules_flags(spark):
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        _c4_rules_body,
+    )
+
+    rel = _docs_view(
+        spark,
+        [
+            Row(doc_id=1, text="a clean document with enough words here done."),
+            Row(doc_id=2, text="too short."),
+            Row(doc_id=3, text="has code function() { inside and many words done."),
+            Row(doc_id=4, text="lorem ipsum dolor sit amet padding words done."),
+            Row(doc_id=5, text="no terminal punctuation but plenty of words"),
+            Row(doc_id=6, text=None),
+        ],
+        "_t_c4",
+    )
+    rows = {r["doc_id"]: r for r in spark.sql(_c4_rules_body(SPARK, rel)).collect()}
+    assert rows[1]["kept"] is True
+    assert rows[2]["kept"] is False and rows[2]["words_ok"] is False
+    assert rows[3]["kept"] is False and rows[3]["no_brace"] is False
+    assert rows[4]["kept"] is False and rows[4]["no_lorem"] is False
+    assert rows[5]["kept"] is False and rows[5]["ends_terminal"] is False
+    assert rows[6]["kept"] is False and rows[6]["n_words"] == 1  # '' token
