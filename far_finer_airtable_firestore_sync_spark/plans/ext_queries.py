@@ -919,10 +919,12 @@ def _dsir_body(dialect: str, rel: str) -> str:
 
     Scale shape: one postings explode hashed to bucket ids bounded by
     DSIR_BUCKETS (the shuffle key domain is fixed, never grows with
-    the corpus); the bucket weight table is a broadcast of ≤ buckets
-    rows; per-doc weights are a partial aggregate on doc_id. The
-    target-corpus pass is a filtered re-aggregation of the same
-    postings, not a second scan.
+    the corpus); raw and target counts come from ONE conditional
+    aggregation over the per-doc counts (a single identical subtree,
+    so Spark's ReusedExchange serves both the model build and the
+    scoring join from one shuffle); the bucket weight table is a
+    broadcast of ≤ buckets rows; per-doc weights are a partial
+    aggregate on doc_id.
     """
     warr = tx.split_ws_safe("text", dialect)
     digest = tx.hex_to_bigint("substring(md5(gram), 1, 14)", dialect)
@@ -940,26 +942,24 @@ with feats as (
 doc_feats as (
   select doc_id, source, b, count(*) as c from feats group by doc_id, source, b
 ),
-raw as (select b, cast(sum(c) as bigint) as cr from doc_feats group by b),
-tgt as (
-  select b, cast(sum(c) as bigint) as ct from doc_feats
-  where source in ({tgt}) group by b
+bucket as (
+  select b, cast(sum(c) as bigint) as cr,
+         cast(coalesce(sum(case when source in ({tgt}) then c end), 0)
+              as bigint) as ct
+  from doc_feats group by b
 ),
 totals as (
-  select cast(sum(cr) as bigint) as r_total from raw
-),
-t_totals as (
-  select cast(coalesce(sum(ct), 0) as bigint) as t_total from tgt
+  select cast(sum(cr) as bigint) as r_total,
+         cast(sum(ct) as bigint) as t_total
+  from bucket
 ),
 bucket_w as (
-  select r.b,
+  select k.b,
          cast(round(ln(
-           cast((coalesce(t.ct, 0) + 1) * (tt.r_total + {nb}) as double)
-           / cast((r.cr + 1) * (tu.t_total + {nb}) as double)
+           cast((k.ct + 1) * (tt.r_total + {nb}) as double)
+           / cast((k.cr + 1) * (tt.t_total + {nb}) as double)
          ) * 1000000) as bigint) as lr_q
-  from raw r
-  left join tgt t on r.b = t.b
-  cross join totals tt cross join t_totals tu
+  from bucket k cross join totals tt
 )
 select d.doc_id,
        cast(sum(d.c) as bigint) as n_feats,
