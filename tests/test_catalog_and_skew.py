@@ -136,3 +136,43 @@ def test_skew_hot_key_entries_agree_and_plan_shapes(spark):
     assert plan_un.count("Exchange") == 1
     assert plan_sa.count("Exchange") == 2
     assert "_salt" in plan_sa and "_salt" not in plan_un
+
+
+def test_round3_entry_plan_shapes(spark):
+    """Plan-shape regressions for the round-3 retrieval/selection
+    entries: no cartesian products, no Python in the data path, no
+    runaway exchange counts, and DSIR's single-subtree rewrite keeps
+    its ReusedExchange."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sf = "/root/testdata/sf0.001"
+
+    def final_plan(name):
+        df = qs[name](spark, sf)
+        df.collect()
+        s = df._jdf.queryExecution().executedPlan().toString()
+        return s.split("== Initial Plan ==")[0]
+
+    budgets = {  # max Exchange count per entry (measured + 1 headroom)
+        "text_bm25_search": 7,
+        "dedup_repeated_spans": 3,
+        "search_hybrid_rrf": 7,
+        "dsir_importance_weights": 8,
+        "source_overlap_matrix": 7,
+        "text_c4_rules": 1,
+        "mixture_unimax": 6,
+    }
+    for name, budget in budgets.items():
+        plan = final_plan(name)
+        n_ex = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        ) + plan.count("Exchange SinglePartition")
+        assert n_ex <= budget, f"{name}: {n_ex} exchanges > {budget}"
+        assert "CartesianProduct" not in plan, name
+        assert "EvalPython" not in plan, name
+        # 1-row scalar broadcasts are the only nested-loop joins allowed
+        if "BroadcastNestedLoopJoin" in plan:
+            assert name != "text_c4_rules"
+    plan = final_plan("dsir_importance_weights")
+    assert "ReusedExchange" in plan
