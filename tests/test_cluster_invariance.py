@@ -19,6 +19,12 @@ ENTRIES = [
     "pack_next_fit",
     "salted_agg_revenue",
     "corpus_shard_shuffle",
+    # round-3 shuffle-heavy families: postings ranking, digest
+    # self-join spans, fixed-bucket-domain aggregation, rank fusion
+    "text_bm25_search",
+    "dedup_repeated_spans",
+    "dsir_importance_weights",
+    "search_hybrid_rrf",
 ]
 
 
