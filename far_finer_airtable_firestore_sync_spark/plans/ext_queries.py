@@ -1245,6 +1245,59 @@ def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_c4_rules_body(SPARK, f"({corpus})"))
 
 
+def _select_pipeline_body(dialect: str, rel: str) -> str:
+    """Composed data-selection pipeline, ONE declarative plan: C4 rule
+    filtering -> DSIR importance scoring of the survivors -> keep docs
+    with positive log weight (more target-like than raw — DSIR's
+    natural threshold, no global quantile window needed) -> UniMax
+    per-source token allocation over the selected sub-corpus.
+
+    Each stage is the same dual-dialect body as its standalone entry,
+    nested as a subquery — proving the operators compose without
+    materialization barriers; Catalyst fuses the whole chain and the
+    corpus is scanned once per independent aggregate, not per stage.
+    """
+    c4 = _c4_rules_body(dialect, rel)
+    kept = f"""(
+      select r.doc_id, r.source, r.text
+      from {rel} r
+      join ({c4}) f on r.doc_id = f.doc_id
+      where f.kept
+    )"""
+    dsir = _dsir_body(dialect, kept)
+    selected = f"""(
+      select k.doc_id, k.source, k.text
+      from {kept} k
+      join ({dsir}) s on k.doc_id = s.doc_id
+      where s.dsir_logw > 0
+    )"""
+    return _unimax_body(dialect, selected)
+
+
+def q_select_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end C4->DSIR->UniMax selection (see
+    ``_select_pipeline_body``)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_selp_base"
+    )
+    corpus = C4_CORPUS_BODY.format(rel="_ffs_selp_base")
+    # carry source through the planted-corpus CTE
+    corpus_with_source = f"""(
+      select c.doc_id, b.source, c.text
+      from ({corpus}) c join _ffs_selp_base b on c.doc_id = b.doc_id
+    )"""
+    return spark.sql(_select_pipeline_body(SPARK, corpus_with_source))
+
+
+def _select_pipeline_oracle() -> str:
+    corpus = C4_CORPUS_BODY.format(rel="documents")
+    corpus_with_source = f"""(
+      select c.doc_id, b.source, c.text
+      from ({corpus}) c join documents b on c.doc_id = b.doc_id
+    )"""
+    return _select_pipeline_body(DUCKDB, corpus_with_source)
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified hash sampling: 30% of 'en' docs, 10%
     of 'de', 20% default — reproducible across runs/engines/cluster
@@ -2017,6 +2070,7 @@ EXT_QUERIES = {
     "mixture_unimax": q_mixture_unimax,
     "search_hybrid_rrf": q_hybrid_rrf,
     "text_c4_rules": q_c4_rules,
+    "llm_select_pipeline": q_select_pipeline,
 }
 
 
@@ -2076,4 +2130,5 @@ def ext_oracles() -> dict[str, str]:
         "text_c4_rules": _c4_rules_body(
             DUCKDB, f"({C4_CORPUS_BODY.format(rel='documents')})"
         ),
+        "llm_select_pipeline": _select_pipeline_oracle(),
     }
