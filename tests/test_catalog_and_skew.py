@@ -176,3 +176,42 @@ def test_round3_entry_plan_shapes(spark):
             assert name != "text_c4_rules"
     plan = final_plan("dsir_importance_weights")
     assert "ReusedExchange" in plan
+
+
+def test_recommended_conf_scaling_invariants(spark):
+    """Sizing rules: shuffle width tracks data at ~128 MiB per
+    partition, floors at total cores, caps at the scheduler-pressure
+    bound; media scans shrink; streaming narrows state width; AQE and
+    skew handling always on."""
+    from far_finer_airtable_firestore_sync_spark.conf import (
+        MAX_SHUFFLE_PARTITIONS,
+        apply_conf,
+        recommended_conf,
+    )
+
+    gib = 1024**3
+    # 100 TB across 1000 executors x 4 cores
+    big = recommended_conf(100_000 * gib, executors=1000)
+    assert int(big["spark.sql.shuffle.partitions"]) == MAX_SHUFFLE_PARTITIONS
+    # 1 TB: ceil(1 TiB / 128 MiB) = 8192 partitions > 4000 cores
+    mid = recommended_conf(1024 * gib, executors=1000)
+    assert int(mid["spark.sql.shuffle.partitions"]) == 8192
+    # tiny data on a big cluster: floor at total cores, no idle slots
+    small = recommended_conf(1 * gib, executors=1000)
+    assert int(small["spark.sql.shuffle.partitions"]) == 4000
+    for c in (big, mid, small):
+        assert c["spark.sql.adaptive.enabled"] == "true"
+        assert c["spark.sql.adaptive.skewJoin.enabled"] == "true"
+    # media halves-squared the scan partition size
+    media = recommended_conf(1024 * gib, executors=10, workload="media")
+    assert int(media["spark.sql.files.maxPartitionBytes"]) == 32 * 1024**2
+    # streaming narrows the state-store width
+    stream = recommended_conf(1024 * gib, executors=10, workload="streaming")
+    assert int(stream["spark.sql.shuffle.partitions"]) <= 64
+    # applies cleanly to a live session (runtime-settable keys only)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        apply_conf(spark, {"spark.sql.shuffle.partitions": "7"})
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
