@@ -15,9 +15,11 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from far_finer_airtable_firestore_sync_spark.functions import textsql as tx
 
 from far_finer_airtable_firestore_sync_spark.config import SyncSpec, UpdateType
 from far_finer_airtable_firestore_sync_spark.functions.canonical import Field
@@ -364,6 +366,100 @@ def run_stream_to_memory(
         else:
             sess.conf.set(ck, prev_ck)
     return sess.table(query_name)
+
+
+def continuous_near_dedup(
+    stream: DataFrame,
+    registry_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 9,
+    seeds: int = 8,
+    rows_per_band: int = 4,
+    max_chars: int | None = 256,
+    query_name: str = "continuous_near_dedup",
+):
+    """One-pass streaming NEAR-duplicate dedup: per micro-batch, a doc
+    is dropped if any of its MinHash-LSH band keys was registered by
+    any earlier doc; within a batch the min-id doc per band wins.
+
+    This is the streaming-greedy contract (the same one-sided
+    approximation as Dolma's Bloom-filter paragraph dedup, public
+    arXiv:2402.00159 §2.2): ALL bands of every processed doc are
+    registered — kept or dropped — so the pass may over-drop relative
+    to the batch LSH->Jaccard->components pipeline (no verification
+    stage), but never under-drops a band collision. Band selectivity
+    (shingle_n, rows_per_band) is the precision knob, exactly as in
+    the batch entry.
+
+    Exactly-once: kept docs and registry additions land in
+    ``epoch=<id>`` subdirectories written with overwrite, so a
+    replayed batch after failure rewrites its own epoch instead of
+    duplicating output; the registry read picks up all prior epochs
+    via partition discovery.
+
+    Scale shape per batch: signature projection (scan-side md5 folds),
+    one band explode, a left-semi join against the registry on the
+    band-key digest, one within-batch window per band. Registry rows
+    are (band_key) digests only — bytes per doc, never text.
+    """
+    from far_finer_airtable_firestore_sync_spark.operators.dedup_docs import (
+        minhash_signatures,
+    )
+
+    keys = tx.band_keys([f"s{i}" for i in range(seeds)], rows_per_band)
+
+    def dedup_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        sigs = minhash_signatures(
+            batch_df, text_col, id_col, shingle_n, seeds, max_chars
+        )
+        bands = sigs.select(
+            F.col(id_col),
+            F.explode(F.array(*[F.expr(k) for k in keys])).alias("band_key"),
+        ).persist()
+        try:
+            if os.path.isdir(registry_dir) and any(
+                e.startswith("epoch=") for e in os.listdir(registry_dir)
+            ):
+                reg = spark.read.parquet(registry_dir).select("band_key")
+                hit = (
+                    bands.join(reg, "band_key", "left_semi")
+                    .select(id_col)
+                    .distinct()
+                )
+            else:
+                hit = bands.select(id_col).limit(0)
+            fresh = bands.join(hit, id_col, "left_anti")
+            w = Window.partitionBy("band_key")
+            losers = (
+                fresh.withColumn("_min", F.min(id_col).over(w))
+                .filter(F.col(id_col) != F.col("_min"))
+                .select(id_col)
+                .distinct()
+            )
+            dropped = hit.unionByName(losers).distinct()
+            kept = batch_df.join(dropped, id_col, "left_anti")
+            kept.write.mode("overwrite").parquet(
+                f"{out_dir}/epoch={epoch_id}"
+            )
+            bands.select("band_key").distinct().write.mode(
+                "overwrite"
+            ).parquet(f"{registry_dir}/epoch={epoch_id}")
+        finally:
+            bands.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
 
 
 def continuous_sync(

@@ -424,3 +424,60 @@ def test_continuous_sync_restart_from_checkpoint(spark, tmp_path):
     assert out.count() == 80
     assert out.filter("event_type = 'a'").count() == 50
     assert out.filter("event_type = 'b'").count() == 30
+
+
+def test_continuous_near_dedup_cross_batch(spark, tmp_path):
+    """Streaming greedy near-dedup: within-batch near-dup loses to the
+    min-id doc, cross-batch near-dup of an earlier doc is dropped via
+    the persistent band registry, and unique docs always survive."""
+    import glob
+    import shutil
+
+    src_dir = tmp_path / "nd-in"
+    src_dir.mkdir()
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).orderBy("doc_id").limit(3).collect()
+    t0, t1, t2 = (r["text"] for r in base)
+    # a 3-char suffix on a ~128-char doc keeps shingle-Jaccard ~0.97,
+    # and rows_per_band=2 (4 bands) makes a band collision near-certain
+    sfx = " xx"
+
+    def stage(rows, name):
+        tmp = tmp_path / f"_nd_{name}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(tmp))
+        shutil.copy(
+            glob.glob(str(tmp / "part-*.parquet"))[0], src_dir / name
+        )
+
+    reg = str(tmp_path / "registry")
+    out = str(tmp_path / "kept")
+
+    def run_batch(rows, name):
+        stage(rows, name)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir))
+        )
+        q = streaming.continuous_near_dedup(
+            stream, reg, out, str(tmp_path / "ckpt"), rows_per_band=2
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # batch 1: doc 1 and its near-dup doc 2; unique doc 3
+    run_batch([(1, t0), (2, t0 + sfx), (3, t1)], "b1.parquet")
+    # batch 2: near-dup of doc 1 (cross-batch drop) + fresh unique doc
+    run_batch([(10, t0 + sfx), (11, t2)], "b2.parquet")
+
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3, 11}
+    # registry holds only digests, never text
+    regdf = spark.read.parquet(reg)
+    assert set(regdf.columns) <= {"band_key", "epoch"}
