@@ -1298,6 +1298,58 @@ def _select_pipeline_oracle() -> str:
     return _select_pipeline_body(DUCKDB, corpus_with_source)
 
 
+#: feature-hashing embedding width (sum-case columns, codegen-friendly)
+HASH_EMBED_DIM = 16
+
+
+def _hash_embed_body(dialect: str, rel: str) -> str:
+    """Feature-hashing text embeddings (Weinberger et al. 2009,
+    "Feature Hashing for Large Scale Multitask Learning",
+    arXiv:0902.2206): each word hashes to one of HASH_EMBED_DIM
+    buckets with a ±1 sign bit from the same digest; the embedding is
+    the per-bucket signed count vector. Deterministic, model-free, and
+    integer-exact — the standard way to give a raw text corpus a
+    vector column (for semantic dedup / clustering / ANN) when no
+    learned embedding model is in the loop.
+
+    Scale shape: one postings explode, one aggregation keyed by doc_id
+    with DIM sum-case columns (all inside whole-stage codegen — no
+    pivot, no map assembly, no higher-order folds). Output vectors
+    join the existing quantized-integer similarity operators directly.
+    """
+    warr = tx.split_ws_safe("text", dialect)
+    digest = tx.hex_to_bigint("substring(md5(word), 1, 14)", dialect)
+    d = HASH_EMBED_DIM
+    comps = ", ".join(
+        f"cast(sum(case when _b = {j} then _s else 0 end) as bigint) as c{j}"
+        for j in range(d)
+    )
+    cols = ", ".join(f"c{j}" for j in range(d))
+    arr = f"array({cols})" if dialect == SPARK else f"[{cols}]"
+    return f"""
+with posting as (
+  select doc_id, ({digest}) % {d} as _b,
+         case when (({digest}) % {2 * d}) < {d} then 1 else -1 end as _s
+  from (
+    select doc_id, {tx.explode_as('warr', 'word', dialect)}
+    from (select doc_id, {warr} as warr from {rel})
+  )
+),
+comps as (
+  select doc_id, {comps} from posting group by doc_id
+)
+select doc_id, {arr} as embedding from comps
+"""
+
+
+def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed embeddings for every document (see ``_hash_embed_body``)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_hembed_docs"
+    )
+    return spark.sql(_hash_embed_body(SPARK, "_ffs_hembed_docs"))
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified hash sampling: 30% of 'en' docs, 10%
     of 'de', 20% default — reproducible across runs/engines/cluster
@@ -2071,6 +2123,7 @@ EXT_QUERIES = {
     "search_hybrid_rrf": q_hybrid_rrf,
     "text_c4_rules": q_c4_rules,
     "llm_select_pipeline": q_select_pipeline,
+    "text_hash_embed": q_hash_embed,
 }
 
 
@@ -2131,4 +2184,5 @@ def ext_oracles() -> dict[str, str]:
             DUCKDB, f"({C4_CORPUS_BODY.format(rel='documents')})"
         ),
         "llm_select_pipeline": _select_pipeline_oracle(),
+        "text_hash_embed": _hash_embed_body(DUCKDB, "documents"),
     }

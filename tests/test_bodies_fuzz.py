@@ -19,6 +19,7 @@ from far_finer_airtable_firestore_sync_spark.functions.canonical import DUCKDB, 
 from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
     C4_CORPUS_BODY,
     _bm25_body,
+    _hash_embed_body,
     _c4_rules_body,
     _dsir_body,
     _hybrid_rrf_body,
@@ -127,6 +128,10 @@ def test_fuzz_body_parity(spark, tmp_path):
         "c4": (
             _c4_rules_body(SPARK, f"({C4_CORPUS_BODY.format(rel='fz_docs')})"),
             _c4_rules_body(DUCKDB, f"({C4_CORPUS_BODY.format(rel='fz_docs')})"),
+        ),
+        "hash_embed": (
+            _hash_embed_body(SPARK, "fz_docs"),
+            _hash_embed_body(DUCKDB, "fz_docs"),
         ),
     }
     for name, (s_sql, d_sql) in bodies.items():

@@ -223,3 +223,44 @@ def test_c4_rules_flags(spark):
     assert rows[4]["kept"] is False and rows[4]["no_lorem"] is False
     assert rows[5]["kept"] is False and rows[5]["ends_terminal"] is False
     assert rows[6]["kept"] is False and rows[6]["n_words"] == 1  # '' token
+
+
+def test_hash_embed_composes_with_semantic_dedup(spark):
+    """Hashed text embeddings feed the existing vector operators
+    unchanged: exact text duplicates get identical vectors (cosine 1)
+    so SemDeDup drops one of each planted pair; the embedding is
+    invariant to word order (bag semantics) but not to word changes."""
+    from far_finer_airtable_firestore_sync_spark.operators import (
+        similarity_search,
+    )
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        _hash_embed_body,
+    )
+
+    rel = _docs_view(
+        spark,
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="dog lazy the over jumps fox brown quick the"),
+            Row(doc_id=3, text="an entirely different document about spark sql"),
+            Row(doc_id=4, text="sql spark about document different entirely an"),
+            Row(doc_id=5, text="completely unrelated text mentioning nothing"),
+        ],
+        "_t_hembed",
+    )
+    emb = spark.sql(_hash_embed_body(SPARK, rel)).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    vecs = {r["vec_id"]: tuple(r["embedding"]) for r in emb.collect()}
+    assert vecs[1] == vecs[2] and vecs[3] == vecs[4]  # order-invariant
+    assert vecs[1] != vecs[3] != vecs[5]
+    kept = {
+        r["vec_id"]
+        for r in similarity_search.semantic_dedup(
+            emb, emb.filter("vec_id in (1, 3, 5)"), threshold=0.99
+        ).collect()
+    }
+    # one survivor per identical-bag pair, the unique doc survives
+    assert len(kept & {1, 2}) == 1
+    assert len(kept & {3, 4}) == 1
+    assert 5 in kept
