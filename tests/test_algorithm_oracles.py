@@ -152,3 +152,127 @@ def test_unimax_matches_python_reference(spark):
             assert abs(got[s]["alloc_tokens"] - want[s]) < 1e-6, (
                 seed, s, got[s]["alloc_tokens"], want[s],
             )
+
+
+def _digest56(s):
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+
+def _py_dsir(rows, buckets=512, targets=("src0", "src1")):
+    def bigrams(words):
+        if len(words) < 2:
+            return [" ".join(words)]
+        return [" ".join(words[i:i + 2]) for i in range(len(words) - 1)]
+
+    doc_b = {}
+    for r in rows:
+        bs = [
+            _digest56(g) % buckets
+            for g in bigrams((r.text or "").split(" "))
+        ]
+        doc_b[r.doc_id] = (r.source, bs)
+    cr, ct = {}, {}
+    for _, (src, bs) in doc_b.items():
+        for b in bs:
+            cr[b] = cr.get(b, 0) + 1
+            if src in targets:
+                ct[b] = ct.get(b, 0) + 1
+    r_total, t_total = sum(cr.values()), sum(ct.values())
+    lr = {
+        b: round(
+            math.log(
+                ((ct.get(b, 0) + 1) * (r_total + buckets))
+                / ((cr[b] + 1) * (t_total + buckets))
+            )
+            * 1e6
+        )
+        for b in cr
+    }
+    out = {}
+    for d, (_, bs) in doc_b.items():
+        out[d] = (len(bs), sum(lr[b] for b in bs) / 1e6)
+    return out
+
+
+def test_dsir_matches_python_reference(spark):
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        _dsir_body,
+    )
+
+    # sources must include the target domain names
+    rng = random.Random(11)
+    rows = [
+        Row(doc_id=i,
+            source=rng.choice(["src0", "src1", "web", "books"]),
+            text=" ".join(rng.choices(WORDS, k=rng.randint(1, 15))))
+        for i in range(50)
+    ]
+    rel = _view(spark, rows, "_t_adsir")
+    got = {
+        r["doc_id"]: (r["n_feats"], r["dsir_logw"])
+        for r in spark.sql(_dsir_body(SPARK, rel)).collect()
+    }
+    want = _py_dsir(rows)
+    assert got.keys() == want.keys()
+    for d in want:
+        assert got[d][0] == want[d][0], d
+        assert abs(got[d][1] - want[d][1]) < 1e-9, d
+
+
+def test_hash_embed_matches_python_reference(spark):
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        HASH_EMBED_DIM,
+        _hash_embed_body,
+    )
+
+    rows = _corpus(13, n=30)
+    rel = _view(spark, rows, "_t_ahe")
+    got = {
+        r["doc_id"]: list(r["embedding"])
+        for r in spark.sql(_hash_embed_body(SPARK, rel)).collect()
+    }
+    for r in rows:
+        vec = [0] * HASH_EMBED_DIM
+        for w in r.text.split(" "):
+            h = _digest56(w)
+            sign = 1 if (h % (2 * HASH_EMBED_DIM)) < HASH_EMBED_DIM else -1
+            vec[h % HASH_EMBED_DIM] += sign
+        assert got[r.doc_id] == vec, r.doc_id
+
+
+def test_source_overlap_matches_python_reference(spark):
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        _source_overlap_body,
+    )
+
+    rows = _corpus(17, n=50)
+    rel = _view(spark, rows, "_t_aov")
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["grams_a"], r["grams_b"], r["n_shared"], r["jaccard"]
+        )
+        for r in spark.sql(_source_overlap_body(SPARK, rel)).collect()
+    }
+    # python reference: distinct word-3-gram sets per source
+    per_src = {}
+    for r in rows:
+        w = r.text.split(" ")
+        if len(w) < 3:
+            grams = {" ".join(w)}
+        else:
+            grams = {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+        per_src.setdefault(r.source, set()).update(grams)
+    want = {}
+    srcs = sorted(per_src)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = len(per_src[a] & per_src[b])
+            if inter:
+                ga, gb = len(per_src[a]), len(per_src[b])
+                want[(a, b)] = (ga, gb, inter, inter / (ga + gb - inter))
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][:3] == want[k][:3], k
+        assert abs(got[k][3] - want[k][3]) < 1e-12, k
