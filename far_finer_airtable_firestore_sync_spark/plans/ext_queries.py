@@ -1350,6 +1350,45 @@ def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_hash_embed_body(SPARK, "_ffs_hembed_docs"))
 
 
+def _skew_report_body(dialect: str, rel: str, key: str) -> str:
+    """Key-skew diagnostics — the report you run BEFORE choosing a
+    partitioning/salting strategy: the 20 hottest keys with their share
+    of all rows, plus global cardinality context. A key whose share
+    approaches 1/shuffle-partitions is a straggler-maker; feed such
+    keys to `operators.skew.salted_aggregate` or rely on AQE skew
+    splitting (both proven elsewhere in the suite).
+
+    Scale shape: one partial-aggregated count per key, a 1-row totals
+    broadcast, and a top-k — the report never materializes more than
+    k + 1 rows past the aggregate.
+    """
+    return f"""
+with counts as (
+  select {key} as k, count(*) as n from {rel} group by {key}
+),
+tot as (
+  select cast(sum(n) as bigint) as total_rows,
+         cast(count(*) as bigint) as n_keys
+  from counts
+),
+top as (select k, n from counts order by n desc, k asc limit 20)
+select top.k, cast(top.n as bigint) as n,
+       cast(top.n as double) / tot.total_rows as share,
+       tot.n_keys, tot.total_rows
+from top cross join tot
+order by n desc, k asc
+"""
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hottest-key report over lineitem order keys (see
+    ``_skew_report_body``)."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "_ffs_skewrep_li"
+    )
+    return spark.sql(_skew_report_body(SPARK, "_ffs_skewrep_li", "l_orderkey"))
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified hash sampling: 30% of 'en' docs, 10%
     of 'de', 20% default — reproducible across runs/engines/cluster
@@ -2124,6 +2163,7 @@ EXT_QUERIES = {
     "text_c4_rules": q_c4_rules,
     "llm_select_pipeline": q_select_pipeline,
     "text_hash_embed": q_hash_embed,
+    "skew_key_report": q_skew_report,
 }
 
 
@@ -2185,4 +2225,5 @@ def ext_oracles() -> dict[str, str]:
         ),
         "llm_select_pipeline": _select_pipeline_oracle(),
         "text_hash_embed": _hash_embed_body(DUCKDB, "documents"),
+        "skew_key_report": _skew_report_body(DUCKDB, "lineitem", "l_orderkey"),
     }
