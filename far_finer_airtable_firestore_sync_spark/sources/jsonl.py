@@ -63,13 +63,23 @@ def read_jsonl(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
         ).alias("_j"),
     )
+    # Blank lines (trailing newlines, shard padding) are SKIPPED, same
+    # as the native json reader — from_json returns a null struct for
+    # them, which must not surface as an all-null "good" row. A null
+    # struct for a NON-blank line is unexpected input -> quarantine.
+    blank = F.trim(F.col("value")) == ""
     good = (
-        parsed.filter(F.col(f"_j.{CORRUPT_COL}").isNull())
+        parsed.filter(
+            ~blank
+            & F.col("_j").isNotNull()
+            & F.col(f"_j.{CORRUPT_COL}").isNull()
+        )
         .select("_j.*")
         .drop(CORRUPT_COL)
     )
     quarantine = parsed.filter(
-        F.col(f"_j.{CORRUPT_COL}").isNotNull()
+        ~blank
+        & (F.col("_j").isNull() | F.col(f"_j.{CORRUPT_COL}").isNotNull())
     ).select(F.col("value").alias("raw_line"))
     return good, quarantine
 

@@ -335,6 +335,8 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
                 '"source": "manual", "text": "hello"}\n')
         f.write('{"doc_id": "not close-braced...\n')
         f.write('totally not json\n')
+        f.write('\n')      # blank lines are skipped, not quarantined
+        f.write('   \n')
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
