@@ -395,10 +395,14 @@ def continuous_near_dedup(
     the batch entry.
 
     Exactly-once: kept docs and registry additions land in
-    ``epoch=<id>`` subdirectories written with overwrite, so a
-    replayed batch after failure rewrites its own epoch instead of
-    duplicating output; the registry read picks up all prior epochs
-    via partition discovery.
+    ``epoch=<id>`` subdirectories written with overwrite, and the
+    registry read takes only epochs STRICTLY BEFORE the current one —
+    a replayed batch (same epoch id) therefore neither duplicates
+    output nor sees its own failed attempt's registrations (without
+    the epoch filter, a crash between the registry write and the
+    checkpoint commit would make the replay drop every doc as a
+    self-collision). One registry pairs with one checkpoint: epoch
+    ids must be monotone over the registry's lifetime.
 
     Scale shape per batch: signature projection (scan-side md5 folds),
     one band explode, a left-semi join against the registry on the
@@ -423,10 +427,22 @@ def continuous_near_dedup(
             F.explode(F.array(*[F.expr(k) for k in keys])).alias("band_key"),
         ).persist()
         try:
-            if os.path.isdir(registry_dir) and any(
-                e.startswith("epoch=") for e in os.listdir(registry_dir)
-            ):
-                reg = spark.read.parquet(registry_dir).select("band_key")
+            prior = [
+                e
+                for e in (
+                    os.listdir(registry_dir)
+                    if os.path.isdir(registry_dir)
+                    else []
+                )
+                if e.startswith("epoch=")
+                and int(e.split("=", 1)[1]) < epoch_id
+            ]
+            if prior:
+                reg = (
+                    spark.read.parquet(registry_dir)
+                    .filter(F.col("epoch") < F.lit(epoch_id))
+                    .select("band_key")
+                )
                 hit = (
                     bands.join(reg, "band_key", "left_semi")
                     .select(id_col)

@@ -481,3 +481,49 @@ def test_continuous_near_dedup_cross_batch(spark, tmp_path):
     # registry holds only digests, never text
     regdf = spark.read.parquet(reg)
     assert set(regdf.columns) <= {"band_key", "epoch"}
+
+
+def test_continuous_near_dedup_batch_retry_idempotent(spark, tmp_path):
+    """A replayed batch (same epoch id, e.g. crash between the registry
+    write and the checkpoint commit) must be idempotent: the epoch
+    filter on the registry read keeps the replay from dropping its own
+    docs as self-collisions, and the per-epoch overwrite prevents
+    duplicate output."""
+    import glob
+    import shutil
+
+    import far_finer_airtable_firestore_sync_spark.streaming.sync as ss
+
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta " * 3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    reg = str(tmp_path / "reg")
+    out = str(tmp_path / "out")
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    tmp = tmp_path / "_stage"
+    df.coalesce(1).write.parquet(str(tmp))
+    shutil.copy(
+        glob.glob(str(tmp / "part-*.parquet"))[0], stream_dir / "f.parquet"
+    )
+
+    # two fresh checkpoints replay the same file as epoch 0 twice —
+    # exactly the state a mid-commit crash leaves behind
+    for attempt in range(2):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(stream_dir))
+        )
+        h = ss.continuous_near_dedup(
+            stream, reg, out, str(tmp_path / f"ck{attempt}"), rows_per_band=2
+        )
+        try:
+            h.processAllAvailable()
+        finally:
+            h.stop()
+
+    kept = [r["doc_id"] for r in spark.read.parquet(out).collect()]
+    assert kept == [1]  # survived the replay; no duplicates either
+    reg_epochs = {
+        r["epoch"] for r in spark.read.parquet(reg).select("epoch").collect()
+    }
+    assert reg_epochs == {0}
