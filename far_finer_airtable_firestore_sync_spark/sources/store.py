@@ -85,11 +85,21 @@ class DocumentStore:
             return df
         return self.spark.createDataFrame([], like.schema)
 
+    def current_tag(self) -> Optional[str]:
+        """The ``tag`` recorded by the last commit (None if untagged or
+        the store is empty) — see ``commit(tag=...)``."""
+        try:
+            with open(self._pointer_path()) as fh:
+                return json.load(fh).get("tag")
+        except FileNotFoundError:
+            return None
+
     def commit(
         self,
         post_state: DataFrame,
         partition_by: Optional[list[str]] = None,
         expected_version: Optional[str] = None,
+        tag: Optional[str] = None,
     ) -> str:
         """Write ``post_state`` as a new immutable version and flip the
         pointer — the atomic 'batch commit' (K7 analog,
@@ -99,6 +109,12 @@ class DocumentStore:
         scans filtered on those columns prune whole directories
         (PartitionFilters in the read plan) — the parquet analog of the
         reference's server-side predicate pushdown at 100 TB scale.
+
+        ``tag`` rides the pointer flip atomically — the Delta
+        txnAppId/txnVersion pattern: a streaming writer stamps each
+        commit with its (query, epoch) id and skips a replayed epoch
+        whose tag is already current, making non-idempotent strategies
+        (APPEND) exactly-once under foreachBatch retries.
         """
         if expected_version is not None and self.current_version_dir() != expected_version:
             raise ConcurrentCommitError(
@@ -121,8 +137,11 @@ class DocumentStore:
                 "during write; refusing to clobber the concurrent commit"
             )
         tmp = self._pointer_path() + ".tmp"
+        pointer = {"version_dir": rel}
+        if tag is not None:
+            pointer["tag"] = tag
         with open(tmp, "w") as fh:
-            json.dump({"version_dir": rel}, fh)
+            json.dump(pointer, fh)
         os.replace(tmp, self._pointer_path())
         return out
 

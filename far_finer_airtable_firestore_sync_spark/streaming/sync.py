@@ -495,17 +495,28 @@ def continuous_sync(
     aggregation: "append" hands the strategy only windows finalized by
     the watermark; "update" hands it every window the batch touched
     (the continuous-rollup case).
+
+    Replay safety: each commit is tagged ``(query_name, epoch)`` via
+    the store pointer (atomic with the flip); a batch whose tag is
+    already current is a post-crash replay of an already-committed
+    epoch and is skipped — exactly-once even for non-idempotent
+    strategies like APPEND. Only the LAST commit can ever replay
+    (earlier epochs are sealed by the checkpoint), so one tag
+    suffices.
     """
     strategy = get_strategy(spec.update_type)
 
     def sync_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        tag = f"{query_name}:epoch:{epoch_id}"
+        if store.current_tag() == tag:
+            return  # replay of an already-committed epoch
         target = store.read()
         if target is None:
             target = batch_df.sparkSession.createDataFrame([], batch_df.schema)
         post = strategy(batch_df, target, spec)
         # Materialize before the pointer flip: post reads the current
         # version directory that commit() will supersede.
-        store.commit(post.localCheckpoint())
+        store.commit(post.localCheckpoint(), tag=tag)
 
     return (
         stream.writeStream.foreachBatch(sync_batch)

@@ -527,3 +527,48 @@ def test_continuous_near_dedup_batch_retry_idempotent(spark, tmp_path):
         r["epoch"] for r in spark.read.parquet(reg).select("epoch").collect()
     }
     assert reg_epochs == {0}
+
+
+def test_continuous_sync_replayed_epoch_skipped(spark, tmp_path):
+    """Replaying an already-committed epoch (crash between store commit
+    and checkpoint advance) must not re-apply the strategy: the commit
+    tag makes APPEND exactly-once."""
+    import glob
+    import shutil
+
+    src_dir = tmp_path / "replay-in"
+    src_dir.mkdir()
+    rows = [Row(event_id=i, ts=10**18 + i, user_id=i, event_type="a",
+                value=1.0, props="{}") for i in range(10)]
+    tmp = tmp_path / "_stage_r"
+    spark.createDataFrame(rows).coalesce(1).write.parquet(str(tmp))
+    shutil.copy(glob.glob(str(tmp / "part-*.parquet"))[0],
+                src_dir / "f.parquet")
+
+    spec = SyncSpec(
+        primary_key="pk",
+        update_type=UpdateType.APPEND,
+        payload_fields=(
+            Field("pk", "long"),
+            Field("event_type", "string"),
+            Field("value", "double"),
+        ),
+    )
+    store = DocumentStore(spark, str(tmp_path / "store"))
+
+    # two fresh checkpoints replay the same file as epoch 0 twice
+    for attempt in range(2):
+        events = streaming.read_event_stream(spark, str(src_dir))
+        batch = events.select(
+            F.col("event_id").alias("pk"), F.col("event_type"), F.col("value")
+        )
+        q = streaming.continuous_sync(
+            batch, spec, store, str(tmp_path / f"ck{attempt}")
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    assert store.read().count() == 10  # not 20: replay skipped
+    assert store.current_tag() == "continuous_sync:epoch:0"
