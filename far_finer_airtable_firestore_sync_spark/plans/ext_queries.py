@@ -1524,6 +1524,77 @@ from documents group by 1, 2 order by 1, 2
 """
 
 
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: hash on the near-dup CLUSTER
+    representative, not the doc id, so a document and its near-copies
+    can never straddle the train/test boundary (the eval-contamination
+    failure mode Lee et al. 2022 §6 measure). Docs outside any cluster
+    hash on themselves (singleton clusters).
+
+    Output: per (split) doc and cluster counts.
+
+    Scale shape: the components pass is the dedup pipeline's (bounded
+    rounds, digest shuffles); the split itself stays the zero-shuffle
+    hash projection — the cluster join is the only addition.
+    """
+    from far_finer_airtable_firestore_sync_spark.operators import packing
+
+    corpus = dedup_corpus(spark, sf_dir)
+    pairs = dedup_docs.near_dup_pairs(
+        corpus,
+        shingle_n=SHINGLE_N,
+        seeds=SEEDS,
+        rows_per_band=ROWS_PER_BAND,
+        max_chars=MAX_CHARS,
+        threshold=0.5,
+    )
+    comps = dedup_docs.connected_components(pairs)
+    keyed = corpus.join(comps, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_key"),
+    )
+    out = packing.corpus_split(
+        keyed, "cluster_key", {"train": 90, "val": 5, "test": 5}
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_key").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )
+
+
+def split_leakage_safe_oracle() -> str:
+    from far_finer_airtable_firestore_sync_spark.operators import packing
+
+    case = packing.corpus_split_sql(
+        "cluster_key", {"train": 90, "val": 5, "test": 5}
+    )
+    return f"""
+with recursive verified as ({NGRAM_JACCARD_SQL}),
+edges as (
+  select id_a as u, id_b as v from verified
+  union
+  select id_b as u, id_a as v from verified
+),
+reach(u, v) as (
+  select u, u as v from (select distinct u from edges)
+  union
+  select e.u, r.v from edges e join reach r on e.v = r.u
+),
+comps as (select u as doc_id, min(v) as component from reach group by u),
+keyed as (
+  select c.doc_id, coalesce(m.component, c.doc_id) as cluster_key
+  from ({CORPUS_SQL}) c left join comps m on c.doc_id = m.doc_id
+)
+select {case} as split, count(*) as n_docs,
+       count(distinct cluster_key) as n_clusters
+from keyed group by 1 order by 1
+"""
+
+
 #: context-window capacity (in regex word tokens) for packing entries
 PACK_CAPACITY = 512
 
@@ -2164,6 +2235,7 @@ EXT_QUERIES = {
     "llm_select_pipeline": q_select_pipeline,
     "text_hash_embed": q_hash_embed,
     "skew_key_report": q_skew_report,
+    "corpus_split_leakage_safe": q_split_leakage_safe,
 }
 
 
@@ -2226,4 +2298,5 @@ def ext_oracles() -> dict[str, str]:
         "llm_select_pipeline": _select_pipeline_oracle(),
         "text_hash_embed": _hash_embed_body(DUCKDB, "documents"),
         "skew_key_report": _skew_report_body(DUCKDB, "lineitem", "l_orderkey"),
+        "corpus_split_leakage_safe": split_leakage_safe_oracle(),
     }

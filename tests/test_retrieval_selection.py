@@ -264,3 +264,35 @@ def test_hash_embed_composes_with_semantic_dedup(spark):
     assert len(kept & {1, 2}) == 1
     assert len(kept & {3, 4}) == 1
     assert 5 in kept
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """The property the entry exists for: a near-dup pair can never
+    straddle the split boundary."""
+    from far_finer_airtable_firestore_sync_spark.operators import (
+        dedup_docs, packing,
+    )
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        MAX_CHARS, ROWS_PER_BAND, SEEDS, SHINGLE_N, dedup_corpus,
+    )
+    from pyspark.sql import functions as F
+
+    corpus = dedup_corpus(spark, "/root/testdata/sf0.001")
+    pairs = dedup_docs.near_dup_pairs(
+        corpus, shingle_n=SHINGLE_N, seeds=SEEDS,
+        rows_per_band=ROWS_PER_BAND, max_chars=MAX_CHARS, threshold=0.5,
+    ).persist()
+    comps = dedup_docs.connected_components(pairs)
+    keyed = corpus.join(comps, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_key"),
+    )
+    out = packing.corpus_split(
+        keyed, "cluster_key", {"train": 90, "val": 5, "test": 5}
+    )
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    checked = 0
+    for r in pairs.collect():
+        assert split_of[r["id_a"]] == split_of[r["id_b"]], (r, )
+        checked += 1
+    assert checked > 0  # the synthesized corpus must yield real pairs
