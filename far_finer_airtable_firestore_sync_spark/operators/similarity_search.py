@@ -163,6 +163,47 @@ def ivf_assign(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    near_dup_cosine: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: per
+    query, the top-k most similar corpus vectors BELOW the near-dup
+    ceiling — similar enough to be hard, not so similar they are
+    duplicates/positives in disguise (the standard in-batch-negatives
+    upgrade, e.g. DPR, Karpukhin et al. 2020, arXiv:2004.04906 §3.2).
+
+    Output: (query_id, negative_id, cosine, rank).
+
+    Scale shape: identical to ``cosine_topk`` (broadcast query set
+    over one corpus scan, bounded per-query window); the ceiling is a
+    scan-side filter. Swap the scan for the IVF probe at index scale.
+    """
+    c = _quantized(corpus, vec_col, "_qv").select(
+        F.col(id_col).alias("negative_id"), "_qv"
+    )
+    q = _quantized(queries, vec_col, "_qq").select(
+        F.col(id_col).alias("query_id"), "_qq"
+    )
+    cos = F.expr(tx.cosine_quantized("_qq", "_qv", SPARK))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("negative_id") != F.col("query_id"))
+        .select("query_id", "negative_id", cos.alias("cosine"))
+        .filter(F.col("cosine") < F.lit(near_dup_cosine))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def write_ivf_index(
     corpus: DataFrame,
     centroids: DataFrame,

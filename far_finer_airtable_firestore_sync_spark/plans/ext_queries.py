@@ -316,6 +316,34 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_search.cosine_topk(emb, emb.filter("vec_id < 5"), k=10)
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hard negatives (cosine < 0.95) for 5 query vectors."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity_search.hard_negatives(
+        emb, emb.filter("vec_id < 5"), k=10, near_dup_cosine=0.95
+    )
+
+
+def hard_negatives_oracle() -> str:
+    cos = tx.cosine_quantized("qq", "qv", DUCKDB)
+    return f"""
+with q as (select vec_id as query_id, {tx.quantize("embedding", DUCKDB)} as qq
+           from embeddings where vec_id < 5),
+c as (select vec_id as negative_id, {tx.quantize("embedding", DUCKDB)} as qv
+      from embeddings),
+scored as (
+  select query_id, negative_id, {cos} as cosine
+  from c cross join q where negative_id <> query_id
+)
+select query_id, negative_id, cosine, cast(rank as int) as rank
+from (
+  select *, row_number() over (
+    partition by query_id order by cosine desc, negative_id asc
+  ) as rank from scored where cosine < cast(0.95 as double)
+) where rank <= 10
+"""
+
+
 def _qz(col: str) -> str:
     return tx.quantize(col, DUCKDB)
 
@@ -2236,6 +2264,7 @@ EXT_QUERIES = {
     "text_hash_embed": q_hash_embed,
     "skew_key_report": q_skew_report,
     "corpus_split_leakage_safe": q_split_leakage_safe,
+    "mining_hard_negatives": q_hard_negatives,
 }
 
 
@@ -2299,4 +2328,5 @@ def ext_oracles() -> dict[str, str]:
         "text_hash_embed": _hash_embed_body(DUCKDB, "documents"),
         "skew_key_report": _skew_report_body(DUCKDB, "lineitem", "l_orderkey"),
         "corpus_split_leakage_safe": split_leakage_safe_oracle(),
+        "mining_hard_negatives": hard_negatives_oracle(),
     }

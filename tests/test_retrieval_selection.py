@@ -296,3 +296,30 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
         assert split_of[r["id_a"]] == split_of[r["id_b"]], (r, )
         checked += 1
     assert checked > 0  # the synthesized corpus must yield real pairs
+
+
+def test_hard_negatives_excludes_near_dups(spark):
+    """Mined negatives are similar but never above the near-dup
+    ceiling, and the exact duplicate of a query is excluded while the
+    merely-similar vector ranks first."""
+    from far_finer_airtable_firestore_sync_spark.operators import (
+        similarity_search,
+    )
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),   # query
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),   # exact dup
+        Row(vec_id=2, embedding=[0.9, 0.4, 0.0, 0.0]),   # hard negative
+        Row(vec_id=3, embedding=[0.2, 0.9, 0.0, 0.0]),   # easier negative
+        Row(vec_id=4, embedding=[0.0, 0.0, 1.0, 0.0]),   # orthogonal
+    ]
+    emb = spark.createDataFrame(rows).selectExpr(
+        "vec_id", "cast(embedding as array<float>) as embedding"
+    )
+    out = similarity_search.hard_negatives(
+        emb, emb.filter("vec_id = 0"), k=3, near_dup_cosine=0.95
+    ).collect()
+    ids = [r["negative_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert 1 not in ids            # dup is above the ceiling
+    assert ids[0] == 2             # hardest first
+    assert all(r["cosine"] < 0.95 for r in out)
