@@ -386,6 +386,63 @@ from events e join customer c on e.user_id = c.c_custkey
 """
 
 
+def q_streaming_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL continuously-maintained rollup, end to end: the event
+    stream replayed as two time-split micro-batches (the boundary hour
+    is touched by BOTH batches, exercising the update-mode
+    re-aggregation + checksum-upsert store maintenance), then the
+    materialized rollup read back FROM THE STORE. Oracle: the plain
+    batch windowed aggregate — the store must hold exactly it."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        continuous_rollup,
+        read_event_stream,
+    )
+
+    _utc(spark)
+    # 10% slice: the two-batch update-mode maintenance semantics are
+    # fully exercised at any size; the full table only multiplies
+    # fixed stateful-streaming overhead in the bench.
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    src = src.filter(pc.equal(pc.bit_wise_and(src["event_id"], 7), 0))
+    mid = sorted(src["ts"].to_pylist())[len(src) // 2]
+    src_dir = tempfile.mkdtemp(prefix="ffs-rollup-entry-")
+    pq.write_table(src.filter(pc.less(src["ts"], mid)),
+                   f"{src_dir}/part1.parquet")
+    pq.write_table(src.filter(pc.greater_equal(src["ts"], mid)),
+                   f"{src_dir}/part2.parquet")
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    store = DocumentStore(spark, tempfile.mkdtemp(prefix="ffs-rollup-store-"))
+    # stateful queries freeze their state-store width at start — size
+    # it to key pressure, not the 32-wide batch shuffle (see
+    # run_stream_to_memory's rationale)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = continuous_rollup(
+            stream, store, tempfile.mkdtemp(prefix="ffs-rollup-ck-"),
+            window="1 day", watermark="1 hour",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return store.read().select(
+        "window_start", "event_type", "n_events", "total_value"
+    )
+
+
+
 def q_streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming session windows: native session_window stateful
     operator in append mode; far-future sentinel events flush the
@@ -472,6 +529,16 @@ select date_trunc('hour', ts) as window_start, event_type,
        count(*) as n_events,
        cast(sum(cast(value as {_DEC})) as double) as total_value
 from events
+group by 1, 2
+"""
+
+
+STREAMING_ROLLUP_SLICE_SQL = f"""
+select cast(date_trunc('day', ts) as timestamp) as window_start, event_type,
+       count(*) as n_events,
+       cast(sum(cast(value as {_DEC})) as double) as total_value
+from events
+where (event_id & 7) = 0
 group by 1, 2
 """
 
@@ -1109,6 +1176,7 @@ AGG_QUERIES = {
     "streaming_window_agg": q_streaming_window_agg,
     "streaming_dedup": q_streaming_dedup,
     "streaming_enrich_join": q_streaming_enrich_join,
+    "streaming_rollup_store": q_streaming_rollup_store,
     "streaming_session_agg": q_streaming_session_agg,
     "streaming_range_join": q_streaming_range_join,
     "set_ops": q_set_ops,
@@ -1143,6 +1211,7 @@ AGG_ORACLES = {
     "streaming_window_agg": STREAMING_WINDOW_SQL,
     "streaming_dedup": STREAMING_DEDUP_SQL,
     "streaming_enrich_join": STREAMING_ENRICH_SQL,
+    "streaming_rollup_store": STREAMING_ROLLUP_SLICE_SQL,
     "streaming_session_agg": STREAMING_SESSION_SQL,
     "set_ops": SET_OPS_SQL,
     "agg_cube": CUBE_SQL,
