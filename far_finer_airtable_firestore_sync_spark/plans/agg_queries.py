@@ -395,7 +395,6 @@ def q_streaming_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch windowed aggregate — the store must hold exactly it."""
     import tempfile
 
-    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
