@@ -44,7 +44,10 @@ def _random_corpus(n=120, seed=23):
             text = rng.choice(WORDS)  # single word: below span window
         else:
             k = rng.randint(2, 25)
-            text = " ".join(rng.choices(WORDS, k=k))
+            sep = "  " if rng.random() < 0.1 else " "  # empty tokens
+            text = sep.join(rng.choices(WORDS, k=k))
+            if rng.random() < 0.05:
+                text = " " + text + " "  # leading/trailing space
         # planted duplicate spans: every 9th doc shares a 6-word prefix
         # (above the 5-word window, so spans MUST be found)
         if i % 9 == 0 and i > 0:
