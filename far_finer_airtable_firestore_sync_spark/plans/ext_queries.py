@@ -260,6 +260,99 @@ from bands a join bands b
 """
 
 
+def q_streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming greedy near-dedup, value-oracled: the synthesized
+    corpus replays as two mtime-ordered micro-batches (originals, then
+    the exact/near copies), through ``continuous_near_dedup``'s
+    persistent band registry. For a FIXED batch split the greedy
+    semantics are closed-form SQL: batch-1 drops docs that are not the
+    min id in some shared band; batch 2 drops any doc whose band was
+    registered by batch 1 (kept or dropped — the one-sided contract),
+    then applies the min-id rule among its remaining docs.
+
+    Output: (doc_id, batch) of the surviving docs.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        continuous_near_dedup,
+    )
+
+    corpus = dedup_corpus(spark, sf_dir)
+    src_dir = tempfile.mkdtemp(prefix="ffs-snd-in-")
+    for i, pred in enumerate(["doc_id < 1000000", "doc_id >= 1000000"]):
+        tmp = tempfile.mkdtemp(prefix=f"ffs-snd-stage{i}-")
+        corpus.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = os.path.join(src_dir, f"{i:03d}-batch.parquet")
+        shutil.copy(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        mt = _time.time() + i  # file source orders batches by mtime
+        os.utime(dst, (mt, mt))
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out_dir = tempfile.mkdtemp(prefix="ffs-snd-out-")
+    q = continuous_near_dedup(
+        stream,
+        tempfile.mkdtemp(prefix="ffs-snd-reg-"),
+        out_dir,
+        tempfile.mkdtemp(prefix="ffs-snd-ck-"),
+        shingle_n=SHINGLE_N,
+        seeds=SEEDS,
+        rows_per_band=ROWS_PER_BAND,
+        max_chars=MAX_CHARS,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir).select(
+        "doc_id", F.col("epoch").cast("int").alias("batch")
+    )
+
+
+STREAMING_NEAR_DEDUP_SQL = f"""
+with corpus as ({CORPUS_SQL}),
+sig as (select doc_id, {_duck_sig_cols()} from corpus),
+bands as (select doc_id, unnest({_duck_band_keys()}) as band_key from sig),
+b1 as (select * from bands where doc_id < 1000000),
+b2 as (select * from bands where doc_id >= 1000000),
+drop1 as (
+  select distinct a.doc_id from b1 a
+  join b1 b on a.band_key = b.band_key and b.doc_id < a.doc_id
+),
+keep1 as (
+  select distinct doc_id from b1
+  where doc_id not in (select doc_id from drop1)
+),
+drop2a as (
+  select distinct a.doc_id from b2 a join b1 r on a.band_key = r.band_key
+),
+b2f as (
+  select * from b2 where doc_id not in (select doc_id from drop2a)
+),
+drop2b as (
+  select distinct a.doc_id from b2f a
+  join b2f b on a.band_key = b.band_key and b.doc_id < a.doc_id
+),
+keep2 as (
+  select distinct doc_id from b2f
+  where doc_id not in (select doc_id from drop2b)
+)
+select doc_id, 0 as batch from keep1
+union all
+select doc_id, 1 as batch from keep2
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_docs.near_dup_pairs(
         dedup_corpus(spark, sf_dir),
@@ -2265,6 +2358,7 @@ EXT_QUERIES = {
     "skew_key_report": q_skew_report,
     "corpus_split_leakage_safe": q_split_leakage_safe,
     "mining_hard_negatives": q_hard_negatives,
+    "streaming_near_dedup": q_streaming_near_dedup,
 }
 
 
@@ -2329,4 +2423,5 @@ def ext_oracles() -> dict[str, str]:
         "skew_key_report": _skew_report_body(DUCKDB, "lineitem", "l_orderkey"),
         "corpus_split_leakage_safe": split_leakage_safe_oracle(),
         "mining_hard_negatives": hard_negatives_oracle(),
+        "streaming_near_dedup": STREAMING_NEAR_DEDUP_SQL,
     }
