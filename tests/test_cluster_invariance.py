@@ -25,6 +25,9 @@ ENTRIES = [
     "dedup_repeated_spans",
     "dsir_importance_weights",
     "search_hybrid_rrf",
+    "text_hash_embed",
+    "mining_hard_negatives",
+    "corpus_split_leakage_safe",
 ]
 
 
