@@ -1510,6 +1510,52 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_skew_report_body(SPARK, "_ffs_skewrep_li", "l_orderkey"))
 
 
+def _quality_ensemble_body(dialect: str, rel: str) -> str:
+    """Ensemble quality gating — the Dolma/FineWeb mixer pattern:
+    several INDEPENDENT cheap filters vote per document (fixed-weight
+    classifier, within-doc repetition, language-id agreement with the
+    declared lang, a length floor), and a doc survives on a majority
+    (>= 3 of 4). Emitting every vote (not just the verdict) keeps drop
+    reasons auditable, and majority voting is robust to any single
+    filter's blind spot.
+
+    All votes are integer/exact-double predicates from the shared
+    emitters — cross-engine exact; zero shuffle (pure projection).
+    """
+    t = "coalesce(text, '')"
+    warr = tx.split_ws_safe("text", dialect)
+    clf = tx.quality_classifier_exprs(t, dialect)
+    rep = tx.repetition_metric_exprs(warr, dialect)
+    lid = tx.langid_exprs(t, dialect)["lang_pred"]
+    v_clf = clf["clf_keep"]
+    v_rep = f"({rep['dup_word_frac']} < cast(0.8 as double))"
+    v_lang = f"(({lid}) = coalesce(lang, 'und'))"
+    v_len = f"({rep['n_words']} >= 5)"
+    n_votes = (
+        f"(cast({v_clf} as int) + cast({v_rep} as int) "
+        f"+ cast({v_lang} as int) + cast({v_len} as int))"
+    )
+    return f"""
+select doc_id,
+       {v_clf} as vote_classifier,
+       {v_rep} as vote_repetition,
+       {v_lang} as vote_langid,
+       {v_len} as vote_length,
+       cast({n_votes} as int) as n_votes,
+       ({n_votes} >= 3) as kept
+from {rel}
+"""
+
+
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote quality gate over documents (see
+    ``_quality_ensemble_body``)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_qens_docs"
+    )
+    return spark.sql(_quality_ensemble_body(SPARK, "_ffs_qens_docs"))
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified hash sampling: 30% of 'en' docs, 10%
     of 'de', 20% default — reproducible across runs/engines/cluster
@@ -2359,6 +2405,7 @@ EXT_QUERIES = {
     "corpus_split_leakage_safe": q_split_leakage_safe,
     "mining_hard_negatives": q_hard_negatives,
     "streaming_near_dedup": q_streaming_near_dedup,
+    "quality_ensemble": q_quality_ensemble,
 }
 
 
@@ -2424,4 +2471,5 @@ def ext_oracles() -> dict[str, str]:
         "corpus_split_leakage_safe": split_leakage_safe_oracle(),
         "mining_hard_negatives": hard_negatives_oracle(),
         "streaming_near_dedup": STREAMING_NEAR_DEDUP_SQL,
+        "quality_ensemble": _quality_ensemble_body(DUCKDB, "documents"),
     }

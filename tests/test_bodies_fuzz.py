@@ -20,6 +20,7 @@ from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
     C4_CORPUS_BODY,
     _bm25_body,
     _hash_embed_body,
+    _quality_ensemble_body,
     _c4_rules_body,
     _dsir_body,
     _hybrid_rrf_body,
@@ -135,6 +136,14 @@ def test_fuzz_body_parity(spark, tmp_path):
         "hash_embed": (
             _hash_embed_body(SPARK, "fz_docs"),
             _hash_embed_body(DUCKDB, "fz_docs"),
+        ),
+        "ensemble": (
+            _quality_ensemble_body(
+                SPARK, "(select *, 'en' as lang from fz_docs)"
+            ),
+            _quality_ensemble_body(
+                DUCKDB, "(select *, 'en' as lang from fz_docs)"
+            ),
         ),
     }
     for name, (s_sql, d_sql) in bodies.items():
