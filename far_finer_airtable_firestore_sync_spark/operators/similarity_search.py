@@ -777,3 +777,89 @@ def ivfpq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def dcg_weight_case(rank_col: str, k: int = 10) -> str:
+    """DCG discount 1/log2(rank+1) pre-quantized to bigint
+    round(1e9 / log2(rank+1)) literals.
+
+    The literals are computed ONCE in Python and emitted verbatim into
+    both the Spark plan and the DuckDB oracle, so the per-query DCG /
+    IDCG accumulations are order-independent bigint sums and the final
+    single IEEE division is bit-identical cross-engine (the same
+    integer-grid convention as `cosine_topk`).
+    """
+    import math  # noqa: PLC0415
+
+    arms = " ".join(
+        f"when {r} then {round(1e9 / math.log2(r + 1))}"
+        for r in range(1, k + 1)
+    )
+    return f"(case {rank_col} {arms} end)"
+
+
+def retrieval_eval(
+    truth: DataFrame, cand: DataFrame, k: int = 10
+) -> DataFrame:
+    """Retrieval-quality evaluation: per-query recall@k, MRR and
+    binary-relevance nDCG@k of a candidate (ANN) result against an
+    exact ground-truth top-k.
+
+    Both inputs carry (query_id, neighbor_id, rank); relevance is
+    membership in the truth set, the ideal DCG is the truth ranking's
+    own DCG (truth IS the ideal ordering). Queries with zero hits get
+    mrr = ndcg = 0.0 rather than NULL.
+
+    Scale: both inputs are (n_queries x k) rows — everything here is
+    post-reduction metric algebra on tiny relations; the heavy lifting
+    stays in the upstream topk plans. Output:
+    (query_id, n_truth, n_hits, recall_at_k, mrr, ndcg_at_k).
+    """
+    wcase = dcg_weight_case("rank", k)
+    t = truth.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", F.expr(wcase).alias("_w")
+    )
+    c = cand.filter(F.col("rank") <= k).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("_crank"),
+        F.expr(wcase).alias("_cw"),
+    )
+    per_t = t.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.sum("_w").alias("_idcg"),
+    )
+    # both metric relations are (n_queries x k) rows by construction —
+    # broadcast so the eval never shuffles, whatever the corpus size
+    marked = c.join(
+        F.broadcast(
+            t.select("query_id", "neighbor_id").withColumn("_rel", F.lit(1))
+        ),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    per_c = marked.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("_rel"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_hits"),
+        F.min(F.when(F.col("_rel") == 1, F.col("_crank"))).alias("_frank"),
+        F.sum(
+            F.when(F.col("_rel") == 1, F.col("_cw")).otherwise(F.lit(0))
+        ).alias("_dcg"),
+    )
+    return per_t.join(F.broadcast(per_c), "query_id", "left").select(
+        "query_id",
+        "n_truth",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / F.least(F.col("n_truth"), F.lit(k)).cast("double")
+        ).alias("recall_at_k"),
+        F.coalesce(
+            F.lit(1.0) / F.col("_frank").cast("double"), F.lit(0.0)
+        ).alias("mrr"),
+        F.coalesce(
+            F.col("_dcg").cast("double") / F.col("_idcg").cast("double"),
+            F.lit(0.0),
+        ).alias("ndcg_at_k"),
+    )

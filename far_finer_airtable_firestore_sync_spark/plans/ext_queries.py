@@ -516,6 +516,68 @@ from (
 """
 
 
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval of the IVF ANN tier vs exact cosine
+    ground truth: per-query recall@10, MRR, binary nDCG@10. Ties the
+    ANN family to a measurable quality number (the FAISS-style
+    recall-at-k report), value-oracled end to end."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    truth = similarity_search.cosine_topk(emb, emb.filter("vec_id < 5"), k=10)
+    cand = similarity_search.ivf_topk(
+        emb,
+        emb.filter("vec_id < 5"),
+        emb.filter("vec_id % 100 = 0"),
+        k=10,
+        nprobe=2,
+    )
+    return similarity_search.retrieval_eval(truth, cand, k=10)
+
+
+def retrieval_metrics_sql(truth_rel: str, cand_rel: str, k: int = 10) -> str:
+    """DuckDB twin of `similarity_search.retrieval_eval`: the metric
+    algebra over any (query_id, neighbor_id, rank) relations. Kept as
+    a standalone emitter so the oracle composes it over the topk CTEs
+    and the randomized fuzz feeds it adversarial rank tables."""
+    wcase = similarity_search.dcg_weight_case("rank", k)
+    return f"""
+with t as (select query_id, neighbor_id, {wcase} as w
+      from {truth_rel} where rank <= {k}),
+c as (select query_id, neighbor_id, rank as crank, {wcase} as cw
+      from {cand_rel} where rank <= {k}),
+per_t as (select query_id, cast(count(*) as bigint) as n_truth,
+                 sum(w) as idcg
+          from t group by 1),
+marked as (
+  select c.query_id, c.crank, c.cw,
+         case when t.neighbor_id is not null then 1 else 0 end as rel
+  from c left join t
+    on c.query_id = t.query_id and c.neighbor_id = t.neighbor_id
+),
+per_c as (select query_id, cast(sum(rel) as bigint) as n_hits,
+                 min(case when rel = 1 then crank end) as frank,
+                 sum(case when rel = 1 then cw else 0 end) as dcg
+          from marked group by 1)
+select per_t.query_id, n_truth,
+       cast(coalesce(n_hits, 0) as bigint) as n_hits,
+       cast(coalesce(n_hits, 0) as double)
+         / cast(least(n_truth, {k}) as double) as recall_at_k,
+       coalesce(cast(1 as double) / cast(frank as double),
+                cast(0 as double)) as mrr,
+       coalesce(cast(dcg as double) / cast(idcg as double),
+                cast(0 as double)) as ndcg_at_k
+from per_t left join per_c on per_t.query_id = per_c.query_id
+"""
+
+
+def retrieval_eval_oracle(k: int = 10) -> str:
+    metrics = retrieval_metrics_sql(
+        f"(select * from ({cosine_topk_oracle()}))",
+        f"(select * from ({ivf_topk_oracle()}))",
+        k,
+    )
+    return metrics
+
+
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a REAL index build: two Lloyd iterations refine the
     seed centroids (integer-exact per-dim means), then the ANN probe
@@ -2362,6 +2424,7 @@ EXT_QUERIES = {
     "similarity_cosine_topk": q_cosine_topk,
     "similarity_ivf_topk": q_ivf_topk,
     "similarity_ivf_kmeans_topk": q_ivf_kmeans_topk,
+    "retrieval_eval_ndcg": q_retrieval_eval,
     "similarity_brp_lsh_topk": q_brp_lsh_topk,
     "embedding_dim_stats": q_embedding_dim_stats,
     "similarity_near_dup": q_embedding_near_dup,
@@ -2425,6 +2488,7 @@ def ext_oracles() -> dict[str, str]:
         "similarity_cosine_topk": cosine_topk_oracle(),
         "similarity_ivf_topk": ivf_topk_oracle(),
         "similarity_ivf_kmeans_topk": ivf_kmeans_topk_oracle(),
+        "retrieval_eval_ndcg": retrieval_eval_oracle(),
         "similarity_near_dup": embedding_near_dup_oracle(),
         "embedding_dim_stats": embedding_dim_stats_oracle(),
         "text_search": TEXT_SEARCH_SQL,

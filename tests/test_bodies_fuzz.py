@@ -154,3 +154,71 @@ def test_fuzz_body_parity(spark, tmp_path):
             f"first spark={s_rows[:2]} duck={d_rows[:2]}"
         )
         assert s_rows, f"{name}: fuzz corpus produced no rows (weak test)"
+
+
+def test_fuzz_retrieval_eval_parity(spark, tmp_path):
+    """Spark `retrieval_eval` (the production DataFrame plan) vs the
+    DuckDB metric twin on adversarial rank tables: sub-k truth sets,
+    queries entirely missing from the candidate side, zero-overlap
+    candidates, and k-boundary ranks."""
+    from far_finer_airtable_firestore_sync_spark.operators import (
+        similarity_search,
+    )
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        retrieval_metrics_sql,
+    )
+
+    rng = random.Random(41)
+    k = 5
+    t_rows, c_rows = [], []
+    for q in range(12):
+        pool = list(range(100, 130))
+        rng.shuffle(pool)
+        n_truth = rng.randint(1, k)  # sub-k truth sets
+        truth_ids = pool[:n_truth]
+        for r, n in enumerate(truth_ids, start=1):
+            t_rows.append({"query_id": q, "neighbor_id": n, "rank": r})
+        if q % 5 == 4:
+            continue  # query missing from cand entirely
+        n_cand = rng.randint(1, k)
+        if q % 5 == 3:
+            cand_ids = pool[20:20 + n_cand]  # zero overlap
+        else:
+            mix = truth_ids + pool[n_truth:]
+            rng.shuffle(mix)
+            cand_ids = mix[:n_cand]
+        for r, n in enumerate(cand_ids, start=1):
+            c_rows.append({"query_id": q, "neighbor_id": n, "rank": r})
+
+    def write(rows, name):
+        path = str(tmp_path / f"{name}.parquet")
+        pq.write_table(
+            pa.table({
+                "query_id": pa.array([r["query_id"] for r in rows], pa.int64()),
+                "neighbor_id": pa.array(
+                    [r["neighbor_id"] for r in rows], pa.int64()
+                ),
+                "rank": pa.array([r["rank"] for r in rows], pa.int32()),
+            }),
+            path,
+        )
+        return path
+
+    tp, cp = write(t_rows, "truth"), write(c_rows, "cand")
+    got = similarity_search.retrieval_eval(
+        spark.read.parquet(tp), spark.read.parquet(cp), k=k
+    )
+    s_rows = _norm([tuple(r) for r in got.select(sorted(got.columns)).collect()])
+
+    con = duckdb.connect()
+    con.execute(f"create view fz_truth as select * from read_parquet('{tp}')")
+    con.execute(f"create view fz_cand as select * from read_parquet('{cp}')")
+    d_sql = retrieval_metrics_sql("fz_truth", "fz_cand", k)
+    res = con.execute(
+        f"select * from ({d_sql}) order by 1"
+    )
+    d_cols = [c[0] for c in res.description]
+    order = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+    d_rows = _norm([tuple(r[i] for i in order) for r in res.fetchall()])
+    assert s_rows == d_rows, f"first spark={s_rows[:2]} duck={d_rows[:2]}"
+    assert len(s_rows) == 12

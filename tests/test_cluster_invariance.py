@@ -28,6 +28,7 @@ ENTRIES = [
     "text_hash_embed",
     "mining_hard_negatives",
     "corpus_split_leakage_safe",
+    "retrieval_eval_ndcg",
 ]
 
 

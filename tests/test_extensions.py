@@ -775,3 +775,39 @@ def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
     assert full == {0, 1, 2, 3} and probed == {0, 2}
     # every corpus vector landed in exactly one bucket
     assert idx.count() == emb.count()
+
+
+def test_retrieval_eval_semantics(spark):
+    """Perfect candidate scores 1.0 everywhere; a candidate whose third
+    slot is a miss loses exactly the rank-3 discount from nDCG while
+    MRR stays 1.0 (its rank-1 slot still hits); a fully-wrong candidate
+    scores 0.0 (not NULL)."""
+    from pyspark.sql import Row
+
+    truth = spark.createDataFrame(
+        [Row(query_id=1, neighbor_id=n, rank=r)
+         for r, n in enumerate([10, 11, 12], start=1)]
+    )
+    perfect = similarity_search.retrieval_eval(truth, truth, k=3)
+    row = perfect.collect()[0]
+    assert (row["n_hits"], row["recall_at_k"], row["mrr"],
+            row["ndcg_at_k"]) == (3, 1.0, 1.0, 1.0)
+
+    # rank-1 neighbor replaced by a miss, others shifted up
+    degraded = spark.createDataFrame(
+        [Row(query_id=1, neighbor_id=11, rank=1),
+         Row(query_id=1, neighbor_id=12, rank=2),
+         Row(query_id=1, neighbor_id=99, rank=3)]
+    )
+    row = similarity_search.retrieval_eval(truth, degraded, k=3).collect()[0]
+    assert row["n_hits"] == 2 and row["mrr"] == 1.0
+    # dcg = w1 + w2 (hits at ranks 1,2); idcg = w1 + w2 + w3
+    w = [1000000000, 630929754, 500000000]
+    assert row["ndcg_at_k"] == pytest.approx((w[0] + w[1]) / sum(w))
+
+    wrong = spark.createDataFrame(
+        [Row(query_id=1, neighbor_id=99, rank=1)]
+    )
+    row = similarity_search.retrieval_eval(truth, wrong, k=3).collect()[0]
+    assert (row["n_hits"], row["recall_at_k"], row["mrr"],
+            row["ndcg_at_k"]) == (0, 0.0, 0.0, 0.0)
