@@ -651,3 +651,112 @@ select doc_id, count(*) as n_suspect_grams
 from cg where {probes}
 group by doc_id
 """
+
+
+def lsh_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 9,
+    seeds: int = 8,
+    rows_per_band: int = 4,
+    max_chars: int | None = 256,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banding-quality evaluation of MinHash-LSH: recall and precision
+    of the candidate pairs against the EXACT Jaccard-above-threshold
+    truth set. One summary row:
+    (n_truth, n_cand, n_hits, recall, precision).
+
+    Recall is THE tuning metric for the band knobs (seeds /
+    rows_per_band) — the fraction of true near-dup pairs the bands
+    catch; precision is candidate efficiency (verification work per
+    true pair). The truth side enumerates pairs via a shingle-postings
+    self-join (a pair with zero shared shingles has Jaccard 0, so
+    co-shingle pairs are the complete truth support) with intersection
+    sizes falling out of the groupBy count — no all-pairs cross join.
+
+    Scale: postings-join cost concentrates on hot shingles
+    (boilerplate) exactly like the contamination joins — at 100 TB run
+    the eval on a hash-sampled slice (`sample_hash`), which estimates
+    recall unbiasedly since banding is per-document-pair. The shingle
+    table is computed once and shared by both sides.
+    """
+    sh = with_shingles(df, text_col, id_col, shingle_n, max_chars).persist()
+    post = sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
+    sizes = sh.select(F.col(id_col), F.size("_sh").alias("_n"))
+    a, b = post.alias("a"), post.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a._s") == F.col("b._s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_ninter"))
+    )
+    # sizes is one row per doc — broadcast so the (large) intersection
+    # table never re-shuffles for the two size lookups
+    truth = (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col(id_col).alias("id_a"), F.col("_n").alias("_na")
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")
+                )
+            ),
+            "id_b",
+        )
+        .filter(
+            (
+                F.col("_ninter").cast("double")
+                / F.greatest(
+                    F.col("_na") + F.col("_nb") - F.col("_ninter"), F.lit(1)
+                )
+            )
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+    sigs = signatures_from_shingles(sh, seeds)
+    keys = tx.band_keys([f"s{i}" for i in range(seeds)], rows_per_band)
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.expr(k) for k in keys])).alias("band_key"),
+    )
+    cand = _pairs_from_bands(bands, id_col)
+    merged = truth.withColumn("_t", F.lit(1)).join(
+        cand.withColumn("_c", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    counts = merged.agg(
+        F.sum(F.coalesce(F.col("_t"), F.lit(0))).cast("bigint").alias("n_truth"),
+        F.sum(F.coalesce(F.col("_c"), F.lit(0))).cast("bigint").alias("n_cand"),
+        F.sum(
+            F.when((F.col("_t") == 1) & (F.col("_c") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_hits"),
+    )
+    return counts.select(
+        "n_truth",
+        "n_cand",
+        "n_hits",
+        (
+            F.col("n_hits").cast("double")
+            / F.greatest(F.col("n_truth"), F.lit(1)).cast("double")
+        ).alias("recall"),
+        (
+            F.col("n_hits").cast("double")
+            / F.greatest(F.col("n_cand"), F.lit(1)).cast("double")
+        ).alias("precision"),
+    )

@@ -250,13 +250,81 @@ def _duck_band_keys() -> str:
     return "[" + ", ".join(keys) + "]"
 
 
-LSH_PAIRS_SQL = f"""
-with corpus as ({CORPUS_SQL}),
+def lsh_pairs_sql(corpus_sql: str) -> str:
+    return f"""
+with corpus as ({corpus_sql}),
 sig as (select doc_id, {_duck_sig_cols()} from corpus),
 bands as (select doc_id, unnest({_duck_band_keys()}) as band_key from sig)
 select distinct a.doc_id as id_a, b.doc_id as id_b
 from bands a join bands b
   on a.band_key = b.band_key and a.doc_id < b.doc_id
+"""
+
+
+LSH_PAIRS_SQL = lsh_pairs_sql(CORPUS_SQL)
+
+
+def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-quality eval: recall/precision of the LSH candidate set
+    vs exact Jaccard>=0.5 truth — the measurable answer to 'are the
+    band knobs right?'. Runs on a 1-in-3 hash slice of the dup corpus
+    (the documented scale posture for the exact truth side: banding is
+    per-pair, so a doc-sampled estimate is unbiased). The modulus is
+    taken on the pre-offset id so synthesized copies stay WITH their
+    originals — sampling never splits a true pair."""
+    return dedup_docs.lsh_eval(
+        dedup_corpus(spark, sf_dir).filter("(doc_id % 1000000) % 3 = 0"),
+        shingle_n=SHINGLE_N,
+        seeds=SEEDS,
+        rows_per_band=ROWS_PER_BAND,
+        max_chars=MAX_CHARS,
+        threshold=0.5,
+    )
+
+
+def lsh_eval_oracle() -> str:
+    sh = tx.shingles("text", SHINGLE_N, DUCKDB, MAX_CHARS)
+    return f"""
+with corpus as (
+  select * from ({CORPUS_SQL}) where (doc_id % 1000000) % 3 = 0
+),
+sh as (select doc_id, {sh} as _sh from corpus),
+post as (select doc_id, unnest(_sh) as s from sh),
+sizes as (select doc_id, len(_sh) as n from sh),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as ninter
+  from post a join post b on a.s = b.s and a.doc_id < b.doc_id
+  group by 1, 2
+),
+truth as (
+  select id_a, id_b from inter
+  join sizes sa on sa.doc_id = inter.id_a
+  join sizes sb on sb.doc_id = inter.id_b
+  where cast(ninter as double)
+        / greatest(sa.n + sb.n - ninter, 1) >= cast(0.5 as double)
+),
+cand as (select * from ({lsh_pairs_sql(
+    f"select * from ({CORPUS_SQL}) where (doc_id % 1000000) % 3 = 0"
+)})),
+merged as (
+  select coalesce(t.id_a, c.id_a) as id_a,
+         case when t.id_a is not null then 1 else 0 end as _t,
+         case when c.id_a is not null then 1 else 0 end as _c
+  from truth t full outer join cand c
+    on t.id_a = c.id_a and t.id_b = c.id_b
+),
+counts as (
+  select cast(sum(_t) as bigint) as n_truth,
+         cast(sum(_c) as bigint) as n_cand,
+         cast(sum(_t * _c) as bigint) as n_hits
+  from merged
+)
+select n_truth, n_cand, n_hits,
+       cast(n_hits as double) / cast(greatest(n_truth, 1) as double)
+         as recall,
+       cast(n_hits as double) / cast(greatest(n_cand, 1) as double)
+         as precision
+from counts
 """
 
 
@@ -2425,6 +2493,7 @@ EXT_QUERIES = {
     "similarity_ivf_topk": q_ivf_topk,
     "similarity_ivf_kmeans_topk": q_ivf_kmeans_topk,
     "retrieval_eval_ndcg": q_retrieval_eval,
+    "dedup_lsh_eval": q_lsh_eval,
     "similarity_brp_lsh_topk": q_brp_lsh_topk,
     "embedding_dim_stats": q_embedding_dim_stats,
     "similarity_near_dup": q_embedding_near_dup,
@@ -2489,6 +2558,7 @@ def ext_oracles() -> dict[str, str]:
         "similarity_ivf_topk": ivf_topk_oracle(),
         "similarity_ivf_kmeans_topk": ivf_kmeans_topk_oracle(),
         "retrieval_eval_ndcg": retrieval_eval_oracle(),
+        "dedup_lsh_eval": lsh_eval_oracle(),
         "similarity_near_dup": embedding_near_dup_oracle(),
         "embedding_dim_stats": embedding_dim_stats_oracle(),
         "text_search": TEXT_SEARCH_SQL,

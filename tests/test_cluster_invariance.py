@@ -29,6 +29,7 @@ ENTRIES = [
     "mining_hard_negatives",
     "corpus_split_leakage_safe",
     "retrieval_eval_ndcg",
+    "dedup_lsh_eval",
 ]
 
 

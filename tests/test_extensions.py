@@ -811,3 +811,20 @@ def test_retrieval_eval_semantics(spark):
     row = similarity_search.retrieval_eval(truth, wrong, k=3).collect()[0]
     assert (row["n_hits"], row["recall_at_k"], row["mrr"],
             row["ndcg_at_k"]) == (0, 0.0, 0.0, 0.0)
+
+
+def test_lsh_eval_semantics(docs, spark):
+    """On the tiny fixture the truth set is exactly the 3 pairs among
+    docs {1,2,3} (exact dup + two near-dups above Jaccard 0.5), the
+    bands catch all of them, and no false candidates appear — so every
+    metric pins to its known value. Degrading the banding to
+    1-row-per-band (every signature row its own band) can only ADD
+    candidates: recall must stay 1.0 and precision may only drop."""
+    row = dedup_docs.lsh_eval(docs).collect()[0]
+    assert (row["n_truth"], row["n_cand"], row["n_hits"]) == (3, 3, 3)
+    assert (row["recall"], row["precision"]) == (1.0, 1.0)
+
+    loose = dedup_docs.lsh_eval(docs, rows_per_band=1).collect()[0]
+    assert loose["n_truth"] == 3
+    assert loose["n_hits"] == 3  # recall never drops with looser bands
+    assert loose["n_cand"] >= 3
