@@ -89,9 +89,27 @@ def main() -> None:
     except OSError:
         pass
     spark.stop()
-    line = json.dumps(payload, separators=(",", ":"))
-    # The compact JSON must be the FINAL stdout line and survive the tail
-    # window; 100 queries at 2 decimals is ~2.7KB.
+    # The driver's tail capture is ~2000 chars (BENCH_r03 proved a 3.2KB
+    # line loses its head, so "parsed" stays null). Emit a line that is
+    # GUARANTEED to fit: totals + as many per-query timings as fit in the
+    # budget, slowest first (the ones the perf gate cares about). The full
+    # per-query map lives in BENCH_LOCAL.json, committed each round.
+    budget = int(os.environ.get("SPARK_GRAFT_LINE_BUDGET", "1900"))
+    ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+    kept: dict[str, float] = {}
+    base = {k: v for k, v in payload.items() if k != "queries"}
+    base["queries_total"] = len(timings)
+    for name, t in ranked:
+        trial = dict(base)
+        trial["queries_omitted"] = len(timings) - len(kept) - 1
+        trial["queries"] = {**kept, name: t}
+        if len(json.dumps(trial, separators=(",", ":"))) > budget:
+            break
+        kept[name] = t
+    base["queries_omitted"] = len(timings) - len(kept)
+    base["queries"] = kept
+    line = json.dumps(base, separators=(",", ":"))
+    assert len(line) <= budget, len(line)
     print(line, flush=True)
 
 

@@ -255,18 +255,28 @@ def quality_classifier_from_base(
     }
 
 
-def langid_exprs(col: str, dialect: str) -> dict[str, str]:
-    """Stopword-vote language id with deterministic tie-break
-    (alphabetical lang order; 'und' when nothing matches)."""
-    scores = {lang: stopword_count(col, lang, dialect) for lang in STOPWORDS}
-    out = {f"score_{lang}": expr for lang, expr in scores.items()}
-    langs = sorted(STOPWORDS)  # tie-break order
+def langid_pred_from_scores(scores: dict[str, str]) -> str:
+    """``lang_pred`` from per-language score REFERENCES — pass column
+    names of a staged score select so each stopword filter evaluates
+    once per row (the case+greatest otherwise re-evaluates every score
+    ~3×; Spark does not CSE interpreted HOF subtrees), or the inline
+    expressions for the one-shot oracle path. Deterministic tie-break:
+    alphabetical lang order; 'und' when nothing matches."""
+    langs = sorted(scores)  # tie-break order
     best = f"greatest({', '.join(scores[lg] for lg in langs)})"
     pred = "case "
     for lg in langs:
         pred += f"when {scores[lg]} = {best} and {best} > 0 then '{lg}' "
     pred += "else 'und' end"
-    out["lang_pred"] = pred
+    return pred
+
+
+def langid_exprs(col: str, dialect: str) -> dict[str, str]:
+    """Stopword-vote language id with deterministic tie-break
+    (alphabetical lang order; 'und' when nothing matches)."""
+    scores = {lang: stopword_count(col, lang, dialect) for lang in STOPWORDS}
+    out = {f"score_{lang}": expr for lang, expr in scores.items()}
+    out["lang_pred"] = langid_pred_from_scores(scores)
     return out
 
 

@@ -418,6 +418,16 @@ def q_streaming_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                    f"{src_dir}/part1.parquet")
     pq.write_table(src.filter(pc.greater_equal(src["ts"], mid)),
                    f"{src_dir}/part2.parquet")
+    # Pin replay order explicitly: the file source orders batches by
+    # mtime, and on coarse-mtime filesystems the two writes can tie —
+    # part2 replaying first would drop part1's rows as late under the
+    # 1-hour watermark (same fix as q_streaming_near_dedup).
+    import os
+    import time as _time
+
+    now = _time.time()
+    os.utime(f"{src_dir}/part1.parquet", (now, now))
+    os.utime(f"{src_dir}/part2.parquet", (now + 1, now + 1))
     stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
     store = DocumentStore(spark, tempfile.mkdtemp(prefix="ffs-rollup-store-"))
     # stateful queries freeze their state-store width at start — size

@@ -1207,8 +1207,8 @@ totals as (
 bucket_w as (
   select k.b,
          cast(round(ln(
-           cast((k.ct + 1) * (tt.r_total + {nb}) as double)
-           / cast((k.cr + 1) * (tt.t_total + {nb}) as double)
+           (cast(k.ct + 1 as double) * cast(tt.r_total + {nb} as double))
+           / (cast(k.cr + 1 as double) * cast(tt.t_total + {nb} as double))
          ) * 1000000) as bigint) as lr_q
   from bucket k cross join totals tt
 )
@@ -1651,29 +1651,68 @@ def _quality_ensemble_body(dialect: str, rel: str) -> str:
 
     All votes are integer/exact-double predicates from the shared
     emitters — cross-engine exact; zero shuffle (pure projection).
+
+    Staged (base counts -> votes -> verdict) so every heavy HOF/regex
+    expression evaluates ONCE per row: the one-shot form re-evaluated
+    each interpreted subtree ~3× (its own column + n_votes + kept —
+    Spark does not CSE interpreted HOF subtrees across projection
+    outputs), benching 5.6 s vs ~1 s staged at sf0.1.
     """
     t = "coalesce(text, '')"
+    base = tx.quality_base_exprs(t, dialect)
     warr = tx.split_ws_safe("text", dialect)
-    clf = tx.quality_classifier_exprs(t, dialect)
-    rep = tx.repetition_metric_exprs(warr, dialect)
-    lid = tx.langid_exprs(t, dialect)["lang_pred"]
+    lid_scores = {
+        lang: tx.stopword_count(t, lang, dialect) for lang in tx.STOPWORDS
+    }
+    base_cols = ",\n       ".join(
+        f"{expr} as {name}" for name, expr in base.items()
+    )
+    score_cols = ",\n       ".join(
+        f"{expr} as lid_{lang}" for lang, expr in sorted(lid_scores.items())
+    )
+    # Stage 2 expressions reference stage-1 COLUMNS only.
+    clf = tx.quality_classifier_from_base(
+        {name: name for name in base}, dialect
+    )
+    n = tx.lsize("words", dialect)
+    nd = tx.lsize(tx.ldistinct("words", dialect), dialect)
+    dup_word_frac = f"(cast({n} - {nd} as double) / greatest({n}, 1))"
+    lid = tx.langid_pred_from_scores(
+        {lang: f"lid_{lang}" for lang in lid_scores}
+    )
     v_clf = clf["clf_keep"]
-    v_rep = f"({rep['dup_word_frac']} < cast(0.8 as double))"
-    v_lang = f"(({lid}) = coalesce(lang, 'und'))"
-    v_len = f"({rep['n_words']} >= 5)"
+    v_rep = f"({dup_word_frac} < cast(0.8 as double))"
+    v_lang = f"(({lid}) = lang0)"
+    v_len = f"({n} >= 5)"
     n_votes = (
-        f"(cast({v_clf} as int) + cast({v_rep} as int) "
-        f"+ cast({v_lang} as int) + cast({v_len} as int))"
+        "(cast(vote_classifier as int) + cast(vote_repetition as int) "
+        "+ cast(vote_langid as int) + cast(vote_length as int))"
     )
     return f"""
-select doc_id,
+with _qens_base as (
+  select doc_id,
+       coalesce(lang, 'und') as lang0,
+       {warr} as words,
+       {base_cols},
+       {score_cols}
+  from {rel}
+),
+_qens_votes as (
+  select doc_id,
        {v_clf} as vote_classifier,
        {v_rep} as vote_repetition,
        {v_lang} as vote_langid,
-       {v_len} as vote_length,
+       {v_len} as vote_length
+  from _qens_base
+)
+select doc_id,
+       vote_classifier,
+       vote_repetition,
+       vote_langid,
+       vote_length,
        cast({n_votes} as int) as n_votes,
        ({n_votes} >= 3) as kept
-from {rel}
+from _qens_votes
 """
 
 

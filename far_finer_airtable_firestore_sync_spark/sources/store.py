@@ -87,10 +87,27 @@ class DocumentStore:
 
     def current_tag(self) -> Optional[str]:
         """The ``tag`` recorded by the last commit (None if untagged or
-        the store is empty) — see ``commit(tag=...)``."""
+        the store is empty) — see ``commit(tag=...)``.
+
+        NOTE: this is a single last-commit slot — ANY interleaved commit
+        (another stream, or an untagged batch write) erases it. Replay
+        skipping must use :meth:`last_txn`, which survives interleaving
+        because the per-app map is carried forward across commits."""
         try:
             with open(self._pointer_path()) as fh:
                 return json.load(fh).get("tag")
+        except FileNotFoundError:
+            return None
+
+    def last_txn(self, app_id: str) -> Optional[str]:
+        """Last ``txn`` version committed under ``app_id`` (the Delta
+        txnAppId/txnVersion pattern), or None. Unlike ``current_tag``
+        the per-app map is merged forward on every commit, so a commit
+        by a different writer (or an untagged one) cannot erase another
+        stream's replay marker."""
+        try:
+            with open(self._pointer_path()) as fh:
+                return json.load(fh).get("txns", {}).get(app_id)
         except FileNotFoundError:
             return None
 
@@ -100,6 +117,7 @@ class DocumentStore:
         partition_by: Optional[list[str]] = None,
         expected_version: Optional[str] = None,
         tag: Optional[str] = None,
+        txn: Optional[tuple[str, str]] = None,
     ) -> str:
         """Write ``post_state`` as a new immutable version and flip the
         pointer — the atomic 'batch commit' (K7 analog,
@@ -110,11 +128,16 @@ class DocumentStore:
         (PartitionFilters in the read plan) — the parquet analog of the
         reference's server-side predicate pushdown at 100 TB scale.
 
-        ``tag`` rides the pointer flip atomically — the Delta
-        txnAppId/txnVersion pattern: a streaming writer stamps each
-        commit with its (query, epoch) id and skips a replayed epoch
-        whose tag is already current, making non-idempotent strategies
-        (APPEND) exactly-once under foreachBatch retries.
+        ``txn=(app_id, version)`` rides the pointer flip atomically —
+        the Delta txnAppId/txnVersion pattern: a streaming writer stamps
+        each commit with its (query, epoch) id and skips a replayed
+        epoch whose version is already recorded (``last_txn``), making
+        non-idempotent strategies (APPEND) exactly-once under
+        foreachBatch retries. The per-app map is carried forward from
+        the prior pointer, so commits interleaved from OTHER writers
+        (or untagged commits) never erase this stream's marker.
+        ``tag`` is the legacy single-slot variant — last commit wins,
+        safe only under strict single-writer ownership.
         """
         if expected_version is not None and self.current_version_dir() != expected_version:
             raise ConcurrentCommitError(
@@ -137,7 +160,17 @@ class DocumentStore:
                 "during write; refusing to clobber the concurrent commit"
             )
         tmp = self._pointer_path() + ".tmp"
-        pointer = {"version_dir": rel}
+        pointer: dict[str, Any] = {"version_dir": rel}
+        # Carry the per-app txn map forward so no commit — tagged or
+        # not — can erase another stream's replay marker.
+        try:
+            with open(self._pointer_path()) as fh:
+                pointer["txns"] = json.load(fh).get("txns", {})
+        except FileNotFoundError:
+            pointer["txns"] = {}
+        if txn is not None:
+            app_id, version = txn
+            pointer["txns"][app_id] = version
         if tag is not None:
             pointer["tag"] = tag
         with open(tmp, "w") as fh:

@@ -438,9 +438,19 @@ def continuous_near_dedup(
                 and int(e.split("=", 1)[1]) < epoch_id
             ]
             if prior:
+                # Read ONLY the prior-epoch directories (with basePath so
+                # the epoch partition column survives). Listing the whole
+                # registry_dir would also read footers of the CURRENT
+                # epoch's files — after a crash mid-registry-write a
+                # truncated part file there fails the read before the
+                # epoch<epoch_id filter could prune it, wedging the very
+                # replay this idempotence design exists to survive.
+                prior_paths = [
+                    os.path.join(registry_dir, e) for e in prior
+                ]
                 reg = (
-                    spark.read.parquet(registry_dir)
-                    .filter(F.col("epoch") < F.lit(epoch_id))
+                    spark.read.option("basePath", registry_dir)
+                    .parquet(*prior_paths)
                     .select("band_key")
                 )
                 hit = (
@@ -496,19 +506,19 @@ def continuous_sync(
     the watermark; "update" hands it every window the batch touched
     (the continuous-rollup case).
 
-    Replay safety: each commit is tagged ``(query_name, epoch)`` via
-    the store pointer (atomic with the flip); a batch whose tag is
-    already current is a post-crash replay of an already-committed
-    epoch and is skipped — exactly-once even for non-idempotent
-    strategies like APPEND. Only the LAST commit can ever replay
-    (earlier epochs are sealed by the checkpoint), so one tag
-    suffices.
+    Replay safety: each commit records ``txn=(query_name, epoch)`` in
+    the store pointer's per-app txn map (atomic with the flip, carried
+    forward across commits — Delta txnAppId/txnVersion); a batch whose
+    epoch is already recorded for this ``query_name`` is a post-crash
+    replay of an already-committed epoch and is skipped — exactly-once
+    even for non-idempotent strategies like APPEND, and the marker
+    survives interleaved commits by other writers or untagged batch
+    writes to the same store.
     """
     strategy = get_strategy(spec.update_type)
 
     def sync_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        tag = f"{query_name}:epoch:{epoch_id}"
-        if store.current_tag() == tag:
+        if store.last_txn(query_name) == str(epoch_id):
             return  # replay of an already-committed epoch
         target = store.read()
         if target is None:
@@ -516,7 +526,7 @@ def continuous_sync(
         post = strategy(batch_df, target, spec)
         # Materialize before the pointer flip: post reads the current
         # version directory that commit() will supersede.
-        store.commit(post.localCheckpoint(), tag=tag)
+        store.commit(post.localCheckpoint(), txn=(query_name, str(epoch_id)))
 
     return (
         stream.writeStream.foreachBatch(sync_batch)

@@ -571,4 +571,4 @@ def test_continuous_sync_replayed_epoch_skipped(spark, tmp_path):
             q.stop()
 
     assert store.read().count() == 10  # not 20: replay skipped
-    assert store.current_tag() == "continuous_sync:epoch:0"
+    assert store.last_txn("continuous_sync") == "0"
