@@ -677,3 +677,68 @@ select d.{id_col},
        cast(s.nll_q as double) / s.n_bigrams / {grid}.0 as avg_nll
 from {table} d left join scored s using ({id_col})
 """
+
+
+def heavy_hitter_words(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 200,
+) -> DataFrame:
+    """EXACT corpus-wide heavy hitters (words with global count
+    strictly greater than total_words / ``k``) via the scalable
+    two-pass candidate/verify plan (Misra & Gries 1982's summary
+    bound, applied per partition — public algorithm).
+
+    Pass 1 (candidates): count words per SCAN PARTITION and keep any
+    word whose within-partition count exceeds that partition's share
+    of the threshold (``c_p * k > n_p``). By a pigeonhole/averaging
+    argument this union is a guaranteed SUPERSET of every global heavy
+    hitter: if ``c * k > n`` with ``c = Σ c_p`` and ``n = Σ n_p``,
+    some partition must have ``c_p * k > n_p``. Pass 2 (verify):
+    exactly count ONLY the candidates (broadcast semi-join) and apply
+    the global threshold — so the result is exact and, despite the
+    partition-dependent pass 1, fully partition-invariant.
+
+    Output: (word, n_occ, ppm) — exact counts and exact-integer
+    parts-per-million share.
+
+    Scale shape: pass 1 aggregates (partition, word) with map-side
+    combine — the only full-width shuffle carries per-partition word
+    counts, already combined; pass 2 re-scans but shuffles only the
+    candidate words that survive the broadcast semi-join. Nothing ever
+    collects to the driver; the total and the candidate set flow as
+    1-row/broadcast frames (the repo's aggregate-gate idiom).
+    """
+    words = df.select(
+        F.explode(F.expr(tx.split_ws_safe(f"`{text_col}`", SPARK))).alias(
+            "word"
+        )
+    )
+    per = (
+        words.withColumn("part", F.spark_partition_id())
+        .groupBy("part", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # pass-1 counts feed 3 branches
+    )
+    ptot = per.groupBy("part").agg(F.sum("c").alias("pn"))
+    cand = (
+        per.join(ptot, "part")
+        .filter(F.col("c") * k > F.col("pn"))
+        .select("word")
+        .distinct()
+    )
+    total = per.agg(F.sum("c").cast("long").alias("n_total"))
+    return (
+        words.join(F.broadcast(cand), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occ") * k > F.col("n_total"))
+        .select(
+            "word",
+            "n_occ",
+            F.expr("cast((1000000 * n_occ) div n_total as bigint)").alias(
+                "ppm"
+            ),
+        )
+    )

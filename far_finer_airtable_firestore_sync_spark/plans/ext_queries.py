@@ -1291,6 +1291,165 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_repeated_spans_body(SPARK, "_ffs_span_docs"))
 
 
+def _strip_spans_body(dialect: str, rel: str) -> str:
+    """Repeated-span REMOVAL — the second half of the Lee et al. 2022
+    exact-substring dedup (arXiv:2107.06499 §4 removes the duplicated
+    spans rather than whole documents): every word covered by a
+    flagged span (``_repeated_spans_body``) is excised and the
+    survivors are re-joined in document order.
+
+    Output: (doc_id, n_words, n_removed, text_clean) for EVERY corpus
+    doc (docs with no flagged span pass through verbatim).
+
+    Scale shape: the span pass is the postings plan above; the removal
+    adds one posexplode of the word array (scan-side, Spark dialect —
+    the oracle dialect carries the array, fine at fixture scale), an
+    equi+range join against the per-doc span list (spans per doc are
+    few), and one per-doc ordered re-aggregation — all keyed on
+    doc_id, so the three shuffles co-partition and raw text shuffles
+    once (the kept words)."""
+    warr = tx.split_ws_safe("text", dialect)
+    if dialect == SPARK:
+        pos = f"""
+  select doc_id, n, i0 + 1 as i, w
+  from (
+    select doc_id, {tx.lsize('warr', dialect)} as n,
+           posexplode(warr) as (i0, w)
+    from (select doc_id, {warr} as warr from {rel})
+  )"""
+        # array_sort on struct<i,w> orders by i (unique per doc).
+        joined = (
+            "array_join(transform(array_sort(collect_list(struct(i, w))), "
+            "x -> x.w), ' ')"
+        )
+    else:
+        pos = f"""
+  select doc_id, {tx.lsize('warr', dialect)} as n, i,
+         {tx.lslice('warr', 'i', 1, dialect)}[1] as w
+  from (
+    select doc_id, warr,
+           unnest({tx.seq('1', tx.lsize('warr', dialect), dialect)}) as i
+    from (select doc_id, {warr} as warr from {rel})
+  )"""
+        joined = "string_agg(w, ' ' order by i)"
+    return f"""
+with sp as ({_repeated_spans_body(dialect, rel)}),
+pos as ({pos}),
+cov as (
+  select distinct p.doc_id, p.i
+  from pos p join sp s
+    on p.doc_id = s.doc_id and p.i between s.span_start and s.span_end
+),
+kept as (
+  select p.doc_id, p.i, p.w from pos p
+  where not exists (
+    select 1 from cov c where c.doc_id = p.doc_id and c.i = p.i
+  )
+),
+agg as (
+  select doc_id, cast(count(*) as bigint) as n_kept,
+         {joined} as text_clean
+  from kept group by doc_id
+),
+docs as (select distinct doc_id, n from pos)
+select d.doc_id,
+       cast(d.n as bigint) as n_words,
+       cast(d.n - coalesce(a.n_kept, 0) as bigint) as n_removed,
+       coalesce(a.text_clean, '') as text_clean
+from docs d left join agg a on d.doc_id = a.doc_id
+"""
+
+
+def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span removal over the synthesized-dup corpus (see
+    ``_strip_spans_body``)."""
+    dedup_corpus(spark, sf_dir).createOrReplaceTempView("_ffs_strip_docs")
+    return spark.sql(_strip_spans_body(SPARK, "_ffs_strip_docs"))
+
+
+#: weighted-sample size — large enough that rank-boundary ties would
+#: surface any cross-engine key divergence, small vs the corpus
+ES_SAMPLE_K = 100
+
+#: 2^56 (the 14-hex-digit digest space) — u = (h+1)/(2^56+1) in (0,1)
+ES_HASH_SPACE = 72057594037927936
+
+
+def _weighted_sample_body(dialect: str, rel: str, k: int = ES_SAMPLE_K) -> str:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006, "Weighted random sampling with a reservoir" —
+    public paper): each doc gets key ln(u)/w with u a uniform derived
+    from md5(doc_id) and w its weight (n_chars); the k largest keys
+    are exactly a weight-proportional sample without replacement.
+
+    Determinism/cross-engine exactness: u comes from the first 14 hex
+    digits of md5 (the repo's Kirsch-Mitzenmacher digest idiom), ln is
+    quantized to the 1e-6 integer grid before the division (the
+    DSIR/LM-score idiom), and the final bigint/bigint division to
+    double is IEEE-exact — both engines rank identically; doc_id
+    breaks (astronomically unlikely) key ties.
+
+    Scale shape: zero-shuffle projection + top-k (Spark plans
+    TakeOrderedAndProject — per-partition heaps, no global sort)."""
+    # 'string' is the one cast alias both engines accept bare (Spark 4
+    # rejects length-less 'varchar'; DuckDB aliases STRING -> VARCHAR).
+    h = tx.hex_to_bigint(
+        "substring(md5(cast(doc_id as string)), 1, 14)", dialect
+    )
+    u = f"((cast({h} as double) + cast(1 as double)) / cast({ES_HASH_SPACE + 1} as double))"
+    return f"""
+with keyed as (
+  select doc_id,
+         cast(greatest(coalesce(n_chars, 0), 1) as bigint) as weight,
+         cast(round(ln({u}) * 1000000) as bigint) as lnq
+  from {rel}
+)
+select doc_id, weight,
+       (cast(lnq as double) / cast(weight as double)) as es_key
+from keyed
+order by (cast(lnq as double) / cast(weight as double)) desc, doc_id asc
+limit {k}
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional deterministic sample of documents (see
+    ``_weighted_sample_body``)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_es_docs"
+    )
+    return spark.sql(_weighted_sample_body(SPARK, "_ffs_es_docs"))
+
+
+#: heavy-hitter threshold denominator: report words with global count
+#: strictly greater than total_words / HH_K
+HH_K = 200
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters via the scalable two-pass plan (see
+    ``text_analysis.heavy_hitter_words``)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_analysis.heavy_hitter_words(docs, k=HH_K)
+
+
+def heavy_hitters_oracle() -> str:
+    """One-pass exact SQL twin — valid as an oracle precisely because
+    the two-pass candidate set provably superset-covers every word
+    over the threshold (see the operator docstring)."""
+    w = tx.split_ws_safe("text", DUCKDB)
+    return f"""
+with w as (select unnest({w}) as word from documents),
+tot as (select cast(count(*) as bigint) as n from w)
+select word,
+       cast(count(*) as bigint) as n_occ,
+       cast((1000000 * count(*)) // t.n as bigint) as ppm
+from w cross join tot t
+group by word, t.n
+having count(*) * {HH_K} > t.n
+"""
+
+
 #: UniMax epoch cap: no source may repeat more than this many times.
 UNIMAX_EPOCH_CAP = 4
 
@@ -2577,6 +2736,9 @@ EXT_QUERIES = {
     "mining_hard_negatives": q_hard_negatives,
     "streaming_near_dedup": q_streaming_near_dedup,
     "quality_ensemble": q_quality_ensemble,
+    "dedup_strip_spans": q_strip_spans,
+    "sample_weighted_es": q_weighted_sample,
+    "text_heavy_hitters": q_heavy_hitters,
 }
 
 
@@ -2645,4 +2807,7 @@ def ext_oracles() -> dict[str, str]:
         "mining_hard_negatives": hard_negatives_oracle(),
         "streaming_near_dedup": STREAMING_NEAR_DEDUP_SQL,
         "quality_ensemble": _quality_ensemble_body(DUCKDB, "documents"),
+        "dedup_strip_spans": _strip_spans_body(DUCKDB, f"({CORPUS_SQL})"),
+        "sample_weighted_es": _weighted_sample_body(DUCKDB, "documents"),
+        "text_heavy_hitters": heavy_hitters_oracle(),
     }

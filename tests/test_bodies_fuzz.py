@@ -26,7 +26,9 @@ from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
     _hybrid_rrf_body,
     _repeated_spans_body,
     _source_overlap_body,
+    _strip_spans_body,
     _unimax_body,
+    _weighted_sample_body,
 )
 
 WORDS = ["spark", "window", "merge", "the", "cat", "sat", "a", "b", "c",
@@ -143,6 +145,26 @@ def test_fuzz_body_parity(spark, tmp_path):
             ),
             _quality_ensemble_body(
                 DUCKDB, "(select *, 'en' as lang from fz_docs)"
+            ),
+        ),
+        "strip_spans": (
+            _strip_spans_body(SPARK, "fz_docs"),
+            _strip_spans_body(DUCKDB, "fz_docs"),
+        ),
+        # weight 0/NULL floors to 1; k=40 cuts mid-corpus so rank-
+        # boundary keys are exercised
+        "es_sample": (
+            _weighted_sample_body(
+                SPARK,
+                "(select doc_id, coalesce(length(text), 0) as n_chars"
+                " from fz_docs)",
+                k=40,
+            ),
+            _weighted_sample_body(
+                DUCKDB,
+                "(select doc_id, coalesce(length(text), 0) as n_chars"
+                " from fz_docs)",
+                k=40,
             ),
         ),
     }

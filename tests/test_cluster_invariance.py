@@ -30,6 +30,11 @@ ENTRIES = [
     "corpus_split_leakage_safe",
     "retrieval_eval_ndcg",
     "dedup_lsh_eval",
+    # round-4 families: partition-dependent candidate pass + exact
+    # verify, span-removal range join + ordered re-agg, top-k heap
+    "text_heavy_hitters",
+    "dedup_strip_spans",
+    "sample_weighted_es",
 ]
 
 
