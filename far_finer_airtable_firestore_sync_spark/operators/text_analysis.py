@@ -737,8 +737,12 @@ def heavy_hitter_words(
         .select(
             "word",
             "n_occ",
-            F.expr("cast((1000000 * n_occ) div n_total as bigint)").alias(
-                "ppm"
-            ),
+            # decimal(38,0) product: 1e6 * n_occ wraps int64 once the
+            # corpus passes ~9e12 words — the documented target scale
+            # (the DuckDB oracle twin widens to hugeint the same way)
+            F.expr(
+                "cast((cast(1000000 as decimal(38,0)) * n_occ)"
+                " div n_total as bigint)"
+            ).alias("ppm"),
         )
     )

@@ -1335,15 +1335,12 @@ def _strip_spans_body(dialect: str, rel: str) -> str:
     return f"""
 with sp as ({_repeated_spans_body(dialect, rel)}),
 pos as ({pos}),
-cov as (
-  select distinct p.doc_id, p.i
-  from pos p join sp s
-    on p.doc_id = s.doc_id and p.i between s.span_start and s.span_end
-),
 kept as (
   select p.doc_id, p.i, p.w from pos p
   where not exists (
-    select 1 from cov c where c.doc_id = p.doc_id and c.i = p.i
+    select 1 from sp s
+    where s.doc_id = p.doc_id
+      and p.i between s.span_start and s.span_end
   )
 ),
 agg as (
@@ -1443,7 +1440,7 @@ with w as (select unnest({w}) as word from documents),
 tot as (select cast(count(*) as bigint) as n from w)
 select word,
        cast(count(*) as bigint) as n_occ,
-       cast((1000000 * count(*)) // t.n as bigint) as ppm
+       cast((cast(1000000 as hugeint) * count(*)) // t.n as bigint) as ppm
 from w cross join tot t
 group by word, t.n
 having count(*) * {HH_K} > t.n
@@ -1833,9 +1830,11 @@ def _quality_ensemble_body(dialect: str, rel: str) -> str:
     clf = tx.quality_classifier_from_base(
         {name: name for name in base}, dialect
     )
-    n = tx.lsize("words", dialect)
-    nd = tx.lsize(tx.ldistinct("words", dialect), dialect)
-    dup_word_frac = f"(cast({n} - {nd} as double) / greatest({n}, 1))"
+    # shared Gopher emitters on the staged column — same formulas by
+    # construction as every other repetition consumer
+    rep = tx.repetition_metric_exprs("words", dialect)
+    n = rep["n_words"]
+    dup_word_frac = rep["dup_word_frac"]
     lid = tx.langid_pred_from_scores(
         {lang: f"lid_{lang}" for lang in lid_scores}
     )

@@ -160,22 +160,33 @@ class DocumentStore:
                 "during write; refusing to clobber the concurrent commit"
             )
         tmp = self._pointer_path() + ".tmp"
-        pointer: dict[str, Any] = {"version_dir": rel}
-        # Carry the per-app txn map forward so no commit — tagged or
-        # not — can erase another stream's replay marker.
-        try:
-            with open(self._pointer_path()) as fh:
-                pointer["txns"] = json.load(fh).get("txns", {})
-        except FileNotFoundError:
-            pointer["txns"] = {}
-        if txn is not None:
-            app_id, version = txn
-            pointer["txns"][app_id] = version
-        if tag is not None:
-            pointer["tag"] = tag
-        with open(tmp, "w") as fh:
-            json.dump(pointer, fh)
-        os.replace(tmp, self._pointer_path())
+        # The carry-forward is a read-modify-write of the pointer:
+        # serialize it under an exclusive flock so a concurrent commit
+        # cannot interleave between the read and the replace and
+        # resurrect a txn map missing the other writer's marker. flock
+        # releases on process death — no stale-lock recovery needed.
+        # (On a shared filesystem without flock semantics, use a real
+        # transactional table format — the Delta/Iceberg backend seam.)
+        import fcntl
+
+        with open(self._pointer_path() + ".lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            pointer: dict[str, Any] = {"version_dir": rel}
+            # Carry the per-app txn map forward so no commit — tagged
+            # or not — can erase another stream's replay marker.
+            try:
+                with open(self._pointer_path()) as fh:
+                    pointer["txns"] = json.load(fh).get("txns", {})
+            except FileNotFoundError:
+                pointer["txns"] = {}
+            if txn is not None:
+                app_id, version = txn
+                pointer["txns"][app_id] = version
+            if tag is not None:
+                pointer["tag"] = tag
+            with open(tmp, "w") as fh:
+                json.dump(pointer, fh)
+            os.replace(tmp, self._pointer_path())
         return out
 
     def read_version(self, version_dir: str) -> DataFrame:

@@ -509,16 +509,29 @@ def continuous_sync(
     Replay safety: each commit records ``txn=(query_name, epoch)`` in
     the store pointer's per-app txn map (atomic with the flip, carried
     forward across commits — Delta txnAppId/txnVersion); a batch whose
-    epoch is already recorded for this ``query_name`` is a post-crash
-    replay of an already-committed epoch and is skipped — exactly-once
-    even for non-idempotent strategies like APPEND, and the marker
-    survives interleaved commits by other writers or untagged batch
-    writes to the same store.
+    epoch is at or below the recorded version for this ``query_name``
+    is a replay of an already-committed epoch and is skipped —
+    exactly-once even for non-idempotent strategies like APPEND, and
+    the marker survives interleaved commits by other writers or
+    untagged batch writes to the same store. Same-checkpoint crash
+    recovery is always safe (epoch ids are monotone per checkpoint);
+    a FRESH checkpoint replaying old source files is exactly-once only
+    when epoch numbering reproduces the original run (one file per
+    trigger) — collapsed multi-file epochs are indistinguishable from
+    new data, the same boundary Delta's txnVersion has.
     """
     strategy = get_strategy(spec.update_type)
 
     def sync_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if store.last_txn(query_name) == str(epoch_id):
+        # <= not ==: a FRESH checkpoint replays the whole history from
+        # epoch 0, and every epoch at or below the recorded version is
+        # already folded into the store (the Delta txnVersion rule) —
+        # an equality check would skip only the latest and double-apply
+        # the rest. NOTE: fresh-checkpoint epoch numbering may batch
+        # several old files into one epoch; the monotone version check
+        # still skips exactly the prefix the store has seen.
+        last = store.last_txn(query_name)
+        if last is not None and int(epoch_id) <= int(last):
             return  # replay of an already-committed epoch
         target = store.read()
         if target is None:

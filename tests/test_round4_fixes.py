@@ -99,6 +99,84 @@ def test_continuous_sync_replay_skip_survives_interleaving(spark, tmp_path):
     assert store.read().count() == 10  # not 20: replay still skipped
 
 
+def test_continuous_sync_fresh_checkpoint_multi_epoch_replay(spark, tmp_path):
+    """A fresh checkpoint replays the WHOLE history from epoch 0; every
+    epoch at or below the recorded txn version must be skipped (an
+    equality-only check would skip just the latest and double-apply
+    the earlier epochs)."""
+    import time
+
+    from far_finer_airtable_firestore_sync_spark.config import (
+        Field,
+        SyncSpec,
+        UpdateType,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    tmp = tmp_path / "_stage"
+    for j in range(2):
+        rows = [Row(event_id=100 * j + i, ts=10**18 + i, user_id=i,
+                    event_type="a", value=1.0, props="{}")
+                for i in range(10)]
+        spark.createDataFrame(rows).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        dst = src_dir / f"{j}.parquet"
+        shutil.copy(glob.glob(str(tmp / "part-*.parquet"))[0], dst)
+        mt = time.time() + j
+        os.utime(dst, (mt, mt))
+
+    spec = SyncSpec(
+        primary_key="pk",
+        update_type=UpdateType.APPEND,
+        payload_fields=(
+            Field("pk", "long"),
+            Field("event_type", "string"),
+            Field("value", "double"),
+        ),
+    )
+    store = DocumentStore(spark, str(tmp_path / "store"))
+
+    def run(ck: str) -> None:
+        # one file per trigger: fresh-checkpoint epoch numbering
+        # reproduces the original run's (the documented contract)
+        events = streaming.read_event_stream(
+            spark, str(src_dir), max_files_per_trigger=1
+        )
+        batch = events.select(
+            F.col("event_id").alias("pk"), F.col("event_type"),
+            F.col("value"),
+        )
+        q = streaming.continuous_sync(batch, spec, store,
+                                      str(tmp_path / ck))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run("ck0")  # epochs 0 and 1
+    assert store.read().count() == 20
+    assert store.last_txn("continuous_sync") == "1"
+
+    run("ck1")  # fresh checkpoint: replays epochs 0 AND 1
+    assert store.read().count() == 20  # neither double-applied
+
+    # a genuinely new file arrives -> epoch 2 must still apply
+    rows = [Row(event_id=300 + i, ts=10**18 + i, user_id=i,
+                event_type="a", value=1.0, props="{}") for i in range(5)]
+    spark.createDataFrame(rows).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp))
+    dst = src_dir / "2.parquet"
+    shutil.copy(glob.glob(str(tmp / "part-*.parquet"))[0], dst)
+    mt = time.time() + 10
+    os.utime(dst, (mt, mt))
+
+    run("ck1")  # same checkpoint continues: only the new file applies
+    assert store.read().count() == 25
+
+
 def test_near_dedup_replay_ignores_partial_current_epoch(spark, tmp_path):
     """A truncated part file in the CURRENT epoch's registry dir (crash
     mid-write) must not fail the prior-epoch registry read on replay."""
