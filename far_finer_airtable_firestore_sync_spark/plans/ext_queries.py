@@ -352,11 +352,25 @@ def q_streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = dedup_corpus(spark, sf_dir)
     src_dir = tempfile.mkdtemp(prefix="ffs-snd-in-")
-    for i, pred in enumerate(["doc_id < 1000000", "doc_id >= 1000000"]):
-        tmp = tempfile.mkdtemp(prefix=f"ffs-snd-stage{i}-")
-        corpus.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+    # ONE corpus pass stages both halves: repartition on the batch key
+    # routes each half to a single task, so the hive-partitioned write
+    # emits exactly one part file per _b dir (the per-half coalesce(1)
+    # of the old two-job staging, at half the scans).
+    tmp = tempfile.mkdtemp(prefix="ffs-snd-stage-")
+    (
+        corpus.withColumn(
+            "_b", F.expr("case when doc_id < 1000000 then 0 else 1 end")
+        )
+        .repartition(F.col("_b"))
+        .write.mode("overwrite")
+        .partitionBy("_b")
+        .parquet(tmp)
+    )
+    for i in (0, 1):
+        parts = glob.glob(os.path.join(tmp, f"_b={i}", "part-*.parquet"))
+        assert len(parts) == 1, parts
         dst = os.path.join(src_dir, f"{i:03d}-batch.parquet")
-        shutil.copy(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        shutil.copy(parts[0], dst)
         mt = _time.time() + i  # file source orders batches by mtime
         os.utime(dst, (mt, mt))
     stream = (
