@@ -163,6 +163,37 @@ def ivf_assign(
     )
 
 
+def ivf_filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    predicate: str,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Filtered vector search: IVF ANN restricted to corpus rows
+    matching a metadata ``predicate`` (the "filtered ANN" mode every
+    production vector store exposes — FAISS IDSelector / Milvus expr).
+
+    PRE-filter semantics: the predicate restricts the candidate set
+    BEFORE scoring, so top-k ranks only among matching rows (recall is
+    measured against the filtered ground truth, not the full corpus).
+    A vector's centroid assignment is independent of other vectors, so
+    filter-then-assign ≡ assign-then-filter — Catalyst pushes the
+    predicate below the assignment projection into the parquet scan
+    (PushedFilters), meaning non-matching vectors are never even
+    scored against centroids. Selective predicates thin the probed
+    buckets; raise ``nprobe`` to hold recall when the filter keeps
+    only a small fraction of each bucket.
+    """
+    return ivf_topk(
+        corpus.filter(predicate), queries, centroids, k, nprobe,
+        vec_col, id_col,
+    )
+
+
 def hard_negatives(
     corpus: DataFrame,
     queries: DataFrame,

@@ -554,6 +554,74 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: filtered-ANN predicate — selective enough that filtered top-k
+#: differs from unfiltered, dense enough that every probe still hits
+IVF_FILTER = "label % 3 = 0"
+
+
+def q_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: IVF probe over only the corpus rows
+    matching a metadata predicate (see
+    ``similarity_search.ivf_filtered_topk``)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity_search.ivf_filtered_topk(
+        emb,
+        emb.filter("vec_id < 5"),
+        emb.filter("vec_id % 100 = 0"),
+        IVF_FILTER,
+        k=10,
+        nprobe=2,
+    )
+
+
+def ivf_filtered_topk_oracle() -> str:
+    """ivf_topk_oracle with the metadata predicate applied to the
+    candidate side (assignment is per-vector, so filter-then-assign
+    matches the engine's assign-then-filter pushdown)."""
+    cos_vc = tx.cosine_quantized("qv", "qc", DUCKDB)
+    cos_qc = tx.cosine_quantized("qq", "qc", DUCKDB)
+    cos_qv = tx.cosine_quantized("p.qq", "a.qv", DUCKDB)
+    return f"""
+with c as (select vec_id, {_qz("embedding")} as qv from embeddings
+           where {IVF_FILTER}),
+cents as (select vec_id as centroid_id, {_qz("embedding")} as qc
+          from embeddings where vec_id % 100 = 0),
+q as (select vec_id as query_id, {_qz("embedding")} as qq
+      from embeddings where vec_id < 5),
+assigned as (
+  select vec_id, qv, centroid_id from (
+    select c.vec_id, c.qv, cents.centroid_id,
+           row_number() over (
+             partition by c.vec_id
+             order by {cos_vc} desc, cents.centroid_id asc
+           ) as rn
+    from c cross join cents
+  ) where rn = 1
+),
+probes as (
+  select query_id, qq, centroid_id from (
+    select q.query_id, q.qq, cents.centroid_id,
+           row_number() over (
+             partition by q.query_id
+             order by {cos_qc} desc, cents.centroid_id asc
+           ) as rn
+    from q cross join cents
+  ) where rn <= 2
+),
+scored as (
+  select p.query_id, a.vec_id as neighbor_id, {cos_qv} as cosine
+  from assigned a join probes p on a.centroid_id = p.centroid_id
+  where a.vec_id <> p.query_id
+)
+select query_id, neighbor_id, cosine, cast(rank as int) as rank
+from (
+  select *, row_number() over (
+    partition by query_id order by cosine desc, neighbor_id asc
+  ) as rank from scored
+) where rank <= 10
+"""
+
+
 def ivf_topk_oracle() -> str:
     cos_vc = tx.cosine_quantized("qv", "qc", DUCKDB)
     cos_qc = tx.cosine_quantized("qq", "qc", DUCKDB)
@@ -2752,6 +2820,7 @@ EXT_QUERIES = {
     "dedup_strip_spans": q_strip_spans,
     "sample_weighted_es": q_weighted_sample,
     "text_heavy_hitters": q_heavy_hitters,
+    "similarity_ivf_filtered_topk": q_ivf_filtered_topk,
 }
 
 
@@ -2823,4 +2892,5 @@ def ext_oracles() -> dict[str, str]:
         "dedup_strip_spans": _strip_spans_body(DUCKDB, f"({CORPUS_SQL})"),
         "sample_weighted_es": _weighted_sample_body(DUCKDB, "documents"),
         "text_heavy_hitters": heavy_hitters_oracle(),
+        "similarity_ivf_filtered_topk": ivf_filtered_topk_oracle(),
     }

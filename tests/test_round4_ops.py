@@ -209,3 +209,34 @@ def test_round4_plan_shapes(spark, tmp_path):
 
     hh = plan(text_analysis.heavy_hitter_words(df, k=10))
     assert "BroadcastHashJoin" in hh and "LeftSemi" in hh
+
+
+def test_ivf_filtered_topk_binds_and_pushes_down(spark):
+    """The metadata predicate must (a) restrict every returned
+    neighbor, (b) actually change the result vs unfiltered, and
+    (c) reach the parquet scan as a pushed filter."""
+    from far_finer_airtable_firestore_sync_spark.operators import (
+        similarity_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    cents = emb.filter("vec_id % 100 = 0")
+    filtered = similarity_search.ivf_filtered_topk(
+        emb, queries, cents, "label % 3 = 0", k=10, nprobe=2
+    )
+    plain = similarity_search.ivf_topk(emb, queries, cents, k=10, nprobe=2)
+
+    ok_labels = {
+        r["vec_id"] for r in emb.filter("label % 3 = 0").select("vec_id").collect()
+    }
+    got = [(r["query_id"], r["neighbor_id"]) for r in filtered.collect()]
+    assert got, "filtered search returned nothing"
+    assert all(n in ok_labels for _, n in got)
+    assert set(got) != {
+        (r["query_id"], r["neighbor_id"]) for r in plain.collect()
+    }
+
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "PushedFilters" in plan and "label" in plan
