@@ -1173,6 +1173,127 @@ group by 1, 2, a.apx_parts, a.apx_med, a.apx_p99
 """
 
 
+def q_event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day distribution-drift monitor on the event stream:
+    total-variation distance between consecutive days' event-type
+    mixes (the standard data-drift alarm for a training-data intake
+    pipeline; TVD = half the L1 distance between the two share
+    vectors)."""
+    _utc(spark)
+    ev = read_events(spark, sf_dir)
+    ev.createOrReplaceTempView("_ffs_drift_events")
+    return spark.sql(EVENT_DRIFT_BODY.format(rel="_ffs_drift_events"))
+
+
+#: share-quantization grid (1e-12): shares become integers so the
+#: cross-type SUM is order-independent (float sums are not
+#: associative); one IEEE-exact double division at the end. Counts
+#: never enter a product, so nothing can overflow at any data scale.
+EVENT_DRIFT_BODY = """
+with d as (
+  select cast(date_trunc('day', ts) as date) as day, event_type,
+         cast(count(*) as bigint) as c
+  from {rel} group by 1, 2
+),
+tot as (select day, sum(c) as t from d group by day),
+grid as (
+  select dy.day, et.event_type
+  from (select distinct day from d) dy
+  cross join (select distinct event_type from d) et
+),
+shares as (
+  select g.day, g.event_type,
+         cast(round((cast(coalesce(d.c, 0) as double) / cast(t.t as double))
+                    * 1000000000000) as bigint) as share_e12
+  from grid g
+  join tot t on g.day = t.day
+  left join d on d.day = g.day and d.event_type = g.event_type
+),
+lagged as (
+  select day, event_type, share_e12,
+         lag(share_e12) over (partition by event_type order by day) as prev_e12
+  from shares
+)
+select day,
+       cast(sum(abs(share_e12 - prev_e12)) as double)
+         / cast(2000000000000 as double) as tvd,
+       cast(sum(case when share_e12 > 0 then 1 else 0 end) as int)
+         as n_active_types
+from lagged
+where prev_e12 is not null
+group by day
+"""
+
+EVENT_DRIFT_SQL = EVENT_DRIFT_BODY.format(rel="events")
+
+
+def q_event_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection on event values: per event_type, the
+    exact median and MAD (median absolute deviation), then the count
+    of events beyond the 3-MAD fence. MAD is the standard robust
+    scale estimate — unlike stddev it is not itself dragged by the
+    outliers it is meant to flag."""
+    _utc(spark)
+    ev = read_events(spark, sf_dir)
+    ev.createOrReplaceTempView("_ffs_mad_events")
+    return spark.sql(EVENT_MAD_BODY.format(rel="_ffs_mad_events"))
+
+
+#: both medians use the rank-selection idiom of MEDIAN_BODY (identical
+#: middle elements in both engines; the 1-or-2-element average is one
+#: deterministic double operation). Scale shape: two windowed passes
+#: partitioned on the same event_type key (shuffle reused) + one
+#: broadcast-size (n_types rows) join back.
+EVENT_MAD_BODY = """
+with ranked as (
+  select event_type, value, event_id,
+         row_number() over (
+           partition by event_type order by value, event_id
+         ) as rn,
+         count(*) over (partition by event_type) as n
+  from {rel}
+),
+med as (
+  select event_type,
+         (sum(case when rn in (cast(floor((n + 1) / 2) as int),
+                               cast(floor((n + 2) / 2) as int))
+                   then value else 0.0 end)
+          / count(case when rn in (cast(floor((n + 1) / 2) as int),
+                                   cast(floor((n + 2) / 2) as int))
+                       then 1 end)) as med
+  from ranked group by event_type
+),
+dev as (
+  select r.event_type, abs(r.value - m.med) as adev, r.event_id,
+         row_number() over (
+           partition by r.event_type order by abs(r.value - m.med), r.event_id
+         ) as rn,
+         count(*) over (partition by r.event_type) as n
+  from {rel} r join med m on r.event_type = m.event_type
+),
+mad as (
+  select event_type,
+         (sum(case when rn in (cast(floor((n + 1) / 2) as int),
+                               cast(floor((n + 2) / 2) as int))
+                   then adev else 0.0 end)
+          / count(case when rn in (cast(floor((n + 1) / 2) as int),
+                                   cast(floor((n + 2) / 2) as int))
+                       then 1 end)) as mad
+  from dev group by event_type
+)
+select r.event_type, m.med, d.mad,
+       cast(sum(case when abs(r.value - m.med) > 3 * d.mad then 1 else 0 end)
+            as bigint) as n_outliers,
+       cast(count(*) as bigint) as n_events
+from {rel} r
+join med m on r.event_type = m.event_type
+join mad d on r.event_type = d.event_type
+group by r.event_type, m.med, d.mad
+"""
+
+EVENT_MAD_SQL = EVENT_MAD_BODY.format(rel="events")
+
+
 AGG_QUERIES = {
     "agg_pricing_summary": q_pricing_summary,
     "agg_revenue_by_nation": q_revenue_by_nation,
@@ -1206,6 +1327,8 @@ AGG_QUERIES = {
     "forecast_revenue": q_forecast_revenue,
     "event_funnel": q_funnel,
     "retention_cohorts": q_retention_cohorts,
+    "event_mix_drift": q_event_mix_drift,
+    "event_value_mad": q_event_value_mad,
 }
 
 AGG_ORACLES = {
@@ -1240,4 +1363,6 @@ AGG_ORACLES = {
     "forecast_revenue": FORECAST_REVENUE_SQL,
     "event_funnel": FUNNEL_SQL,
     "retention_cohorts": COHORT_SQL,
+    "event_mix_drift": EVENT_DRIFT_SQL,
+    "event_value_mad": EVENT_MAD_SQL,
 }

@@ -2755,6 +2755,306 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.lm_bigram_score(docs)
 
 
+#: KMV sketch size — small enough that the estimator is exercised
+#: (every source has > KMV_K distinct docs at sf>=0.01), large enough
+#: that the estimate lands within ~1/sqrt(k-1) of truth
+KMV_K = 16
+
+
+def _kmv_body(dialect: str, rel: str, k: int = KMV_K) -> str:
+    """K-minimum-values distinct-count sketch per source (Bar-Yossef
+    et al. 2002, "Counting distinct elements in a data stream" —
+    public paper): keep the k smallest hash values of the distinct
+    texts; if the k-th smallest maps to fraction u of the hash space,
+    distinct-count ~= (k-1)/u.
+
+    Unlike HLL (engine-specific internals -> banded oracle only,
+    see `approx_stats`), KMV over md5 is fully deterministic in both
+    engines, so even the *approximate* estimate is value-verified:
+    estimate = (k-1) * 2^56 div h_k in pure bigint arithmetic
+    ((k-1) * 2^56 ~= 1.08e18 < 2^63).
+
+    Scale shape: DISTINCT collapses duplicates with map-side partial
+    aggregation before the per-source shuffle; the per-source top-k
+    window sorts only distinct hashes. The sketch state is k bigints
+    per source — mergeable, constant-size, exactly why KMV is the
+    100 TB path where count(distinct text) shuffles every text."""
+    h = tx.hex_to_bigint("substring(md5(text), 1, 14)", dialect)
+    intdiv = "div" if dialect == SPARK else "//"
+    return f"""
+with h as (
+  -- NULL texts carry no hash; excluding them here also dodges the
+  -- engines' opposite NULL placement under ORDER BY hv ASC
+  select distinct source, {h} as hv from {rel} where text is not null
+),
+ranked as (
+  select source, hv,
+         row_number() over (partition by source order by hv asc) as rn
+  from h
+),
+kth as (
+  select source, max(hv) as hk, cast(count(*) as bigint) as n_seen
+  from ranked where rn <= {k} group by source
+),
+exact as (
+  select source, cast(count(distinct text) as bigint) as n_exact
+  from {rel} group by source
+)
+select e.source, e.n_exact,
+       cast(case when kt.n_seen < {k} then kt.n_seen
+                 else cast({k - 1} as bigint) * {ES_HASH_SPACE} {intdiv} kt.hk
+            end as bigint) as kmv_estimate
+from exact e join kth kt on e.source = kt.source
+"""
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KMV distinct-count sketch, value-verified against
+    the exact count (see ``_kmv_body``)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_kmv_docs"
+    )
+    return spark.sql(_kmv_body(SPARK, "_ffs_kmv_docs"))
+
+
+def _entropy_body(dialect: str, rel: str) -> str:
+    """Per-document word-distribution (unigram) entropy + type-token
+    ratio — the information-theoretic quality signal (low entropy =
+    repetitive/template text; complements the surface-ratio
+    `text_quality` and bigram-LM `text_lm_score` filters).
+
+    H = sum_i (c_i/n) * ln(n/c_i) over the doc's word counts, computed
+    as sum(c_i * lnq(n/c_i)) div n with ln quantized to the 1e-6
+    integer grid (the repo's DSIR/LM-score idiom) — the cross-type sum
+    is pure bigint, so partition order cannot perturb it.
+
+    Scale shape: explode -> two keyed aggregations on (doc_id, word)
+    then (doc_id); both combine map-side. No corpus-global state."""
+    w = tx.split_ws_safe("text", dialect)
+    intdiv = "div" if dialect == SPARK else "//"
+    lnq = (
+        "cast(round(ln(cast(n.n_tokens as double) / cast(wc.c as double))"
+        " * 1000000) as bigint)"
+    )
+    return f"""
+with w as (
+  select doc_id, {tx.explode_as(w, "word", dialect)} from {rel}
+),
+wc as (
+  select doc_id, word, cast(count(*) as bigint) as c
+  from w group by doc_id, word
+),
+n as (
+  select doc_id, sum(c) as n_tokens, cast(count(*) as bigint) as n_distinct
+  from wc group by doc_id
+)
+select n.doc_id,
+       cast(n.n_tokens as bigint) as n_tokens,
+       n.n_distinct,
+       cast((1000000 * n.n_distinct) {intdiv} n.n_tokens as bigint) as ttr_ppm,
+       cast(sum(wc.c * {lnq}) {intdiv} n.n_tokens as bigint) as entropy_uppm
+from wc join n on wc.doc_id = n.doc_id
+group by n.doc_id, n.n_tokens, n.n_distinct
+"""
+
+
+def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram entropy / type-token ratio (see
+    ``_entropy_body``)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_entropy_docs"
+    )
+    return spark.sql(_entropy_body(SPARK, "_ffs_entropy_docs"))
+
+
+#: MMR knobs: candidate pool, picks, relevance weight (lambda).
+#: LAM_NUM/DEN kept integral so the score is a sum of two IEEE-exact
+#: double products with no decimal-literal parsing divergence.
+MMR_CAND = 20
+MMR_K = 5
+MMR_LAM_NUM = 7  # lambda = 0.7
+
+
+def _mmr_body(dialect: str, rel: str) -> str:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998, public paper): greedily pick the candidate
+    maximizing lambda*rel(d) - (1-lambda)*max_{s in S} sim(d, s),
+    starting from the most relevant. De-clusters near-duplicate
+    neighbors in retrieval results — the standard RAG result
+    diversifier.
+
+    The greedy recurrence is unrolled to MMR_K CTE stages (the
+    unrolled-Lloyd idiom this repo uses for the k-means oracle): each
+    stage joins the remaining candidates to the selected set, takes
+    max pairwise cosine, and picks the arg-max by (mmr desc, id asc).
+    All cosines are quantized-integer dots with one final double
+    division, so both engines rank identically.
+
+    Scale shape: the candidate pool is top-MMR_CAND from the ANN/exact
+    tier (TakeOrderedAndProject — per-partition heaps); the greedy
+    stages touch only MMR_CAND rows x MMR_K stages of bounded joins.
+    At 100 TB the corpus-size work stays in the candidate generator;
+    MMR cost is O(k * cand) regardless of corpus size."""
+    cos_rel = tx.cosine_quantized("q.qq", "c.qv", dialect)
+    cos_pair = tx.cosine_quantized("r.qv", "s.qv", dialect)
+    lam = f"cast({MMR_LAM_NUM} as double) / cast(10 as double)"
+    one_minus = f"cast({10 - MMR_LAM_NUM} as double) / cast(10 as double)"
+    parts = [
+        f"""
+q as (
+  select {tx.quantize("embedding", dialect)} as qq
+  from {rel} where vec_id = 0
+),
+cand as (
+  select * from (
+    select c.vec_id, c.qv, {cos_rel} as rel,
+           row_number() over (order by {cos_rel} desc, c.vec_id asc) as rk
+    from (select vec_id, {tx.quantize("embedding", dialect)} as qv
+          from {rel} where vec_id <> 0) c
+    cross join q
+  ) where rk <= {MMR_CAND}
+),
+sel1 as (
+  select vec_id, qv, rel, rel as mmr, 1 as step
+  from cand order by rel desc, vec_id asc limit 1
+)"""
+    ]
+    for i in range(2, MMR_K + 1):
+        prev = f"sel{i - 1}" if i == 2 else f"acc{i - 1}"
+        parts.append(
+            f"""
+scored{i} as (
+  select r.vec_id, r.qv, r.rel,
+         ({lam}) * r.rel - ({one_minus}) * max({cos_pair}) as mmr
+  from cand r
+  cross join {prev} s
+  where r.vec_id not in (select vec_id from {prev})
+  group by r.vec_id, r.qv, r.rel
+),
+pick{i} as (
+  select vec_id, qv, rel, mmr, {i} as step
+  from scored{i} order by mmr desc, vec_id asc limit 1
+),
+acc{i} as (
+  select * from {prev} union all select * from pick{i}
+)"""
+        )
+    return (
+        "with "
+        + ",".join(parts)
+        + f"""
+select step, vec_id, rel, mmr from acc{MMR_K} order by step
+"""
+    )
+
+
+def q_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-{MMR_K} for query vec_id=0 (see
+    ``_mmr_body``)."""
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "_ffs_mmr_emb"
+    )
+    return spark.sql(_mmr_body(SPARK, "_ffs_mmr_emb"))
+
+
+#: keywords per document
+KEYWORD_TOPK = 5
+
+
+def _keyword_body(dialect: str, rel: str, k: int = KEYWORD_TOPK) -> str:
+    """Per-document keyword extraction: top-k terms by TF-IDF within
+    each doc — the document-annotation / tagging primitive (the
+    existing `text_tfidf_search` ranks DOCS for a query; this ranks
+    TERMS per doc). idf = ln((N+1)/(df+1)) on the 1e-6 integer grid
+    (the corpus tfidf idiom), tf*idf stays integral until one final
+    IEEE division.
+
+    Scale shape: postings explode -> (doc, term) and (term) partial
+    aggregates; N is a broadcast 1-row aggregate; per-doc top-k is a
+    row_number over the doc key — all shuffles carry terms + counts,
+    never text."""
+    w = tx.split_ws_safe("lower(text)", dialect)
+    return f"""
+with w as (
+  select doc_id, {tx.explode_as(w, "term", dialect)} from {rel}
+),
+tf as (
+  select doc_id, term, cast(count(*) as bigint) as tf
+  from w where term <> '' group by doc_id, term
+),
+df as (select term, cast(count(*) as bigint) as df_t from tf group by term),
+n as (select cast(count(*) as bigint) as n_docs from {rel}),
+scored as (
+  select tf.doc_id, tf.term,
+         tf.tf * cast(round(ln((cast(n.n_docs as double) + cast(1 as double))
+                               / (cast(df.df_t as double) + cast(1 as double)))
+                            * 1000000) as bigint) as score_q
+  from tf join df on tf.term = df.term cross join n
+),
+ranked as (
+  select doc_id, term, score_q,
+         row_number() over (
+           partition by doc_id order by score_q desc, term asc
+         ) as rk
+  from scored
+)
+select doc_id, term,
+       cast(score_q as double) / cast(1000000 as double) as tfidf,
+       cast(rk as int) as rk
+from ranked where rk <= {k}
+"""
+
+
+def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{KEYWORD_TOPK} TF-IDF keywords per document (see
+    ``_keyword_body``)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_kw_docs"
+    )
+    return spark.sql(_keyword_body(SPARK, "_ffs_kw_docs"))
+
+
+def _novelty_body(dialect: str, rel: str, n: int = 3) -> str:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    word n-grams whose FIRST corpus occurrence (min doc_id — ingestion
+    order) is this doc. The incremental-crawl signal: near-zero
+    novelty = the doc is recombined boilerplate; dedup pipelines use
+    it to rank which near-dups to keep.
+
+    Scale shape: one explode -> distinct (map-side combine) -> a
+    min(doc_id) aggregate per gram -> one join back on the gram key.
+    Shuffles carry grams + ids only; no all-pairs comparison."""
+    w = tx.split_ws_safe("lower(text)", dialect)
+    intdiv = "div" if dialect == SPARK else "//"
+    return f"""
+with words as (select doc_id, {w} as warr from {rel}),
+g as (
+  select doc_id,
+         {tx.explode_as(tx.word_ngrams("warr", n, dialect), "gram", dialect)}
+  from words
+),
+d as (select distinct doc_id, gram from g),
+firstd as (select gram, min(doc_id) as first_doc from d group by gram)
+select d.doc_id,
+       cast(count(*) as bigint) as n_grams,
+       cast(sum(case when f.first_doc = d.doc_id then 1 else 0 end)
+            as bigint) as n_novel,
+       cast((1000000 * sum(case when f.first_doc = d.doc_id then 1 else 0 end))
+            {intdiv} count(*) as bigint) as novelty_ppm
+from d join firstd f on d.gram = f.gram
+group by d.doc_id
+"""
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc first-occurrence n-gram novelty (see
+    ``_novelty_body``)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_novel_docs"
+    )
+    return spark.sql(_novelty_body(SPARK, "_ffs_novel_docs"))
+
+
 EXT_QUERIES = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
@@ -2821,6 +3121,11 @@ EXT_QUERIES = {
     "sample_weighted_es": q_weighted_sample,
     "text_heavy_hitters": q_heavy_hitters,
     "similarity_ivf_filtered_topk": q_ivf_filtered_topk,
+    "sketch_kmv_distinct": q_kmv_distinct,
+    "text_word_entropy": q_word_entropy,
+    "search_mmr": q_search_mmr,
+    "text_keyword_extract": q_keyword_extract,
+    "text_ngram_novelty": q_ngram_novelty,
 }
 
 
@@ -2893,4 +3198,9 @@ def ext_oracles() -> dict[str, str]:
         "sample_weighted_es": _weighted_sample_body(DUCKDB, "documents"),
         "text_heavy_hitters": heavy_hitters_oracle(),
         "similarity_ivf_filtered_topk": ivf_filtered_topk_oracle(),
+        "sketch_kmv_distinct": _kmv_body(DUCKDB, "documents"),
+        "text_word_entropy": _entropy_body(DUCKDB, "documents"),
+        "search_mmr": _mmr_body(DUCKDB, "embeddings"),
+        "text_keyword_extract": _keyword_body(DUCKDB, "documents"),
+        "text_ngram_novelty": _novelty_body(DUCKDB, "documents"),
     }

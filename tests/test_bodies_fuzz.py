@@ -16,10 +16,19 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from far_finer_airtable_firestore_sync_spark.functions.canonical import DUCKDB, SPARK
+from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+    EVENT_DRIFT_BODY,
+    EVENT_MAD_BODY,
+)
 from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
     C4_CORPUS_BODY,
     _bm25_body,
+    _entropy_body,
     _hash_embed_body,
+    _keyword_body,
+    _kmv_body,
+    _mmr_body,
+    _novelty_body,
     _quality_ensemble_body,
     _c4_rules_body,
     _dsir_body,
@@ -167,6 +176,20 @@ def test_fuzz_body_parity(spark, tmp_path):
                 k=40,
             ),
         ),
+        "kmv": (_kmv_body(SPARK, "fz_docs"), _kmv_body(DUCKDB, "fz_docs")),
+        "entropy": (
+            _entropy_body(SPARK, "fz_docs"),
+            _entropy_body(DUCKDB, "fz_docs"),
+        ),
+        "keyword": (
+            _keyword_body(SPARK, "fz_docs"),
+            _keyword_body(DUCKDB, "fz_docs"),
+        ),
+        "novelty": (
+            _novelty_body(SPARK, "fz_docs"),
+            _novelty_body(DUCKDB, "fz_docs"),
+        ),
+        "mmr": (_mmr_body(SPARK, "fz_emb"), _mmr_body(DUCKDB, "fz_emb")),
     }
     for name, (s_sql, d_sql) in bodies.items():
         s_rows = _norm([tuple(r) for r in spark.sql(s_sql).collect()])
@@ -176,6 +199,54 @@ def test_fuzz_body_parity(spark, tmp_path):
             f"first spark={s_rows[:2]} duck={d_rows[:2]}"
         )
         assert s_rows, f"{name}: fuzz corpus produced no rows (weak test)"
+
+
+def test_fuzz_event_bodies_parity(spark, tmp_path):
+    """Drift/MAD parity on an adversarial event stream: duplicate
+    values (rank ties pinned by event_id), negative/zero values, days
+    where a type vanishes entirely (share 0 legs)."""
+    import datetime as dt
+
+    rng = random.Random(41)
+    types = ["a", "b", "c"]
+    rows = []
+    for day in range(8):
+        active = types if day % 3 else types[:2]  # 'c' vanishes periodically
+        for _ in range(rng.randint(4, 25)):
+            rows.append(
+                (
+                    dt.datetime(2024, 5, 1 + day, rng.randint(0, 23), 15),
+                    rng.choice(active),
+                    rng.choice([0.0, -2.5, 1.0, 1.0, 7.25, 100.0]),
+                )
+            )
+    epath = str(tmp_path / "fz_events.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        ),
+        epath,
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.read.parquet(epath).createOrReplaceTempView("fz_events")
+    con = duckdb.connect()
+    con.execute(
+        f"create view fz_events as select * from read_parquet('{epath}')"
+    )
+    for name, body in [("drift", EVENT_DRIFT_BODY), ("mad", EVENT_MAD_BODY)]:
+        s_sql = body.format(rel="fz_events")
+        s_rows = _norm([tuple(r) for r in spark.sql(s_sql).collect()])
+        d_rows = _norm(con.execute(s_sql).fetchall())
+        assert s_rows == d_rows, (
+            f"{name}: {len(s_rows)} vs {len(d_rows)} rows; "
+            f"first spark={s_rows[:2]} duck={d_rows[:2]}"
+        )
+        assert s_rows, f"{name}: fuzz events produced no rows (weak test)"
 
 
 def test_fuzz_retrieval_eval_parity(spark, tmp_path):

@@ -1,0 +1,244 @@
+"""Round-4 additions: KMV distinct sketch, word-entropy quality,
+MMR diversified search, event-mix drift — each checked against an
+independent Python brute force on synthetic fixtures (the DuckDB
+value oracle covers the fixture tables; these pin the algorithms).
+"""
+
+import math
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from far_finer_airtable_firestore_sync_spark.plans import agg_queries as agg
+from far_finer_airtable_firestore_sync_spark.plans import ext_queries as ext
+
+
+def _write(tmp_path, name, table):
+    path = str(tmp_path / f"{name}.parquet")
+    pq.write_table(table, path)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def _docs_table(texts, sources):
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def test_kmv_estimate_within_sketch_error(spark, tmp_path):
+    # big: 400 distinct texts (estimator active); small: 5 distinct
+    # (n_seen < k -> exact count path), each with duplicates.
+    texts, sources = [], []
+    for i in range(400):
+        texts += [f"big unique doc {i}"] * 2
+        sources += ["big"] * 2
+    for i in range(5):
+        texts += [f"small doc {i}"] * 3
+        sources += ["small"] * 3
+    _write(tmp_path, "documents", _docs_table(texts, sources))
+    rows = {
+        r["source"]: r
+        for r in ext.q_kmv_distinct(spark, str(tmp_path)).collect()
+    }
+    big, small = rows["big"], rows["small"]
+    assert big["n_exact"] == 400
+    assert small["n_exact"] == 5
+    # small side: fewer distinct hashes than k -> estimate is exact
+    assert small["kmv_estimate"] == 5
+    # big side: standard error of KMV is ~ n/sqrt(k-1); allow 3 sigma
+    se = 400 / math.sqrt(ext.KMV_K - 1)
+    assert abs(big["kmv_estimate"] - 400) <= 3 * se
+
+
+# ---------------------------------------------------------------------------
+# word entropy
+# ---------------------------------------------------------------------------
+
+
+def _brute_entropy(text):
+    words = [w for w in text.split(" ") if w]
+    n = len(words)
+    counts = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    h = sum(c * round(math.log(n / c) * 1_000_000) for c in counts.values())
+    return {
+        "n_tokens": n,
+        "n_distinct": len(counts),
+        "ttr_ppm": (1_000_000 * len(counts)) // n,
+        "entropy_uppm": h // n,
+    }
+
+
+def test_word_entropy_matches_brute_force(spark, tmp_path):
+    rng = random.Random(13)
+    vocab = ["alpha", "beta", "gamma", "delta", "x", "yy"]
+    texts = [
+        " ".join(rng.choices(vocab, k=rng.randint(1, 60))) for _ in range(50)
+    ]
+    texts += ["solo", "rep rep rep rep"]  # H=0 edge cases
+    _write(tmp_path, "documents", _docs_table(texts, ["s"] * len(texts)))
+    got = {
+        r["doc_id"]: r
+        for r in ext.q_word_entropy(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == len(texts)
+    for i, t in enumerate(texts):
+        exp = _brute_entropy(t)
+        for k, v in exp.items():
+            assert got[i][k] == v, (i, k, got[i][k], v)
+    # uniform doc: entropy == ln(n_distinct) on the grid
+    assert got[len(texts) - 2]["entropy_uppm"] == 0
+    assert got[len(texts) - 1]["entropy_uppm"] == 0
+
+
+# ---------------------------------------------------------------------------
+# MMR
+# ---------------------------------------------------------------------------
+
+
+def _emb_table(vecs):
+    return pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+
+
+def _qz(v):
+    return [round(float(x) * 1000) for x in v]
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = sum(x * x for x in a)
+    nb = sum(x * x for x in b)
+    if na == 0 or nb == 0:
+        return 0.0
+    return dot / math.sqrt(na * nb)
+
+
+def _brute_mmr(vecs, k, cand_n, lam):
+    q = _qz(vecs[0])
+    cand = sorted(
+        ((_cos(q, _qz(v)), i) for i, v in enumerate(vecs) if i != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:cand_n]
+    sel = [max(cand, key=lambda t: (t[0], -t[1]))]
+    picks = [(1, sel[0][1], sel[0][0], sel[0][0])]
+    for step in range(2, k + 1):
+        best = None
+        for rel, i in cand:
+            if any(i == s[1] for s in sel):
+                continue
+            maxsim = max(_cos(_qz(vecs[i]), _qz(vecs[s[1]])) for s in sel)
+            mmr = lam * rel - (1 - lam) * maxsim
+            if best is None or (mmr, -i) > (best[0], -best[1]):
+                best = (mmr, i, rel)
+        picks.append((step, best[1], best[2], best[0]))
+        sel.append((best[2], best[1]))
+    return picks
+
+
+def test_mmr_matches_brute_force_greedy(spark, tmp_path):
+    rng = random.Random(99)
+    dim = 8
+    # clustered vectors so diversification visibly reorders picks
+    base = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(4)]
+    vecs = []
+    for i in range(40):
+        b = base[i % 4]
+        vecs.append([x + rng.uniform(-0.05, 0.05) for x in b])
+    _write(tmp_path, "embeddings", _emb_table(vecs))
+    got = [
+        (r["step"], r["vec_id"], r["rel"], r["mmr"])
+        for r in ext.q_search_mmr(spark, str(tmp_path))
+        .orderBy("step")
+        .collect()
+    ]
+    exp = _brute_mmr(vecs, ext.MMR_K, ext.MMR_CAND, ext.MMR_LAM_NUM / 10)
+    assert [g[:2] for g in got] == [e[:2] for e in exp]
+    for g, e in zip(got, exp):
+        assert abs(g[2] - e[2]) < 1e-9
+        assert abs(g[3] - e[3]) < 1e-9
+    # the diversified set must differ from plain top-k on clustered data
+    plain = [e[1] for e in sorted(
+        ((_cos(_qz(vecs[0]), _qz(v)), i) for i, v in enumerate(vecs) if i != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[: ext.MMR_K]]
+    assert {g[1] for g in got} != set(plain)
+
+
+# ---------------------------------------------------------------------------
+# event-mix drift
+# ---------------------------------------------------------------------------
+
+
+def test_event_mix_drift_matches_brute_force(spark, tmp_path):
+    import datetime as dt
+
+    rng = random.Random(5)
+    types = ["click", "view", "buy"]
+    rows = []
+    for day in range(6):
+        for _ in range(rng.randint(5, 30)):
+            rows.append(
+                (
+                    dt.datetime(2024, 3, 1 + day, rng.randint(0, 23), 30),
+                    rng.choice(types if day < 3 else types[:2]),
+                )
+            )
+    table = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([i % 7 for i in range(len(rows))], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    _write(tmp_path, "events", table)
+
+    # brute force with the same 1e-12 share grid
+    per_day = {}
+    for ts, et in rows:
+        d = ts.date()
+        per_day.setdefault(d, {}).setdefault(et, 0)
+        per_day[d][et] += 1
+    days = sorted(per_day)
+    exp = {}
+    for prev, cur in zip(days, days[1:]):
+        t_prev = sum(per_day[prev].values())
+        t_cur = sum(per_day[cur].values())
+        tv = 0
+        for et in types:
+            sp = round(per_day[prev].get(et, 0) / t_prev * 1e12)
+            sc = round(per_day[cur].get(et, 0) / t_cur * 1e12)
+            tv += abs(sc - sp)
+        exp[cur] = (tv / 2e12, sum(1 for et in types if per_day[cur].get(et)))
+
+    got = {
+        r["day"]: (r["tvd"], r["n_active_types"])
+        for r in agg.q_event_mix_drift(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(exp)
+    for d in exp:
+        assert abs(got[d][0] - exp[d][0]) < 1e-9, d
+        assert got[d][1] == exp[d][1]
+    # day 0 has no predecessor -> absent
+    assert days[0] not in got
