@@ -96,6 +96,122 @@ def synth_ppm_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synth_wav_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 16-bit mono PCM WAV per row (fixture synthesis):
+    a square wave whose amplitude, half-period, and length are pure
+    functions of the id — so REAL decode output is closed-form
+    predictable (square waves have exact RMS = amplitude and an exact
+    crossing count), letting the oracle hash-verify the actual
+    byte-parsing path just like ``synth_ppm_blobs`` does for images.
+
+    amp = (id % 100 + 1) * 300  (<= 30000, inside int16)
+    half = id % 5 + 2           (samples per half-period)
+    n = id % 50 + 20            (total samples), rate = 8000 Hz
+    sample i = +amp if (i // half) even else -amp
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import io
+        import struct
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                i = int(i)
+                amp, half, n = (i % 100 + 1) * 300, i % 5 + 2, i % 50 + 20
+                samples = [
+                    amp if (j // half) % 2 == 0 else -amp for j in range(n)
+                ]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(struct.pack(f"<{n}h", *samples))
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "content": blobs,
+                    "media_type": "audio/wav",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, "media_id long, content binary, media_type string"
+    )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, n_channels int, sample_rate int, n_samples long, "
+    "rms double, zcr double"
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction (stdlib ``wave`` + struct parse,
+    16-bit PCM): per clip, RMS amplitude (normalized by 2^15 — an
+    exact power-of-two division) and zero-crossing rate (sign flips /
+    (n-1)). The training-data audio-quality primitives: RMS gates
+    silence/clipping, ZCR is the classic voiced/unvoiced hint.
+
+    Same scale shape as the image path: mapInPandas projection, blobs
+    decoded where they live and never shuffled; only the small feature
+    row moves on. Undecodable bytes yield NULL features (quarantine
+    rows, not crashes)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import io
+        import math
+        import struct
+        import wave
+
+        import pandas as pd
+
+        def one(content):
+            try:
+                with wave.open(io.BytesIO(bytes(content))) as w:
+                    nch, width, rate, nframes = (
+                        w.getnchannels(), w.getsampwidth(),
+                        w.getframerate(), w.getnframes(),
+                    )
+                    frames = w.readframes(nframes)
+            except (wave.Error, EOFError, struct.error, TypeError):
+                return None
+            if width != 2:
+                return None
+            n = len(frames) // 2
+            vals = struct.unpack(f"<{n}h", frames[: 2 * n])
+            if n == 0:
+                return (nch, rate, 0, 0.0, 0.0)
+            rms = math.sqrt(sum(v * v for v in vals) / n) / 32768.0
+            flips = sum(
+                1
+                for a, b in zip(vals, vals[1:])
+                if (a >= 0) != (b >= 0)
+            )
+            zcr = flips / (n - 1) if n > 1 else 0.0
+            return (nch, rate, n, rms, zcr)
+
+        for pdf in batches:
+            feats = [one(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_channels": [f[0] if f else None for f in feats],
+                    "sample_rate": [f[1] if f else None for f in feats],
+                    "n_samples": [f[2] if f else None for f in feats],
+                    "rms": [f[3] if f else None for f in feats],
+                    "zcr": [f[4] if f else None for f in feats],
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
 def _fake_decode(content: bytes) -> Optional[list[float]]:
     """Deterministic stand-in 'decoder': 8 features from the digest.
 

@@ -2296,6 +2296,83 @@ from p
 """
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-decode path, driver-verified: deterministic square-
+    wave WAVs are synthesized per doc, then parsed by the actual
+    stdlib-wave/struct decoder (mapInPandas, blobs never shuffled).
+    Square waves make RMS (= amplitude / 2^15, exact) and the
+    zero-crossing count closed-form, so the oracle recomputes the
+    expected features from the id alone — any RIFF-header or PCM
+    parsing regression breaks the hash."""
+    from far_finer_airtable_firestore_sync_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blobs = multimodal.synth_wav_blobs(docs, "doc_id")
+    return multimodal.audio_features(blobs)
+
+
+def multimodal_audio_oracle() -> str:
+    # closed-form replay of the synthesized square wave:
+    # rms = amp/2^15 (exact: sqrt of a perfect square, power-of-two
+    # division); sign flips at multiples of `half` in [1, n-1].
+    return """
+with p as (
+  select doc_id,
+         (doc_id % 100 + 1) * 300 as amp,
+         doc_id % 5 + 2 as half,
+         doc_id % 50 + 20 as n
+  from documents
+)
+select doc_id as media_id,
+       cast(1 as int) as n_channels,
+       cast(8000 as int) as sample_rate,
+       cast(n as bigint) as n_samples,
+       cast(amp as double) / cast(32768 as double) as rms,
+       cast(cast(floor((n - 1) / half) as bigint) as double)
+         / cast(n - 1 as double) as zcr
+from p
+"""
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize path, driver-verified: deterministic solid-color P6
+    blobs -> nearest-neighbor resize to 4x2 -> REAL decode of the
+    resized bytes. Solid rasters keep their channel means under any
+    resampling, so the oracle is closed-form; dimensions and byte
+    length pin the actual raster rewrite."""
+    from far_finer_airtable_firestore_sync_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blobs = multimodal.synth_ppm_blobs(docs, "doc_id")
+    resized = multimodal.resize_ppm(blobs, 4, 2)
+    feats = multimodal.extract_features(resized, decoder="ppm")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.expr("cast(element_at(feature, 1) as bigint)").alias("width"),
+        F.expr("cast(element_at(feature, 2) as bigint)").alias("height"),
+        F.expr("element_at(feature, 3)").alias("mean_r"),
+        F.expr("element_at(feature, 4)").alias("mean_g"),
+        F.expr("element_at(feature, 5)").alias("mean_b"),
+    )
+
+
+def multimodal_resize_oracle() -> str:
+    # resized blob = "P6\n4 2\n255\n" header (11 bytes) + 24 raster
+    # bytes of the same solid color -> means unchanged.
+    return """
+select doc_id as media_id,
+       length('P6' || chr(10) || '4 2' || chr(10) || '255' || chr(10))
+         + 3 * 4 * 2 as n_bytes,
+       cast(4 as bigint) as width,
+       cast(2 as bigint) as height,
+       (doc_id % 256) / 255.0 as mean_r,
+       ((doc_id * 7) % 256) / 255.0 as mean_g,
+       ((doc_id * 13) % 256) / 255.0 as mean_b
+from documents
+"""
+
+
 def q_llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data assembly line as ONE composed plan:
     model-quality gate -> exact dedup (first id per content digest)
@@ -3126,6 +3203,8 @@ EXT_QUERIES = {
     "search_mmr": q_search_mmr,
     "text_keyword_extract": q_keyword_extract,
     "text_ngram_novelty": q_ngram_novelty,
+    "multimodal_audio": q_multimodal_audio,
+    "multimodal_resize": q_multimodal_resize,
 }
 
 
@@ -3203,4 +3282,6 @@ def ext_oracles() -> dict[str, str]:
         "search_mmr": _mmr_body(DUCKDB, "embeddings"),
         "text_keyword_extract": _keyword_body(DUCKDB, "documents"),
         "text_ngram_novelty": _novelty_body(DUCKDB, "documents"),
+        "multimodal_audio": multimodal_audio_oracle(),
+        "multimodal_resize": multimodal_resize_oracle(),
     }

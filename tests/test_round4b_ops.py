@@ -242,3 +242,47 @@ def test_event_mix_drift_matches_brute_force(spark, tmp_path):
         assert got[d][1] == exp[d][1]
     # day 0 has no predecessor -> absent
     assert days[0] not in got
+
+
+# ---------------------------------------------------------------------------
+# audio features
+# ---------------------------------------------------------------------------
+
+
+def test_audio_features_decode_and_quarantine(spark):
+    import io
+    import struct
+    import wave
+
+    from far_finer_airtable_firestore_sync_spark.operators import multimodal
+
+    def wav_bytes(samples, rate=8000, nch=1, width=2):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            if width == 2:
+                w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+            else:
+                w.writeframes(bytes(s & 0xFF for s in samples))
+        return buf.getvalue()
+
+    rows = [
+        (0, wav_bytes([100, -100, 100, -100])),   # alternating: zcr = 1
+        (1, wav_bytes([0, 0, 0, 0])),             # silence: rms 0, zcr 0
+        (2, b"not a wav at all"),                 # quarantine -> NULLs
+        (3, wav_bytes([5, 5], width=1)),          # 8-bit: unsupported -> NULLs
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, content binary"
+    ).withColumn("media_type", __import__("pyspark").sql.functions.lit("audio/wav"))
+    got = {r["media_id"]: r for r in multimodal.audio_features(df).collect()}
+
+    assert got[0]["n_samples"] == 4
+    assert abs(got[0]["rms"] - 100 / 32768.0) < 1e-12
+    assert got[0]["zcr"] == 1.0
+    assert got[1]["rms"] == 0.0 and got[1]["zcr"] == 0.0
+    assert got[2]["rms"] is None and got[2]["n_samples"] is None
+    assert got[3]["rms"] is None  # 8-bit PCM rejected, row survives
+    assert len(got) == 4
