@@ -1189,12 +1189,11 @@ def q_event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: cross-type SUM is order-independent (float sums are not
 #: associative); one IEEE-exact double division at the end. Counts
 #: never enter a product, so nothing can overflow at any data scale.
-EVENT_DRIFT_BODY = """
-with d as (
-  select cast(date_trunc('day', ts) as date) as day, event_type,
-         cast(count(*) as bigint) as c
-  from {rel} group by 1, 2
-),
+#: The tail below starts from a (day, event_type, c) counts relation
+#: so the batch entry (counts from raw events) and the streaming
+#: entry (counts materialized by a Structured Streaming aggregate)
+#: share the exact same drift computation.
+_DRIFT_TAIL = """
 tot as (select day, sum(c) as t from d group by day),
 grid as (
   select dy.day, et.event_type
@@ -1224,7 +1223,195 @@ where prev_e12 is not null
 group by day
 """
 
+EVENT_DRIFT_BODY = (
+    """
+with d as (
+  select cast(date_trunc('day', ts) as date) as day, event_type,
+         cast(count(*) as bigint) as c
+  from {rel} group by 1, 2
+),"""
+    + _DRIFT_TAIL
+)
+
+#: drift over a pre-aggregated (day, event_type, c) counts relation
+EVENT_DRIFT_FROM_COUNTS = (
+    "\nwith d as (select day, event_type, c from {rel}),"
+    + _DRIFT_TAIL
+)
+
 EVENT_DRIFT_SQL = EVENT_DRIFT_BODY.format(rel="events")
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: per order year, each supplier
+    nation's revenue share of the year total. Share-of-total via a
+    window SUM over the small (year x nation) aggregate — the
+    fact-table shuffle happens once, the share math on aggregate
+    rows."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    supp = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    rev = F.sum(
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    ).alias("nrev")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(rev)
+    )
+    w = Window.partitionBy("yr")
+    return base.select(
+        "yr",
+        "nation",
+        F.col("nrev").cast("double").alias("revenue"),
+        (
+            F.col("nrev").cast("double")
+            / F.sum("nrev").over(w).cast("double")
+        ).alias("share"),
+    )
+
+
+MARKET_SHARE_SQL = f"""
+with rev as (
+  select cast(year(o_orderdate) as int) as yr, n_name as nation,
+         sum(cast(l_extendedprice as {_DEC})
+             * (cast(1 as {_DEC}) - cast(l_discount as {_DEC}))) as nrev
+  from lineitem
+  join orders on l_orderkey = o_orderkey
+  join supplier on l_suppkey = s_suppkey
+  join nation on s_nationkey = n_nationkey
+  group by 1, 2
+)
+select yr, nation,
+       cast(nrev as double) as revenue,
+       cast(nrev as double) / cast(sum(nrev) over (partition by yr) as double)
+         as share
+from rev
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped churn report: customers with above-average
+    balance and NO orders since 2000, rolled up by market segment —
+    scalar-subquery threshold (broadcast 1-row aggregate) + anti join
+    against the date-filtered fact (the filter pushes to the orders
+    scan). The avg is sum/count over exact decimal so partition order
+    cannot move the threshold."""
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").filter(
+        "o_orderdate >= timestamp'2000-01-01 00:00:00'"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("ab")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("total_bal"),
+    )
+
+
+IDLE_RICH_SQL = f"""
+with avg_bal as (
+  select cast(sum(cast(c_acctbal as {_DEC})) as double)
+           / cast(count(*) as double) as ab
+  from customer where c_acctbal > 0
+)
+select c_mktsegment,
+       cast(count(*) as bigint) as n_cust,
+       cast(sum(cast(c_acctbal as {_DEC})) as double) as total_bal
+from customer c cross join avg_bal a
+where c.c_acctbal > a.ab
+  and not exists (select 1 from orders o
+                  where o.o_custkey = c.c_custkey
+                    and o.o_orderdate >= timestamp '2000-01-01 00:00:00')
+group by c_mktsegment
+"""
+
+
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking/distribution window-function family in one entry:
+    ntile, percent_rank, cume_dist, lag, lead over the same
+    (status, price) window — one shuffle, five functions sharing the
+    sort."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+    )
+
+
+WINDOW_SUITE_SQL = """
+select o_orderkey, o_orderstatus, o_totalprice,
+       ntile(4) over w as quartile,
+       percent_rank() over w as pct_rank,
+       cume_dist() over w as cume,
+       lag(o_totalprice, 1) over w as prev_price,
+       lead(o_totalprice, 1) over w as next_price
+from orders
+window w as (partition by o_orderstatus
+             order by o_totalprice asc, o_orderkey asc)
+"""
+
+
+def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming monitoring pipeline: a Structured Streaming
+    per-day/per-type count aggregate (complete mode, memory sink,
+    driven to completion) feeds the SAME drift computation as the
+    batch `event_mix_drift` (shared ``_DRIFT_TAIL``). This is the
+    production shape — the stream maintains the cheap mergeable
+    counts; the TVD report is a view over that materialized state.
+    Oracle: the batch drift SQL over the full events table."""
+    _utc(spark)
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    counts = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.expr("cast(date_trunc('day', ts) as date)").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"_ffs_stream_drift_{_STREAM_SEQ}"
+    result = run_stream_to_memory(counts, name, output_mode="complete")
+    result.createOrReplaceTempView(f"{name}_counts")
+    return spark.sql(EVENT_DRIFT_FROM_COUNTS.format(rel=f"{name}_counts"))
 
 
 def q_event_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1329,6 +1516,10 @@ AGG_QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "event_mix_drift": q_event_mix_drift,
     "event_value_mad": q_event_value_mad,
+    "streaming_drift": q_streaming_drift,
+    "nation_market_share": q_nation_market_share,
+    "idle_rich_customers": q_idle_rich_customers,
+    "window_suite": q_window_suite,
 }
 
 AGG_ORACLES = {
@@ -1365,4 +1556,8 @@ AGG_ORACLES = {
     "retention_cohorts": COHORT_SQL,
     "event_mix_drift": EVENT_DRIFT_SQL,
     "event_value_mad": EVENT_MAD_SQL,
+    "streaming_drift": EVENT_DRIFT_SQL,
+    "nation_market_share": MARKET_SHARE_SQL,
+    "idle_rich_customers": IDLE_RICH_SQL,
+    "window_suite": WINDOW_SUITE_SQL,
 }

@@ -2972,25 +2972,47 @@ def _mmr_body(dialect: str, rel: str) -> str:
     stages touch only MMR_CAND rows x MMR_K stages of bounded joins.
     At 100 TB the corpus-size work stays in the candidate generator;
     MMR cost is O(k * cand) regardless of corpus size."""
+    return (
+        "with "
+        + _mmr_cand_cte(dialect, rel)
+        + ","
+        + _mmr_greedy_ctes(dialect)
+        + _MMR_FINAL
+    )
+
+
+def _mmr_cand_cte(dialect: str, rel: str) -> str:
+    """``q`` + ``cand`` CTEs: quantized top-MMR_CAND candidates by
+    cosine relevance (rel computed once in the inner select — window
+    functions cannot reference select-list aliases)."""
     cos_rel = tx.cosine_quantized("q.qq", "c.qv", dialect)
-    cos_pair = tx.cosine_quantized("r.qv", "s.qv", dialect)
-    lam = f"cast({MMR_LAM_NUM} as double) / cast(10 as double)"
-    one_minus = f"cast({10 - MMR_LAM_NUM} as double) / cast(10 as double)"
-    parts = [
-        f"""
+    return f"""
 q as (
   select {tx.quantize("embedding", dialect)} as qq
   from {rel} where vec_id = 0
 ),
 cand as (
   select * from (
-    select c.vec_id, c.qv, {cos_rel} as rel,
-           row_number() over (order by {cos_rel} desc, c.vec_id asc) as rk
-    from (select vec_id, {tx.quantize("embedding", dialect)} as qv
-          from {rel} where vec_id <> 0) c
-    cross join q
+    select vec_id, qv, rel,
+           row_number() over (order by rel desc, vec_id asc) as rk
+    from (
+      select c.vec_id, c.qv, {cos_rel} as rel
+      from (select vec_id, {tx.quantize("embedding", dialect)} as qv
+            from {rel} where vec_id <> 0) c
+      cross join q
+    )
   ) where rk <= {MMR_CAND}
-),
+)"""
+
+
+def _mmr_greedy_ctes(dialect: str) -> str:
+    """The unrolled greedy stages, reading from a ``cand`` relation of
+    (vec_id, qv, rel)."""
+    cos_pair = tx.cosine_quantized("r.qv", "s.qv", dialect)
+    lam = f"cast({MMR_LAM_NUM} as double) / cast(10 as double)"
+    one_minus = f"cast({10 - MMR_LAM_NUM} as double) / cast(10 as double)"
+    parts = [
+        """
 sel1 as (
   select vec_id, qv, rel, rel as mmr, 1 as step
   from cand order by rel desc, vec_id asc limit 1
@@ -3016,22 +3038,71 @@ acc{i} as (
   select * from {prev} union all select * from pick{i}
 )"""
         )
-    return (
-        "with "
-        + ",".join(parts)
-        + f"""
+    return ",".join(parts)
+
+
+_MMR_FINAL = f"""
 select step, vec_id, rel, mmr from acc{MMR_K} order by step
 """
-    )
 
 
 def q_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-{MMR_K} for query vec_id=0 (see
-    ``_mmr_body``)."""
+    ``_mmr_body``).
+
+    Execution split: the corpus-wide candidate scan runs distributed
+    (the ``cand`` CTE — one cosine pass, TakeOrdered top-MMR_CAND);
+    the greedy rerank runs DRIVER-SIDE over the collected MMR_CAND
+    rows (small by contract, like the query-vector sets). Two dead
+    ends measured at sf0.1: feeding the unrolled greedy CTE chain
+    from ``cand`` directly re-evaluates the corpus scan per stage
+    (8.2s — Spark inlines CTEs); feeding it from a 20-row local
+    relation still costs ~5s of Catalyst PLANNING (each stage
+    references the previous accumulator twice plus a NOT IN subquery
+    — the logical plan grows ~3^k). Driver-side greedy: 0.5s total.
+
+    Bit-parity with the DuckDB single-statement oracle: rel comes
+    from the same distributed scan; pairwise cosines use exact
+    integer dots folded in Python (unbounded ints) with the same
+    final `dot / (sqrt(na) * sqrt(nb))` IEEE-double expression, and
+    lambda is the same 7/10 binary double. max/compare over doubles
+    are order-insensitive, so the picks and scores hash-match."""
+    import math
+
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
         "_ffs_mmr_emb"
     )
-    return spark.sql(_mmr_body(SPARK, "_ffs_mmr_emb"))
+    cand_rows = spark.sql(
+        "with " + _mmr_cand_cte(SPARK, "_ffs_mmr_emb") + " select * from cand"
+    ).collect()
+    cand = [(int(r["vec_id"]), [int(x) for x in r["qv"]], float(r["rel"]))
+            for r in cand_rows]
+
+    def cos(a: list[int], b: list[int]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a)
+        nb = sum(x * x for x in b)
+        return float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
+
+    lam, om = 7 / 10, 3 / 10  # cast(7 as double)/cast(10 as double)
+    first = sorted(cand, key=lambda t: (-t[2], t[0]))[0]
+    sel = [first]
+    out = [(1, first[0], first[2], first[2])]
+    for step in range(2, MMR_K + 1):
+        chosen = set(s[0] for s in sel)
+        best = None
+        for vid, qv, rel in cand:
+            if vid in chosen:
+                continue
+            maxsim = max(cos(qv, s[1]) for s in sel)
+            mmr = lam * rel - om * maxsim
+            if best is None or (-mmr, vid) < (-best[3], best[0]):
+                best = (step, vid, rel, mmr, qv)
+        out.append(best[:4])
+        sel.append((best[1], best[4], best[2]))
+    return spark.createDataFrame(
+        out, "step int, vec_id bigint, rel double, mmr double"
+    )
 
 
 #: keywords per document
