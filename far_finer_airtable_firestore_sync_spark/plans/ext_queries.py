@@ -3203,6 +3203,189 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_novelty_body(SPARK, "_ffs_novel_docs"))
 
 
+#: prefix-filter Jaccard threshold as a rational (integer-exact
+#: tests). 4/5 is the standard near-dup production threshold; it also
+#: keeps prefixes short (n - ceil(t*n) + 1 ~ n/5) — on a low-entropy
+#: corpus like this fixture vocabulary, t=1/2 prefixes still carry
+#: hot shingles and the candidate join fans out ~18x wider (measured
+#: 56M vs 3M join rows at sf0.1).
+PPJOIN_T_NUM, PPJOIN_T_DEN = 4, 5
+
+
+def _ppjoin_body(
+    dialect: str, rel: str, t_num: int = PPJOIN_T_NUM, t_den: int = PPJOIN_T_DEN
+) -> str:
+    """EXACT all-pairs set-similarity join via prefix filtering
+    (Chaudhuri/Ganti/Kaushik 2006 SSJoin; Xiao et al. 2008 PPJoin —
+    public papers): the exact counterpart of the MinHash-LSH path (no
+    false negatives, no bands to tune). Order each doc's distinct
+    tokens rarest-first (global df); any pair with Jaccard >= t must
+    share a token in the first n - ceil(t*n) + 1 of them, so the
+    candidate join runs only on those prefix tokens.
+
+    All threshold tests are integer cross-multiplications
+    (n_shared * t_den >= union * t_num) — no float compares anywhere;
+    the reported jaccard is one final IEEE division.
+
+    The set domain is the SAME 9-char shingle space as the MinHash-LSH
+    family (`dedup_lsh_pairs` / `dedup_ngram_jaccard`); with t matched
+    to the banding threshold it yields the exact ground truth the
+    approximate paths are evaluated against — run it on suspect
+    buckets to certify LSH recall.
+
+    Scale shape: prefixes hold each doc's RAREST shingles by
+    construction, so the self-join fans out on low-df keys — the
+    exact opposite of the hot-shingle problem; postings/df/sizes are
+    all map-side-combining aggregates, and verification joins only
+    candidate pairs. At 100 TB this is the audit path you run on the
+    LSH survivors' buckets; t_den/t_num tune selectivity exactly."""
+    sh = tx.shingles("text", SHINGLE_N, dialect, MAX_CHARS)
+    h = tx.hex_to_bigint("substring(md5(tokraw), 1, 14)", dialect)
+    intdiv = "div" if dialect == SPARK else "//"
+    _ppj_intersect = (
+        "array_intersect(sa.toks, sb.toks)"
+        if dialect == SPARK
+        else "list_intersect(sa.toks, sb.toks)"
+    )
+    return f"""
+with w00 as (
+  select doc_id, {tx.explode_as(sh, "tokraw", dialect)} from {rel}
+),
+w0 as (
+  -- 56-bit md5 digests: every downstream shuffle/join carries
+  -- bigints, never shingle text (the repo's km-digest idiom)
+  select doc_id, {h} as token from w00 where tokraw <> ''
+),
+tok as (select distinct doc_id, token from w0),
+sizes as (select doc_id, cast(count(*) as bigint) as n from tok group by doc_id),
+df as (select token, cast(count(*) as bigint) as dfreq from tok group by token),
+ranked as (
+  select t.doc_id, t.token, s.n,
+         row_number() over (
+           partition by t.doc_id order by d.dfreq asc, t.token asc
+         ) as rn
+  from tok t
+  join df d on t.token = d.token
+  join sizes s on t.doc_id = s.doc_id
+),
+prefix as (
+  select doc_id, token, n, rn from ranked
+  where rn <= n - ((n * {t_num} + {t_den - 1}) {intdiv} {t_den}) + 1
+),
+cand as (
+  -- length filter: J <= min/max, so J >= t needs t*max <= min.
+  -- positional filter: overlap needs alpha = ceil(t(na+nb)/(1+t))
+  -- shared tokens; in the GLOBAL (df, token) order every shared
+  -- token ranks at-or-after the first one, so the first shared
+  -- prefix token bounds overlap by min suffix length + 1 — a pair
+  -- whose every matched row fails the bound cannot reach alpha
+  -- (the first-shared-token row is among them), so DISTINCT over
+  -- passing rows loses no true pair.
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from prefix a join prefix b
+    on a.token = b.token and a.doc_id < b.doc_id
+   and a.n * {t_num} <= b.n * {t_den}
+   and b.n * {t_num} <= a.n * {t_den}
+   and least(a.n - a.rn, b.n - b.rn) + 1
+       >= ((a.n + b.n) * {t_num} + {t_den + t_num - 1})
+          {intdiv} {t_den + t_num}
+),
+sets as (
+  -- per-doc digest set as ONE array row: verification then joins
+  -- the (few) candidate pairs against #docs rows instead of
+  -- re-walking the full postings (measured 44M join rows -> 2
+  -- broadcast-size joins at sf0.1)
+  select doc_id,
+         {"collect_list(token)" if dialect == SPARK else "list(token)"}
+           as toks
+  from tok group by doc_id
+),
+inter as (
+  select c.id_a, c.id_b,
+         cast({tx.lsize(_ppj_intersect, dialect)} as bigint) as n_shared
+  from cand c
+  join sets sa on sa.doc_id = c.id_a
+  join sets sb on sb.doc_id = c.id_b
+)
+select i.id_a, i.id_b, i.n_shared,
+       cast(i.n_shared as double)
+         / cast(sa.n + sb.n - i.n_shared as double) as jaccard
+from inter i
+join sizes sa on i.id_a = sa.doc_id
+join sizes sb on i.id_b = sb.doc_id
+where i.n_shared * {t_den} >= (sa.n + sb.n - i.n_shared) * {t_num}
+"""
+
+
+def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard>=0.5 near-dup pairs via prefix filtering over the
+    synthesized-dup corpus (see ``_ppjoin_body``)."""
+    dedup_corpus(spark, sf_dir).createOrReplaceTempView("_ffs_ppj_docs")
+    return spark.sql(_ppjoin_body(SPARK, "_ffs_ppj_docs"))
+
+
+PMI_MIN_PAIR = 5
+PMI_TOPK = 50
+
+
+def _pmi_body(dialect: str, rel: str) -> str:
+    """PMI collocation extraction (Church & Hanks 1990, public paper):
+    top co-occurring word pairs by pointwise mutual information over
+    document-level co-occurrence — the classic phrase/collocation
+    miner for tokenizer and phrase-table prep.
+
+    pmi = ln(N * c_ab / (df_a * df_b)) with every factor widened to
+    double BEFORE multiplying (no bigint product can overflow at any
+    corpus size), quantized to the 1e-6 grid; ties at the top-k
+    boundary break on the word pair.
+
+    Scale shape: the co-occurrence self-join is per-doc on distinct
+    tokens (cost sum of per-doc distinct^2 — bounded by doc length,
+    not corpus size); df and pair counts combine map-side. At 100 TB
+    first gate the vocabulary on df >= threshold (one broadcast
+    semi-join) so pair cardinality tracks the retained vocab."""
+    w = tx.split_ws_safe("lower(text)", dialect)
+    return f"""
+with w0 as (
+  select doc_id, {tx.explode_as(w, "token", dialect)} from {rel}
+),
+tok as (select distinct doc_id, token from w0 where token <> ''),
+n as (select cast(count(distinct doc_id) as bigint) as n_docs from tok),
+df as (select token, cast(count(*) as bigint) as dfreq from tok group by token),
+pairs as (
+  select a.token as word_a, b.token as word_b,
+         cast(count(*) as bigint) as n_pair
+  from tok a join tok b on a.doc_id = b.doc_id and a.token < b.token
+  group by a.token, b.token
+),
+scored as (
+  select p.word_a, p.word_b, p.n_pair,
+         cast(round(ln((cast(n.n_docs as double) * cast(p.n_pair as double))
+                       / (cast(da.dfreq as double) * cast(db.dfreq as double)))
+                    * 1000000) as bigint) as pmi_q
+  from pairs p
+  join df da on p.word_a = da.token
+  join df db on p.word_b = db.token
+  cross join n
+  where p.n_pair >= {PMI_MIN_PAIR}
+)
+select word_a, word_b, n_pair,
+       cast(pmi_q as double) / cast(1000000 as double) as pmi
+from scored
+order by pmi_q desc, word_a asc, word_b asc
+limit {PMI_TOPK}
+"""
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOPK} PMI collocations over documents (see
+    ``_pmi_body``)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_pmi_docs"
+    )
+    return spark.sql(_pmi_body(SPARK, "_ffs_pmi_docs"))
+
+
 EXT_QUERIES = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
@@ -3276,6 +3459,8 @@ EXT_QUERIES = {
     "text_ngram_novelty": q_ngram_novelty,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_resize": q_multimodal_resize,
+    "dedup_ppjoin_exact": q_ppjoin_pairs,
+    "text_pmi_collocations": q_pmi_collocations,
 }
 
 
@@ -3355,4 +3540,6 @@ def ext_oracles() -> dict[str, str]:
         "text_ngram_novelty": _novelty_body(DUCKDB, "documents"),
         "multimodal_audio": multimodal_audio_oracle(),
         "multimodal_resize": multimodal_resize_oracle(),
+        "dedup_ppjoin_exact": _ppjoin_body(DUCKDB, f"({CORPUS_SQL})"),
+        "text_pmi_collocations": _pmi_body(DUCKDB, "documents"),
     }

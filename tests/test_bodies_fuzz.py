@@ -24,6 +24,8 @@ from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
     C4_CORPUS_BODY,
     _bm25_body,
     _entropy_body,
+    _pmi_body,
+    _ppjoin_body,
     _hash_embed_body,
     _keyword_body,
     _kmv_body,
@@ -67,6 +69,18 @@ def _random_corpus(n=120, seed=23):
         source = None if rng.random() < 0.07 else f"s{rng.randint(0, 4)}"
         # make capacity ties likely: sources draw from few doc shapes
         rows.append({"doc_id": i, "source": source, "text": text})
+    # planted exact + one-word-suffix copies so the exact similarity
+    # join (ppjoin) has pairs above its 0.8 threshold
+    for r in [r for r in rows if r["doc_id"] % 11 == 0 and r["text"]]:
+        rows.append(
+            {"doc_id": r["doc_id"] + 7000, "source": r["source"],
+             "text": r["text"]}
+        )
+    for r in [r for r in rows if r["doc_id"] % 13 == 0 and r["text"]]:
+        rows.append(
+            {"doc_id": r["doc_id"] + 9000, "source": r["source"],
+             "text": r["text"] + " qq"}
+        )
     return rows
 
 
@@ -190,6 +204,11 @@ def test_fuzz_body_parity(spark, tmp_path):
             _novelty_body(DUCKDB, "fz_docs"),
         ),
         "mmr": (_mmr_body(SPARK, "fz_emb"), _mmr_body(DUCKDB, "fz_emb")),
+        "ppjoin": (
+            _ppjoin_body(SPARK, "fz_docs"),
+            _ppjoin_body(DUCKDB, "fz_docs"),
+        ),
+        "pmi": (_pmi_body(SPARK, "fz_docs"), _pmi_body(DUCKDB, "fz_docs")),
     }
     for name, (s_sql, d_sql) in bodies.items():
         s_rows = _norm([tuple(r) for r in spark.sql(s_sql).collect()])

@@ -286,3 +286,114 @@ def test_audio_features_decode_and_quarantine(spark):
     assert got[2]["rms"] is None and got[2]["n_samples"] is None
     assert got[3]["rms"] is None  # 8-bit PCM rejected, row survives
     assert len(got) == 4
+
+
+# ---------------------------------------------------------------------------
+# PPJoin exact set-similarity join
+# ---------------------------------------------------------------------------
+
+
+def _shingle_set(text, n=9, max_chars=256):
+    t = (text or "")[:max_chars]
+    m = max(len(t) - n + 1, 1)
+    return {t[i : i + n] for i in range(m)} - {""}
+
+
+def _brute_ppjoin(texts, t_num, t_den):
+    sets = {i: _shingle_set(t) for i, t in enumerate(texts)}
+    out = {}
+    ids = [i for i in sets if sets[i]]
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if inter * t_den >= union * t_num:
+                out[(a, b)] = (inter, inter / union)
+    return out
+
+
+def test_ppjoin_matches_brute_force_all_pairs(spark, tmp_path):
+    rng = random.Random(17)
+    words = ["spark", "window", "merge", "table", "row", "batch", "scan"]
+    texts = [
+        " ".join(rng.choices(words, k=rng.randint(10, 30))) for _ in range(40)
+    ]
+    # planted: exact copies (J=1), one-word-suffix near-dups (J high),
+    # and half-overlap docs (J far below 0.8 -> must NOT appear)
+    texts += [texts[0], texts[1] + " zz", texts[2][: len(texts[2]) // 2]]
+    texts += ["", "tiny"]  # degenerate docs
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        PPJOIN_T_DEN,
+        PPJOIN_T_NUM,
+        _ppjoin_body,
+    )
+    from far_finer_airtable_firestore_sync_spark.functions.canonical import SPARK
+
+    _write(tmp_path, "documents", _docs_table(texts, ["s"] * len(texts)))
+    spark.read.parquet(str(tmp_path / "documents.parquet")).createOrReplaceTempView(
+        "_ffs_ppj_test"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_shared"], r["jaccard"])
+        for r in spark.sql(_ppjoin_body(SPARK, "_ffs_ppj_test")).collect()
+    }
+    exp = _brute_ppjoin(texts, PPJOIN_T_NUM, PPJOIN_T_DEN)
+    assert set(got) == set(exp)  # complete AND no extras
+    for k in exp:
+        assert got[k][0] == exp[k][0], k
+        assert abs(got[k][1] - exp[k][1]) < 1e-12, k
+    assert (0, len(texts) - 5) in got  # the planted exact copy found
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_matches_brute_force(spark, tmp_path):
+    import itertools
+
+    rng = random.Random(23)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = []
+    for i in range(60):
+        ws = set(rng.choices(vocab, k=rng.randint(2, 4)))
+        if i % 3 == 0:
+            ws |= {"peanut", "butter"}  # a strong collocation
+        texts.append(" ".join(sorted(ws)))
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        PMI_MIN_PAIR,
+        _pmi_body,
+    )
+    from far_finer_airtable_firestore_sync_spark.functions.canonical import SPARK
+
+    _write(tmp_path, "documents", _docs_table(texts, ["s"] * len(texts)))
+    spark.read.parquet(str(tmp_path / "documents.parquet")).createOrReplaceTempView(
+        "_ffs_pmi_test"
+    )
+    got = [
+        (r["word_a"], r["word_b"], r["n_pair"], r["pmi"])
+        for r in spark.sql(_pmi_body(SPARK, "_ffs_pmi_test")).collect()
+    ]
+    # brute force
+    docs = [set(t.split()) for t in texts]
+    n_docs = len([d for d in docs if d])
+    df = {}
+    for d in docs:
+        for w in d:
+            df[w] = df.get(w, 0) + 1
+    pairs = {}
+    for d in docs:
+        for a, b in itertools.combinations(sorted(d), 2):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    scored = []
+    for (a, b), c in pairs.items():
+        if c < PMI_MIN_PAIR:
+            continue
+        q = round(math.log((n_docs * float(c)) / (df[a] * float(df[b]))) * 1e6)
+        scored.append((a, b, c, q))
+    scored.sort(key=lambda t: (-t[3], t[0], t[1]))
+    exp = [(a, b, c, q / 1e6) for a, b, c, q in scored[:50]]
+    assert got == exp
+    assert got[0][:2] == ("butter", "peanut")  # collocation ranks first
