@@ -149,3 +149,48 @@ select bucket, count(*) as n_rows,
        min(y) as y_min, max(y) as y_max
 from b group by bucket
 """
+
+
+def compact_small_files(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+):
+    """Small-files compaction — the table-maintenance pass every
+    long-running ingest needs (micro-batch sinks and per-epoch
+    strategy commits accrete kilobyte parquet files whose per-file
+    open/footer cost eventually dominates scans).
+
+    Sizes the output file count from the INPUT byte total
+    (ceil(bytes/target)), rewrites with a round-robin repartition
+    (no shuffle key needed — compaction preserves no order contract),
+    and returns a 1-row stats frame
+    (files_before, files_after, bytes_before, n_rows).
+
+    At 100 TB this runs per partition-directory, not per table, so
+    each compaction job is bounded; pair with `zorder_layout` when
+    the rewrite should also re-cluster.
+    """
+    import math
+    import os
+
+    import pyspark.sql.functions as F  # noqa: N812 (local alias)
+
+    files = [
+        os.path.join(src_dir, f)
+        for f in os.listdir(src_dir)
+        if f.endswith(".parquet")
+    ]
+    bytes_before = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(bytes_before / target_bytes))
+    df = spark.read.parquet(src_dir)
+    df.repartition(n_out).write.mode("overwrite").parquet(dst_dir)
+    out_files = [
+        f for f in os.listdir(dst_dir) if f.endswith(".parquet")
+    ]
+    n_rows = spark.read.parquet(dst_dir).count()
+    return spark.createDataFrame(
+        [(len(files), len(out_files), bytes_before, n_rows)],
+        "files_before int, files_after int, bytes_before long, n_rows long",
+    )

@@ -308,14 +308,88 @@ select o_orderkey, raw, {parse_datetime_any_duckdb("raw")} as parsed from varied
 """
 
 
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: materialize a change
+    log into validity intervals — valid_from/valid_to half-open
+    ranges plus an is_current flag. This is the interval form of what
+    the VERSIONED sync strategies keep as row history
+    (`lib/UpdateStrategies.py` VERSIONED/VERSIONED_SET in the
+    reference): the shape a warehouse dimension consumer reads.
+
+    Orders stand in as the change log (pk=o_custkey, change
+    ts=o_orderdate, version key=o_orderkey). Per-timestamp ties keep
+    the highest version key (deterministic, the keep-latest rule).
+    Both window passes share one (pk, ts) sort — a single shuffle."""
+    _utc_tz(spark)
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    v = orders.select(
+        F.col("o_custkey").alias("pk"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.col("o_orderkey").alias("version_key"),
+        F.col("o_totalprice").alias("attr_price"),
+        F.col("o_orderpriority").alias("attr_priority"),
+    )
+    tie = Window.partitionBy("pk", "valid_from").orderBy(
+        F.col("version_key").desc()
+    )
+    dedup = (
+        v.withColumn("_rn", F.row_number().over(tie))
+        .filter("_rn = 1")
+        .drop("_rn")
+    )
+    seqw = Window.partitionBy("pk").orderBy("valid_from", "version_key")
+    nxt = F.lead("valid_from").over(seqw)
+    return dedup.select(
+        "pk",
+        "version_key",
+        "valid_from",
+        nxt.alias("valid_to"),
+        "attr_price",
+        "attr_priority",
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def _utc_tz(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+SCD2_SQL = """
+with dedup as (
+  select * from (
+    select o_custkey as pk, o_orderdate as valid_from,
+           o_orderkey as version_key,
+           o_totalprice as attr_price, o_orderpriority as attr_priority,
+           row_number() over (
+             partition by o_custkey, o_orderdate order by o_orderkey desc
+           ) as rn
+    from orders
+  ) where rn = 1
+)
+select pk, version_key, valid_from,
+       lead(valid_from) over (
+         partition by pk order by valid_from, version_key
+       ) as valid_to,
+       attr_price, attr_priority,
+       lead(valid_from) over (
+         partition by pk order by valid_from, version_key
+       ) is null as is_current
+from dedup
+"""
+
+
 JOIN_QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "datetime_parse_multi": q_datetime_parse,
+    "scd2_build": q_scd2_build,
 }
 
 JOIN_ORACLES = {
     "asof_join": ASOF_JOIN_SQL,
     "range_join": RANGE_JOIN_SQL,
     "datetime_parse_multi": datetime_parse_oracle(),
+    "scd2_build": SCD2_SQL,
 }

@@ -397,3 +397,30 @@ def test_pmi_matches_brute_force(spark, tmp_path):
     exp = [(a, b, c, q / 1e6) for a, b, c, q in scored[:50]]
     assert got == exp
     assert got[0][:2] == ("butter", "peanut")  # collocation ranks first
+
+
+# ---------------------------------------------------------------------------
+# small-files compaction
+# ---------------------------------------------------------------------------
+
+
+def test_compact_small_files(spark, tmp_path):
+    from far_finer_airtable_firestore_sync_spark.operators import layout
+
+    src = str(tmp_path / "shattered")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(0, 10000).selectExpr("id", "id % 97 as v")
+    df.repartition(64).write.parquet(src)
+    import os
+
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 64
+    stats = layout.compact_small_files(
+        spark, src, dst, target_bytes=10**9
+    ).collect()[0]
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 1  # everything fits one target file
+    assert stats["n_rows"] == 10000
+    # data parity, order-insensitive
+    a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    assert a == b
