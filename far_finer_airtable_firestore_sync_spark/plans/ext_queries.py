@@ -1181,6 +1181,137 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_bm25_body(SPARK, "_ffs_bm25_docs"))
 
 
+#: RM3 knobs: feedback depth, expansion-term count, interpolation
+#: weights on the 1e-6 grid (0.6 original / 0.4 expansion mass)
+RM3_FB_DOCS = 10
+RM3_EXP_TERMS = 5
+RM3_W_SEED = 600000
+RM3_W_EXP_MASS = 400000
+
+
+def _rm3_body(dialect: str, rel: str) -> str:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 relevance
+    models; the Anserini/Indri default query expansion): run BM25 with
+    the seed query, treat the top-{RM3_FB_DOCS} docs as relevant,
+    estimate the relevance model P(t|R) ~ sum_D tf(t,D)/dl(D) over
+    them, add the top-{RM3_EXP_TERMS} new terms, and re-rank with
+    interpolated term weights (0.6 seed / 0.4 expansion mass).
+
+    Determinism: both passes use the repo's BM25 integer-grid policy
+    (idf and per-term scores quantized to 1e-6, per-doc integer sums);
+    relevance-model weights are integer sums of (1e6*tf) div dl;
+    expansion-term selection breaks ties on the term. All float
+    literals cast to double (the decimal-literal trap).
+
+    Scale shape: ONE postings explode feeds both passes (tf is a
+    term-filtered partial aggregate each time — the second filter is a
+    broadcast join against |Q|+{RM3_EXP_TERMS} terms instead of a
+    static IN); feedback is a top-k TakeOrdered; the relevance model
+    aggregates only the {RM3_FB_DOCS} feedback docs' postings."""
+    warr = tx.split_ws_safe("text", dialect)
+    d = "cast({} as double)".format
+    intdiv = "div" if dialect == SPARK else "//"
+
+    def bm25_term(tf="tf.tf", dl="tf.dl", idf="idf.idf_q"):
+        return (
+            f"cast(round(({tf} * ({idf} / {d('1000000')}) * {d('2.2')})"
+            f" / ({tf} + {d('1.2')} * ({d('0.25')} + {d('0.75')}"
+            f" * cast({dl} * n.n_docs as double) / n.total_words))"
+            f" * 1000000) as bigint)"
+        )
+
+    return f"""
+with words as (
+  select doc_id, {tx.lsize('warr', dialect)} as dl, warr
+  from (select doc_id, {warr} as warr from {rel})
+),
+n as (select count(*) as n_docs, sum(dl) as total_words from words),
+postings as (
+  select doc_id, dl, {tx.explode_as('warr', 'term', dialect)} from words
+),
+seed as (
+  select 'spark' as term union all select 'window' union all select 'merge'
+),
+tf1 as (
+  select p.doc_id, p.dl, p.term, count(*) as tf
+  from postings p join seed s on p.term = s.term
+  group by p.doc_id, p.dl, p.term
+),
+idf1 as (
+  select term,
+         cast(round(ln(
+           (n.n_docs - count(*) + {d('0.5')}) / (count(*) + {d('0.5')})
+           + {d('1.0')}) * 1000000) as bigint) as idf_q
+  from tf1 cross join n group by term, n.n_docs
+),
+pass1 as (
+  select tf.doc_id, sum({bm25_term(idf='idf.idf_q')}) as score_int
+  from tf1 tf join idf1 idf on tf.term = idf.term cross join n
+  group by tf.doc_id
+),
+fb as (
+  select doc_id from pass1
+  order by score_int desc, doc_id asc limit {RM3_FB_DOCS}
+),
+tf_fb as (
+  select p.doc_id, p.dl, p.term, count(*) as tf
+  from postings p join fb on p.doc_id = fb.doc_id
+  group by p.doc_id, p.dl, p.term
+),
+rm as (
+  select term,
+         cast(sum((1000000 * tf) {intdiv} dl) as bigint) as rm_w
+  from tf_fb where term <> '' group by term
+),
+exp_terms as (
+  select term, rm_w from rm
+  where term not in (select term from seed)
+  order by rm_w desc, term asc limit {RM3_EXP_TERMS}
+),
+wq as (
+  select term, cast({RM3_W_SEED} as bigint) as w from seed
+  union all
+  select term,
+         ({RM3_W_EXP_MASS} * rm_w) {intdiv} (select sum(rm_w) from exp_terms)
+  from exp_terms
+),
+tf2 as (
+  select p.doc_id, p.dl, p.term, count(*) as tf
+  from postings p join wq on p.term = wq.term
+  group by p.doc_id, p.dl, p.term
+),
+idf2 as (
+  select term,
+         cast(round(ln(
+           (n.n_docs - count(*) + {d('0.5')}) / (count(*) + {d('0.5')})
+           + {d('1.0')}) * 1000000) as bigint) as idf_q
+  from tf2 cross join n group by term, n.n_docs
+),
+pass2 as (
+  select tf.doc_id,
+         sum(wq.w * {bm25_term(idf='idf.idf_q')}) as score_int
+  from tf2 tf
+  join idf2 idf on tf.term = idf.term
+  join wq on tf.term = wq.term
+  cross join n
+  group by tf.doc_id
+)
+select doc_id,
+       cast(score_int as double) / {d(10 ** 12)} as rm3
+from pass2
+order by rm3 desc, doc_id asc
+limit 20
+"""
+
+
+def q_rm3_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3-expanded BM25 top-20 over documents (see ``_rm3_body``)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_rm3_docs"
+    )
+    return spark.sql(_rm3_body(SPARK, "_ffs_rm3_docs"))
+
+
 def _source_overlap_body(dialect: str, rel: str) -> str:
     """Cross-source n-gram contamination audit: Jaccard overlap of the
     distinct word-3-gram sets of every source pair — the corpus-level
@@ -3461,6 +3592,7 @@ EXT_QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "dedup_ppjoin_exact": q_ppjoin_pairs,
     "text_pmi_collocations": q_pmi_collocations,
+    "search_rm3_expansion": q_rm3_search,
 }
 
 
@@ -3542,4 +3674,5 @@ def ext_oracles() -> dict[str, str]:
         "multimodal_resize": multimodal_resize_oracle(),
         "dedup_ppjoin_exact": _ppjoin_body(DUCKDB, f"({CORPUS_SQL})"),
         "text_pmi_collocations": _pmi_body(DUCKDB, "documents"),
+        "search_rm3_expansion": _rm3_body(DUCKDB, "documents"),
     }

@@ -26,6 +26,7 @@ from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
     _entropy_body,
     _pmi_body,
     _ppjoin_body,
+    _rm3_body,
     _hash_embed_body,
     _keyword_body,
     _kmv_body,
@@ -209,6 +210,7 @@ def test_fuzz_body_parity(spark, tmp_path):
             _ppjoin_body(DUCKDB, "fz_docs"),
         ),
         "pmi": (_pmi_body(SPARK, "fz_docs"), _pmi_body(DUCKDB, "fz_docs")),
+        "rm3": (_rm3_body(SPARK, "fz_docs"), _rm3_body(DUCKDB, "fz_docs")),
     }
     for name, (s_sql, d_sql) in bodies.items():
         s_rows = _norm([tuple(r) for r in spark.sql(s_sql).collect()])

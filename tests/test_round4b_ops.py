@@ -424,3 +424,39 @@ def test_compact_small_files(spark, tmp_path):
     a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
     b = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# RM3 query expansion
+# ---------------------------------------------------------------------------
+
+
+def test_rm3_expansion_changes_ranking_and_is_bounded(spark, tmp_path):
+    """Docs rich in terms co-occurring with the seed inside feedback
+    docs must be boosted vs plain seed-only BM25."""
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        _bm25_body,
+        _rm3_body,
+    )
+    from far_finer_airtable_firestore_sync_spark.functions.canonical import SPARK
+
+    texts = []
+    # 12 feedback-shaped docs: seed terms + the expansion marker 'zork'
+    for i in range(12):
+        texts.append("spark window merge zork zork zork filler" + str(i))
+    # docs containing ONLY the expansion marker: invisible to seed BM25
+    for i in range(5):
+        texts.append("zork zork zork zork pad pad pad")
+    # background noise
+    for i in range(30):
+        texts.append("pad filler noise row" + str(i % 7))
+    _write(tmp_path, "documents", _docs_table(texts, ["s"] * len(texts)))
+    spark.read.parquet(str(tmp_path / "documents.parquet")).createOrReplaceTempView(
+        "_ffs_rm3_t"
+    )
+    rm3 = [r["doc_id"] for r in spark.sql(_rm3_body(SPARK, "_ffs_rm3_t")).collect()]
+    bm25 = [r["doc_id"] for r in spark.sql(_bm25_body(SPARK, "_ffs_rm3_t")).collect()]
+    zork_only = set(range(12, 17))
+    # seed-only BM25 cannot see the zork-only docs; RM3 must surface them
+    assert not (set(bm25) & zork_only)
+    assert zork_only <= set(rm3)
