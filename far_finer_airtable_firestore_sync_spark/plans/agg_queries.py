@@ -1242,6 +1242,83 @@ EVENT_DRIFT_FROM_COUNTS = (
 EVENT_DRIFT_SQL = EVENT_DRIFT_BODY.format(rel="events")
 
 
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + forward fill (LOCF): build the full
+    daily calendar spine per event_type, left-join the daily
+    aggregates, zero-fill counts, and carry the last observed daily
+    total forward across gap days — the standard densification step
+    before any window/forecast model, which Spark has no native
+    operator for.
+
+    Forward fill is the portable two-window idiom (no IGNORE NULLS
+    dialect divergence): grp = running count of non-null observations
+    (gap rows join their predecessor's group), then the group's max
+    is the carried value. Daily sums go through decimal so partition
+    order cannot perturb them.
+
+    Scale shape: the spine is days x types (tiny, broadcast); the
+    only corpus-wide work is the per-(type, day) partial aggregate;
+    both window passes share the per-type partitioning."""
+    _utc(spark)
+    # sparse slice (high-value events) so gap days actually occur —
+    # the filter pushes down to the scan
+    ev = read_events(spark, sf_dir).filter("value > 190")
+    ev.createOrReplaceTempView("_ffs_gapfill_events")
+    return spark.sql(_gapfill_body(SPARK_D, "_ffs_gapfill_events"))
+
+
+SPARK_D = "spark"
+DUCK_D = "duckdb"
+
+
+def _gapfill_body(dialect: str, rel: str) -> str:
+    if dialect == SPARK_D:
+        spine = (
+            "select explode(sequence(b.d0, b.d1, interval 1 day)) as day"
+            " from bounds b"
+        )
+    else:
+        spine = (
+            "select unnest(generate_series(b.d0, b.d1,"
+            " interval 1 day))::date as day from bounds b"
+        )
+    return f"""
+with d as (
+  select event_type, cast(date_trunc('day', ts) as date) as day,
+         cast(count(*) as bigint) as n_events,
+         cast(sum(cast(value as decimal(18,2))) as double) as day_value
+  from {rel} group by 1, 2
+),
+bounds as (
+  select min(day) as d0, max(day) as d1 from d
+),
+spine as ({spine}),
+grid as (
+  select s.day, et.event_type
+  from spine s cross join (select distinct event_type from d) et
+),
+joined as (
+  select g.event_type, g.day,
+         coalesce(d.n_events, 0) as n_events,
+         d.day_value
+  from grid g
+  left join d on d.event_type = g.event_type and d.day = g.day
+),
+grouped as (
+  select event_type, day, n_events, day_value,
+         count(day_value) over (
+           partition by event_type order by day
+           rows between unbounded preceding and current row
+         ) as grp
+  from joined
+)
+select event_type, day, n_events,
+       max(day_value) over (partition by event_type, grp) as value_ffill,
+       (day_value is null) as was_gap
+from grouped
+"""
+
+
 def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-shaped market share: per order year, each supplier
     nation's revenue share of the year total. Share-of-total via a
@@ -1520,6 +1597,7 @@ AGG_QUERIES = {
     "nation_market_share": q_nation_market_share,
     "idle_rich_customers": q_idle_rich_customers,
     "window_suite": q_window_suite,
+    "events_gapfill": q_events_gapfill,
 }
 
 AGG_ORACLES = {
@@ -1560,4 +1638,7 @@ AGG_ORACLES = {
     "nation_market_share": MARKET_SHARE_SQL,
     "idle_rich_customers": IDLE_RICH_SQL,
     "window_suite": WINDOW_SUITE_SQL,
+    "events_gapfill": _gapfill_body(
+        DUCK_D, "(select * from events where value > 190)"
+    ),
 }

@@ -35,6 +35,17 @@ ENTRIES = [
     "text_heavy_hitters",
     "dedup_strip_spans",
     "sample_weighted_es",
+    # round-4b families: sketch over hash ranks, per-doc keyed
+    # entropy, exact prefix-filtered self-join, two-pass expansion,
+    # cross-type integer-grid drift, rank-selection medians
+    "sketch_kmv_distinct",
+    "text_word_entropy",
+    "dedup_ppjoin_exact",
+    "search_rm3_expansion",
+    "event_mix_drift",
+    "event_value_mad",
+    "text_pmi_collocations",
+    "scd2_build",
 ]
 
 

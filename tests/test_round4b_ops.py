@@ -460,3 +460,50 @@ def test_rm3_expansion_changes_ranking_and_is_bounded(spark, tmp_path):
     # seed-only BM25 cannot see the zork-only docs; RM3 must surface them
     assert not (set(bm25) & zork_only)
     assert zork_only <= set(rm3)
+
+
+# ---------------------------------------------------------------------------
+# time-series gap fill
+# ---------------------------------------------------------------------------
+
+
+def test_events_gapfill_locf_semantics(spark, tmp_path):
+    """Synthetic sparse stream: gap days appear with n_events=0 and
+    carry the last observed daily total forward; leading gaps stay
+    NULL."""
+    import datetime as dt
+
+    rows = [
+        # type 'a': day 1 observed, days 2-3 gap, day 4 observed
+        (dt.datetime(2024, 6, 1, 10), "a", 200.0),
+        (dt.datetime(2024, 6, 1, 11), "a", 300.0),
+        (dt.datetime(2024, 6, 4, 9), "a", 500.0),
+        # type 'b': first observed on day 3 -> days 1-2 leading gap
+        (dt.datetime(2024, 6, 3, 8), "b", 191.5),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    _write(tmp_path, "events", table)
+    got = {
+        (r["event_type"], str(r["day"])): (
+            r["n_events"], r["value_ffill"], r["was_gap"]
+        )
+        for r in agg.q_events_gapfill(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 8  # 4-day spine x 2 types
+    assert got[("a", "2024-06-01")] == (2, 500.0, False)
+    assert got[("a", "2024-06-02")] == (0, 500.0, True)   # LOCF
+    assert got[("a", "2024-06-03")] == (0, 500.0, True)   # LOCF
+    assert got[("a", "2024-06-04")] == (1, 500.0, False)
+    assert got[("b", "2024-06-01")][1] is None            # leading gap
+    assert got[("b", "2024-06-02")][1] is None
+    assert got[("b", "2024-06-03")] == (1, 191.5, False)
+    assert got[("b", "2024-06-04")] == (0, 191.5, True)
