@@ -1304,6 +1304,79 @@ limit 20
 """
 
 
+CMS_ROWS = 4
+CMS_BUCKETS = 1024
+CMS_TOPK = 20
+
+
+def _cms_body(dialect: str, rel: str) -> str:
+    """Count-Min Sketch frequency estimates (Cormode & Muthukrishnan
+    2005, public paper): {CMS_ROWS} hash rows x {CMS_BUCKETS} buckets
+    of word-occurrence counts; est(w) = min_i cms[i][h_i(w)], with the
+    one-sided guarantee est >= exact (collisions only ADD). Completes
+    the deterministic sketch family (Bloom membership, KMV distinct,
+    CMS frequency) — all on the md5 Kirsch-Mitzenmacher hash basis,
+    so even the approximate estimates value-verify cross-engine
+    (engine-native HLL stays the banded `approx_stats` path).
+
+    The entry reports the exact top-{CMS_TOPK} words with their CMS
+    estimates and overcounts — the audit view that sizes m for a
+    target error (overcount ~ N/m per row).
+
+    Scale shape: ONE md5 per occurrence (positions derive from two
+    digest windows, not per-row hashing); the sketch is a
+    {CMS_ROWS}x{CMS_BUCKETS} integer grid — constant-size, mergeable,
+    the reason CMS replaces exact word counts at 100 TB."""
+    w = tx.split_ws_safe("lower(text)", dialect)
+    ha = tx.hex_to_bigint("substring(md5(word), 1, 14)", dialect)
+    hb = tx.hex_to_bigint("substring(md5(word), 15, 14)", dialect)
+    ea = tx.hex_to_bigint("substring(md5(e.word), 1, 14)", dialect)
+    eb = tx.hex_to_bigint("substring(md5(e.word), 15, 14)", dialect)
+    rows_k = " union all ".join(
+        f"select {i} as i" for i in range(1, CMS_ROWS + 1)
+    )
+    return f"""
+with w0 as (
+  select {tx.explode_as(w, "word", dialect)} from {rel}
+),
+occ as (select word from w0 where word <> ''),
+hashed as (
+  select word, {ha} as ha, {hb} as hb from occ
+),
+rows_k as ({rows_k}),
+posx as (
+  select r.i, ((h.ha + r.i * h.hb) % {tx.KM_MOD}) % {CMS_BUCKETS} as pos
+  from hashed h cross join rows_k r
+),
+cms as (select i, pos, cast(count(*) as bigint) as c from posx group by i, pos),
+exact as (
+  select word, cast(count(*) as bigint) as n_exact
+  from occ group by word
+  order by n_exact desc, word asc limit {CMS_TOPK}
+),
+est as (
+  select e.word, e.n_exact, min(c.c) as cms_est
+  from exact e
+  cross join rows_k r
+  join cms c
+    on c.i = r.i
+   and c.pos = (({ea} + r.i * {eb}) % {tx.KM_MOD}) % {CMS_BUCKETS}
+  group by e.word, e.n_exact
+)
+select word, n_exact, cms_est, cms_est - n_exact as overcount
+from est
+"""
+
+
+def q_cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS estimates vs exact for the top-{CMS_TOPK} words (see
+    ``_cms_body``)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_cms_docs"
+    )
+    return spark.sql(_cms_body(SPARK, "_ffs_cms_docs"))
+
+
 def q_rm3_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3-expanded BM25 top-20 over documents (see ``_rm3_body``)."""
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
@@ -3593,6 +3666,7 @@ EXT_QUERIES = {
     "dedup_ppjoin_exact": q_ppjoin_pairs,
     "text_pmi_collocations": q_pmi_collocations,
     "search_rm3_expansion": q_rm3_search,
+    "sketch_cms_counts": q_cms_word_counts,
 }
 
 
@@ -3675,4 +3749,5 @@ def ext_oracles() -> dict[str, str]:
         "dedup_ppjoin_exact": _ppjoin_body(DUCKDB, f"({CORPUS_SQL})"),
         "text_pmi_collocations": _pmi_body(DUCKDB, "documents"),
         "search_rm3_expansion": _rm3_body(DUCKDB, "documents"),
+        "sketch_cms_counts": _cms_body(DUCKDB, "documents"),
     }

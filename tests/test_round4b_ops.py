@@ -507,3 +507,35 @@ def test_events_gapfill_locf_semantics(spark, tmp_path):
     assert got[("b", "2024-06-02")][1] is None
     assert got[("b", "2024-06-03")] == (1, 191.5, False)
     assert got[("b", "2024-06-04")] == (0, 191.5, True)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_one_sided_overcount_and_exact_on_sparse(spark, tmp_path):
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        _cms_body,
+    )
+    from far_finer_airtable_firestore_sync_spark.functions.canonical import SPARK
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choices(vocab, weights=range(1, 31), k=20))
+        for _ in range(100)
+    ]
+    _write(tmp_path, "documents", _docs_table(texts, ["s"] * len(texts)))
+    spark.read.parquet(str(tmp_path / "documents.parquet")).createOrReplaceTempView(
+        "_ffs_cms_t"
+    )
+    rows = spark.sql(_cms_body(SPARK, "_ffs_cms_t")).collect()
+    assert len(rows) == 20
+    for r in rows:
+        # the CMS contract: estimates never undercount
+        assert r["overcount"] >= 0, r
+        assert r["cms_est"] >= r["n_exact"]
+    # 30 distinct words over 4x1024 buckets: collisions are
+    # vanishingly unlikely, so estimates should be exact here
+    assert all(r["overcount"] == 0 for r in rows)
