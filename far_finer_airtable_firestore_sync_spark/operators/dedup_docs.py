@@ -760,3 +760,69 @@ def lsh_eval(
             / F.greatest(F.col("n_cand"), F.lit(1)).cast("double")
         ).alias("precision"),
     )
+
+
+#: PageRank integer unit: ranks live on a 1e-12 grid so every
+#: operation (init split, per-degree division, damping) is exact
+#: bigint arithmetic — no float sums to perturb cross-engine parity
+PR_UNIT = 1_000_000_000_000
+
+
+def pagerank(
+    pairs: DataFrame,
+    iterations: int = 3,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Integer-exact PageRank over an undirected pair graph (Brin &
+    Page 1998; damping 0.85) — the canonical-selection complement of
+    :func:`connected_components`: within a near-dup cluster the
+    highest-rank node is the most-connected (most "central") copy,
+    the one dedup should keep.
+
+    Determinism: ranks are bigint micro-units (PR_UNIT grid); each
+    step is `(15*UNIT) div (100*N) + (85 * sum(r_u div deg_u)) div
+    100` — pure integer ops, identical in any engine and under any
+    partitioning. The DuckDB oracle unrolls the same recurrence.
+
+    Scale shape: per-iteration cost is one join on the edge key plus
+    a groupBy on the destination — the standard distributed PR step;
+    `localCheckpoint` truncates lineage each round exactly like the
+    CC operator. Iterations are fixed (ranking stabilizes long before
+    convergence for dedup-cluster graphs, which are shallow)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).alias("nn"))
+    ranks = (
+        deg.crossJoin(F.broadcast(n))
+        .select("u", F.expr(f"{PR_UNIT} div nn").alias("r"))
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, "u")
+            .join(deg, "u")
+            .select(F.col("v"), F.expr("r div deg").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            deg.join(contrib, deg.u == contrib.v, "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                deg.u.alias("u"),
+                F.expr(
+                    f"(15 * {PR_UNIT}) div (100 * nn)"
+                    " + (85 * coalesce(s, 0)) div 100"
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("u").alias("doc_id"), F.col("r").alias("pr_micro"))

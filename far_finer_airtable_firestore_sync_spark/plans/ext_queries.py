@@ -987,6 +987,56 @@ select u as doc_id, min(v) as component from reach group by u
 """
 
 
+def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the Jaccard-verified near-dup graph
+    (see ``dedup_docs.pagerank``) — ranks the canonical copy within
+    each cluster."""
+    pairs = dedup_docs.near_dup_pairs(
+        dedup_corpus(spark, sf_dir),
+        shingle_n=SHINGLE_N,
+        seeds=SEEDS,
+        rows_per_band=ROWS_PER_BAND,
+        max_chars=MAX_CHARS,
+        threshold=0.5,
+    )
+    return dedup_docs.pagerank(pairs, iterations=3)
+
+
+def dedup_pagerank_oracle() -> str:
+    u = dedup_docs.PR_UNIT
+    step = """
+r{i} as (
+  select d.u,
+         (15 * {unit}) // (100 * n.nn)
+         + (85 * coalesce(s.s, 0)) // 100 as r
+  from deg d cross join n
+  left join (
+    select e.v as u, sum(r.r // dg.deg) as s
+    from edges e
+    join r{prev} r on e.u = r.u
+    join deg dg on e.u = dg.u
+    group by e.v
+  ) s on s.u = d.u
+)"""
+    steps = ",".join(
+        step.format(i=i, prev=i - 1, unit=u) for i in range(1, 4)
+    )
+    return f"""
+with verified as ({NGRAM_JACCARD_SQL}),
+edges as (
+  select id_a as u, id_b as v from verified
+  union
+  select id_b as u, id_a as v from verified
+),
+deg as (select u, cast(count(*) as bigint) as deg from edges group by u),
+n as (select cast(count(*) as bigint) as nn from deg),
+r0 as (
+  select u, cast({u} // nn as bigint) as r from deg cross join n
+),{steps}
+select u as doc_id, cast(r as bigint) as pr_micro from r3
+"""
+
+
 def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup removal: LSH candidates -> Jaccard verify
     -> connected components -> keep one representative per cluster.
@@ -3667,6 +3717,7 @@ EXT_QUERIES = {
     "text_pmi_collocations": q_pmi_collocations,
     "search_rm3_expansion": q_rm3_search,
     "sketch_cms_counts": q_cms_word_counts,
+    "dedup_pagerank": q_dedup_pagerank,
 }
 
 
@@ -3750,4 +3801,5 @@ def ext_oracles() -> dict[str, str]:
         "text_pmi_collocations": _pmi_body(DUCKDB, "documents"),
         "search_rm3_expansion": _rm3_body(DUCKDB, "documents"),
         "sketch_cms_counts": _cms_body(DUCKDB, "documents"),
+        "dedup_pagerank": dedup_pagerank_oracle(),
     }

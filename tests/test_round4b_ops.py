@@ -539,3 +539,31 @@ def test_cms_one_sided_overcount_and_exact_on_sparse(spark, tmp_path):
     # 30 distinct words over 4x1024 buckets: collisions are
     # vanishingly unlikely, so estimates should be exact here
     assert all(r["overcount"] == 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the dup graph
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_star_graph_centrality(spark):
+    from far_finer_airtable_firestore_sync_spark.operators import dedup_docs
+
+    # star: 0 is the hub of 1..5; separate 2-cycle {10, 11}
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(10, 11)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: r["pr_micro"]
+        for r in dedup_docs.pagerank(pairs, iterations=3).collect()
+    }
+    assert len(got) == 8
+    # the hub outranks every leaf; leaves are symmetric -> equal
+    assert all(got[0] > got[i] for i in range(1, 6))
+    assert len({got[i] for i in range(1, 6)}) == 1
+    # the isolated 2-cycle is symmetric and keeps 1/N mass each
+    assert got[10] == got[11]
+    # total mass is conserved up to integer-division truncation
+    total = sum(got.values())
+    assert abs(total - dedup_docs.PR_UNIT) < 200 * len(got)
