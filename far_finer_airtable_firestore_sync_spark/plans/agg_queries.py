@@ -1242,6 +1242,43 @@ EVENT_DRIFT_FROM_COUNTS = (
 EVENT_DRIFT_SQL = EVENT_DRIFT_BODY.format(rel="events")
 
 
+#: k-anonymity threshold: a quasi-identifier combination shared by
+#: fewer than K individuals is a re-identification risk
+KANON_K = 6
+
+
+def q_kanon_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer table: group sizes per
+    quasi-identifier combination (nation x market segment) with a
+    risk flag for groups under {KANON_K} — the governance companion
+    of `text_pii_redact` (that one scrubs direct identifiers; this
+    one measures re-identification risk from the indirect ones).
+
+    Scale shape: one partial-aggregating groupBy on the QI tuple;
+    the report is |QI-domain| rows regardless of table size."""
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("group_n"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_n",
+            (F.col("group_n") < KANON_K).alias("risky"),
+        )
+    )
+
+
+KANON_SQL = f"""
+select c_nationkey, c_mktsegment,
+       cast(count(*) as bigint) as group_n,
+       count(*) < {KANON_K} as risky
+from customer
+group by c_nationkey, c_mktsegment
+"""
+
+
 def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap fill + forward fill (LOCF): build the full
     daily calendar spine per event_type, left-join the daily
@@ -1598,6 +1635,7 @@ AGG_QUERIES = {
     "idle_rich_customers": q_idle_rich_customers,
     "window_suite": q_window_suite,
     "events_gapfill": q_events_gapfill,
+    "kanon_risk_report": q_kanon_risk,
 }
 
 AGG_ORACLES = {
@@ -1641,4 +1679,5 @@ AGG_ORACLES = {
     "events_gapfill": _gapfill_body(
         DUCK_D, "(select * from events where value > 190)"
     ),
+    "kanon_risk_report": KANON_SQL,
 }
