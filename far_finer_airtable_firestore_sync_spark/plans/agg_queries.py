@@ -1242,6 +1242,46 @@ EVENT_DRIFT_FROM_COUNTS = (
 EVENT_DRIFT_SQL = EVENT_DRIFT_BODY.format(rel="events")
 
 
+def q_events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: volume share
+    and average value by weekday — the decomposition baseline a drift
+    monitor subtracts before alarming (weekly periodicity is the #1
+    false-drift source).
+
+    Weekday comes from epoch-day arithmetic anchored on a known
+    Monday — the engines disagree on dayofweek() numbering (Spark
+    1=Sunday, DuckDB 0=Sunday), so neither builtin is portable.
+    Shares are ppm integers (bigint-exact); avg goes through the
+    decimal sum / count pair."""
+    _utc(spark)
+    ev = read_events(spark, sf_dir)
+    ev.createOrReplaceTempView("_ffs_dow_events")
+    return spark.sql(_dow_profile_body(SPARK_D, "_ffs_dow_events"))
+
+
+def _dow_profile_body(dialect: str, rel: str) -> str:
+    if dialect == SPARK_D:
+        days = "datediff(cast(ts as date), cast('2024-01-01' as date))"
+        intdiv = "div"
+    else:
+        days = "datediff('day', date '2024-01-01', cast(ts as date))"
+        intdiv = "//"
+    dow = f"cast((({days}) % 7 + 7) % 7 as int)"  # 0 = Monday
+    return f"""
+with d as (
+  select event_type, {dow} as dow,
+         cast(count(*) as bigint) as n_events,
+         cast(sum(cast(value as decimal(18,2))) as double) as total_value
+  from {rel} group by 1, 2
+),
+tot as (select event_type, sum(n_events) as t from d group by event_type)
+select d.event_type, d.dow, d.n_events,
+       cast((1000000 * d.n_events) {intdiv} t.t as bigint) as share_ppm,
+       d.total_value / d.n_events as avg_value
+from d join tot t on d.event_type = t.event_type
+"""
+
+
 #: k-anonymity threshold: a quasi-identifier combination shared by
 #: fewer than K individuals is a re-identification risk
 KANON_K = 6
@@ -1636,6 +1676,7 @@ AGG_QUERIES = {
     "window_suite": q_window_suite,
     "events_gapfill": q_events_gapfill,
     "kanon_risk_report": q_kanon_risk,
+    "events_dow_profile": q_events_dow_profile,
 }
 
 AGG_ORACLES = {
@@ -1680,4 +1721,5 @@ AGG_ORACLES = {
         DUCK_D, "(select * from events where value > 190)"
     ),
     "kanon_risk_report": KANON_SQL,
+    "events_dow_profile": _dow_profile_body(DUCK_D, "events"),
 }
