@@ -1354,6 +1354,67 @@ limit 20
 """
 
 
+#: curation-v2 gates (fixture quartiles: entropy 25th pct ~2.88M
+#: micro-nats, novelty 25th pct ~490k ppm — both gates really drop)
+CURATE_MIN_ENTROPY = 2_800_000
+CURATE_MIN_NOVELTY = 400_000
+
+
+def _curate_v2_body(dialect: str, rel: str) -> str:
+    """Composed curation pipeline v2 over the round-4 signals:
+    word-entropy gate -> first-occurrence novelty gate -> per-source
+    attribution report (how many docs each stage dropped, tokens
+    surviving). Like `llm_pipeline_e2e`, the point is that the new
+    operators COMPOSE into one declarative plan — the entropy and
+    novelty subqueries are the exact green-oracled bodies, nested
+    verbatim.
+
+    Scale shape: two postings passes (entropy's word explode,
+    novelty's gram explode over only the entropy survivors) + two
+    broadcast-size keeper joins; the report is one partial-agg
+    groupBy on source."""
+    e_sub = f"({_entropy_body(dialect, rel)})"
+    epass_rel = (
+        f"(select r.* from {rel} r join (select doc_id from {e_sub} e0"
+        f" where entropy_uppm >= {CURATE_MIN_ENTROPY}) ek"
+        " on r.doc_id = ek.doc_id)"
+    )
+    nov_sub = f"({_novelty_body(dialect, epass_rel)})"
+    return f"""
+with egate as (
+  select doc_id, n_tokens from {e_sub}
+  where entropy_uppm >= {CURATE_MIN_ENTROPY}
+),
+npass as (
+  select doc_id from {nov_sub}
+  where novelty_ppm >= {CURATE_MIN_NOVELTY}
+)
+select r.source,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(case when g.doc_id is null then 1 else 0 end) as bigint)
+         as n_drop_entropy,
+       cast(sum(case when g.doc_id is not null and np.doc_id is null
+                     then 1 else 0 end) as bigint) as n_drop_novelty,
+       cast(sum(case when np.doc_id is not null then 1 else 0 end) as bigint)
+         as n_kept,
+       cast(sum(case when np.doc_id is not null then g.n_tokens else 0 end)
+            as bigint) as tokens_kept
+from {rel} r
+left join egate g on r.doc_id = g.doc_id
+left join npass np on r.doc_id = np.doc_id
+group by r.source
+"""
+
+
+def q_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy+novelty curation pipeline report (see
+    ``_curate_v2_body``)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_curate_docs"
+    )
+    return spark.sql(_curate_v2_body(SPARK, "_ffs_curate_docs"))
+
+
 CMS_ROWS = 4
 CMS_BUCKETS = 1024
 CMS_TOPK = 20
@@ -3718,6 +3779,7 @@ EXT_QUERIES = {
     "search_rm3_expansion": q_rm3_search,
     "sketch_cms_counts": q_cms_word_counts,
     "dedup_pagerank": q_dedup_pagerank,
+    "llm_curate_v2": q_curate_v2,
 }
 
 
@@ -3802,4 +3864,5 @@ def ext_oracles() -> dict[str, str]:
         "search_rm3_expansion": _rm3_body(DUCKDB, "documents"),
         "sketch_cms_counts": _cms_body(DUCKDB, "documents"),
         "dedup_pagerank": dedup_pagerank_oracle(),
+        "llm_curate_v2": _curate_v2_body(DUCKDB, "documents"),
     }

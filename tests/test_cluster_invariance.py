@@ -46,6 +46,9 @@ ENTRIES = [
     "event_value_mad",
     "text_pmi_collocations",
     "scd2_build",
+    "dedup_pagerank",
+    "sketch_cms_counts",
+    "events_gapfill",
 ]
 
 
