@@ -1406,6 +1406,38 @@ group by r.source
 """
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange: write documents to lang-partitioned ORC, read
+    it back, and aggregate — exercising Spark's second columnar
+    format end-to-end (write partitioning, schema recovery, partition
+    column reconstruction). The oracle computes the same aggregate
+    straight from parquet: a lossless roundtrip is exactly what makes
+    them match.
+
+    Scale note: the partitioned write is the real ingest shape
+    (partition pruning on `lang` at read time); the tmp dir is
+    per-call, removed by the OS tmp reaper."""
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tempfile.mkdtemp(prefix="ffs_orc_")
+    docs.write.mode("overwrite").partitionBy("lang").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+
+
+ORC_ROUNDTRIP_SQL = """
+select lang, cast(count(*) as bigint) as n_docs,
+       cast(sum(n_chars) as bigint) as total_chars,
+       cast(count(distinct source) as bigint) as n_sources
+from documents group by lang
+"""
+
+
 def q_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entropy+novelty curation pipeline report (see
     ``_curate_v2_body``)."""
@@ -3780,6 +3812,7 @@ EXT_QUERIES = {
     "sketch_cms_counts": q_cms_word_counts,
     "dedup_pagerank": q_dedup_pagerank,
     "llm_curate_v2": q_curate_v2,
+    "orc_roundtrip": q_orc_roundtrip,
 }
 
 
@@ -3865,4 +3898,5 @@ def ext_oracles() -> dict[str, str]:
         "sketch_cms_counts": _cms_body(DUCKDB, "documents"),
         "dedup_pagerank": dedup_pagerank_oracle(),
         "llm_curate_v2": _curate_v2_body(DUCKDB, "documents"),
+        "orc_roundtrip": ORC_ROUNDTRIP_SQL,
     }
