@@ -3603,6 +3603,12 @@ w0 as (
   -- bigints, never shingle text (the repo's km-digest idiom)
   select doc_id, {h} as token from w00 where tokraw <> ''
 ),
+-- shingles() already emits per-doc-distinct grams, so this DISTINCT
+-- is a semantic no-op — but it is a deliberate MATERIALIZATION
+-- BARRIER: the aggregate's exchange is reused (ReusedExchange) by
+-- tok's four consumers, where the bare projection would re-run the
+-- explode+md5 from scan per consumer (measured 8.8s vs 11.6s+ at
+-- sf0.1)
 tok as (select distinct doc_id, token from w0),
 sizes as (select doc_id, cast(count(*) as bigint) as n from tok group by doc_id),
 df as (select token, cast(count(*) as bigint) as dfreq from tok group by token),
