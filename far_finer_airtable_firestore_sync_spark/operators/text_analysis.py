@@ -746,3 +746,45 @@ def heavy_hitter_words(
             ).alias("ppm"),
         )
     )
+
+
+def chunk_text_udtf(
+    df: DataFrame,
+    chunk_chars: int = 200,
+    stride: int = 150,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Python UDTF twin of :func:`chunk_text` — same windows, same
+    output schema, computed by a Spark 4 arrow-optimized Python UDTF
+    invoked via LATERAL join. The expression form above is the
+    production path (whole-stage codegen, no Python); this twin
+    exists to exercise the UDTF extension surface and is value-pinned
+    to the SAME DuckDB oracle as the expression form — any semantic
+    drift between the two execution paths fails the hash gate.
+
+    Scale note: per-row Python with Arrow batching — acceptable for
+    genuinely imperative chunkers (sentence/semantic splitters that
+    need a model); for fixed windows always prefer the expression
+    form."""
+    import math
+
+    from pyspark.sql.functions import udtf
+
+    cc, st = chunk_chars, stride
+
+    @udtf(returnType="chunk_no int, chunk_text string, n_chunks int")
+    class _Chunker:
+        def eval(self, text):  # noqa: ANN001 (UDTF protocol)
+            t = text or ""
+            n = int(max(math.ceil((len(t) - cc) / float(st)), 0) + 1)
+            for i in range(n):
+                yield i, t[i * st : i * st + cc], n
+
+    spark = df.sparkSession
+    spark.udtf.register("_ffs_chunker", _Chunker)
+    df.select(id_col, text_col).createOrReplaceTempView("_ffs_udtf_in")
+    return spark.sql(
+        f"select i.{id_col}, c.chunk_no, c.chunk_text, c.n_chunks "
+        f"from _ffs_udtf_in i, lateral _ffs_chunker(i.{text_col}) c"
+    )

@@ -2393,6 +2393,13 @@ from base
 """
 
 
+def q_text_chunking_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF execution-surface twin of `text_chunking` (see
+    ``text_analysis.chunk_text_udtf``) — pinned to the same oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_analysis.chunk_text_udtf(docs, chunk_chars=200, stride=150)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any 9-gram with
     the held-out 'benchmark' subset (doc_id % 97 = 0), with distinct
@@ -3819,6 +3826,7 @@ EXT_QUERIES = {
     "dedup_pagerank": q_dedup_pagerank,
     "llm_curate_v2": q_curate_v2,
     "orc_roundtrip": q_orc_roundtrip,
+    "text_chunking_udtf": q_text_chunking_udtf,
 }
 
 
@@ -3905,4 +3913,5 @@ def ext_oracles() -> dict[str, str]:
         "dedup_pagerank": dedup_pagerank_oracle(),
         "llm_curate_v2": _curate_v2_body(DUCKDB, "documents"),
         "orc_roundtrip": ORC_ROUNDTRIP_SQL,
+        "text_chunking_udtf": TEXT_CHUNKING_SQL,
     }
