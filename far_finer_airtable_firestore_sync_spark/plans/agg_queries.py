@@ -1282,6 +1282,65 @@ from d join tot t on d.event_type = t.event_type
 """
 
 
+def q_event_iqr_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the UDAF extension surface):
+    per-type interquartile range of event values computed by numpy
+    percentiles inside an Arrow-batched GROUPED_AGG pandas_udf —
+    value-pinned against a rank-selection SQL twin. Both sides
+    interpolate on INTEGER cents (quartile fractions are quarters, so
+    4*a + (b-a)*k is exact bigint math; naive np.percentile vs
+    percentile_cont differ in the last ulp) with one final identical
+    /400 double division.
+
+    This is the surface demo — for plain percentiles the native
+    `percentile()` expression is the production path (codegen, no
+    Python); a GROUPED_AGG pandas UDF earns its Arrow transfer only
+    when the per-group math needs numpy/scipy."""
+    from far_finer_airtable_firestore_sync_spark.operators.udafs import (
+        quartile_udafs,
+    )
+
+    _utc(spark)
+    p25_udaf, p75_udaf = quartile_udafs()
+    ev = read_events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        p25_udaf("value").alias("p25"), p75_udaf("value").alias("p75")
+    )
+    return agg.select(
+        "event_type", "p25", "p75", (F.col("p75") - F.col("p25")).alias("iqr")
+    )
+
+
+EVENT_IQR_SQL = """
+with ranked as (
+  select event_type,
+         cast(round(value * 100) as bigint) as cents,
+         row_number() over (
+           partition by event_type order by value, event_id
+         ) as rn,
+         count(*) over (partition by event_type) as n
+  from events
+),
+sel as (
+  select event_type, n,
+         max(case when rn - 1 = (n - 1) // 4 then cents end) as a25,
+         max(case when rn - 1 = (n - 1) // 4 + 1 then cents end) as b25,
+         max(case when rn - 1 = (3 * (n - 1)) // 4 then cents end) as a75,
+         max(case when rn - 1 = (3 * (n - 1)) // 4 + 1 then cents end) as b75
+  from ranked group by event_type, n
+),
+q as (
+  select event_type,
+         cast(4 * a25 + (coalesce(b25, a25) - a25) * ((n - 1) % 4)
+              as double) / 400.0 as p25,
+         cast(4 * a75 + (coalesce(b75, a75) - a75) * ((3 * (n - 1)) % 4)
+              as double) / 400.0 as p75
+  from sel
+)
+select event_type, p25, p75, (p75 - p25) as iqr from q
+"""
+
+
 #: k-anonymity threshold: a quasi-identifier combination shared by
 #: fewer than K individuals is a re-identification risk
 KANON_K = 6
@@ -1677,6 +1736,7 @@ AGG_QUERIES = {
     "events_gapfill": q_events_gapfill,
     "kanon_risk_report": q_kanon_risk,
     "events_dow_profile": q_events_dow_profile,
+    "event_iqr_udaf": q_event_iqr_udaf,
 }
 
 AGG_ORACLES = {
@@ -1722,4 +1782,5 @@ AGG_ORACLES = {
     ),
     "kanon_risk_report": KANON_SQL,
     "events_dow_profile": _dow_profile_body(DUCK_D, "events"),
+    "event_iqr_udaf": EVENT_IQR_SQL,
 }
