@@ -170,12 +170,17 @@ def compact_small_files(
 
     At 100 TB this runs per partition-directory, not per table, so
     each compaction job is bounded; pair with `zorder_layout` when
-    the rewrite should also re-cluster.
+    the rewrite should also re-cluster. LOCAL-FILESYSTEM paths only
+    (driver-side os.listdir sizing) — an object-store variant would
+    size via the Hadoop FileSystem API instead.
     """
     import math
     import os
 
-    import pyspark.sql.functions as F  # noqa: N812 (local alias)
+    if os.path.abspath(dst_dir) == os.path.abspath(src_dir):
+        # overwrite would delete source files the lazy read still
+        # needs — in-place compaction must go through a temp dir
+        raise ValueError("compact_small_files: dst_dir must differ from src_dir")
 
     files = [
         os.path.join(src_dir, f)
@@ -185,11 +190,11 @@ def compact_small_files(
     bytes_before = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(bytes_before / target_bytes))
     df = spark.read.parquet(src_dir)
+    n_rows = df.count()
     df.repartition(n_out).write.mode("overwrite").parquet(dst_dir)
     out_files = [
         f for f in os.listdir(dst_dir) if f.endswith(".parquet")
     ]
-    n_rows = spark.read.parquet(dst_dir).count()
     return spark.createDataFrame(
         [(len(files), len(out_files), bytes_before, n_rows)],
         "files_before int, files_after int, bytes_before long, n_rows long",

@@ -181,7 +181,11 @@ def audio_features(df: DataFrame) -> DataFrame:
                     frames = w.readframes(nframes)
             except (wave.Error, EOFError, struct.error, TypeError):
                 return None
-            if width != 2:
+            # mono 16-bit PCM contract: multi-channel frames are
+            # interleaved, so n_samples would double-count and zcr
+            # would compare L[i] against R[i] — quarantine rather
+            # than emit silently-wrong features
+            if width != 2 or nch != 1:
                 return None
             n = len(frames) // 2
             vals = struct.unpack(f"<{n}h", frames[: 2 * n])

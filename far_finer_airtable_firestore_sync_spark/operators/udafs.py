@@ -19,10 +19,16 @@ import pandas as pd
 
 def _quartile_scaled(v: pd.Series, numerator: int) -> int:
     """4x-scaled integer-cents continuous quartile: numerator is 1
-    (p25) or 3 (p75); pos = numerator*(n-1)/4 over the sorted cents."""
+    (p25) or 3 (p75); pos = numerator*(n-1)/4 over the sorted cents.
+
+    Rounding matches SQL round() (half-AWAY-from-zero) — np.rint is
+    half-to-even and disagrees on exact .5 cents; NULLs are dropped
+    first, mirroring the oracle's `value is not null` filter."""
     import numpy as np
 
-    cents = np.sort(np.rint(v.to_numpy() * 100).astype(np.int64))
+    x = v.dropna().to_numpy() * 100
+    away = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+    cents = np.sort(away.astype(np.int64))
     n = len(cents)
     if n == 0:
         return 0

@@ -1302,7 +1302,10 @@ def q_event_iqr_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     p25_udaf, p75_udaf = quartile_udafs()
-    ev = read_events(spark, sf_dir)
+    # all-null groups would emit a zero row here but be absent from
+    # the SQL twin (its WHERE removes them before ranking) — filter
+    # first so group membership matches
+    ev = read_events(spark, sf_dir).filter("value is not null")
     agg = ev.groupBy("event_type").agg(
         p25_udaf("value").alias("p25"), p75_udaf("value").alias("p75")
     )
@@ -1320,6 +1323,7 @@ with ranked as (
          ) as rn,
          count(*) over (partition by event_type) as n
   from events
+  where value is not null
 ),
 sel as (
   select event_type, n,

@@ -1374,10 +1374,12 @@ def _curate_v2_body(dialect: str, rel: str) -> str:
     broadcast-size keeper joins; the report is one partial-agg
     groupBy on source."""
     e_sub = f"({_entropy_body(dialect, rel)})"
+    # novelty's input references the egate CTE (not a second copy of
+    # the entropy subquery) so the word-explode text appears ONCE;
+    # DuckDB materializes egate, Spark still inlines it into its two
+    # consumers — at ~2s/sf0.1 temp-view staging isn't warranted
     epass_rel = (
-        f"(select r.* from {rel} r join (select doc_id from {e_sub} e0"
-        f" where entropy_uppm >= {CURATE_MIN_ENTROPY}) ek"
-        " on r.doc_id = ek.doc_id)"
+        f"(select r.* from {rel} r join egate ek on r.doc_id = ek.doc_id)"
     )
     nov_sub = f"({_novelty_body(dialect, epass_rel)})"
     return f"""
@@ -3351,8 +3353,14 @@ cand as (
            row_number() over (order by rel desc, vec_id asc) as rk
     from (
       select c.vec_id, c.qv, {cos_rel} as rel
-      from (select vec_id, {tx.quantize("embedding", dialect)} as qv
-            from {rel} where vec_id <> 0) c
+      from (
+        -- zero-quantized vectors have no cosine (0/0 -> NaN, which
+        -- both engines sort FIRST under rel desc) — exclude them
+        select vec_id, qv
+        from (select vec_id, {tx.quantize("embedding", dialect)} as qv
+              from {rel} where vec_id <> 0)
+        where {tx.lsize(tx.lfilter("qv", "x -> x <> 0", dialect), dialect)} > 0
+      ) c
       cross join q
     )
   ) where rk <= {MMR_CAND}
@@ -3436,6 +3444,10 @@ def q_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot = sum(x * y for x, y in zip(a, b))
         na = sum(x * x for x in a)
         nb = sum(x * x for x in b)
+        if na == 0 or nb == 0:
+            # zero-norm rows are filtered out of cand (review fix) —
+            # defensive only, mirroring the test helper's convention
+            return 0.0
         return float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
 
     lam, om = 7 / 10, 3 / 10  # cast(7 as double)/cast(10 as double)
@@ -3450,8 +3462,13 @@ def q_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             maxsim = max(cos(qv, s[1]) for s in sel)
             mmr = lam * rel - om * maxsim
-            if best is None or (-mmr, vid) < (-best[3], best[0]):
+            # pick rule = (mmr desc, vec_id asc), matching the
+            # oracle's ORDER BY (review fix: the tie-break must
+            # compare vec_ids, best[1], not the step field)
+            if best is None or (-mmr, vid) < (-best[3], best[1]):
                 best = (step, vid, rel, mmr, qv)
+        if best is None:  # pool exhausted (cand smaller than MMR_K)
+            break
         out.append(best[:4])
         sel.append((best[1], best[4], best[2]))
     return spark.createDataFrame(

@@ -11,6 +11,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from far_finer_airtable_firestore_sync_spark.operators import joins
+from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+    _utc as _utc_tz,
+)
 from far_finer_airtable_firestore_sync_spark.plans.agg_queries import read_events
 
 
@@ -350,10 +353,6 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "attr_priority",
         nxt.isNull().alias("is_current"),
     )
-
-
-def _utc_tz(spark: SparkSession) -> None:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 SCD2_SQL = """

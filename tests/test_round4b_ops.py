@@ -567,3 +567,34 @@ def test_pagerank_star_graph_centrality(spark):
     # total mass is conserved up to integer-division truncation
     total = sum(got.values())
     assert abs(total - dedup_docs.PR_UNIT) < 200 * len(got)
+
+
+def test_mmr_tie_break_with_duplicate_embeddings(spark, tmp_path):
+    """Exact mmr ties (duplicate candidate vectors) must resolve by
+    vec_id ASC — the review-caught bug compared against the step
+    field, picking larger ids and drifting from the oracle."""
+    base = [0.5, -0.25, 0.75, 0.1]
+    other = [-0.4, 0.6, 0.2, -0.9]
+    # query + 6 identical copies of base + 6 identical copies of other
+    vecs = [[1.0, 0.0, 0.0, 0.0]] + [base] * 6 + [other] * 6
+    _write(tmp_path, "embeddings", _emb_table(vecs))
+    got = [
+        (r["step"], r["vec_id"])
+        for r in ext.q_search_mmr(spark, str(tmp_path)).orderBy("step").collect()
+    ]
+    exp = _brute_mmr(vecs, ext.MMR_K, ext.MMR_CAND, ext.MMR_LAM_NUM / 10)
+    assert got == [e[:2] for e in exp]
+    # within each duplicate family the SMALLEST ids must win first
+    picked = [v for _, v in got]
+    for fam in (set(range(1, 7)), set(range(7, 13))):
+        fam_picked = [v for v in picked if v in fam]
+        assert fam_picked == sorted(fam_picked)
+
+
+def test_mmr_pool_smaller_than_k(spark, tmp_path):
+    """Fewer candidates than MMR_K: return the short list, no crash."""
+    vecs = [[1.0, 0.0], [0.9, 0.1], [0.1, 0.9], [0.5, 0.5]]
+    _write(tmp_path, "embeddings", _emb_table(vecs))
+    rows = ext.q_search_mmr(spark, str(tmp_path)).collect()
+    assert len(rows) == 3  # 3 candidates < MMR_K picks
+    assert sorted(r["step"] for r in rows) == [1, 2, 3]
