@@ -52,10 +52,18 @@ def main() -> None:
 
     qs = e.queries()
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+    # Soft wall-clock budget: the suite has grown past 150 queries, and
+    # an external kill (driver harness timeout) loses the WHOLE line.
+    # Passes after the first stop early once the budget is spent — a
+    # complete 1-sample bench always beats a truncated 3-sample one.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "450"))
+    bench_t0 = time.perf_counter()
     samples: dict[str, list[float]] = {name: [] for name in qs}
     # Round-robin whole-suite passes (not back-to-back per query) so a
     # transient host-load spike cannot poison all of one query's runs.
-    for _ in range(repeats):
+    for rep in range(repeats):
+        if rep > 0 and time.perf_counter() - bench_t0 > budget_s:
+            break
         for name, fn in qs.items():
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -66,15 +74,22 @@ def main() -> None:
             # don't contend for storage memory across measurements.
             spark.catalog.clearCache()
 
-    timings = {n: round(statistics.median(t), 2) for n, t in samples.items()}
-    total = round(sum(statistics.median(t) for t in samples.values()), 2)
+    # Median of 3 discards the cold first pass; with budget-degraded
+    # 1-2 samples median would average the cold pass in, so take MIN
+    # there (the standard degraded-sampling estimator — closest to
+    # what median-of-3 reports on a quiet host).
+    def est(t: list[float]) -> float:
+        return statistics.median(t) if len(t) >= 3 else min(t)
+
+    timings = {n: round(est(t), 2) for n, t in samples.items()}
+    total = round(sum(est(t) for t in samples.values()), 2)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     payload = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "repeats": repeats,
+        "repeats": min(len(t) for t in samples.values()),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full-precision per-sample artifact for local auditing; stdout keeps
