@@ -17,13 +17,19 @@ import pyarrow.parquet as pq
 
 from far_finer_airtable_firestore_sync_spark.functions.canonical import DUCKDB, SPARK
 from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+    DUCK_D,
     EVENT_DRIFT_BODY,
     EVENT_MAD_BODY,
+    SPARK_D,
+    _dow_profile_body,
+    _gapfill_body,
 )
 from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
     C4_CORPUS_BODY,
     _bm25_body,
     _entropy_body,
+    _cms_body,
+    _curate_v2_body,
     _pmi_body,
     _ppjoin_body,
     _rm3_body,
@@ -211,6 +217,11 @@ def test_fuzz_body_parity(spark, tmp_path):
         ),
         "pmi": (_pmi_body(SPARK, "fz_docs"), _pmi_body(DUCKDB, "fz_docs")),
         "rm3": (_rm3_body(SPARK, "fz_docs"), _rm3_body(DUCKDB, "fz_docs")),
+        "cms": (_cms_body(SPARK, "fz_docs"), _cms_body(DUCKDB, "fz_docs")),
+        "curate_v2": (
+            _curate_v2_body(SPARK, "fz_docs"),
+            _curate_v2_body(DUCKDB, "fz_docs"),
+        ),
     }
     for name, (s_sql, d_sql) in bodies.items():
         s_rows = _norm([tuple(r) for r in spark.sql(s_sql).collect()])
@@ -259,10 +270,19 @@ def test_fuzz_event_bodies_parity(spark, tmp_path):
     con.execute(
         f"create view fz_events as select * from read_parquet('{epath}')"
     )
-    for name, body in [("drift", EVENT_DRIFT_BODY), ("mad", EVENT_MAD_BODY)]:
-        s_sql = body.format(rel="fz_events")
+    pairs = [
+        ("drift", EVENT_DRIFT_BODY.format(rel="fz_events"),
+         EVENT_DRIFT_BODY.format(rel="fz_events")),
+        ("mad", EVENT_MAD_BODY.format(rel="fz_events"),
+         EVENT_MAD_BODY.format(rel="fz_events")),
+        ("gapfill", _gapfill_body(SPARK_D, "fz_events"),
+         _gapfill_body(DUCK_D, "fz_events")),
+        ("dow", _dow_profile_body(SPARK_D, "fz_events"),
+         _dow_profile_body(DUCK_D, "fz_events")),
+    ]
+    for name, s_sql, d_sql in pairs:
         s_rows = _norm([tuple(r) for r in spark.sql(s_sql).collect()])
-        d_rows = _norm(con.execute(s_sql).fetchall())
+        d_rows = _norm(con.execute(d_sql).fetchall())
         assert s_rows == d_rows, (
             f"{name}: {len(s_rows)} vs {len(d_rows)} rows; "
             f"first spark={s_rows[:2]} duck={d_rows[:2]}"
