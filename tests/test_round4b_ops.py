@@ -598,3 +598,42 @@ def test_mmr_pool_smaller_than_k(spark, tmp_path):
     rows = ext.q_search_mmr(spark, str(tmp_path)).collect()
     assert len(rows) == 3  # 3 candidates < MMR_K picks
     assert sorted(r["step"] for r in rows) == [1, 2, 3]
+
+
+def test_ppjoin_supersets_lsh_verified_pairs(spark):
+    """Cross-validation of two independent near-dup implementations:
+    the EXACT prefix-filtered join at t=1/2 must contain every pair
+    the MinHash-LSH path finds and Jaccard-verifies at the same
+    threshold (LSH can only MISS pairs, never invent them)."""
+    from far_finer_airtable_firestore_sync_spark.functions.canonical import SPARK
+    from far_finer_airtable_firestore_sync_spark.operators import dedup_docs
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        MAX_CHARS,
+        ROWS_PER_BAND,
+        SEEDS,
+        SHINGLE_N,
+        _ppjoin_body,
+        dedup_corpus,
+    )
+
+    corpus = dedup_corpus(spark, "/root/testdata/sf0.001")
+    corpus.createOrReplaceTempView("_ffs_xval_docs")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql(
+            _ppjoin_body(SPARK, "_ffs_xval_docs", t_num=1, t_den=2)
+        ).collect()
+    }
+    lsh = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in dedup_docs.near_dup_pairs(
+            corpus,
+            shingle_n=SHINGLE_N,
+            seeds=SEEDS,
+            rows_per_band=ROWS_PER_BAND,
+            max_chars=MAX_CHARS,
+            threshold=0.5,
+        ).collect()
+    }
+    assert lsh, "fixture produced no LSH pairs (weak test)"
+    assert lsh <= exact, sorted(lsh - exact)[:5]
