@@ -84,12 +84,17 @@ def main() -> None:
     timings = {n: round(est(t), 2) for n, t in samples.items()}
     total = round(sum(est(t) for t in samples.values()), 2)
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    min_samples = min(len(t) for t in samples.values())
     payload = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "repeats": min(len(t) for t in samples.values()),
+        "repeats": min_samples,
+        # Which statistic produced the numbers: budget truncation degrades
+        # median-of-3 to min-of-1/2, and cross-round BENCH_r* comparisons
+        # must be able to tell the two apart (ADVICE r4).
+        "estimator": "median" if min_samples >= 3 else "min",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full-precision per-sample artifact for local auditing; stdout keeps

@@ -182,9 +182,13 @@ def compact_small_files(
         # needs — in-place compaction must go through a temp dir
         raise ValueError("compact_small_files: dst_dir must differ from src_dir")
 
+    # Walk recursively: hive-partitioned / nested layouts keep their
+    # parquet under subdirectories, and a top-level-only listing would
+    # size the input at 0 bytes and coalesce everything into one file.
     files = [
-        os.path.join(src_dir, f)
-        for f in os.listdir(src_dir)
+        os.path.join(root, f)
+        for root, _dirs, names in os.walk(src_dir)
+        for f in names
         if f.endswith(".parquet")
     ]
     bytes_before = sum(os.path.getsize(f) for f in files)

@@ -748,6 +748,9 @@ def heavy_hitter_words(
     )
 
 
+_UDTF_SEQ = 0
+
+
 def chunk_text_udtf(
     df: DataFrame,
     chunk_chars: int = 200,
@@ -782,9 +785,16 @@ def chunk_text_udtf(
                 yield i, t[i * st : i * st + cc], n
 
     spark = df.sparkSession
-    spark.udtf.register("_ffs_chunker", _Chunker)
-    df.select(id_col, text_col).createOrReplaceTempView("_ffs_udtf_in")
+    # Per-invocation names (the _STREAM_SEQ idiom): a fixed session-global
+    # name would let two interleaved invocations with different
+    # chunk_chars/stride clobber each other's lazily-evaluated plans.
+    global _UDTF_SEQ
+    _UDTF_SEQ += 1
+    fn_name = f"_ffs_chunker_{_UDTF_SEQ}"
+    view_name = f"_ffs_udtf_in_{_UDTF_SEQ}"
+    spark.udtf.register(fn_name, _Chunker)
+    df.select(id_col, text_col).createOrReplaceTempView(view_name)
     return spark.sql(
         f"select i.{id_col}, c.chunk_no, c.chunk_text, c.n_chunks "
-        f"from _ffs_udtf_in i, lateral _ffs_chunker(i.{text_col}) c"
+        f"from {view_name} i, lateral {fn_name}(i.{text_col}) c"
     )

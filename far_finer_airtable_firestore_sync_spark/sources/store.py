@@ -150,15 +150,6 @@ class DocumentStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out)
-        # Re-check after the (slow) write: a concurrent commit may have
-        # flipped the pointer mid-write. Remove the orphan version dir so
-        # list_versions()/vacuum never see a never-committed snapshot.
-        if expected_version is not None and self.current_version_dir() != expected_version:
-            shutil.rmtree(out, ignore_errors=True)
-            raise ConcurrentCommitError(
-                f"store {self.root}: pointer moved past {expected_version!r} "
-                "during write; refusing to clobber the concurrent commit"
-            )
         tmp = self._pointer_path() + ".tmp"
         # The carry-forward is a read-modify-write of the pointer:
         # serialize it under an exclusive flock so a concurrent commit
@@ -171,6 +162,18 @@ class DocumentStore:
 
         with open(self._pointer_path() + ".lock", "w") as lf:
             fcntl.flock(lf, fcntl.LOCK_EX)
+            # Re-check AFTER the (slow) write and UNDER the lock: a
+            # concurrent commit may have flipped the pointer mid-write,
+            # and a check outside the lock would leave a window between
+            # the check and the replace where another commit's flip is
+            # silently clobbered. Remove the orphan version dir so
+            # list_versions()/vacuum never see a never-committed snapshot.
+            if expected_version is not None and self.current_version_dir() != expected_version:
+                shutil.rmtree(out, ignore_errors=True)
+                raise ConcurrentCommitError(
+                    f"store {self.root}: pointer moved past {expected_version!r} "
+                    "during write; refusing to clobber the concurrent commit"
+                )
             pointer: dict[str, Any] = {"version_dir": rel}
             # Carry the per-app txn map forward so no commit — tagged
             # or not — can erase another stream's replay marker.
