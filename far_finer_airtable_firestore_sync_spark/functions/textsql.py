@@ -88,6 +88,13 @@ def lslice(arr: str, start: str, count: int, dialect: str) -> str:
     return f"list_slice({arr}, {start}, {start} + {count - 1})"
 
 
+def lget(arr: str, idx: str, dialect: str) -> str:
+    """1-based element access (Spark ``element_at``, DuckDB ``[]``)."""
+    if dialect == SPARK:
+        return f"element_at({arr}, {idx})"
+    return f"{arr}[{idx}]"
+
+
 def ljoin(arr: str, sep: str, dialect: str) -> str:
     if dialect == SPARK:
         return f"array_join({arr}, '{sep}')"

@@ -3763,6 +3763,329 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_pmi_body(SPARK, "_ffs_pmi_docs"))
 
 
+#: HLL geometry: p=6 -> m=64 registers; 56-bit digest = 6 bucket bits
+#: (hv div 2^50) + 50 rho bits (hv % 2^50). Small enough that the
+#: fixture exercises the linear-counting branch at sf0.01 and the raw
+#: branch at sf0.1.
+HLL_P = 6
+HLL_M = 1 << HLL_P
+HLL_REM_BITS = 56 - HLL_P  # 50
+#: alpha_m on the 1e-6 grid (Flajolet et al. 2007 bias constant)
+HLL_ALPHA_PPM = round(0.7213 / (1 + 1.079 / HLL_M) * 1_000_000)
+#: scaled-sum numerator: alpha_ppm * m^2 * 2^(REM_BITS+1), precomputed
+#: as one exact Python int (too wide for bigint -> cast from string)
+_HLL_SCALE = 1 << (HLL_REM_BITS + 1)  # 2^51: max rho is 51 -> 2^(51-rho) >= 1
+_HLL_NUM = HLL_ALPHA_PPM * HLL_M * HLL_M * _HLL_SCALE
+
+
+def _hll_body(dialect: str, rel: str) -> str:
+    """Deterministic HyperLogLog distinct-count sketch per source
+    (Flajolet/Fusy/Gandouet/Meunier 2007, "HyperLogLog: the analysis
+    of a near-optimal cardinality estimation algorithm" — public
+    paper). Unlike the engines' native approx_count_distinct (opaque
+    internals -> banded oracle only, see `approx_stats`), this builds
+    the registers from md5 directly, so the *approximate* estimate
+    itself is value-verified cross-engine — the same property the KMV
+    sketch (`sketch_kmv_distinct`) has, for the register-based family.
+
+    Register math is exact integer arithmetic: rho comes from the
+    binary string of the 50 remainder bits (position of first '1');
+    the harmonic-mean denominator sum(2^-rho) is summed on the 2^51
+    grid where every term 2^(51-rho) is an exact bigint; the raw
+    estimate alpha*m^2/Z widens to decimal(38,0)/hugeint before the
+    one division. The small-range branch is Flajolet's linear
+    counting m*ln(m/V) (one portable ln per source).
+
+    Scale shape: DISTINCT collapses duplicate texts map-side before
+    the (source, bucket) shuffle; sketch state is m=64 registers per
+    source — constant-size and MERGEABLE (max of maxima), which is
+    exactly why HLL is the 100 TB path where count(distinct text)
+    shuffles every text. Reference parity: the engine's D8
+    counts/metrics analog (lib/DataProcessor.py) at sketch scale."""
+    h = tx.hex_to_bigint("substring(md5(text), 1, 14)", dialect)
+    intdiv = "div" if dialect == SPARK else "//"
+    wide = "decimal(38,0)" if dialect == SPARK else "hugeint"
+    rb, m, scale = HLL_REM_BITS, HLL_M, _HLL_SCALE
+    return f"""
+with h as (
+  select distinct source, {h} as hv from {rel} where text is not null
+),
+reg as (
+  -- rho = 1-based position of the first set bit in the {rb} remainder
+  -- bits (all-zero remainder -> rho = {rb + 1}); register = max rho
+  select source, hv {intdiv} {1 << rb} as bucket,
+         max(case when hv % {1 << rb} = 0 then {rb + 1}
+                  else position('1' in
+                         lpad(bin(hv % {1 << rb}), {rb}, '0'))
+             end) as r
+  from h group by source, hv {intdiv} {1 << rb}
+),
+z as (
+  -- harmonic-mean denominator on the 2^{rb + 1} integer grid; the
+  -- (m - nb) empty registers each contribute 2^-0 = one full scale
+  select source,
+         cast(count(*) as bigint) as nb,
+         sum(cast({scale} as bigint) {intdiv}
+             cast({"shiftleft(cast(1 as bigint), r)" if dialect == SPARK
+                   else "(1::bigint << r)"} as bigint)) as sum_present
+  from reg group by source
+),
+est as (
+  select source, {m} - nb as v,
+         cast(cast('{_HLL_NUM}' as {wide})
+              {intdiv} (cast(sum_present + ({m} - nb) * cast({scale} as bigint)
+                             as {wide}) * 1000000)
+              as bigint) as raw_est
+  from z
+),
+exact as (
+  select source, cast(count(distinct text) as bigint) as n_exact
+  from {rel} where text is not null group by source
+)
+select e.source, e.n_exact,
+       cast(case when s.raw_est * 2 <= {5 * m} and s.v > 0
+                 then round({m} * ln(cast({m} as double) / cast(s.v as double)))
+                 else s.raw_est end as bigint) as hll_estimate,
+       case when s.raw_est * 2 <= {5 * m} and s.v > 0
+            then 'linear' else 'raw' end as est_path
+from exact e join est s on e.source = s.source
+"""
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic-HLL distinct estimate, value-verified
+    against the exact count (see ``_hll_body``)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_hll_docs"
+    )
+    return spark.sql(_hll_body(SPARK, "_ffs_hll_docs"))
+
+
+HRW_SHARDS = 8
+
+
+def _hrw_body(dialect: str, rel: str, n_shards: int = HRW_SHARDS) -> str:
+    """Rendezvous / highest-random-weight sharding (Thaler & Ravishankar
+    1998, "Using name-based mappings to increase hit rates" — public
+    paper): every doc goes to the shard with the highest
+    md5(doc_id:shard) weight. The property consistent data layouts
+    need at 100 TB: growing the cluster from n to n+1 shards moves
+    exactly the docs whose new shard wins (expected 1/(n+1) of the
+    corpus) and NOTHING between existing shards — a mod-n scheme
+    reshuffles (n-1)/n of all data on every resize.
+
+    Output is the shard-load report (docs + bytes + ppm share per
+    shard); the per-doc assignment is the interior `assign` relation.
+
+    Scale shape: the spine explode is n_shards rows per doc (scan-side
+    projection, no text carried); the argmax is one window keyed on
+    doc_id; the report aggregate combines map-side. The assignment is
+    embarrassingly parallel — no global state, any executor can route
+    any row, which is what makes HRW the streaming-sink router."""
+    intdiv = "div" if dialect == SPARK else "//"
+    return f"""
+with loads as (
+  select s as shard,
+         cast(count(*) as bigint) as n_docs,
+         cast(sum(coalesce(n_chars, 0)) as bigint) as total_chars
+  from ({_hrw_assign_body(dialect, rel, n_shards)}) group by s
+)
+select shard, n_docs, total_chars,
+       cast(n_docs * 1000000 {intdiv} sum(n_docs) over () as bigint) as share_ppm
+from loads
+"""
+
+
+def _hrw_assign_body(dialect: str, rel: str, n_shards: int) -> str:
+    """Per-doc HRW assignment (doc_id, n_chars, s) — the interior of
+    ``_hrw_body``, exposed so the minimal-movement invariant (resize
+    n -> n+1 only moves docs TO the new shard) is directly testable."""
+    h = tx.hex_to_bigint(
+        "substring(md5(cast(doc_id as string) || ':' || cast(s as string)), 1, 14)",
+        dialect,
+    )
+    spine = tx.seq("0", str(n_shards - 1), dialect)
+    return f"""
+select doc_id, n_chars, s from (
+  select doc_id, n_chars, s,
+         row_number() over (partition by doc_id order by hv desc, s asc) as rn
+  from (
+    select doc_id, n_chars, s, {h} as hv
+    from (select doc_id, n_chars, {tx.explode_as(spine, "s", dialect)} from {rel})
+  )
+) where rn = 1
+"""
+
+
+def q_hrw_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard-load report over documents (see
+    ``_hrw_body``)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_hrw_docs"
+    )
+    return spark.sql(_hrw_body(SPARK, "_ffs_hrw_docs"))
+
+
+PHRASE_TERMS = ["hash", "join"]
+PHRASE_TOPK = 100
+
+
+def _phrase_body(
+    dialect: str, rel: str, terms: list[str] | None = None
+) -> str:
+    """Positional phrase search over an inverted index with positions
+    (the classic IR primitive BM25/TF-IDF cannot express — "hash join"
+    as ADJACENT words, not a bag). Postings are (doc, position, term)
+    rows; the phrase match is a self-join chain with position
+    adjacency p_{{i+1}}.pos = p_1.pos + i.
+
+    Scale shape: the postings explode filters to the QUERY TERMS
+    before any shuffle (at 100 TB the phrase join touches the index
+    slice for 2 terms, not the corpus); the adjacency joins are all
+    keyed on (doc_id, pos) — co-partitioned, AQE-broadcastable when a
+    term is rare. Raw text never shuffles."""
+    terms = terms or PHRASE_TERMS
+    w = tx.split_ws_safe("lower(text)", dialect)
+    idx = tx.seq("1", f"{tx.lsize('warr', dialect)}", dialect)
+    word_i = tx.lget("warr", "i", dialect)
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    joins = "\n".join(
+        f"join posting p{i} on p{i}.doc_id = p0.doc_id"
+        f" and p{i}.pos = p0.pos + {i} and p{i}.term = '{terms[i]}'"
+        for i in range(1, len(terms))
+    )
+    return f"""
+with words as (select doc_id, {w} as warr from {rel}),
+posting as (
+  select doc_id, i as pos, term from (
+    select doc_id, {word_i} as term, i
+    from (select doc_id, warr, {tx.explode_as(idx, "i", dialect)} from words)
+  ) where term in ({term_list})
+),
+hits as (
+  select p0.doc_id, p0.pos
+  from posting p0
+  {joins}
+  where p0.term = '{terms[0]}'
+)
+select doc_id,
+       cast(count(*) as bigint) as n_hits,
+       cast(min(pos) as int) as first_pos
+from hits group by doc_id
+order by n_hits desc, doc_id asc
+limit {PHRASE_TOPK}
+"""
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs containing the exact phrase "hash join", ranked by hit
+    count (see ``_phrase_body``)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_phrase_docs"
+    )
+    return spark.sql(_phrase_body(SPARK, "_ffs_phrase_docs"))
+
+
+def _bpe_body(dialect: str, rel: str) -> str:
+    """Distributed BPE vocabulary training, first two merge steps
+    (Sennrich/Haddow/Birch 2016, "Neural Machine Translation of Rare
+    Words with Subword Units" — public paper; the reference pipeline's
+    token-counting heuristic, functions/textsql.py word_token_count,
+    is the INFERENCE side of this artifact). Pair statistics count
+    every adjacent symbol position weighted by word frequency; the
+    winning pair is applied greedily left-to-right (the run-parity
+    rule below reproduces the reference implementation's non-
+    overlapping leftmost scan), then pairs are recounted for merge 2.
+
+    Greedy-apply in declarative form: rows where (sym, next sym)
+    matches the winner are islands of consecutive positions; within
+    an island only the 1st, 3rd, ... matches merge (overlap is only
+    possible when left == right, e.g. 'aaaa' -> 'aa','aa' not
+    'aa','a','a'), matched rows absorb their successor, and positions
+    renumber. Everything is per-word windows over the DISTINCT word
+    table — cost tracks vocabulary size, not corpus size, exactly why
+    BPE training is feasible at 100 TB: the corpus collapses to
+    (word, count) once, map-side combined.
+
+    Output: (merge_rank, sym_left, sym_right, n_pair) for the first
+    two merges; n_pair counts adjacent POSITIONS (overlapping runs
+    count every position, matching the canonical get_stats)."""
+    w = tx.split_ws_safe("lower(text)", dialect)
+    chars = tx.seq("1", "length(word)", dialect)
+    return f"""
+with wc as (
+  select word, cast(count(*) as bigint) as wc
+  from (select {tx.explode_as(w, "word", dialect)} from {rel})
+  where word <> '' group by word
+),
+syms0 as (
+  select word, wc, i as pos, substring(word, i, 1) as sym
+  from (select word, wc, {tx.explode_as(chars, "i", dialect)} from wc)
+),
+p1 as (
+  select word, wc, pos, sym,
+         lead(sym) over (partition by word order by pos asc) as nxt
+  from syms0
+),
+c1 as (
+  select sym as a, nxt as b, sum(wc) as n
+  from p1 where nxt is not null group by sym, nxt
+),
+m1 as (select a, b, n from c1 order by n desc, a asc, b asc limit 1),
+flag as (
+  select p.word, p.wc, p.pos, p.sym, m.a as ma, m.b as mb, m.n as mn,
+         case when p.sym = m.a and p.nxt = m.b then 1 else 0 end as mt
+  from p1 p cross join m1 m
+),
+isl as (
+  select word, pos,
+         pos - row_number() over (partition by word order by pos asc) as g
+  from flag where mt = 1
+),
+keep as (
+  select word, pos from (
+    select word, pos,
+           row_number() over (partition by word, g order by pos asc) as r
+    from isl
+  ) where r % 2 = 1
+),
+merged as (
+  select f.word, f.wc, f.pos,
+         case when k.pos is not null then f.ma || f.mb else f.sym end as sym,
+         case when k2.pos is not null then 1 else 0 end as consumed
+  from flag f
+  left join keep k on f.word = k.word and f.pos = k.pos
+  left join keep k2 on f.word = k2.word and f.pos = k2.pos + 1
+),
+resym as (
+  select word, wc,
+         row_number() over (partition by word order by pos asc) as pos, sym
+  from merged where consumed = 0
+),
+c2 as (
+  select sym as a, nxt as b, sum(wc) as n from (
+    select word, wc, sym,
+           lead(sym) over (partition by word order by pos asc) as nxt
+    from resym
+  ) where nxt is not null group by sym, nxt
+),
+m2 as (select a, b, n from c2 order by n desc, a asc, b asc limit 1)
+select 1 as merge_rank, a as sym_left, b as sym_right, n as n_pair from m1
+union all
+select 2 as merge_rank, a as sym_left, b as sym_right, n as n_pair from m2
+order by merge_rank asc
+"""
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First two distributed-BPE merges over the documents vocabulary
+    (see ``_bpe_body``)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_bpe_docs"
+    )
+    return spark.sql(_bpe_body(SPARK, "_ffs_bpe_docs"))
+
+
 EXT_QUERIES = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
@@ -3844,6 +4167,10 @@ EXT_QUERIES = {
     "llm_curate_v2": q_curate_v2,
     "orc_roundtrip": q_orc_roundtrip,
     "text_chunking_udtf": q_text_chunking_udtf,
+    "sketch_hll_distinct": q_hll_distinct,
+    "shard_rendezvous": q_hrw_sharding,
+    "search_phrase": q_phrase_search,
+    "tokenizer_bpe_merges": q_bpe_merges,
 }
 
 
@@ -3931,4 +4258,8 @@ def ext_oracles() -> dict[str, str]:
         "llm_curate_v2": _curate_v2_body(DUCKDB, "documents"),
         "orc_roundtrip": ORC_ROUNDTRIP_SQL,
         "text_chunking_udtf": TEXT_CHUNKING_SQL,
+        "sketch_hll_distinct": _hll_body(DUCKDB, "documents"),
+        "shard_rendezvous": _hrw_body(DUCKDB, "documents"),
+        "search_phrase": _phrase_body(DUCKDB, "documents"),
+        "tokenizer_bpe_merges": _bpe_body(DUCKDB, "documents"),
     }

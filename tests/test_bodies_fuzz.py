@@ -47,6 +47,10 @@ from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
     _strip_spans_body,
     _unimax_body,
     _weighted_sample_body,
+    _bpe_body,
+    _hll_body,
+    _hrw_body,
+    _phrase_body,
 )
 
 WORDS = ["spark", "window", "merge", "the", "cat", "sat", "a", "b", "c",
@@ -222,6 +226,24 @@ def test_fuzz_body_parity(spark, tmp_path):
             _curate_v2_body(SPARK, "fz_docs"),
             _curate_v2_body(DUCKDB, "fz_docs"),
         ),
+        "hll": (_hll_body(SPARK, "fz_docs"), _hll_body(DUCKDB, "fz_docs")),
+        # NULL n_chars (NULL text) exercises the coalesce(0) leg
+        "hrw": (
+            _hrw_body(
+                SPARK,
+                "(select doc_id, length(text) as n_chars from fz_docs)",
+            ),
+            _hrw_body(
+                DUCKDB,
+                "(select doc_id, length(text) as n_chars from fz_docs)",
+            ),
+        ),
+        # 2-token vocab words -> adjacency hits exist in the fuzz corpus
+        "phrase": (
+            _phrase_body(SPARK, "fz_docs", terms=["the", "cat"]),
+            _phrase_body(DUCKDB, "fz_docs", terms=["the", "cat"]),
+        ),
+        "bpe": (_bpe_body(SPARK, "fz_docs"), _bpe_body(DUCKDB, "fz_docs")),
     }
     for name, (s_sql, d_sql) in bodies.items():
         s_rows = _norm([tuple(r) for r in spark.sql(s_sql).collect()])

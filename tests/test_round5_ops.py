@@ -1,0 +1,262 @@
+"""Round-5 additions: deterministic HLL sketch, rendezvous sharding,
+positional phrase search, distributed BPE merges — each pinned against
+an independent Python brute force on synthetic fixtures (the DuckDB
+value oracle covers the fixture tables; these pin the algorithms)."""
+
+import hashlib
+import math
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from far_finer_airtable_firestore_sync_spark.functions.canonical import SPARK
+from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+    HLL_ALPHA_PPM,
+    HLL_M,
+    HLL_REM_BITS,
+    _bpe_body,
+    _hll_body,
+    _hrw_assign_body,
+    _phrase_body,
+)
+
+
+def _write_docs(tmp_path, name, rows):
+    path = str(tmp_path / f"{name}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1]) if r[1] is not None else None for r in rows],
+                    pa.int64(),
+                ),
+            }
+        ),
+        path,
+    )
+    return path
+
+
+def _h56(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+
+# ---------------------------------------------------------------------------
+# HLL: brute-force replay + error band on the raw-branch regime
+# ---------------------------------------------------------------------------
+
+
+def _hll_python(texts):
+    """Bit-identical replay of _hll_body's register math."""
+    regs = {}
+    for t in set(texts):
+        hv = _h56(t)
+        bucket, rem = hv >> HLL_REM_BITS, hv % (1 << HLL_REM_BITS)
+        rho = (
+            HLL_REM_BITS + 1
+            if rem == 0
+            else bin(rem)[2:].zfill(HLL_REM_BITS).index("1") + 1
+        )
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    scale = 1 << (HLL_REM_BITS + 1)
+    total = sum(scale >> r for r in regs.values()) + (HLL_M - len(regs)) * scale
+    num = HLL_ALPHA_PPM * HLL_M * HLL_M * scale
+    raw = num // (total * 1_000_000)
+    v = HLL_M - len(regs)
+    if raw * 2 <= 5 * HLL_M and v > 0:
+        return int(round(HLL_M * math.log(HLL_M / v))), "linear"
+    return raw, "raw"
+
+
+def test_hll_matches_python_replay_and_error_band(spark, tmp_path):
+    rng = random.Random(7)
+    rows = []
+    # source 'big': ~1200 distinct (raw branch, m=64 -> est > 160)
+    for i in range(1200):
+        rows.append((i, f"uniq text {i} {rng.random()}", "big"))
+    # source 'small': 12 distinct repeated (linear-counting branch)
+    for i in range(60):
+        rows.append((1200 + i, f"dup {i % 12}", "small"))
+    path = _write_docs(tmp_path, "hll", rows)
+    spark.read.parquet(path).createOrReplaceTempView("hll_docs")
+    got = {
+        r["source"]: (r["n_exact"], r["hll_estimate"], r["est_path"])
+        for r in spark.sql(_hll_body(SPARK, "hll_docs")).collect()
+    }
+    for src in ("big", "small"):
+        texts = [r[1] for r in rows if r[2] == src]
+        est, path_kind = _hll_python(texts)
+        n_exact = len(set(texts))
+        assert got[src] == (n_exact, est, path_kind)
+    # raw-branch regime: within 3 sigma of HLL's 1.04/sqrt(m) std error
+    n, est = got["big"][0], got["big"][1]
+    assert got["big"][2] == "raw"
+    assert abs(est - n) <= 3 * 1.04 / math.sqrt(HLL_M) * n
+    assert got["small"][2] == "linear"
+    assert abs(got["small"][1] - 12) <= 4  # linear counting is tight here
+
+
+def test_hll_registers_are_mergeable(spark, tmp_path):
+    """HLL's scale contract: sketch(A ∪ B) == merge(sketch(A), sketch(B))
+    by register max — estimates from the union of two halves must equal
+    the estimate over all rows (duplicates across halves collapse)."""
+    rows = [(i, f"t {i % 300}", "s") for i in range(700)]
+    whole = _write_docs(tmp_path, "whole", rows)
+    spark.read.parquet(whole).createOrReplaceTempView("hllm_whole")
+    # the union-of-halves relation: same rows, split then unioned
+    spark.sql(
+        "select * from hllm_whole where doc_id < 350 "
+        "union all select * from hllm_whole where doc_id >= 350"
+    ).createOrReplaceTempView("hllm_union")
+    a = spark.sql(_hll_body(SPARK, "hllm_whole")).collect()
+    b = spark.sql(_hll_body(SPARK, "hllm_union")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# HRW: minimal movement on resize
+# ---------------------------------------------------------------------------
+
+
+def test_hrw_resize_moves_only_to_new_shard(spark, tmp_path):
+    rows = [(i, f"doc {i}", "s") for i in range(500)]
+    path = _write_docs(tmp_path, "hrw", rows)
+    spark.read.parquet(path).createOrReplaceTempView("hrw_docs")
+    a8 = {
+        r["doc_id"]: r["s"]
+        for r in spark.sql(_hrw_assign_body(SPARK, "hrw_docs", 8)).collect()
+    }
+    a9 = {
+        r["doc_id"]: r["s"]
+        for r in spark.sql(_hrw_assign_body(SPARK, "hrw_docs", 9)).collect()
+    }
+    moved = {d for d in a8 if a8[d] != a9[d]}
+    # every move lands on the NEW shard — never between existing shards
+    assert all(a9[d] == 8 for d in moved)
+    # expected move fraction 1/9; generous band for n=500
+    assert 0.03 <= len(moved) / 500 <= 0.25
+    # and the assignment matches an independent Python argmax replay
+    for d in list(a8)[:50]:
+        best = max(range(8), key=lambda s: (_h56(f"{d}:{s}"), -s))
+        assert a8[d] == best
+
+
+# ---------------------------------------------------------------------------
+# phrase search: adjacency, not bag-of-words
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_search_requires_adjacency(spark, tmp_path):
+    rows = [
+        (1, "hash join is fast", "s"),        # 1 hit
+        (2, "join hash", "s"),                # reversed: no hit
+        (3, "hash x join", "s"),              # gap: no hit
+        (4, "hash join and hash join", "s"),  # 2 hits
+        (5, None, "s"),                       # null text
+        (6, "hash", "s"),                     # lone term
+    ]
+    path = _write_docs(tmp_path, "ph", rows)
+    spark.read.parquet(path).createOrReplaceTempView("ph_docs")
+    got = {
+        r["doc_id"]: (r["n_hits"], r["first_pos"])
+        for r in spark.sql(_phrase_body(SPARK, "ph_docs")).collect()
+    }
+    assert got == {1: (1, 1), 4: (2, 1)}
+
+
+def test_phrase_search_triple_term_chain(spark, tmp_path):
+    rows = [
+        (1, "a b c d", "s"),
+        (2, "a b x c", "s"),
+        (3, "b c a b c", "s"),
+    ]
+    path = _write_docs(tmp_path, "ph3", rows)
+    spark.read.parquet(path).createOrReplaceTempView("ph3_docs")
+    got = {
+        r["doc_id"]: (r["n_hits"], r["first_pos"])
+        for r in spark.sql(
+            _phrase_body(SPARK, "ph3_docs", terms=["a", "b", "c"])
+        ).collect()
+    }
+    assert got == {1: (1, 1), 3: (1, 3)}
+
+
+# ---------------------------------------------------------------------------
+# BPE: canonical get_stats/merge reference implementation
+# ---------------------------------------------------------------------------
+
+
+def _bpe_python(texts, n_merges=2):
+    """Canonical BPE trainer (Sennrich 2016 learn_bpe shape): count
+    adjacent symbol positions weighted by word frequency, merge the
+    winner greedily left-to-right, repeat."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in (t or "").lower().split(" "):
+            if w:
+                vocab[w] += 1
+    words = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        stats = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += vocab[w]
+        if not stats:
+            break
+        # tie-break: max count, then lexicographically smallest (a, b)
+        best = sorted(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        (a, b), n = best
+        merges.append((a, b, n))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def test_bpe_matches_reference_trainer(spark, tmp_path):
+    texts = [
+        "hello hello help",
+        "hell hello yellow",
+        "low lower lowest low low",
+        "aaaa aaa aa",  # run-parity: 'aaaa' -> 'aa','aa'; 'aaa' -> 'aa','a'
+    ]
+    rows = [(i, t, "s") for i, t in enumerate(texts)]
+    path = _write_docs(tmp_path, "bpe", rows)
+    spark.read.parquet(path).createOrReplaceTempView("bpe_docs")
+    got = [
+        (r["sym_left"], r["sym_right"], r["n_pair"])
+        for r in spark.sql(_bpe_body(SPARK, "bpe_docs"))
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    exp = _bpe_python(texts, n_merges=2)
+    assert got == exp
+
+
+def test_bpe_run_parity_on_repeats(spark, tmp_path):
+    """'aaaa' must merge to ('aa','aa'), not ('aa','a','a'): after
+    merge-1 (a,a), merge-2's top pair over 'aaaa' is (aa, aa)."""
+    rows = [(1, "aaaa", "s")]
+    path = _write_docs(tmp_path, "bpe2", rows)
+    spark.read.parquet(path).createOrReplaceTempView("bpe2_docs")
+    got = [
+        (r["merge_rank"], r["sym_left"], r["sym_right"], r["n_pair"])
+        for r in spark.sql(_bpe_body(SPARK, "bpe2_docs"))
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
