@@ -664,6 +664,82 @@ where case when o.c_custkey is null then 'insert'
 """
 
 
+def _q_store_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the versioned store: commit
+    two snapshots, take the CDC diff WITH before-images, and maintain
+    a per-segment rollup from the changelog alone (operators/ivm.py) —
+    never rescanning the new snapshot. The oracle recomputes the
+    rollup directly from the new snapshot's closed form; the two must
+    match exactly (decimal sums are order-independent).
+
+    The change mix exercises every IVM leg: inserts (%3 keys),
+    deletes (%7), in-group value updates (%5), and group-MOVING
+    updates (%11 reassigns the segment) whose retraction and addition
+    land on different groups."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.operators.ivm import (
+        incremental_rollup,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    old = cust.filter("c_custkey % 3 != 0")
+    new = cust.filter("c_custkey % 7 != 0").select(
+        "c_custkey",
+        F.expr(
+            "case when c_custkey % 11 = 0 then 'MOVED' else c_mktsegment end"
+        ).alias("c_mktsegment"),
+        F.expr(
+            "cast(case when c_custkey % 5 = 0 then bal + 10 else bal end"
+            " as decimal(18,2))"
+        ).alias("bal"),
+    )
+    root = tempfile.mkdtemp(prefix="ffs_ivm_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "c_custkey")
+    v_old = store.commit(old)
+    v_new = store.commit(new)
+    base = store.read_version(v_old).groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("bal").cast("decimal(18,2)").alias("total_bal"),
+    )
+    cdc = store.diff_versions(v_old, v_new, include_old=True)
+    out = incremental_rollup(
+        base, cdc, "c_mktsegment", "n_rows", {"total_bal": "bal"}
+    )
+    return out.select(
+        "c_mktsegment",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("total_bal").cast("double").alias("total_bal"),
+    )
+
+
+_STORE_IVM_SQL = """
+with new as (
+  select c_custkey,
+         case when c_custkey % 11 = 0 then 'MOVED' else c_mktsegment end
+           as c_mktsegment,
+         cast(case when c_custkey % 5 = 0
+                   then cast(c_acctbal as decimal(18,2)) + 10
+                   else cast(c_acctbal as decimal(18,2)) end
+              as decimal(18,2)) as bal
+  from customer where c_custkey % 7 <> 0
+)
+select c_mktsegment,
+       cast(count(*) as bigint) as n_rows,
+       cast(sum(bal) as double) as total_bal
+from new group by c_mktsegment
+"""
+
+
 def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigated aggregation: two-stage (key, salt) partial ->
     per-key merge. Result must be identical to the plain GROUP BY the
@@ -794,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_cleanup": _q_string_cleanup,
         "key_set_diff": _q_key_set_diff,
         "store_cdc_diff": _q_store_cdc,
+        "store_ivm_rollup": _q_store_ivm,
         "salted_agg_revenue": _q_salted_agg,
         "skew_hot_key_unsalted": _q_skew_hot_unsalted,
         "skew_hot_key_salted": _q_skew_hot_salted,
@@ -830,6 +907,7 @@ def oracle_sql() -> dict[str, str]:
         "string_cleanup": _STRING_CLEANUP_SQL,
         "key_set_diff": _KEY_SET_DIFF_SQL,
         "store_cdc_diff": _STORE_CDC_SQL,
+        "store_ivm_rollup": _STORE_IVM_SQL,
         "salted_agg_revenue": _SALTED_AGG_SQL,
         "skew_hot_key_unsalted": _SKEW_HOT_SQL,
         "skew_hot_key_salted": _SKEW_HOT_SQL,

@@ -205,7 +205,11 @@ class DocumentStore:
         )
 
     def diff_versions(
-        self, old_dir: str, new_dir: str, key_col: Optional[str] = None
+        self,
+        old_dir: str,
+        new_dir: str,
+        key_col: Optional[str] = None,
+        include_old: bool = False,
     ) -> DataFrame:
         """CDC between two snapshots: one row per changed document with
         ``change_type`` in (insert, delete, update).
@@ -213,6 +217,13 @@ class DocumentStore:
         Built on the store's immutable versions (the parquet analog of
         Delta time travel): full-outer join on the key, rows compared
         column-wise. One shuffle per side on the key.
+
+        ``include_old=True`` additionally emits the before-image as
+        ``old_<col>`` columns (NULL on insert) — Delta CDF's
+        preImage/postImage shape, which is what retraction-based
+        consumers (incremental view maintenance, ``operators.ivm``)
+        need to subtract deleted/updated rows from downstream
+        aggregates without rescanning the base.
         """
         key = key_col or self.key_col
         old = self.read_version(old_dir).alias("o")
@@ -229,14 +240,17 @@ class DocumentStore:
             .when(~n_present, F.lit("delete"))
             .when(~same, F.lit("update"))
         )
+        out_cols = [
+            F.coalesce(F.col(f"n.{key}"), F.col(f"o.{key}")).alias(key),
+            change.alias("change_type"),
+            *[F.col(f"n.{c}").alias(c) for c in cols],
+        ]
+        if include_old:
+            out_cols += [F.col(f"o.{c}").alias(f"old_{c}") for c in cols]
         return (
-            j.withColumn("change_type", change)
-            .filter(F.col("change_type").isNotNull())
-            .select(
-                F.coalesce(F.col(f"n.{key}"), F.col(f"o.{key}")).alias(key),
-                "change_type",
-                *[F.col(f"n.{c}").alias(c) for c in cols],
-            )
+            j.withColumn("_ct", change)
+            .filter(F.col("_ct").isNotNull())
+            .select(*out_cols)
         )
 
     def compact(

@@ -260,3 +260,109 @@ def test_bpe_run_parity_on_repeats(spark, tmp_path):
         .collect()
     ]
     assert got == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_diff_versions_include_old_shapes(spark, tmp_path):
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "st"), "pk")
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "pk long, g string, v long"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 25), (3, "z", 30), (4, "d", 40)], "pk long, g string, v long"
+    )
+    v1, v2 = store.commit(old), store.commit(new)
+    rows = {
+        r["pk"]: r.asDict()
+        for r in store.diff_versions(v1, v2, include_old=True).collect()
+    }
+    assert rows[1]["change_type"] == "delete"
+    assert rows[1]["g"] is None and rows[1]["old_g"] == "a"
+    assert rows[1]["old_v"] == 10
+    assert rows[2]["change_type"] == "update"
+    assert (rows[2]["v"], rows[2]["old_v"]) == (25, 20)
+    assert rows[3]["change_type"] == "update"  # group moved c -> z
+    assert (rows[3]["g"], rows[3]["old_g"]) == ("z", "c")
+    assert rows[4]["change_type"] == "insert"
+    assert rows[4]["old_g"] is None and rows[4]["v"] == 40
+
+
+def test_incremental_rollup_matches_direct_recompute(spark, tmp_path):
+    """All IVM legs at once: in-group update, group-moving update,
+    delete that ERASES a group, insert that CREATES a group."""
+    from pyspark.sql import functions as F
+
+    from far_finer_airtable_firestore_sync_spark.operators.ivm import (
+        incremental_rollup,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    old_rows = [(1, "a", 10), (2, "a", 5), (3, "b", 7), (4, "c", 100)]
+    new_rows = [
+        (1, "a", 12),    # in-group value update
+        (2, "b", 5),     # group move a -> b
+        # 3 deleted; 4 deleted -> group c vanishes entirely
+        (5, "d", 50),    # insert -> new group d
+    ]
+    store = DocumentStore(spark, str(tmp_path / "st2"), "pk")
+    old = spark.createDataFrame(old_rows, "pk long, g string, v long")
+    new = spark.createDataFrame(new_rows, "pk long, g string, v long")
+    v1, v2 = store.commit(old), store.commit(new)
+    base = (
+        store.read_version(v1)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("tv"),
+        )
+    )
+    cdc = store.diff_versions(v1, v2, include_old=True)
+    got = sorted(
+        tuple(r)
+        for r in incremental_rollup(base, cdc, "g", "n", {"tv": "v"})
+        .select("g", "n", F.col("tv").cast("long"))
+        .collect()
+    )
+    direct = sorted(
+        tuple(r)
+        for r in store.read_version(v2)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("tv"),
+        )
+        .collect()
+    )
+    assert got == direct == [("a", 1, 12), ("b", 1, 5), ("d", 1, 50)]
+
+
+def test_rollup_delta_touches_only_changed_groups(spark):
+    """The delta frame must contain ONLY groups reachable from the
+    changelog — the no-base-rescan property that makes IVM cheap."""
+    from far_finer_airtable_firestore_sync_spark.operators.ivm import (
+        rollup_delta,
+    )
+
+    cdc = spark.createDataFrame(
+        [
+            ("insert", "g1", 5, None, None),
+            ("update", "g1", 7, "g2", 3),   # move g2 -> g1
+            ("delete", None, None, "g3", 9),
+        ],
+        "change_type string, g string, v long, old_g string, old_v long",
+    )
+    rows = {r["g"]: r for r in rollup_delta(cdc, "g", ["v"]).collect()}
+    assert set(rows) == {"g1", "g2", "g3"}
+    assert (rows["g1"]["d_count"], rows["g1"]["d_v"]) == (2, 12)
+    assert (rows["g2"]["d_count"], rows["g2"]["d_v"]) == (-1, -3)
+    assert (rows["g3"]["d_count"], rows["g3"]["d_v"]) == (-1, -9)
