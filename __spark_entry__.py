@@ -664,6 +664,74 @@ where case when o.c_custkey is null then 'insert'
 """
 
 
+#: portable row rendering for the drift checksum: bigints + strings +
+#: cent-exact balances only (raw doubles never enter a digest)
+_DRIFT_ROW = (
+    "cast(c_custkey as string) || '|' || coalesce(c_name, '<null>')"
+    " || '|' || cast(bal_cents as string)"
+)
+_DRIFT_KEY = "cast(c_custkey as string)"
+
+
+def _q_store_bucket_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style anti-entropy: compare two committed snapshots by
+    64 per-bucket checksums (DocumentStore.bucket_drift) and report
+    only the diverging buckets — the row-level diff then runs bucket-
+    pruned. The oracle replays the same bucket/checksum arithmetic in
+    DuckDB over the snapshots' closed forms."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr(
+            "cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)"
+        ).alias("bal_cents"),
+    )
+    # SPARSE change set (~2% of keys): the report must prove most
+    # buckets compare EQUAL — that pruning is the whole point
+    old = cust
+    new = cust.filter("c_custkey % 101 != 0").select(
+        "c_custkey",
+        "c_name",
+        F.expr(
+            "case when c_custkey % 97 = 0 then bal_cents + 1000"
+            " else bal_cents end"
+        ).alias("bal_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="ffs_drift_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "c_custkey")
+    v_old = store.commit(old)
+    v_new = store.commit(new)
+    return store.bucket_drift(v_old, v_new, _DRIFT_ROW, _DRIFT_KEY)
+
+
+def _store_bucket_drift_oracle() -> str:
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        bucket_drift_body,
+    )
+
+    base = (
+        "select c_custkey, c_name,"
+        " cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint) as bal_cents"
+        " from customer"
+    )
+    old = f"({base})"
+    new = (
+        f"(select c_custkey, c_name,"
+        f" case when c_custkey % 97 = 0 then bal_cents + 1000"
+        f" else bal_cents end as bal_cents"
+        f" from ({base}) where c_custkey % 101 <> 0)"
+    )
+    return bucket_drift_body(DUCKDB, old, new, _DRIFT_ROW, _DRIFT_KEY)
+
+
 def _q_store_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance over the versioned store: commit
     two snapshots, take the CDC diff WITH before-images, and maintain
@@ -871,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_set_diff": _q_key_set_diff,
         "store_cdc_diff": _q_store_cdc,
         "store_ivm_rollup": _q_store_ivm,
+        "store_bucket_drift": _q_store_bucket_drift,
         "salted_agg_revenue": _q_salted_agg,
         "skew_hot_key_unsalted": _q_skew_hot_unsalted,
         "skew_hot_key_salted": _q_skew_hot_salted,
@@ -908,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
         "key_set_diff": _KEY_SET_DIFF_SQL,
         "store_cdc_diff": _STORE_CDC_SQL,
         "store_ivm_rollup": _STORE_IVM_SQL,
+        "store_bucket_drift": _store_bucket_drift_oracle(),
         "salted_agg_revenue": _SALTED_AGG_SQL,
         "skew_hot_key_unsalted": _SKEW_HOT_SQL,
         "skew_hot_key_salted": _SKEW_HOT_SQL,

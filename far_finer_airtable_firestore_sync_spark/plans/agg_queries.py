@@ -531,6 +531,55 @@ def q_streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined, f"_ffs_stream_rj_{_STREAM_SEQ}", output_mode="append"
     )
 
+def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL left-outer stream-stream join: every purchase emits, with
+    NULL click columns when no same-user click lands within 1 hour —
+    the emission requires watermark progress past ts + horizon, so
+    both replays push flush sentinels (see
+    stream_stream_interval_join_left). Oracle: the batch LEFT range
+    join over the same events."""
+    _utc(spark)
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        read_event_stream_with_flush,
+        run_stream_to_memory,
+        stream_stream_interval_join_left,
+    )
+
+    # sentinels (user_id < 0) must SURVIVE the type filters so the
+    # watermark still reaches year 2100 on both sides
+    purchases = read_event_stream_with_flush(
+        spark, f"{sf_dir}/events.parquet"
+    ).filter("event_type = 'purchase' or user_id < 0")
+    clicks = read_event_stream_with_flush(
+        spark, f"{sf_dir}/events.parquet"
+    ).filter("event_type = 'click' or user_id < 0")
+    joined = stream_stream_interval_join_left(
+        purchases, clicks, horizon="1 hour"
+    )
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    out = run_stream_to_memory(
+        joined, f"_ffs_stream_loj_{_STREAM_SEQ}", output_mode="append"
+    )
+    return out.filter("user_id >= 0")
+
+
+STREAMING_LEFT_OUTER_SQL = """
+with purchases as (
+  select event_id, user_id, ts from events where event_type = 'purchase'
+),
+clicks as (
+  select user_id, event_id as click_id, ts as click_ts
+  from events where event_type = 'click'
+)
+select p.event_id, p.user_id, p.ts, c.click_id as r_click_id,
+       c.click_ts as r_click_ts
+from purchases p left join clicks c
+  on p.user_id = c.user_id
+ and epoch_us(c.click_ts) - epoch_us(p.ts) between 0 and 3600000000
+"""
+
+
 _STREAM_SEQ = 0
 
 STREAMING_WINDOW_SQL = f"""
@@ -1713,6 +1762,7 @@ AGG_QUERIES = {
     "streaming_rollup_store": q_streaming_rollup_store,
     "streaming_session_agg": q_streaming_session_agg,
     "streaming_range_join": q_streaming_range_join,
+    "streaming_left_outer_join": q_streaming_left_outer_join,
     "set_ops": q_set_ops,
     "agg_cube": q_cube_agg,
     "scalar_functions": q_scalar_functions,
@@ -1757,6 +1807,7 @@ AGG_ORACLES = {
     "streaming_enrich_join": STREAMING_ENRICH_SQL,
     "streaming_rollup_store": STREAMING_ROLLUP_SLICE_SQL,
     "streaming_session_agg": STREAMING_SESSION_SQL,
+    "streaming_left_outer_join": STREAMING_LEFT_OUTER_SQL,
     "set_ops": SET_OPS_SQL,
     "agg_cube": CUBE_SQL,
     "scalar_functions": SCALAR_FUNCS_SQL,

@@ -253,6 +253,44 @@ class DocumentStore:
             .select(*out_cols)
         )
 
+    def bucket_drift(
+        self,
+        old_dir: str,
+        new_dir: str,
+        row_string_expr: str,
+        key_string_expr: Optional[str] = None,
+        n_buckets: int = 64,
+    ) -> DataFrame:
+        """Merkle-style snapshot comparison: instead of diffing rows
+        (``diff_versions`` — one full-outer join over BOTH snapshots),
+        hash each row to one of ``n_buckets`` by its key and compare
+        per-bucket order-independent checksums. Two 100 TB snapshots
+        compare by exchanging ``n_buckets`` (bucket, count, checksum)
+        triples; only diverging buckets then need the row-level diff,
+        pruned by the same bucket-of-key predicate — the anti-entropy
+        repair pattern (Merkle trees in Dynamo/Cassandra; DeCandia et
+        al. 2007, public paper), and the distributed form of the
+        reference's table-checksum short-circuit
+        (lib/UpdateStrategies.py VERSIONED_TABLE_CHECKSUM).
+
+        ``row_string_expr`` must render a row to a PORTABLE string
+        (bigint/string/decimal casts — no raw doubles); the checksum
+        is sum of 56-bit md5 digests mod 2^56, associative and
+        commutative, so it map-side combines and never depends on row
+        order. Returns one row per DIVERGING bucket:
+        (bucket, n_old, n_new, chk_old, chk_new)."""
+        global _DRIFT_SEQ
+        _DRIFT_SEQ += 1
+        key = key_string_expr or f"cast({self.key_col} as string)"
+        ov, nv = f"_ffs_drift_old_{_DRIFT_SEQ}", f"_ffs_drift_new_{_DRIFT_SEQ}"
+        self.read_version(old_dir).createOrReplaceTempView(ov)
+        self.read_version(new_dir).createOrReplaceTempView(nv)
+        return self.spark.sql(
+            bucket_drift_body(
+                "spark", ov, nv, row_string_expr, key, n_buckets
+            )
+        )
+
     def compact(
         self,
         target_rows_per_file: int = 1_000_000,
@@ -402,3 +440,56 @@ class DocumentStore:
         cur = self.read()
         if cur is not None:
             self.commit(self.spark.createDataFrame([], cur.schema))
+
+
+#: per-call temp-view sequence for bucket_drift (fixed names would let
+#: interleaved lazily-evaluated calls clobber each other — ADVICE r4)
+_DRIFT_SEQ = 0
+
+
+def bucket_drift_body(
+    dialect: str,
+    old_rel: str,
+    new_rel: str,
+    row_string_expr: str,
+    key_string_expr: str,
+    n_buckets: int = 64,
+) -> str:
+    """Dual-dialect SQL for `DocumentStore.bucket_drift`: per-bucket
+    (count, checksum) over both relations, full-outer joined on the
+    bucket, diverging buckets only. The checksum is sum of 56-bit md5
+    digests reduced mod 2^56 — the sum widens to decimal(38,0)/hugeint
+    first (bigint would overflow past ~128 rows/bucket), and the mod
+    is expressed as `x - (x div 2^56) * 2^56` because decimal `%` is
+    not portable while `div` is."""
+    from far_finer_airtable_firestore_sync_spark.functions import textsql as tx
+
+    spark_d = dialect == "spark"
+    intdiv = "div" if spark_d else "//"
+    wide = "decimal(38,0)" if spark_d else "hugeint"
+    h_row = tx.hex_to_bigint(f"substring(md5({row_string_expr}), 1, 14)", dialect)
+    h_key = tx.hex_to_bigint(f"substring(md5({key_string_expr}), 1, 14)", dialect)
+    two56 = 1 << 56
+
+    def side(rel: str) -> str:
+        return f"""
+  select bucket, n,
+         cast(total - (total {intdiv} cast({two56} as {wide}))
+                      * cast({two56} as {wide}) as bigint) as chk
+  from (
+    select bucket, sum(cast(digest as {wide})) as total,
+           cast(count(*) as bigint) as n
+    from (select {h_key} % {n_buckets} as bucket, {h_row} as digest from {rel})
+    group by bucket
+  ) t
+"""
+
+    return f"""
+with ob as ({side(old_rel)}),
+nb as ({side(new_rel)})
+select coalesce(o.bucket, n.bucket) as bucket,
+       o.n as n_old, n.n as n_new,
+       o.chk as chk_old, n.chk as chk_new
+from ob o full outer join nb n on o.bucket = n.bucket
+where o.n is distinct from n.n or o.chk is distinct from n.chk
+"""

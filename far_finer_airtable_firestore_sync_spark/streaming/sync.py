@@ -301,6 +301,51 @@ def stream_stream_interval_join(
     )
 
 
+def stream_stream_interval_join_left(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the subtle variant of
+    :func:`stream_stream_interval_join`: a purchase with no click in
+    its horizon must still emit (with NULL click columns), and that
+    null row can only be produced once the watermark proves no
+    matching click can ever arrive (ts + horizon is fully behind the
+    watermark). Until then the row sits in the join state store.
+
+    The bounded-replay consequence: the last horizon of real purchases
+    would NEVER finalize (the watermark stops at max(ts) - delay), so
+    replay drivers must push sentinel events through BOTH sides
+    (``read_event_stream_with_flush``) — the same flush rule
+    append-mode aggregations need, applied to outer-join state.
+
+    Scale shape: state is bounded to one horizon+watermark of rows per
+    side regardless of stream length; eviction is per-key, driven by
+    event time. Same contract as Spark's documented outer-join
+    watermark semantics — this operator exists to pin it with a batch
+    left-join oracle."""
+    p = purchases.withWatermark("ts", watermark).select(
+        "event_id", "user_id", "ts"
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("r_click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"user_id = c_user_id and click_ts >= ts "
+            f"and click_ts <= ts + interval {horizon}"
+        ),
+        "leftOuter",
+    ).select(
+        "event_id", "user_id", "ts",
+        "r_click_id", F.col("click_ts").alias("r_click_ts"),
+    )
+
+
 def stream_static_enrich(
     stream: DataFrame,
     dim: DataFrame,

@@ -366,3 +366,47 @@ def test_rollup_delta_touches_only_changed_groups(spark):
     assert (rows["g1"]["d_count"], rows["g1"]["d_v"]) == (2, 12)
     assert (rows["g2"]["d_count"], rows["g2"]["d_v"]) == (-1, -3)
     assert (rows["g3"]["d_count"], rows["g3"]["d_v"]) == (-1, -9)
+
+
+# ---------------------------------------------------------------------------
+# Merkle-style bucket drift
+# ---------------------------------------------------------------------------
+
+
+def test_bucket_drift_detects_only_touched_buckets(spark, tmp_path):
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "bd"), "pk")
+    rows = [(i, f"name-{i}", i * 100) for i in range(400)]
+    old = spark.createDataFrame(rows, "pk long, name string, cents long")
+    v1 = store.commit(old)
+    v_same = store.commit(old)
+    row_expr = "cast(pk as string) || '|' || name || '|' || cast(cents as string)"
+    key_expr = "cast(pk as string)"
+    # identical snapshots: zero diverging buckets
+    assert store.bucket_drift(v1, v_same, row_expr, key_expr).count() == 0
+
+    # mutate exactly 2 keys + delete 1: at most 3 buckets diverge, and
+    # every changed key's bucket IS reported
+    changed = {(7, "name-7", 999), (123, "name-123*", 12300)}
+    new_rows = [r for r in rows if r[0] not in (7, 123, 250)] + sorted(changed)
+    v2 = store.commit(
+        spark.createDataFrame(new_rows, "pk long, name string, cents long")
+    )
+    drift = store.bucket_drift(v1, v2, row_expr, key_expr).collect()
+    got_buckets = {r["bucket"] for r in drift}
+    assert 1 <= len(got_buckets) <= 3
+
+    import hashlib
+
+    def bucket(pk):
+        return int(hashlib.md5(str(pk).encode()).hexdigest()[:14], 16) % 64
+
+    assert got_buckets == {bucket(7), bucket(123), bucket(250)}
+    # counts expose the delete leg: bucket(250) has n_old = n_new + 1
+    by_bucket = {r["bucket"]: r for r in drift}
+    b250 = by_bucket[bucket(250)]
+    if bucket(250) not in (bucket(7), bucket(123)):
+        assert b250["n_old"] == b250["n_new"] + 1
