@@ -45,3 +45,18 @@ def _reap_scratch_dirs() -> None:
 import atexit as _atexit  # noqa: E402
 
 _atexit.register(_reap_scratch_dirs)
+
+
+import itertools as _itertools  # noqa: E402
+
+_SEQ = _itertools.count(1)
+
+
+def next_seq() -> int:
+    """Process-wide monotone counter for per-invocation object names
+    (temp views, UDTF registrations, memory-sink tables). Fixed
+    session-global names let two interleaved lazily-evaluated
+    invocations clobber each other's plans (ADVICE r4) — every naming
+    site draws from this one counter instead of hand-rolling its own
+    module global."""
+    return next(_SEQ)

@@ -96,12 +96,25 @@ def apply_rollup_delta(
     """
     d = delta.alias("d")
     b = base.alias("b")
-    j = b.join(d, on=group_col, how="full_outer")
+    # eqNullSafe: a NULL group key is a legal group (Spark GROUP BY
+    # keeps it) — plain equality would never merge base and delta NULL
+    # rows, leaving the stale base row AND dropping the correction.
+    j = b.join(
+        d,
+        F.col(f"b.{group_col}").eqNullSafe(F.col(f"d.{group_col}")),
+        "full_outer",
+    )
     zero = F.lit(0)
     n = F.coalesce(F.col(f"b.{count_col}"), zero.cast("long")) + F.coalesce(
         F.col("d.d_count"), zero.cast("long")
     )
-    out = [F.col(group_col), n.alias(count_col)]
+    # both sides carry the key when matched; either may be NULL-typed
+    # on an unmatched outer row — the marker column distinguishes a
+    # present-but-NULL key from an absent side
+    key = F.when(
+        F.col(f"b.{count_col}").isNotNull(), F.col(f"b.{group_col}")
+    ).otherwise(F.col(f"d.{group_col}"))
+    out = [key.alias(group_col), n.alias(count_col)]
     for base_col, src in sum_map.items():
         merged = F.coalesce(F.col(f"b.{base_col}"), zero) + F.coalesce(
             F.col(f"d.d_{src}"), zero

@@ -748,9 +748,6 @@ def heavy_hitter_words(
     )
 
 
-_UDTF_SEQ = 0
-
-
 def chunk_text_udtf(
     df: DataFrame,
     chunk_chars: int = 200,
@@ -784,14 +781,15 @@ def chunk_text_udtf(
             for i in range(n):
                 yield i, t[i * st : i * st + cc], n
 
+    from far_finer_airtable_firestore_sync_spark.operators._util import next_seq
+
     spark = df.sparkSession
-    # Per-invocation names (the _STREAM_SEQ idiom): a fixed session-global
-    # name would let two interleaved invocations with different
-    # chunk_chars/stride clobber each other's lazily-evaluated plans.
-    global _UDTF_SEQ
-    _UDTF_SEQ += 1
-    fn_name = f"_ffs_chunker_{_UDTF_SEQ}"
-    view_name = f"_ffs_udtf_in_{_UDTF_SEQ}"
+    # Per-invocation names: a fixed session-global name would let two
+    # interleaved invocations with different chunk_chars/stride clobber
+    # each other's lazily-evaluated plans (ADVICE r4).
+    seq = next_seq()
+    fn_name = f"_ffs_chunker_{seq}"
+    view_name = f"_ffs_udtf_in_{seq}"
     spark.udtf.register(fn_name, _Chunker)
     df.select(id_col, text_col).createOrReplaceTempView(view_name)
     return spark.sql(

@@ -15,6 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from far_finer_airtable_firestore_sync_spark.operators._util import (
+    next_seq as _next_seq,
+)
+
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -316,9 +320,8 @@ def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
     agg = windowed_event_aggregates(stream, window="1 hour", watermark="30 minutes")
-    global _STREAM_SEQ
-    _STREAM_SEQ += 1
-    return run_stream_to_memory(agg, f"_ffs_stream_{_STREAM_SEQ}")
+    _seq = _next_seq()
+    return run_stream_to_memory(agg, f"_ffs_stream_{_seq}")
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,10 +342,9 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = streaming_dedup(stream, ["event_id"], watermark="1 hour").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    global _STREAM_SEQ
-    _STREAM_SEQ += 1
+    _seq = _next_seq()
     return run_stream_to_memory(
-        deduped, f"_ffs_stream_dedup_{_STREAM_SEQ}", output_mode="append"
+        deduped, f"_ffs_stream_dedup_{_seq}", output_mode="append"
     )
 
 
@@ -373,10 +375,9 @@ def q_streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id") == F.col("c_custkey"),
         ["event_id", "user_id", "event_type", "value", "c_mktsegment"],
     )
-    global _STREAM_SEQ
-    _STREAM_SEQ += 1
+    _seq = _next_seq()
     return run_stream_to_memory(
-        enriched, f"_ffs_stream_enrich_{_STREAM_SEQ}", output_mode="append"
+        enriched, f"_ffs_stream_enrich_{_seq}", output_mode="append"
     )
 
 
@@ -469,10 +470,9 @@ def q_streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = streaming_session_aggregates(
         stream, gap="30 minutes", watermark="30 minutes"
     )
-    global _STREAM_SEQ
-    _STREAM_SEQ += 1
+    _seq = _next_seq()
     out = run_stream_to_memory(
-        sess, f"_ffs_stream_sess_{_STREAM_SEQ}", output_mode="append"
+        sess, f"_ffs_stream_sess_{_seq}", output_mode="append"
     )
     return out.filter("user_id >= 0")
 
@@ -525,10 +525,9 @@ def q_streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type = 'click'"
     )
     joined = stream_stream_interval_join(purchases, clicks, horizon="1 hour")
-    global _STREAM_SEQ
-    _STREAM_SEQ += 1
+    _seq = _next_seq()
     return run_stream_to_memory(
-        joined, f"_ffs_stream_rj_{_STREAM_SEQ}", output_mode="append"
+        joined, f"_ffs_stream_rj_{_seq}", output_mode="append"
     )
 
 def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,10 +555,9 @@ def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream_stream_interval_join_left(
         purchases, clicks, horizon="1 hour"
     )
-    global _STREAM_SEQ
-    _STREAM_SEQ += 1
+    _seq = _next_seq()
     out = run_stream_to_memory(
-        joined, f"_ffs_stream_loj_{_STREAM_SEQ}", output_mode="append"
+        joined, f"_ffs_stream_loj_{_seq}", output_mode="append"
     )
     return out.filter("user_id >= 0")
 
@@ -580,7 +578,6 @@ from purchases p left join clicks c
 """
 
 
-_STREAM_SEQ = 0
 
 STREAMING_WINDOW_SQL = f"""
 select date_trunc('hour', ts) as window_start, event_type,
@@ -1672,9 +1669,8 @@ def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    global _STREAM_SEQ
-    _STREAM_SEQ += 1
-    name = f"_ffs_stream_drift_{_STREAM_SEQ}"
+    _seq = _next_seq()
+    name = f"_ffs_stream_drift_{_seq}"
     result = run_stream_to_memory(counts, name, output_mode="complete")
     result.createOrReplaceTempView(f"{name}_counts")
     return spark.sql(EVENT_DRIFT_FROM_COUNTS.format(rel=f"{name}_counts"))

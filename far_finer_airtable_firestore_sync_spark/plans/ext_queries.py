@@ -3808,7 +3808,11 @@ def _hll_body(dialect: str, rel: str) -> str:
     rb, m, scale = HLL_REM_BITS, HLL_M, _HLL_SCALE
     return f"""
 with h as (
-  select distinct source, {h} as hv from {rel} where text is not null
+  -- NO distinct: max(rho) is duplicate-insensitive, so duplicates
+  -- collapse in the map-side partial aggregate for free — a DISTINCT
+  -- here would add a full (source, hv) exchange (one row per
+  -- distinct text) before the <=m-rows-per-source register shuffle
+  select source, {h} as hv from {rel} where text is not null
 ),
 reg as (
   -- rho = 1-based position of the first set bit in the {rb} remainder
@@ -3944,7 +3948,9 @@ def _phrase_body(
     slice for 2 terms, not the corpus); the adjacency joins are all
     keyed on (doc_id, pos) — co-partitioned, AQE-broadcastable when a
     term is rare. Raw text never shuffles."""
-    terms = terms or PHRASE_TERMS
+    # postings are built from lower(text): lower caller terms to match,
+    # and double embedded quotes — terms land in SQL string literals
+    terms = [t.lower().replace("'", "''") for t in (terms or PHRASE_TERMS)]
     w = tx.split_ws_safe("lower(text)", dialect)
     idx = tx.seq("1", f"{tx.lsize('warr', dialect)}", dialect)
     word_i = tx.lget("warr", "i", dialect)

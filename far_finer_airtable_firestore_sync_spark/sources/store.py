@@ -240,16 +240,19 @@ class DocumentStore:
             .when(~n_present, F.lit("delete"))
             .when(~same, F.lit("update"))
         )
+        # evaluate the when-chain ONCE (withColumn), then filter+project
+        # on the materialized column — Spark does not CSE the chain's
+        # column-wise eqNullSafe comparisons across operators
         out_cols = [
             F.coalesce(F.col(f"n.{key}"), F.col(f"o.{key}")).alias(key),
-            change.alias("change_type"),
+            "change_type",
             *[F.col(f"n.{c}").alias(c) for c in cols],
         ]
         if include_old:
             out_cols += [F.col(f"o.{c}").alias(f"old_{c}") for c in cols]
         return (
-            j.withColumn("_ct", change)
-            .filter(F.col("_ct").isNotNull())
+            j.withColumn("change_type", change)
+            .filter(F.col("change_type").isNotNull())
             .select(*out_cols)
         )
 
@@ -279,10 +282,13 @@ class DocumentStore:
         commutative, so it map-side combines and never depends on row
         order. Returns one row per DIVERGING bucket:
         (bucket, n_old, n_new, chk_old, chk_new)."""
-        global _DRIFT_SEQ
-        _DRIFT_SEQ += 1
+        from far_finer_airtable_firestore_sync_spark.operators._util import (
+            next_seq,
+        )
+
+        seq = next_seq()
         key = key_string_expr or f"cast({self.key_col} as string)"
-        ov, nv = f"_ffs_drift_old_{_DRIFT_SEQ}", f"_ffs_drift_new_{_DRIFT_SEQ}"
+        ov, nv = f"_ffs_drift_old_{seq}", f"_ffs_drift_new_{seq}"
         self.read_version(old_dir).createOrReplaceTempView(ov)
         self.read_version(new_dir).createOrReplaceTempView(nv)
         return self.spark.sql(
@@ -440,11 +446,6 @@ class DocumentStore:
         cur = self.read()
         if cur is not None:
             self.commit(self.spark.createDataFrame([], cur.schema))
-
-
-#: per-call temp-view sequence for bucket_drift (fixed names would let
-#: interleaved lazily-evaluated calls clobber each other — ADVICE r4)
-_DRIFT_SEQ = 0
 
 
 def bucket_drift_body(

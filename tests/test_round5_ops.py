@@ -410,3 +410,32 @@ def test_bucket_drift_detects_only_touched_buckets(spark, tmp_path):
     b250 = by_bucket[bucket(250)]
     if bucket(250) not in (bucket(7), bucket(123)):
         assert b250["n_old"] == b250["n_new"] + 1
+
+
+def test_incremental_rollup_null_group_key(spark):
+    """NULL is a legal group (Spark GROUP BY keeps it): base and delta
+    NULL-group rows must merge via null-safe equality — plain equality
+    would keep the stale base row AND drop the correction."""
+    from pyspark.sql import functions as F
+
+    from far_finer_airtable_firestore_sync_spark.operators.ivm import (
+        incremental_rollup,
+    )
+
+    base = spark.createDataFrame(
+        [(None, 5, 100), ("a", 2, 20)], "g string, n long, tv long"
+    )
+    cdc = spark.createDataFrame(
+        [
+            ("delete", None, None, None, 30),   # retract 1 NULL-group row
+            ("delete", None, None, None, 40),   # and another
+            ("insert", None, 7, None, None),    # plus one new NULL-group row
+        ],
+        "change_type string, g string, v long, old_g string, old_v long",
+    )
+    got = sorted(
+        ((r["g"], r["n"], r["tv"]) for r in
+         incremental_rollup(base, cdc, "g", "n", {"tv": "v"}).collect()),
+        key=repr,
+    )
+    assert got == sorted([("a", 2, 20), (None, 4, 37)], key=repr)
