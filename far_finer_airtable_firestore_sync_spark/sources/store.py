@@ -192,6 +192,25 @@ class DocumentStore:
             os.replace(tmp, self._pointer_path())
         return out
 
+    def read_as_of(self, epoch_ms: int) -> Optional[DataFrame]:
+        """Time travel by TIMESTAMP (the Delta `timestampAsOf` shape):
+        the newest version committed at or before ``epoch_ms``, or
+        None if the store had no version yet. Version directories
+        encode their commit wall-clock (``v-<epochms>-<uuid>``), so
+        the lookup is a directory-name scan — no data read. Subject
+        to ``vacuum``: travelling past the retention window raises
+        like any snapshot read of a removed version."""
+        candidates = [
+            d
+            for d in self.list_versions()
+            if int(os.path.basename(d).split("-")[1]) <= epoch_ms
+        ]
+        if not candidates:
+            return None
+        # list_versions sorts lexicographically == chronologically
+        # (fixed-width epoch ms for any realistic clock)
+        return self.read_version(candidates[-1])
+
     def read_version(self, version_dir: str) -> DataFrame:
         """Time travel: read a specific committed version directory."""
         return self.spark.read.parquet(version_dir)

@@ -49,6 +49,15 @@ ENTRIES = [
     "dedup_pagerank",
     "sketch_cms_counts",
     "events_gapfill",
+    # round-5 families: register-sketch max agg, per-doc argmax spine,
+    # positions-index adjacency join, vocab window chain, changelog
+    # retraction merge, per-bucket checksum sums
+    "sketch_hll_distinct",
+    "shard_rendezvous",
+    "search_phrase",
+    "tokenizer_bpe_merges",
+    "store_ivm_rollup",
+    "store_bucket_drift",
 ]
 
 

@@ -439,3 +439,23 @@ def test_incremental_rollup_null_group_key(spark):
         key=repr,
     )
     assert got == sorted([("a", 2, 20), (None, 4, 37)], key=repr)
+
+
+def test_read_as_of_time_travel(spark, tmp_path):
+    import os
+    import time
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "tt"), "pk")
+    assert store.read_as_of(int(time.time() * 1000)) is None  # empty store
+    v1 = store.commit(spark.createDataFrame([(1, "a")], "pk long, v string"))
+    t1 = int(os.path.basename(v1).split("-")[1])
+    time.sleep(0.01)
+    store.commit(spark.createDataFrame([(1, "b")], "pk long, v string"))
+    # as-of v1's commit instant -> v1's contents; as-of now -> v2's
+    assert store.read_as_of(t1).collect()[0]["v"] == "a"
+    assert store.read_as_of(int(time.time() * 1000)).collect()[0]["v"] == "b"
+    assert store.read_as_of(t1 - 1) is None  # before the first commit
