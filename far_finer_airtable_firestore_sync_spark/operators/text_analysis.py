@@ -679,6 +679,68 @@ from {table} d left join scored s using ({id_col})
 """
 
 
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020,
+    arXiv:1911.00359, public paper): within each group rank documents
+    by LM perplexity (:func:`lm_bigram_score` — their KenLM, our
+    self-trained bigram model) and cut into thirds. 'head' = the most
+    corpus-like third (lowest avg_nll), the slice CCNet keeps for
+    pretraining; 'tail' = the least. The downstream selection knob is
+    then "take head+middle of every language/source", which unlike a
+    global threshold cannot starve low-resource groups.
+
+    Bucket arithmetic is rank-exact (1 + (rn-1)*3 div n), not ntile
+    (whose uneven-group placement is an engine implementation detail);
+    the order pins ties by doc_id and NULL scores (too-short docs)
+    sort last into the tail.
+
+    Scale shape: scoring is the lm_bigram_score plan (model broadcast,
+    text never shuffled); the split adds one per-group window over
+    (score, id) pairs — rows of 3 columns, not documents."""
+    scores = lm_bigram_score(df, text_col=text_col, id_col=id_col)
+    joined = df.select(id_col, group_col).join(scores, id_col)
+    w = (
+        f"(partition by `{group_col}` "
+        f"order by avg_nll asc nulls last, `{id_col}` asc)"
+    )
+    return joined.select(
+        id_col,
+        group_col,
+        "avg_nll",
+        F.expr(
+            f"case 1 + ((row_number() over {w} - 1) * 3)"
+            f" div count(*) over (partition by `{group_col}`)"
+            " when 1 then 'head' when 2 then 'middle' else 'tail' end"
+        ).alias("bucket"),
+    )
+
+
+def ccnet_buckets_sql(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`ccnet_buckets`."""
+    inner = lm_bigram_score_sql(text_col=text_col, id_col=id_col, table=table)
+    return f"""
+with scores as ({inner})
+select d.{id_col}, d.{group_col}, s.avg_nll,
+       case 1 + ((row_number() over (
+                    partition by d.{group_col}
+                    order by s.avg_nll asc nulls last, d.{id_col} asc
+                  ) - 1) * 3)
+            // count(*) over (partition by d.{group_col})
+            when 1 then 'head' when 2 then 'middle' else 'tail' end as bucket
+from {table} d join scores s using ({id_col})
+"""
+
+
 def heavy_hitter_words(
     df: DataFrame,
     text_col: str = "text",

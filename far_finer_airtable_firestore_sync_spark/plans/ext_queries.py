@@ -3188,6 +3188,13 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.lm_bigram_score(docs)
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity split per source (see
+    ``text_analysis.ccnet_buckets``)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_analysis.ccnet_buckets(docs)
+
+
 #: KMV sketch size — small enough that the estimator is exercised
 #: (every source has > KMV_K distinct docs at sf>=0.01), large enough
 #: that the estimate lands within ~1/sqrt(k-1) of truth
@@ -4092,6 +4099,73 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_bpe_body(SPARK, "_ffs_bpe_docs"))
 
 
+SPAN_CORRUPT_RATE_PPM = 150_000  # T5's 15% corruption rate
+SPAN_CORRUPT_LEN = 3             # T5's mean noise-span length
+#: integer threshold: keep a block iff its 56-bit hash < rate * 2^56
+_SPAN_THRESH = (SPAN_CORRUPT_RATE_PPM * (1 << 56)) // 1_000_000
+
+
+def _span_corruption_body(dialect: str, rel: str) -> str:
+    """Deterministic span-corruption planning (Raffel et al. 2020, T5,
+    arXiv:1910.10683 — the span-masking objective, public paper): pick
+    ~15% of each document's words as non-overlapping mask spans of
+    length {SPAN_CORRUPT_LEN}, reproducibly. Spans are BLOCK-ALIGNED
+    (starts at word positions 1, 1+L, 1+2L, ...) and a block is
+    selected iff md5(doc_id:block_start) falls under the exact integer
+    threshold rate*2^56 — so the plan is a pure function of the data:
+    re-running the pipeline, on any cluster at any partitioning,
+    masks the SAME spans (the property distillation/ablation reruns
+    need; an RNG-based sampler can't give it).
+
+    Output: (doc_id, span_no, span_start, span_len) — span_no is the
+    mask-token ordinal (<extra_id_N>), the final span truncates at the
+    document end.
+
+    Scale shape: one scan-side explode of block starts (n/L rows per
+    doc, integers only), a filter, and one per-doc window for the
+    ordinal. No joins, no driver state."""
+    w = tx.split_ws_safe("lower(text)", dialect)
+    h = tx.hex_to_bigint(
+        "substring(md5(cast(doc_id as string) || ':' || cast(i as string)),"
+        " 1, 14)",
+        dialect,
+    )
+    L = SPAN_CORRUPT_LEN
+    # block starts 1, 1+L, ... <= n  ==  1 + L*k for k in 0..(n-1) div L
+    ks = tx.seq("0", f"(n - 1) {'div' if dialect == SPARK else '//'} {L}", dialect)
+    return f"""
+with words as (
+  select doc_id, {tx.lsize('warr', dialect)} as n
+  from (
+    select doc_id, {w} as warr from {rel} where coalesce(text, '') <> ''
+  )
+),
+starts as (
+  select doc_id, n, 1 + {L} * k as i
+  from (select doc_id, n, {tx.explode_as(ks, "k", dialect)} from words)
+),
+kept as (
+  select doc_id, i, least({L}, n - i + 1) as span_len
+  from starts where {h} < {_SPAN_THRESH}
+)
+select doc_id,
+       cast(row_number() over (partition by doc_id order by i asc) as int)
+         as span_no,
+       cast(i as int) as span_start,
+       cast(span_len as int) as span_len
+from kept
+"""
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic T5 span-corruption plan over documents (see
+    ``_span_corruption_body``)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_spancor_docs"
+    )
+    return spark.sql(_span_corruption_body(SPARK, "_ffs_spancor_docs"))
+
+
 EXT_QUERIES = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
@@ -4174,6 +4248,8 @@ EXT_QUERIES = {
     "orc_roundtrip": q_orc_roundtrip,
     "text_chunking_udtf": q_text_chunking_udtf,
     "sketch_hll_distinct": q_hll_distinct,
+    "quality_ccnet_buckets": q_ccnet_buckets,
+    "span_corruption_plan": q_span_corruption,
     "shard_rendezvous": q_hrw_sharding,
     "search_phrase": q_phrase_search,
     "tokenizer_bpe_merges": q_bpe_merges,
@@ -4265,6 +4341,8 @@ def ext_oracles() -> dict[str, str]:
         "orc_roundtrip": ORC_ROUNDTRIP_SQL,
         "text_chunking_udtf": TEXT_CHUNKING_SQL,
         "sketch_hll_distinct": _hll_body(DUCKDB, "documents"),
+        "quality_ccnet_buckets": text_analysis.ccnet_buckets_sql(),
+        "span_corruption_plan": _span_corruption_body(DUCKDB, "documents"),
         "shard_rendezvous": _hrw_body(DUCKDB, "documents"),
         "search_phrase": _phrase_body(DUCKDB, "documents"),
         "tokenizer_bpe_merges": _bpe_body(DUCKDB, "documents"),

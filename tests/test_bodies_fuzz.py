@@ -51,6 +51,7 @@ from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
     _hll_body,
     _hrw_body,
     _phrase_body,
+    _span_corruption_body,
 )
 
 WORDS = ["spark", "window", "merge", "the", "cat", "sat", "a", "b", "c",
@@ -244,6 +245,10 @@ def test_fuzz_body_parity(spark, tmp_path):
             _phrase_body(DUCKDB, "fz_docs", terms=["the", "cat"]),
         ),
         "bpe": (_bpe_body(SPARK, "fz_docs"), _bpe_body(DUCKDB, "fz_docs")),
+        "spancor": (
+            _span_corruption_body(SPARK, "fz_docs"),
+            _span_corruption_body(DUCKDB, "fz_docs"),
+        ),
     }
     for name, (s_sql, d_sql) in bodies.items():
         s_rows = _norm([tuple(r) for r in spark.sql(s_sql).collect()])

@@ -459,3 +459,78 @@ def test_read_as_of_time_travel(spark, tmp_path):
     assert store.read_as_of(t1).collect()[0]["v"] == "a"
     assert store.read_as_of(int(time.time() * 1000)).collect()[0]["v"] == "b"
     assert store.read_as_of(t1 - 1) is None  # before the first commit
+
+
+# ---------------------------------------------------------------------------
+# CCNet buckets / span corruption
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_buckets_thirds_and_ordering(spark, tmp_path):
+    from far_finer_airtable_firestore_sync_spark.operators.text_analysis import (
+        ccnet_buckets,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(90):
+        # fluent docs: common bigrams; junk docs: rare transitions
+        if i % 3 == 0:
+            t = " ".join(rng.choices(["the", "then", "there"], k=12))
+        else:
+            t = " ".join(rng.choices(["zq", "xj", "qk", "the"], k=12))
+        rows.append((i, t, f"s{i % 2}"))
+    path = _write_docs(tmp_path, "ccn", rows)
+    docs = spark.read.parquet(path)
+    got = ccnet_buckets(docs).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        n = len(rs)
+        counts = {b: sum(1 for r in rs if r["bucket"] == b)
+                  for b in ("head", "middle", "tail")}
+        # thirds (within 1 for non-divisible groups)
+        assert all(abs(c - n / 3) <= 1 for c in counts.values()), counts
+        # every head score <= every tail score
+        head_max = max(r["avg_nll"] for r in rs if r["bucket"] == "head")
+        tail_min = min(r["avg_nll"] for r in rs if r["bucket"] == "tail")
+        assert head_max <= tail_min
+
+
+def test_span_corruption_coverage_overlap_determinism(spark, tmp_path):
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        SPAN_CORRUPT_LEN,
+        SPAN_CORRUPT_RATE_PPM,
+        _span_corruption_body,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (i, " ".join(rng.choices(["w", "x", "y"], k=rng.randint(1, 120))), "s")
+        for i in range(400)
+    ]
+    path = _write_docs(tmp_path, "spc", rows)
+    spark.read.parquet(path).createOrReplaceTempView("spc_docs")
+    spans = spark.sql(_span_corruption_body(SPARK, "spc_docs")).collect()
+    # determinism: second run identical
+    spans2 = spark.sql(_span_corruption_body(SPARK, "spc_docs")).collect()
+    assert sorted(map(tuple, spans)) == sorted(map(tuple, spans2))
+    # non-overlap + in-bounds per doc
+    n_words = {r[0]: len(r[1].split(" ")) for r in rows}
+    per_doc = {}
+    for s in spans:
+        per_doc.setdefault(s["doc_id"], []).append(s)
+    for d, ss in per_doc.items():
+        ss.sort(key=lambda s: s["span_start"])
+        end = 0
+        for idx, s in enumerate(ss, 1):
+            assert s["span_no"] == idx
+            assert s["span_start"] > end
+            end = s["span_start"] + s["span_len"] - 1
+            assert end <= n_words[d]
+    # coverage tracks the configured rate (binomial band)
+    total_words = sum(n_words.values())
+    masked = sum(s["span_len"] for s in spans)
+    rate = SPAN_CORRUPT_RATE_PPM / 1e6
+    assert abs(masked / total_words - rate) < 0.04
