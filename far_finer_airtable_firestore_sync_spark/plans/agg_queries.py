@@ -1743,6 +1743,188 @@ group by r.event_type, m.med, d.mad
 EVENT_MAD_SQL = EVENT_MAD_BODY.format(rel="events")
 
 
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: top-20 customers by revenue lost to returned
+    items in a 6-month window. Scale shape: the date filter pushes to
+    the orders scan and l_returnflag='R' to the lineitem scan BEFORE
+    either join; the fact pre-aggregates per order key; nation is
+    broadcast; the top-20 is TakeOrderedAndProject (heap per
+    partition + driver merge of 20-row heads, never a full sort)."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem").filter("l_returnflag = 'R'")
+    orders = _read(spark, sf_dir, "orders").filter(
+        "o_orderdate >= timestamp '1996-01-01' and "
+        "o_orderdate < timestamp '1996-07-01'"
+    )
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(rev).alias("_rev"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum("_rev").cast("double").alias("revenue"),
+            F.sum("_n").cast("long").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_RETURNED_ITEMS_SQL = """
+select c.c_custkey, c.c_name, n.n_name,
+       cast(sum(cast(l.l_extendedprice as decimal(18,2))
+                * (cast(1 as decimal(18,2))
+                   - cast(l.l_discount as decimal(18,2)))) as double)
+         as revenue,
+       cast(count(*) as bigint) as n_items
+from lineitem l
+join orders o on l.l_orderkey = o.o_orderkey
+join customer c on o.o_custkey = c.c_custkey
+join nation n on c.c_nationkey = n.n_nationkey
+where l.l_returnflag = 'R'
+  and o.o_orderdate >= timestamp '1996-01-01'
+  and o.o_orderdate < timestamp '1996-07-01'
+group by c.c_custkey, c.c_name, n.n_name
+order by revenue desc, c.c_custkey asc
+limit 20
+"""
+
+
+def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: yearly shipping volume between two nations, in
+    both directions (supplier nation x customer nation). Scale shape:
+    the two nation dimensions broadcast; supplier and customer joins
+    key on the fact's own columns; the (supp_nation, cust_nation,
+    year) aggregate is tiny and combines map-side. The nation-pair
+    filter applies at the BROADCAST sides, so the fact never carries
+    rows that can't qualify past the first join."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    n1 = nation.filter("n_name in ('NATION_3', 'NATION_7')").select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter("n_name in ('NATION_3', 'NATION_7')").select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    )
+    return (
+        li.join(supp.select("s_suppkey", "s_nationkey"),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .filter("supp_nation <> cust_nation")
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("volume"))
+    )
+
+
+_NATION_VOLUME_SQL = """
+select sn.n_name as supp_nation, cn.n_name as cust_nation,
+       cast(extract(year from l.l_shipdate) as int) as l_year,
+       cast(sum(cast(l.l_extendedprice as decimal(18,2))
+                * (cast(1 as decimal(18,2))
+                   - cast(l.l_discount as decimal(18,2)))) as double)
+         as volume
+from lineitem l
+join supplier s on l.l_suppkey = s.s_suppkey
+join nation sn on s.s_nationkey = sn.n_nationkey
+join orders o on l.l_orderkey = o.o_orderkey
+join customer c on o.o_custkey = c.c_custkey
+join nation cn on c.c_nationkey = cn.n_nationkey
+where sn.n_name in ('NATION_3', 'NATION_7')
+  and cn.n_name in ('NATION_3', 'NATION_7')
+  and sn.n_name <> cn.n_name
+group by 1, 2, 3
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped: suppliers who were the SOLE late shipper on a
+    multi-supplier order (fixture adaptation: 'late' = shipped more
+    than 90 days after the order date; the fixture lacks receipt/
+    commit dates). The classic correlated EXISTS + NOT EXISTS pair,
+    expressed as one per-order aggregate instead of two correlated
+    subqueries — Spark decorrelates those into joins anyway, and the
+    aggregate form shuffles the (order, supplier) pairs exactly once.
+    Top-20 by count with supplier-name tie-break."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    pairs = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.expr(
+                    "case when datediff(cast(l_shipdate as date),"
+                    " cast(o_orderdate as date)) > 90 then 1 else 0 end"
+                )
+            ).alias("late")
+        )
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    return (
+        pairs.filter("late = 1")
+        .join(per_order, "l_orderkey")
+        .filter("n_supp > 1 and n_late = 1")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+_WAITING_SUPPLIERS_SQL = """
+with pairs as (
+  select l.l_orderkey, l.l_suppkey,
+         max(case when datediff('day', cast(o.o_orderdate as date),
+                                cast(l.l_shipdate as date)) > 90
+                  then 1 else 0 end) as late
+  from lineitem l join orders o on l.l_orderkey = o.o_orderkey
+  group by l.l_orderkey, l.l_suppkey
+),
+per_order as (
+  select l_orderkey, count(*) as n_supp, sum(late) as n_late
+  from pairs group by l_orderkey
+)
+select s.s_name, cast(count(*) as bigint) as numwait
+from pairs p
+join per_order po on p.l_orderkey = po.l_orderkey
+join supplier s on p.l_suppkey = s.s_suppkey
+where p.late = 1 and po.n_supp > 1 and po.n_late = 1
+group by s.s_name
+order by numwait desc, s.s_name asc
+limit 20
+"""
+
+
 AGG_QUERIES = {
     "agg_pricing_summary": q_pricing_summary,
     "agg_revenue_by_nation": q_revenue_by_nation,
@@ -1759,6 +1941,9 @@ AGG_QUERIES = {
     "streaming_session_agg": q_streaming_session_agg,
     "streaming_range_join": q_streaming_range_join,
     "streaming_left_outer_join": q_streaming_left_outer_join,
+    "returned_item_report": q_returned_items,
+    "nation_volume_shipping": q_nation_volume_shipping,
+    "waiting_suppliers": q_waiting_suppliers,
     "set_ops": q_set_ops,
     "agg_cube": q_cube_agg,
     "scalar_functions": q_scalar_functions,
@@ -1804,6 +1989,9 @@ AGG_ORACLES = {
     "streaming_rollup_store": STREAMING_ROLLUP_SLICE_SQL,
     "streaming_session_agg": STREAMING_SESSION_SQL,
     "streaming_left_outer_join": STREAMING_LEFT_OUTER_SQL,
+    "returned_item_report": _RETURNED_ITEMS_SQL,
+    "nation_volume_shipping": _NATION_VOLUME_SQL,
+    "waiting_suppliers": _WAITING_SUPPLIERS_SQL,
     "set_ops": SET_OPS_SQL,
     "agg_cube": CUBE_SQL,
     "scalar_functions": SCALAR_FUNCS_SQL,
