@@ -1925,6 +1925,102 @@ limit 20
 """
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: yearly revenue locked in small-quantity
+    orders of one brand — lineitems whose quantity is under 20% of
+    that part's average. The correlated scalar subquery (avg per
+    part) decorrelates to one per-part aggregate joined back; the
+    brand filter pushes to the part scan and prunes the fact via the
+    join. Output is a 1-row gate aggregate (sum/7, the TPC-H form).
+
+    Exactness: quantities are integral-valued doubles in the fixture,
+    so the 20% test cross-multiplies integers (5*qty < sum/cnt scaled)
+    instead of comparing float averages."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").filter("p_brand = 'Brand#11'").select(
+        "p_partkey"
+    )
+    fact = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    per_part = fact.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"),
+        F.count(F.lit(1)).alias("_nq"),
+    )
+    return (
+        fact.join(per_part, "l_partkey")
+        # qty < 0.2 * avg  ==  5 * qty * n < sum * ... all decimal-exact
+        .filter(
+            F.col("l_quantity").cast("decimal(18,2)") * 5 * F.col("_nq")
+            < F.col("_sq")
+        )
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast(_DEC))
+                / F.lit(7.0)
+            ).cast("double").alias("avg_yearly")
+        )
+    )
+
+
+_SMALL_QTY_SQL = """
+with fact as (
+  select l.* from lineitem l
+  join part p on l.l_partkey = p.p_partkey
+  where p.p_brand = 'Brand#11'
+),
+per_part as (
+  select l_partkey, sum(cast(l_quantity as decimal(18,2))) as sq,
+         count(*) as nq
+  from fact group by l_partkey
+)
+select cast(sum(cast(f.l_extendedprice as decimal(18,2))) / 7.0 as double)
+         as avg_yearly
+from fact f join per_part p on f.l_partkey = p.l_partkey
+where cast(f.l_quantity as decimal(18,2)) * 5 * p.nq < p.sq
+"""
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: distinct-supplier counts per (brand, type,
+    size) for parts NOT supplied by a complaint-list supplier — the
+    NOT IN anti-join + count(distinct) shape (the fixture derives the
+    part-supplier relation from lineitem; the complaint list is the
+    deterministic s_suppkey % 10 = 0 slice). The anti-join is a
+    broadcast left-anti against the (small) blocklist; the distinct
+    collapses (brand, type, size, suppkey) map-side before the final
+    count shuffle."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _read(spark, sf_dir, "part").filter("p_size in (1, 5, 9, 13)")
+    bad = (
+        _read(spark, sf_dir, "supplier")
+        .filter("s_suppkey % 10 = 0")
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+                "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("supplier_cnt"))
+    )
+
+
+_SUPPLIER_PART_SQL = """
+select p.p_brand, p.p_type, p.p_size,
+       cast(count(distinct l.l_suppkey) as bigint) as supplier_cnt
+from lineitem l
+join part p on l.l_partkey = p.p_partkey
+where p.p_size in (1, 5, 9, 13)
+  and l.l_suppkey not in (
+    select s_suppkey from supplier where s_suppkey % 10 = 0
+  )
+group by p.p_brand, p.p_type, p.p_size
+"""
+
+
 AGG_QUERIES = {
     "agg_pricing_summary": q_pricing_summary,
     "agg_revenue_by_nation": q_revenue_by_nation,
@@ -1944,6 +2040,8 @@ AGG_QUERIES = {
     "returned_item_report": q_returned_items,
     "nation_volume_shipping": q_nation_volume_shipping,
     "waiting_suppliers": q_waiting_suppliers,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "supplier_part_counts": q_supplier_part_counts,
     "set_ops": q_set_ops,
     "agg_cube": q_cube_agg,
     "scalar_functions": q_scalar_functions,
@@ -1992,6 +2090,8 @@ AGG_ORACLES = {
     "returned_item_report": _RETURNED_ITEMS_SQL,
     "nation_volume_shipping": _NATION_VOLUME_SQL,
     "waiting_suppliers": _WAITING_SUPPLIERS_SQL,
+    "small_quantity_revenue": _SMALL_QTY_SQL,
+    "supplier_part_counts": _SUPPLIER_PART_SQL,
     "set_ops": SET_OPS_SQL,
     "agg_cube": CUBE_SQL,
     "scalar_functions": SCALAR_FUNCS_SQL,
