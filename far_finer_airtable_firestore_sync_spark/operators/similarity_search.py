@@ -235,6 +235,71 @@ def hard_negatives(
     )
 
 
+def training_triples(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_negatives: int = 3,
+    negative_offset: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Contrastive training-triple mining (the DPR/InfoNCE data prep,
+    Karpukhin et al. 2020, arXiv:2004.04906): per query, pair its
+    nearest neighbor (the positive) with ``n_negatives`` hard
+    negatives drawn from ranks ``negative_offset+1 ...`` — close
+    enough to be informative, far enough (the rank margin) not to be
+    alternative positives. One ranked-neighbors pass feeds both roles.
+
+    Output: (query_id, positive_id, negative_id, pos_cosine,
+    neg_cosine, margin, neg_rank); margin = pos - neg is the triplet
+    training signal.
+
+    Scale shape: identical to ``cosine_topk`` (broadcast query set
+    over one corpus scan); ONE per-query window ranks neighbors and
+    both the positive (rank 1) and the negatives (ranks offset+1..)
+    are slices of it — no second scan, no self-join of results."""
+    c = _quantized(corpus, vec_col, "_qv").select(
+        F.col(id_col).alias("neighbor_id"), "_qv"
+    )
+    q = _quantized(queries, vec_col, "_qq").select(
+        F.col(id_col).alias("query_id"), "_qq"
+    )
+    cos = F.expr(tx.cosine_quantized("_qq", "_qv", SPARK))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(
+            (F.col("rank") == 1)
+            | (
+                (F.col("rank") > negative_offset)
+                & (F.col("rank") <= negative_offset + n_negatives)
+            )
+        )
+    )
+    pos = ranked.filter("rank = 1").select(
+        "query_id",
+        F.col("neighbor_id").alias("positive_id"),
+        F.col("cosine").alias("pos_cosine"),
+    )
+    neg = ranked.filter("rank > 1").select(
+        "query_id",
+        F.col("neighbor_id").alias("negative_id"),
+        F.col("cosine").alias("neg_cosine"),
+        F.col("rank").cast("int").alias("neg_rank"),
+    )
+    return pos.join(neg, "query_id").select(
+        "query_id", "positive_id", "negative_id",
+        "pos_cosine", "neg_cosine",
+        (F.col("pos_cosine") - F.col("neg_cosine")).alias("margin"),
+        "neg_rank",
+    )
+
+
 def write_ivf_index(
     corpus: DataFrame,
     centroids: DataFrame,

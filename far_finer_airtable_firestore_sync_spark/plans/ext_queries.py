@@ -499,6 +499,48 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR-style (query, positive, hard-negative) triples for 5 query
+    vectors: positive = nearest neighbor, negatives = ranks 11-13."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity_search.training_triples(
+        emb, emb.filter("vec_id < 5"), n_negatives=3, negative_offset=10
+    )
+
+
+def training_triples_oracle() -> str:
+    cos = tx.cosine_quantized("qq", "qv", DUCKDB)
+    return f"""
+with q as (select vec_id as query_id, {tx.quantize("embedding", DUCKDB)} as qq
+           from embeddings where vec_id < 5),
+c as (select vec_id as neighbor_id, {tx.quantize("embedding", DUCKDB)} as qv
+      from embeddings),
+ranked as (
+  select query_id, neighbor_id, cosine,
+         row_number() over (
+           partition by query_id order by cosine desc, neighbor_id asc
+         ) as rank
+  from (
+    select query_id, neighbor_id, {cos} as cosine
+    from c cross join q where neighbor_id <> query_id
+  )
+),
+pos as (
+  select query_id, neighbor_id as positive_id, cosine as pos_cosine
+  from ranked where rank = 1
+),
+neg as (
+  select query_id, neighbor_id as negative_id, cosine as neg_cosine,
+         cast(rank as int) as neg_rank
+  from ranked where rank > 10 and rank <= 13
+)
+select p.query_id, p.positive_id, n.negative_id,
+       p.pos_cosine, n.neg_cosine,
+       p.pos_cosine - n.neg_cosine as margin, n.neg_rank
+from pos p join neg n on p.query_id = n.query_id
+"""
+
+
 def hard_negatives_oracle() -> str:
     cos = tx.cosine_quantized("qq", "qv", DUCKDB)
     return f"""
@@ -4226,6 +4268,7 @@ EXT_QUERIES = {
     "skew_key_report": q_skew_report,
     "corpus_split_leakage_safe": q_split_leakage_safe,
     "mining_hard_negatives": q_hard_negatives,
+    "mining_training_triples": q_training_triples,
     "streaming_near_dedup": q_streaming_near_dedup,
     "quality_ensemble": q_quality_ensemble,
     "dedup_strip_spans": q_strip_spans,
@@ -4319,6 +4362,7 @@ def ext_oracles() -> dict[str, str]:
         "skew_key_report": _skew_report_body(DUCKDB, "lineitem", "l_orderkey"),
         "corpus_split_leakage_safe": split_leakage_safe_oracle(),
         "mining_hard_negatives": hard_negatives_oracle(),
+        "mining_training_triples": training_triples_oracle(),
         "streaming_near_dedup": STREAMING_NEAR_DEDUP_SQL,
         "quality_ensemble": _quality_ensemble_body(DUCKDB, "documents"),
         "dedup_strip_spans": _strip_spans_body(DUCKDB, f"({CORPUS_SQL})"),

@@ -215,6 +215,40 @@ class DocumentStore:
         """Time travel: read a specific committed version directory."""
         return self.spark.read.parquet(version_dir)
 
+    def describe_history(self) -> DataFrame:
+        """Commit lineage as a DataFrame (the Delta DESCRIBE HISTORY
+        shape): one row per version — commit epoch-ms (parsed from the
+        directory name), whether it is the current pointer target, and
+        the row count from the parquet FOOTERS (no data scan; the
+        driver-side listing is over version directories, which a store
+        has dozens of, not data-scale)."""
+        import pyarrow.parquet as pq
+
+        cur = self.current_version_dir()
+        rows = []
+        for vd in self.list_versions():
+            n = 0
+            for root, _dirs, names in os.walk(vd):
+                for f in names:
+                    if f.endswith(".parquet"):
+                        n += pq.read_metadata(os.path.join(root, f)).num_rows
+            base = os.path.basename(vd)
+            rows.append(
+                Row(
+                    version_dir=base,
+                    commit_ms=int(base.split("-")[1]),
+                    is_current=(vd == cur),
+                    n_rows=n,
+                )
+            )
+        schema = (
+            "version_dir string, commit_ms long, is_current boolean,"
+            " n_rows long"
+        )
+        return self.spark.createDataFrame(rows, schema) if rows else (
+            self.spark.createDataFrame([], schema)
+        )
+
     def list_versions(self) -> list[str]:
         """Committed version directories, oldest first."""
         return sorted(

@@ -534,3 +534,21 @@ def test_span_corruption_coverage_overlap_determinism(spark, tmp_path):
     masked = sum(s["span_len"] for s in spans)
     rate = SPAN_CORRUPT_RATE_PPM / 1e6
     assert abs(masked / total_words - rate) < 0.04
+
+
+def test_describe_history_lineage(spark, tmp_path):
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "hist"), "pk")
+    assert store.describe_history().count() == 0  # empty store
+    store.commit(spark.range(3).selectExpr("id as pk", "'x' as v"))
+    store.commit(spark.range(5).selectExpr("id as pk", "'y' as v"))
+    hist = sorted(
+        (r.asDict() for r in store.describe_history().collect()),
+        key=lambda r: r["commit_ms"],
+    )
+    assert [h["n_rows"] for h in hist] == [3, 5]
+    assert [h["is_current"] for h in hist] == [False, True]
+    assert all(h["version_dir"].startswith("v-") for h in hist)
