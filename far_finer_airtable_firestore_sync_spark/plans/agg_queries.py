@@ -1743,6 +1743,74 @@ group by r.event_type, m.med, d.mad
 EVENT_MAD_SQL = EVENT_MAD_BODY.format(rel="events")
 
 
+def q_streaming_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL custom stateful streaming (applyInPandasWithState): per-
+    user integer EWMA over a two-batch time-split replay — the per-key
+    recurrence crosses the batch boundary through the state store.
+    Update-mode memory sink holds one row per (key, batch); the final
+    state per key is the max-n row. Oracle: DuckDB list_reduce folding
+    the SAME truncating recurrence over (ts, event_id)-ordered cents."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from far_finer_airtable_firestore_sync_spark.streaming.stateful import (
+        ewma_profiles,
+    )
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    _utc(spark)
+    # 1/8 slice: recurrence semantics are size-independent; the full
+    # table only multiplies fixed stateful-streaming overhead
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    src = src.filter(pc.equal(pc.bit_wise_and(src["event_id"], 7), 0))
+    mid = sorted(src["ts"].to_pylist())[len(src) // 2]
+    src_dir = tempfile.mkdtemp(prefix="ffs-ewma-entry-")
+    pq.write_table(src.filter(pc.less(src["ts"], mid)),
+                   f"{src_dir}/part1.parquet")
+    pq.write_table(src.filter(pc.greater_equal(src["ts"], mid)),
+                   f"{src_dir}/part2.parquet")
+    now = _time.time()
+    os.utime(f"{src_dir}/part1.parquet", (now, now))
+    os.utime(f"{src_dir}/part2.parquet", (now + 1, now + 1))
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    _seq = _next_seq()
+    out = run_stream_to_memory(
+        ewma_profiles(stream),
+        f"_ffs_stream_ewma_{_seq}",
+        output_mode="update",
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "ewma_q"), "n_events").alias("_s"))
+        .select(
+            "user_id",
+            F.col("_s.n_events").alias("n_events"),
+            F.col("_s.ewma_q").alias("ewma_q"),
+        )
+    )
+
+
+_STREAMING_EWMA_SQL = """
+with v as (
+  select user_id, ts, event_id,
+         cast(cast(value as decimal(18,2)) * 100 as bigint) as cents
+  from events where (event_id & 7) = 0
+)
+select user_id,
+       cast(count(*) as bigint) as n_events,
+       list_reduce(list(cents order by ts asc, event_id asc),
+                   (acc, x) -> (acc + x) // 2) as ewma_q
+from v group by user_id
+"""
+
+
 def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-shaped: top-20 customers by revenue lost to returned
     items in a 6-month window. Scale shape: the date filter pushes to
@@ -2042,6 +2110,7 @@ AGG_QUERIES = {
     "waiting_suppliers": q_waiting_suppliers,
     "small_quantity_revenue": q_small_quantity_revenue,
     "supplier_part_counts": q_supplier_part_counts,
+    "streaming_ewma_state": q_streaming_ewma_state,
     "set_ops": q_set_ops,
     "agg_cube": q_cube_agg,
     "scalar_functions": q_scalar_functions,
@@ -2092,6 +2161,7 @@ AGG_ORACLES = {
     "waiting_suppliers": _WAITING_SUPPLIERS_SQL,
     "small_quantity_revenue": _SMALL_QTY_SQL,
     "supplier_part_counts": _SUPPLIER_PART_SQL,
+    "streaming_ewma_state": _STREAMING_EWMA_SQL,
     "set_ops": SET_OPS_SQL,
     "agg_cube": CUBE_SQL,
     "scalar_functions": SCALAR_FUNCS_SQL,

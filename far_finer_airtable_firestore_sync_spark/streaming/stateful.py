@@ -33,7 +33,9 @@ def _make_update_profile(idle_timeout_ms: int | None):
         if state.hasTimedOut:
             state.remove()
             return
-        n, total, last = state.get() if state.exists else (0, 0.0, None)
+        # GroupState.get is a PROPERTY in pyspark (calling it calls the
+        # returned tuple): latent until a key appears in 2+ batches
+        n, total, last = state.get if state.exists else (0, 0.0, None)
         for pdf in batches:
             n += len(pdf)
             total += float(pdf["value"].sum())
@@ -88,5 +90,70 @@ def user_profiles(
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=timeout_conf,
+        )
+    )
+
+
+EWMA_OUTPUT_SCHEMA = "user_id long, n_events long, ewma_q long"
+EWMA_STATE_SCHEMA = "n_events long, ewma_q long"
+
+
+def _trunc_half(x: int) -> int:
+    """Truncating integer halving (toward zero) — matches DuckDB's
+    integer ``//`` so the oracle's list_reduce replay is bit-identical
+    even on negative cents (Python's ``//`` floors instead)."""
+    return x // 2 if x >= 0 else -((-x) // 2)
+
+
+def _update_ewma(
+    key: tuple[Any, ...],
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, s = state.get if state.exists else (0, None)
+    for pdf in batches:
+        # event-time order WITHIN the batch; cross-batch order is the
+        # replay's time-split contract (earlier batch = earlier rows)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for v in pdf["cents"].astype("int64"):
+            v = int(v)
+            s = v if n == 0 else _trunc_half(s + v)
+            n += 1
+    state.update((n, s))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "ewma_q": [s]}
+    )
+
+
+def ewma_profiles(stream: DataFrame) -> DataFrame:
+    """Per-user integer EWMA (alpha = 1/2) of event value-cents — an
+    online per-key feature a windowed aggregate cannot express (the
+    state is a RECURRENCE over the full history, not a window fold).
+
+    The alpha=1/2 recurrence s' = trunc((s + v) / 2) runs entirely on
+    the integer cents grid, so unlike float EWMA the streaming state
+    is exactly replayable in SQL: the oracle folds the same recurrence
+    with DuckDB's list_reduce over the (ts, event_id)-ordered cents —
+    a custom stateful operator whose per-key state VALUE-verifies
+    cross-engine, not just row counts.
+
+    Scale shape: state is 2 bigints per active key; each micro-batch
+    touches only keys present in the batch. Same local-mode checksum
+    caveat as :func:`user_profiles`."""
+    stream.sparkSession.conf.set(
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false"
+    )
+    return (
+        stream.selectExpr(
+            "user_id", "ts", "event_id",
+            "cast(cast(value as decimal(18,2)) * 100 as bigint) as cents",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_ewma,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

@@ -552,3 +552,44 @@ def test_describe_history_lineage(spark, tmp_path):
     assert [h["n_rows"] for h in hist] == [3, 5]
     assert [h["is_current"] for h in hist] == [False, True]
     assert all(h["version_dir"].startswith("v-") for h in hist)
+
+
+def test_stateful_profiles_cross_batch_state(spark, tmp_path):
+    """A key appearing in 2+ micro-batches must ACCUMULATE through the
+    state store (regression: GroupState.get is a property — calling it
+    raised 'tuple not callable', latent while every key fit one batch)."""
+    from pyspark.sql import functions as F
+
+    from far_finer_airtable_firestore_sync_spark.streaming import stateful, sync
+
+    stream = sync.read_event_stream_duplicated(
+        spark, "/root/testdata/sf0.001/events.parquet", copies=2
+    )
+    profiles = stateful.user_profiles(stream)
+    q = (
+        profiles.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_profiles_xb")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode: one row per (key, batch) — final state = max n_events
+    got = {
+        r["user_id"]: r["n"]
+        for r in spark.table("t_profiles_xb")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n"))
+        .collect()
+    }
+    batch = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {u: 2 * n for u, n in batch.items()}
