@@ -593,3 +593,60 @@ def test_stateful_profiles_cross_batch_state(spark, tmp_path):
         .collect()
     }
     assert got == {u: 2 * n for u, n in batch.items()}
+
+
+def test_record_feed_streaming_source_incremental(spark, tmp_path):
+    """Spark 4 Python STREAMING DataSource: micro-batches consume only
+    NEW page files; a late-arriving page flows through without
+    re-reading earlier ones (offset = consumed page count)."""
+    import json
+
+    from far_finer_airtable_firestore_sync_spark.sources import record_source
+
+    d = tmp_path / "feed"
+    d.mkdir()
+
+    def write_page(p, lo, hi):
+        with open(d / f"page-{p:03d}.jsonl", "w") as fh:
+            for i in range(lo, hi):
+                fh.write(json.dumps({
+                    "id": f"rec{i}",
+                    "createdTime": "2024-01-01T00:00:00Z",
+                    "fields": {"Name": f"n{i}", "Score": i},
+                }) + "\n")
+
+    write_page(0, 0, 3)
+    write_page(1, 3, 5)
+    assert record_source.register(spark)
+    stream = (
+        spark.readStream.format("record_feed")
+        .option("path", str(d))
+        .option("fields", "Name, Score")
+        .load()
+    )
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(sink).count() == 5
+
+    # a new page arrives: the restarted query consumes ONLY it (the
+    # checkpointed offset carries across runs — exactly-once append)
+    write_page(2, 5, 9)
+    run_once()
+    rows = {
+        r["_record_id"]: r["Score"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert len(rows) == 9                      # 5 + 4, no re-reads
+    assert rows["rec7"] == "7"                 # strings until the cast stage
