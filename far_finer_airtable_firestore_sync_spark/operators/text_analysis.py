@@ -545,6 +545,7 @@ def lm_bigram_score(
     id_col: str = "doc_id",
     grid: int = 1_000_000,
     max_chars: int | None = 256,
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
     """CCNet-style statistical-LM quality scoring (Wenzek et al. 2020,
     arXiv:1911.00359 use a KenLM n-gram model; this is the same shape
@@ -621,11 +622,15 @@ def lm_bigram_score(
     )
     # Docs too short for one bigram never reach `grams`; restore them
     # with NULL scores (a length filter is a different operator's job).
+    # `passthrough_cols` ride this restore join so consumers (ccnet
+    # buckets) don't need a second scan+join just to re-attach them.
+    extra = list(passthrough_cols or [])
     return (
-        df.select(id_col)
+        df.select(id_col, *extra)
         .join(scored, id_col, "left_outer")
         .select(
             id_col,
+            *extra,
             F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
             (
                 F.col("_nll_q").cast("double")
@@ -702,8 +707,9 @@ def ccnet_buckets(
     Scale shape: scoring is the lm_bigram_score plan (model broadcast,
     text never shuffled); the split adds one per-group window over
     (score, id) pairs — rows of 3 columns, not documents."""
-    scores = lm_bigram_score(df, text_col=text_col, id_col=id_col)
-    joined = df.select(id_col, group_col).join(scores, id_col)
+    joined = lm_bigram_score(
+        df, text_col=text_col, id_col=id_col, passthrough_cols=[group_col]
+    )
     w = (
         f"(partition by `{group_col}` "
         f"order by avg_nll asc nulls last, `{id_col}` asc)"

@@ -173,7 +173,20 @@ class RecordFeedDataSource(DataSource):
         (lib/AirtableDataFetcher.py re-fetches the whole table per
         run); here arrivals flow through watermarks/strategies with
         exactly-once replay (readBetweenOffsets serves a replayed
-        batch from its recorded offset range)."""
+        batch from its recorded offset range).
+
+        Producer contract: pages must be PUBLISHED ATOMICALLY (write
+        to a temp name, rename into ``page-*``) and never appended to
+        afterwards — the offset counts pages, so a file read mid-write
+        would be marked consumed with its later lines lost, and a
+        replay would return more rows than the committed batch (the
+        same atomic-publication rule Spark's own file source has)."""
+        if "path" not in self.options:
+            raise ValueError(
+                "record_feed streaming requires option('path', dir): "
+                "token-paged HTTP has no replayable offsets — freeze "
+                "the feed to JSONL pages for streaming reads"
+            )
         return RecordFeedStreamReader(self.options["path"], schema)
 
     def reader(self, schema: T.StructType) -> "RecordFeedReader":

@@ -144,7 +144,17 @@ class DocumentStore:
                 f"store {self.root}: pointer moved past {expected_version!r} "
                 "since read(); refusing to clobber the concurrent commit"
             )
-        rel = f"v-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+        # Strictly-increasing commit ms per store: two commits inside
+        # one wall-clock millisecond would otherwise tie in the version
+        # name and read_as_of would break the tie by uuid hex — i.e.
+        # randomly return the superseded snapshot. Single-writer is the
+        # store contract, so bumping past the last version is safe.
+        now_ms = int(time.time() * 1000)
+        prior = self.list_versions()
+        if prior:
+            last_ms = int(os.path.basename(prior[-1]).split("-")[1])
+            now_ms = max(now_ms, last_ms + 1)
+        rel = f"v-{now_ms}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.root, rel)
         writer = post_state.write.mode("errorifexists")
         if partition_by:
@@ -245,9 +255,7 @@ class DocumentStore:
             "version_dir string, commit_ms long, is_current boolean,"
             " n_rows long"
         )
-        return self.spark.createDataFrame(rows, schema) if rows else (
-            self.spark.createDataFrame([], schema)
-        )
+        return self.spark.createDataFrame(rows, schema)
 
     def list_versions(self) -> list[str]:
         """Committed version directories, oldest first."""

@@ -111,10 +111,14 @@ def _update_ewma(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     n, s = state.get if state.exists else (0, None)
-    for pdf in batches:
-        # event-time order WITHIN the batch; cross-batch order is the
-        # replay's time-split contract (earlier batch = earlier rows)
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # `batches` yields ARROW CHUNKS, not whole groups: a key whose
+    # micro-batch rows span multiple chunks (maxRecordsPerBatch) would
+    # fold out of order under per-chunk sorting — concatenate first,
+    # sort ONCE. Event-time order within the batch; cross-batch order
+    # is the replay's time-split contract (earlier batch = earlier rows).
+    chunks = [pdf for pdf in batches]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
         for v in pdf["cents"].astype("int64"):
             v = int(v)
             s = v if n == 0 else _trunc_half(s + v)

@@ -51,7 +51,7 @@ SKIP = {
     "streaming_window_agg", "streaming_dedup", "streaming_enrich_join",
     "streaming_rollup_store", "streaming_session_agg",
     "streaming_range_join", "streaming_near_dedup", "stateful_counter",
-    "streaming_left_outer_join",
+    "streaming_left_outer_join", "streaming_ewma_state",
 }
 
 

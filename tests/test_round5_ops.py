@@ -650,3 +650,19 @@ def test_record_feed_streaming_source_incremental(spark, tmp_path):
     }
     assert len(rows) == 9                      # 5 + 4, no re-reads
     assert rows["rec7"] == "7"                 # strings until the cast stage
+
+
+def test_commit_ms_strictly_increasing(spark, tmp_path):
+    """Rapid successive commits must get strictly increasing commit-ms
+    version names — read_as_of breaks same-ms ties by uuid hex, which
+    could return the superseded snapshot (review finding)."""
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "mono"), "pk")
+    df = spark.createDataFrame([(1, "a")], "pk long, v string")
+    for _ in range(4):  # sub-ms commits are impossible for Spark, but
+        store.commit(df)  # the bump guard must hold regardless
+    ms = [r["commit_ms"] for r in store.describe_history().collect()]
+    assert sorted(ms) == ms and len(set(ms)) == len(ms)
