@@ -666,3 +666,61 @@ def test_commit_ms_strictly_increasing(spark, tmp_path):
         store.commit(df)  # the bump guard must hold regardless
     ms = [r["commit_ms"] for r in store.describe_history().collect()]
     assert sorted(ms) == ms and len(set(ms)) == len(ms)
+
+
+def test_ewma_state_multi_chunk_ordering(spark, tmp_path):
+    """Force >1 Arrow chunk per group (maxRecordsPerBatch=4): the EWMA
+    recurrence must still fold in global (ts, event_id) order — the
+    per-chunk sort bug diverged here (review finding)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from far_finer_airtable_firestore_sync_spark.streaming.stateful import (
+        _trunc_half,
+        ewma_profiles,
+    )
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(40):  # ONE user, 40 events -> 10 chunks at size 4
+        rows.append(
+            (i, dt.datetime(2024, 1, 1, 0, i % 60, i // 60), 1,
+             "click", float(rng.randint(1, 50000)) / 100)
+        )
+    path = str(tmp_path / "ev.parquet")
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([None] * len(rows), pa.string()),
+        }),
+        path,
+    )
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        out = run_stream_to_memory(
+            ewma_profiles(read_event_stream(spark, path)),
+            "t_ewma_chunks",
+            output_mode="update",
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    # Python replay in exact (ts, event_id) order
+    import decimal
+    s = None
+    for r in sorted(rows, key=lambda r: (r[1], r[0])):
+        cents = int(decimal.Decimal(str(r[4])).quantize(decimal.Decimal("0.01")) * 100)
+        s = cents if s is None else _trunc_half(s + cents)
+    assert len(out) == 1
+    assert (out[0]["n_events"], out[0]["ewma_q"]) == (40, s)
