@@ -55,7 +55,11 @@ from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
 )
 
 WORDS = ["spark", "window", "merge", "the", "cat", "sat", "a", "b", "c",
-         "data", "x", "y", "z", "value", "row"]
+         "data", "x", "y", "z", "value", "row",
+         # multibyte: both engines count CODEPOINTS (incl. astral-plane
+         # emoji) and md5 UTF-8 bytes — probed identical; these pin it
+         # across every shingle/substring/length body
+         "héllo", "naïve", "日本語", "😀ok", "Überß"]
 
 
 def _random_corpus(n=120, seed=23):
