@@ -147,8 +147,10 @@ class DocumentStore:
         # Strictly-increasing commit ms per store: two commits inside
         # one wall-clock millisecond would otherwise tie in the version
         # name and read_as_of would break the tie by uuid hex — i.e.
-        # randomly return the superseded snapshot. Single-writer is the
-        # store contract, so bumping past the last version is safe.
+        # randomly return the superseded snapshot. The guarantee is
+        # scoped to the documented single-writer contract (the bump
+        # reads the directory listing outside the flock; concurrent
+        # writers can still tie, as their pointer flips already race).
         now_ms = int(time.time() * 1000)
         prior = self.list_versions()
         if prior:

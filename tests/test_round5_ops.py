@@ -724,3 +724,40 @@ def test_ewma_state_multi_chunk_ordering(spark, tmp_path):
         s = cents if s is None else _trunc_half(s + cents)
     assert len(out) == 1
     assert (out[0]["n_events"], out[0]["ewma_q"]) == (40, s)
+
+
+def test_concurrent_commits_preserve_all_txn_markers(spark, tmp_path):
+    """Two writers committing CONCURRENTLY under different app_ids:
+    the flock'd pointer read-modify-write must carry BOTH txn markers
+    forward — a lost update here would let a streaming writer replay
+    an epoch it already applied."""
+    import threading
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "cc"), "pk")
+    df = spark.createDataFrame([(1, "x")], "pk long, v string")
+    errs = []
+
+    def writer(app, n):
+        try:
+            for i in range(n):
+                store.commit(df, txn=(app, str(i)))
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(f"app{j}", 5)) for j in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    # every writer's LAST marker survived the interleaving
+    assert store.last_txn("app0") == "4"
+    assert store.last_txn("app1") == "4"
+    # all 10 versions landed (names can tie on ms only under TRUE
+    # concurrency — the strict-monotonicity guarantee is scoped to the
+    # store's documented single-writer contract)
+    assert len(store.list_versions()) == 10
