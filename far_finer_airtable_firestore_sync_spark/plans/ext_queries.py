@@ -4199,6 +4199,104 @@ from kept
 """
 
 
+def _span_corruption_apply_body(dialect: str, rel: str) -> str:
+    """The APPLY half of T5 span corruption: materialize (input,
+    target) training pairs from the deterministic span plan
+    (`_span_corruption_body`). Masked spans collapse to one
+    ``<extra_id_N>`` sentinel in the input; the target is the
+    sentinel-prefixed masked words in document order — exactly the T5
+    seq2seq objective's pair shape (Raffel et al. 2020 §3.1.4).
+
+    Docs with no selected span pass through with an empty target (the
+    unsupervised mix keeps them as-is).
+
+    Scale shape: the span plan joins back to the positioned words on
+    (doc_id, position-range) — spans per doc are few, co-partitioned
+    on doc_id; the two ordered re-aggregations shuffle each kept token
+    once. Deterministic end-to-end: re-running emits byte-identical
+    pairs at any partitioning."""
+    warr = tx.split_ws_safe("lower(text)", dialect)
+    if dialect == SPARK:
+        pos = f"""
+  select doc_id, i0 + 1 as i, w
+  from (
+    select doc_id, posexplode(warr) as (i0, w)
+    from (
+      select doc_id, {warr} as warr from {rel}
+      where coalesce(text, '') <> ''
+    )
+  )"""
+
+        def ordered_join(tok: str) -> str:
+            return (
+                f"array_join(transform(array_sort(collect_list("
+                f"struct(i, {tok}))), x -> x.{tok}), ' ')"
+            )
+
+    else:
+        pos = f"""
+  select doc_id, i, {tx.lslice('warr', 'i', 1, dialect)}[1] as w
+  from (
+    select doc_id, warr,
+           unnest({tx.seq('1', tx.lsize('warr', dialect), dialect)}) as i
+    from (
+      select doc_id, {warr} as warr from {rel}
+      where coalesce(text, '') <> ''
+    )
+  )"""
+
+        def ordered_join(tok: str) -> str:
+            return f"string_agg({tok}, ' ' order by i)"
+
+    sent = "'<extra_id_' || cast(s.span_no as string) || '>'"
+    return f"""
+with sp as ({_span_corruption_body(dialect, rel)}),
+pos as ({pos}),
+marked as (
+  select p.doc_id, p.i, p.w, s.span_no,
+         case when s.span_no is not null and p.i = s.span_start
+              then {sent} else null end as sentinel
+  from pos p
+  left join sp s
+    on s.doc_id = p.doc_id
+   and p.i between s.span_start and s.span_start + s.span_len - 1
+),
+inputs as (
+  -- masked spans collapse to their sentinel (emitted at span start)
+  select doc_id,
+         {ordered_join("tok")} as input_text
+  from (
+    select doc_id, i,
+           case when span_no is null then w else sentinel end as tok
+    from marked where span_no is null or sentinel is not null
+  ) group by doc_id
+),
+targets as (
+  select doc_id,
+         cast(count(distinct span_no) as bigint) as n_spans,
+         {ordered_join("tok")} as target_text
+  from (
+    select doc_id, i, span_no,
+           case when sentinel is not null
+                then sentinel || ' ' || w else w end as tok
+    from marked where span_no is not null
+  ) group by doc_id
+)
+select i.doc_id, coalesce(t.n_spans, 0) as n_spans,
+       i.input_text, coalesce(t.target_text, '') as target_text
+from inputs i left join targets t on i.doc_id = t.doc_id
+"""
+
+
+def q_span_corruption_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 (input, target) pair materialization over documents (see
+    ``_span_corruption_apply_body``)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_spanapply_docs"
+    )
+    return spark.sql(_span_corruption_apply_body(SPARK, "_ffs_spanapply_docs"))
+
+
 def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic T5 span-corruption plan over documents (see
     ``_span_corruption_body``)."""
@@ -4293,6 +4391,7 @@ EXT_QUERIES = {
     "sketch_hll_distinct": q_hll_distinct,
     "quality_ccnet_buckets": q_ccnet_buckets,
     "span_corruption_plan": q_span_corruption,
+    "span_corruption_apply": q_span_corruption_apply,
     "shard_rendezvous": q_hrw_sharding,
     "search_phrase": q_phrase_search,
     "tokenizer_bpe_merges": q_bpe_merges,
@@ -4387,6 +4486,9 @@ def ext_oracles() -> dict[str, str]:
         "sketch_hll_distinct": _hll_body(DUCKDB, "documents"),
         "quality_ccnet_buckets": text_analysis.ccnet_buckets_sql(),
         "span_corruption_plan": _span_corruption_body(DUCKDB, "documents"),
+        "span_corruption_apply": _span_corruption_apply_body(
+            DUCKDB, "documents"
+        ),
         "shard_rendezvous": _hrw_body(DUCKDB, "documents"),
         "search_phrase": _phrase_body(DUCKDB, "documents"),
         "tokenizer_bpe_merges": _bpe_body(DUCKDB, "documents"),

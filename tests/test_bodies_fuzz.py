@@ -52,6 +52,7 @@ from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
     _hrw_body,
     _phrase_body,
     _span_corruption_body,
+    _span_corruption_apply_body,
 )
 
 WORDS = ["spark", "window", "merge", "the", "cat", "sat", "a", "b", "c",
@@ -252,6 +253,10 @@ def test_fuzz_body_parity(spark, tmp_path):
         "spancor": (
             _span_corruption_body(SPARK, "fz_docs"),
             _span_corruption_body(DUCKDB, "fz_docs"),
+        ),
+        "spanapply": (
+            _span_corruption_apply_body(SPARK, "fz_docs"),
+            _span_corruption_apply_body(DUCKDB, "fz_docs"),
         ),
     }
     for name, (s_sql, d_sql) in bodies.items():

@@ -761,3 +761,44 @@ def test_concurrent_commits_preserve_all_txn_markers(spark, tmp_path):
     # concurrency — the strict-monotonicity guarantee is scoped to the
     # store's documented single-writer contract)
     assert len(store.list_versions()) == 10
+
+
+def test_span_corruption_apply_round_trip(spark, tmp_path):
+    """(input, target) pairs must reconstruct the original text:
+    replacing each input sentinel with its target span's words (the
+    T5 objective's invertibility property)."""
+    import re
+
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        _span_corruption_apply_body,
+    )
+
+    rng = random.Random(19)
+    rows = [
+        (i, " ".join(rng.choices(["w", "xx", "yyy"], k=rng.randint(1, 60))), "s")
+        for i in range(200)
+    ]
+    path = _write_docs(tmp_path, "spa", rows)
+    spark.read.parquet(path).createOrReplaceTempView("spa_docs")
+    got = {
+        r["doc_id"]: r
+        for r in spark.sql(_span_corruption_apply_body(SPARK, "spa_docs")).collect()
+    }
+    orig = {r[0]: r[1] for r in rows}
+    assert set(got) == set(orig)
+    any_masked = False
+    for d, r in got.items():
+        # parse target into {sentinel: words}
+        spans = {}
+        for m in re.finditer(
+            r"(<extra_id_\d+>)((?: (?!<extra_id_)\S+)*)", r["target_text"]
+        ):
+            spans[m.group(1)] = m.group(2).strip()
+        assert len(spans) == r["n_spans"]
+        rebuilt = r["input_text"]
+        for sent_tok, words in spans.items():
+            any_masked = True
+            assert sent_tok in rebuilt
+            rebuilt = rebuilt.replace(sent_tok, words, 1)
+        assert rebuilt == orig[d].lower()
+    assert any_masked  # the corpus is big enough that spans were chosen
