@@ -4204,16 +4204,24 @@ def _span_corruption_apply_body(dialect: str, rel: str) -> str:
     target) training pairs from the deterministic span plan
     (`_span_corruption_body`). Masked spans collapse to one
     ``<extra_id_N>`` sentinel in the input; the target is the
-    sentinel-prefixed masked words in document order — exactly the T5
-    seq2seq objective's pair shape (Raffel et al. 2020 §3.1.4).
+    sentinel-prefixed masked words in document order, closed by the
+    canonical TERMINAL sentinel — the T5 seq2seq objective's pair
+    shape (Raffel et al. 2020 §3.1.4: sentinels are 0-indexed,
+    <extra_id_0> first, and every target ends with one final unused
+    sentinel).
 
     Docs with no selected span pass through with an empty target (the
-    unsupervised mix keeps them as-is).
+    unsupervised mix keeps them as-is); docs with NULL/empty text are
+    EXCLUDED — they carry no tokens, so there is no pair to emit
+    (count parity with the corpus holds only over non-empty docs).
 
     Scale shape: the span plan joins back to the positioned words on
     (doc_id, position-range) — spans per doc are few, co-partitioned
     on doc_id; the two ordered re-aggregations shuffle each kept token
-    once. Deterministic end-to-end: re-running emits byte-identical
+    once. Spark inlines the shared CTEs, so the text splits twice in
+    this one-shot body; the production-scale form materializes the
+    positions table once and feeds both the plan and the apply from
+    it. Deterministic end-to-end: re-running emits byte-identical
     pairs at any partitioning."""
     warr = tx.split_ws_safe("lower(text)", dialect)
     if dialect == SPARK:
@@ -4235,7 +4243,7 @@ def _span_corruption_apply_body(dialect: str, rel: str) -> str:
 
     else:
         pos = f"""
-  select doc_id, i, {tx.lslice('warr', 'i', 1, dialect)}[1] as w
+  select doc_id, i, {tx.lget('warr', 'i', dialect)} as w
   from (
     select doc_id, warr,
            unnest({tx.seq('1', tx.lsize('warr', dialect), dialect)}) as i
@@ -4248,7 +4256,8 @@ def _span_corruption_apply_body(dialect: str, rel: str) -> str:
         def ordered_join(tok: str) -> str:
             return f"string_agg({tok}, ' ' order by i)"
 
-    sent = "'<extra_id_' || cast(s.span_no as string) || '>'"
+    # plan span_no is a 1-based row_number; T5 sentinels are 0-indexed
+    sent = "'<extra_id_' || cast(s.span_no - 1 as string) || '>'"
     return f"""
 with sp as ({_span_corruption_body(dialect, rel)}),
 pos as ({pos}),
@@ -4272,9 +4281,12 @@ inputs as (
   ) group by doc_id
 ),
 targets as (
+  -- canonical close: every target ends with the first UNUSED sentinel
   select doc_id,
          cast(count(distinct span_no) as bigint) as n_spans,
-         {ordered_join("tok")} as target_text
+         {ordered_join("tok")}
+           || ' <extra_id_' || cast(count(distinct span_no) as string) || '>'
+           as target_text
   from (
     select doc_id, i, span_no,
            case when sentinel is not null

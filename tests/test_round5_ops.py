@@ -788,13 +788,21 @@ def test_span_corruption_apply_round_trip(spark, tmp_path):
     assert set(got) == set(orig)
     any_masked = False
     for d, r in got.items():
-        # parse target into {sentinel: words}
+        target = r["target_text"]
+        if r["n_spans"]:
+            # canonical close: first UNUSED (0-indexed) sentinel ends it
+            terminal = f"<extra_id_{r['n_spans']}>"
+            assert target.endswith(" " + terminal)
+            target = target[: -len(terminal) - 1]
+        # parse target into {sentinel: words}; sentinels are 0-indexed
         spans = {}
         for m in re.finditer(
-            r"(<extra_id_\d+>)((?: (?!<extra_id_)\S+)*)", r["target_text"]
+            r"(<extra_id_\d+>)((?: (?!<extra_id_)\S+)*)", target
         ):
             spans[m.group(1)] = m.group(2).strip()
         assert len(spans) == r["n_spans"]
+        if spans:
+            assert "<extra_id_0>" in spans
         rebuilt = r["input_text"]
         for sent_tok, words in spans.items():
             any_masked = True
