@@ -2089,6 +2089,63 @@ group by p.p_brand, p.p_type, p.p_size
 """
 
 
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: the supplier(s) with the maximum revenue over
+    a 3-month shipping window (the classic revenue view + scalar-max
+    subquery). The view is one per-supplier aggregate over the
+    date-pruned fact; the max gate is a 1-row aggregate broadcast back
+    (Spark decorrelates the scalar subquery to exactly this), and the
+    supplier dim broadcasts. Revenue stays decimal-exact through the
+    max-equality comparison — float maxima would make the tie test
+    engine-dependent — and casts to double only at the output.
+
+    Scale shape: one shuffle (the per-supplier aggregate, map-side
+    combined); everything after operates on the tiny supplier-grain
+    relation. Reference parity: read-side query surface of
+    /root/reference/lib/AirtableClient.py (scan+aggregate), TPC-H Q15
+    adapted to fixture columns (no partsupp needed)."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem").filter(
+        "l_shipdate >= timestamp '1996-01-01'"
+        " and l_shipdate < timestamp '1996-04-01'"
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+        ).alias("_rev")
+    )
+    gate = rev.agg(F.max("_rev").alias("_maxrev"))
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(gate), F.col("_rev") == F.col("_maxrev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_TOP_SUPPLIER_SQL = """
+with revenue as (
+  select l_suppkey,
+         sum(cast(l_extendedprice as decimal(18,2))
+             * (cast(1 as decimal(18,2))
+                - cast(l_discount as decimal(18,2)))) as rev
+  from lineitem
+  where l_shipdate >= timestamp '1996-01-01'
+    and l_shipdate < timestamp '1996-04-01'
+  group by l_suppkey
+)
+select s.s_suppkey, s.s_name, cast(r.rev as double) as total_revenue
+from revenue r
+join supplier s on r.l_suppkey = s.s_suppkey
+where r.rev = (select max(rev) from revenue)
+"""
+
+
 AGG_QUERIES = {
     "agg_pricing_summary": q_pricing_summary,
     "agg_revenue_by_nation": q_revenue_by_nation,
@@ -2110,6 +2167,7 @@ AGG_QUERIES = {
     "waiting_suppliers": q_waiting_suppliers,
     "small_quantity_revenue": q_small_quantity_revenue,
     "supplier_part_counts": q_supplier_part_counts,
+    "top_supplier_revenue": q_top_supplier_revenue,
     "streaming_ewma_state": q_streaming_ewma_state,
     "set_ops": q_set_ops,
     "agg_cube": q_cube_agg,
@@ -2161,6 +2219,7 @@ AGG_ORACLES = {
     "waiting_suppliers": _WAITING_SUPPLIERS_SQL,
     "small_quantity_revenue": _SMALL_QTY_SQL,
     "supplier_part_counts": _SUPPLIER_PART_SQL,
+    "top_supplier_revenue": _TOP_SUPPLIER_SQL,
     "streaming_ewma_state": _STREAMING_EWMA_SQL,
     "set_ops": SET_OPS_SQL,
     "agg_cube": CUBE_SQL,
