@@ -373,6 +373,47 @@ def apply_near_dedup(
     return corpus.join(losers, on=id_col, how="left_anti")
 
 
+def keep_best_representatives(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "clf_score_milli",
+) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup cluster, keep
+    the member with the BEST quality score (doc-id-asc tie-break)
+    instead of :func:`apply_near_dedup`'s min-id policy — the policy a
+    training pipeline actually wants when a cluster mixes a clean
+    original with truncated/mutated copies.
+
+    Returns (component, kept_id, n_members, kept_score). The argmax is
+    one ``max(struct(score, -id))`` aggregate — partial-aggregable
+    map-side, no window over the corpus; ``scores`` joins to the
+    cluster members first, so only the (small) member set ever
+    aggregates. The score must be integer-grid
+    (``clf_score_milli``-style) so the argmax is exact on any engine —
+    near-dup members have near-identical text, so float scores WOULD
+    tie and the winner would be engine-dependent."""
+    members = components.join(scores, id_col)
+    return (
+        members.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col(score_col).alias("s"),
+                    (-F.col(id_col)).alias("negid"),
+                )
+            ).alias("_w"),
+        )
+        .select(
+            "component",
+            (-F.col("_w.negid")).cast("long").alias("kept_id"),
+            "n_members",
+            F.col("_w.s").cast("long").alias("kept_score"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

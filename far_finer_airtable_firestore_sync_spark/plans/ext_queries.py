@@ -17,6 +17,7 @@ from far_finer_airtable_firestore_sync_spark.operators import (
     dedup_docs,
     similarity_search,
     text_analysis,
+    tokenize,
 )
 
 NEAR_SUFFIX = " near duplicate suffix"
@@ -1117,6 +1118,65 @@ corpus as ({CORPUS_SQL})
 select c.doc_id, c.lang, c.source, c.n_chars
 from corpus c left join comp on comp.doc_id = c.doc_id
 where comp.doc_id is null or comp.component = c.doc_id
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup canonical selection: same LSH -> Jaccard
+    -> connected-components clustering as ``dedup_apply_near``, but
+    each cluster keeps its best-quality member (integer classifier
+    score, id tie-break) — see
+    ``dedup_docs.keep_best_representatives``."""
+    corpus = dedup_corpus(spark, sf_dir)
+    pairs = dedup_docs.near_dup_pairs(
+        corpus,
+        shingle_n=SHINGLE_N,
+        seeds=SEEDS,
+        rows_per_band=ROWS_PER_BAND,
+        max_chars=MAX_CHARS,
+        threshold=0.5,
+    )
+    comps = dedup_docs.connected_components(pairs)
+    scores = text_analysis.quality_classify(corpus).select(
+        "doc_id", "clf_score_milli"
+    )
+    return dedup_docs.keep_best_representatives(comps, scores)
+
+
+def dedup_keep_best_oracle() -> str:
+    score = tx.quality_classifier_exprs("text", DUCKDB)["clf_score_milli"]
+    return f"""
+with recursive verified as ({NGRAM_JACCARD_SQL}),
+edges as (
+  select id_a as u, id_b as v from verified
+  union
+  select id_b as u, id_a as v from verified
+),
+reach(u, v) as (
+  select u, u as v from (select distinct u from edges)
+  union
+  select e.u, r.v from edges e join reach r on e.v = r.u
+),
+comp as (select u as doc_id, min(v) as component from reach group by u),
+corpus as ({CORPUS_SQL}),
+scored as (select doc_id, {score} as clf_score_milli from corpus),
+members as (
+  select comp.component, comp.doc_id, s.clf_score_milli
+  from comp join scored s on s.doc_id = comp.doc_id
+),
+sel as (
+  select component, doc_id, clf_score_milli,
+         row_number() over (
+           partition by component
+           order by clf_score_milli desc, doc_id asc
+         ) as rn,
+         count(*) over (partition by component) as nm
+  from members
+)
+select component, cast(doc_id as bigint) as kept_id,
+       cast(nm as bigint) as n_members,
+       cast(clf_score_milli as bigint) as kept_score
+from sel where rn = 1
 """
 
 
@@ -4141,6 +4201,93 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_bpe_body(SPARK, "_ffs_bpe_docs"))
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer INFERENCE: the corpus token histogram after applying
+    the learned merge table (``operators/tokenize.py`` — encoding runs
+    over the DISTINCT word table in an Arrow-batched mapInPandas, the
+    corpus itself only contributes its (word, count) aggregate)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tokenize.token_counts(docs, tokenize.DEFAULT_MERGES, top_k=20)
+
+
+def _bpe_encode_oracle(rel: str, merges=None, top_k: int = 20) -> str:
+    """DuckDB oracle for ``q_bpe_encode``: one unrolled pass per merge
+    rank, each pass expressed PURELY with window functions so every
+    CTE is referenced exactly once — the training body's join-back
+    form (f/j referenced twice per pass) expands ~3^k under DuckDB's
+    CTE inlining and never finishes past a handful of ranks (the same
+    multi-reference blowup class as Spark's CTE inlining). Island
+    logic: mt flags a matching (a,b) position, g groups consecutive
+    matches, odd island-rank rows merge (leftmost non-overlap / run
+    parity), and the row after a kept row is the consumed right-hand
+    symbol. Value-verifies the whole Python merge loop, rank order,
+    chaining and run parity against pure SQL."""
+    if merges is None:
+        merges = tokenize.DEFAULT_MERGES
+    passes = []
+    prev = "s0"
+    for k, (a, b) in enumerate(merges, start=1):
+        passes.append(f"""
+p{k} as (
+  select word, wc, pos, sym,
+         case when sym = '{a}'
+               and lead(sym) over (partition by word order by pos asc)
+                   = '{b}'
+              then 1 else 0 end as mt
+  from {prev}
+),
+g{k} as (
+  select word, wc, pos, sym, mt,
+         pos - row_number()
+                 over (partition by word, mt order by pos asc) as g
+  from p{k}
+),
+k{k} as (
+  select word, wc, pos, sym, mt,
+         case when mt = 1
+               and row_number()
+                     over (partition by word, mt, g order by pos asc)
+                   % 2 = 1
+              then 1 else 0 end as keep
+  from g{k}
+),
+c{k} as (
+  select word, wc, pos, keep,
+         case when keep = 1 then '{a + b}' else sym end as sym,
+         coalesce(lag(keep)
+                    over (partition by word order by pos asc),
+                  0) as consumed
+  from k{k}
+),
+r{k} as (
+  select word, wc,
+         row_number() over (partition by word order by pos asc) as pos,
+         sym
+  from c{k} where consumed = 0
+)""")
+        prev = f"r{k}"
+    body = ",".join(passes)
+    return f"""
+with wc as (
+  select word, cast(count(*) as bigint) as wc
+  from (select unnest(string_split(lower(coalesce(text, '')), ' '))
+          as word
+        from {rel})
+  where word <> '' group by word
+),
+s0 as (
+  select word, wc, i as pos, substring(word, i, 1) as sym
+  from (select word, wc, unnest(generate_series(1, length(word))) as i
+        from wc)
+),{body}
+select sym as token, cast(sum(wc) as bigint) as n
+from {prev}
+group by sym
+order by n desc, token asc
+limit {top_k}
+"""
+
+
 SPAN_CORRUPT_RATE_PPM = 150_000  # T5's 15% corruption rate
 SPAN_CORRUPT_LEN = 3             # T5's mean noise-span length
 #: integer threshold: keep a block iff its 56-bit hash < rate * 2^56
@@ -4343,6 +4490,7 @@ EXT_QUERIES = {
     "text_tfidf_search": q_tfidf_search,
     "dedup_components": q_dedup_components,
     "dedup_apply_near": q_dedup_apply,
+    "dedup_keep_best": q_dedup_keep_best,
     "sample_hash_stratified": q_hash_sample,
     "class_balance_cap": q_class_balance,
     "mixture_weights": q_mixture_weights,
@@ -4407,6 +4555,7 @@ EXT_QUERIES = {
     "shard_rendezvous": q_hrw_sharding,
     "search_phrase": q_phrase_search,
     "tokenizer_bpe_merges": q_bpe_merges,
+    "tokenizer_bpe_encode": q_bpe_encode,
 }
 
 
@@ -4434,6 +4583,7 @@ def ext_oracles() -> dict[str, str]:
         "text_tfidf_search": tfidf_search_oracle(),
         "dedup_components": dedup_components_oracle(),
         "dedup_apply_near": dedup_apply_oracle(),
+        "dedup_keep_best": dedup_keep_best_oracle(),
         "sample_hash_stratified": hash_sample_oracle(),
         "class_balance_cap": CLASS_BALANCE_SQL,
         "mixture_weights": MIXTURE_WEIGHTS_SQL,
@@ -4504,4 +4654,5 @@ def ext_oracles() -> dict[str, str]:
         "shard_rendezvous": _hrw_body(DUCKDB, "documents"),
         "search_phrase": _phrase_body(DUCKDB, "documents"),
         "tokenizer_bpe_merges": _bpe_body(DUCKDB, "documents"),
+        "tokenizer_bpe_encode": _bpe_encode_oracle("documents"),
     }

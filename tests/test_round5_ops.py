@@ -810,3 +810,29 @@ def test_span_corruption_apply_round_trip(spark, tmp_path):
             rebuilt = rebuilt.replace(sent_tok, words, 1)
         assert rebuilt == orig[d].lower()
     assert any_masked  # the corpus is big enough that spans were chosen
+
+
+def test_keep_best_representatives(spark):
+    """Cluster winner = best score; ties break to the smaller id;
+    singleton clusters keep their only member."""
+    from far_finer_airtable_firestore_sync_spark.operators import dedup_docs
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 9)],
+        "doc_id long, component long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 500), (2, 900), (3, 900), (7, 100), (8, 100), (9, 42)],
+        "doc_id long, clf_score_milli long",
+    )
+    got = {
+        r["component"]: r
+        for r in dedup_docs.keep_best_representatives(comps, scores).collect()
+    }
+    assert set(got) == {1, 7, 9}
+    # best score wins (not min id): 2 and 3 tie at 900 -> smaller id 2
+    assert got[1]["kept_id"] == 2 and got[1]["kept_score"] == 900
+    assert got[1]["n_members"] == 3
+    # exact tie across the whole cluster -> min id
+    assert got[7]["kept_id"] == 7 and got[7]["n_members"] == 2
+    assert got[9]["kept_id"] == 9 and got[9]["n_members"] == 1

@@ -1,0 +1,100 @@
+"""BPE tokenizer inference (operators/tokenize.py)."""
+
+import pytest
+
+from far_finer_airtable_firestore_sync_spark.operators import tokenize
+
+
+# ---------------------------------------------------------------------------
+# pure merge-loop semantics (no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_apply_merges_basic_and_chaining():
+    m = tokenize.DEFAULT_MERGES
+    # chained: e+r -> er, then er+g -> erg
+    assert tokenize.apply_merges("merge", m) == ["m", "erg", "e"]
+    # chained: i+n -> in, in+d -> ind; o+w -> ow
+    assert tokenize.apply_merges("window", m) == ["w", "ind", "ow"]
+    # t+h -> th, th+e -> the (whole word collapses)
+    assert tokenize.apply_merges("the", m) == ["the"]
+    assert tokenize.apply_merges("scan", m) == ["s", "c", "an"]
+    # no applicable merge: stays character-level
+    assert tokenize.apply_merges("sql", m) == ["s", "q", "l"]
+    assert tokenize.apply_merges("x", m) == ["x"]
+
+
+def test_apply_merges_run_parity():
+    """Overlapping runs merge leftmost non-overlapping: 1st+2nd,
+    3rd+4th, ... — the training body's island/odd-rank rule."""
+    m = (("g", "g"),)
+    assert tokenize.apply_merges("gg", m) == ["gg"]
+    assert tokenize.apply_merges("ggg", m) == ["gg", "g"]
+    assert tokenize.apply_merges("gggg", m) == ["gg", "gg"]
+    assert tokenize.apply_merges("ggggg", m) == ["gg", "gg", "g"]
+    assert tokenize.apply_merges("agga", m) == ["a", "gg", "a"]
+
+
+def test_rank_order_is_application_order():
+    """A later rank built on an earlier rank's output fires; reversing
+    the table order changes the result — rank order is semantics, not
+    cosmetics."""
+    fwd = (("a", "b"), ("ab", "c"))
+    rev = (("ab", "c"), ("a", "b"))
+    assert tokenize.apply_merges("abc", fwd) == ["abc"]
+    # reversed: (ab,c) sees no 'ab' symbol yet, then a+b merges
+    assert tokenize.apply_merges("abc", rev) == ["ab", "c"]
+
+
+# ---------------------------------------------------------------------------
+# Spark surfaces
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the merge window"),
+        (2, "scan scan agg"),
+        (3, None),
+        (4, ""),
+        (5, "the the"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_counts_weighting(docs):
+    got = {
+        r["token"]: r["n"]
+        for r in tokenize.token_counts(docs, top_k=50).collect()
+    }
+    # 'the' appears 3x across docs 1 and 5 and collapses to one token
+    assert got["the"] == 3
+    # scan -> s, c, an  (x2)
+    assert got["s"] == 2 and got["c"] == 2 and got["an"] == 2
+    # agg -> a, gg
+    assert got["gg"] == 1
+    # merge -> m, erg, e
+    assert got["erg"] == 1
+    # null/empty docs contribute nothing
+    total = sum(got.values())
+    expect = sum(
+        len(tokenize.apply_merges(w, tokenize.DEFAULT_MERGES))
+        for w in "the merge window scan scan agg the the".split()
+    )
+    assert total == expect
+
+
+def test_tokenize_docs_round_trip(docs):
+    out = {
+        r["doc_id"]: r
+        for r in tokenize.tokenize_docs(docs).collect()
+    }
+    # null/empty docs vanish (no words -> no row), same as word_counts
+    assert set(out) == {1, 2, 5}
+    assert out[1]["tokens"] == ["the", "m", "erg", "e", "w", "ind", "ow"]
+    assert out[2]["tokens"] == ["s", "c", "an", "s", "c", "an", "a", "gg"]
+    assert out[5]["tokens"] == ["the", "the"]
+    for r in out.values():
+        assert r["n_tokens"] == len(r["tokens"])
+        # concatenating tokens rebuilds the word stream exactly
