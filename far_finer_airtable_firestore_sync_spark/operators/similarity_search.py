@@ -875,6 +875,93 @@ def ivfpq_topk(
     )
 
 
+def bitext_margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+    "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings", arXiv:1811.01136): a candidate (x, y) scores by the
+    RATIO margin cos(x,y) / mean(avgNN_k(x), avgNN_k(y)) — how much
+    closer the pair is than each side's typical neighborhood — and a
+    pair is emitted iff it is the MUTUAL best match and clears the
+    margin threshold. Output: (src_id, tgt_id, cosine, margin).
+
+    Exactness: per-pair cosines quantize to a 1e-6 bigint grid, so the
+    top-k neighborhood SUMS are exact integers (float sums are
+    order-dependent) and the margin is one final IEEE division
+    ``cos_q * 2k / (sx + sy)`` — bit-identical cross-engine. Ranking
+    uses (cos_q, id): the grid collapses float near-ties into exact
+    ties broken deterministically.
+
+    Scale shape: norms precompute per ROW (one interpreted fold per
+    pair, not three); the smaller side broadcasts; the two bounded
+    windows shuffle only the candidate pairs, once per direction. The
+    all-pairs candidate set is the oracle baseline — at index scale
+    the scan swaps for the IVF probe exactly as in
+    :func:`hard_negatives`."""
+    s = (
+        _quantized(src, vec_col, "_qs")
+        .select(F.col(id_col).alias("src_id"), "_qs")
+        .withColumn(
+            "_ns",
+            F.expr(f"sqrt(cast({tx.dot_int('_qs', '_qs', SPARK)} as double))"),
+        )
+    )
+    t = (
+        _quantized(tgt, vec_col, "_qt")
+        .select(F.col(id_col).alias("tgt_id"), "_qt")
+        .withColumn(
+            "_nt",
+            F.expr(f"sqrt(cast({tx.dot_int('_qt', '_qt', SPARK)} as double))"),
+        )
+    )
+    dot = tx.dot_int("_qs", "_qt", SPARK)
+    scored = s.crossJoin(F.broadcast(t)).select(
+        "src_id",
+        "tgt_id",
+        F.expr(
+            f"cast(round(cast({dot} as double) / (_ns * _nt) * 1000000)"
+            " as bigint)"
+        ).alias("cos_q"),
+    )
+    wx = Window.partitionBy("src_id").orderBy(
+        F.col("cos_q").desc(), F.col("tgt_id").asc()
+    )
+    wy = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos_q").desc(), F.col("src_id").asc()
+    )
+    # neighborhood sums as whole-partition window aggregates on the
+    # SAME partition keys as the ranks: one shuffle per direction, one
+    # pass over the candidate set — the groupBy+join form re-reads the
+    # expensive cross-join once per consumer
+    kq = F.when(F.col("rkx") <= k, F.col("cos_q"))
+    kq_y = F.when(F.col("rky") <= k, F.col("cos_q"))
+    ranked = (
+        scored.withColumn("rkx", F.row_number().over(wx))
+        .withColumn("_sx", F.sum(kq).over(Window.partitionBy("src_id")))
+        .withColumn("rky", F.row_number().over(wy))
+        .withColumn("_sy", F.sum(kq_y).over(Window.partitionBy("tgt_id")))
+    )
+    margin = F.expr(
+        f"cast(cos_q * {2 * k} as double) / cast(_sx + _sy as double)"
+    )
+    return (
+        ranked.filter("rkx = 1 and rky = 1")
+        .select(
+            "src_id",
+            "tgt_id",
+            (F.col("cos_q").cast("double") / F.lit(1000000.0)).alias("cosine"),
+            margin.alias("margin"),
+        )
+        .filter(F.col("margin") >= F.lit(margin_threshold))
+    )
+
+
 def dcg_weight_case(rank_col: str, k: int = 10) -> str:
     """DCG discount 1/log2(rank+1) pre-quantized to bigint
     round(1e9 / log2(rank+1)) literals.

@@ -1180,6 +1180,78 @@ from sel where rn = 1
 """
 
 
+#: bitext mining: neighborhood size for the margin denominator
+BITEXT_K = 4
+
+
+def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining over the embeddings table,
+    sides split by label parity (src additionally thinned 4x — the
+    'query language' side is the smaller corpus in practice). See
+    ``similarity_search.bitext_margin_pairs``."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = emb.filter("label % 2 = 0 and vec_id % 4 = 0")
+    tgt = emb.filter("label % 2 = 1")
+    return similarity_search.bitext_margin_pairs(
+        src, tgt, k=BITEXT_K, margin_threshold=1.0
+    )
+
+
+def bitext_margin_oracle() -> str:
+    qz = tx.quantize("embedding", DUCKDB)
+    k = BITEXT_K
+    margin = (
+        f"cast(cos_q * {2 * k} as double) / cast(sx + sy as double)"
+    )
+    return f"""
+with src0 as (
+  select vec_id as src_id, {qz} as qs
+  from embeddings where label % 2 = 0 and vec_id % 4 = 0
+),
+src as (
+  select src_id, qs,
+         sqrt(cast({tx.dot_int('qs', 'qs', DUCKDB)} as double)) as ns
+  from src0
+),
+tgt0 as (
+  select vec_id as tgt_id, {qz} as qt
+  from embeddings where label % 2 = 1
+),
+tgt as (
+  select tgt_id, qt,
+         sqrt(cast({tx.dot_int('qt', 'qt', DUCKDB)} as double)) as nt
+  from tgt0
+),
+scored as (
+  select src_id, tgt_id,
+         cast(round(cast({tx.dot_int('qs', 'qt', DUCKDB)} as double)
+                    / (ns * nt) * 1000000) as bigint) as cos_q
+  from src cross join tgt
+),
+ranked as (
+  select src_id, tgt_id, cos_q,
+         row_number() over (
+           partition by src_id order by cos_q desc, tgt_id asc) as rkx,
+         row_number() over (
+           partition by tgt_id order by cos_q desc, src_id asc) as rky
+  from scored
+),
+sums as (
+  select src_id, tgt_id, cos_q, rkx, rky,
+         sum(case when rkx <= {k} then cos_q end)
+           over (partition by src_id) as sx,
+         sum(case when rky <= {k} then cos_q end)
+           over (partition by tgt_id) as sy
+  from ranked
+)
+select src_id, tgt_id,
+       cast(cos_q as double) / 1000000 as cosine,
+       {margin} as margin
+from sums
+where rkx = 1 and rky = 1 and {margin} >= cast(1 as double)
+"""
+
+
 def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF ranked disjunctive search over the inverted index.
 
@@ -4526,6 +4598,7 @@ EXT_QUERIES = {
     "skew_key_report": q_skew_report,
     "corpus_split_leakage_safe": q_split_leakage_safe,
     "mining_hard_negatives": q_hard_negatives,
+    "mining_bitext_margin": q_bitext_margin,
     "mining_training_triples": q_training_triples,
     "streaming_near_dedup": q_streaming_near_dedup,
     "quality_ensemble": q_quality_ensemble,
@@ -4623,6 +4696,7 @@ def ext_oracles() -> dict[str, str]:
         "skew_key_report": _skew_report_body(DUCKDB, "lineitem", "l_orderkey"),
         "corpus_split_leakage_safe": split_leakage_safe_oracle(),
         "mining_hard_negatives": hard_negatives_oracle(),
+        "mining_bitext_margin": bitext_margin_oracle(),
         "mining_training_triples": training_triples_oracle(),
         "streaming_near_dedup": STREAMING_NEAR_DEDUP_SQL,
         "quality_ensemble": _quality_ensemble_body(DUCKDB, "documents"),

@@ -836,3 +836,31 @@ def test_keep_best_representatives(spark):
     # exact tie across the whole cluster -> min id
     assert got[7]["kept_id"] == 7 and got[7]["n_members"] == 2
     assert got[9]["kept_id"] == 9 and got[9]["n_members"] == 1
+
+
+def test_bitext_margin_mutual_best(spark):
+    """Pairs must be MUTUAL best matches; margin is the ratio of the
+    pair cosine to the mean top-k neighborhood average."""
+    from far_finer_airtable_firestore_sync_spark.operators import (
+        similarity_search as ss,
+    )
+
+    # src 1 <-> tgt 11 aligned; src 2's best is tgt 11 too, but tgt 11
+    # prefers src 1, so src 2 emits nothing; tgt 12 is near-orthogonal
+    src = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    tgt = spark.createDataFrame(
+        [(11, [1.0, 0.05, 0.0]), (12, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = ss.bitext_margin_pairs(
+        src, tgt, k=2, margin_threshold=0.0
+    ).collect()
+    assert [(r["src_id"], r["tgt_id"]) for r in got] == [(1, 11)]
+    r = got[0]
+    assert r["cosine"] > 0.99
+    # margin > 1: the pair is closer than the neighborhood average
+    # (which includes the near-orthogonal tgt 12)
+    assert r["margin"] > 1.0
