@@ -685,10 +685,11 @@ from {table} d left join scored s using ({id_col})
 
 
 def ccnet_buckets(
-    df: DataFrame,
+    df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "source",
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. 2020,
     arXiv:1911.00359, public paper): within each group rank documents
@@ -706,10 +707,23 @@ def ccnet_buckets(
 
     Scale shape: scoring is the lm_bigram_score plan (model broadcast,
     text never shuffled); the split adds one per-group window over
-    (score, id) pairs — rows of 3 columns, not documents."""
-    joined = lm_bigram_score(
-        df, text_col=text_col, id_col=id_col, passthrough_cols=[group_col]
-    )
+    (score, id) pairs — rows of 3 columns, not documents.
+
+    Composition: a pipeline that already materialized the scored frame
+    (cache/checkpoint/table) passes it via ``scored`` — must carry
+    (id_col, group_col, avg_nll) — and the bucketing reuses it instead
+    of re-running the whole scoring plan (the standalone entry pays
+    the scoring cost once either way; re-scoring only hurts when the
+    scores feed several consumers)."""
+    if scored is not None:
+        joined = scored
+    else:
+        if df is None:
+            raise ValueError("ccnet_buckets needs either df or scored")
+        joined = lm_bigram_score(
+            df, text_col=text_col, id_col=id_col,
+            passthrough_cols=[group_col],
+        )
     w = (
         f"(partition by `{group_col}` "
         f"order by avg_nll asc nulls last, `{id_col}` asc)"

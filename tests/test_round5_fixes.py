@@ -91,3 +91,42 @@ def test_commit_expected_version_conflict_raises_and_cleans(spark, tmp_path):
     with pytest.raises(ConcurrentCommitError):
         store.commit(df.selectExpr("pk", "'c' as v"), expected_version=v1)
     assert set(store.list_versions()) == before  # orphan dir removed
+
+
+def test_ccnet_buckets_reuses_scored_frame(spark):
+    """A composed pipeline passes the materialized scored frame; the
+    bucketing must reuse it (cached scan, no re-scoring) and agree
+    with the self-scoring path."""
+    from far_finer_airtable_firestore_sync_spark.operators import (
+        text_analysis as ta,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ("the merge window " * (1 + i % 3)).strip(), f"s{i % 2}")
+         for i in range(12)],
+        "doc_id long, text string, source string",
+    )
+    scored = ta.lm_bigram_score(
+        docs, passthrough_cols=["source"]
+    ).cache()
+    try:
+        direct = ta.ccnet_buckets(docs).collect()
+        reused_df = ta.ccnet_buckets(scored=scored)
+        reused = reused_df.collect()
+        assert sorted(map(tuple, direct)) == sorted(map(tuple, reused))
+        # the reused plan reads the cache, it does not re-score
+        plan = reused_df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        assert "Generate" not in plan  # no explode = no bigram rescore
+    finally:
+        scored.unpersist()
+
+
+def test_ccnet_buckets_requires_input():
+    from far_finer_airtable_firestore_sync_spark.operators import (
+        text_analysis as ta,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ta.ccnet_buckets()
