@@ -875,6 +875,116 @@ def ivfpq_topk(
     )
 
 
+def srp_weights(planes: int = 16, dims: int = 64) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes for signed-random-projection LSH:
+    sign bits derived from md5(plane:dim) parity, computed ONCE in
+    Python and emitted as literals into BOTH the Spark plan and the
+    DuckDB oracle (the dcg_weight_case idiom) — so the signatures,
+    buckets and candidate sets are bit-identical cross-engine, unlike
+    seeded-RNG hyperplanes (the reason `similarity_brp_lsh_topk` is
+    rows-only)."""
+    import hashlib  # noqa: PLC0415
+
+    return [
+        [
+            1
+            if hashlib.md5(f"srp:{p}:{d}".encode()).digest()[0] % 2 == 0
+            else -1
+            for d in range(dims)
+        ]
+        for p in range(planes)
+    ]
+
+
+def _srp_band_exprs(
+    qv: str, dialect: str, planes: int, band_bits: int, dims: int
+) -> list[str]:
+    """Band-value expressions (one per band) from sign bits of the
+    ±1-hyperplane dots. Charikar 2002 SimHash-for-cosine: P(bits
+    agree) = 1 - angle/pi, so banding trades recall for candidate
+    count exactly like minhash banding."""
+    w = srp_weights(planes, dims)
+    bits = []
+    for p in range(planes):
+        lits = ",".join(str(v) for v in w[p])
+        arr = f"array({lits})" if dialect == SPARK else f"[{lits}]"
+        dot = tx.dot_int(qv, arr, dialect)
+        bits.append(f"(case when {dot} >= 0 then 1 else 0 end)")
+    bands = []
+    for b in range(0, planes, band_bits):
+        group = bits[b : b + band_bits]
+        val = " + ".join(
+            f"{bit} * {1 << (len(group) - 1 - i)}"
+            for i, bit in enumerate(group)
+        )
+        bands.append(f"({val})")
+    return bands
+
+
+def srp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 16,
+    band_bits: int = 4,
+    dims: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k via signed-random-projection LSH with EXACT-cosine
+    rerank: candidates = corpus vectors sharing ≥1 signature band with
+    the query, reranked by the quantized-exact cosine. Deterministic
+    hyperplanes (:func:`srp_weights`) make this the value-oracled ANN
+    tier — same recall/cost trade as the MLlib BRP entry, but every
+    intermediate is reproducible in SQL.
+
+    Scale shape: signatures are a projection (planes × dims integer
+    ops per row, no shuffle); the band join keys on (band_no,
+    band_val) — 2^band_bits × planes/band_bits buckets; candidates
+    per query are bucket-bounded, so the rerank never scans the
+    corpus. Output: (query_id, neighbor_id, cosine, rank)."""
+    c = _quantized(corpus, vec_col, "_qv").select(
+        F.col(id_col).alias("neighbor_id"), "_qv"
+    )
+    q = _quantized(queries, vec_col, "_qq").select(
+        F.col(id_col).alias("query_id"), "_qq"
+    )
+    cb = _srp_band_exprs("_qv", SPARK, planes, band_bits, dims)
+    qb = _srp_band_exprs("_qq", SPARK, planes, band_bits, dims)
+    c_bands = c.select(
+        "neighbor_id",
+        F.posexplode(F.expr(f"array({','.join(cb)})")).alias(
+            "band_no", "band_val"
+        ),
+    )
+    q_bands = q.select(
+        "query_id",
+        F.posexplode(F.expr(f"array({','.join(qb)})")).alias(
+            "band_no", "band_val"
+        ),
+    )
+    cand = (
+        c_bands.join(F.broadcast(q_bands), ["band_no", "band_val"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    cos = F.expr(tx.cosine_quantized("_qq", "_qv", SPARK))
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
 def bitext_margin_pairs(
     src: DataFrame,
     tgt: DataFrame,

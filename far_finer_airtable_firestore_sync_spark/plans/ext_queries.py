@@ -1180,6 +1180,142 @@ from sel where rn = 1
 """
 
 
+#: winnowing parameters: k-gram length and hash-window size
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+def _winnowing_body(dialect: str, rel: str) -> str:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    the MOSS algorithm, public paper): hash every k-gram, slide a
+    w-hash window, and select each window's minimum hash (rightmost on
+    ties). Guarantees any shared substring of length >= k + w - 1
+    shares a fingerprint — the local property that makes fingerprint
+    overlap a plagiarism/copy detector.
+
+    Engine-portable argmin: (hash, position) packs into one bigint
+    ``hash * 512 + (511 - pos)`` (hash < 2^48, pos < 512 by the
+    256-char cap), so ``min(pack)`` IS min-hash-then-rightmost-pos —
+    no engine-specific argmin semantics. Output is the per-doc
+    fingerprint-set summary (count/sum/min/max of selected hashes):
+    corpus-wide, compact, and pinning the selection byte-for-byte.
+
+    Scale shape: grams are a projection off the (bounded) prefix; the
+    window min is one per-doc ordered window over ~250 rows/doc; the
+    summary is a per-doc partial aggregate. Nothing shuffles but
+    (doc, pos, pack) triples. Docs shorter than k + w - 1 chars have
+    no full window and are excluded (the guarantee above is vacuous
+    for them)."""
+    k, w = WINNOW_K, WINNOW_W
+    intdiv = "div" if dialect == SPARK else "//"
+    h = tx.hex_to_bigint(
+        f"substring(md5(substring(t, i, {k})), 1, 12)", dialect
+    )
+    idx = tx.explode_as(
+        tx.seq("1", f"length(t) - {k - 1}", dialect), "i", dialect
+    )
+    return f"""
+with base as (
+  select doc_id,
+         lower(substring(coalesce(text, ''), 1, {MAX_CHARS})) as t
+  from {rel}
+),
+grams as (
+  select doc_id, i, {h} * 512 + (511 - i) as pack
+  from (
+    select doc_id, t, {idx}
+    from base where length(t) >= {k + w - 1}
+  )
+),
+wins as (
+  select doc_id, i,
+         min(pack) over (
+           partition by doc_id order by i asc
+           rows between current row and {w - 1} following) as wmin,
+         count(*) over (partition by doc_id) as ng
+  from grams
+),
+sel as (
+  select distinct doc_id, wmin from wins where i <= ng - {w - 1}
+)
+select doc_id,
+       cast(count(*) as bigint) as n_fp,
+       cast(sum(wmin {intdiv} 512) as bigint) as fp_sum,
+       cast(min(wmin {intdiv} 512) as bigint) as fp_min,
+       cast(max(wmin {intdiv} 512) as bigint) as fp_max
+from sel group by doc_id
+"""
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint summaries per document (see
+    ``_winnowing_body``)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_winnow_docs"
+    )
+    return spark.sql(_winnowing_body(SPARK, "_ffs_winnow_docs"))
+
+
+def q_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-oracled ANN: signed-random-projection LSH buckets +
+    exact-cosine rerank for 5 query vectors (see
+    ``similarity_search.srp_lsh_topk``)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity_search.srp_lsh_topk(
+        emb, emb.filter("vec_id < 5"), k=10
+    )
+
+
+def srp_lsh_topk_oracle(planes: int = 16, band_bits: int = 4) -> str:
+    bands = similarity_search._srp_band_exprs(
+        "qv", DUCKDB, planes, band_bits, 64
+    )
+    qbands = similarity_search._srp_band_exprs(
+        "qq", DUCKDB, planes, band_bits, 64
+    )
+    n_bands = len(bands)
+    c_cols = ", ".join(f"{e} as b{i}" for i, e in enumerate(bands))
+    q_cols = ", ".join(f"{e} as b{i}" for i, e in enumerate(qbands))
+    c_union = "\n  union all ".join(
+        f"select neighbor_id, {i} as band_no, b{i} as band_val from cb"
+        for i in range(n_bands)
+    )
+    q_union = "\n  union all ".join(
+        f"select query_id, {i} as band_no, b{i} as band_val from qb"
+        for i in range(n_bands)
+    )
+    cos = tx.cosine_quantized("qq", "qv", DUCKDB)
+    return f"""
+with c0 as (select vec_id as neighbor_id, {_qz("embedding")} as qv
+            from embeddings),
+q0 as (select vec_id as query_id, {_qz("embedding")} as qq
+       from embeddings where vec_id < 5),
+cb as (select neighbor_id, {c_cols} from c0),
+qb as (select query_id, {q_cols} from q0),
+cbands as ({c_union}),
+qbands as ({q_union}),
+cand as (
+  select distinct q.query_id, c.neighbor_id
+  from cbands c join qbands q
+    on c.band_no = q.band_no and c.band_val = q.band_val
+  where c.neighbor_id <> q.query_id
+),
+scored as (
+  select cand.query_id, cand.neighbor_id, {cos} as cosine
+  from cand
+  join c0 on cand.neighbor_id = c0.neighbor_id
+  join q0 on cand.query_id = q0.query_id
+)
+select query_id, neighbor_id, cosine, cast(rank as int) as rank
+from (
+  select *, row_number() over (
+    partition by query_id order by cosine desc, neighbor_id asc
+  ) as rank from scored
+) where rank <= 10
+"""
+
+
 #: bitext mining: neighborhood size for the margin denominator
 BITEXT_K = 4
 
@@ -4544,6 +4680,7 @@ EXT_QUERIES = {
     "text_repetition": q_repetition,
     "text_pii_redact": q_pii_redact,
     "text_fingerprint": q_fingerprint,
+    "text_winnowing": q_winnowing,
     "text_simhash": q_simhash,
     "dedup_exact_groups": q_exact_dedup_groups,
     "dedup_chunks_corpus": q_chunk_dedup,
@@ -4556,6 +4693,7 @@ EXT_QUERIES = {
     "retrieval_eval_ndcg": q_retrieval_eval,
     "dedup_lsh_eval": q_lsh_eval,
     "similarity_brp_lsh_topk": q_brp_lsh_topk,
+    "similarity_srp_lsh_topk": q_srp_lsh_topk,
     "embedding_dim_stats": q_embedding_dim_stats,
     "similarity_near_dup": q_embedding_near_dup,
     "text_search": q_text_search,
@@ -4640,12 +4778,14 @@ def ext_oracles() -> dict[str, str]:
         "text_repetition": repetition_oracle(),
         "text_pii_redact": pii_redact_oracle(),
         "text_fingerprint": fingerprint_oracle(),
+        "text_winnowing": _winnowing_body(DUCKDB, "documents"),
         "text_simhash": simhash_oracle(),
         "dedup_exact_groups": EXACT_DEDUP_SQL,
         "dedup_chunks_corpus": chunk_dedup_oracle(),
         "dedup_lsh_pairs": LSH_PAIRS_SQL,
         "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
         "similarity_cosine_topk": cosine_topk_oracle(),
+        "similarity_srp_lsh_topk": srp_lsh_topk_oracle(),
         "similarity_ivf_topk": ivf_topk_oracle(),
         "similarity_ivf_kmeans_topk": ivf_kmeans_topk_oracle(),
         "retrieval_eval_ndcg": retrieval_eval_oracle(),

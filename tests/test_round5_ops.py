@@ -864,3 +864,87 @@ def test_bitext_margin_mutual_best(spark):
     # margin > 1: the pair is closer than the neighborhood average
     # (which includes the near-orthogonal tgt 12)
     assert r["margin"] > 1.0
+
+
+def _winnow_ref(text, k=8, w=4):
+    """Independent Python winnowing reference (same hash basis)."""
+    import hashlib
+
+    t = text.lower()[:256]
+    if len(t) < k + w - 1:
+        return set()
+    packs = []
+    for i in range(1, len(t) - k + 2):
+        h = int(hashlib.md5(t[i - 1 : i - 1 + k].encode()).hexdigest()[:12], 16)
+        packs.append(h * 512 + (511 - i))
+    sel = set()
+    for s in range(0, len(packs) - w + 1):
+        sel.add(min(packs[s : s + w]))
+    return sel
+
+
+def test_winnowing_matches_python_reference(spark):
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        _winnowing_body,
+    )
+    from far_finer_airtable_firestore_sync_spark.functions.canonical import (
+        SPARK as SPARK_D,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a totally different document about spark windows"),
+        (3, "short"),          # < k+w-1: excluded
+        (4, None),             # null: excluded
+        (5, "aaaaaaaaaaaaaaaaaaaa"),  # degenerate run: tie-breaking
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string")\
+        .createOrReplaceTempView("winnow_t")
+    got = {
+        r["doc_id"]: r
+        for r in spark.sql(_winnowing_body(SPARK_D, "winnow_t")).collect()
+    }
+    assert set(got) == {1, 2, 5}
+    for d, text in [(1, rows[0][1]), (2, rows[1][1]), (5, rows[4][1])]:
+        sel = _winnow_ref(text)
+        hashes = [p // 512 for p in sel]
+        assert got[d]["n_fp"] == len(sel)
+        assert got[d]["fp_sum"] == sum(hashes)
+        assert got[d]["fp_min"] == min(hashes)
+        assert got[d]["fp_max"] == max(hashes)
+
+
+def test_winnowing_shared_substring_guarantee():
+    """Any shared substring of length >= k + w - 1 (11) must share a
+    fingerprint — the MOSS local guarantee — checked on the Python
+    reference that the SQL body is pinned against."""
+    shared = "identical-span-here"
+    a = "prefix one " + shared + " suffix alpha"
+    b = "other start " + shared + " different end"
+    fa = {p // 512 for p in _winnow_ref(a)}
+    fb = {p // 512 for p in _winnow_ref(b)}
+    assert fa & fb
+
+
+def test_srp_lsh_subset_of_exact(spark):
+    """SRP candidates rerank by the same exact cosine: every returned
+    (query, neighbor, cosine) must appear in the exact brute-force
+    ranking with the same cosine; ranks are contiguous from 1."""
+    from far_finer_airtable_firestore_sync_spark.operators import (
+        similarity_search as ss,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 5")
+    approx = ss.srp_lsh_topk(emb, q, k=10).collect()
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in ss.cosine_topk(emb, q, k=10**6).collect()
+    }
+    assert approx
+    per_q = {}
+    for r in approx:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
