@@ -373,6 +373,73 @@ def apply_near_dedup(
     return corpus.join(losers, on=id_col, how="left_anti")
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 9,
+    max_chars: int | None = 256,
+    df_cap: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment C = |A∩B| / min(|A|,
+    |B|) of the smaller shingle set in the larger (Broder 1997's
+    containment measure) — catches a short document quoted inside a
+    long one, which Jaccard structurally misses (a perfect 20%-length
+    quote has J ≈ 0.2 but C = 1.0).
+
+    Candidates come from RARE-shingle postings blocking: only shingles
+    with document frequency <= ``df_cap`` join, so the self-join cost
+    is Σ df² <= df_cap · |postings| — linear in the corpus, and hot
+    boilerplate shingles (the skew case) are excluded by construction.
+    Minhash-LSH is the wrong candidate generator here: its collision
+    probability tracks Jaccard, exactly the measure containment is
+    escaping.
+
+    Output: (id_small, id_big, containment) for pairs clearing the
+    threshold; the smaller set is the contained side (id-asc on size
+    ties — deterministic)."""
+    sh = with_shingles(df, text_col, id_col, shingle_n, max_chars)
+    post = sh.select(F.col(id_col), F.explode("_sh").alias("s"))
+    rare = (
+        post.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= df_cap)
+        .select("s")
+    )
+    pr = post.join(rare, "s")
+    pa = pr.select("s", F.col(id_col).alias("id_a"))
+    pb = pr.select("s", F.col(id_col).alias("id_b"))
+    pairs = (
+        pa.join(pb, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    j = pairs.join(
+        sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    la, lb = F.size("sh_a"), F.size("sh_b")
+    cont = inter.cast("double") / F.least(la, lb)
+    return (
+        j.select(
+            F.when(la <= lb, F.col("id_a")).otherwise(F.col("id_b")).alias(
+                "id_small"
+            ),
+            F.when(la <= lb, F.col("id_b")).otherwise(F.col("id_a")).alias(
+                "id_big"
+            ),
+            cont.alias("containment"),
+        )
+        .filter(F.col("containment") >= F.lit(threshold))
+    )
+
+
 def keep_best_representatives(
     components: DataFrame,
     scores: DataFrame,

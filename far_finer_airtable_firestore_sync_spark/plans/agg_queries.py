@@ -639,6 +639,90 @@ from orders group by cube (o_orderstatus, o_orderpriority)
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with mixed arities + grouping() flags —
+    the general form ROLLUP/CUBE specialize (one Expand + one
+    aggregate, NOT a union of per-set scans; the flags disambiguate a
+    subtotal NULL from a data NULL). Sets: (status, priority),
+    (priority), ()."""
+    _utc(spark)
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("_ffs_gs_orders")
+    return spark.sql(f"""
+select o_orderstatus, o_orderpriority,
+       cast(grouping(o_orderstatus) as int) as g_status,
+       cast(grouping(o_orderpriority) as int) as g_priority,
+       count(*) as n,
+       cast(sum(cast(o_totalprice as {_DEC})) as double) as total
+from _ffs_gs_orders
+group by grouping sets ((o_orderstatus, o_orderpriority),
+                        (o_orderpriority), ())
+""")
+
+
+GROUPING_SETS_SQL = f"""
+select o_orderstatus, o_orderpriority,
+       cast(grouping(o_orderstatus) as int) as g_status,
+       cast(grouping(o_orderpriority) as int) as g_priority,
+       count(*) as n,
+       cast(sum(cast(o_totalprice as {_DEC})) as double) as total
+from orders
+group by grouping sets ((o_orderstatus, o_orderpriority),
+                        (o_orderpriority), ())
+"""
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user trailing-1-hour event count
+    and value sum at every event — RANGE frames bound by the ORDER
+    key's VALUE (epoch seconds), not row offsets, which is the
+    correct semantics for irregular event spacing. Sum is
+    integer-cents exact; the output projects a small slice but the
+    window computes over the full stream."""
+    _utc(spark)
+    ev = read_events(spark, sf_dir)
+    ev.createOrReplaceTempView("_ffs_rng_events")
+    return spark.sql("""
+select event_id, user_id, ts_s, n_1h, cents_1h
+from (
+  select event_id, user_id, ts_s, value,
+         count(*) over w as n_1h,
+         sum(cents) over w as cents_1h
+  from (
+    select event_id, user_id,
+           cast(unix_timestamp(ts) as bigint) as ts_s,
+           value,
+           cast(round(value * 100) as bigint) as cents
+    from _ffs_rng_events
+  )
+  window w as (partition by user_id order by ts_s asc
+               range between 3599 preceding and current row)
+)
+where value > 197
+""")
+
+
+WINDOW_RANGE_FRAME_SQL = """
+select event_id, user_id, ts_s, n_1h, cents_1h
+from (
+  select event_id, user_id, ts_s, value,
+         count(*) over w as n_1h,
+         sum(cents) over w as cents_1h
+  from (
+    select event_id, user_id,
+           -- floor, not cast: DuckDB double->bigint casts ROUND, but
+           -- Spark's unix_timestamp truncates sub-second parts
+           cast(floor(epoch(ts)) as bigint) as ts_s,
+           value,
+           cast(round(value * 100) as bigint) as cents
+    from events
+  )
+  window w as (partition by user_id order by ts_s asc
+               range between 3599 preceding and current row)
+)
+where value > 197
+"""
+
+
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String/date/math scalar-function coverage in one projection."""
     _utc(spark)
@@ -2171,6 +2255,8 @@ AGG_QUERIES = {
     "streaming_ewma_state": q_streaming_ewma_state,
     "set_ops": q_set_ops,
     "agg_cube": q_cube_agg,
+    "agg_grouping_sets": q_grouping_sets,
+    "window_range_frame": q_window_range_frame,
     "scalar_functions": q_scalar_functions,
     "agg_multi_distinct": q_distinct_agg,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
@@ -2223,6 +2309,8 @@ AGG_ORACLES = {
     "streaming_ewma_state": _STREAMING_EWMA_SQL,
     "set_ops": SET_OPS_SQL,
     "agg_cube": CUBE_SQL,
+    "agg_grouping_sets": GROUPING_SETS_SQL,
+    "window_range_frame": WINDOW_RANGE_FRAME_SQL,
     "scalar_functions": SCALAR_FUNCS_SQL,
     "agg_multi_distinct": DISTINCT_AGG_SQL,
     "fuzzy_name_pairs": FUZZY_NAME_SQL,

@@ -1180,6 +1180,61 @@ from sel where rn = 1
 """
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-based asymmetric near-dup over documents +
+    synthesized quotes (a 160-char excerpt of every %13 doc): the
+    quote's shingles are a subset of its source's, so containment is
+    1.0 where Jaccard would be far below any dedup threshold. See
+    ``dedup_docs.containment_pairs``."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    quotes = d.filter("doc_id % 13 = 0").select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.expr("substring(text, 40, 160)").alias("text"),
+    )
+    return dedup_docs.containment_pairs(
+        d.unionByName(quotes),
+        shingle_n=SHINGLE_N,
+        max_chars=MAX_CHARS,
+        df_cap=4,
+        threshold=0.8,
+    )
+
+
+def containment_oracle() -> str:
+    shs = tx.shingles("text", SHINGLE_N, DUCKDB, MAX_CHARS)
+    return f"""
+with corpus as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 3000000 as doc_id, substring(text, 40, 160) as text
+  from documents where doc_id % 13 = 0
+),
+sh as (select doc_id, {shs} as shs from corpus),
+post as (select doc_id, unnest(shs) as s from sh),
+rare as (select s from post group by s having count(*) <= 4),
+pr as (select p.doc_id, p.s from post p join rare using (s)),
+pairs as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from pr a join pr b on a.s = b.s and a.doc_id < b.doc_id
+),
+scored as (
+  select p.id_a, p.id_b,
+         len(list_intersect(a.shs, b.shs)) as inter,
+         len(a.shs) as la, len(b.shs) as lb
+  from pairs p
+  join sh a on a.doc_id = p.id_a
+  join sh b on b.doc_id = p.id_b
+)
+select case when la <= lb then id_a else id_b end as id_small,
+       case when la <= lb then id_b else id_a end as id_big,
+       cast(inter as double) / least(la, lb) as containment
+from scored
+where cast(inter as double) / least(la, lb) >= 0.8
+"""
+
+
 #: winnowing parameters: k-gram length and hash-window size
 WINNOW_K = 8
 WINNOW_W = 4
@@ -4701,6 +4756,7 @@ EXT_QUERIES = {
     "dedup_components": q_dedup_components,
     "dedup_apply_near": q_dedup_apply,
     "dedup_keep_best": q_dedup_keep_best,
+    "dedup_containment": q_containment,
     "sample_hash_stratified": q_hash_sample,
     "class_balance_cap": q_class_balance,
     "mixture_weights": q_mixture_weights,
@@ -4797,6 +4853,7 @@ def ext_oracles() -> dict[str, str]:
         "dedup_components": dedup_components_oracle(),
         "dedup_apply_near": dedup_apply_oracle(),
         "dedup_keep_best": dedup_keep_best_oracle(),
+        "dedup_containment": containment_oracle(),
         "sample_hash_stratified": hash_sample_oracle(),
         "class_balance_cap": CLASS_BALANCE_SQL,
         "mixture_weights": MIXTURE_WEIGHTS_SQL,

@@ -948,3 +948,27 @@ def test_srp_lsh_subset_of_exact(spark):
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_containment_catches_quotes_jaccard_misses(spark):
+    """A short quote inside a long doc: containment 1.0, Jaccard well
+    below the dedup threshold."""
+    from far_finer_airtable_firestore_sync_spark.operators import dedup_docs
+
+    long_text = " ".join(f"token{i:03d}" for i in range(30))   # ~240 chars
+    quote = long_text[40:120]
+    other = " ".join(f"zz{i:03d}x" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, quote), (3, other)],
+        "doc_id long, text string",
+    )
+    got = dedup_docs.containment_pairs(df, df_cap=8, threshold=0.8).collect()
+    assert [(r["id_small"], r["id_big"]) for r in got] == [(2, 1)]
+    assert got[0]["containment"] == 1.0
+    # Jaccard on the same pair is below any near-dup threshold
+    sh = dedup_docs.with_shingles(df)
+    pairs = spark.createDataFrame([(2, 1)], "id_a long, id_b long")
+    jac = dedup_docs.ngram_jaccard_pairs(
+        df, pairs, threshold=0.0, shingled=sh
+    ).collect()
+    assert jac[0]["jaccard"] < 0.5
