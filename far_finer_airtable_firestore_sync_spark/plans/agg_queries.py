@@ -1895,6 +1895,80 @@ from v group by user_id
 """
 
 
+def q_streaming_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming #2: per-user streaming top-3 event
+    types by exact count, state carried across a two-batch time-split
+    replay (see ``streaming/stateful.topk_type_profiles``). Final
+    state per key = max-n_events update row. The oracle recomputes the
+    same exact counts and (count desc, type asc) top-3 in batch SQL —
+    ranked-ARRAY state value-verifies cross-engine."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from far_finer_airtable_firestore_sync_spark.streaming.stateful import (
+        topk_type_profiles,
+    )
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    _utc(spark)
+    # 1/8 slice: state semantics are size-independent (same contract
+    # as the EWMA entry)
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    src = src.filter(pc.equal(pc.bit_wise_and(src["event_id"], 7), 1))
+    mid = sorted(src["ts"].to_pylist())[len(src) // 2]
+    src_dir = tempfile.mkdtemp(prefix="ffs-topk-entry-")
+    pq.write_table(src.filter(pc.less(src["ts"], mid)),
+                   f"{src_dir}/part1.parquet")
+    pq.write_table(src.filter(pc.greater_equal(src["ts"], mid)),
+                   f"{src_dir}/part2.parquet")
+    now = _time.time()
+    os.utime(f"{src_dir}/part1.parquet", (now, now))
+    os.utime(f"{src_dir}/part2.parquet", (now + 1, now + 1))
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    _seq = _next_seq()
+    out = run_stream_to_memory(
+        topk_type_profiles(stream, k=3),
+        f"_ffs_stream_topk_{_seq}",
+        output_mode="update",
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "top_types", "top_counts"), "n_events"
+            ).alias("_s")
+        )
+        .select(
+            "user_id",
+            F.col("_s.n_events").alias("n_events"),
+            F.col("_s.top_types").alias("top_types"),
+            F.col("_s.top_counts").alias("top_counts"),
+        )
+    )
+
+
+_STREAMING_TOPK_SQL = """
+with v as (
+  select user_id, event_type, cast(count(*) as bigint) as c
+  from events where (event_id & 7) = 1
+  group by user_id, event_type
+)
+select user_id,
+       cast(sum(c) as bigint) as n_events,
+       (list(event_type order by c desc, event_type asc))[1:3]
+         as top_types,
+       (list(c order by c desc, event_type asc))[1:3] as top_counts
+from v group by user_id
+"""
+
+
 def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-shaped: top-20 customers by revenue lost to returned
     items in a 6-month window. Scale shape: the date filter pushes to
@@ -2253,6 +2327,7 @@ AGG_QUERIES = {
     "supplier_part_counts": q_supplier_part_counts,
     "top_supplier_revenue": q_top_supplier_revenue,
     "streaming_ewma_state": q_streaming_ewma_state,
+    "streaming_topk_state": q_streaming_topk_state,
     "set_ops": q_set_ops,
     "agg_cube": q_cube_agg,
     "agg_grouping_sets": q_grouping_sets,
@@ -2307,6 +2382,7 @@ AGG_ORACLES = {
     "supplier_part_counts": _SUPPLIER_PART_SQL,
     "top_supplier_revenue": _TOP_SUPPLIER_SQL,
     "streaming_ewma_state": _STREAMING_EWMA_SQL,
+    "streaming_topk_state": _STREAMING_TOPK_SQL,
     "set_ops": SET_OPS_SQL,
     "agg_cube": CUBE_SQL,
     "agg_grouping_sets": GROUPING_SETS_SQL,

@@ -972,3 +972,67 @@ def test_containment_catches_quotes_jaccard_misses(spark):
         df, pairs, threshold=0.0, shingled=sh
     ).collect()
     assert jac[0]["jaccard"] < 0.5
+
+
+def test_streaming_topk_state_crosses_batches(spark, tmp_path):
+    """Top-k type counts must accumulate across micro-batches through
+    the state store (two time-split files, one per trigger), with
+    (count desc, type asc) tie-breaking."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from far_finer_airtable_firestore_sync_spark.streaming.stateful import (
+        topk_type_profiles,
+    )
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    def write(path, rows):
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array([None] * len(rows), pa.string()),
+            }),
+            path,
+        )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # batch 1: user 1 sees a,a,b ; batch 2: b,b,c — final a:2 b:3 c:1
+    d = tmp_path / "tk"
+    d.mkdir()
+    write(str(d / "p1.parquet"),
+          [(1, t0, 1, "a"), (2, t0, 1, "a"), (3, t0, 1, "b")])
+    write(str(d / "p2.parquet"),
+          [(4, t0, 1, "b"), (5, t0, 1, "b"), (6, t0, 1, "c")])
+    now = _time.time()
+    os.utime(str(d / "p1.parquet"), (now, now))
+    os.utime(str(d / "p2.parquet"), (now + 1, now + 1))
+    out = run_stream_to_memory(
+        topk_type_profiles(
+            read_event_stream(spark, str(d), max_files_per_trigger=1), k=2
+        ),
+        "t_topk_state",
+        output_mode="update",
+    ).collect()
+    final = max(
+        (r for r in out if r["user_id"] == 1), key=lambda r: r["n_events"]
+    )
+    assert final["n_events"] == 6
+    assert final["top_types"] == ["b", "a"]     # k=2 cut drops c
+    assert final["top_counts"] == [3, 2]
+    # the batch-1 update row proves state visibility mid-stream
+    first = min(
+        (r for r in out if r["user_id"] == 1), key=lambda r: r["n_events"]
+    )
+    assert first["n_events"] == 3
+    assert first["top_types"] == ["a", "b"]     # 2 vs 1, tie-free
