@@ -215,3 +215,37 @@ def test_recommended_conf_scaling_invariants(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A fact partitioned on the join key must be pruned at RUNTIME by
+    the dim-side filter (DPP): the fact scan carries a dynamicpruning
+    subquery and reads only the matching partition directories — the
+    100 TB pattern where the dim filter, not a static literal, decides
+    which partitions exist in the scan."""
+    fact = spark.range(0, 10000).selectExpr(
+        "id", "cast(id % 8 as int) as pk", "id * 2 as v"
+    )
+    fact.write.mode("overwrite").partitionBy("pk").parquet(
+        str(tmp_path / "fact")
+    )
+    dim = spark.createDataFrame(
+        [(i, "keep" if i < 2 else "drop") for i in range(8)],
+        "pk int, tag string",
+    )
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    d = spark.read.parquet(str(tmp_path / "dim")).filter("tag = 'keep'")
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        joined = f.join(d, "pk").groupBy("tag").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the pruning subquery is attached to the fact scan
+        assert "dynamicpruning" in plan.lower()
+        rows = {r["tag"]: r["count"] for r in joined.collect()}
+        assert rows == {"keep": 2500}  # pk 0 and 1 -> 1250 rows each
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
+        )
