@@ -1805,6 +1805,45 @@ from documents group by lang
 """
 
 
+def q_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSON-lines interchange in one gate: write documents to
+    both row formats, read each back with the EXPLICIT schema (the
+    production contract — inference samples are nondeterministic),
+    and emit distinct(union(agg_csv, agg_json)). Iff BOTH roundtrips
+    are lossless the union collapses to the parquet-side oracle rows;
+    any divergence doubles a group row and fails the value hash.
+
+    CSV contract notes: quoted fields cover embedded delimiters;
+    nulls round-trip as empty fields (distinguishable from text only
+    for non-string columns — the aggregate never reads `text`, whose
+    ''-vs-NULL ambiguity is CSV-inherent and documented here, not
+    hidden)."""
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    schema = docs.schema
+    base = tempfile.mkdtemp(prefix="ffs_rowfmt_")
+    docs.write.mode("overwrite").option("header", "true").csv(f"{base}/csv")
+    docs.write.mode("overwrite").json(f"{base}/json")
+    agg_cols = [
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    ]
+    from_csv = (
+        spark.read.schema(schema).option("header", "true")
+        .csv(f"{base}/csv").groupBy("lang").agg(*agg_cols)
+    )
+    from_json = (
+        spark.read.schema(schema).json(f"{base}/json")
+        .groupBy("lang").agg(*agg_cols)
+    )
+    return from_csv.unionByName(from_json).distinct()
+
+
+CSV_JSON_ROUNDTRIP_SQL = ORC_ROUNDTRIP_SQL
+
+
 def q_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entropy+novelty curation pipeline report (see
     ``_curate_v2_body``)."""
@@ -4814,6 +4853,7 @@ EXT_QUERIES = {
     "dedup_pagerank": q_dedup_pagerank,
     "llm_curate_v2": q_curate_v2,
     "orc_roundtrip": q_orc_roundtrip,
+    "csv_json_roundtrip": q_csv_json_roundtrip,
     "text_chunking_udtf": q_text_chunking_udtf,
     "sketch_hll_distinct": q_hll_distinct,
     "quality_ccnet_buckets": q_ccnet_buckets,
@@ -4915,6 +4955,7 @@ def ext_oracles() -> dict[str, str]:
         "dedup_pagerank": dedup_pagerank_oracle(),
         "llm_curate_v2": _curate_v2_body(DUCKDB, "documents"),
         "orc_roundtrip": ORC_ROUNDTRIP_SQL,
+        "csv_json_roundtrip": CSV_JSON_ROUNDTRIP_SQL,
         "text_chunking_udtf": TEXT_CHUNKING_SQL,
         "sketch_hll_distinct": _hll_body(DUCKDB, "documents"),
         "quality_ccnet_buckets": text_analysis.ccnet_buckets_sql(),
