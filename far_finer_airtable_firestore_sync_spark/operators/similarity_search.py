@@ -1009,11 +1009,19 @@ def bitext_margin_pairs(
     ties broken deterministically.
 
     Scale shape: norms precompute per ROW (one interpreted fold per
-    pair, not three); the smaller side broadcasts; the two bounded
-    windows shuffle only the candidate pairs, once per direction. The
-    all-pairs candidate set is the oracle baseline — at index scale
-    the scan swaps for the IVF probe exactly as in
-    :func:`hard_negatives`."""
+    pair, not three); the SRC (query-language) side broadcasts — by
+    the mining convention it is the smaller corpus, matching
+    :func:`hard_negatives`'s broadcast-queries shape — while the tgt
+    corpus streams; the two bounded windows shuffle only the candidate
+    pairs, once per direction. The all-pairs candidate set is the
+    oracle baseline — at index scale the scan swaps for the IVF probe
+    exactly as in :func:`hard_negatives`.
+
+    Degenerate-direction guard: the ratio margin assumes positive
+    similarity (Artetxe & Schwenk §3.2's scores are cosines of real
+    translation candidates); with a negative best cosine AND negative
+    neighborhood sums the ratio inverts (worse pairs score higher), so
+    pairs with cos_q <= 0 are dropped before the margin test."""
     s = (
         _quantized(src, vec_col, "_qs")
         .select(F.col(id_col).alias("src_id"), "_qs")
@@ -1031,7 +1039,7 @@ def bitext_margin_pairs(
         )
     )
     dot = tx.dot_int("_qs", "_qt", SPARK)
-    scored = s.crossJoin(F.broadcast(t)).select(
+    scored = t.crossJoin(F.broadcast(s)).select(
         "src_id",
         "tgt_id",
         F.expr(
@@ -1061,7 +1069,7 @@ def bitext_margin_pairs(
         f"cast(cos_q * {2 * k} as double) / cast(_sx + _sy as double)"
     )
     return (
-        ranked.filter("rkx = 1 and rky = 1")
+        ranked.filter("rkx = 1 and rky = 1 and cos_q > 0")
         .select(
             "src_id",
             "tgt_id",

@@ -716,6 +716,16 @@ def ccnet_buckets(
     the scoring cost once either way; re-scoring only hurts when the
     scores feed several consumers)."""
     if scored is not None:
+        if df is not None:
+            raise ValueError(
+                "ccnet_buckets: pass df OR scored, not both (a stale "
+                "scored frame would silently win over df)"
+            )
+        missing = {id_col, group_col, "avg_nll"} - set(scored.columns)
+        if missing:
+            raise ValueError(
+                f"ccnet_buckets: scored frame lacks {sorted(missing)}"
+            )
         joined = scored
     else:
         if df is None:

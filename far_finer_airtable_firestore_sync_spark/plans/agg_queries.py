@@ -1827,13 +1827,22 @@ group by r.event_type, m.med, d.mad
 EVENT_MAD_SQL = EVENT_MAD_BODY.format(rel="events")
 
 
-def q_streaming_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL custom stateful streaming (applyInPandasWithState): per-
-    user integer EWMA over a two-batch time-split replay — the per-key
-    recurrence crosses the batch boundary through the state store.
-    Update-mode memory sink holds one row per (key, batch); the final
-    state per key is the max-n row. Oracle: DuckDB list_reduce folding
-    the SAME truncating recurrence over (ts, event_id)-ordered cents."""
+def _two_batch_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    residue: int,
+    transform,
+    sink_prefix: str,
+) -> DataFrame:
+    """Shared harness for the stateful-streaming entries: slice events
+    to (event_id & 7) == ``residue`` (state semantics are
+    size-independent; the full table only multiplies fixed
+    micro-batch overhead), split at the ts median into two files
+    ordered by mtime, replay ONE file per trigger through
+    ``transform`` (so per-key state crosses the batch boundary through
+    the state store), and return the update-mode memory-sink rows —
+    one row per (key, batch); the caller selects the final state as
+    the max-n_events row per key."""
     import os
     import tempfile
     import time as _time
@@ -1841,21 +1850,16 @@ def q_streaming_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from far_finer_airtable_firestore_sync_spark.streaming.stateful import (
-        ewma_profiles,
-    )
     from far_finer_airtable_firestore_sync_spark.streaming.sync import (
         read_event_stream,
         run_stream_to_memory,
     )
 
     _utc(spark)
-    # 1/8 slice: recurrence semantics are size-independent; the full
-    # table only multiplies fixed stateful-streaming overhead
     src = pq.read_table(f"{sf_dir}/events.parquet")
-    src = src.filter(pc.equal(pc.bit_wise_and(src["event_id"], 7), 0))
+    src = src.filter(pc.equal(pc.bit_wise_and(src["event_id"], 7), residue))
     mid = sorted(src["ts"].to_pylist())[len(src) // 2]
-    src_dir = tempfile.mkdtemp(prefix="ffs-ewma-entry-")
+    src_dir = tempfile.mkdtemp(prefix=f"ffs-{sink_prefix}-entry-")
     pq.write_table(src.filter(pc.less(src["ts"], mid)),
                    f"{src_dir}/part1.parquet")
     pq.write_table(src.filter(pc.greater_equal(src["ts"], mid)),
@@ -1864,12 +1868,24 @@ def q_streaming_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.utime(f"{src_dir}/part1.parquet", (now, now))
     os.utime(f"{src_dir}/part2.parquet", (now + 1, now + 1))
     stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
-    _seq = _next_seq()
-    out = run_stream_to_memory(
-        ewma_profiles(stream),
-        f"_ffs_stream_ewma_{_seq}",
+    return run_stream_to_memory(
+        transform(stream),
+        f"_ffs_stream_{sink_prefix}_{_next_seq()}",
         output_mode="update",
     )
+
+
+def q_streaming_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL custom stateful streaming (applyInPandasWithState): per-
+    user integer EWMA over a two-batch time-split replay — the per-key
+    recurrence crosses the batch boundary through the state store
+    (``_two_batch_replay``). Oracle: DuckDB list_reduce folding the
+    SAME truncating recurrence over (ts, event_id)-ordered cents."""
+    from far_finer_airtable_firestore_sync_spark.streaming.stateful import (
+        ewma_profiles,
+    )
+
+    out = _two_batch_replay(spark, sf_dir, 0, ewma_profiles, "ewma")
     return (
         out.groupBy("user_id")
         .agg(F.max_by(F.struct("n_events", "ewma_q"), "n_events").alias("_s"))
@@ -1898,45 +1914,17 @@ from v group by user_id
 def q_streaming_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming #2: per-user streaming top-3 event
     types by exact count, state carried across a two-batch time-split
-    replay (see ``streaming/stateful.topk_type_profiles``). Final
-    state per key = max-n_events update row. The oracle recomputes the
-    same exact counts and (count desc, type asc) top-3 in batch SQL —
+    replay (``_two_batch_replay`` +
+    ``streaming/stateful.topk_type_profiles``). Final state per key =
+    max-n_events update row. The oracle recomputes the same exact
+    counts and (count desc, type asc) top-3 in batch SQL —
     ranked-ARRAY state value-verifies cross-engine."""
-    import os
-    import tempfile
-    import time as _time
-
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
     from far_finer_airtable_firestore_sync_spark.streaming.stateful import (
         topk_type_profiles,
     )
-    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
-        read_event_stream,
-        run_stream_to_memory,
-    )
 
-    _utc(spark)
-    # 1/8 slice: state semantics are size-independent (same contract
-    # as the EWMA entry)
-    src = pq.read_table(f"{sf_dir}/events.parquet")
-    src = src.filter(pc.equal(pc.bit_wise_and(src["event_id"], 7), 1))
-    mid = sorted(src["ts"].to_pylist())[len(src) // 2]
-    src_dir = tempfile.mkdtemp(prefix="ffs-topk-entry-")
-    pq.write_table(src.filter(pc.less(src["ts"], mid)),
-                   f"{src_dir}/part1.parquet")
-    pq.write_table(src.filter(pc.greater_equal(src["ts"], mid)),
-                   f"{src_dir}/part2.parquet")
-    now = _time.time()
-    os.utime(f"{src_dir}/part1.parquet", (now, now))
-    os.utime(f"{src_dir}/part2.parquet", (now + 1, now + 1))
-    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
-    _seq = _next_seq()
-    out = run_stream_to_memory(
-        topk_type_profiles(stream, k=3),
-        f"_ffs_stream_topk_{_seq}",
-        output_mode="update",
+    out = _two_batch_replay(
+        spark, sf_dir, 1, lambda s: topk_type_profiles(s, k=3), "topk"
     )
     return (
         out.groupBy("user_id")

@@ -1239,6 +1239,12 @@ where cast(inter as double) / least(la, lb) >= 0.8
 WINNOW_K = 8
 WINNOW_W = 4
 
+# the winnowing pack encodes position in 9 bits (hash*512 + (511-i));
+# a MAX_CHARS bump past this bound would interleave packs from
+# different hashes SILENTLY (both engines corrupt identically, so the
+# oracle would still match) — fail loudly at import instead
+assert MAX_CHARS - WINNOW_K + 1 < 512, "winnowing pack: pos must fit 9 bits"
+
 
 def _winnowing_body(dialect: str, rel: str) -> str:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
@@ -1439,7 +1445,8 @@ select src_id, tgt_id,
        cast(cos_q as double) / 1000000 as cosine,
        {margin} as margin
 from sums
-where rkx = 1 and rky = 1 and {margin} >= cast(1 as double)
+where rkx = 1 and rky = 1 and cos_q > 0
+  and {margin} >= cast(1 as double)
 """
 
 
@@ -1813,11 +1820,14 @@ def q_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     are lossless the union collapses to the parquet-side oracle rows;
     any divergence doubles a group row and fails the value hash.
 
-    CSV contract notes: quoted fields cover embedded delimiters;
-    nulls round-trip as empty fields (distinguishable from text only
-    for non-string columns — the aggregate never reads `text`, whose
-    ''-vs-NULL ambiguity is CSV-inherent and documented here, not
-    hidden)."""
+    CSV contract notes: quoted fields cover embedded delimiters AND
+    newlines — the writer quotes them, so the read must run
+    multiLine=true (quoted-newline records make CSV files
+    non-splittable; that is CSV's inherent scale tax and why the
+    columnar/JSON legs are the production paths). Nulls round-trip as
+    empty fields (distinguishable from text only for non-string
+    columns — the aggregate never reads `text`, whose ''-vs-NULL
+    ambiguity is CSV-inherent and documented here, not hidden)."""
     import tempfile
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1832,6 +1842,7 @@ def q_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     from_csv = (
         spark.read.schema(schema).option("header", "true")
+        .option("multiLine", "true")
         .csv(f"{base}/csv").groupBy("lang").agg(*agg_cols)
     )
     from_json = (
