@@ -53,6 +53,8 @@ from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
     _phrase_body,
     _span_corruption_body,
     _span_corruption_apply_body,
+    _winnowing_body,
+    _bpe_encode_oracle,
 )
 
 WORDS = ["spark", "window", "merge", "the", "cat", "sat", "a", "b", "c",
@@ -258,6 +260,12 @@ def test_fuzz_body_parity(spark, tmp_path):
             _span_corruption_apply_body(SPARK, "fz_docs"),
             _span_corruption_apply_body(DUCKDB, "fz_docs"),
         ),
+        # multibyte words exercise substring/length codepoint parity
+        # inside the k-gram/pack arithmetic
+        "winnow": (
+            _winnowing_body(SPARK, "fz_docs"),
+            _winnowing_body(DUCKDB, "fz_docs"),
+        ),
     }
     for name, (s_sql, d_sql) in bodies.items():
         s_rows = _norm([tuple(r) for r in spark.sql(s_sql).collect()])
@@ -392,3 +400,38 @@ def test_fuzz_retrieval_eval_parity(spark, tmp_path):
     d_rows = _norm([tuple(r[i] for i in order) for r in res.fetchall()])
     assert s_rows == d_rows, f"first spark={s_rows[:2]} duck={d_rows[:2]}"
     assert len(s_rows) == 12
+
+
+def test_fuzz_bpe_encode_parity(spark, tmp_path):
+    """The Python mapInPandas merge loop vs the unrolled SQL oracle on
+    an adversarial corpus (NULL/empty texts, multibyte words, runs):
+    the full token histogram must match, not just the fixture's
+    top-20."""
+    from far_finer_airtable_firestore_sync_spark.operators import tokenize
+
+    docs = _random_corpus(seed=31)
+    # planted overlap runs for the (g,g) parity rule and chained merges
+    docs.append({"doc_id": 9001, "source": "s0", "text": "gggg ggggg agga"})
+    docs.append({"doc_id": 9002, "source": "s0", "text": "the merge window"})
+    dpath = str(tmp_path / "bpe_docs.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in docs], pa.int64()),
+            "source": pa.array([r["source"] for r in docs], pa.string()),
+            "text": pa.array([r["text"] for r in docs], pa.string()),
+        }),
+        dpath,
+    )
+    sdf = spark.read.parquet(dpath)
+    got = _norm([
+        tuple(r)
+        for r in tokenize.token_counts(sdf, top_k=10**6).collect()
+    ])
+    con = duckdb.connect()
+    con.execute(
+        f"create view fz_bpe as select * from read_parquet('{dpath}')"
+    )
+    want = _norm(
+        con.execute(_bpe_encode_oracle("fz_bpe", top_k=10**6)).fetchall()
+    )
+    assert got == want and got
