@@ -307,6 +307,52 @@ from events group by 1
 """
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path end-to-end: build a nested JSON document
+    per event, ``parse_json`` it into a VARIANT, and aggregate over
+    typed ``variant_get`` path extractions. The oracle computes the
+    same aggregate from the RAW columns — agreeing means the
+    JSON→VARIANT→typed-path pipeline is lossless, which is the whole
+    point of shredding semi-structured columns into VARIANT instead
+    of string-typed JSON (binary-encoded paths, no per-access
+    re-parse). Cents stay on the decimal grid (no doubles inside the
+    JSON — engine float formatting differs)."""
+    _utc(spark)
+    ev = read_events(spark, sf_dir)
+    ev.createOrReplaceTempView("_ffs_var_events")
+    return spark.sql("""
+select k_bucket, et,
+       cast(count(*) as bigint) as n,
+       cast(sum(cents) as bigint) as total_cents
+from (
+  select variant_get(v, '$.k', 'bigint') % 7 as k_bucket,
+         cast(variant_get(v, '$.meta.et', 'string') as string) as et,
+         variant_get(v, '$.meta.cents', 'bigint') as cents
+  from (
+    select parse_json(to_json(named_struct(
+             'k', cast(get_json_object(props, '$.k') as bigint),
+             'meta', named_struct(
+               'et', event_type,
+               'cents',
+               cast(cast(value as decimal(18,2)) * 100 as bigint))))) as v
+    from _ffs_var_events
+  )
+)
+group by k_bucket, et
+""")
+
+
+VARIANT_EXTRACT_SQL = """
+select cast(json_extract_string(props, '$.k') as bigint) % 7 as k_bucket,
+       event_type as et,
+       cast(count(*) as bigint) as n,
+       cast(sum(cast(cast(value as decimal(18,2)) * 100 as bigint))
+            as bigint) as total_cents
+from events
+group by 1, 2
+"""
+
+
 def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming execution: file stream -> watermarked
     tumbling windows -> complete-mode memory sink, driven to
@@ -2301,6 +2347,7 @@ AGG_QUERIES = {
     "agg_rollup": q_rollup_flag_status,
     "pivot_status_priority": q_pivot_status_by_priority,
     "json_props_extract": q_json_props,
+    "variant_extract": q_variant_extract,
     "streaming_window_agg": q_streaming_window_agg,
     "streaming_dedup": q_streaming_dedup,
     "streaming_enrich_join": q_streaming_enrich_join,
@@ -2357,6 +2404,7 @@ AGG_ORACLES = {
     "agg_rollup": ROLLUP_SQL,
     "pivot_status_priority": PIVOT_SQL,
     "json_props_extract": JSON_PROPS_SQL,
+    "variant_extract": VARIANT_EXTRACT_SQL,
     "streaming_window_agg": STREAMING_WINDOW_SQL,
     "streaming_dedup": STREAMING_DEDUP_SQL,
     "streaming_enrich_join": STREAMING_ENRICH_SQL,

@@ -38,6 +38,8 @@ HEADLINE = [
     "dedup_strip_spans",
     "agg_revenue_by_nation",
     "decontaminate_bloom",
+    "tokenizer_bpe_encode",
+    "similarity_srp_lsh_topk",
 ]
 
 #: queries that run real streams / write side effects — their plan is
@@ -52,6 +54,7 @@ SKIP = {
     "streaming_rollup_store", "streaming_session_agg",
     "streaming_range_join", "streaming_near_dedup", "stateful_counter",
     "streaming_left_outer_join", "streaming_ewma_state",
+    "streaming_topk_state",
 }
 
 

@@ -1036,3 +1036,29 @@ def test_streaming_topk_state_crosses_batches(spark, tmp_path):
     )
     assert first["n_events"] == 3
     assert first["top_types"] == ["a", "b"]     # 2 vs 1, tie-free
+
+
+def test_variant_typed_access(spark):
+    """Spark 4 VARIANT semantics the entry relies on: typed path
+    extraction, nested objects, array indexing, null propagation, and
+    schema_of_variant's merged view."""
+    df = spark.createDataFrame(
+        [(1, '{"k": 5, "tags": ["a", "b"], "meta": {"v": 7}}'),
+         (2, '{"k": null}'),
+         (3, None)],
+        "id long, j string",
+    )
+    out = df.selectExpr("id", "parse_json(j) as v").selectExpr(
+        "id",
+        "variant_get(v, '$.k', 'bigint') as k",
+        "cast(variant_get(v, '$.tags[1]', 'string') as string) as t1",
+        "variant_get(v, '$.meta.v', 'bigint') as mv",
+    ).collect()
+    rows = {r["id"]: r for r in out}
+    assert (rows[1]["k"], rows[1]["t1"], rows[1]["mv"]) == (5, "b", 7)
+    assert rows[2]["k"] is None and rows[2]["t1"] is None
+    assert rows[3]["k"] is None  # null JSON -> null variant -> null path
+    sch = df.filter("id = 1").selectExpr(
+        "schema_of_variant(parse_json(j)) as s"
+    ).collect()[0]["s"]
+    assert "OBJECT" in sch and "tags" in sch and "ARRAY" in sch
