@@ -98,3 +98,75 @@ def test_tokenize_docs_round_trip(docs):
     for r in out.values():
         assert r["n_tokens"] == len(r["tokens"])
         # concatenating tokens rebuilds the word stream exactly
+
+
+# ---------------------------------------------------------------------------
+# property: rank-order passes == canonical min-rank-first loop
+# ---------------------------------------------------------------------------
+
+
+def _canonical_bpe(word, merges):
+    """Reference: repeatedly merge the LOWEST-RANK pair present
+    (leftmost non-overlapping within that rank) — the HuggingFace/
+    GPT-2 encode loop."""
+    rank = {pair: i for i, pair in enumerate(merges)}
+    syms = list(word)
+    while len(syms) > 1:
+        present = {
+            (syms[i], syms[i + 1]) for i in range(len(syms) - 1)
+        } & set(rank)
+        if not present:
+            break
+        a, b = min(present, key=lambda p: rank[p])
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _valid_merge_tables():
+    """Random VALID merge tables: each merge's constituents exist when
+    it is learned (base chars or outputs of EARLIER merges) — the
+    invariant real BPE training guarantees and the equivalence proof
+    relies on."""
+    from hypothesis import strategies as st
+
+    def build(draw):
+        alphabet = ["a", "b", "c"]
+        symbols = list(alphabet)
+        merges = []
+        n = draw(st.integers(min_value=0, max_value=8))
+        for _ in range(n):
+            a = draw(st.sampled_from(symbols))
+            b = draw(st.sampled_from(symbols))
+            if (a, b) in merges:
+                continue
+            merges.append((a, b))
+            symbols.append(a + b)
+        return tuple(merges)
+
+    return st.composite(lambda draw: build(draw))()
+
+
+def test_rank_order_equals_canonical_loop():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        word=st.text(alphabet="abc", min_size=0, max_size=16),
+        merges=_valid_merge_tables(),
+    )
+    def check(word, merges):
+        got = tokenize.apply_merges(word, merges)
+        want = _canonical_bpe(word, merges)
+        assert got == want
+        assert "".join(got) == word  # lossless
+
+    check()
