@@ -58,6 +58,20 @@ ENTRIES = [
     "tokenizer_bpe_merges",
     "store_ivm_rollup",
     "store_bucket_drift",
+    # round-5 third wave: vocabulary mapInPandas encode (Arrow batch
+    # boundaries move with width), member-set argmax, rare-postings
+    # self-join, window-min fingerprint selection, dual-window margin
+    # ranks, band-bucket ANN join, Expand aggregate, value-RANGE frame
+    "tokenizer_bpe_encode",
+    "dedup_keep_best",
+    "dedup_containment",
+    "text_winnowing",
+    "mining_bitext_margin",
+    "similarity_srp_lsh_topk",
+    "agg_grouping_sets",
+    "window_range_frame",
+    "top_supplier_revenue",
+    "variant_extract",
 ]
 
 
