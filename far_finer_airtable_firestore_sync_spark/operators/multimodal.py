@@ -216,6 +216,126 @@ def audio_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
+def synth_y4m_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic YUV4MPEG2 (Y4M) clip per row — a REAL public
+    header+raw-frames video container (mplayer/ffmpeg's uncompressed
+    interchange format), writable and parseable byte-for-byte in pure
+    Python, so the frame-sampling path decodes REAL video structure
+    without codec libraries (the same fixture-synthesis move as
+    ``synth_ppm_blobs``/``synth_wav_blobs``).
+
+    4x2 C444 clips; frame f's luma plane is the CONSTANT
+    (id*7 + f*13) % 256 and chroma is flat 128, so every sampled-frame
+    statistic is closed-form from the id alone:
+
+    n_frames = id % 12 + 4;  luma(f) = (id*7 + f*13) % 256
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        w, h = 4, 2
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                i = int(i)
+                n = i % 12 + 4
+                out = [b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C444\n"]
+                for f in range(n):
+                    y = (i * 7 + f * 13) % 256
+                    out.append(b"FRAME\n")
+                    out.append(bytes([y]) * (w * h))      # Y plane
+                    out.append(bytes([128]) * (w * h) * 2)  # U+V planes
+                blobs.append(b"".join(out))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "content": blobs,
+                    "media_type": "video/x-yuv4mpeg",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, "media_id long, content binary, media_type string"
+    )
+
+
+FRAME_FEATURE_SCHEMA = (
+    "media_id long, width int, height int, n_frames long, "
+    "n_sampled long, mean_luma double"
+)
+
+
+def video_frame_features(df: DataFrame, every_k: int = 3) -> DataFrame:
+    """REAL video frame sampling: parse the Y4M header (geometry +
+    colorspace), walk the frame stream, decode every ``every_k``-th
+    frame's luma plane, and emit per-clip sampled statistics — the
+    training-pipeline shape for thumbnailing / frame-dedup /
+    vision-encoder sampling, where decoding every frame is the cost
+    you're avoiding.
+
+    Scale shape: mapInPandas projection — clips are parsed where they
+    live, only (id, geometry, stats) rows move on. Undecodable bytes,
+    unsupported colorspaces and truncated frame payloads yield NULL
+    features (quarantine rows, not crashes)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        def one(content):
+            try:
+                buf = bytes(content)
+                nl = buf.index(b"\n")
+                head = buf[:nl].decode("ascii")
+                if not head.startswith("YUV4MPEG2"):
+                    return None
+                params = dict(
+                    (p[0], p[1:]) for p in head.split(" ")[1:] if p
+                )
+                w, h = int(params["W"]), int(params["H"])
+                # C444: three full planes; default (absent C) is 4:2:0
+                c = params.get("C", "420")
+                if c == "444":
+                    frame_bytes = w * h * 3
+                elif c.startswith("420"):
+                    frame_bytes = w * h * 3 // 2
+                else:
+                    return None
+                pos, n_frames, n_sampled, luma_sum = nl + 1, 0, 0, 0
+                while pos < len(buf):
+                    fe = buf.index(b"\n", pos)
+                    if not buf[pos:fe].startswith(b"FRAME"):
+                        return None
+                    data = buf[fe + 1 : fe + 1 + frame_bytes]
+                    if len(data) < frame_bytes:
+                        return None  # truncated frame payload
+                    if n_frames % every_k == 0:
+                        n_sampled += 1
+                        plane = data[: w * h]
+                        luma_sum += sum(plane) / (w * h)
+                    n_frames += 1
+                    pos = fe + 1 + frame_bytes
+                mean = luma_sum / n_sampled if n_sampled else None
+                return (w, h, n_frames, n_sampled, mean)
+            except (ValueError, KeyError, UnicodeDecodeError, TypeError):
+                return None
+
+        for pdf in batches:
+            feats = [one(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [f[0] if f else None for f in feats],
+                    "height": [f[1] if f else None for f in feats],
+                    "n_frames": [f[2] if f else None for f in feats],
+                    "n_sampled": [f[3] if f else None for f in feats],
+                    "mean_luma": [f[4] if f else None for f in feats],
+                }
+            )
+
+    return df.mapInPandas(run, FRAME_FEATURE_SCHEMA)
+
+
 def _fake_decode(content: bytes) -> Optional[list[float]]:
     """Deterministic stand-in 'decoder': 8 features from the digest.
 

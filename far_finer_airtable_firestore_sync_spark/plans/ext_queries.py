@@ -3105,6 +3105,42 @@ from p
 """
 
 
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame-sampling path, driver-verified: deterministic
+    Y4M clips (constant-luma frames) are synthesized per doc, then the
+    actual header/frame-stream parser decodes every 3rd frame's luma
+    plane (mapInPandas, clips never shuffled). Constant planes make
+    the sampled mean luma closed-form from the id, so the oracle
+    recomputes it without touching bytes — any header-parse or
+    frame-offset regression breaks the hash."""
+    from far_finer_airtable_firestore_sync_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clips = multimodal.synth_y4m_blobs(docs, "doc_id")
+    return multimodal.video_frame_features(clips, every_k=3)
+
+
+def multimodal_framesample_oracle() -> str:
+    # closed-form replay: luma(f) = (id*7 + f*13) % 256 over sampled
+    # frames f = 0, 3, 6, ... < n; constant planes make the per-frame
+    # mean exact, so the clip mean is sum/count in one IEEE division.
+    return """
+with p as (
+  select doc_id, doc_id % 12 + 4 as n from documents
+),
+f as (
+  select doc_id, n, unnest(generate_series(0, n - 1, 3)) as fr from p
+)
+select doc_id as media_id,
+       cast(4 as int) as width, cast(2 as int) as height,
+       cast(n as bigint) as n_frames,
+       cast(count(*) as bigint) as n_sampled,
+       cast(sum((doc_id * 7 + fr * 13) % 256) as double) / count(*)
+         as mean_luma
+from f group by doc_id, n
+"""
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL resize path, driver-verified: deterministic solid-color P6
     blobs -> nearest-neighbor resize to 4x2 -> REAL decode of the
@@ -4856,6 +4892,7 @@ EXT_QUERIES = {
     "text_keyword_extract": q_keyword_extract,
     "text_ngram_novelty": q_ngram_novelty,
     "multimodal_audio": q_multimodal_audio,
+    "multimodal_framesample": q_multimodal_framesample,
     "multimodal_resize": q_multimodal_resize,
     "dedup_ppjoin_exact": q_ppjoin_pairs,
     "text_pmi_collocations": q_pmi_collocations,
@@ -4958,6 +4995,7 @@ def ext_oracles() -> dict[str, str]:
         "text_keyword_extract": _keyword_body(DUCKDB, "documents"),
         "text_ngram_novelty": _novelty_body(DUCKDB, "documents"),
         "multimodal_audio": multimodal_audio_oracle(),
+        "multimodal_framesample": multimodal_framesample_oracle(),
         "multimodal_resize": multimodal_resize_oracle(),
         "dedup_ppjoin_exact": _ppjoin_body(DUCKDB, f"({CORPUS_SQL})"),
         "text_pmi_collocations": _pmi_body(DUCKDB, "documents"),

@@ -1062,3 +1062,42 @@ def test_variant_typed_access(spark):
         "schema_of_variant(parse_json(j)) as s"
     ).collect()[0]["s"]
     assert "OBJECT" in sch and "tags" in sch and "ARRAY" in sch
+
+
+def test_video_framesample_quarantine_and_stride(spark):
+    """The Y4M parser quarantines garbage/truncated clips as NULL rows
+    and samples exactly ceil(n/k) frames; a hand-built 420 clip
+    exercises the non-444 frame-size branch."""
+    from far_finer_airtable_firestore_sync_spark.operators import multimodal
+
+    w, h = 4, 2
+    good = [b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C444\n"]
+    for f in range(5):
+        good.append(b"FRAME\n")
+        good.append(bytes([10 * f]) * (w * h) + bytes([128]) * (w * h) * 2)
+    clip420 = [b"YUV4MPEG2 W4 H2 F25:1 C420jpeg\n"]
+    for f in range(2):
+        clip420.append(b"FRAME\n")
+        clip420.append(bytes([7]) * (w * h) + bytes([128]) * (w * h // 2))
+    truncated = b"".join(good)[:-3]
+    rows = [
+        (1, b"".join(good), "video/x-yuv4mpeg"),
+        (2, b"not a video at all", "video/x-yuv4mpeg"),
+        (3, truncated, "video/x-yuv4mpeg"),
+        (4, b"".join(clip420), "video/x-yuv4mpeg"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, content binary, media_type string"
+    )
+    got = {
+        r["media_id"]: r
+        for r in multimodal.video_frame_features(df, every_k=2).collect()
+    }
+    # clip 1: frames 0,2,4 sampled -> lumas 0,20,40 -> mean 20.0
+    assert got[1]["n_frames"] == 5 and got[1]["n_sampled"] == 3
+    assert got[1]["mean_luma"] == 20.0
+    assert got[1]["width"] == 4 and got[1]["height"] == 2
+    # garbage and truncated clips quarantine, not crash
+    assert got[2]["n_frames"] is None and got[3]["n_frames"] is None
+    # 4:2:0 geometry parses with the smaller frame payload
+    assert got[4]["n_frames"] == 2 and got[4]["mean_luma"] == 7.0
