@@ -370,10 +370,20 @@ def repetition_metric_exprs(warr: str, dialect: str) -> dict[str, str]:
 # ---------------------------------------------------------------------------
 
 
+def shingle_base(col: str, max_chars: int | None) -> str:
+    """The (possibly truncated) text every shingle derives from — the
+    SINGLE source of the gram definition: :func:`shingles` (array
+    form) and exploded-postings consumers (codegen form, e.g.
+    ``dedup_docs.containment_pairs``) must both build on this, or the
+    blocking and verification gram sets silently drift (case/NULL
+    handling — a real review finding)."""
+    return f"substring({col}, 1, {max_chars})" if max_chars else col
+
+
 def shingles(col: str, n: int, dialect: str, max_chars: int | None = None) -> str:
     """Distinct character n-gram array of ``col`` (optionally truncated
     to bound oracle cost)."""
-    base = f"substring({col}, 1, {max_chars})" if max_chars else col
+    base = shingle_base(col, max_chars)
     idx = seq("1", f"greatest(length({base}) - {n - 1}, 1)", dialect)
     grams = ltransform(idx, f"i -> substring({base}, i, {n})", dialect)
     return ldistinct(grams, dialect)

@@ -407,16 +407,17 @@ def containment_pairs(
     # explode, where the array-transform lambda is interpreted —
     # measured 3.5x faster warm at sf0.1 (the r3 HOF-hoisting gotcha
     # cuts this way here because the exploded payload is narrow and
-    # the per-element expression is cheap). Same gram set as
-    # with_shingles by construction (seq/substring/distinct).
-    cap = (
-        f"substring(coalesce(`{text_col}`, ''), 1, {max_chars})"
-        if max_chars
-        else f"coalesce(`{text_col}`, '')"
-    )
+    # the per-element expression is cheap). The gram derivation is
+    # tx.shingle_base — the SAME base tx.shingles builds on (no
+    # lower/coalesce: a case-normalized blocking gram set silently
+    # diverged from the verification set, review finding) — pinned by
+    # test_containment_postings_match_shingles. NULL text yields a
+    # NULL gram, which never equi-joins: NULL docs block nothing,
+    # matching their [NULL] shingle array.
+    base = tx.shingle_base(f"`{text_col}`", max_chars)
     post = (
         spread(df)
-        .select(F.col(id_col), F.expr(f"lower({cap})").alias("_t"))
+        .select(F.col(id_col), F.expr(base).alias("_t"))
         .select(
             F.col(id_col),
             F.expr(

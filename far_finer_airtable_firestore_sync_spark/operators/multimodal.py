@@ -293,6 +293,9 @@ def video_frame_features(df: DataFrame, every_k: int = 3) -> DataFrame:
                     (p[0], p[1:]) for p in head.split(" ")[1:] if p
                 )
                 w, h = int(params["W"]), int(params["H"])
+                if w <= 0 or h <= 0:
+                    return None  # zero-area geometry: quarantine, not
+                    # a ZeroDivisionError aborting the whole task
                 # C444: three full planes; default (absent C) is 4:2:0
                 c = params.get("C", "420")
                 if c == "444":

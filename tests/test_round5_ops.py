@@ -1101,3 +1101,71 @@ def test_video_framesample_quarantine_and_stride(spark):
     assert got[2]["n_frames"] is None and got[3]["n_frames"] is None
     # 4:2:0 geometry parses with the smaller frame payload
     assert got[4]["n_frames"] == 2 and got[4]["mean_luma"] == 7.0
+
+
+def test_containment_postings_match_shingles(spark):
+    """The blocking gram set must equal the exploded verification
+    shingle set on mixed-case / NULL / short texts — the two
+    derivations drifted once (lowercased blocking grams silently lost
+    recall on uppercase docs; review finding)."""
+    from pyspark.sql import functions as F
+
+    from far_finer_airtable_firestore_sync_spark.functions import (
+        textsql as tx,
+    )
+    from far_finer_airtable_firestore_sync_spark.operators import dedup_docs
+
+    df = spark.createDataFrame(
+        [(1, "HELLO WORLD mixed Case text"), (2, None), (3, "short"),
+         (4, "lower only words here")],
+        "doc_id long, text string",
+    )
+    sh = dedup_docs.with_shingles(df)
+    from_arrays = {
+        (r["doc_id"], r["s"])
+        for r in sh.select("doc_id", F.explode("_sh").alias("s")).collect()
+    }
+    base = tx.shingle_base("`text`", 256)
+    from_postings = {
+        (r["doc_id"], r["s"])
+        for r in (
+            df.select(F.col("doc_id"), F.expr(base).alias("_t"))
+            .select(
+                "doc_id",
+                F.expr("explode(sequence(1, greatest(length(_t) - 8, 1)))")
+                .alias("_i"),
+                "_t",
+            )
+            .select("doc_id", F.expr("substring(_t, _i, 9)").alias("s"))
+            .distinct()
+            .collect()
+        )
+    }
+    assert from_postings == from_arrays
+
+
+def test_containment_mixed_case_recall(spark):
+    """Regression: an UPPERCASE doc and its verbatim quote must pair at
+    containment 1.0 even when lowercase docs share the same words
+    (the lowercased blocking path inflated their df past the cap)."""
+    from far_finer_airtable_firestore_sync_spark.operators import dedup_docs
+
+    up = "HELLO WORLD THIS IS THE UPPER DOCUMENT WITH WORDS"
+    rows = [(1, up), (2, up[8:40])] + [
+        (10 + i, up.lower()) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup_docs.containment_pairs(df, df_cap=4, threshold=0.9)
+    pairs = {(r["id_small"], r["id_big"]) for r in got.collect()}
+    assert (2, 1) in pairs
+
+
+def test_video_framesample_zero_area_quarantines(spark):
+    from far_finer_airtable_firestore_sync_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, b"YUV4MPEG2 W0 H2 C444\nFRAME\n", "video/x-yuv4mpeg")],
+        "media_id long, content binary, media_type string",
+    )
+    out = multimodal.video_frame_features(df).collect()
+    assert len(out) == 1 and out[0]["n_frames"] is None
