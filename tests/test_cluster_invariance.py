@@ -72,6 +72,8 @@ ENTRIES = [
     "window_range_frame",
     "top_supplier_revenue",
     "variant_extract",
+    "multimodal_framesample",
+    "csv_json_roundtrip",
 ]
 
 
