@@ -170,3 +170,23 @@ def test_rank_order_equals_canonical_loop():
         assert "".join(got) == word  # lossless
 
     check()
+
+
+def test_tokenize_docs_partition_invariant(spark):
+    """Full-corpus tokenization must be identical at any shuffle
+    width / input partitioning — the ordered re-aggregate sorts by
+    (word position, within-word position), not arrival order."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(100)
+
+    def run(parts, width):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        try:
+            out = tokenize.tokenize_docs(docs.repartition(parts)).collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        return sorted((r["doc_id"], tuple(r["tokens"])) for r in out)
+
+    assert run(2, 4) == run(16, 32)
