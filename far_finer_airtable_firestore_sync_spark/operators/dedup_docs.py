@@ -509,6 +509,26 @@ def keep_best_representatives(
     )
 
 
+def apply_keep_best(
+    corpus: DataFrame,
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "clf_score_milli",
+) -> DataFrame:
+    """End-to-end quality-aware near-dup REMOVAL: every cluster member
+    that is not its cluster's best-quality representative
+    (:func:`keep_best_representatives`) drops; docs in no cluster pass
+    through. Same scale shape as :func:`apply_near_dedup` — the loser
+    list is proportional to the near-dup count, so it broadcasts and
+    the corpus never shuffles."""
+    winners = keep_best_representatives(
+        components, scores, id_col, score_col
+    ).select(F.col("kept_id").alias(id_col))
+    losers = components.join(winners, id_col, "left_anti").select(id_col)
+    return corpus.join(F.broadcast(losers), on=id_col, how="left_anti")
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

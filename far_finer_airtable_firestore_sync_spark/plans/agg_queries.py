@@ -685,6 +685,72 @@ from orders group by cube (o_orderstatus, o_orderpriority)
 """
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary — the
+    classic CRM cohorting): per-customer stats, rank-exact quintile
+    cuts (the ccnet 1+(rn-1)*5 div n idiom, NOT ntile whose
+    uneven-group placement is an engine detail), segment = the three
+    quintile digits, reported as segment sizes + value. One
+    per-customer aggregate, one 1-row global-max-date broadcast gate,
+    three skinny windows over customer-grain rows."""
+    _utc(spark)
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("_ffs_rfm_orders")
+    return spark.sql(f"""
+with per_cust as (
+  select o_custkey,
+         max(cast(o_orderdate as date)) as last_d,
+         cast(count(*) as bigint) as freq,
+         sum(cast(o_totalprice as {_DEC})) as spend
+  from _ffs_rfm_orders group by o_custkey
+),
+gate as (select max(last_d) as max_d from per_cust),
+r as (
+  select o_custkey, freq, spend,
+         datediff(g.max_d, last_d) as rec_days,
+         count(*) over () as n,
+         row_number() over (order by datediff(g.max_d, last_d) asc,
+                            o_custkey asc) as rn_r,
+         row_number() over (order by freq desc, o_custkey asc) as rn_f,
+         row_number() over (order by spend desc, o_custkey asc) as rn_m
+  from per_cust cross join gate g
+)
+select 1 + (rn_r - 1) * 5 div n as r_q,
+       1 + (rn_f - 1) * 5 div n as f_q,
+       1 + (rn_m - 1) * 5 div n as m_q,
+       cast(count(*) as bigint) as n_customers,
+       cast(sum(spend) as double) as segment_value
+from r group by 1, 2, 3
+""")
+
+
+RFM_SEGMENTS_SQL = f"""
+with per_cust as (
+  select o_custkey,
+         max(cast(o_orderdate as date)) as last_d,
+         cast(count(*) as bigint) as freq,
+         sum(cast(o_totalprice as {_DEC})) as spend
+  from orders group by o_custkey
+),
+gate as (select max(last_d) as max_d from per_cust),
+r as (
+  select o_custkey, freq, spend,
+         datediff('day', last_d, g.max_d) as rec_days,
+         count(*) over () as n,
+         row_number() over (order by datediff('day', last_d, g.max_d) asc,
+                            o_custkey asc) as rn_r,
+         row_number() over (order by freq desc, o_custkey asc) as rn_f,
+         row_number() over (order by spend desc, o_custkey asc) as rn_m
+  from per_cust cross join gate g
+)
+select 1 + (rn_r - 1) * 5 // n as r_q,
+       1 + (rn_f - 1) * 5 // n as f_q,
+       1 + (rn_m - 1) * 5 // n as m_q,
+       cast(count(*) as bigint) as n_customers,
+       cast(sum(spend) as double) as segment_value
+from r group by 1, 2, 3
+"""
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS with mixed arities + grouping() flags —
     the general form ROLLUP/CUBE specialize (one Expand + one
@@ -2366,6 +2432,7 @@ AGG_QUERIES = {
     "set_ops": q_set_ops,
     "agg_cube": q_cube_agg,
     "agg_grouping_sets": q_grouping_sets,
+    "rfm_segments": q_rfm_segments,
     "window_range_frame": q_window_range_frame,
     "scalar_functions": q_scalar_functions,
     "agg_multi_distinct": q_distinct_agg,
@@ -2422,6 +2489,7 @@ AGG_ORACLES = {
     "set_ops": SET_OPS_SQL,
     "agg_cube": CUBE_SQL,
     "agg_grouping_sets": GROUPING_SETS_SQL,
+    "rfm_segments": RFM_SEGMENTS_SQL,
     "window_range_frame": WINDOW_RANGE_FRAME_SQL,
     "scalar_functions": SCALAR_FUNCS_SQL,
     "agg_multi_distinct": DISTINCT_AGG_SQL,

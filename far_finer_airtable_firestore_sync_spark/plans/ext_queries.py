@@ -1143,6 +1143,64 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_docs.keep_best_representatives(comps, scores)
 
 
+def q_dedup_apply_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end QUALITY-AWARE near-dup removal: like
+    ``dedup_apply_near`` but each cluster keeps its best-classifier
+    member instead of min-id (``dedup_docs.apply_keep_best``) — the
+    composed form a production curation pipeline runs."""
+    corpus = dedup_corpus(spark, sf_dir)
+    pairs = dedup_docs.near_dup_pairs(
+        corpus,
+        shingle_n=SHINGLE_N,
+        seeds=SEEDS,
+        rows_per_band=ROWS_PER_BAND,
+        max_chars=MAX_CHARS,
+        threshold=0.5,
+    )
+    comps = dedup_docs.connected_components(pairs)
+    scores = text_analysis.quality_classify(corpus).select(
+        "doc_id", "clf_score_milli"
+    )
+    return dedup_docs.apply_keep_best(corpus, comps, scores).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def dedup_apply_best_oracle() -> str:
+    score = tx.quality_classifier_exprs("text", DUCKDB)["clf_score_milli"]
+    return f"""
+with recursive verified as ({NGRAM_JACCARD_SQL}),
+edges as (
+  select id_a as u, id_b as v from verified
+  union
+  select id_b as u, id_a as v from verified
+),
+reach(u, v) as (
+  select u, u as v from (select distinct u from edges)
+  union
+  select e.u, r.v from edges e join reach r on e.v = r.u
+),
+comp as (select u as doc_id, min(v) as component from reach group by u),
+corpus as ({CORPUS_SQL}),
+scored as (select doc_id, {score} as clf_score_milli from corpus),
+win as (
+  select component, doc_id as kept_id from (
+    select comp.component, comp.doc_id,
+           row_number() over (
+             partition by comp.component
+             order by s.clf_score_milli desc, comp.doc_id asc
+           ) as rn
+    from comp join scored s on s.doc_id = comp.doc_id
+  ) where rn = 1
+)
+select c.doc_id, c.lang, c.source, c.n_chars
+from corpus c
+left join comp on comp.doc_id = c.doc_id
+left join win on win.component = comp.component
+where comp.doc_id is null or c.doc_id = win.kept_id
+"""
+
+
 def dedup_keep_best_oracle() -> str:
     score = tx.quality_classifier_exprs("text", DUCKDB)["clf_score_milli"]
     return f"""
@@ -1316,6 +1374,77 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_ffs_winnow_docs"
     )
     return spark.sql(_winnowing_body(SPARK, "_ffs_winnow_docs"))
+
+
+def _kmv_intersect_body(dialect: str, rel: str, k: int | None = None) -> str:
+    """KMV sketch SET OPERATIONS (Beyer et al. 2007, "On synopses for
+    distinct value estimation under multiset operations" — public
+    paper): estimate |A ∩ B| between two document sets from their
+    merged k-minimum-values sketch. θ = k-th smallest hash of A ∪ B;
+    |A ∪ B| ≈ (k-1)/θ; the intersection scales that by the fraction
+    of sub-θ hashes present in BOTH sides. Everything is md5-derived
+    bigint arithmetic, so like the per-source KMV entry the
+    *approximate* estimates value-verify cross-engine.
+
+    A = texts of sources src0..src9, B = src5..src14 (true overlap by
+    construction). Degenerate small-union branch returns the exact
+    counts (the sketch saw everything).
+
+    Scale shape: each side is a DISTINCT collapse (map-side combined);
+    the global top-k window sorts only distinct hashes — the sketch
+    state is k bigints per side, the entire point vs exact distinct
+    intersection which shuffles every text."""
+    if k is None:
+        k = KMV_K  # defined later in the module; resolve at call time
+    h = tx.hex_to_bigint("substring(md5(text), 1, 14)", dialect)
+    intdiv = "div" if dialect == SPARK else "//"
+    sn = "cast(substring(source, 4) as int)"
+    union_est = f"cast({k - 1} as bigint) * {ES_HASH_SPACE} {intdiv} kth.theta"
+    return f"""
+with a as (
+  select distinct {h} as hv from {rel}
+  where text is not null and {sn} < 10
+),
+b as (
+  select distinct {h} as hv from {rel}
+  where text is not null and {sn} >= 5
+),
+m as (select hv from a union select hv from b),
+ranked as (
+  select hv, row_number() over (order by hv asc) as rn from m
+),
+kth as (
+  select max(hv) as theta, cast(count(*) as bigint) as n_seen
+  from ranked where rn <= {k}
+),
+common as (select a.hv from a join b on a.hv = b.hv),
+cu as (
+  select cast(count(*) as bigint) as c
+  from common cross join kth where common.hv <= kth.theta
+),
+ex as (
+  select (select cast(count(*) as bigint) from a) as n_a,
+         (select cast(count(*) as bigint) from b) as n_b,
+         (select cast(count(*) as bigint) from common) as n_inter
+)
+select ex.n_a, ex.n_b, ex.n_inter,
+       cast(case when kth.n_seen < {k} then kth.n_seen
+                 else {union_est} end as bigint) as kmv_union_est,
+       cast(case when kth.n_seen < {k} then ex.n_inter
+                 else cu.c * ({union_est}) {intdiv} {k}
+            end as bigint) as kmv_inter_est,
+       cast(cu.c as double) / {k} as kmv_common_frac
+from ex cross join kth cross join cu
+"""
+
+
+def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch intersection estimate between two overlapping source
+    ranges (see ``_kmv_intersect_body``)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_kmvi_docs"
+    )
+    return spark.sql(_kmv_intersect_body(SPARK, "_ffs_kmvi_docs"))
 
 
 def q_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4843,6 +4972,7 @@ EXT_QUERIES = {
     "dedup_apply_near": q_dedup_apply,
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_containment": q_containment,
+    "dedup_apply_best": q_dedup_apply_best,
     "sample_hash_stratified": q_hash_sample,
     "class_balance_cap": q_class_balance,
     "mixture_weights": q_mixture_weights,
@@ -4887,6 +5017,7 @@ EXT_QUERIES = {
     "text_heavy_hitters": q_heavy_hitters,
     "similarity_ivf_filtered_topk": q_ivf_filtered_topk,
     "sketch_kmv_distinct": q_kmv_distinct,
+    "sketch_kmv_intersect": q_kmv_intersect,
     "text_word_entropy": q_word_entropy,
     "search_mmr": q_search_mmr,
     "text_keyword_extract": q_keyword_extract,
@@ -4942,6 +5073,7 @@ def ext_oracles() -> dict[str, str]:
         "dedup_apply_near": dedup_apply_oracle(),
         "dedup_keep_best": dedup_keep_best_oracle(),
         "dedup_containment": containment_oracle(),
+        "dedup_apply_best": dedup_apply_best_oracle(),
         "sample_hash_stratified": hash_sample_oracle(),
         "class_balance_cap": CLASS_BALANCE_SQL,
         "mixture_weights": MIXTURE_WEIGHTS_SQL,
@@ -4990,6 +5122,7 @@ def ext_oracles() -> dict[str, str]:
         "text_heavy_hitters": heavy_hitters_oracle(),
         "similarity_ivf_filtered_topk": ivf_filtered_topk_oracle(),
         "sketch_kmv_distinct": _kmv_body(DUCKDB, "documents"),
+        "sketch_kmv_intersect": _kmv_intersect_body(DUCKDB, "documents"),
         "text_word_entropy": _entropy_body(DUCKDB, "documents"),
         "search_mmr": _mmr_body(DUCKDB, "embeddings"),
         "text_keyword_extract": _keyword_body(DUCKDB, "documents"),

@@ -1169,3 +1169,64 @@ def test_video_framesample_zero_area_quarantines(spark):
     )
     out = multimodal.video_frame_features(df).collect()
     assert len(out) == 1 and out[0]["n_frames"] is None
+
+
+def test_apply_keep_best_drops_losers_keeps_singletons(spark):
+    from far_finer_airtable_firestore_sync_spark.operators import dedup_docs
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
+        "doc_id long, component long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (4, 5), (5, 5), (6, 1)],
+        "doc_id long, clf_score_milli long",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_docs.apply_keep_best(corpus, comps, scores).collect()
+    )
+    # cluster 1 keeps best-scored 2; cluster 4 keeps tie-min 4;
+    # unclustered 6 passes through
+    assert kept == [2, 4, 6]
+
+
+def test_kmv_intersect_estimate_band(spark, tmp_path):
+    """Known overlap by construction: A=src0..src9, B=src5..src14 over
+    unique texts -> |A∩B|/|A∪B| = 1/3. The k=16 sketch's union and
+    intersection estimates must land within the KMV error band
+    (~1/sqrt(k-1) ~ 26%, take 3x for safety) and the degenerate
+    exact branch must not fire."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from far_finer_airtable_firestore_sync_spark.functions.canonical import (
+        SPARK as SPARK_D,
+    )
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        _kmv_intersect_body,
+    )
+
+    rows = []
+    for s in range(15):
+        for i in range(120):
+            rows.append((s * 1000 + i, f"unique text {s} {i}", f"src{s}"))
+    path = str(tmp_path / "kmvi.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+        }),
+        path,
+    )
+    spark.read.parquet(path).createOrReplaceTempView("kmvi_docs")
+    r = spark.sql(_kmv_intersect_body(SPARK_D, "kmvi_docs")).collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_inter"]) == (1200, 1200, 600)
+    union = 1800
+    assert abs(r["kmv_union_est"] - union) <= 3 * union / (15 ** 0.5)
+    # intersection estimate: wider band (two estimators compound)
+    assert 0 < r["kmv_inter_est"] <= 3 * 600 + 1
