@@ -74,6 +74,9 @@ ENTRIES = [
     "variant_extract",
     "multimodal_framesample",
     "csv_json_roundtrip",
+    "dedup_apply_best",
+    "sketch_kmv_intersect",
+    "rfm_segments",
 ]
 
 
