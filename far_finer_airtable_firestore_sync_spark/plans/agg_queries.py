@@ -706,7 +706,6 @@ with per_cust as (
 gate as (select max(last_d) as max_d from per_cust),
 r as (
   select o_custkey, freq, spend,
-         datediff(g.max_d, last_d) as rec_days,
          count(*) over () as n,
          row_number() over (order by datediff(g.max_d, last_d) asc,
                             o_custkey asc) as rn_r,
@@ -734,7 +733,6 @@ with per_cust as (
 gate as (select max(last_d) as max_d from per_cust),
 r as (
   select o_custkey, freq, spend,
-         datediff('day', last_d, g.max_d) as rec_days,
          count(*) over () as n,
          row_number() over (order by datediff('day', last_d, g.max_d) asc,
                             o_custkey asc) as rn_r,

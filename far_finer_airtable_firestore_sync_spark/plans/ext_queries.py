@@ -1121,12 +1121,10 @@ where comp.doc_id is null or comp.component = c.doc_id
 """
 
 
-def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-aware near-dup canonical selection: same LSH -> Jaccard
-    -> connected-components clustering as ``dedup_apply_near``, but
-    each cluster keeps its best-quality member (integer classifier
-    score, id tie-break) — see
-    ``dedup_docs.keep_best_representatives``."""
+def _neardup_cluster_inputs(spark: SparkSession, sf_dir: str):
+    """(corpus, components, classifier scores) — the shared clustering
+    front half of both quality-aware entries, so their LSH/verify
+    parameters cannot silently diverge."""
     corpus = dedup_corpus(spark, sf_dir)
     pairs = dedup_docs.near_dup_pairs(
         corpus,
@@ -1140,6 +1138,16 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = text_analysis.quality_classify(corpus).select(
         "doc_id", "clf_score_milli"
     )
+    return corpus, comps, scores
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup canonical selection: same LSH -> Jaccard
+    -> connected-components clustering as ``dedup_apply_near``, but
+    each cluster keeps its best-quality member (integer classifier
+    score, id tie-break) — see
+    ``dedup_docs.keep_best_representatives``."""
+    _, comps, scores = _neardup_cluster_inputs(spark, sf_dir)
     return dedup_docs.keep_best_representatives(comps, scores)
 
 
@@ -1148,19 +1156,7 @@ def q_dedup_apply_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_apply_near`` but each cluster keeps its best-classifier
     member instead of min-id (``dedup_docs.apply_keep_best``) — the
     composed form a production curation pipeline runs."""
-    corpus = dedup_corpus(spark, sf_dir)
-    pairs = dedup_docs.near_dup_pairs(
-        corpus,
-        shingle_n=SHINGLE_N,
-        seeds=SEEDS,
-        rows_per_band=ROWS_PER_BAND,
-        max_chars=MAX_CHARS,
-        threshold=0.5,
-    )
-    comps = dedup_docs.connected_components(pairs)
-    scores = text_analysis.quality_classify(corpus).select(
-        "doc_id", "clf_score_milli"
-    )
+    corpus, comps, scores = _neardup_cluster_inputs(spark, sf_dir)
     return dedup_docs.apply_keep_best(corpus, comps, scores).select(
         "doc_id", "lang", "source", "n_chars"
     )
@@ -1407,7 +1403,7 @@ with a as (
 ),
 b as (
   select distinct {h} as hv from {rel}
-  where text is not null and {sn} >= 5
+  where text is not null and {sn} >= 5 and {sn} < 15
 ),
 m as (select hv from a union select hv from b),
 ranked as (
