@@ -1394,7 +1394,10 @@ def _kmv_intersect_body(dialect: str, rel: str, k: int | None = None) -> str:
         k = KMV_K  # defined later in the module; resolve at call time
     h = tx.hex_to_bigint("substring(md5(text), 1, 14)", dialect)
     intdiv = "div" if dialect == SPARK else "//"
-    sn = "cast(substring(source, 4) as int)"
+    # try_cast (both engines): a non-numeric source suffix must yield
+    # NULL membership, not a DuckDB conversion ERROR where Spark
+    # silently NULLs — the one-sided-failure class the fuzz hunts
+    sn = "try_cast(substring(source, 4) as int)"
     union_est = f"cast({k - 1} as bigint) * {ES_HASH_SPACE} {intdiv} kth.theta"
     return f"""
 with a as (

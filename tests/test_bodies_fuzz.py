@@ -55,6 +55,7 @@ from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
     _span_corruption_apply_body,
     _winnowing_body,
     _bpe_encode_oracle,
+    _kmv_intersect_body,
 )
 
 WORDS = ["spark", "window", "merge", "the", "cat", "sat", "a", "b", "c",
@@ -265,6 +266,13 @@ def test_fuzz_body_parity(spark, tmp_path):
         "winnow": (
             _winnowing_body(SPARK, "fz_docs"),
             _winnowing_body(DUCKDB, "fz_docs"),
+        ),
+        # fuzz sources are 's0'..'s4'/NULL: the numeric-suffix parse
+        # must NULL identically in both engines (try_cast), never
+        # error one-sided; the small-union exact branch also fires
+        "kmvi": (
+            _kmv_intersect_body(SPARK, "fz_docs"),
+            _kmv_intersect_body(DUCKDB, "fz_docs"),
         ),
     }
     for name, (s_sql, d_sql) in bodies.items():
