@@ -1289,6 +1289,65 @@ where cast(inter as double) / least(la, lb) >= 0.8
 """
 
 
+#: AFINN-shaped valence lexicon over the fixture vocabulary (the
+#: real deployment broadcasts the published AFINN/VADER table; the
+#: SHAPE — tiny broadcast lexicon, integer valences −5..+5 — is what
+#: scales). Stand-in values, not a copied lexicon.
+SENTIMENT_LEXICON: tuple[tuple[str, int], ...] = (
+    ("fast", 3), ("big", 1), ("value", 2), ("fresh", 2),
+    ("slow", -3), ("small", -1), ("dup", -2), ("stale", -2),
+    ("error", -4), ("clean", 2),
+)
+
+
+def _sentiment_body(dialect: str, rel: str) -> str:
+    """Lexicon-based sentiment scoring (the EDBT 2016 "Large Scale
+    Sentiment Analysis on Twitter with Spark" shape, PAPERS.md):
+    explode words, inner-join the broadcast valence lexicon, sum
+    integer valences per doc, and label by sign. Integer sums are
+    order-independent (exact cross-engine); the per-token
+    normalization is one final IEEE division.
+
+    Scale shape: the lexicon is a literal VALUES relation (broadcast);
+    the explode is a projection; the per-doc sum is one map-side
+    combined aggregate — docs with no lexicon hit fall out of the
+    inner join and re-enter via the corpus left join with score 0 and
+    label 'neutral' (exactly how a token-match scorer must treat
+    out-of-vocabulary text)."""
+    w = tx.split_ws_safe("lower(text)", dialect)
+    vals = ", ".join(f"('{t}', {v})" for t, v in SENTIMENT_LEXICON)
+    ntok = tx.lsize(tx.lfilter(w, "x -> x <> ''", dialect), dialect)
+    return f"""
+with lex(term, valence) as (values {vals}),
+words as (
+  select doc_id, {tx.explode_as(w, "word", dialect)} from {rel}
+),
+hits as (
+  select w.doc_id, cast(sum(l.valence) as bigint) as score
+  from words w join lex l on w.word = l.term
+  group by w.doc_id
+),
+toks as (select doc_id, cast({ntok} as bigint) as n_tokens from {rel})
+select t.doc_id,
+       coalesce(h.score, cast(0 as bigint)) as sentiment_score,
+       case when coalesce(h.score, 0) > 0 then 'positive'
+            when coalesce(h.score, 0) < 0 then 'negative'
+            else 'neutral' end as sentiment_label,
+       cast(coalesce(h.score, 0) as double)
+         / greatest(t.n_tokens, 1) as valence_per_token
+from toks t left join hits h on t.doc_id = h.doc_id
+"""
+
+
+def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment scoring over documents (see
+    ``_sentiment_body``)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_sent_docs"
+    )
+    return spark.sql(_sentiment_body(SPARK, "_ffs_sent_docs"))
+
+
 #: winnowing parameters: k-gram length and hash-window size
 WINNOW_K = 8
 WINNOW_W = 4
@@ -4950,6 +5009,7 @@ EXT_QUERIES = {
     "text_pii_redact": q_pii_redact,
     "text_fingerprint": q_fingerprint,
     "text_winnowing": q_winnowing,
+    "text_sentiment": q_sentiment,
     "text_simhash": q_simhash,
     "dedup_exact_groups": q_exact_dedup_groups,
     "dedup_chunks_corpus": q_chunk_dedup,
@@ -5053,6 +5113,7 @@ def ext_oracles() -> dict[str, str]:
         "text_pii_redact": pii_redact_oracle(),
         "text_fingerprint": fingerprint_oracle(),
         "text_winnowing": _winnowing_body(DUCKDB, "documents"),
+        "text_sentiment": _sentiment_body(DUCKDB, "documents"),
         "text_simhash": simhash_oracle(),
         "dedup_exact_groups": EXACT_DEDUP_SQL,
         "dedup_chunks_corpus": chunk_dedup_oracle(),

@@ -56,6 +56,7 @@ from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
     _winnowing_body,
     _bpe_encode_oracle,
     _kmv_intersect_body,
+    _sentiment_body,
 )
 
 WORDS = ["spark", "window", "merge", "the", "cat", "sat", "a", "b", "c",
@@ -273,6 +274,12 @@ def test_fuzz_body_parity(spark, tmp_path):
         "kmvi": (
             _kmv_intersect_body(SPARK, "fz_docs"),
             _kmv_intersect_body(DUCKDB, "fz_docs"),
+        ),
+        # NULL/empty texts must score 0/'neutral' via the left join,
+        # and the per-token division floor must agree
+        "sentiment": (
+            _sentiment_body(SPARK, "fz_docs"),
+            _sentiment_body(DUCKDB, "fz_docs"),
         ),
     }
     for name, (s_sql, d_sql) in bodies.items():

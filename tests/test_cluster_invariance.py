@@ -77,6 +77,7 @@ ENTRIES = [
     "dedup_apply_best",
     "sketch_kmv_intersect",
     "rfm_segments",
+    "text_sentiment",
 ]
 
 
