@@ -20,6 +20,20 @@ from far_finer_airtable_firestore_sync_spark.operators._util import (
 )
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp registered with the shared scratch reaper
+    (operators/_util): per-invocation write dirs must not accumulate
+    across repeated bench runs (round-5 ADVICE on
+    q_csv_json_roundtrip)."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.operators._util import (
+        register_scratch_dir,
+    )
+
+    return register_scratch_dir(tempfile.mkdtemp(prefix=prefix))
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -460,7 +474,7 @@ def q_streaming_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = pq.read_table(f"{sf_dir}/events.parquet")
     src = src.filter(pc.equal(pc.bit_wise_and(src["event_id"], 7), 0))
     mid = sorted(src["ts"].to_pylist())[len(src) // 2]
-    src_dir = tempfile.mkdtemp(prefix="ffs-rollup-entry-")
+    src_dir = _scratch_dir(prefix="ffs-rollup-entry-")
     pq.write_table(src.filter(pc.less(src["ts"], mid)),
                    f"{src_dir}/part1.parquet")
     pq.write_table(src.filter(pc.greater_equal(src["ts"], mid)),
@@ -476,7 +490,7 @@ def q_streaming_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.utime(f"{src_dir}/part1.parquet", (now, now))
     os.utime(f"{src_dir}/part2.parquet", (now + 1, now + 1))
     stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
-    store = DocumentStore(spark, tempfile.mkdtemp(prefix="ffs-rollup-store-"))
+    store = DocumentStore(spark, _scratch_dir(prefix="ffs-rollup-store-"))
     # stateful queries freeze their state-store width at start — size
     # it to key pressure, not the 32-wide batch shuffle (see
     # run_stream_to_memory's rationale)
@@ -484,7 +498,7 @@ def q_streaming_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = continuous_rollup(
-            stream, store, tempfile.mkdtemp(prefix="ffs-rollup-ck-"),
+            stream, store, _scratch_dir(prefix="ffs-rollup-ck-"),
             window="1 day", watermark="1 hour",
         )
         try:
@@ -1969,7 +1983,7 @@ def _two_batch_replay(
     src = pq.read_table(f"{sf_dir}/events.parquet")
     src = src.filter(pc.equal(pc.bit_wise_and(src["event_id"], 7), residue))
     mid = sorted(src["ts"].to_pylist())[len(src) // 2]
-    src_dir = tempfile.mkdtemp(prefix=f"ffs-{sink_prefix}-entry-")
+    src_dir = _scratch_dir(prefix=f"ffs-{sink_prefix}-entry-")
     pq.write_table(src.filter(pc.less(src["ts"], mid)),
                    f"{src_dir}/part1.parquet")
     pq.write_table(src.filter(pc.greater_equal(src["ts"], mid)),

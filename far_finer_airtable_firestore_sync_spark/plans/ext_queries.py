@@ -37,6 +37,20 @@ MAX_CHARS = 256
 # ---------------------------------------------------------------------------
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp registered with the shared scratch reaper
+    (operators/_util): per-invocation write dirs must not accumulate
+    across repeated bench runs (round-5 ADVICE on
+    q_csv_json_roundtrip)."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.operators._util import (
+        register_scratch_dir,
+    )
+
+    return register_scratch_dir(tempfile.mkdtemp(prefix=prefix))
+
+
 def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + near-dup copies (%10 keys, suffix appended) + exact
     copies (%17 keys) at offset ids."""
@@ -352,12 +366,12 @@ def q_streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     corpus = dedup_corpus(spark, sf_dir)
-    src_dir = tempfile.mkdtemp(prefix="ffs-snd-in-")
+    src_dir = _scratch_dir(prefix="ffs-snd-in-")
     # ONE corpus pass stages both halves: repartition on the batch key
     # routes each half to a single task, so the hive-partitioned write
     # emits exactly one part file per _b dir (the per-half coalesce(1)
     # of the old two-job staging, at half the scans).
-    tmp = tempfile.mkdtemp(prefix="ffs-snd-stage-")
+    tmp = _scratch_dir(prefix="ffs-snd-stage-")
     (
         corpus.withColumn(
             "_b", F.expr("case when doc_id < 1000000 then 0 else 1 end")
@@ -382,12 +396,12 @@ def q_streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    out_dir = tempfile.mkdtemp(prefix="ffs-snd-out-")
+    out_dir = _scratch_dir(prefix="ffs-snd-out-")
     q = continuous_near_dedup(
         stream,
-        tempfile.mkdtemp(prefix="ffs-snd-reg-"),
+        _scratch_dir(prefix="ffs-snd-reg-"),
         out_dir,
-        tempfile.mkdtemp(prefix="ffs-snd-ck-"),
+        _scratch_dir(prefix="ffs-snd-ck-"),
         shingle_n=SHINGLE_N,
         seeds=SEEDS,
         rows_per_band=ROWS_PER_BAND,
@@ -1981,7 +1995,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = tempfile.mkdtemp(prefix="ffs_orc_")
+    out = _scratch_dir(prefix="ffs_orc_")
     docs.write.mode("overwrite").partitionBy("lang").orc(out)
     back = spark.read.orc(out)
     return back.groupBy("lang").agg(
@@ -2019,7 +2033,7 @@ def q_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     schema = docs.schema
-    base = tempfile.mkdtemp(prefix="ffs_rowfmt_")
+    base = _scratch_dir(prefix="ffs_rowfmt_")
     docs.write.mode("overwrite").option("header", "true").csv(f"{base}/csv")
     docs.write.mode("overwrite").json(f"{base}/json")
     agg_cols = [

@@ -225,9 +225,12 @@ class RecordFeedReader(DataSourceReader):
             return [PagePartition(None, self.fetcher)]
         # one partition per page file -> executor-parallel fetch
         pages = sorted(
-            os.path.join(self.path, f)
-            for f in os.listdir(self.path)
-            if f.startswith("page-")
+            (
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.startswith("page-")
+            ),
+            key=_page_sort_key,
         )
         return [PagePartition(p) for p in pages]
 
@@ -263,14 +266,42 @@ def _page_rows(path: str, field_names: list[str]) -> Iterator[tuple]:
         yield _unwrap_tuple(rec, field_names)
 
 
+def _page_sort_key(path: str) -> tuple:
+    """Numeric-aware sort key for ``page-N[.ext]`` files.
+
+    Lexicographic order breaks offset tracking once N reaches two
+    digits ('page-10' sorts between 'page-1' and 'page-2', shifting
+    every count-based index and replaying/skipping pages). Parse the
+    numeric suffix so 'page-10' sorts after 'page-9'; non-numeric
+    suffixes sort after all numeric ones, by name, so a mixed
+    directory is still totally ordered and appended-monotone producers
+    keep new pages strictly after consumed ones."""
+    base = os.path.basename(path)
+    stem = base[len("page-"):].split(".", 1)[0]
+    if stem.isdigit():
+        return (0, int(stem), base)
+    return (1, 0, base)
+
+
 class RecordFeedStreamReader(SimpleDataSourceStreamReader):
-    """Incremental page-directory reader: offset = {"n_pages": int}.
+    """Incremental page-directory reader.
+
+    Offset = ``{"n_pages": int, "last_page": basename | None}``: the
+    number of pages consumed plus the NAME of the newest consumed page.
+    Slicing is by page name (numeric-aware sort, ``_page_sort_key``),
+    never by count into the current listing — a count is wrong twice
+    over: lexicographic order interleaves 'page-10' between 'page-1'
+    and 'page-2', and even with a stable order, indices into a listing
+    that has since grown make readBetweenOffsets replay a different
+    slice than the committed batch. Name-boundary slicing re-reads
+    exactly the recorded pages regardless of later arrivals —
+    exactly-once without the source keeping any state of its own.
+    ``n_pages`` is kept in the offset for legacy checkpoints written
+    by the count-based reader (used only when last_page is absent).
 
     The simple-reader contract (driver-side reads) fits the feed's
     sequential token paging; Spark checkpoints the (start, end) offset
-    range per batch and replays a failed batch via readBetweenOffsets,
-    which re-reads exactly the recorded page slice — exactly-once
-    without the source keeping any state of its own."""
+    range per batch and replays a failed batch via readBetweenOffsets."""
 
     def __init__(self, path: str, schema: T.StructType):
         self.path = path
@@ -278,23 +309,62 @@ class RecordFeedStreamReader(SimpleDataSourceStreamReader):
 
     def _pages(self) -> list[str]:
         return sorted(
-            os.path.join(self.path, f)
-            for f in os.listdir(self.path)
-            if f.startswith("page-")
+            (
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.startswith("page-")
+            ),
+            key=_page_sort_key,
         )
 
+    @staticmethod
+    def _slice(pages: list[str], start: dict, end: dict | None) -> list[str]:
+        """Pages strictly after start's boundary and (when end is
+        given) at-or-before end's boundary, by name key."""
+        lo = start.get("last_page")
+        if lo is None and start.get("n_pages", 0) > 0:
+            # legacy count-based offset: fall back to index slicing
+            pages = pages[start["n_pages"]:]
+            if end is not None:
+                pages = pages[: max(0, end["n_pages"] - start["n_pages"])]
+            return pages
+        lo_key = _page_sort_key(lo) if lo is not None else None
+        hi_key = (
+            _page_sort_key(end["last_page"])
+            if end is not None and end.get("last_page") is not None
+            else None
+        )
+        out = []
+        for p in pages:
+            k = _page_sort_key(p)
+            if lo_key is not None and k <= lo_key:
+                continue
+            if hi_key is not None and k > hi_key:
+                continue
+            out.append(p)
+        return out
+
     def initialOffset(self) -> dict:
-        return {"n_pages": 0}
+        return {"n_pages": 0, "last_page": None}
 
     def read(self, start: dict) -> tuple:
         pages = self._pages()
+        batch = self._slice(pages, start, None)
         rows: list[tuple] = []
-        for p in pages[start["n_pages"]:]:
+        for p in batch:
             rows.extend(_page_rows(p, self.field_names))
-        return iter(rows), {"n_pages": len(pages)}
+        last = (
+            os.path.basename(batch[-1])
+            if batch
+            else start.get("last_page")
+        )
+        return iter(rows), {
+            "n_pages": start.get("n_pages", 0) + len(batch),
+            "last_page": last,
+        }
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        for p in self._pages()[start["n_pages"]:end["n_pages"]]:
+        for p in self._slice(self._pages(), start, end):
             yield from _page_rows(p, self.field_names)
 
 

@@ -525,14 +525,26 @@ def bucket_drift_body(
     digests reduced mod 2^56 — the sum widens to decimal(38,0)/hugeint
     first (bigint would overflow past ~128 rows/bucket), and the mod
     is expressed as `x - (x div 2^56) * 2^56` because decimal `%` is
-    not portable while `div` is."""
+    not portable while `div` is.
+
+    NULL-proofing (round-5 ADVICE): a row whose rendered string is
+    NULL would get a NULL digest that sum() silently skips while
+    count(*) still counts it — content drift in such rows would be
+    invisible — and a NULL key would hash to a NULL bucket the
+    equi-join could never match, reporting identical NULL-key
+    populations as always diverging. Both rendered expressions are coalesced
+    to sentinels so every row contributes a digest and lands in a real
+    bucket, and the bucket join is null-safe (`is not distinct from`)
+    as a second line of defense."""
     from far_finer_airtable_firestore_sync_spark.functions import textsql as tx
 
     spark_d = dialect == "spark"
     intdiv = "div" if spark_d else "//"
     wide = "decimal(38,0)" if spark_d else "hugeint"
-    h_row = tx.hex_to_bigint(f"substring(md5({row_string_expr}), 1, 14)", dialect)
-    h_key = tx.hex_to_bigint(f"substring(md5({key_string_expr}), 1, 14)", dialect)
+    row_s = f"coalesce({row_string_expr}, '__NULL_ROW__')"
+    key_s = f"coalesce({key_string_expr}, '__NULL_KEY__')"
+    h_row = tx.hex_to_bigint(f"substring(md5({row_s}), 1, 14)", dialect)
+    h_key = tx.hex_to_bigint(f"substring(md5({key_s}), 1, 14)", dialect)
     two56 = 1 << 56
 
     def side(rel: str) -> str:
@@ -554,6 +566,6 @@ nb as ({side(new_rel)})
 select coalesce(o.bucket, n.bucket) as bucket,
        o.n as n_old, n.n as n_new,
        o.chk as chk_old, n.chk as chk_new
-from ob o full outer join nb n on o.bucket = n.bucket
+from ob o full outer join nb n on o.bucket is not distinct from n.bucket
 where o.n is distinct from n.n or o.chk is distinct from n.chk
 """

@@ -91,7 +91,8 @@ def main() -> None:
             plan = df._jdf.queryExecution().executedPlan().toString()
             plan = plan.split("== Initial Plan ==")[0]
         except Exception as ex:  # pragma: no cover - audit robustness
-            rows.append((name, f"ERROR {type(ex).__name__}", ""))
+            msg = str(ex).splitlines()[0][:120] if str(ex) else ""
+            rows.append((name, f"ERROR {type(ex).__name__}", msg))
             continue
         flags = []
         info = []
@@ -126,19 +127,23 @@ def main() -> None:
         if name in HEADLINE:
             plans[name] = plan
 
-    bad = [
-        r for r in rows
-        if not r[1].startswith("ok") and not r[1].startswith("ERROR")
-    ]
+    # ERROR rows COUNT as flagged: a query that fails to even build a
+    # plan is an audit failure, not a pass — a run where every entry
+    # errors must exit nonzero and say so, never print "0 flagged"
+    # (round-5 ADVICE: the committed PLANS.md was 176x AnalysisException
+    # under a "0 flagged" header).
+    bad = [r for r in rows if not r[1].startswith("ok")]
+    n_err = sum(1 for r in rows if r[1].startswith("ERROR"))
     for name, verdict, stats in rows:
         print(f"{verdict:18s} {name:42s} {stats}")
-    print(f"\n{len(rows)} plans audited, {len(bad)} flagged")
+    print(f"\n{len(rows)} plans audited, {len(bad)} flagged"
+          f" ({n_err} errored)")
 
     if write_md:
         out = ["# PLANS — executed-plan audit (generated by "
                "scripts/audit_plans.py)\n",
                f"\n{len(rows)} batch queries audited at sf0.001; "
-               f"{len(bad)} flagged.\n",
+               f"{len(bad)} flagged ({n_err} errored).\n",
                "\n| query | verdict | stats |\n|---|---|---|\n"]
         for name, verdict, stats in sorted(rows):
             out.append(f"| {name} | {verdict} | {stats} |\n")

@@ -371,3 +371,83 @@ def test_write_jsonl_rejects_unknown_column_order(spark, tmp_path):
     df = spark.range(3).selectExpr("id", "id * 2 as v")
     with _pytest.raises(ValueError, match="absent"):
         write_jsonl(df, str(tmp_path / "x"), column_order=["id", "nope"])
+
+
+@pytest.fixture()
+def wide_page_dir(tmp_path):
+    """Eleven pages (page-0..page-10): 'page-10' sorts BETWEEN 'page-1'
+    and 'page-2' lexicographically — the ordering trap the stream
+    reader's offsets must survive."""
+    d = tmp_path / "pages11"
+    d.mkdir()
+    for p in range(11):
+        rec = {"id": f"rec{p}", "createdTime": "2024-01-01T00:00:00Z",
+               "fields": {"Name": f"n{p}"}}
+        with open(d / f"page-{p}.jsonl", "w") as fh:
+            fh.write(json.dumps(rec) + "\n")
+    return d
+
+
+def _stream_reader(path):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("_record_id", T.StringType()),
+            T.StructField("_created_time", T.StringType()),
+            T.StructField("Name", T.StringType()),
+        ]
+    )
+    return record_source.RecordFeedStreamReader(str(path), schema)
+
+
+def test_stream_reader_numeric_page_order(wide_page_dir):
+    """page-10 must sort after page-9, not between page-1 and page-2."""
+    r = _stream_reader(wide_page_dir)
+    ids = [t[0] for t in _drain(r.read(r.initialOffset())[0])]
+    assert ids == [f"rec{i}" for i in range(11)]
+
+
+def _drain(it):
+    return list(it)
+
+
+def test_stream_reader_late_page_not_skipped(wide_page_dir):
+    """Round-5 ADVICE repro: consume page-0..9, THEN page-10 arrives.
+    The count-based offset re-emitted page-9 and never read page-10;
+    name-boundary offsets must emit exactly page-10's rows next."""
+    # start with only pages 0..9 present
+    extra = wide_page_dir / "page-10.jsonl"
+    hidden = wide_page_dir / "hidden"
+    extra.rename(hidden)
+    r = _stream_reader(wide_page_dir)
+    it, off1 = r.read(r.initialOffset())
+    first = [t[0] for t in it]
+    assert first == [f"rec{i}" for i in range(10)]
+    assert off1["last_page"] == "page-9.jsonl"
+    # page-10 lands
+    hidden.rename(extra)
+    it2, off2 = r.read(off1)
+    assert [t[0] for t in it2] == ["rec10"]
+    assert off2["last_page"] == "page-10.jsonl"
+    # replay of the FIRST committed batch must not see page-10
+    replay = [t[0] for t in r.readBetweenOffsets(r.initialOffset(), off1)]
+    assert replay == first
+    # replay of the second batch is exactly page-10
+    assert [t[0] for t in r.readBetweenOffsets(off1, off2)] == ["rec10"]
+    # an empty listing tick keeps the boundary stable
+    it3, off3 = r.read(off2)
+    assert _drain(it3) == []
+    assert off3["last_page"] == "page-10.jsonl"
+
+
+def test_stream_reader_legacy_count_offset(wide_page_dir):
+    """Checkpoints written by the old count-based reader (no
+    last_page key) still resume: index slicing over the numeric
+    sort."""
+    r = _stream_reader(wide_page_dir)
+    it, off = r.read({"n_pages": 9})
+    assert [t[0] for t in it] == ["rec9", "rec10"]
+    replay = [t[0] for t in r.readBetweenOffsets({"n_pages": 9},
+                                                 {"n_pages": 11})]
+    assert replay == ["rec9", "rec10"]
