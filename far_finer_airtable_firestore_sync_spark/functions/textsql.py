@@ -578,3 +578,300 @@ def cosine_quantized(a: str, b: str, dialect: str) -> str:
         f"(cast({dot} as double) / (sqrt(cast({na} as double)) * "
         f"sqrt(cast({nb} as double))))"
     )
+
+
+# ---------------------------------------------------------------------------
+# XXH64 emulation for DuckDB (xxHash64, Y. Collet — public domain
+# algorithm; the variant Spark's `xxhash64` SQL function implements,
+# reference: spark/common/unsafe/.../XXH64.java, public Apache source).
+#
+# Purpose: value-oracle operators whose PRODUCTION path keys on
+# Spark-native xxhash64 (JVM-side, ~5x cheaper than md5) without
+# changing that path: the DuckDB twin recomputes the identical 64-bit
+# values from first principles. The 64-bit state lives in HUGEINT on
+# [0, 2^64); wrap-multiply splits the (always-constant) multiplier
+# into 32-bit halves so no intermediate exceeds ~2^66; rotl is
+# mul/div on disjoint bit ranges (OR == ADD); xor round-trips through
+# UBIGINT. Emitted as LATERAL-ALIAS column chains (DuckDB reuses a
+# prior select-list alias), keeping SQL text linear in step count.
+# ---------------------------------------------------------------------------
+
+XXH_P1 = 0x9E3779B185EBCA87
+XXH_P2 = 0xC2B2AE3D27D4EB4F
+XXH_P3 = 0x165667B19E3779F9
+XXH_P4 = 0x85EBCA77C2B2AE63
+XXH_P5 = 0x27D4EB2F165667C5
+_M64 = 1 << 64
+
+
+def _xx_mulc(a: str, c: int) -> str:
+    """(a * c) mod 2^64 with constant c, via 32-bit split — every
+    multiplier in XXH64 is one of the five primes."""
+    ch, cl = c >> 32, c & 0xFFFFFFFF
+    al = f"(cast(({a}) as hugeint) % 4294967296)"
+    ah = f"(cast(({a}) as hugeint) // 4294967296)"
+    return (
+        f"({al} * {cl} + "
+        f"((({al} * {ch} + {ah} * {cl}) % 4294967296) "
+        f"* 4294967296)) % {_M64}"
+    )
+
+
+def _xx_rotl(a: str, n: int) -> str:
+    # low<<n and high>>(64-n) occupy disjoint bits: OR == ADD
+    return (
+        f"((cast(({a}) as hugeint) * {1 << n}) % {_M64} + "
+        f"(cast(({a}) as hugeint) // {1 << (64 - n)}))"
+    )
+
+
+def _xx_shr(a: str, n: int) -> str:
+    return f"(({a}) // {1 << n})"
+
+
+def _xx_xor(a: str, b: str) -> str:
+    return (
+        f"cast(xor(cast(({a}) as ubigint), cast(({b}) as ubigint)) "
+        f"as hugeint)"
+    )
+
+
+def _xx_fmix(steps: list, h: str, p: str) -> str:
+    """Final avalanche; appends steps, returns the result column."""
+    steps.append((f"{p}f1", _xx_xor(h, _xx_shr(h, 33))))
+    steps.append((f"{p}f2", _xx_mulc(f"{p}f1", XXH_P2)))
+    steps.append((f"{p}f3", _xx_xor(f"{p}f2", _xx_shr(f"{p}f2", 29))))
+    steps.append((f"{p}f4", _xx_mulc(f"{p}f3", XXH_P3)))
+    steps.append((f"{p}f5", _xx_xor(f"{p}f4", _xx_shr(f"{p}f4", 32))))
+    return f"{p}f5"
+
+
+def _xx_word_step(steps: list, h: str, w: str, p: str) -> str:
+    """One 8-byte round: h ^= rotl(w*P2,31)*P1; h = rotl(h,27)*P1+P4."""
+    steps.append((f"{p}w1", _xx_mulc(w, XXH_P2)))
+    steps.append((f"{p}w2", _xx_rotl(f"{p}w1", 31)))
+    steps.append((f"{p}w3", _xx_mulc(f"{p}w2", XXH_P1)))
+    steps.append((f"{p}w4", _xx_xor(h, f"{p}w3")))
+    steps.append((f"{p}w5", _xx_rotl(f"{p}w4", 27)))
+    steps.append(
+        (f"{p}w6", f"({_xx_mulc(f'{p}w5', XXH_P1)} + {XXH_P4}) % {_M64}")
+    )
+    return f"{p}w6"
+
+
+def _xx_int_step(steps: list, h: str, iv: str, p: str) -> str:
+    """One 4-byte round: h ^= (iv & 0xFFFFFFFF)*P1; h = rotl(h,23)*P2+P3."""
+    steps.append((f"{p}i1", _xx_mulc(f"(({iv}) % 4294967296)", XXH_P1)))
+    steps.append((f"{p}i2", _xx_xor(h, f"{p}i1")))
+    steps.append((f"{p}i3", _xx_rotl(f"{p}i2", 23)))
+    steps.append(
+        (f"{p}i4", f"({_xx_mulc(f'{p}i3', XXH_P2)} + {XXH_P3}) % {_M64}")
+    )
+    return f"{p}i4"
+
+
+def _xx_byte_step(steps: list, h: str, bv: str, p: str) -> str:
+    """One tail-byte round: h ^= b*P5; h = rotl(h,11)*P1."""
+    steps.append(
+        (f"{p}b1", f"(cast(({bv}) as hugeint) * {XXH_P5}) % {_M64}")
+    )
+    steps.append((f"{p}b2", _xx_xor(h, f"{p}b1")))
+    steps.append((f"{p}b3", _xx_mulc(_xx_rotl(f"{p}b2", 11), XXH_P1)))
+    return f"{p}b3"
+
+
+def xxh64_ascii_steps(
+    g: str, seed: int, prefix: str, max_bytes: int = 9
+) -> tuple[list, str]:
+    """Lateral-alias steps computing Spark ``xxhash64(g)`` (seed 42 by
+    default — pass ``seed``) for an ASCII string column of byte length
+    0..max_bytes (max_bytes <= 11: one 8-byte word + <=3 tail bytes;
+    the shingle use case is exactly 9). Non-ASCII input would make
+    byte length != char length and the values diverge — callers pin
+    ASCII-ness (the driver gate would flag any drift red).
+
+    Returns (steps, result_column); result is hugeint in [0, 2^64)."""
+    if not 0 < max_bytes <= 11:
+        raise ValueError("xxh64_ascii_steps supports 1..11 bytes")
+    p = prefix
+    steps: list = [(f"{p}n", f"length({g})")]
+    # LE 8-byte word from bytes 1..8 (valid only when n >= 8)
+    word = " + ".join(
+        f"cast(ord(substr({g}, {i}, 1)) as hugeint) * {1 << (8 * (i - 1))}"
+        for i in range(1, 9)
+    )
+    steps.append((f"{p}wv", f"case when {p}n >= 8 then {word} else 0 end"))
+    # LE 4-byte int from bytes 1..4 (valid only when 4 <= n < 8)
+    iv = " + ".join(
+        f"cast(ord(substr({g}, {i}, 1)) as hugeint) * {1 << (8 * (i - 1))}"
+        for i in range(1, 5)
+    )
+    steps.append(
+        (f"{p}iv", f"case when {p}n >= 4 and {p}n < 8 then {iv} else 0 end")
+    )
+    steps.append(
+        (f"{p}h0", f"({seed} + {XXH_P5} + cast({p}n as hugeint)) % {_M64}")
+    )
+    h = f"{p}h0"
+    wres = _xx_word_step(steps, h, f"{p}wv", f"{p}a")
+    steps.append((f"{p}h1", f"case when {p}n >= 8 then {wres} else {h} end"))
+    h = f"{p}h1"
+    ires = _xx_int_step(steps, h, f"{p}iv", f"{p}c")
+    steps.append(
+        (
+            f"{p}h2",
+            f"case when {p}n >= 4 and {p}n < 8 then {ires} else {h} end",
+        )
+    )
+    h = f"{p}h2"
+    # tail bytes: positions start..n where start = 9 (n>=8) / 5 (4<=n<8)
+    # / 1 (n<4); at most max_bytes-8 / 3 / 3 iterations for n<=max_bytes
+    steps.append(
+        (
+            f"{p}st",
+            f"case when {p}n >= 8 then 9 when {p}n >= 4 then 5 else 1 end",
+        )
+    )
+    n_tail = max(3, max_bytes - 8)
+    for k in range(n_tail):
+        bv = (
+            f"case when {p}st + {k} <= {p}n then "
+            f"cast(ord(substr({g}, {p}st + {k}, 1)) as hugeint) "
+            f"else 0 end"
+        )
+        steps.append((f"{p}t{k}v", bv))
+        bres = _xx_byte_step(steps, h, f"{p}t{k}v", f"{p}t{k}")
+        steps.append(
+            (
+                f"{p}h{3 + k}",
+                f"case when {p}st + {k} <= {p}n then {bres} else {h} end",
+            )
+        )
+        h = f"{p}h{3 + k}"
+    return steps, _xx_fmix(steps, h, f"{p}z")
+
+
+def xxh64_int_steps(iv: str, seed_col: str, prefix: str) -> tuple[list, str]:
+    """Steps for Spark's hashInt(iv, seed_col): chaining an INT value
+    (e.g. an int literal argument of a multi-arg xxhash64 call) onto a
+    running hash. ``iv`` must already be the unsigned 32-bit pattern."""
+    p = prefix
+    steps: list = [
+        (f"{p}h0", f"(({seed_col}) + {XXH_P5} + 4) % {_M64}")
+    ]
+    h = _xx_int_step(steps, f"{p}h0", iv, f"{p}c")
+    return steps, _xx_fmix(steps, h, f"{p}z")
+
+
+def xxh64_long_steps(lv: str, seed_col: str, prefix: str) -> tuple[list, str]:
+    """Steps for Spark's hashLong(lv, seed_col): chaining a BIGINT
+    value onto a running hash. ``lv`` must be the unsigned 64-bit
+    pattern (hugeint in [0, 2^64))."""
+    p = prefix
+    steps: list = [
+        (f"{p}h0", f"(({seed_col}) + {XXH_P5} + 8) % {_M64}")
+    ]
+    h = _xx_word_step(steps, f"{p}h0", lv, f"{p}a")
+    return steps, _xx_fmix(steps, h, f"{p}z")
+
+
+def xxh64_signed(u: str) -> str:
+    """Unsigned [0,2^64) hugeint -> the signed bigint Spark returns."""
+    return (
+        f"cast(case when ({u}) >= {1 << 63} then ({u}) - {_M64} "
+        f"else ({u}) end as bigint)"
+    )
+
+
+def xxh64_unsigned(s: str) -> str:
+    """Signed bigint -> unsigned 64-bit pattern as hugeint."""
+    return (
+        f"(case when ({s}) < 0 then cast(({s}) as hugeint) + {_M64} "
+        f"else cast(({s}) as hugeint) end)"
+    )
+
+
+def render_lateral(steps: list) -> str:
+    """steps [(name, expr), ...] -> a select-list fragment relying on
+    DuckDB lateral column aliases."""
+    return ", ".join(f"{expr} as {name}" for name, expr in steps)
+
+
+def stage_steps(steps: list) -> list:
+    """Greedy-pack [(name, expr)] into stages: a step joins the
+    current stage unless it references a name defined in it. DuckDB
+    (like Spark) INLINES repeated select-list alias references
+    textwise, so a 37-step lateral chain explodes ~3^37 at bind time
+    (measured: one row, >60 s); rendering each stage as a MATERIALIZED
+    CTE keeps the text linear. Independent chains (e.g. 8 seed hashes)
+    pack into the same stages, so stage count ~ chain depth."""
+    import re as _re
+
+    stages: list = []
+    current: list = []
+    defined: set = set()
+    for name, expr in steps:
+        if any(_re.search(rf"\b{_re.escape(d)}\b", expr) for d in defined):
+            stages.append(current)
+            current, defined = [], set()
+        current.append((name, expr))
+        defined.add(name)
+    if current:
+        stages.append(current)
+    return stages
+
+
+def render_staged_ctes(
+    base_cte: str,
+    carry_cols: list,
+    steps: list,
+    out_exprs: list,
+    prefix: str,
+) -> tuple[str, str]:
+    """Render steps as a chain of MATERIALIZED CTEs starting from
+    ``base_cte``; returns (cte_text, final_cte_name). ``out_exprs``
+    are (alias, expr) pairs evaluated in the final CTE; carry_cols
+    thread through every stage. Liveness-prunes intermediate columns
+    so stages stay narrow."""
+    import re as _re
+
+    stages = stage_steps(steps)
+    # liveness: which defined names each later stage / the outputs use
+    all_exprs_after: list = []
+    for i in range(len(stages)):
+        later = [e for st in stages[i + 1:] for _, e in st] + [
+            e for _, e in out_exprs
+        ]
+        all_exprs_after.append(" || ".join(later))
+    parts = []
+    prev = base_cte
+    live_from_prev: set = set()
+    for i, stage in enumerate(stages):
+        defined_so_far = live_from_prev | {n for n, _ in stage}
+        needed_later = {
+            d
+            for d in defined_so_far
+            if _re.search(rf"\b{_re.escape(d)}\b", all_exprs_after[i])
+        }
+        cols = carry_cols + [
+            n for n in sorted(live_from_prev) if n in needed_later
+        ]
+        new_cols = [f"{e} as {n}" for n, e in stage if n in needed_later
+                    or i == len(stages) - 1]
+        # always keep names the outputs reference
+        name = f"{prefix}{i}"
+        parts.append(
+            f"{name} as materialized (select "
+            + ", ".join(cols + new_cols)
+            + f" from {prev})"
+        )
+        prev = name
+        live_from_prev = needed_later
+    final = f"{prefix}out"
+    outs = ", ".join(f"{e} as {a}" for a, e in out_exprs)
+    parts.append(
+        f"{final} as materialized (select "
+        + ", ".join(carry_cols + [outs])
+        + f" from {prev})"
+    )
+    return ",\n".join(parts), final

@@ -985,6 +985,137 @@ def srp_lsh_topk(
     )
 
 
+def brp_weights(tables: int = 8, dims: int = 64) -> list[list[int]]:
+    """Deterministic integer projection vectors for Euclidean
+    bucketed-random-projection LSH (Datar et al. 2004 p-stable LSH,
+    the family behind MLlib's BucketedRandomProjectionLSH): components
+    in [-16, 15] from md5(brp:t:d) bytes, computed ONCE in Python and
+    emitted as literals into BOTH the Spark plan and the DuckDB oracle
+    (the ``srp_weights`` idiom) — so buckets and candidate sets are
+    bit-identical cross-engine, unlike MLlib's JVM-internal seeded
+    hyperplane draw (the reason the old entry was rows-only)."""
+    import hashlib  # noqa: PLC0415
+
+    return [
+        [
+            hashlib.md5(f"brp:{t}:{d}".encode()).digest()[0] % 32 - 16
+            for d in range(dims)
+        ]
+        for t in range(tables)
+    ]
+
+
+def brp_offsets(tables: int, width: int) -> list[int]:
+    """Deterministic per-table bucket offsets in [0, width) — the
+    `b` in h(v) = floor((v·r + b) / w); md5-derived like the
+    weights so both engines share them as literals."""
+    import hashlib  # noqa: PLC0415
+
+    return [
+        int.from_bytes(
+            hashlib.md5(f"brpoff:{t}".encode()).digest()[:8], "big"
+        )
+        % width
+        for t in range(tables)
+    ]
+
+
+#: quantized-projection magnitude bound: |dot| <= dims(64) * 16 *
+#: 1e6-grid components (~5.3e5 for unit vectors) ~= 5.4e8; adding
+#: 2^31 keeps every dividend positive so truncating integer division
+#: (Spark `div`, DuckDB `//`) IS floor division in both engines.
+_BRP_SHIFT = 1 << 31
+
+
+def _brp_bucket_exprs(
+    qv: str, dialect: str, tables: int, dims: int, width: int
+) -> list[str]:
+    """One integer bucket expression per hash table:
+    (v·r_t + b_t + 2^31) intdiv width over the 1e6-quantized vector —
+    fully integer, portable, and identical cross-engine."""
+    w = brp_weights(tables, dims)
+    offs = brp_offsets(tables, width)
+    intdiv = "div" if dialect == SPARK else "//"
+    out = []
+    for t in range(tables):
+        lits = ",".join(str(v) for v in w[t])
+        arr = f"array({lits})" if dialect == SPARK else f"[{lits}]"
+        dot = tx.dot_int(qv, arr, dialect)
+        out.append(
+            f"(({dot} + {offs[t] + _BRP_SHIFT}) {intdiv} {width})"
+        )
+    return out
+
+
+def brp_lsh_topk_literal(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    tables: int = 8,
+    dims: int = 64,
+    width: int = 16_000_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k via Euclidean bucketed-random-projection LSH with
+    EXACT-cosine rerank: candidates = corpus vectors sharing any hash
+    table's bucket with the query (OR-amplification across ``tables``
+    single-projection tables, MLlib BucketedRandomProjectionLSH's
+    shape), reranked by the quantized-exact cosine. Deterministic
+    literal projections (:func:`brp_weights` / :func:`brp_offsets`)
+    make this the value-oracled form of the BRP tier.
+
+    ``width`` tunes the recall/candidate trade: the fixture embeddings
+    have weakly-similar true neighbors (cosine ~0.25), so the default
+    keeps buckets wide (per-table collision ~0.4, 8-table coverage
+    ~98%); a corpus with genuinely close duplicates prunes hard at a
+    fraction of this width. Scale shape: bucket ids are a projection
+    (tables × dims integer ops per row, no shuffle); the candidate
+    join keys on (table_no, bucket) — never all-pairs; the rerank
+    touches only bucket-mates. Output: (query_id, neighbor_id,
+    cosine, rank)."""
+    c = _quantized(corpus, vec_col, "_qv").select(
+        F.col(id_col).alias("neighbor_id"), "_qv"
+    )
+    q = _quantized(queries, vec_col, "_qq").select(
+        F.col(id_col).alias("query_id"), "_qq"
+    )
+    cb = _brp_bucket_exprs("_qv", SPARK, tables, dims, width)
+    qb = _brp_bucket_exprs("_qq", SPARK, tables, dims, width)
+    c_bands = c.select(
+        "neighbor_id",
+        F.posexplode(F.expr(f"array({','.join(cb)})")).alias(
+            "table_no", "bucket"
+        ),
+    )
+    q_bands = q.select(
+        "query_id",
+        F.posexplode(F.expr(f"array({','.join(qb)})")).alias(
+            "table_no", "bucket"
+        ),
+    )
+    cand = (
+        c_bands.join(F.broadcast(q_bands), ["table_no", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    cos = F.expr(tx.cosine_quantized("_qq", "_qv", SPARK))
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
 def bitext_margin_pairs(
     src: DataFrame,
     tgt: DataFrame,

@@ -489,9 +489,12 @@ select id_a, id_b, jaccard from (
 
 
 def q_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production xxhash64 LSH path — rows-only check (no DuckDB
-    xxhash64); the md5 twin `dedup_lsh_pairs` is the value-checked
-    variant of the same pipeline."""
+    """Production xxhash64 LSH path, value-oracled: the DuckDB twin
+    recomputes Spark's native xxhash64 bit-exactly from first
+    principles (``tx.xxh64_*`` — XXH64 reimplemented over hugeint
+    wrap arithmetic), so the minhash signatures, band keys and
+    candidate pairs all hash-match WITHOUT touching this production
+    plan. Previously the only rows-only contract entry."""
     return dedup_docs.lsh_candidate_pairs_fast(
         dedup_corpus(spark, sf_dir),
         shingle_n=SHINGLE_N,
@@ -499,6 +502,65 @@ def q_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows_per_band=ROWS_PER_BAND,
         max_chars=MAX_CHARS,
     )
+
+
+def lsh_pairs_fast_oracle(
+    seeds: int = SEEDS, rows_per_band: int = ROWS_PER_BAND
+) -> str:
+    """DuckDB twin of :func:`q_lsh_pairs_fast`: per-shingle
+    ``xxhash64(g, s)`` = hashInt(s, hashBytes(g, 42)) — the shared
+    hashBytes is computed once and fanned out to all seeds — then
+    min-per-doc signatures and ``xxhash64(s_b..s_b+3, b)`` band keys
+    as hashLong chains. Assumes ASCII shingles (byte len == char len;
+    true of the fixture corpus — any drift turns the driver row red,
+    never silently green)."""
+    sh = tx.shingles("text", SHINGLE_N, DUCKDB, MAX_CHARS)
+    steps, h42 = tx.xxh64_ascii_steps("g", 42, "x_")
+    sig_outs = []
+    for s in range(seeds):
+        st, r = tx.xxh64_int_steps(str(s), h42, f"s{s}_")
+        steps += st
+        sig_outs.append((f"s{s}", tx.xxh64_signed(r)))
+    # hash the DISTINCT gram vocabulary (7x smaller than the exploded
+    # doc x gram table on the fixture), then join back for the min
+    ctes1, f1 = tx.render_staged_ctes(
+        "grams", ["g"], steps, sig_outs, "hx"
+    )
+    mins = ", ".join(f"min(h.s{i}) as s{i}" for i in range(seeds))
+    bsteps: list = []
+    bouts = []
+    for b in range(0, seeds, rows_per_band):
+        h = "42"
+        for j, i in enumerate(range(b, min(b + rows_per_band, seeds))):
+            st, h = tx.xxh64_long_steps(
+                tx.xxh64_unsigned(f"s{i}"), h, f"b{b}x{j}_"
+            )
+            bsteps += st
+        st, r = tx.xxh64_int_steps(str(b), h, f"b{b}f_")
+        bsteps += st
+        bouts.append((f"bk{b}", tx.xxh64_signed(r)))
+    carry = ["doc_id"] + [f"s{i}" for i in range(seeds)]
+    ctes2, f2 = tx.render_staged_ctes("sigs", carry, bsteps, bouts, "bx")
+    band_union = "\n  union all ".join(
+        f"select doc_id, bk{b} as band_key from {f2}"
+        for b in range(0, seeds, rows_per_band)
+    )
+    return f"""
+with corpus as ({CORPUS_SQL}),
+shdoc as (select doc_id, {sh} as _sh from corpus),
+shingled as (select doc_id, unnest(_sh) as g from shdoc),
+grams as (select distinct g from shingled),
+{ctes1},
+sigs as (
+  select doc_id, {mins}
+  from shingled join {f1} h using (g) group by doc_id
+),
+{ctes2},
+bands as ({band_union})
+select distinct a.doc_id as id_a, b.doc_id as id_b
+from bands a join bands b
+  on a.band_key = b.band_key and a.doc_id < b.doc_id
+"""
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -917,14 +979,67 @@ def truncate_normalize_oracle() -> str:
 
 
 def q_brp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib BucketedRandomProjectionLSH ANN — rows-only check (the
-    hyperplane draw is JVM-internal, not reproducible in DuckDB);
-    recall vs the exact top-k is pinned by
-    tests/test_extensions.py::test_brp_lsh_recall_vs_exact."""
-    from far_finer_airtable_firestore_sync_spark.operators import ann_mllib
-
+    """Euclidean bucketed-random-projection LSH ANN, value-oracled:
+    literal md5-derived projections/offsets are shared with the DuckDB
+    twin, so buckets, candidates and the reranked top-k hash-match
+    (``similarity_search.brp_lsh_topk_literal``). The MLlib
+    BucketedRandomProjectionLSH production path stays as the library
+    API (operators/ann_mllib.py), pinned by
+    tests/test_extensions.py::test_brp_lsh_recall_vs_exact — its
+    JVM-internal hyperplane draw is what kept this entry rows-only
+    before."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ann_mllib.brp_lsh_topk(emb, emb.filter("vec_id < 5"), k=10)
+    return similarity_search.brp_lsh_topk_literal(
+        emb, emb.filter("vec_id < 5"), k=10
+    )
+
+
+def brp_lsh_topk_oracle(tables: int = 8, width: int = 16_000_000) -> str:
+    buckets = similarity_search._brp_bucket_exprs(
+        "qv", DUCKDB, tables, 64, width
+    )
+    qbuckets = similarity_search._brp_bucket_exprs(
+        "qq", DUCKDB, tables, 64, width
+    )
+    c_cols = ", ".join(f"{e} as b{i}" for i, e in enumerate(buckets))
+    q_cols = ", ".join(f"{e} as b{i}" for i, e in enumerate(qbuckets))
+    c_union = "\n  union all ".join(
+        f"select neighbor_id, {i} as table_no, b{i} as bucket from cb"
+        for i in range(tables)
+    )
+    q_union = "\n  union all ".join(
+        f"select query_id, {i} as table_no, b{i} as bucket from qb"
+        for i in range(tables)
+    )
+    cos = tx.cosine_quantized("qq", "qv", DUCKDB)
+    return f"""
+with c0 as (select vec_id as neighbor_id, {_qz("embedding")} as qv
+            from embeddings),
+q0 as (select vec_id as query_id, {_qz("embedding")} as qq
+       from embeddings where vec_id < 5),
+cb as (select neighbor_id, {c_cols} from c0),
+qb as (select query_id, {q_cols} from q0),
+cbuckets as ({c_union}),
+qbuckets as ({q_union}),
+cand as (
+  select distinct q.query_id, c.neighbor_id
+  from cbuckets c join qbuckets q
+    on c.table_no = q.table_no and c.bucket = q.bucket
+  where c.neighbor_id <> q.query_id
+),
+scored as (
+  select cand.query_id, cand.neighbor_id, {cos} as cosine
+  from cand
+  join c0 on cand.neighbor_id = c0.neighbor_id
+  join q0 on cand.query_id = q0.query_id
+)
+select query_id, neighbor_id, cosine, cast(rank as int) as rank
+from (
+  select *, row_number() over (
+    partition by query_id order by cosine desc, neighbor_id asc
+  ) as rank from scored
+) where rank <= 10
+"""
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5132,9 +5247,11 @@ def ext_oracles() -> dict[str, str]:
         "dedup_exact_groups": EXACT_DEDUP_SQL,
         "dedup_chunks_corpus": chunk_dedup_oracle(),
         "dedup_lsh_pairs": LSH_PAIRS_SQL,
+        "dedup_lsh_pairs_fast": lsh_pairs_fast_oracle(),
         "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
         "similarity_cosine_topk": cosine_topk_oracle(),
         "similarity_srp_lsh_topk": srp_lsh_topk_oracle(),
+        "similarity_brp_lsh_topk": brp_lsh_topk_oracle(),
         "similarity_ivf_topk": ivf_topk_oracle(),
         "similarity_ivf_kmeans_topk": ivf_kmeans_topk_oracle(),
         "retrieval_eval_ndcg": retrieval_eval_oracle(),

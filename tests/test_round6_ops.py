@@ -59,3 +59,175 @@ def test_bucket_drift_null_key_joins(spark, tmp_path):
     )
     v3 = store.commit(df2)
     assert store.bucket_drift(v1, v3, row_expr, key_expr).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Literal (value-oracled) BRP-LSH ANN
+# ---------------------------------------------------------------------------
+
+
+def test_brp_literal_recall_and_rank_contiguity(spark):
+    """The literal-projection BRP tier must recover most of the exact
+    top-k on the fixture embeddings, emit contiguous ranks from 1, and
+    score candidates with the same quantized cosine as the exact
+    path (subset-of-exact-scores check)."""
+    from far_finer_airtable_firestore_sync_spark.operators import (
+        similarity_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    exact = similarity_search.cosine_topk(emb, queries, k=10).collect()
+    approx = similarity_search.brp_lsh_topk_literal(
+        emb, queries, k=10
+    ).collect()
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert e, "exact top-k must be non-empty"
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"recall {recall}"
+    # ranks contiguous from 1 per query
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+    # a pair present in both must carry the identical quantized cosine
+    ex_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ex_cos:
+            assert r["cosine"] == ex_cos[key], key
+
+
+def test_brp_literal_weights_deterministic():
+    from far_finer_airtable_firestore_sync_spark.operators import (
+        similarity_search,
+    )
+
+    w1 = similarity_search.brp_weights(8, 64)
+    w2 = similarity_search.brp_weights(8, 64)
+    assert w1 == w2
+    assert all(-16 <= v <= 15 for row in w1 for v in row)
+    o = similarity_search.brp_offsets(8, 16_000_000)
+    assert o == similarity_search.brp_offsets(8, 16_000_000)
+    assert all(0 <= v < 16_000_000 for v in o)
+
+
+# ---------------------------------------------------------------------------
+# XXH64 DuckDB emulation (the value-oracle enabler for xxhash64-keyed
+# production paths) — fuzzed against Spark's NATIVE xxhash64
+# ---------------------------------------------------------------------------
+
+
+def _xx_ref():
+    from far_finer_airtable_firestore_sync_spark.functions import textsql as tx
+
+    P1, P2, P3, P4, P5 = (
+        tx.XXH_P1, tx.XXH_P2, tx.XXH_P3, tx.XXH_P4, tx.XXH_P5,
+    )
+    M = (1 << 64) - 1
+
+    def rotl(x, n):
+        return ((x << n) | (x >> (64 - n))) & M
+
+    def fmix(h):
+        h ^= h >> 33
+        h = (h * P2) & M
+        h ^= h >> 29
+        h = (h * P3) & M
+        h ^= h >> 32
+        return h
+
+    def hash_bytes(bs, seed=42):
+        n, off = len(bs), 0
+        assert n < 32
+        h = (seed + P5 + n) & M
+        while off + 8 <= n:
+            k1 = int.from_bytes(bs[off:off + 8], "little")
+            h ^= (rotl((k1 * P2) & M, 31) * P1) & M
+            h = (rotl(h, 27) * P1 + P4) & M
+            off += 8
+        if off + 4 <= n:
+            h ^= (int.from_bytes(bs[off:off + 4], "little") * P1) & M
+            h = (rotl(h, 23) * P2 + P3) & M
+            off += 4
+        while off < n:
+            h ^= (bs[off] * P5) & M
+            h = (rotl(h, 11) * P1) & M
+            off += 1
+        return fmix(h)
+
+    return hash_bytes
+
+
+def test_xxh64_duckdb_vs_spark_native(spark):
+    """The DuckDB XXH64 emulation must match Spark's native xxhash64
+    bit-for-bit on random short ASCII strings (+int seed chain) and on
+    random long chains — the exact shapes the fast-LSH oracle uses."""
+    import random
+    import string
+
+    import duckdb
+
+    from far_finer_airtable_firestore_sync_spark.functions import textsql as tx
+
+    rng = random.Random(603)
+    alpha = string.ascii_letters + string.digits + " .,;!?-"
+    cases = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(0, 9)))
+        for _ in range(120)
+    ] + ["", "a", "abcdefgh", "abcdefghi"]
+    # spark native: xxhash64(g) and xxhash64(g, 3)
+    df = spark.createDataFrame([(c,) for c in cases], "g string")
+    got_s = {
+        r["g"]: (r["h"], r["h3"])
+        for r in df.selectExpr(
+            "g", "xxhash64(g) h", "xxhash64(g, 3) h3"
+        ).collect()
+    }
+    steps, h42 = tx.xxh64_ascii_steps("g", 42, "x_")
+    st3, r3 = tx.xxh64_int_steps("3", h42, "y_")
+    ctes, fin = tx.render_staged_ctes(
+        "inp", ["g"], steps + st3,
+        [("h", tx.xxh64_signed(h42)), ("h3", tx.xxh64_signed(r3))], "st",
+    )
+    lits = ",".join("'" + c.replace("'", "''") + "'" for c in cases)
+    sql = (
+        f"with inp as (select unnest([{lits}]) as g),\n{ctes}\n"
+        f"select g, h, h3 from {fin}"
+    )
+    got_d = {r[0]: (r[1], r[2]) for r in duckdb.sql(sql).fetchall()}
+    assert got_s == got_d
+    # python reference agrees too (documents the algorithm)
+    hb = _xx_ref()
+    for c in cases:
+        u = hb(c.encode())
+        signed = u - (1 << 64) if u >= (1 << 63) else u
+        assert got_s[c][0] == signed
+
+    # long chains: xxhash64(l1, l2, 7)
+    longs = [
+        (rng.randint(-2**63, 2**63 - 1), rng.randint(-2**63, 2**63 - 1))
+        for _ in range(60)
+    ]
+    df2 = spark.createDataFrame(longs, "la long, lb long")
+    got_s2 = {
+        r["la"]: r["h"]
+        for r in df2.selectExpr("la", "xxhash64(la, lb, 7) h").collect()
+    }
+    s1, r1 = tx.xxh64_long_steps(tx.xxh64_unsigned("la"), "42", "p_")
+    s2, r2 = tx.xxh64_long_steps(tx.xxh64_unsigned("lb"), r1, "q_")
+    s3, rr = tx.xxh64_int_steps("7", r2, "r_")
+    ctes2, f2 = tx.render_staged_ctes(
+        "inp2", ["la", "lb"], s1 + s2 + s3,
+        [("h", tx.xxh64_signed(rr))], "lt",
+    )
+    sql2 = (
+        "with inp2 as (select "
+        f"unnest([{','.join(str(a) for a, _ in longs)}]) as la, "
+        f"unnest([{','.join(str(b) for _, b in longs)}]) as lb),\n"
+        f"{ctes2}\nselect la, h from {f2}"
+    )
+    got_d2 = {r[0]: r[1] for r in duckdb.sql(sql2).fetchall()}
+    assert got_s2 == got_d2
