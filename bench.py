@@ -97,6 +97,22 @@ def main() -> None:
         "estimator": "median" if min_samples >= 3 else "min",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Streaming entries pay an inherent per-entry micro-batch replay
+    # bootstrap (~3 s each: real readStream/writeStream lifecycle per
+    # invocation, not a plan cost) — disclosed so the total reads
+    # fairly vs batch-only rounds (VERDICT r5 item 6).
+    streaming = [n for n in timings if n.startswith(("streaming_",
+                                                     "stateful_"))]
+    payload["stream_n"] = len(streaming)
+    payload["stream_sec"] = round(sum(timings[n] for n in streaming), 2)
+    # 8-hex digest of the FULL per-query map: ties the driver-captured
+    # stdout line (which trims to the slowest entries) to the complete
+    # BENCH_LOCAL.json committed each round (VERDICT r5 item 7).
+    import hashlib
+
+    payload["full_md5"] = hashlib.md5(
+        json.dumps(timings, sort_keys=True, separators=(",", ":")).encode()
+    ).hexdigest()[:8]
     # Full-precision per-sample artifact for local auditing; stdout keeps
     # only the compact line so the driver's ~4KB tail capture parses it
     # (round-2 BENCH artifact had parsed:null from head truncation).
