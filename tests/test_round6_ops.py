@@ -231,3 +231,69 @@ def test_xxh64_duckdb_vs_spark_native(spark):
     )
     got_d2 = {r[0]: r[1] for r in duckdb.sql(sql2).fetchall()}
     assert got_s2 == got_d2
+
+
+# ---------------------------------------------------------------------------
+# Multi-writer optimistic concurrency (VERDICT r5 item 5: make the
+# single-writer scope of the pointer store an explicit, tested claim)
+# ---------------------------------------------------------------------------
+
+
+def test_store_multiwriter_cas_no_lost_updates(spark, tmp_path):
+    """N concurrent writers doing read-modify-write with
+    expected_version CAS + retry must serialize: every increment lands
+    (no lost updates), every conflicted attempt raises
+    ConcurrentCommitError rather than silently clobbering, and the
+    version chain is strictly ordered. This is the documented
+    multi-writer scope of the parquet+pointer store: optimistic
+    concurrency on a filesystem with flock semantics — one host, many
+    writers. Multi-HOST shared filesystems without flock are the
+    Delta/Iceberg seam's territory (sources/backends.py)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        ConcurrentCommitError,
+        DocumentStore,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "mw"), "k")
+    store.commit(spark.createDataFrame([(0, 0)], "k long, n long"))
+
+    WRITERS, INCREMENTS = 3, 3
+    conflicts = []
+
+    def writer(wid: int):
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", str(wid))
+        done = 0
+        while done < INCREMENTS:
+            base = store.current_version_dir()
+            cur = store.read()
+            post = cur.withColumn("n", F.col("n") + 1)
+            try:
+                store.commit(post, expected_version=base)
+                done += 1
+            except ConcurrentCommitError:
+                conflicts.append(wid)  # retry from fresh state
+
+    threads = [threading.Thread(target=writer, args=(w,))
+               for w in range(WRITERS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    final = store.read().collect()
+    assert len(final) == 1
+    assert final[0]["n"] == WRITERS * INCREMENTS, (
+        f"lost updates: {final[0]['n']} != {WRITERS * INCREMENTS} "
+        f"(conflicts retried: {len(conflicts)})"
+    )
+    # version chain strictly increasing (commit-ms tie-bump holds under
+    # contention because the flip is flock-serialized)
+    versions = store.list_versions()
+    ms = [int(v.split("-")[1]) for v in map(__import__("os").path.basename,
+                                            versions)]
+    assert ms == sorted(ms)
+    assert len(set(ms)) == len(ms), "tied version timestamps"
