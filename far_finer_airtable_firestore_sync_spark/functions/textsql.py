@@ -875,3 +875,24 @@ def render_staged_ctes(
         + f" from {prev})"
     )
     return ",\n".join(parts), final
+
+
+def simhash_block(sim_col: str, block_no: int, block_hex: int = 4) -> str:
+    """Hex substring for pigeonhole block ``block_no`` of a hex-string
+    SimHash (dialect-neutral: substring works in both engines)."""
+    return f"substring({sim_col}, {block_no * block_hex + 1}, {block_hex})"
+
+
+def hamming_hex(a: str, b: str, dialect: str, n_hex: int = 16) -> str:
+    """Hamming distance between two equal-length hex-string hashes —
+    summed per 4-hex (16-bit) chunk so no value approaches the signed
+    bigint edge. Spark: bit_count(x ^ y); DuckDB: bit_count(xor())."""
+    terms = []
+    for c in range(0, n_hex, 4):
+        ca = hex_to_bigint(f"substring({a}, {c + 1}, 4)", dialect)
+        cb = hex_to_bigint(f"substring({b}, {c + 1}, 4)", dialect)
+        if dialect == SPARK:
+            terms.append(f"bit_count(({ca}) ^ ({cb}))")
+        else:
+            terms.append(f"bit_count(xor(({ca}), ({cb})))")
+    return "(" + " + ".join(terms) + ")"

@@ -21,7 +21,7 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from far_finer_airtable_firestore_sync_spark.functions import textsql as tx
@@ -982,3 +982,95 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select(F.col("u").alias("doc_id"), F.col("r").alias("pr_micro"))
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+    key_chars: int = 24,
+) -> DataFrame:
+    """Edit-distance similarity join: (id_a, id_b, edit_dist) for all
+    pairs whose lowercased ``key_chars``-char text prefix is within
+    levenshtein distance ``max_dist`` — the title/name-dedup shape.
+
+    Scale path (PassJoin, Li et al. 2011, public paper): partition
+    each key into ``max_dist + 1`` fixed-width segments — with at most
+    d edits, at least one segment is edit-free (pigeonhole) and its
+    image in the other string is the IDENTICAL substring shifted by at
+    most d. So the index side emits d+1 segments per doc and the probe
+    side emits the substrings at each segment start shifted by
+    [-d, +d]; the equi-join on (segment_no, substring) fans out
+    ~(d+1)(2d+2) rows per doc, never N² — and unlike q-gram blocking
+    it stays selective on low-entropy text (measured on the fixture:
+    110k candidates vs 5.3M for rarest-3-gram prefixes at sf0.1).
+    Exact ``levenshtein`` (built-in in BOTH engines) verifies.
+
+    Domain: keys shorter than ``key_chars`` are excluded — fixed-width
+    segmentation needs full-width keys; per-length segment bounds (the
+    full PassJoin index) are the extension for short-string corpora.
+    Gram blocking first tried and measured: rarest-(d*q+1) 3-gram
+    prefixes produced 5.3M candidates on the word-salad fixture
+    openings (320 gram types across all prefixes) — a documented dead
+    end for this data shape.
+    """
+    n_seg = max_dist + 1
+    if key_chars % n_seg:
+        raise ValueError("key_chars must be divisible by max_dist + 1")
+    w = key_chars // n_seg
+    keys = (
+        df.select(
+            F.col(id_col),
+            F.expr(
+                f"lower(substring(`{text_col}`, 1, {key_chars}))"
+            ).alias("_k"),
+        )
+        .filter(F.length("_k") == key_chars)
+    )
+    segs = keys.select(
+        F.col(id_col).alias("id_a"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_seg - 1}),"
+                f" s -> substring(_k, 1 + {w} * s, {w}))"
+            )
+        ).alias("_s", "_seg"),
+    )
+    # probe substrings at each segment start shifted by [-d, +d],
+    # clamped to valid full-width starts
+    probe_entries = []
+    for s_no in range(n_seg):
+        for delta in range(-max_dist, max_dist + 1):
+            pos = 1 + w * s_no + delta
+            if 1 <= pos <= key_chars - w + 1:
+                probe_entries.append(
+                    f"struct({s_no} as _s, substring(_k, {pos}, {w}) as _seg)"
+                )
+    probes = keys.select(
+        F.col(id_col).alias("id_b"),
+        F.expr(f"explode(array({', '.join(probe_entries)}))").alias("_e"),
+    ).select("id_b", "_e._s", "_e._seg")
+    # One directed leg suffices: for ANY qualifying (a, b) the
+    # pigeonhole applies to a's own segmentation (each edit breaks at
+    # most one of a's d+1 segments), so a's edit-free segment appears
+    # among b's shifted probes — no symmetric leg needed, and the
+    # id_a < id_b filter canonicalizes the pair once.
+    cand = (
+        segs.join(probes, ["_s", "_seg"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    ka = keys.select(F.col(id_col).alias("id_a"), F.col("_k").alias("_ka"))
+    kb = keys.select(F.col(id_col).alias("id_b"), F.col("_k").alias("_kb"))
+    return (
+        cand.join(ka, "id_a")
+        .join(kb, "id_b")
+        .withColumn("edit_dist", F.expr("levenshtein(_ka, _kb)").cast("int"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("id_a", "id_b", "edit_dist")
+    )

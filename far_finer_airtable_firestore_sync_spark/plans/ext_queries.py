@@ -196,6 +196,97 @@ select doc_id, {sh} as simhash from hashed
 """
 
 
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (levenshtein<=2 on the 24-char
+    lowercased text prefix) over the dup corpus — Ed-Join-style
+    rarest-gram prefix blocking, exact verify in both engines. See
+    ``dedup_docs.edit_distance_pairs``."""
+    return dedup_docs.edit_distance_pairs(dedup_corpus(spark, sf_dir))
+
+
+def edit_distance_pairs_oracle(
+    max_dist: int = 2, key_chars: int = 24
+) -> str:
+    n_seg = max_dist + 1
+    w = key_chars // n_seg
+    seg_list = ", ".join(
+        f"struct_pack(s := {s}, seg := substring(k, {1 + w * s}, {w}))"
+        for s in range(n_seg)
+    )
+    probe_entries = []
+    for s_no in range(n_seg):
+        for delta in range(-max_dist, max_dist + 1):
+            pos = 1 + w * s_no + delta
+            if 1 <= pos <= key_chars - w + 1:
+                probe_entries.append(
+                    f"struct_pack(s := {s_no},"
+                    f" seg := substring(k, {pos}, {w}))"
+                )
+    return f"""
+with corpus as ({CORPUS_SQL}),
+keys as (
+  select doc_id, k from (
+    select doc_id, lower(substring(text, 1, {key_chars})) as k from corpus
+  ) where length(k) = {key_chars}
+),
+segs as (
+  select doc_id as id_a, e.s as s, e.seg as seg
+  from keys, unnest([{seg_list}]) t(e)
+),
+probes as (
+  select doc_id as id_b, e.s as s, e.seg as seg
+  from keys, unnest([{", ".join(probe_entries)}]) t(e)
+),
+cand as (
+  select distinct least(id_a, id_b) as id_a, greatest(id_a, id_b) as id_b
+  from segs a join probes b on a.s = b.s and a.seg = b.seg
+  where id_a <> id_b
+)
+select id_a, id_b, edit_dist from (
+  select cand.id_a, cand.id_b,
+         cast(levenshtein(ka.k, kb.k) as int) as edit_dist
+  from cand
+  join keys ka on ka.doc_id = cand.id_a
+  join keys kb on kb.doc_id = cand.id_b
+) where edit_dist <= {max_dist}
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming<=3 near-dup pairs over the dup corpus — the
+    Manku et al. 2007 crawl-dedup shape: pigeonhole-block on the four
+    16-bit simhash quarters (two docs within distance 3 must agree on
+    >=1 quarter), verify by exact popcount. See
+    ``dedup_docs.simhash_near_dup_pairs``."""
+    return dedup_docs.simhash_near_dup_pairs(
+        dedup_corpus(spark, sf_dir), max_hamming=3
+    ).withColumn("hamming", F.col("hamming").cast("int"))
+
+
+def simhash_pairs_oracle() -> str:
+    th = tx.token_hashes("text", DUCKDB)
+    sh = tx.simhash64_from_hashes("_th", DUCKDB)
+    blocks = ", ".join(
+        f"'q{i}:' || {tx.simhash_block('simhash', i)}" for i in range(4)
+    )
+    ham = tx.hamming_hex("sh_a", "sh_b", DUCKDB)
+    return f"""
+with corpus as ({CORPUS_SQL}),
+hashed as (select doc_id, {th} as _th from corpus),
+sh as (select doc_id, {sh} as simhash from hashed),
+blocks as (select doc_id, simhash, unnest([{blocks}]) as block from sh),
+cand as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b,
+         a.simhash as sh_a, b.simhash as sh_b
+  from blocks a join blocks b
+    on a.block = b.block and a.doc_id < b.doc_id
+)
+select id_a, id_b, hamming from (
+  select id_a, id_b, cast({ham} as int) as hamming from cand
+) where hamming <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup families
 # ---------------------------------------------------------------------------
@@ -5140,6 +5231,8 @@ EXT_QUERIES = {
     "text_winnowing": q_winnowing,
     "text_sentiment": q_sentiment,
     "text_simhash": q_simhash,
+    "dedup_simhash_pairs": q_simhash_pairs,
+    "dedup_edit_distance_pairs": q_edit_distance_pairs,
     "dedup_exact_groups": q_exact_dedup_groups,
     "dedup_chunks_corpus": q_chunk_dedup,
     "dedup_lsh_pairs": q_lsh_pairs,
@@ -5244,6 +5337,8 @@ def ext_oracles() -> dict[str, str]:
         "text_winnowing": _winnowing_body(DUCKDB, "documents"),
         "text_sentiment": _sentiment_body(DUCKDB, "documents"),
         "text_simhash": simhash_oracle(),
+        "dedup_simhash_pairs": simhash_pairs_oracle(),
+        "dedup_edit_distance_pairs": edit_distance_pairs_oracle(),
         "dedup_exact_groups": EXACT_DEDUP_SQL,
         "dedup_chunks_corpus": chunk_dedup_oracle(),
         "dedup_lsh_pairs": LSH_PAIRS_SQL,

@@ -297,3 +297,106 @@ def test_store_multiwriter_cas_no_lost_updates(spark, tmp_path):
                                             versions)]
     assert ms == sorted(ms)
     assert len(set(ms)) == len(ms), "tied version timestamps"
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming join + edit-distance join: completeness vs brute force
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_pairs_complete_vs_brute_force(spark):
+    """The pigeonhole-blocked join must return EXACTLY the pairs a
+    brute-force popcount over all simhashes finds at hamming<=3."""
+    import itertools
+    import random
+
+    from pyspark.sql import Row
+
+    from far_finer_airtable_firestore_sync_spark.operators import (
+        dedup_docs,
+        text_analysis,
+    )
+
+    rng = random.Random(61)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    docs = []
+    for i in range(40):
+        base = " ".join(rng.choice(words) for _ in range(12))
+        docs.append(Row(doc_id=i, text=base))
+        if i % 4 == 0:  # near-identical twin: one word swapped
+            toks = base.split()
+            toks[rng.randrange(len(toks))] = rng.choice(words)
+            docs.append(Row(doc_id=i + 1000, text=" ".join(toks)))
+    df = spark.createDataFrame(docs)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup_docs.simhash_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    sims = {r["doc_id"]: int(r["simhash"], 16)
+            for r in text_analysis.simhash(df).collect()}
+    want = set()
+    for a, b in itertools.combinations(sorted(sims), 2):
+        h = bin(sims[a] ^ sims[b]).count("1")
+        if h <= 3:
+            want.add((a, b, h))
+    assert got == want and want, f"{len(want)} true pairs"
+
+
+def test_edit_distance_pairs_complete_vs_brute_force(spark):
+    """Blocked edit-distance join == brute-force levenshtein over all
+    key pairs (within the documented >=12-char key domain), including
+    pairs whose 2 edits hit the rarest grams."""
+    import itertools
+    import random
+
+    from pyspark.sql import Row
+
+    from far_finer_airtable_firestore_sync_spark.operators import dedup_docs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    rng = random.Random(62)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    docs = []
+    for i in range(60):
+        # texts comfortably past key_chars so every key is full-width
+        # (the operator's documented domain) even after 2 deletions
+        base = "".join(rng.choice(alpha) for _ in range(rng.randint(28, 40)))
+        docs.append(Row(doc_id=i, text=base))
+        if i % 3 == 0:  # mutated twin: up to 2 random edits
+            s = list(base)
+            for _ in range(rng.randint(1, 2)):
+                op = rng.randrange(3)
+                pos = rng.randrange(len(s))
+                if op == 0:
+                    s[pos] = rng.choice(alpha)
+                elif op == 1:
+                    del s[pos]
+                else:
+                    s.insert(pos, rng.choice(alpha))
+            docs.append(Row(doc_id=i + 1000, text="".join(s)))
+    df = spark.createDataFrame(docs)
+    got = {
+        (r["id_a"], r["id_b"], r["edit_dist"])
+        for r in dedup_docs.edit_distance_pairs(df).collect()
+    }
+    keys = {
+        r.doc_id: r.text[:24].lower()
+        for r in docs
+        if len(r.text) >= 24
+    }
+    want = set()
+    for a, b in itertools.combinations(sorted(keys), 2):
+        d = lev(keys[a], keys[b])
+        if d <= 2:
+            want.add((a, b, d))
+    assert got == want and want, f"{len(want)} true pairs"
