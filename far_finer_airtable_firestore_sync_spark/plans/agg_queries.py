@@ -1636,6 +1636,69 @@ group by c_nationkey, c_mktsegment
 """
 
 
+def _user_trend_body(dialect: str, rel: str) -> str:
+    """Per-user OLS trend of event value over time, engine-exact.
+
+    Closed-form simple regression from five integer sums: x is epoch
+    SECONDS centered on the user's first event (bounds products —
+    raw epoch squared would pass 2^63), y is the value on the 1e-6
+    grid. All sums run in decimal(38,0)/hugeint (the table-checksum
+    widening idiom); slope/intercept are then a fixed expression of
+    IEEE double ops on exactly-representable integers — bit-identical
+    cross-engine (the bitext-margin recipe). Float sums would be
+    partition-order-dependent; integer sums are not.
+
+    Scale shape: one window (per-user min) sharing the partition key
+    with the one aggregation; map-side partial aggregation collapses
+    the five sums before the exchange — the corpus shuffles once,
+    carrying six integers per row."""
+    spark_d = dialect == SPARK_D
+    wide = "decimal(38,0)" if spark_d else "hugeint"
+    if spark_d:
+        x = "unix_timestamp(ts)"
+    else:
+        # Spark truncates to seconds; DuckDB epoch() keeps micros —
+        # floor, never cast (cast ROUNDS; round-5 gotcha)
+        x = "cast(floor(epoch(ts)) as bigint)"
+    yq = "cast(round(value * 1000000) as bigint)"
+    return f"""
+with base as (select user_id, {x} as x, {yq} as yq from {rel}),
+cent as (
+  select user_id,
+         cast(x - min(x) over (partition by user_id) as {wide}) as xc,
+         cast(yq as {wide}) as yq
+  from base
+),
+agg as (
+  select user_id, cast(count(*) as {wide}) as n,
+         sum(xc) as sx, sum(yq) as sy,
+         sum(xc * xc) as sxx, sum(xc * yq) as sxy
+  from cent group by user_id
+)
+select user_id, cast(n as bigint) as n_events,
+       cast(cast(n * sxy - sx * sy as double)
+            / cast(n * sxx - sx * sx as double)
+            * cast(86400 as double) as double) as slope_per_day,
+       cast((cast(sy as double)
+             - cast(n * sxy - sx * sy as double)
+               / cast(n * sxx - sx * sx as double)
+               * cast(sx as double))
+            / cast(n as double)
+            * cast(0.000001 as double) as double) as intercept
+from agg
+where n >= 2 and n * sxx - sx * sx <> 0
+"""
+
+
+def q_events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value-over-time OLS trend (slope per day + intercept)
+    — the grouped model-fitting shape, done Spark-first as exact
+    integer sums + closed form instead of a grouped-map UDF."""
+    _utc(spark)
+    read_events(spark, sf_dir).createOrReplaceTempView("_ffs_trend_events")
+    return spark.sql(_user_trend_body(SPARK_D, "_ffs_trend_events"))
+
+
 def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap fill + forward fill (LOCF): build the full
     daily calendar spine per event_type, left-join the daily
@@ -2469,6 +2532,7 @@ AGG_QUERIES = {
     "idle_rich_customers": q_idle_rich_customers,
     "window_suite": q_window_suite,
     "events_gapfill": q_events_gapfill,
+    "events_user_trend": q_events_user_trend,
     "kanon_risk_report": q_kanon_risk,
     "events_dow_profile": q_events_dow_profile,
     "event_iqr_udaf": q_event_iqr_udaf,
@@ -2530,5 +2594,6 @@ AGG_ORACLES = {
     ),
     "kanon_risk_report": KANON_SQL,
     "events_dow_profile": _dow_profile_body(DUCK_D, "events"),
+    "events_user_trend": _user_trend_body(DUCK_D, "events"),
     "event_iqr_udaf": EVENT_IQR_SQL,
 }

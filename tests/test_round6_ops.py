@@ -400,3 +400,51 @@ def test_edit_distance_pairs_complete_vs_brute_force(spark):
         if d <= 2:
             want.add((a, b, d))
     assert got == want and want, f"{len(want)} true pairs"
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS trend
+# ---------------------------------------------------------------------------
+
+
+def test_events_user_trend_matches_numpy(spark):
+    """The closed-form integer-sum OLS must match numpy's least
+    squares on the same quantized inputs (per-day slope, intercept at
+    the user's first event)."""
+    import numpy as np
+
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        SPARK_D,
+        _user_trend_body,
+        _utc,
+    )
+
+    _utc(spark)
+    rows = [
+        (1, "2024-01-01 00:00:00", 10.0),
+        (1, "2024-01-02 00:00:00", 12.5),
+        (1, "2024-01-04 00:00:00", 17.25),
+        (1, "2024-01-07 00:00:00", 30.0),
+        (2, "2024-01-01 00:00:00", 5.0),
+        (2, "2024-01-03 00:00:00", 5.0),
+        (3, "2024-01-05 12:00:00", 9.0),  # single event: excluded
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, value double")
+    df = df.selectExpr("user_id", "cast(ts_s as timestamp) as ts", "value")
+    df.createOrReplaceTempView("_trend_t")
+    got = {
+        r["user_id"]: r
+        for r in spark.sql(_user_trend_body(SPARK_D, "_trend_t")).collect()
+    }
+    assert set(got) == {1, 2}
+    for uid in (1, 2):
+        pts = [(i, v) for (u, t, v) in rows if u == uid
+               for i in [__import__("datetime").datetime.fromisoformat(t)
+                         .timestamp()]]
+        xs = np.array([p[0] for p in pts])
+        xs = xs - xs.min()
+        ys = np.array([round(p[1] * 1e6) for p in pts])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert abs(got[uid]["slope_per_day"] - slope * 86400) < 1e-6
+        assert abs(got[uid]["intercept"] - intercept * 1e-6) < 1e-9
+        assert got[uid]["n_events"] == len(pts)
