@@ -605,13 +605,33 @@ def simhash_near_dup_pairs(
     from far_finer_airtable_firestore_sync_spark.operators.text_analysis import simhash
 
     sh = simhash(df, text_col, id_col)
-    quarters = sh.select(
+    return hex_hamming_pairs(sh, "simhash", id_col, max_hamming)
+
+
+def hex_hamming_pairs(
+    hashed: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Generic Hamming-distance self-join over a 16-hex-char (64-bit)
+    hash column: (id_a, id_b, hamming<=max_hamming). Shared by the
+    text SimHash path and the image perceptual-hash path — any
+    64-bit fingerprint gets the same quarter-block pigeonhole plan.
+    ``max_hamming`` must be <= 3: four 16-bit blocks guarantee a
+    shared block only up to distance 3 (d+1 blocks for distance d)."""
+    if max_hamming > 3:
+        raise ValueError("quarter-block pigeonhole covers max_hamming <= 3")
+    quarters = hashed.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(hash_col).alias("_hh"),
         F.explode(
             F.array(
                 *[
-                    F.concat(F.lit(f"q{i}:"), F.substring("simhash", 1 + 4 * i, 4))
+                    F.concat(
+                        F.lit(f"q{i}:"),
+                        F.expr(tx.simhash_block(f"`{hash_col}`", i)),
+                    )
                     for i in range(4)
                 ]
             )
@@ -627,8 +647,8 @@ def simhash_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a._hh").alias("sh_a"),
+            F.col("b._hh").alias("sh_b"),
         )
         .distinct()
     )

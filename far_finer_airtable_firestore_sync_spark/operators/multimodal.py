@@ -555,3 +555,127 @@ def frame_sample(
             f"substring(content, frame_no * {every_n_bytes} + 1, {every_n_bytes})"
         ).alias("frame_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (image near-dup): gradient fixture + dHash
+# ---------------------------------------------------------------------------
+
+#: dHash grid: 9 columns x 8 rows -> 8x8 adjacent-column comparisons
+DHASH_W, DHASH_H = 9, 8
+
+
+def gradient_channels(i: int, x: int, y: int) -> tuple[int, int, int]:
+    """Pixel channels of the synthetic gradient raster — a PURE
+    function of (image id, x, y), shared verbatim with the DuckDB
+    oracle's closed form (``gradient_gray_sum_sql``) so the REAL
+    byte-decode -> dHash path is hash-verifiable end-to-end.
+
+    Id ranges encode the corpus variants: ids in [500000, 1000000)
+    are +3-perturbed (top-left quadrant, inside the modulus) copies of
+    id-500000; ids >= 1000000 are exact copies of id-1000000."""
+    if i >= 1_000_000:
+        return gradient_channels(i - 1_000_000, x, y)
+    if i >= 500_000:
+        base = i - 500_000
+        bump = 3 if x < 4 and y < 4 else 0
+    else:
+        base, bump = i, 0
+    # Two measured dead ends shaped this formula: (1) additive-only
+    # gradients make adjacent-column gray DIFFERENCES id-independent
+    # (every image shares one dHash up to modulus wraps — 63k junk
+    # pairs at sf0.1); (2) a single linear id term collapses to
+    # id % 256 under the channel modulus (256 distinct images total).
+    # So BOTH id bytes multiply different (x, y)-varying factors —
+    # distinct ids below 2^16 get distinct pixel functions and dHash
+    # collisions drop to the exact/perturbed copies by construction.
+    lo, hi = base % 256, (base // 256) % 256
+    r = (
+        lo * (x + 1) * (y + 1) + hi * (y + 2 * x + 3)
+        + 17 * x * x + 23 * y * y + bump
+    ) % 256
+    g = (lo * (x * x + y + 2) + hi * (x * y + 5) + 11 * x) % 256
+    b = (lo * (7 * x + y * y + 1) + hi * (3 * x + y + 7) + 13 * y) % 256
+    return r, g, b
+
+
+def synth_gradient_ppm_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 9x8 P6 gradient image per row — non-constant
+    rasters so perceptual hashing is non-degenerate (the solid-color
+    ``synth_ppm_blobs`` fixture dHashes to all-zeros)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                i = int(i)
+                px = bytearray()
+                for y in range(DHASH_H):
+                    for x in range(DHASH_W):
+                        px.extend(gradient_channels(i, x, y))
+                blobs.append(
+                    f"P6 {DHASH_W} {DHASH_H} 255 ".encode("ascii") + bytes(px)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "content": blobs,
+                    "media_type": "image/x-portable-pixmap",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, "media_id long, content binary, media_type string"
+    )
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """64-bit dHash per image from REAL P6 byte decode:
+    bit(x, y) = [gray(x+1, y) > gray(x, y)] over the 9x8 raster,
+    packed row-major into a 16-char hex string (the SimHash hex
+    convention, so ``dedup_docs.hex_hamming_pairs`` applies as-is).
+
+    gray is the CHANNEL SUM r+g+b (not the mean): comparisons of sums
+    equal comparisons of means, and staying integer keeps the hash
+    bit-identical to the oracle's closed form. Undecodable or
+    wrong-geometry blobs yield NULL (quarantine row, never a crash).
+
+    Scale shape: mapInPandas projection — blobs decode where they
+    live and only (media_id, 16-char hash) ever shuffles."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        def one(content) -> Optional[str]:
+            parsed = parse_ppm(bytes(content)) if content is not None else None
+            if parsed is None:
+                return None
+            w, h, _maxval, raw = parsed
+            if (w, h) != (DHASH_W, DHASH_H):
+                return None
+            bits = []
+            for y in range(DHASH_H):
+                for x in range(DHASH_W - 1):
+                    a = (y * w + x) * 3
+                    b = (y * w + x + 1) * 3
+                    ga = raw[a] + raw[a + 1] + raw[a + 2]
+                    gb = raw[b] + raw[b + 1] + raw[b + 2]
+                    bits.append(1 if gb > ga else 0)
+            val = 0
+            for bit in bits:
+                val = (val << 1) | bit
+            return f"{val:016x}"
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": [one(c) for c in pdf["content"]],
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        run, "media_id long, dhash string"
+    )

@@ -3427,6 +3427,108 @@ def quality_classifier_oracle() -> str:
     return f"select doc_id, {sel} from documents"
 
 
+def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection end-to-end, value-oracled: synthesize
+    a 9x8 gradient P6 per id (+ perturbed and exact copies), dHash
+    each through the REAL byte decoder, then Hamming<=3 pair join via
+    the shared quarter-block plan (``dedup_docs.hex_hamming_pairs``).
+    The oracle recomputes every dHash CLOSED-FORM from the id
+    (pixels are a pure function of (id, x, y)) — so the decode ->
+    grayscale -> hash -> blocked-join path hash-verifies end to end."""
+    from far_finer_airtable_firestore_sync_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    ids = (
+        docs.union(
+            docs.filter("doc_id % 10 = 0").select(
+                (F.col("doc_id") + 500000).alias("doc_id")
+            )
+        )
+        .union(
+            docs.filter("doc_id % 17 = 0").select(
+                (F.col("doc_id") + 1000000).alias("doc_id")
+            )
+        )
+    )
+    hashed = multimodal.image_dhash(
+        multimodal.synth_gradient_ppm_blobs(ids, "doc_id")
+    )
+    return dedup_docs.hex_hamming_pairs(
+        hashed, "dhash", "media_id", max_hamming=3
+    ).withColumn("hamming", F.col("hamming").cast("int"))
+
+
+def image_dhash_pairs_oracle() -> str:
+    from far_finer_airtable_firestore_sync_spark.operators.multimodal import (
+        DHASH_H,
+        DHASH_W,
+    )
+
+    def gs(x: int, y: int) -> str:
+        # mirror of multimodal.gradient_channels with (x, y) resolved
+        # to literals at generation time (lo/hi are per-row columns)
+        bump = " + bmp3" if x < 4 and y < 4 else ""
+        k1, h1, c1 = (x + 1) * (y + 1), y + 2 * x + 3, 17 * x * x + 23 * y * y
+        k2, h2, c2 = x * x + y + 2, x * y + 5, 11 * x
+        k3, h3, c3 = 7 * x + y * y + 1, 3 * x + y + 7, 13 * y
+        return (
+            f"((lo * {k1} + hi * {h1} + {c1}{bump}) % 256"
+            f" + (lo * {k2} + hi * {h2} + {c2}) % 256"
+            f" + (lo * {k3} + hi * {h3} + {c3}) % 256)"
+        )
+
+    bits = [
+        f"(case when {gs(x + 1, y)} > {gs(x, y)} then 1 else 0 end)"
+        for y in range(DHASH_H)
+        for x in range(DHASH_W - 1)
+    ]
+    digits = []
+    for d in range(16):
+        v = " + ".join(
+            f"{w} * {bits[4 * d + j]}" for j, w in enumerate((8, 4, 2, 1))
+        )
+        digits.append(f"substring('0123456789abcdef', ({v}) + 1, 1)")
+    dhash = " || ".join(digits)
+    blocks = ", ".join(
+        f"'q{i}:' || {tx.simhash_block('dhash', i)}" for i in range(4)
+    )
+    ham = tx.hamming_hex("sh_a", "sh_b", DUCKDB)
+    return f"""
+with ids as (
+  select doc_id as i from documents
+  union all
+  select doc_id + 500000 from documents where doc_id % 10 = 0
+  union all
+  select doc_id + 1000000 from documents where doc_id % 17 = 0
+),
+pre as (
+  select i,
+         base % 256 as lo, (base // 256) % 256 as hi,
+         case when i >= 500000 and i < 1000000 then 3 else 0 end as bmp3
+  from (
+    select i,
+           case when i >= 1000000 then i - 1000000
+                when i >= 500000 then i - 500000
+                else i end as base
+    from ids
+  )
+),
+hx as (select i as media_id, {dhash} as dhash from pre),
+blocks as (
+  select media_id, dhash, unnest([{blocks}]) as block from hx
+),
+cand as (
+  select distinct a.media_id as id_a, b.media_id as id_b,
+         a.dhash as sh_a, b.dhash as sh_b
+  from blocks a join blocks b
+    on a.block = b.block and a.media_id < b.media_id
+)
+select id_a, id_b, hamming from (
+  select id_a, id_b, cast({ham} as int) as hamming from cand
+) where hamming <= 3
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-decode path, driver-verified: deterministic P6 blobs
     are synthesized per doc (dimensions/RGB are pure functions of the
@@ -5265,6 +5367,7 @@ EXT_QUERIES = {
     "corpus_shard_shuffle": q_shard_shuffle,
     "quality_classifier": q_quality_classifier,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_image_dhash_pairs": q_image_dhash_pairs,
     "llm_pipeline_e2e": q_llm_pipeline_e2e,
     "embedding_truncate_normalize": q_truncate_normalize,
     "quality_quantile_filter": q_quality_quantile_filter,
@@ -5371,6 +5474,7 @@ def ext_oracles() -> dict[str, str]:
         "corpus_shard_shuffle": shard_shuffle_oracle(),
         "quality_classifier": quality_classifier_oracle(),
         "multimodal_decode": multimodal_decode_oracle(),
+        "multimodal_image_dhash_pairs": image_dhash_pairs_oracle(),
         "llm_pipeline_e2e": llm_pipeline_oracle(),
         "embedding_truncate_normalize": truncate_normalize_oracle(),
         "quality_quantile_filter": quality_quantile_oracle(),

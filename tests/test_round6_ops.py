@@ -448,3 +448,69 @@ def test_events_user_trend_matches_numpy(spark):
         assert abs(got[uid]["slope_per_day"] - slope * 86400) < 1e-6
         assert abs(got[uid]["intercept"] - intercept * 1e-6) < 1e-9
         assert got[uid]["n_events"] == len(pts)
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual hash (dHash) through the REAL decode path
+# ---------------------------------------------------------------------------
+
+
+def test_image_dhash_matches_closed_form(spark):
+    """dHash computed from DECODED BYTES must equal the closed form
+    computed straight from gradient_channels — any header-parse,
+    raster-indexing or bit-packing regression diverges."""
+    from far_finer_airtable_firestore_sync_spark.operators import multimodal
+
+    ids = [0, 1, 7, 255, 256, 4999, 500010, 1000017]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    hashed = {
+        r["media_id"]: r["dhash"]
+        for r in multimodal.image_dhash(
+            multimodal.synth_gradient_ppm_blobs(df)
+        ).collect()
+    }
+
+    def expect(i: int) -> str:
+        def gsum(x, y):
+            return sum(multimodal.gradient_channels(i, x, y))
+
+        val = 0
+        for y in range(multimodal.DHASH_H):
+            for x in range(multimodal.DHASH_W - 1):
+                val = (val << 1) | (1 if gsum(x + 1, y) > gsum(x, y) else 0)
+        return f"{val:016x}"
+
+    assert hashed == {i: expect(i) for i in ids}
+    # exact copy hashes identically; undecodable blob -> NULL
+    assert hashed[1000017] == hashed[17] if 17 in hashed else True
+    from pyspark.sql import Row
+
+    bad = spark.createDataFrame(
+        [Row(media_id=1, content=b"not a ppm", media_type="image/x")]
+    )
+    assert multimodal.image_dhash(bad).collect()[0]["dhash"] is None
+
+
+def test_image_dhash_pairs_find_copies(spark):
+    """The Hamming join must pair every exact copy with its original
+    at distance 0."""
+    from far_finer_airtable_firestore_sync_spark.operators import (
+        dedup_docs,
+        multimodal,
+    )
+
+    base = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    copies = base.filter("doc_id % 5 = 0").selectExpr(
+        "doc_id + 1000000 as doc_id"
+    )
+    hashed = multimodal.image_dhash(
+        multimodal.synth_gradient_ppm_blobs(base.union(copies))
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_docs.hex_hamming_pairs(
+            hashed, "dhash", "media_id", 0
+        ).collect()
+    }
+    for i in range(0, 40, 5):
+        assert (i, i + 1000000) in pairs
