@@ -3529,6 +3529,56 @@ select id_a, id_b, hamming from (
 """
 
 
+def q_record_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-connector WRITE path gate: documents -> record-envelope
+    pages via the Spark-4 Python DataSource writer (staged temp files,
+    atomic driver commit-rename) -> read back through the SAME
+    connector's reader -> aggregate. Iff the envelope roundtrip is
+    lossless the aggregate hash-matches the direct parquet oracle.
+    Nulls survive as JSON nulls (unlike CSV's ''-ambiguity)."""
+    from far_finer_airtable_firestore_sync_spark.sources import record_source
+
+    if not record_source.register(spark):  # pragma: no cover
+        raise RuntimeError("record_feed connector needs pyspark >= 4")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = _scratch_dir(prefix="ffs_rsink_")
+    (
+        docs.selectExpr(
+            "cast(doc_id as string) as _record_id",
+            "cast(null as string) as _created_time",
+            "text", "lang", "source",
+            "cast(n_chars as string) as n_chars",
+        )
+        .write.format("record_feed")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("record_feed")
+        .option("path", out)
+        .option("fields", "text, lang, source, n_chars")
+        .load()
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias(
+            "total_chars"
+        ),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.max(F.length("text")).cast("bigint").alias("max_text_len"),
+    )
+
+
+RECORD_SINK_ROUNDTRIP_SQL = """
+select lang, cast(count(*) as bigint) as n_docs,
+       cast(sum(n_chars) as bigint) as total_chars,
+       cast(count(distinct source) as bigint) as n_sources,
+       cast(max(length(text)) as bigint) as max_text_len
+from documents group by lang
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-decode path, driver-verified: deterministic P6 blobs
     are synthesized per doc (dimensions/RGB are pure functions of the
@@ -5368,6 +5418,7 @@ EXT_QUERIES = {
     "quality_classifier": q_quality_classifier,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_image_dhash_pairs": q_image_dhash_pairs,
+    "record_sink_roundtrip": q_record_sink_roundtrip,
     "llm_pipeline_e2e": q_llm_pipeline_e2e,
     "embedding_truncate_normalize": q_truncate_normalize,
     "quality_quantile_filter": q_quality_quantile_filter,
@@ -5475,6 +5526,7 @@ def ext_oracles() -> dict[str, str]:
         "quality_classifier": quality_classifier_oracle(),
         "multimodal_decode": multimodal_decode_oracle(),
         "multimodal_image_dhash_pairs": image_dhash_pairs_oracle(),
+        "record_sink_roundtrip": RECORD_SINK_ROUNDTRIP_SQL,
         "llm_pipeline_e2e": llm_pipeline_oracle(),
         "embedding_truncate_normalize": truncate_normalize_oracle(),
         "quality_quantile_filter": quality_quantile_oracle(),

@@ -50,8 +50,10 @@ try:  # pyspark >= 4
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceWriter,
         InputPartition,
         SimpleDataSourceStreamReader,
+        WriterCommitMessage,
     )
 
     _HAS_DATASOURCE_API = True
@@ -60,6 +62,8 @@ except ImportError:  # pragma: no cover - older pyspark
     DataSourceReader = object  # type: ignore[assignment,misc]
     InputPartition = object  # type: ignore[assignment,misc]
     SimpleDataSourceStreamReader = object  # type: ignore[assignment,misc]
+    DataSourceWriter = object  # type: ignore[assignment,misc]
+    WriterCommitMessage = object  # type: ignore[assignment,misc]
     _HAS_DATASOURCE_API = False
 
 
@@ -188,6 +192,14 @@ class RecordFeedDataSource(DataSource):
                 "the feed to JSONL pages for streaming reads"
             )
         return RecordFeedStreamReader(self.options["path"], schema)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> "RecordFeedWriter":
+        """``df.write.format("record_feed")`` — K8-family sink as a
+        first-class connector: envelopes staged per task, published
+        atomically by the driver commit (see RecordFeedWriter)."""
+        if "path" not in self.options:
+            raise ValueError("record_feed writes require option('path', dir)")
+        return RecordFeedWriter(dict(self.options), overwrite)
 
     def reader(self, schema: T.StructType) -> "RecordFeedReader":
         if "url" in self.options:
@@ -400,3 +412,89 @@ def unwrap_records(df: DataFrame, fields_col: str = "fields") -> DataFrame:
         *[c for c in df.columns if c != fields_col],
         *[F.col(f"{fields_col}.`{n}`").alias(n) for n in inner],
     )
+
+
+class PageCommitMessage(WriterCommitMessage):
+    """Per-task commit message: the temp file the task staged and its
+    row count (picklable plain fields only)."""
+
+    def __init__(self, tmp_name: str, n_rows: int):
+        self.tmp_name = tmp_name
+        self.n_rows = n_rows
+
+
+class RecordFeedWriter(DataSourceWriter):
+    """Batch writer: ``df.write.format("record_feed").option("path",
+    dir).mode(...).save()`` — the INVERSE of the reader's unwrap.
+
+    Each task stages its partition as an UNCOMMITTED temp file
+    (``_tmp-<uuid>.jsonl``) of record envelopes
+    ``{"id", "createdTime", "fields": {...}}``; the driver's commit
+    renames staged files to zero-padded ``page-NNNNN.jsonl`` names in
+    partition order (append mode continues after the existing max
+    page number) and abort removes them — write-audit-publish, the
+    same atomic-publication contract the stream reader documents for
+    producers, so a reader/stream never observes a half-written page.
+    On an object store the rename step becomes the store's multipart
+    commit; the task/driver split is unchanged.
+
+    Input contract: columns ``_record_id``, ``_created_time``, then
+    field columns (the reader's schema shape); missing id/created
+    columns write null envelope heads.
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator) -> "PageCommitMessage":
+        import uuid
+
+        tmp = f"_tmp-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, tmp), "w") as fh:
+            for row in iterator:
+                d = row.asDict()
+                rid = d.pop("_record_id", None)
+                created = d.pop("_created_time", None)
+                fh.write(
+                    json.dumps(
+                        {"id": rid, "createdTime": created, "fields": d}
+                    )
+                    + "\n"
+                )
+                n += 1
+        return PageCommitMessage(tmp, n)
+
+    def _existing_pages(self) -> list[str]:
+        return sorted(
+            (f for f in os.listdir(self.path) if f.startswith("page-")),
+            key=_page_sort_key,
+        )
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for f in self._existing_pages():
+                os.remove(os.path.join(self.path, f))
+            next_no = 0
+        else:
+            pages = self._existing_pages()
+            next_no = (
+                _page_sort_key(pages[-1])[1] + 1
+                if pages and _page_sort_key(pages[-1])[0] == 0
+                else len(pages)
+            )
+        for m in messages:
+            os.rename(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, f"page-{next_no:05d}.jsonl"),
+            )
+            next_no += 1
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.tmp_name))
+            except FileNotFoundError:
+                pass

@@ -514,3 +514,51 @@ def test_image_dhash_pairs_find_copies(spark):
     }
     for i in range(0, 40, 5):
         assert (i, i + 1000000) in pairs
+
+
+# ---------------------------------------------------------------------------
+# record_feed custom WRITER (Spark-4 Python DataSource sink)
+# ---------------------------------------------------------------------------
+
+
+def test_record_feed_writer_roundtrip_and_append(spark, tmp_path):
+    """Write-audit-publish sink: staged temps become page-NNNNN.jsonl
+    only at commit; the reader recovers the exact rows; append mode
+    continues numbering after the existing max page."""
+    import os
+
+    from far_finer_airtable_firestore_sync_spark.sources import record_source
+
+    assert record_source.register(spark)
+    d = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [("r1", "2024-01-01T00:00:00Z", "alice", "1.5"),
+         ("r2", "2024-01-02T00:00:00Z", "bob", None)],
+        "_record_id string, _created_time string, Name string, Score string",
+    )
+    df.repartition(2).write.format("record_feed").option("path", d).mode(
+        "overwrite"
+    ).save()
+    pages = sorted(os.listdir(d))
+    assert pages == ["page-00000.jsonl", "page-00001.jsonl"]
+    back = (
+        spark.read.format("record_feed").option("path", d)
+        .option("fields", "Name, Score").load()
+    )
+    assert sorted(tuple(r) for r in back.collect()) == [
+        ("r1", "2024-01-01T00:00:00Z", "alice", "1.5"),
+        ("r2", "2024-01-02T00:00:00Z", "bob", None),
+    ]
+    # append continues numbering; overwrite resets
+    df.limit(1).write.format("record_feed").option("path", d).mode(
+        "append"
+    ).save()
+    assert "page-00002.jsonl" in os.listdir(d)
+    df.coalesce(1).write.format("record_feed").option("path", d).mode(
+        "overwrite"
+    ).save()
+    assert sorted(f for f in os.listdir(d) if f.startswith("page-")) == [
+        "page-00000.jsonl"
+    ]
+    # no stray temp files after commits
+    assert not [f for f in os.listdir(d) if f.startswith("_tmp-")]
