@@ -631,6 +631,55 @@ def _q_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.diff_versions(v_old, v_new)
 
 
+def _q_store_zone_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping through the REAL store path: commit the
+    events table range-sorted on user_id (disjoint per-file user
+    ranges — the sort-order contract that makes zone maps selective),
+    write the footer-stats sidecar manifest, prune the file list for
+    one user range, and aggregate ONLY the surviving files. The plan
+    never opens a skipped file; re-applying the predicate on the
+    pruned read keeps pruning loss-impossible by construction, and
+    the oracle is the plain full-scan filter."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        read_events,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+        prune_files_by_zone,
+        write_zone_manifest,
+    )
+
+    _utc(spark)
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="ffs_zone_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "event_id")
+    vdir = store.commit(ev.repartitionByRange(8, "user_id"))
+    write_zone_manifest(vdir)
+    lo, hi = 10, 19
+    keep, total = prune_files_by_zone(vdir, "user_id", lo, hi)
+    assert 0 < len(keep) < total, (len(keep), total)  # skipping is real
+    pruned = spark.read.parquet(*keep).filter(
+        (F.col("user_id") >= lo) & (F.col("user_id") <= hi)
+    )
+    return pruned.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias(
+            "value_cents"
+        ),
+    )
+
+
+_STORE_ZONE_SQL = """
+select user_id, cast(count(*) as bigint) as n_events,
+       sum(cast(round(value * 100) as bigint)) as value_cents
+from events where user_id between 10 and 19
+group by user_id
+"""
+
+
 #: Scratch store roots created by contract entries; removed at process
 #: exit (not eagerly — the returned DataFrames read them lazily).
 from far_finer_airtable_firestore_sync_spark.operators._util import (  # noqa: E402
@@ -940,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_cdc_diff": _q_store_cdc,
         "store_ivm_rollup": _q_store_ivm,
         "store_bucket_drift": _q_store_bucket_drift,
+        "store_zone_map_scan": _q_store_zone_scan,
         "salted_agg_revenue": _q_salted_agg,
         "skew_hot_key_unsalted": _q_skew_hot_unsalted,
         "skew_hot_key_salted": _q_skew_hot_salted,
@@ -978,6 +1028,7 @@ def oracle_sql() -> dict[str, str]:
         "store_cdc_diff": _STORE_CDC_SQL,
         "store_ivm_rollup": _STORE_IVM_SQL,
         "store_bucket_drift": _store_bucket_drift_oracle(),
+        "store_zone_map_scan": _STORE_ZONE_SQL,
         "salted_agg_revenue": _SALTED_AGG_SQL,
         "skew_hot_key_unsalted": _SKEW_HOT_SQL,
         "skew_hot_key_salted": _SKEW_HOT_SQL,

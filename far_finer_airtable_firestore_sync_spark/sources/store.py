@@ -569,3 +569,79 @@ select coalesce(o.bucket, n.bucket) as bucket,
 from ob o full outer join nb n on o.bucket is not distinct from n.bucket
 where o.n is distinct from n.n or o.chk is distinct from n.chk
 """
+
+
+def write_zone_manifest(version_dir: str) -> dict:
+    """Per-file zone maps (min/max/nulls per primitive column) from
+    the parquet FOOTERS of a committed version — no data scan; the
+    Delta/Iceberg data-skipping core as a sidecar
+    ``_zone_manifest.json``. Hive-partition columns are not in the
+    footers and are covered by Spark's own partition pruning; zone
+    maps add skipping on the NON-partition columns (a range-sorted
+    write gives disjoint per-file ranges — the Z-order/sort-order
+    contract).
+
+    Driver-side cost is one footer read per part file: at 100 TB a
+    version has O(filecount) footers, the same listing the commit
+    itself performs — and the manifest turns every later selective
+    read into an O(manifest) file-list prune instead of a full scan.
+    """
+    import pyarrow.parquet as pq
+
+    manifest: dict = {}
+    for root, _dirs, files in os.walk(version_dir):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            path = os.path.join(root, f)
+            md = pq.ParquetFile(path).metadata
+            cols: dict = {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        try:
+                            mn, mx = mn.decode(), mx.decode()
+                        except UnicodeDecodeError:
+                            continue
+                    if hasattr(mn, "isoformat"):
+                        mn, mx = mn.isoformat(), mx.isoformat()
+                    name = col.path_in_schema
+                    if name in cols:
+                        cols[name] = [min(cols[name][0], mn),
+                                      max(cols[name][1], mx)]
+                    else:
+                        cols[name] = [mn, mx]
+            manifest[os.path.relpath(path, version_dir)] = {
+                "rows": md.num_rows,
+                "columns": cols,
+            }
+    with open(os.path.join(version_dir, "_zone_manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def prune_files_by_zone(
+    version_dir: str, col: str, lo, hi
+) -> tuple[list[str], int]:
+    """Files of a committed version whose [min, max] zone for ``col``
+    intersects [lo, hi] — plus the total file count for skip-rate
+    assertions. Files with no zone for the column are kept (pruning
+    must never be lossy). Reads only the sidecar manifest (written
+    lazily if absent)."""
+    mpath = os.path.join(version_dir, "_zone_manifest.json")
+    try:
+        with open(mpath) as fh:
+            manifest = json.load(fh)
+    except FileNotFoundError:
+        manifest = write_zone_manifest(version_dir)
+    keep = []
+    for rel, meta in manifest.items():
+        zone = meta["columns"].get(col)
+        if zone is None or (zone[0] <= hi and zone[1] >= lo):
+            keep.append(os.path.join(version_dir, rel))
+    return keep, len(manifest)

@@ -562,3 +562,52 @@ def test_record_feed_writer_roundtrip_and_append(spark, tmp_path):
     ]
     # no stray temp files after commits
     assert not [f for f in os.listdir(d) if f.startswith("_tmp-")]
+
+
+# ---------------------------------------------------------------------------
+# Zone-map data skipping (DocumentStore sidecar manifest)
+# ---------------------------------------------------------------------------
+
+
+def test_zone_map_pruning_skips_and_never_loses(spark, tmp_path):
+    """Range-sorted commit -> disjoint per-file zones -> selective
+    reads skip most files; pruning + re-filter returns exactly the
+    full-scan answer; columns without zones keep every file."""
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+        prune_files_by_zone,
+        write_zone_manifest,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "zm"), "k")
+    df = spark.range(0, 10_000).selectExpr(
+        "id as k", "id % 100 as grp", "cast(id as double) / 7 as v"
+    )
+    vdir = store.commit(df.repartitionByRange(10, "k"))
+    manifest = write_zone_manifest(vdir)
+    assert len(manifest) == 10
+    keep, total = prune_files_by_zone(vdir, "k", 2_000, 2_999)
+    assert total == 10
+    assert len(keep) <= 2, keep  # tight ranges -> real skipping
+    got = (
+        spark.read.parquet(*keep)
+        .filter("k between 2000 and 2999")
+        .agg({"k": "count", "v": "sum"})
+        .collect()[0]
+    )
+    want = (
+        store.read()
+        .filter("k between 2000 and 2999")
+        .agg({"k": "count", "v": "sum"})
+        .collect()[0]
+    )
+    assert got == want
+    # unknown column: every file kept (never lossy)
+    keep2, _ = prune_files_by_zone(vdir, "not_a_column", 0, 1)
+    assert len(keep2) == total
+    # lazily-built manifest path (no sidecar yet)
+    import os
+
+    os.remove(f"{vdir}/_zone_manifest.json")
+    keep3, total3 = prune_files_by_zone(vdir, "k", 2_000, 2_999)
+    assert (sorted(keep3), total3) == (sorted(keep), total)
