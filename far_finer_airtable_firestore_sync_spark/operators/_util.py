@@ -34,6 +34,16 @@ def register_scratch_dir(path: str) -> str:
     return path
 
 
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp registered with the shared reaper: per-invocation
+    write dirs must not accumulate across repeated bench runs
+    (round-5 ADVICE). The one definition — plan modules import this
+    instead of keeping copies (round-6 review finding)."""
+    import tempfile
+
+    return register_scratch_dir(tempfile.mkdtemp(prefix=prefix))
+
+
 def _reap_scratch_dirs() -> None:
     import shutil
 

@@ -652,14 +652,9 @@ def hex_hamming_pairs(
         )
         .distinct()
     )
-    # Hamming distance over hex strings: popcount of per-digit XOR.
-    ham = F.expr(
-        "aggregate(transform(sequence(1, 16), i -> "
-        " bit_count(cast("
-        "   (position(substring(sh_a, i, 1) in '0123456789abcdef') - 1) "
-        "   ^ (position(substring(sh_b, i, 1) in '0123456789abcdef') - 1) "
-        " as int))), 0, (a, x) -> a + x)"
-    )
+    # Hamming distance via the shared dual-dialect emitter (the same
+    # expression the oracles run — one implementation, zero drift).
+    ham = F.expr(tx.hamming_hex("sh_a", "sh_b", SPARK))
     return cand.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")

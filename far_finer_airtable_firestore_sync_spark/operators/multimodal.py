@@ -574,9 +574,15 @@ def gradient_channels(i: int, x: int, y: int) -> tuple[int, int, int]:
     Id ranges encode the corpus variants: ids in [500000, 1000000)
     are +3-perturbed (top-left quadrant, inside the modulus) copies of
     id-500000; ids >= 1000000 are exact copies of id-1000000."""
+    # FLAT id-namespace decode — identical to the oracle's single
+    # CASE, never recursive: a recursion for i >= 1M would re-enter
+    # the perturbation branch when the decoded base is itself >=
+    # 500k, silently diverging from the oracle at large doc_ids
+    # (review finding). Base doc_ids must stay below 500k — enforced
+    # loudly at synthesis time (synth_gradient_ppm_blobs).
     if i >= 1_000_000:
-        return gradient_channels(i - 1_000_000, x, y)
-    if i >= 500_000:
+        base, bump = i - 1_000_000, 0
+    elif i >= 500_000:
         base = i - 500_000
         bump = 3 if x < 4 and y < 4 else 0
     else:
@@ -611,6 +617,11 @@ def synth_gradient_ppm_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame
             blobs = []
             for i in pdf[id_col]:
                 i = int(i)
+                if not 0 <= i < 1_500_000:
+                    raise ValueError(
+                        f"gradient id {i} outside the namespace contract "
+                        "(base < 500k; +500k perturbed; +1M exact copy)"
+                    )
                 px = bytearray()
                 for y in range(DHASH_H):
                     for x in range(DHASH_W):

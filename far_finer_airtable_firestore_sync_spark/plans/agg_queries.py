@@ -20,18 +20,9 @@ from far_finer_airtable_firestore_sync_spark.operators._util import (
 )
 
 
-def _scratch_dir(prefix: str) -> str:
-    """mkdtemp registered with the shared scratch reaper
-    (operators/_util): per-invocation write dirs must not accumulate
-    across repeated bench runs (round-5 ADVICE on
-    q_csv_json_roundtrip)."""
-    import tempfile
-
-    from far_finer_airtable_firestore_sync_spark.operators._util import (
-        register_scratch_dir,
-    )
-
-    return register_scratch_dir(tempfile.mkdtemp(prefix=prefix))
+from far_finer_airtable_firestore_sync_spark.operators._util import (
+    scratch_dir as _scratch_dir,
+)
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1678,7 +1669,8 @@ agg as (
 select user_id, cast(n as bigint) as n_events,
        cast(cast(n * sxy - sx * sy as double)
             / cast(n * sxx - sx * sx as double)
-            * cast(86400 as double) as double) as slope_per_day,
+            * cast(86400 as double) * cast(0.000001 as double)
+            as double) as slope_per_day,
        cast((cast(sy as double)
              - cast(n * sxy - sx * sy as double)
                / cast(n * sxx - sx * sx as double)

@@ -37,18 +37,9 @@ MAX_CHARS = 256
 # ---------------------------------------------------------------------------
 
 
-def _scratch_dir(prefix: str) -> str:
-    """mkdtemp registered with the shared scratch reaper
-    (operators/_util): per-invocation write dirs must not accumulate
-    across repeated bench runs (round-5 ADVICE on
-    q_csv_json_roundtrip)."""
-    import tempfile
-
-    from far_finer_airtable_firestore_sync_spark.operators._util import (
-        register_scratch_dir,
-    )
-
-    return register_scratch_dir(tempfile.mkdtemp(prefix=prefix))
+from far_finer_airtable_firestore_sync_spark.operators._util import (
+    scratch_dir as _scratch_dir,
+)
 
 
 def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -332,29 +332,30 @@ class RecordFeedStreamReader(SimpleDataSourceStreamReader):
     @staticmethod
     def _slice(pages: list[str], start: dict, end: dict | None) -> list[str]:
         """Pages strictly after start's boundary and (when end is
-        given) at-or-before end's boundary, by name key."""
+        given) at-or-before end's boundary. The start and end bounds
+        are applied INDEPENDENTLY — each by name key when its offset
+        carries ``last_page``, by count otherwise (legacy checkpoint)
+        — so a mixed replay (e.g. legacy initial start + legacy first
+        end, or legacy start + new-style end) slices exactly the
+        committed range rather than ignoring one bound (review
+        finding: replaying batch 0 of a legacy checkpoint returned
+        EVERY page because the start-is-zero path dropped the end
+        bound)."""
         lo = start.get("last_page")
-        if lo is None and start.get("n_pages", 0) > 0:
-            # legacy count-based offset: fall back to index slicing
+        if lo is not None:
+            lo_key = _page_sort_key(lo)
+            pages = [p for p in pages if _page_sort_key(p) > lo_key]
+        elif start.get("n_pages", 0) > 0:
             pages = pages[start["n_pages"]:]
-            if end is not None:
-                pages = pages[: max(0, end["n_pages"] - start["n_pages"])]
-            return pages
-        lo_key = _page_sort_key(lo) if lo is not None else None
-        hi_key = (
-            _page_sort_key(end["last_page"])
-            if end is not None and end.get("last_page") is not None
-            else None
-        )
-        out = []
-        for p in pages:
-            k = _page_sort_key(p)
-            if lo_key is not None and k <= lo_key:
-                continue
-            if hi_key is not None and k > hi_key:
-                continue
-            out.append(p)
-        return out
+        if end is not None:
+            hi = end.get("last_page")
+            if hi is not None:
+                hi_key = _page_sort_key(hi)
+                pages = [p for p in pages if _page_sort_key(p) <= hi_key]
+            else:
+                n = end.get("n_pages", 0) - start.get("n_pages", 0)
+                pages = pages[: max(0, n)]
+        return pages
 
     def initialOffset(self) -> dict:
         return {"n_pages": 0, "last_page": None}

@@ -596,26 +596,38 @@ def write_zone_manifest(version_dir: str) -> dict:
             path = os.path.join(root, f)
             md = pq.ParquetFile(path).metadata
             cols: dict = {}
+            # A column whose stats are unusable in ANY row group must
+            # end the file with NO zone at all: a partial min/max
+            # (some row groups merged, others silently skipped) is a
+            # LOSSY zone — prune_files_by_zone would skip a file whose
+            # un-merged row group holds matching rows (review finding).
+            poisoned: set = set()
             for rg in range(md.num_row_groups):
                 for ci in range(md.num_columns):
                     col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in poisoned:
+                        continue
                     st = col.statistics
                     if st is None or not st.has_min_max:
+                        poisoned.add(name)
                         continue
                     mn, mx = st.min, st.max
                     if isinstance(mn, bytes):
                         try:
                             mn, mx = mn.decode(), mx.decode()
                         except UnicodeDecodeError:
+                            poisoned.add(name)
                             continue
                     if hasattr(mn, "isoformat"):
                         mn, mx = mn.isoformat(), mx.isoformat()
-                    name = col.path_in_schema
                     if name in cols:
                         cols[name] = [min(cols[name][0], mn),
                                       max(cols[name][1], mx)]
                     else:
                         cols[name] = [mn, mx]
+            for name in poisoned:
+                cols.pop(name, None)
             manifest[os.path.relpath(path, version_dir)] = {
                 "rows": md.num_rows,
                 "columns": cols,

@@ -445,7 +445,8 @@ def test_events_user_trend_matches_numpy(spark):
         xs = xs - xs.min()
         ys = np.array([round(p[1] * 1e6) for p in pts])
         slope, intercept = np.polyfit(xs, ys, 1)
-        assert abs(got[uid]["slope_per_day"] - slope * 86400) < 1e-6
+        # slope is in quantized (1e-6-grid) units/sec -> value units/day
+        assert abs(got[uid]["slope_per_day"] - slope * 86400 * 1e-6) < 1e-9
         assert abs(got[uid]["intercept"] - intercept * 1e-6) < 1e-9
         assert got[uid]["n_events"] == len(pts)
 
@@ -588,7 +589,10 @@ def test_zone_map_pruning_skips_and_never_loses(spark, tmp_path):
     assert len(manifest) == 10
     keep, total = prune_files_by_zone(vdir, "k", 2_000, 2_999)
     assert total == 10
-    assert len(keep) <= 2, keep  # tight ranges -> real skipping
+    # repartitionByRange SAMPLES its boundaries (nondeterministic file
+    # edges): a 10%-of-keys range can straddle a few files, so assert
+    # real skipping without pinning the exact count
+    assert len(keep) <= 4, keep
     got = (
         spark.read.parquet(*keep)
         .filter("k between 2000 and 2999")
@@ -611,3 +615,35 @@ def test_zone_map_pruning_skips_and_never_loses(spark, tmp_path):
     os.remove(f"{vdir}/_zone_manifest.json")
     keep3, total3 = prune_files_by_zone(vdir, "k", 2_000, 2_999)
     assert (sorted(keep3), total3) == (sorted(keep), total)
+
+
+def test_zone_manifest_drops_partially_stated_columns(spark, tmp_path):
+    """Review finding: a column with unusable stats in ANY row group
+    must end the file with NO zone (kept by pruning) — a partial
+    merged min/max would let pruning skip rows."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        prune_files_by_zone,
+        write_zone_manifest,
+    )
+
+    vdir = str(tmp_path / "v")
+    os.makedirs(vdir)
+    # two row groups: rg0 has decodable binary stats, rg1's max is
+    # invalid UTF-8 -> the bin column must carry no zone at all
+    t1 = pa.table({"k": [1, 2], "bin": [b"apple", b"banana"]})
+    t2 = pa.table({"k": [3, 4], "bin": [b"zebra", b"\xff\xfe"]})
+    w = pq.ParquetWriter(f"{vdir}/part-0.parquet", t1.schema)
+    w.write_table(t1)
+    w.write_table(t2)
+    w.close()
+    manifest = write_zone_manifest(vdir)
+    cols = manifest["part-0.parquet"]["columns"]
+    assert "k" in cols and cols["k"] == [1, 4]
+    assert "bin" not in cols
+    keep, total = prune_files_by_zone(vdir, "bin", "y", "zz")
+    assert (len(keep), total) == (1, 1)  # zone-less column: file kept

@@ -451,3 +451,17 @@ def test_stream_reader_legacy_count_offset(wide_page_dir):
     replay = [t[0] for t in r.readBetweenOffsets({"n_pages": 9},
                                                  {"n_pages": 11})]
     assert replay == ["rec9", "rec10"]
+
+
+def test_stream_reader_legacy_batch_zero_replay(wide_page_dir):
+    """Review finding: replaying the FIRST batch of a legacy
+    checkpoint (start has n_pages=0 and no last_page, end is
+    count-only) must honor the end bound — not emit every page."""
+    r = _stream_reader(wide_page_dir)
+    replay = [t[0] for t in r.readBetweenOffsets({"n_pages": 0},
+                                                 {"n_pages": 5})]
+    assert replay == [f"rec{i}" for i in range(5)]
+    # mixed: legacy start, new-style end
+    replay2 = [t[0] for t in r.readBetweenOffsets(
+        {"n_pages": 2}, {"n_pages": 5, "last_page": "page-4.jsonl"})]
+    assert replay2 == ["rec2", "rec3", "rec4"]
