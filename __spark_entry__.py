@@ -781,6 +781,70 @@ def _store_bucket_drift_oracle() -> str:
     return bucket_drift_body(DUCKDB, old, new, _DRIFT_ROW, _DRIFT_KEY)
 
 
+def _q_store_bucket_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy step 2 over the drift fixture: the row diff pruned
+    to diverging buckets (DocumentStore.repair_rows). The oracle is
+    the FULL diff's closed form — equality IS the completeness proof
+    that bucket pruning lost no changed row."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr(
+            "cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)"
+        ).alias("bal_cents"),
+    )
+    old = cust
+    new = cust.filter("c_custkey % 101 != 0").select(
+        "c_custkey",
+        "c_name",
+        F.expr(
+            "case when c_custkey % 97 = 0 then bal_cents + 1000"
+            " else bal_cents end"
+        ).alias("bal_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="ffs_repair_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "c_custkey")
+    v_old = store.commit(old)
+    v_new = store.commit(new)
+    return store.repair_rows(v_old, v_new, _DRIFT_ROW, _DRIFT_KEY)
+
+
+_STORE_REPAIR_SQL = """
+with old as (
+  select c_custkey, c_name,
+         cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint) as bal_cents
+  from customer
+),
+new as (
+  select c_custkey, c_name,
+         case when c_custkey % 97 = 0 then bal_cents + 1000
+              else bal_cents end as bal_cents
+  from old where c_custkey % 101 <> 0
+)
+select coalesce(n.c_custkey, o.c_custkey) as c_custkey,
+       case when o.c_custkey is null then 'insert'
+            when n.c_custkey is null then 'delete'
+            when o.c_name is distinct from n.c_name
+              or o.bal_cents is distinct from n.bal_cents then 'update'
+       end as change_type,
+       n.c_name as c_name, n.bal_cents as bal_cents
+from old o full outer join new n on o.c_custkey = n.c_custkey
+where case when o.c_custkey is null then 'insert'
+           when n.c_custkey is null then 'delete'
+           when o.c_name is distinct from n.c_name
+             or o.bal_cents is distinct from n.bal_cents then 'update'
+      end is not null
+"""
+
+
 def _q_store_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance over the versioned store: commit
     two snapshots, take the CDC diff WITH before-images, and maintain
@@ -989,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_cdc_diff": _q_store_cdc,
         "store_ivm_rollup": _q_store_ivm,
         "store_bucket_drift": _q_store_bucket_drift,
+        "store_bucket_repair": _q_store_bucket_repair,
         "store_zone_map_scan": _q_store_zone_scan,
         "salted_agg_revenue": _q_salted_agg,
         "skew_hot_key_unsalted": _q_skew_hot_unsalted,
@@ -1028,6 +1093,7 @@ def oracle_sql() -> dict[str, str]:
         "store_cdc_diff": _STORE_CDC_SQL,
         "store_ivm_rollup": _STORE_IVM_SQL,
         "store_bucket_drift": _store_bucket_drift_oracle(),
+        "store_bucket_repair": _STORE_REPAIR_SQL,
         "store_zone_map_scan": _STORE_ZONE_SQL,
         "salted_agg_revenue": _SALTED_AGG_SQL,
         "skew_hot_key_unsalted": _SKEW_HOT_SQL,

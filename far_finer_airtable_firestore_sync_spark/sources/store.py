@@ -289,8 +289,24 @@ class DocumentStore:
         aggregates without rescanning the base.
         """
         key = key_col or self.key_col
-        old = self.read_version(old_dir).alias("o")
-        new = self.read_version(new_dir).alias("n")
+        return self._diff_frames(
+            self.read_version(old_dir),
+            self.read_version(new_dir),
+            key,
+            include_old,
+        )
+
+    @staticmethod
+    def _diff_frames(
+        old_df: DataFrame,
+        new_df: DataFrame,
+        key: str,
+        include_old: bool = False,
+    ) -> DataFrame:
+        """The row-diff plan shared by :meth:`diff_versions` (full
+        snapshots) and :meth:`repair_rows` (bucket-pruned inputs)."""
+        old = old_df.alias("o")
+        new = new_df.alias("n")
         cols = [c for c in new.columns if c != key]
         j = old.join(new, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
         o_present = F.col(f"o.{key}").isNotNull()
@@ -358,6 +374,52 @@ class DocumentStore:
             bucket_drift_body(
                 "spark", ov, nv, row_string_expr, key, n_buckets
             )
+        )
+
+    def repair_rows(
+        self,
+        old_dir: str,
+        new_dir: str,
+        row_string_expr: str,
+        key_string_expr: Optional[str] = None,
+        n_buckets: int = 64,
+        include_old: bool = False,
+    ) -> DataFrame:
+        """Anti-entropy step 2: the row-level diff PRUNED to diverging
+        buckets — ``bucket_drift`` finds which of the ``n_buckets``
+        checksums disagree (step 1, exchanges only n_buckets triples),
+        then this runs :meth:`diff_versions`'s plan over ONLY the rows
+        whose key-bucket diverged (broadcast semi-join on the <=
+        n_buckets-row drift set, so both snapshot scans drop
+        non-diverging rows before the full-outer join). Completeness:
+        any inserted/deleted/updated row changes its bucket's count or
+        checksum, so its bucket is in the drift set and the repair
+        diff EQUALS the full diff — up to the 2^-56 chance of a
+        checksum collision canceling an update exactly (the Merkle
+        trade; the oracle pins equality on real data). The bucket
+        expression is shared with the checksum body
+        (:func:`bucket_of_key_expr`) — drift and repair must bucket
+        identically or repair silently misses rows."""
+        key_s = key_string_expr or f"cast({self.key_col} as string)"
+        drift = self.bucket_drift(
+            old_dir, new_dir, row_string_expr, key_s, n_buckets
+        ).select("bucket")
+        bexpr = bucket_of_key_expr(key_s, n_buckets, "spark")
+
+        def pruned(version_dir: str) -> DataFrame:
+            df = self.read_version(version_dir)
+            return (
+                df.withColumn("_bkt", F.expr(bexpr))
+                .join(
+                    F.broadcast(drift),
+                    F.col("_bkt") == F.col("bucket"),
+                    "left_semi",
+                )
+                .drop("_bkt")
+            )
+
+        return self._diff_frames(
+            pruned(old_dir), pruned(new_dir), self.key_col, include_old
         )
 
     def compact(
@@ -509,6 +571,20 @@ class DocumentStore:
         cur = self.read()
         if cur is not None:
             self.commit(self.spark.createDataFrame([], cur.schema))
+
+
+def bucket_of_key_expr(
+    key_string_expr: str, n_buckets: int, dialect: str
+) -> str:
+    """Per-row bucket id — THE definition shared by the checksum body
+    and the repair path's pruning scan (drift and repair must bucket
+    identically or repair misses rows). NULL keys land in a real
+    bucket via the sentinel (round-5 ADVICE)."""
+    from far_finer_airtable_firestore_sync_spark.functions import textsql as tx
+
+    key_s = f"coalesce({key_string_expr}, '__NULL_KEY__')"
+    h = tx.hex_to_bigint(f"substring(md5({key_s}), 1, 14)", dialect)
+    return f"({h} % {n_buckets})"
 
 
 def bucket_drift_body(

@@ -647,3 +647,66 @@ def test_zone_manifest_drops_partially_stated_columns(spark, tmp_path):
     assert "bin" not in cols
     keep, total = prune_files_by_zone(vdir, "bin", "y", "zz")
     assert (len(keep), total) == (1, 1)  # zone-less column: file kept
+
+
+# ---------------------------------------------------------------------------
+# Anti-entropy repair + store schema evolution
+# ---------------------------------------------------------------------------
+
+
+def test_repair_rows_equals_full_diff(spark, tmp_path):
+    """Bucket-pruned repair must return exactly diff_versions' rows —
+    including insert/delete/update and NULL-key rows."""
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "rep"), "pk")
+    old = spark.createDataFrame(
+        [(i, f"n{i}", i * 10) for i in range(300)] + [(None, "nk", 1)],
+        "pk long, name string, cents long",
+    )
+    new_rows = (
+        [(i, f"n{i}", i * 10) for i in range(300) if i % 50 != 0]
+        + [(7, "n7", 999), (123, "renamed", 1230)]
+        + [(None, "nk-changed", 1), (1000, "fresh", 5)]
+    )
+    new = spark.createDataFrame(
+        [r for r in new_rows if r[0] not in (7, 123)]
+        + [(7, "n7", 999), (123, "renamed", 1230)],
+        "pk long, name string, cents long",
+    )
+    v1, v2 = store.commit(old), store.commit(new)
+    row_expr = (
+        "coalesce(cast(pk as string), '<nk>') || '|' || name"
+        " || '|' || cast(cents as string)"
+    )
+    key_expr = "cast(pk as string)"
+    full = {
+        tuple(r) for r in store.diff_versions(v1, v2).collect()
+    }
+    repaired = {
+        tuple(r)
+        for r in store.repair_rows(v1, v2, row_expr, key_expr).collect()
+    }
+    assert repaired == full and full, len(full)
+
+
+def test_store_schema_evolution_versions_readable(spark, tmp_path):
+    """Adding a column in a later commit: the current snapshot carries
+    it, older versions stay readable with their own schema, and zone
+    manifests cover the new column."""
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+        write_zone_manifest,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "se"), "k")
+    v1 = store.commit(spark.range(5).selectExpr("id as k", "id * 2 as a"))
+    v2 = store.commit(
+        spark.range(5).selectExpr("id as k", "id * 2 as a", "id + 100 as b")
+    )
+    assert store.read().columns == ["k", "a", "b"]
+    assert store.read_version(v1).columns == ["k", "a"]
+    man = write_zone_manifest(v2)
+    assert all("b" in m["columns"] for m in man.values())
