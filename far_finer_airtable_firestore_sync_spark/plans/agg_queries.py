@@ -1691,6 +1691,62 @@ def q_events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_user_trend_body(SPARK_D, "_ffs_trend_events"))
 
 
+def _max_concurrency_body(dialect: str, rel: str) -> str:
+    """Peak concurrent sessions per event type — the interval sweep
+    line as ONE window pass: each event opens a session of
+    round(value) seconds; intervals become +1/-1 boundary points on an
+    integer-seconds timeline (epoch ints — no interval-type dialect
+    drift), points collapse by (type, t, delta) so the running-sum
+    ordering is total and engine-deterministic, ends sort before
+    starts at ties (end-exclusive semantics: a session ending at t
+    does not overlap one starting at t), and the answer is
+    max(running sum).
+
+    Scale shape: 2 rows per event into one (type, t, delta) partial
+    aggregate, then a single per-type window — timeline order is the
+    partition sort Spark would need anyway; no self-join, no spine."""
+    spark_d = dialect == SPARK_D
+    if spark_d:
+        x = "unix_timestamp(ts)"
+    else:
+        x = "cast(floor(epoch(ts)) as bigint)"
+    return f"""
+with iv as (
+  select event_type, {x} as t0,
+         {x} + cast(round(value) as bigint) + 1 as t1
+  from {rel}
+),
+pts as (
+  select event_type, t0 as t, 1 as delta from iv
+  union all
+  select event_type, t1 as t, -1 as delta from iv
+),
+gp as (
+  select event_type, t, delta, cast(sum(delta) as bigint) as dsum
+  from pts group by event_type, t, delta
+),
+cum as (
+  select event_type,
+         sum(dsum) over (
+           partition by event_type
+           order by t asc, delta asc
+           rows between unbounded preceding and current row
+         ) as cc
+  from gp
+)
+select event_type, cast(max(cc) as bigint) as peak_concurrency
+from cum group by event_type
+"""
+
+
+def q_events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent value-length sessions per event type (interval
+    sweep line, see ``_max_concurrency_body``)."""
+    _utc(spark)
+    read_events(spark, sf_dir).createOrReplaceTempView("_ffs_conc_events")
+    return spark.sql(_max_concurrency_body(SPARK_D, "_ffs_conc_events"))
+
+
 def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap fill + forward fill (LOCF): build the full
     daily calendar spine per event_type, left-join the daily
@@ -2525,6 +2581,7 @@ AGG_QUERIES = {
     "window_suite": q_window_suite,
     "events_gapfill": q_events_gapfill,
     "events_user_trend": q_events_user_trend,
+    "events_max_concurrency": q_events_max_concurrency,
     "kanon_risk_report": q_kanon_risk,
     "events_dow_profile": q_events_dow_profile,
     "event_iqr_udaf": q_event_iqr_udaf,
@@ -2587,5 +2644,6 @@ AGG_ORACLES = {
     "kanon_risk_report": KANON_SQL,
     "events_dow_profile": _dow_profile_body(DUCK_D, "events"),
     "events_user_trend": _user_trend_body(DUCK_D, "events"),
+    "events_max_concurrency": _max_concurrency_body(DUCK_D, "events"),
     "event_iqr_udaf": EVENT_IQR_SQL,
 }

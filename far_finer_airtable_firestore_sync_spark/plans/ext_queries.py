@@ -4864,6 +4864,83 @@ from exact e join est s on e.source = s.source
 """
 
 
+def _hll_range_merge_body(dialect: str, rel: str) -> str:
+    """Sketch REUSE — the property that makes HLL the 100 TB rollup
+    path: build per-DAY register tables once (the persisted sketch
+    layer, m=64 ints/day), then answer an arbitrary date-range
+    distinct-users question by MERGING registers (max per bucket) —
+    the raw events are never rescanned for the range query; only the
+    daily CTE reads them, standing in for the stored sketch table.
+    Register math identical to ``_hll_body`` (md5-grid, so the
+    approximation itself value-verifies); the exact side recomputes
+    count(distinct) over the same range as the pinned comparison."""
+    h = tx.hex_to_bigint(
+        "substring(md5(cast(user_id as string)), 1, 14)", dialect
+    )
+    intdiv = "div" if dialect == SPARK else "//"
+    wide = "decimal(38,0)" if dialect == SPARK else "hugeint"
+    rb, m, scale = HLL_REM_BITS, HLL_M, _HLL_SCALE
+    shl = ("shiftleft(cast(1 as bigint), r)" if dialect == SPARK
+           else "(1::bigint << r)")
+    lo, hi = "date '2024-01-05'", "date '2024-01-14'"
+    return f"""
+with h as (
+  select cast(ts as date) as d, {h} as hv from {rel}
+),
+daily as (
+  select d, hv {intdiv} {1 << rb} as bucket,
+         max(case when hv % {1 << rb} = 0 then {rb + 1}
+                  else position('1' in
+                         lpad(bin(hv % {1 << rb}), {rb}, '0'))
+             end) as r
+  from h group by d, hv {intdiv} {1 << rb}
+),
+merged as (
+  select bucket, max(r) as r from daily
+  where d between {lo} and {hi} group by bucket
+),
+z as (
+  select cast(count(*) as bigint) as nb,
+         sum(cast({scale} as bigint) {intdiv} cast({shl} as bigint))
+           as sum_present
+  from merged
+),
+est as (
+  select {m} - nb as v,
+         cast(cast('{_HLL_NUM}' as {wide})
+              {intdiv} (cast(sum_present + ({m} - nb) * cast({scale} as bigint)
+                             as {wide}) * 1000000)
+              as bigint) as raw_est
+  from z
+),
+exact as (
+  select cast(count(distinct user_id) as bigint) as n_exact
+  from {rel} where cast(ts as date) between {lo} and {hi}
+)
+select e.n_exact,
+       cast(case when s.raw_est * 2 <= {5 * m} and s.v > 0
+                 then round({m} * ln(cast({m} as double) / cast(s.v as double)))
+                 else s.raw_est end as bigint) as hll_estimate,
+       case when s.raw_est * 2 <= {5 * m} and s.v > 0
+            then 'linear' else 'raw' end as est_path
+from exact e cross join est s
+"""
+
+
+def q_hll_range_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range distinct users answered from MERGED per-day HLL
+    registers — the stored-sketch rollup pattern (see
+    ``_hll_range_merge_body``)."""
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        _utc,
+        read_events,
+    )
+
+    _utc(spark)
+    read_events(spark, sf_dir).createOrReplaceTempView("_ffs_hllrm_events")
+    return spark.sql(_hll_range_merge_body(SPARK, "_ffs_hllrm_events"))
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source deterministic-HLL distinct estimate, value-verified
     against the exact count (see ``_hll_body``)."""
@@ -5461,6 +5538,7 @@ EXT_QUERIES = {
     "csv_json_roundtrip": q_csv_json_roundtrip,
     "text_chunking_udtf": q_text_chunking_udtf,
     "sketch_hll_distinct": q_hll_distinct,
+    "sketch_hll_range_merge": q_hll_range_merge,
     "quality_ccnet_buckets": q_ccnet_buckets,
     "span_corruption_plan": q_span_corruption,
     "span_corruption_apply": q_span_corruption_apply,
@@ -5573,6 +5651,7 @@ def ext_oracles() -> dict[str, str]:
         "csv_json_roundtrip": CSV_JSON_ROUNDTRIP_SQL,
         "text_chunking_udtf": TEXT_CHUNKING_SQL,
         "sketch_hll_distinct": _hll_body(DUCKDB, "documents"),
+        "sketch_hll_range_merge": _hll_range_merge_body(DUCKDB, "events"),
         "quality_ccnet_buckets": text_analysis.ccnet_buckets_sql(),
         "span_corruption_plan": _span_corruption_body(DUCKDB, "documents"),
         "span_corruption_apply": _span_corruption_apply_body(
