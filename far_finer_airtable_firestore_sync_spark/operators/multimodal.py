@@ -690,3 +690,134 @@ def image_dhash(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(
         run, "media_id long, dhash string"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting (energy-contour hash): gradient PCM + real decode
+# ---------------------------------------------------------------------------
+
+#: fingerprint geometry: 65 frames x 4 samples -> 64 adjacent-frame
+#: energy comparisons -> 64-bit hash (hex16, hamming-joinable)
+AFP_FRAMES, AFP_FRAME_LEN = 65, 4
+AFP_N_SAMPLES = AFP_FRAMES * AFP_FRAME_LEN
+
+
+def gradient_pcm_sample(i: int, j: int) -> int:
+    """Sample j of the synthetic PCM clip for id i — a PURE function
+    shared verbatim with the DuckDB oracle. Same id-namespace contract
+    and entropy lessons as :func:`gradient_channels` (both id bytes
+    multiply j-varying factors; perturbed copies bump inside the
+    modulus over frames 0..15)."""
+    if i >= 1_000_000:
+        base, bump = i - 1_000_000, 0
+    elif i >= 500_000:
+        base = i - 500_000
+        bump = 16 if j < 64 else 0
+    else:
+        base, bump = i, 0
+    lo, hi = base % 256, (base // 256) % 256
+    return ((lo * ((j * j) % 251 + 3) + hi * (5 * j + 7) + j + bump)
+            % 2048) - 1024
+
+
+def synth_gradient_wav_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 16-bit mono PCM per row with NON-degenerate
+    energy contours (the square-wave ``synth_wav_blobs`` fixture has
+    a periodic sign pattern — useless for fingerprinting)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import io
+        import struct
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                i = int(i)
+                if not 0 <= i < 1_500_000:
+                    raise ValueError(
+                        f"gradient id {i} outside the namespace contract"
+                    )
+                samples = [
+                    gradient_pcm_sample(i, j) for j in range(AFP_N_SAMPLES)
+                ]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(
+                        struct.pack(f"<{AFP_N_SAMPLES}h", *samples)
+                    )
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "content": blobs,
+                    "media_type": "audio/wav",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, "media_id long, content binary, media_type string"
+    )
+
+
+def audio_energy_fingerprint(df: DataFrame) -> DataFrame:
+    """64-bit energy-contour fingerprint per clip from REAL WAV byte
+    decode: bit(f) = [E(f+1) > E(f)] over 65 4-sample frames, where
+    E(f) is the exact integer sum of squared samples — packed to the
+    16-hex SimHash convention so ``dedup_docs.hex_hamming_pairs``
+    applies unchanged (one 64-bit Hamming join serves text, image AND
+    audio). Wrong geometry / undecodable bytes -> NULL quarantine.
+
+    Scale shape: mapInPandas projection — clips decode where they
+    live; only (media_id, 16-hex hash) shuffles."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import io
+        import struct
+        import wave
+
+        import pandas as pd
+
+        def one(content) -> Optional[str]:
+            if content is None:
+                return None
+            try:
+                with wave.open(io.BytesIO(bytes(content))) as w:
+                    if (
+                        w.getnchannels() != 1
+                        or w.getsampwidth() != 2
+                        or w.getnframes() != AFP_N_SAMPLES
+                    ):
+                        return None
+                    raw = w.readframes(AFP_N_SAMPLES)
+            except Exception:
+                return None
+            samples = struct.unpack(f"<{AFP_N_SAMPLES}h", raw)
+            energies = [
+                sum(
+                    s * s
+                    for s in samples[f * AFP_FRAME_LEN:(f + 1) * AFP_FRAME_LEN]
+                )
+                for f in range(AFP_FRAMES)
+            ]
+            val = 0
+            for f in range(AFP_FRAMES - 1):
+                val = (val << 1) | (1 if energies[f + 1] > energies[f] else 0)
+            return f"{val:016x}"
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "afp": [one(c) for c in pdf["content"]],
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        run, "media_id long, afp string"
+    )

@@ -3520,6 +3520,112 @@ select id_a, id_b, hamming from (
 """
 
 
+def q_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection end-to-end: synthesize gradient PCM
+    clips (+ perturbed and exact copies), fingerprint each through the
+    REAL WAV byte decoder (energy-contour bits over 65 frames), then
+    Hamming<=3 pair join via the SAME quarter-block plan as text
+    simhash and image dHash. The oracle recomputes every fingerprint
+    closed-form from the id (samples are a pure function of (id, j)),
+    so decode -> framing -> energy -> bit-packing -> blocked join all
+    hash-verify."""
+    from far_finer_airtable_firestore_sync_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    ids = (
+        docs.union(
+            docs.filter("doc_id % 10 = 0").select(
+                (F.col("doc_id") + 500000).alias("doc_id")
+            )
+        )
+        .union(
+            docs.filter("doc_id % 17 = 0").select(
+                (F.col("doc_id") + 1000000).alias("doc_id")
+            )
+        )
+    )
+    hashed = multimodal.audio_energy_fingerprint(
+        multimodal.synth_gradient_wav_blobs(ids, "doc_id")
+    )
+    return dedup_docs.hex_hamming_pairs(
+        hashed, "afp", "media_id", max_hamming=3
+    ).withColumn("hamming", F.col("hamming").cast("int"))
+
+
+def audio_fingerprint_pairs_oracle() -> str:
+    from far_finer_airtable_firestore_sync_spark.operators.multimodal import (
+        AFP_FRAME_LEN,
+        AFP_FRAMES,
+        AFP_N_SAMPLES,
+    )
+
+    blocks = ", ".join(
+        f"'q{i}:' || {tx.simhash_block('afp', i)}" for i in range(4)
+    )
+    ham = tx.hamming_hex("sh_a", "sh_b", DUCKDB)
+    return f"""
+with ids as (
+  select doc_id as i from documents
+  union all
+  select doc_id + 500000 from documents where doc_id % 10 = 0
+  union all
+  select doc_id + 1000000 from documents where doc_id % 17 = 0
+),
+pre as (
+  select i,
+         base % 256 as lo, (base // 256) % 256 as hi,
+         case when i >= 500000 and i < 1000000 then 1 else 0 end as prt
+  from (
+    select i,
+           case when i >= 1000000 then i - 1000000
+                when i >= 500000 then i - 500000
+                else i end as base
+    from ids
+  )
+),
+samp as (
+  select i,
+         j // {AFP_FRAME_LEN} as f,
+         ((lo * ((j * j) % 251 + 3) + hi * (5 * j + 7) + j
+           + case when prt = 1 and j < 64 then 16 else 0 end)
+          % 2048) - 1024 as s
+  from pre, unnest(generate_series(0, {AFP_N_SAMPLES - 1})) t(j)
+),
+en as (
+  select i, f, sum(cast(s as bigint) * s) as e from samp group by i, f
+),
+bits as (
+  select a.i, a.f, case when b.e > a.e then 1 else 0 end as bit
+  from en a join en b on a.i = b.i and b.f = a.f + 1
+  where a.f < {AFP_FRAMES - 1}
+),
+dig as (
+  select i, f // 4 as d,
+         sum(bit * case f % 4 when 0 then 8 when 1 then 4
+                              when 2 then 2 else 1 end) as v
+  from bits group by i, f // 4
+),
+hx as (
+  select i as media_id,
+         string_agg(substring('0123456789abcdef', cast(v + 1 as int), 1),
+                    '' order by d) as afp
+  from dig group by i
+),
+blocks as (
+  select media_id, afp, unnest([{blocks}]) as block from hx
+),
+cand as (
+  select distinct a.media_id as id_a, b.media_id as id_b,
+         a.afp as sh_a, b.afp as sh_b
+  from blocks a join blocks b
+    on a.block = b.block and a.media_id < b.media_id
+)
+select id_a, id_b, hamming from (
+  select id_a, id_b, cast({ham} as int) as hamming from cand
+) where hamming <= 3
+"""
+
+
 def q_record_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom-connector WRITE path gate: documents -> record-envelope
     pages via the Spark-4 Python DataSource writer (staged temp files,
@@ -5487,6 +5593,7 @@ EXT_QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_image_dhash_pairs": q_image_dhash_pairs,
     "record_sink_roundtrip": q_record_sink_roundtrip,
+    "multimodal_audio_fp_pairs": q_audio_fingerprint_pairs,
     "llm_pipeline_e2e": q_llm_pipeline_e2e,
     "embedding_truncate_normalize": q_truncate_normalize,
     "quality_quantile_filter": q_quality_quantile_filter,
@@ -5596,6 +5703,7 @@ def ext_oracles() -> dict[str, str]:
         "multimodal_decode": multimodal_decode_oracle(),
         "multimodal_image_dhash_pairs": image_dhash_pairs_oracle(),
         "record_sink_roundtrip": RECORD_SINK_ROUNDTRIP_SQL,
+        "multimodal_audio_fp_pairs": audio_fingerprint_pairs_oracle(),
         "llm_pipeline_e2e": llm_pipeline_oracle(),
         "embedding_truncate_normalize": truncate_normalize_oracle(),
         "quality_quantile_filter": quality_quantile_oracle(),

@@ -776,3 +776,56 @@ def test_hll_range_merge_equals_union_sketch(spark):
     # sanity: estimate within 40% of exact at m=64
     n_exact, est, _path = merged
     assert n_exact > 0 and abs(est - n_exact) / n_exact < 0.4
+
+
+# ---------------------------------------------------------------------------
+# Audio energy-contour fingerprint through the REAL decode path
+# ---------------------------------------------------------------------------
+
+
+def test_audio_fingerprint_matches_closed_form(spark):
+    """Fingerprints from DECODED WAV bytes must equal the closed form
+    from gradient_pcm_sample; copies pair at distance 0; bad bytes
+    quarantine to NULL."""
+    from far_finer_airtable_firestore_sync_spark.operators import (
+        dedup_docs,
+        multimodal,
+    )
+
+    ids = [0, 1, 255, 256, 4999, 500010, 1000017, 17]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    hashed_df = multimodal.audio_energy_fingerprint(
+        multimodal.synth_gradient_wav_blobs(df)
+    )
+    hashed = {r["media_id"]: r["afp"] for r in hashed_df.collect()}
+
+    def expect(i: int) -> str:
+        n, fl = multimodal.AFP_N_SAMPLES, multimodal.AFP_FRAME_LEN
+        s = [multimodal.gradient_pcm_sample(i, j) for j in range(n)]
+        e = [
+            sum(x * x for x in s[f * fl:(f + 1) * fl])
+            for f in range(multimodal.AFP_FRAMES)
+        ]
+        val = 0
+        for f in range(multimodal.AFP_FRAMES - 1):
+            val = (val << 1) | (1 if e[f + 1] > e[f] else 0)
+        return f"{val:016x}"
+
+    assert hashed == {i: expect(i) for i in ids}
+    assert hashed[1000017] == hashed[17]  # exact copy
+    # fingerprints vary across ids (non-degenerate fixture)
+    assert len(set(hashed.values())) >= len(ids) - 1
+    pairs = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup_docs.hex_hamming_pairs(
+            hashed_df, "afp", "media_id", 3
+        ).collect()
+    }
+    assert (17, 1000017, 0) in pairs
+    # quarantine: truncated wav -> NULL
+    from pyspark.sql import Row
+
+    bad = spark.createDataFrame(
+        [Row(media_id=1, content=b"RIFFxxxx", media_type="audio/wav")]
+    )
+    assert multimodal.audio_energy_fingerprint(bad).collect()[0]["afp"] is None
