@@ -422,6 +422,24 @@ class DocumentStore:
             pruned(old_dir), pruned(new_dir), self.key_col, include_old
         )
 
+    def read_where(self, col: str, lo: Any, hi: Any) -> Optional[DataFrame]:
+        """Zone-pruned selective read of the CURRENT snapshot:
+        ``col between lo and hi``, opening only the files whose
+        footer-stats zone intersects the range (sidecar manifest,
+        written lazily on first use — see :func:`write_zone_manifest`).
+        The predicate is re-applied on the pruned scan, so correctness
+        never depends on the manifest; the manifest only shrinks the
+        file list. Returns None on an empty store."""
+        vd = self.current_version_dir()
+        if vd is None:
+            return None
+        keep, total = prune_files_by_zone(vd, col, lo, hi)
+        if not keep:  # every file's zone misses the range
+            return self.read().filter(F.lit(False))
+        return self.spark.read.parquet(*keep).filter(
+            (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        )
+
     def compact(
         self,
         target_rows_per_file: int = 1_000_000,

@@ -829,3 +829,28 @@ def test_audio_fingerprint_matches_closed_form(spark):
         [Row(media_id=1, content=b"RIFFxxxx", media_type="audio/wav")]
     )
     assert multimodal.audio_energy_fingerprint(bad).collect()[0]["afp"] is None
+
+
+def test_read_where_prunes_and_matches_full_scan(spark, tmp_path):
+    """read_where == read().filter() on every range, including an
+    empty range and after compaction (new version -> fresh manifest)."""
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "rw"), "k")
+    df = spark.range(0, 5_000).selectExpr("id as k", "id % 7 as m")
+    store.commit(df.repartitionByRange(5, "k"))
+    for lo, hi in [(100, 199), (0, 4999), (9000, 9999)]:
+        got = sorted(
+            tuple(r) for r in store.read_where("k", lo, hi).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in store.read().filter(f"k between {lo} and {hi}").collect()
+        )
+        assert got == want, (lo, hi)
+    # after compaction the pruned read follows the NEW version
+    store.compact(target_rows_per_file=1_000)
+    got = store.read_where("k", 100, 199).count()
+    assert got == 100
