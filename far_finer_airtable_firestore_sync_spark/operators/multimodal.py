@@ -821,3 +821,134 @@ def audio_energy_fingerprint(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(
         run, "media_id long, afp string"
     )
+
+
+# ---------------------------------------------------------------------------
+# Video fingerprinting (luma-contour hash): gradient Y4M + real decode
+# ---------------------------------------------------------------------------
+
+#: clip geometry: 65 frames of 4x2 C444 -> 64 adjacent-frame luma-sum
+#: comparisons -> 64-bit hash (hex16, hamming-joinable)
+VFP_FRAMES, VFP_W, VFP_H = 65, 4, 2
+
+
+def gradient_luma(i: int, f: int, x: int, y: int) -> int:
+    """Luma of pixel (x, y) in frame f of the synthetic clip for id i
+    — pure function shared with the DuckDB oracle; same id-namespace
+    and entropy contract as the image/audio gradients (both id bytes
+    multiply (f, x, y)-varying factors; +500k copies bump the first
+    16 frames inside the modulus)."""
+    if i >= 1_000_000:
+        base, bump = i - 1_000_000, 0
+    elif i >= 500_000:
+        base = i - 500_000
+        bump = 5 if f < 16 else 0
+    else:
+        base, bump = i, 0
+    lo, hi = base % 256, (base // 256) % 256
+    return (
+        lo * ((f + 1) * (x + 2) + y)
+        + hi * (f + 3 * x + 5 * y + 7)
+        + f * f + x + bump
+    ) % 256
+
+
+def synth_gradient_y4m_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 65-frame 4x2 C444 Y4M clip per row with
+    NON-constant luma planes (the flat ``synth_y4m_blobs`` fixture
+    would fingerprint degenerately)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                i = int(i)
+                if not 0 <= i < 1_500_000:
+                    raise ValueError(
+                        f"gradient id {i} outside the namespace contract"
+                    )
+                out = [
+                    f"YUV4MPEG2 W{VFP_W} H{VFP_H} F25:1 Ip A1:1 C444\n"
+                    .encode("ascii")
+                ]
+                for f in range(VFP_FRAMES):
+                    out.append(b"FRAME\n")
+                    out.append(
+                        bytes(
+                            gradient_luma(i, f, x, y)
+                            for y in range(VFP_H)
+                            for x in range(VFP_W)
+                        )
+                    )
+                    out.append(bytes([128]) * (VFP_W * VFP_H) * 2)
+                blobs.append(b"".join(out))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "content": blobs,
+                    "media_type": "video/x-yuv4mpeg",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, "media_id long, content binary, media_type string"
+    )
+
+
+def video_luma_fingerprint(df: DataFrame) -> DataFrame:
+    """64-bit luma-contour fingerprint per clip from REAL Y4M byte
+    parsing: bit(f) = [S(f+1) > S(f)] where S(f) is the exact integer
+    luma-plane sum of frame f — hex16-packed so
+    ``dedup_docs.hex_hamming_pairs`` serves video exactly as it does
+    text, image and audio. Wrong geometry / colorspace / truncated
+    streams quarantine to NULL."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        def one(content) -> Optional[str]:
+            try:
+                buf = bytes(content)
+                nl = buf.index(b"\n")
+                head = buf[:nl].decode("ascii")
+                if not head.startswith("YUV4MPEG2"):
+                    return None
+                params = dict(
+                    (p[0], p[1:]) for p in head.split(" ")[1:] if p
+                )
+                w, h = int(params["W"]), int(params["H"])
+                if (w, h) != (VFP_W, VFP_H) or params.get("C") != "444":
+                    return None
+                frame_bytes = w * h * 3
+                pos, sums = nl + 1, []
+                while pos < len(buf):
+                    fe = buf.index(b"\n", pos)
+                    if not buf[pos:fe].startswith(b"FRAME"):
+                        return None
+                    data = buf[fe + 1 : fe + 1 + frame_bytes]
+                    if len(data) < frame_bytes:
+                        return None
+                    sums.append(sum(data[: w * h]))
+                    pos = fe + 1 + frame_bytes
+                if len(sums) != VFP_FRAMES:
+                    return None
+                val = 0
+                for f in range(VFP_FRAMES - 1):
+                    val = (val << 1) | (1 if sums[f + 1] > sums[f] else 0)
+                return f"{val:016x}"
+            except (ValueError, KeyError, UnicodeDecodeError, TypeError):
+                return None
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "vfp": [one(c) for c in pdf["content"]],
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        run, "media_id long, vfp string"
+    )

@@ -3626,6 +3626,109 @@ select id_a, id_b, hamming from (
 """
 
 
+def q_video_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup via luma-contour fingerprints over REAL Y4M
+    parsing — the fourth modality through the SAME 64-bit Hamming
+    join; oracle recomputes every fingerprint closed-form from the
+    id (luma is a pure function of (id, frame, x, y))."""
+    from far_finer_airtable_firestore_sync_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    ids = (
+        docs.union(
+            docs.filter("doc_id % 10 = 0").select(
+                (F.col("doc_id") + 500000).alias("doc_id")
+            )
+        )
+        .union(
+            docs.filter("doc_id % 17 = 0").select(
+                (F.col("doc_id") + 1000000).alias("doc_id")
+            )
+        )
+    )
+    hashed = multimodal.video_luma_fingerprint(
+        multimodal.synth_gradient_y4m_blobs(ids, "doc_id")
+    )
+    return dedup_docs.hex_hamming_pairs(
+        hashed, "vfp", "media_id", max_hamming=3
+    ).withColumn("hamming", F.col("hamming").cast("int"))
+
+
+def video_fingerprint_pairs_oracle() -> str:
+    from far_finer_airtable_firestore_sync_spark.operators.multimodal import (
+        VFP_FRAMES,
+        VFP_H,
+        VFP_W,
+    )
+
+    blocks = ", ".join(
+        f"'q{i}:' || {tx.simhash_block('vfp', i)}" for i in range(4)
+    )
+    ham = tx.hamming_hex("sh_a", "sh_b", DUCKDB)
+    npx = VFP_W * VFP_H
+    return f"""
+with ids as (
+  select doc_id as i from documents
+  union all
+  select doc_id + 500000 from documents where doc_id % 10 = 0
+  union all
+  select doc_id + 1000000 from documents where doc_id % 17 = 0
+),
+pre as (
+  select i,
+         base % 256 as lo, (base // 256) % 256 as hi,
+         case when i >= 500000 and i < 1000000 then 1 else 0 end as prt
+  from (
+    select i,
+           case when i >= 1000000 then i - 1000000
+                when i >= 500000 then i - 500000
+                else i end as base
+    from ids
+  )
+),
+px as (
+  select i, f,
+         (lo * ((f + 1) * ((p % {VFP_W}) + 2) + (p // {VFP_W}))
+          + hi * (f + 3 * (p % {VFP_W}) + 5 * (p // {VFP_W}) + 7)
+          + f * f + (p % {VFP_W})
+          + case when prt = 1 and f < 16 then 5 else 0 end) % 256 as l
+  from pre,
+       unnest(generate_series(0, {VFP_FRAMES - 1})) t(f),
+       unnest(generate_series(0, {npx - 1})) u(p)
+),
+en as (select i, f, sum(cast(l as bigint)) as e from px group by i, f),
+bits as (
+  select a.i, a.f, case when b.e > a.e then 1 else 0 end as bit
+  from en a join en b on a.i = b.i and b.f = a.f + 1
+  where a.f < {VFP_FRAMES - 1}
+),
+dig as (
+  select i, f // 4 as d,
+         sum(bit * case f % 4 when 0 then 8 when 1 then 4
+                              when 2 then 2 else 1 end) as v
+  from bits group by i, f // 4
+),
+hx as (
+  select i as media_id,
+         string_agg(substring('0123456789abcdef', cast(v + 1 as int), 1),
+                    '' order by d) as vfp
+  from dig group by i
+),
+blocks as (
+  select media_id, vfp, unnest([{blocks}]) as block from hx
+),
+cand as (
+  select distinct a.media_id as id_a, b.media_id as id_b,
+         a.vfp as sh_a, b.vfp as sh_b
+  from blocks a join blocks b
+    on a.block = b.block and a.media_id < b.media_id
+)
+select id_a, id_b, hamming from (
+  select id_a, id_b, cast({ham} as int) as hamming from cand
+) where hamming <= 3
+"""
+
+
 def q_record_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom-connector WRITE path gate: documents -> record-envelope
     pages via the Spark-4 Python DataSource writer (staged temp files,
@@ -5594,6 +5697,7 @@ EXT_QUERIES = {
     "multimodal_image_dhash_pairs": q_image_dhash_pairs,
     "record_sink_roundtrip": q_record_sink_roundtrip,
     "multimodal_audio_fp_pairs": q_audio_fingerprint_pairs,
+    "multimodal_video_fp_pairs": q_video_fingerprint_pairs,
     "llm_pipeline_e2e": q_llm_pipeline_e2e,
     "embedding_truncate_normalize": q_truncate_normalize,
     "quality_quantile_filter": q_quality_quantile_filter,
@@ -5704,6 +5808,7 @@ def ext_oracles() -> dict[str, str]:
         "multimodal_image_dhash_pairs": image_dhash_pairs_oracle(),
         "record_sink_roundtrip": RECORD_SINK_ROUNDTRIP_SQL,
         "multimodal_audio_fp_pairs": audio_fingerprint_pairs_oracle(),
+        "multimodal_video_fp_pairs": video_fingerprint_pairs_oracle(),
         "llm_pipeline_e2e": llm_pipeline_oracle(),
         "embedding_truncate_normalize": truncate_normalize_oracle(),
         "quality_quantile_filter": quality_quantile_oracle(),

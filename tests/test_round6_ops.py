@@ -854,3 +854,55 @@ def test_read_where_prunes_and_matches_full_scan(spark, tmp_path):
     store.compact(target_rows_per_file=1_000)
     got = store.read_where("k", 100, 199).count()
     assert got == 100
+
+
+def test_video_fingerprint_matches_closed_form(spark):
+    """Fingerprints from PARSED Y4M bytes == closed form from
+    gradient_luma; copies pair at 0; bad geometry quarantines."""
+    from far_finer_airtable_firestore_sync_spark.operators import (
+        dedup_docs,
+        multimodal,
+    )
+
+    ids = [0, 3, 255, 257, 4999, 500020, 1000034, 34]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    hashed_df = multimodal.video_luma_fingerprint(
+        multimodal.synth_gradient_y4m_blobs(df)
+    )
+    hashed = {r["media_id"]: r["vfp"] for r in hashed_df.collect()}
+
+    def expect(i: int) -> str:
+        sums = [
+            sum(
+                multimodal.gradient_luma(i, f, x, y)
+                for y in range(multimodal.VFP_H)
+                for x in range(multimodal.VFP_W)
+            )
+            for f in range(multimodal.VFP_FRAMES)
+        ]
+        val = 0
+        for f in range(multimodal.VFP_FRAMES - 1):
+            val = (val << 1) | (1 if sums[f + 1] > sums[f] else 0)
+        return f"{val:016x}"
+
+    assert hashed == {i: expect(i) for i in ids}
+    assert hashed[1000034] == hashed[34]
+    assert len(set(hashed.values())) >= len(ids) - 1
+    pairs = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup_docs.hex_hamming_pairs(
+            hashed_df, "vfp", "media_id", 3
+        ).collect()
+    }
+    assert (34, 1000034, 0) in pairs
+    # wrong colorspace (420 default) quarantines
+    from pyspark.sql import Row
+
+    bad = spark.createDataFrame(
+        [Row(media_id=1,
+             content=b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1\nFRAME\n" + b"\x00" * 12,
+             media_type="video/x-yuv4mpeg")]
+    )
+    assert (
+        multimodal.video_luma_fingerprint(bad).collect()[0]["vfp"] is None
+    )
