@@ -786,6 +786,10 @@ def audio_energy_fingerprint(df: DataFrame) -> DataFrame:
         def one(content) -> Optional[str]:
             if content is None:
                 return None
+            # the WHOLE body quarantines: wave derives nframes from the
+            # chunk-size header field, so a truncated data chunk passes
+            # the geometry checks and only unpack() notices (review
+            # finding — struct.error outside the try crashed the task)
             try:
                 with wave.open(io.BytesIO(bytes(content))) as w:
                     if (
@@ -795,9 +799,9 @@ def audio_energy_fingerprint(df: DataFrame) -> DataFrame:
                     ):
                         return None
                     raw = w.readframes(AFP_N_SAMPLES)
+                samples = struct.unpack(f"<{AFP_N_SAMPLES}h", raw)
             except Exception:
                 return None
-            samples = struct.unpack(f"<{AFP_N_SAMPLES}h", raw)
             energies = [
                 sum(
                     s * s

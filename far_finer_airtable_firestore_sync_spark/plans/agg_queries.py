@@ -1693,14 +1693,16 @@ def q_events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _max_concurrency_body(dialect: str, rel: str) -> str:
     """Peak concurrent sessions per event type — the interval sweep
-    line as ONE window pass: each event opens a session of
-    round(value) seconds; intervals become +1/-1 boundary points on an
-    integer-seconds timeline (epoch ints — no interval-type dialect
-    drift), points collapse by (type, t, delta) so the running-sum
-    ordering is total and engine-deterministic, ends sort before
-    starts at ties (end-exclusive semantics: a session ending at t
-    does not overlap one starting at t), and the answer is
-    max(running sum).
+    line as ONE window pass: each event opens a session occupying the
+    CLOSED integer-second interval [t0, t0 + round(value)] — i.e.
+    round(value) + 1 seconds, with the -1 boundary point placed
+    end-exclusively at t0 + round(value) + 1 (a session whose last
+    occupied second is t does not overlap one starting at t + 1).
+    Intervals become +1/-1 boundary points on an integer-seconds
+    timeline (epoch ints — no interval-type dialect drift), points
+    collapse by (type, t, delta) so the running-sum ordering is total
+    and engine-deterministic, ends sort before starts at ties, and
+    the answer is max(running sum).
 
     Scale shape: 2 rows per event into one (type, t, delta) partial
     aggregate, then a single per-type window — timeline order is the
@@ -1715,6 +1717,10 @@ with iv as (
   select event_type, {x} as t0,
          {x} + cast(round(value) as bigint) + 1 as t1
   from {rel}
+  -- a session needs a timestamp and a duration; NULLs would also
+  -- diverge cross-engine in the window ordering (Spark NULLS FIRST
+  -- asc vs DuckDB NULLS LAST — review finding)
+  where ts is not null and value is not null
 ),
 pts as (
   select event_type, t0 as t, 1 as delta from iv

@@ -5094,7 +5094,10 @@ def _hll_range_merge_body(dialect: str, rel: str) -> str:
     lo, hi = "date '2024-01-05'", "date '2024-01-14'"
     return f"""
 with h as (
+  -- NULL user_id would create a phantom NULL register that inflates
+  -- nb while sum() skips its term (same guard _hll_body carries)
   select cast(ts as date) as d, {h} as hv from {rel}
+  where user_id is not null
 ),
 daily as (
   select d, hv {intdiv} {1 << rb} as bucket,

@@ -304,13 +304,23 @@ class DocumentStore:
         include_old: bool = False,
     ) -> DataFrame:
         """The row-diff plan shared by :meth:`diff_versions` (full
-        snapshots) and :meth:`repair_rows` (bucket-pruned inputs)."""
-        old = old_df.alias("o")
-        new = new_df.alias("n")
-        cols = [c for c in new.columns if c != key]
-        j = old.join(new, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
-        o_present = F.col(f"o.{key}").isNotNull()
-        n_present = F.col(f"n.{key}").isNotNull()
+        snapshots) and :meth:`repair_rows` (bucket-pruned inputs).
+
+        NULL-key handling (review finding): the join is NULL-SAFE and
+        presence comes from literal marker columns, never from the key
+        — a plain equi-join can't match NULL keys, so an UNCHANGED
+        NULL-key row used to emit two phantom 'insert' rows and a
+        deleted one was mislabeled 'insert' with an all-NULL payload,
+        breaking the repair_rows == diff_versions completeness
+        contract (repair correctly pruned the bucket; the diff lied)."""
+        old = old_df.withColumn("_ffs_diff_o", F.lit(1)).alias("o")
+        new = new_df.withColumn("_ffs_diff_n", F.lit(1)).alias("n")
+        cols = [c for c in new_df.columns if c != key]
+        j = old.join(
+            new, F.col(f"o.{key}").eqNullSafe(F.col(f"n.{key}")), "full_outer"
+        )
+        o_present = F.col("o._ffs_diff_o").isNotNull()
+        n_present = F.col("n._ffs_diff_n").isNotNull()
         same = F.lit(True)
         for c in cols:
             same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
@@ -403,19 +413,26 @@ class DocumentStore:
         key_s = key_string_expr or f"cast({self.key_col} as string)"
         drift = self.bucket_drift(
             old_dir, new_dir, row_string_expr, key_s, n_buckets
-        ).select("bucket")
+        ).select(F.col("bucket").alias("_ffs_drift_bkt"))
         bexpr = bucket_of_key_expr(key_s, n_buckets, "spark")
 
         def pruned(version_dir: str) -> DataFrame:
             df = self.read_version(version_dir)
+            # reserved working columns must not collide with (or
+            # silently clobber) user data (review finding)
+            for reserved in ("_ffs_row_bkt", "_ffs_drift_bkt"):
+                if reserved in df.columns:
+                    raise ValueError(
+                        f"column {reserved!r} is reserved by repair_rows"
+                    )
             return (
-                df.withColumn("_bkt", F.expr(bexpr))
+                df.withColumn("_ffs_row_bkt", F.expr(bexpr))
                 .join(
                     F.broadcast(drift),
-                    F.col("_bkt") == F.col("bucket"),
+                    F.col("_ffs_row_bkt") == F.col("_ffs_drift_bkt"),
                     "left_semi",
                 )
-                .drop("_bkt")
+                .drop("_ffs_row_bkt")
             )
 
         return self._diff_frames(
@@ -434,10 +451,17 @@ class DocumentStore:
         if vd is None:
             return None
         keep, total = prune_files_by_zone(vd, col, lo, hi)
-        if not keep:  # every file's zone misses the range
-            return self.read().filter(F.lit(False))
-        return self.spark.read.parquet(*keep).filter(
-            (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        if not keep:  # every file's zone misses the range — empty
+            # frame from the SAME captured version (a second pointer
+            # read could race a concurrent commit; review finding)
+            return self.spark.read.parquet(vd).filter(F.lit(False))
+        # basePath pins partition discovery to the version root, so a
+        # hive-partitioned snapshot keeps its partition columns when
+        # individual leaf files are read (review finding)
+        return (
+            self.spark.read.option("basePath", vd)
+            .parquet(*keep)
+            .filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
         )
 
     def compact(
@@ -636,9 +660,11 @@ def bucket_drift_body(
     intdiv = "div" if spark_d else "//"
     wide = "decimal(38,0)" if spark_d else "hugeint"
     row_s = f"coalesce({row_string_expr}, '__NULL_ROW__')"
-    key_s = f"coalesce({key_string_expr}, '__NULL_KEY__')"
     h_row = tx.hex_to_bigint(f"substring(md5({row_s}), 1, 14)", dialect)
-    h_key = tx.hex_to_bigint(f"substring(md5({key_s}), 1, 14)", dialect)
+    # bucket id via THE shared definition — repair_rows prunes with
+    # the same expression; an inlined copy here could silently
+    # desynchronize drift from repair (review finding)
+    bucket = bucket_of_key_expr(key_string_expr, n_buckets, dialect)
     two56 = 1 << 56
 
     def side(rel: str) -> str:
@@ -649,7 +675,7 @@ def bucket_drift_body(
   from (
     select bucket, sum(cast(digest as {wide})) as total,
            cast(count(*) as bigint) as n
-    from (select {h_key} % {n_buckets} as bucket, {h_row} as digest from {rel})
+    from (select {bucket} as bucket, {h_row} as digest from {rel})
     group by bucket
   ) t
 """

@@ -906,3 +906,57 @@ def test_video_fingerprint_matches_closed_form(spark):
     assert (
         multimodal.video_luma_fingerprint(bad).collect()[0]["vfp"] is None
     )
+
+
+def test_diff_frames_null_key_semantics(spark, tmp_path):
+    """Review finding: an UNCHANGED NULL-key row must emit NO diff
+    rows (it used to emit two phantom inserts); a changed one emits
+    exactly one 'update'; a deleted one emits 'delete' (not 'insert'
+    with a NULL payload). repair_rows must agree with diff_versions
+    on all of it."""
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "nk"), "pk")
+    old = spark.createDataFrame(
+        [(1, "a"), (None, "same"), (2, "gone")], "pk long, name string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (None, "same")], "pk long, name string"
+    )
+    v1, v2 = store.commit(old), store.commit(new)
+    diff = store.diff_versions(v1, v2).collect()
+    assert [(r["pk"], r["change_type"]) for r in diff] == [(2, "delete")]
+    # deleted NULL-key row -> 'delete'
+    v3 = store.commit(spark.createDataFrame([(1, "a")], "pk long, name string"))
+    d2 = {(r["pk"], r["change_type"]) for r in store.diff_versions(v2, v3).collect()}
+    assert d2 == {(None, "delete")}
+    # repair agrees
+    row_expr = "coalesce(cast(pk as string), '<nk>') || '|' || name"
+    rep = {
+        (r["pk"], r["change_type"])
+        for r in store.repair_rows(v2, v3, row_expr).collect()
+    }
+    assert rep == d2
+
+
+def test_read_where_partitioned_store_keeps_partition_columns(spark, tmp_path):
+    """Review finding: pruned leaf reads must pin basePath so a
+    hive-partitioned snapshot keeps its partition columns."""
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "pbp"), "k")
+    df = spark.range(0, 1000).selectExpr(
+        "id as k", "id % 3 as region", "id * 2 as v"
+    )
+    store.commit(df.repartitionByRange(4, "k"), partition_by=["region"])
+    out = store.read_where("k", 100, 199)
+    assert set(out.columns) == {"k", "region", "v"}
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(
+        tuple(r) for r in store.read().filter("k between 100 and 199").collect()
+    )
+    assert got == want
