@@ -622,6 +622,11 @@ def hex_hamming_pairs(
     shared block only up to distance 3 (d+1 blocks for distance d)."""
     if max_hamming > 3:
         raise ValueError("quarter-block pigeonhole covers max_hamming <= 3")
+    # persist: the self-join evaluates its input ONCE instead of
+    # re-running the (often Python-decode) upstream per join side —
+    # same lesson as lsh_candidate_pairs' cached band table (measured
+    # on the video path: join leg 4.8s -> ~2s)
+    hashed = hashed.persist()
     quarters = hashed.select(
         F.col(id_col),
         F.col(hash_col).alias("_hh"),
