@@ -78,6 +78,22 @@ ENTRIES = [
     "sketch_kmv_intersect",
     "rfm_segments",
     "text_sentiment",
+    # round-6 families: pigeonhole hamming self-joins (text + three
+    # decode-path modalities), segment-probe edit join, widened-sum
+    # regression, sketch register merge, boundary-point sweep window,
+    # bucket-pruned diff, connector write-read roundtrip
+    "dedup_simhash_pairs",
+    "dedup_edit_distance_pairs",
+    "multimodal_image_dhash_pairs",
+    "multimodal_audio_fp_pairs",
+    "multimodal_video_fp_pairs",
+    "events_user_trend",
+    "events_max_concurrency",
+    "sketch_hll_range_merge",
+    "store_bucket_repair",
+    "similarity_brp_lsh_topk",
+    "dedup_lsh_pairs_fast",
+    "record_sink_roundtrip",
 ]
 
 
