@@ -439,6 +439,21 @@ class DocumentStore:
             pruned(old_dir), pruned(new_dir), self.key_col, include_old
         )
 
+    def restore(self, version_dir: str) -> str:
+        """Roll the store back to an earlier snapshot AS A NEW COMMIT
+        (the Delta RESTORE shape): the restored state is re-committed
+        rather than the pointer moved backwards, so history stays
+        append-only — describe_history shows the restore, read_as_of
+        still reaches the versions in between, and vacuum's
+        keep-last-N window is unaffected. The data is rewritten (plain
+        parquet has no manifest to re-reference); on a table-format
+        backend this becomes a metadata-only operation."""
+        if version_dir not in self.list_versions():
+            raise ValueError(
+                f"{version_dir!r} is not a committed version of {self.root}"
+            )
+        return self.commit(self.read_version(version_dir))
+
     def read_where(self, col: str, lo: Any, hi: Any) -> Optional[DataFrame]:
         """Zone-pruned selective read of the CURRENT snapshot:
         ``col between lo and hi``, opening only the files whose

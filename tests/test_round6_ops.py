@@ -960,3 +960,29 @@ def test_read_where_partitioned_store_keeps_partition_columns(spark, tmp_path):
         tuple(r) for r in store.read().filter("k between 100 and 199").collect()
     )
     assert got == want
+
+
+def test_store_restore_is_a_new_commit(spark, tmp_path):
+    """RESTORE semantics: rolling back re-commits the old state (the
+    pointer never moves backwards), intermediate versions stay
+    reachable by time travel, and unknown versions are rejected."""
+    import pytest as _pytest
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "rs"), "k")
+    v1 = store.commit(spark.createDataFrame([(1, "a")], "k long, s string"))
+    v2 = store.commit(spark.createDataFrame([(1, "b"), (2, "c")],
+                                            "k long, s string"))
+    v3 = store.restore(v1)
+    assert v3 not in (v1, v2) and store.current_version_dir() == v3
+    assert sorted(map(tuple, store.read().collect())) == [(1, "a")]
+    # history is append-only: v2 still time-travels
+    assert sorted(map(tuple, store.read_version(v2).collect())) == [
+        (1, "b"), (2, "c")
+    ]
+    assert store.list_versions()[-1] == v3 and len(store.list_versions()) == 3
+    with _pytest.raises(ValueError, match="not a committed version"):
+        store.restore(str(tmp_path / "nope"))
