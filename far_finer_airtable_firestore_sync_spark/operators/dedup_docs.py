@@ -21,7 +21,7 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from far_finer_airtable_firestore_sync_spark.functions import textsql as tx
@@ -622,11 +622,17 @@ def hex_hamming_pairs(
     shared block only up to distance 3 (d+1 blocks for distance d)."""
     if max_hamming > 3:
         raise ValueError("quarter-block pigeonhole covers max_hamming <= 3")
-    # persist: the self-join evaluates its input ONCE instead of
-    # re-running the (often Python-decode) upstream per join side —
+    # localCheckpoint: the self-join evaluates its input ONCE instead
+    # of re-running the (often Python-decode) upstream per join side —
     # same lesson as lsh_candidate_pairs' cached band table (measured
-    # on the video path: join leg 4.8s -> ~2s)
-    hashed = hashed.persist()
+    # on the video path: join leg 4.8s -> ~2s). Checkpoint, not
+    # persist(): a persist here had no matching unpersist, leaking a
+    # cached table per call for the session lifetime; checkpointed
+    # blocks are released by the ContextCleaner once the returned
+    # plan is dropped. Tradeoff: lineage is cut, so an executor loss
+    # re-fails instead of recomputing — acceptable for a bounded
+    # fingerprint table (same call as kmeans_refine's guard).
+    hashed = hashed.localCheckpoint(eager=True)
     quarters = hashed.select(
         F.col(id_col),
         F.col(hash_col).alias("_hh"),

@@ -189,8 +189,8 @@ select doc_id, {sh} as simhash from hashed
 
 def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance similarity join (levenshtein<=2 on the 24-char
-    lowercased text prefix) over the dup corpus — Ed-Join-style
-    rarest-gram prefix blocking, exact verify in both engines. See
+    lowercased text prefix) over the dup corpus — PassJoin fixed-width
+    segment blocking, exact verify in both engines. See
     ``dedup_docs.edit_distance_pairs``."""
     return dedup_docs.edit_distance_pairs(dedup_corpus(spark, sf_dir))
 

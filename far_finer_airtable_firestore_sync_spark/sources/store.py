@@ -313,6 +313,12 @@ class DocumentStore:
         deleted one was mislabeled 'insert' with an all-NULL payload,
         breaking the repair_rows == diff_versions completeness
         contract (repair correctly pruned the bucket; the diff lied)."""
+        for reserved in ("_ffs_diff_o", "_ffs_diff_n"):
+            if reserved in old_df.columns or reserved in new_df.columns:
+                raise ValueError(
+                    f"column {reserved!r} is reserved by diff_versions/"
+                    "repair_rows; rename it in the snapshot"
+                )
         old = old_df.withColumn("_ffs_diff_o", F.lit(1)).alias("o")
         new = new_df.withColumn("_ffs_diff_n", F.lit(1)).alias("n")
         cols = [c for c in new_df.columns if c != key]
@@ -788,6 +794,8 @@ def prune_files_by_zone(
         manifest = write_zone_manifest(version_dir)
     keep = []
     for rel, meta in manifest.items():
+        if meta["rows"] == 0:
+            continue  # an empty file is always safely prunable
         zone = meta["columns"].get(col)
         if zone is None or (zone[0] <= hi and zone[1] >= lo):
             keep.append(os.path.join(version_dir, rel))

@@ -462,7 +462,7 @@ def test_image_dhash_matches_closed_form(spark):
     raster-indexing or bit-packing regression diverges."""
     from far_finer_airtable_firestore_sync_spark.operators import multimodal
 
-    ids = [0, 1, 7, 255, 256, 4999, 500010, 1000017]
+    ids = [0, 1, 7, 17, 255, 256, 4999, 500010, 1000017]
     df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
     hashed = {
         r["media_id"]: r["dhash"]
@@ -483,7 +483,7 @@ def test_image_dhash_matches_closed_form(spark):
 
     assert hashed == {i: expect(i) for i in ids}
     # exact copy hashes identically; undecodable blob -> NULL
-    assert hashed[1000017] == hashed[17] if 17 in hashed else True
+    assert hashed[1000017] == hashed[17]
     from pyspark.sql import Row
 
     bad = spark.createDataFrame(

@@ -1,0 +1,115 @@
+"""Round-7 regression/feature tests.
+
+First up: the de-flaked zone-map contract entry (r6 driver record had
+one hash-mismatch row, ``store_zone_map_scan``, unreproducible
+locally). The entry's only nondeterministic step was
+``repartitionByRange`` (rdd.id-seeded boundary sampling); it now
+hash-partitions on a fixed-width range bucket, which is stable across
+runs. These tests pin (a) run-to-run result identity, (b) run-to-run
+LAYOUT identity (same surviving partition indexes after pruning), and
+(c) equality with the plain full-scan answer.
+"""
+
+import re
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_zone_scan_entry_repeat_run_stable(spark):
+    """The store_zone_map_scan contract entry, executed 4 times with
+    fresh store roots, must return byte-identical results AND prune to
+    the same partition indexes every time (determinism of the
+    bucket-hash clustering that replaced repartitionByRange)."""
+    import __spark_entry__ as e
+
+    q = e.queries()["store_zone_map_scan"]
+    results = []
+    for _ in range(4):
+        results.append(_canon(q(spark, SF_DIR)))
+    assert results[0] == results[1] == results[2] == results[3]
+    assert len(results[0]) > 0
+
+
+def test_zone_scan_layout_deterministic(spark, tmp_path):
+    """Two commits of the same bucket-partitioned frame produce the
+    same per-file zone manifest (modulo file-name UUIDs): same file
+    count, same set of (partition-index, user_id-zone) pairs — the
+    property repartitionByRange could not give."""
+    from pyspark.sql import functions as F
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+        write_zone_manifest,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").selectExpr(
+        "event_id", "user_id"
+    )
+    mn, mx = ev.agg(F.min("user_id"), F.max("user_id")).first()
+    width = max(1, (int(mx) - int(mn) + 8) // 8)
+    layouts = []
+    for i in range(2):
+        store = DocumentStore(spark, str(tmp_path / f"z{i}"), "event_id")
+        vdir = store.commit(
+            ev.repartition(
+                8, F.expr(f"cast((user_id - {int(mn)}) div {width} as int)")
+            )
+        )
+        manifest = write_zone_manifest(vdir)
+        layout = set()
+        for rel, meta in manifest.items():
+            m = re.search(r"part-(\d+)", rel)
+            zone = meta["columns"].get("user_id")
+            layout.add((m.group(1) if m else rel, tuple(zone or [])))
+        layouts.append(layout)
+    assert layouts[0] == layouts[1]
+
+
+def test_zone_scan_equals_full_scan(spark):
+    """Pruned-read aggregate == full-scan aggregate (the oracle's
+    shape) on the entry itself."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    got = _canon(e.queries()["store_zone_map_scan"](spark, SF_DIR))
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = _canon(
+        ev.filter("user_id between 10 and 19")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias(
+                "value_cents"
+            ),
+        )
+    )
+    assert got == want
+
+
+def test_diff_frames_reserved_column_guard(spark, tmp_path):
+    """_diff_frames raises on user columns that collide with its
+    internal presence markers instead of silently clobbering them
+    (ADVICE r6)."""
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "s"), "k")
+    ok = spark.createDataFrame([(1, "a")], "k int, v string")
+    bad = spark.createDataFrame(
+        [(1, "a", 1)], "k int, v string, _ffs_diff_o int"
+    )
+    v1 = store.commit(ok)
+    with pytest.raises(ValueError, match="_ffs_diff_o"):
+        DocumentStore._diff_frames(ok, bad, "k")
+    with pytest.raises(ValueError, match="_ffs_diff_o"):
+        DocumentStore._diff_frames(bad, ok, "k")
+    # the normal path still works
+    v2 = store.commit(ok.withColumn("v", ok.v.substr(1, 1)))
+    assert store.diff_versions(v1, v2).count() == 0
