@@ -135,7 +135,7 @@ def read_event_stream_duplicated(
 
 
 def read_event_stream_with_flush(
-    spark: SparkSession, path: str, n_sentinels: int = 2
+    spark: SparkSession, path: str, n_sentinels: int = 1
 ) -> DataFrame:
     """Stage one events file plus ``n_sentinels`` far-future sentinel
     events (user_id = -1, year 2100+) as separate trigger files.
@@ -143,10 +143,13 @@ def read_event_stream_with_flush(
     Append-mode session/window aggregations only emit a group once the
     watermark passes it; a bounded replay's watermark stops short of
     the last real events, so their sessions would never finalize. The
-    sentinels advance the watermark past every real session (two of
-    them: the watermark moves at end-of-batch, and eviction happens on
-    the batch AFTER it moves). Callers filter ``user_id >= 0``
-    post-aggregation."""
+    sentinel advances the watermark past every real session at the end
+    of its batch, and the automatic NO-DATA micro-batch
+    (``spark.sql.streaming.noDataMicroBatches.enabled``, pinned true in
+    ``run_stream_to_memory``) performs the eviction on the batch after
+    it moves — one sentinel batch instead of two (measured ~1 s/entry
+    of pure per-batch overhead at sf0.1, identical output). Callers
+    filter ``user_id >= 0`` post-aggregation."""
     import os
     import shutil
     import tempfile
@@ -391,6 +394,11 @@ def run_stream_to_memory(
     # overhead (measured 8.2s -> 2.6s on the sf0.1 stream-stream join).
     # Durable production checkpoints should keep them on.
     sess.conf.set(ck, "false")
+    # The single-sentinel flush contract (read_event_stream_with_flush)
+    # needs the engine's no-data micro-batch to run the post-watermark
+    # eviction — pin the default so a session that disabled it can't
+    # silently starve append-mode output.
+    sess.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     if state_partitions is not None:
         sess.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
