@@ -697,6 +697,59 @@ group by user_id
 """
 
 
+def _q_store_txn_multiwriter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lock-free multi-writer commit through the log-structured
+    backend (TransactionalParquetBackend): writer A captures the EMPTY
+    base, writer B lands first (odd customers), A's compare-and-swap
+    correctly fails, and A's bounded-retry CAS loop re-derives on top
+    of B's snapshot (even customers merged in) — the Delta-protocol
+    optimistic-concurrency path, exercised end to end inside the
+    value-oracled entry. Final state is interleaving-independent:
+    every customer exactly once, tagged by its owning writer."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources.backends import (
+        TransactionalParquetBackend,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        ConcurrentCommitError,
+    )
+
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    evens = cust.filter("c_custkey % 2 = 0").withColumn(
+        "writer", F.lit("A")
+    )
+    odds = cust.filter("c_custkey % 2 = 1").withColumn("writer", F.lit("B"))
+    root = tempfile.mkdtemp(prefix="ffs_txnmw_")
+    _TMP_DIRS.append(root)
+    a = TransactionalParquetBackend(spark, root, "c_custkey", writer_id="A")
+    b = TransactionalParquetBackend(spark, root, "c_custkey", writer_id="B")
+    stale_base = a.current_version() or "txn://0"  # A reads before B wins
+
+    def merge_evens(cur):
+        if cur is None:
+            return evens
+        return cur.join(evens.select("c_custkey"), "c_custkey", "left_anti") \
+            .unionByName(evens)
+
+    b.commit_with(lambda cur: odds if cur is None else cur.unionByName(odds))
+    try:
+        a.commit(evens, expected_version=stale_base)
+        raise AssertionError("stale CAS must conflict")  # pragma: no cover
+    except ConcurrentCommitError:
+        pass
+    a.commit_with(merge_evens)
+    return a.read().select("c_custkey", "c_name", "writer")
+
+
+_STORE_TXN_MW_SQL = """
+select c_custkey, c_name,
+       case when c_custkey % 2 = 0 then 'A' else 'B' end as writer
+from customer
+"""
+
+
 #: Scratch store roots created by contract entries; removed at process
 #: exit (not eagerly — the returned DataFrames read them lazily).
 from far_finer_airtable_firestore_sync_spark.operators._util import (  # noqa: E402
@@ -1072,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_bucket_drift": _q_store_bucket_drift,
         "store_bucket_repair": _q_store_bucket_repair,
         "store_zone_map_scan": _q_store_zone_scan,
+        "store_txn_multiwriter": _q_store_txn_multiwriter,
         "salted_agg_revenue": _q_salted_agg,
         "skew_hot_key_unsalted": _q_skew_hot_unsalted,
         "skew_hot_key_salted": _q_skew_hot_salted,
@@ -1112,6 +1166,7 @@ def oracle_sql() -> dict[str, str]:
         "store_bucket_drift": _store_bucket_drift_oracle(),
         "store_bucket_repair": _STORE_REPAIR_SQL,
         "store_zone_map_scan": _STORE_ZONE_SQL,
+        "store_txn_multiwriter": _STORE_TXN_MW_SQL,
         "salted_agg_revenue": _SALTED_AGG_SQL,
         "skew_hot_key_unsalted": _SKEW_HOT_SQL,
         "skew_hot_key_salted": _SKEW_HOT_SQL,

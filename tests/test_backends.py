@@ -178,3 +178,163 @@ def test_all_strategy_families_parity_across_backends(spark, tmp_path, ut):
 
     assert rows(parquet) == rows(merge)
     assert len(rows(parquet)) > 0
+
+
+# ---------------------------------------------------------------------------
+# TransactionalParquetBackend: lock-free multi-writer CAS (round 7)
+# ---------------------------------------------------------------------------
+
+from far_finer_airtable_firestore_sync_spark.sources.backends import (  # noqa: E402
+    TransactionalParquetBackend,
+)
+from far_finer_airtable_firestore_sync_spark.sources.store import (  # noqa: E402
+    ConcurrentCommitError,
+)
+
+
+def test_txn_backend_satisfies_protocol(spark, tmp_path):
+    assert isinstance(
+        TransactionalParquetBackend(spark, str(tmp_path / "t")), StoreBackend
+    )
+
+
+@pytest.mark.parametrize(
+    "ut",
+    [
+        UpdateType.UPSERT_CHECKSUM,
+        UpdateType.UPSERT_CHECKSUM_WITH_DELETE,
+        UpdateType.VERSIONED_CHECKSUM,
+        UpdateType.APPEND,
+    ],
+)
+def test_strategy_parity_txn_backend(spark, tmp_path, ut):
+    """The seam claim for the log-structured backend: every strategy
+    family lands on the identical snapshot as the pointer-flip store,
+    zero strategy-code changes."""
+    parquet = DocumentStore(spark, str(tmp_path / "store"))
+    txnb = TransactionalParquetBackend(
+        spark, str(tmp_path / "txn"), key_col="doc_id"
+    )
+    for backend in (parquet, txnb):
+        SyncPipeline(
+            _spec(ut), backend, catalog=CATALOG, dedup_order_col="Created"
+        ).run(_batch1(spark))
+        SyncPipeline(
+            _spec(ut, version_id=200),
+            backend,
+            catalog=CATALOG,
+            dedup_order_col="Created",
+        ).run(_batch2(spark))
+
+    def rows(backend):
+        return sorted(
+            (
+                tuple(sorted(r.asDict().items()))
+                for r in backend.read().collect()
+            ),
+            key=repr,
+        )
+
+    assert rows(parquet) == rows(txnb)
+    assert len(rows(txnb)) > 0
+
+
+def test_txn_backend_two_writer_interleaved_no_lost_update(spark, tmp_path):
+    """Two independent writer instances (no shared state, no locks —
+    the cross-host shape) interleave read-modify-write commits; the
+    CAS detects the conflict and the bounded-retry loop re-derives, so
+    BOTH writers' rows land and the log is a gap-free version chain."""
+    root = str(tmp_path / "mw")
+    a = TransactionalParquetBackend(spark, root, writer_id="A")
+    b = TransactionalParquetBackend(spark, root, writer_id="B")
+
+    def upsert(new_rows):
+        def build(cur):
+            fresh = spark.createDataFrame(new_rows, "k long, who string")
+            if cur is None:
+                return fresh
+            return cur.join(fresh.select("k"), "k", "left_anti").unionByName(
+                fresh
+            )
+
+        return build
+
+    # both writers capture the SAME (empty) base — "txn://0" is the
+    # explicit empty-base CAS handle (None would mean blind commit)
+    base_a = a.current_version() or "txn://0"
+    build_a = upsert([(i, "A") for i in range(0, 10, 2)])
+    # ...B commits first and wins
+    b.commit_with(upsert([(i, "B") for i in range(1, 10, 2)]))
+    # A's CAS against its stale base must fail...
+    with pytest.raises(ConcurrentCommitError):
+        a.commit(build_a(None), expected_version=base_a)
+    # ...and its retry loop must land on top of B's state
+    a.commit_with(build_a)
+
+    snap = {r["k"]: r["who"] for r in a.read().collect()}
+    assert snap == {i: ("A" if i % 2 == 0 else "B") for i in range(10)}
+    versions = [r["version"] for r in a.history().collect()]
+    assert versions == sorted(versions) and versions == list(
+        range(1, len(versions) + 1)
+    )
+    writers = {r["writer"] for r in a.history().collect()}
+    assert writers == {"A", "B"}
+
+
+def test_txn_backend_three_writer_counter_stress(spark, tmp_path):
+    """3 writers x 3 increments each of a single-row counter, fully
+    interleaved: lost updates would make the final count < 9."""
+    root = str(tmp_path / "ctr")
+    writers = [
+        TransactionalParquetBackend(spark, root, writer_id=w)
+        for w in ("w0", "w1", "w2")
+    ]
+
+    def incr(cur):
+        if cur is None:
+            return spark.createDataFrame([(1,)], "n long")
+        return cur.selectExpr("n + 1 as n")
+
+    for _round in range(3):
+        for w in writers:
+            w.commit_with(incr)
+    assert writers[0].read().collect()[0]["n"] == 9
+    assert [r["version"] for r in writers[0].history().collect()] == list(
+        range(1, 10)
+    )
+
+
+def test_txn_backend_txn_map_survives_interleaving(spark, tmp_path):
+    """The per-app replay map (txnAppId/txnVersion) merges forward
+    through conflicting writers: a retry that lands AFTER another
+    app's commit preserves both markers."""
+    root = str(tmp_path / "txns")
+    a = TransactionalParquetBackend(spark, root, writer_id="A")
+    b = TransactionalParquetBackend(spark, root, writer_id="B")
+    one = spark.createDataFrame([(1, "x")], "k long, v string")
+    a.commit(one, txn=("appA", "5"))
+    b.commit(one, txn=("appB", "7"))
+    # blind commit (no expected_version) from A must retry internally
+    # if racing, and must carry BOTH markers forward
+    a.commit(one)
+    assert a.last_txn("appA") == "5"
+    assert a.last_txn("appB") == "7"
+    assert b.last_txn("appA") == "5"
+
+
+def test_txn_backend_cas_exhaustion_raises(spark, tmp_path):
+    """A build function whose base is ALWAYS stale (a rival commits
+    between read and publish every time) exhausts the bounded retries
+    with ConcurrentCommitError instead of spinning forever."""
+    root = str(tmp_path / "exh")
+    a = TransactionalParquetBackend(spark, root, writer_id="A")
+    b = TransactionalParquetBackend(spark, root, writer_id="B")
+    one = spark.createDataFrame([(1,)], "n long")
+    a.commit(one)
+
+    def hostile(cur):
+        b.commit(one)  # rival always lands first
+        return one
+
+    with pytest.raises(ConcurrentCommitError, match="after 3 attempts"):
+        a.commit_with(hostile, max_retries=2)
