@@ -833,6 +833,87 @@ def audio_energy_fingerprint(df: DataFrame) -> DataFrame:
 
 #: clip geometry: 65 frames of 4x2 C444 -> 64 adjacent-frame luma-sum
 #: comparisons -> 64-bit hash (hex16, hamming-joinable)
+#: chroma-style fingerprint geometry: 17 frames of 15 samples (the
+#: first 255 of the clip's 260), 4 square-wave bands -> 16 transitions
+#: x 4 bands = 64 bits (hex16, hamming-joinable)
+CFP_FRAMES, CFP_FRAME_LEN = 17, 15
+CFP_BANDS = (1, 2, 4, 8)  # square-wave half-periods (samples)
+
+
+def audio_chroma_fingerprint(df: DataFrame) -> DataFrame:
+    """Chromaprint-style 64-bit audio fingerprint from REAL WAV byte
+    decode: per frame, the clip's energy in 4 FREQUENCY bands —
+    square-wave correlations at half-periods 1/2/4/8 samples (a
+    Walsh-basis stand-in for the DFT chroma bins: ±1 coefficients keep
+    every operation exact-integer, so the DuckDB oracle replays it
+    bit-for-bit, where floating trig would drift cross-engine) —
+    then bit(f, b) = [E_b(f+1) > E_b(f)], the Chromaprint
+    band-energy-difference filter shape. Packed f-major/band-minor to
+    the 16-hex convention so ``dedup_docs.hex_hamming_pairs`` applies
+    unchanged (the energy-contour fingerprint's time-domain view and
+    this spectral view ride the SAME Hamming join).
+
+    Scale shape: mapInPandas projection — clips decode where they
+    live; only (media_id, 16-hex hash) shuffles."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import io
+        import struct
+        import wave
+
+        import pandas as pd
+
+        def one(content) -> Optional[str]:
+            if content is None:
+                return None
+            try:
+                with wave.open(io.BytesIO(bytes(content))) as w:
+                    if (
+                        w.getnchannels() != 1
+                        or w.getsampwidth() != 2
+                        or w.getnframes() != AFP_N_SAMPLES
+                    ):
+                        return None
+                    raw = w.readframes(AFP_N_SAMPLES)
+                samples = struct.unpack(f"<{AFP_N_SAMPLES}h", raw)
+            except Exception:
+                return None
+            # E[f][b] = (sum_j s[f*15+j] * sign_b(j))^2, sign_b(j) =
+            # +1 iff (j // h_b) is even — all integers, no rounding
+            energies = []
+            for f in range(CFP_FRAMES):
+                frame = samples[
+                    f * CFP_FRAME_LEN:(f + 1) * CFP_FRAME_LEN
+                ]
+                row = []
+                for h in CFP_BANDS:
+                    c = sum(
+                        s if (j // h) % 2 == 0 else -s
+                        for j, s in enumerate(frame)
+                    )
+                    row.append(c * c)
+                energies.append(row)
+            val = 0
+            for f in range(CFP_FRAMES - 1):
+                for b in range(len(CFP_BANDS)):
+                    val = (val << 1) | (
+                        1 if energies[f + 1][b] > energies[f][b] else 0
+                    )
+            return f"{val:016x}"
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "cfp": [one(c) for c in pdf["content"]],
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        run, "media_id long, cfp string"
+    )
+
+
 VFP_FRAMES, VFP_W, VFP_H = 65, 4, 2
 
 

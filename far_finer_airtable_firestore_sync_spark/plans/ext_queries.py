@@ -3626,6 +3626,117 @@ select id_a, id_b, hamming from (
 """
 
 
+def q_audio_chroma_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chromaprint-style SPECTRAL audio near-dup: the same gradient
+    WAV clips as the energy-contour entry, fingerprinted in the
+    frequency domain (square-wave band energies — exact-integer Walsh
+    stand-ins for DFT chroma bins) and joined through the shared
+    64-bit Hamming plan. Closes the round-6 'chromaprint deliberately
+    skipped' gap: the square-wave synth was degenerate for spectral
+    bits, the gradient synth is not. Oracle recomputes every
+    fingerprint closed-form from the id."""
+    from far_finer_airtable_firestore_sync_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    ids = (
+        docs.union(
+            docs.filter("doc_id % 10 = 0").select(
+                (F.col("doc_id") + 500000).alias("doc_id")
+            )
+        )
+        .union(
+            docs.filter("doc_id % 17 = 0").select(
+                (F.col("doc_id") + 1000000).alias("doc_id")
+            )
+        )
+    )
+    hashed = multimodal.audio_chroma_fingerprint(
+        multimodal.synth_gradient_wav_blobs(ids, "doc_id")
+    )
+    return dedup_docs.hex_hamming_pairs(
+        hashed, "cfp", "media_id", max_hamming=3
+    ).withColumn("hamming", F.col("hamming").cast("int"))
+
+
+def audio_chroma_pairs_oracle() -> str:
+    from far_finer_airtable_firestore_sync_spark.operators.multimodal import (
+        CFP_FRAME_LEN,
+        CFP_FRAMES,
+    )
+
+    n_used = CFP_FRAMES * CFP_FRAME_LEN
+    blocks = ", ".join(
+        f"'q{i}:' || {tx.simhash_block('cfp', i)}" for i in range(4)
+    )
+    ham = tx.hamming_hex("sh_a", "sh_b", DUCKDB)
+    return f"""
+with ids as (
+  select doc_id as i from documents
+  union all
+  select doc_id + 500000 from documents where doc_id % 10 = 0
+  union all
+  select doc_id + 1000000 from documents where doc_id % 17 = 0
+),
+pre as (
+  select i,
+         base % 256 as lo, (base // 256) % 256 as hi,
+         case when i >= 500000 and i < 1000000 then 1 else 0 end as prt
+  from (
+    select i,
+           case when i >= 1000000 then i - 1000000
+                when i >= 500000 then i - 500000
+                else i end as base
+    from ids
+  )
+),
+samp as (
+  select i,
+         j // {CFP_FRAME_LEN} as f, j % {CFP_FRAME_LEN} as jj,
+         ((lo * ((j * j) % 251 + 3) + hi * (5 * j + 7) + j
+           + case when prt = 1 and j < 64 then 16 else 0 end)
+          % 2048) - 1024 as s
+  from pre, unnest(generate_series(0, {n_used - 1})) t(j)
+),
+corr as (
+  select i, f, h,
+         sum(cast(case when (jj // h) % 2 = 0 then s else -s end
+             as bigint)) as c
+  from samp, unnest([1, 2, 4, 8]) bands(h)
+  group by i, f, h
+),
+en as (select i, f, h, c * c as e from corr),
+bits as (
+  select a.i, a.f, a.h, case when b.e > a.e then 1 else 0 end as bit
+  from en a join en b on a.i = b.i and a.h = b.h and b.f = a.f + 1
+  where a.f < {CFP_FRAMES - 1}
+),
+dig as (
+  select i, f as d,
+         sum(bit * case h when 1 then 8 when 2 then 4
+                          when 4 then 2 else 1 end) as v
+  from bits group by i, f
+),
+hx as (
+  select i as media_id,
+         string_agg(substring('0123456789abcdef', cast(v + 1 as int), 1),
+                    '' order by d) as cfp
+  from dig group by i
+),
+blocks as (
+  select media_id, cfp, unnest([{blocks}]) as block from hx
+),
+cand as (
+  select distinct a.media_id as id_a, b.media_id as id_b,
+         a.cfp as sh_a, b.cfp as sh_b
+  from blocks a join blocks b
+    on a.block = b.block and a.media_id < b.media_id
+)
+select id_a, id_b, hamming from (
+  select id_a, id_b, cast({ham} as int) as hamming from cand
+) where hamming <= 3
+"""
+
+
 def q_video_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup via luma-contour fingerprints over REAL Y4M
     parsing — the fourth modality through the SAME 64-bit Hamming
@@ -5700,6 +5811,7 @@ EXT_QUERIES = {
     "multimodal_image_dhash_pairs": q_image_dhash_pairs,
     "record_sink_roundtrip": q_record_sink_roundtrip,
     "multimodal_audio_fp_pairs": q_audio_fingerprint_pairs,
+    "multimodal_audio_chroma_pairs": q_audio_chroma_pairs,
     "multimodal_video_fp_pairs": q_video_fingerprint_pairs,
     "llm_pipeline_e2e": q_llm_pipeline_e2e,
     "embedding_truncate_normalize": q_truncate_normalize,
@@ -5811,6 +5923,7 @@ def ext_oracles() -> dict[str, str]:
         "multimodal_image_dhash_pairs": image_dhash_pairs_oracle(),
         "record_sink_roundtrip": RECORD_SINK_ROUNDTRIP_SQL,
         "multimodal_audio_fp_pairs": audio_fingerprint_pairs_oracle(),
+        "multimodal_audio_chroma_pairs": audio_chroma_pairs_oracle(),
         "multimodal_video_fp_pairs": video_fingerprint_pairs_oracle(),
         "llm_pipeline_e2e": llm_pipeline_oracle(),
         "embedding_truncate_normalize": truncate_normalize_oracle(),

@@ -113,3 +113,59 @@ def test_diff_frames_reserved_column_guard(spark, tmp_path):
     # the normal path still works
     v2 = store.commit(ok.withColumn("v", ok.v.substr(1, 1)))
     assert store.diff_versions(v1, v2).count() == 0
+
+
+def test_audio_chroma_fingerprint_matches_closed_form(spark):
+    """Real WAV decode -> square-wave band energies -> bit pack must
+    equal the pure-Python closed form from the id; exact copies hash
+    identically; undecodable bytes quarantine to NULL."""
+    from pyspark.sql import Row
+
+    from far_finer_airtable_firestore_sync_spark.operators import multimodal
+    from far_finer_airtable_firestore_sync_spark.operators.multimodal import (
+        CFP_BANDS,
+        CFP_FRAME_LEN,
+        CFP_FRAMES,
+        gradient_pcm_sample,
+    )
+
+    ids = [0, 1, 17, 255, 256, 4999, 500010, 1000017]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    hashed = {
+        r["media_id"]: r["cfp"]
+        for r in multimodal.audio_chroma_fingerprint(
+            multimodal.synth_gradient_wav_blobs(df)
+        ).collect()
+    }
+
+    def expect(i: int) -> str:
+        def e(f, h):
+            c = sum(
+                (1 if (j // h) % 2 == 0 else -1)
+                * gradient_pcm_sample(i, f * CFP_FRAME_LEN + j)
+                for j in range(CFP_FRAME_LEN)
+            )
+            return c * c
+
+        val = 0
+        for f in range(CFP_FRAMES - 1):
+            for h in CFP_BANDS:
+                val = (val << 1) | (1 if e(f + 1, h) > e(f, h) else 0)
+        return f"{val:016x}"
+
+    assert hashed == {i: expect(i) for i in ids}
+    assert hashed[1000017] == hashed[17]
+    # spectral and time-domain views are genuinely different filters
+    afp = {
+        r["media_id"]: r["afp"]
+        for r in multimodal.audio_energy_fingerprint(
+            multimodal.synth_gradient_wav_blobs(df)
+        ).collect()
+    }
+    assert any(afp[i] != hashed[i] for i in ids)
+    bad = spark.createDataFrame(
+        [Row(media_id=1, content=b"RIFFnope", media_type="audio/wav")]
+    )
+    assert (
+        multimodal.audio_chroma_fingerprint(bad).collect()[0]["cfp"] is None
+    )
