@@ -750,6 +750,61 @@ from customer
 """
 
 
+def _q_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the Delta OPTIMIZE shape) through the
+    REAL store path: commit events deliberately fragmented into 64
+    tiny files, compact to right-sized files (asserted: the file count
+    actually shrank and history gained a version), and aggregate from
+    the compacted snapshot. Compaction must be a pure layout change —
+    the oracle is the plain full-scan aggregate."""
+    import os
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        read_events,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    _utc(spark)
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="ffs_compact_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "event_id")
+    frag = store.commit(ev.repartition(64))
+
+    def n_files(vd):
+        return sum(
+            1
+            for _r, _d, fs in os.walk(vd)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    compacted = store.compact(target_rows_per_file=2_000_000)
+    assert n_files(compacted) < n_files(frag), (frag, compacted)
+    assert store.current_version_dir() == compacted
+    return (
+        store.read()
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias(
+                "value_cents"
+            ),
+        )
+    )
+
+
+_STORE_COMPACT_SQL = """
+select user_id, cast(count(*) as bigint) as n_events,
+       sum(cast(round(value * 100) as bigint)) as value_cents
+from events
+group by user_id
+"""
+
+
 #: Scratch store roots created by contract entries; removed at process
 #: exit (not eagerly — the returned DataFrames read them lazily).
 from far_finer_airtable_firestore_sync_spark.operators._util import (  # noqa: E402
@@ -1126,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_bucket_repair": _q_store_bucket_repair,
         "store_zone_map_scan": _q_store_zone_scan,
         "store_txn_multiwriter": _q_store_txn_multiwriter,
+        "store_compaction": _q_store_compaction,
         "salted_agg_revenue": _q_salted_agg,
         "skew_hot_key_unsalted": _q_skew_hot_unsalted,
         "skew_hot_key_salted": _q_skew_hot_salted,
@@ -1167,6 +1223,7 @@ def oracle_sql() -> dict[str, str]:
         "store_bucket_repair": _STORE_REPAIR_SQL,
         "store_zone_map_scan": _STORE_ZONE_SQL,
         "store_txn_multiwriter": _STORE_TXN_MW_SQL,
+        "store_compaction": _STORE_COMPACT_SQL,
         "salted_agg_revenue": _SALTED_AGG_SQL,
         "skew_hot_key_unsalted": _SKEW_HOT_SQL,
         "skew_hot_key_salted": _SKEW_HOT_SQL,

@@ -1338,6 +1338,42 @@ group by 1, 2
 COHORT_SQL = COHORT_BODY.format(rel="events")
 
 
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov model of user behavior: per-user event
+    sequences (ordered by ts, event_id tie-break — total order, both
+    engines agree) -> next-event transition counts and probabilities.
+    One shuffle on user_id for the lead() window, one aggregation;
+    probabilities are bigint-count ratios through ONE correctly-
+    rounded double division (IEEE divide is exact cross-engine, unlike
+    ln/pow)."""
+    _utc(spark)
+    ev = read_events(spark, sf_dir)
+    ev.createOrReplaceTempView("_ffs_markov_events")
+    return spark.sql(MARKOV_BODY.format(rel="_ffs_markov_events"))
+
+
+MARKOV_BODY = """
+with seq as (
+  select event_type,
+         lead(event_type) over (
+           partition by user_id order by ts, event_id
+         ) as next_type
+  from {rel}
+),
+counts as (
+  select event_type, next_type, cast(count(*) as bigint) as n
+  from seq where next_type is not null
+  group by event_type, next_type
+)
+select event_type, next_type, n,
+       cast(n as double)
+         / cast(sum(n) over (partition by event_type) as double) as p
+from counts
+"""
+
+MARKOV_SQL = MARKOV_BODY.format(rel="events")
+
+
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates (HLL distinct, approximate quantiles) — the
     100 TB statistics path (exact distinct/percentile shuffle all
@@ -2578,6 +2614,7 @@ AGG_QUERIES = {
     "disjunctive_revenue": q_disjunctive_revenue,
     "forecast_revenue": q_forecast_revenue,
     "event_funnel": q_funnel,
+    "event_markov_transitions": q_markov_transitions,
     "retention_cohorts": q_retention_cohorts,
     "event_mix_drift": q_event_mix_drift,
     "event_value_mad": q_event_value_mad,
@@ -2637,6 +2674,7 @@ AGG_ORACLES = {
     "disjunctive_revenue": DISJUNCTIVE_REVENUE_SQL,
     "forecast_revenue": FORECAST_REVENUE_SQL,
     "event_funnel": FUNNEL_SQL,
+    "event_markov_transitions": MARKOV_SQL,
     "retention_cohorts": COHORT_SQL,
     "event_mix_drift": EVENT_DRIFT_SQL,
     "event_value_mad": EVENT_MAD_SQL,

@@ -278,6 +278,76 @@ select id_a, id_b, hamming from (
 """
 
 
+#: Triangle counting + global clustering coefficient over an
+#: undirected edge list ``pairs(id_a < id_b)`` — the degree-ordered
+#: orientation (edges point low-(degree, id) -> high): every triangle
+#: is counted exactly once from its lowest-ordered vertex, and the
+#: wedge join fans out from LOW-degree sources only, which bounds the
+#: candidate set by sum(min-degree^2) instead of sum(degree^2) — the
+#: standard trick that makes distributed triangle counting survive
+#: power-law graphs (a celebrity node never becomes a join hot key).
+#: Shared verbatim by the Spark entry and the DuckDB oracle.
+TRIANGLE_BODY = """
+with edges as (select distinct id_a as u, id_b as v from {pairs}),
+deg as (
+  select x as node, cast(count(*) as bigint) as d
+  from (select u as x from edges union all select v as x from edges)
+  group by x
+),
+oriented as (
+  select case when (da.d, e.u) < (db.d, e.v) then e.u else e.v end as src,
+         case when (da.d, e.u) < (db.d, e.v) then e.v else e.u end as dst
+  from edges e
+  join deg da on da.node = e.u
+  join deg db on db.node = e.v
+),
+wedge as (
+  select a.dst as v, b.dst as w
+  from oriented a join oriented b
+    on a.src = b.src and a.dst < b.dst
+),
+tri as (
+  select cast(count(*) as bigint) as n_triangles
+  from wedge join edges
+    on edges.u = least(wedge.v, wedge.w)
+   and edges.v = greatest(wedge.v, wedge.w)
+),
+tots as (
+  select cast(count(*) as bigint) as n_nodes,
+         cast(sum(d * (d - 1)) as bigint) / 2 as n_wedges
+  from deg
+),
+ecnt as (select cast(count(*) as bigint) as n_edges from edges)
+select n_nodes, n_edges, n_triangles, n_wedges,
+       case when n_wedges > 0
+            then cast(3 * n_triangles as double) / cast(n_wedges as double)
+            else cast(0.0 as double) end as global_clustering
+from tots, ecnt, tri
+"""
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the SimHash
+    near-dup graph (the Manku-style Hamming<=3 pairs) — graph
+    analytics layered on the dedup candidate graph: triangle-dense
+    neighborhoods are the transitive duplicate clusters worth
+    collapsing wholesale. Degree-ordered orientation, see
+    TRIANGLE_BODY."""
+    pairs = dedup_docs.simhash_near_dup_pairs(
+        dedup_corpus(spark, sf_dir), max_hamming=3
+    ).select("id_a", "id_b")
+    pairs.createOrReplaceTempView("_ffs_tri_pairs")
+    return pairs.sparkSession.sql(
+        TRIANGLE_BODY.format(pairs="_ffs_tri_pairs")
+    )
+
+
+def graph_triangles_oracle() -> str:
+    return TRIANGLE_BODY.format(
+        pairs=f"(select id_a, id_b from ({simhash_pairs_oracle()}))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup families
 # ---------------------------------------------------------------------------
@@ -5775,6 +5845,7 @@ EXT_QUERIES = {
     "text_sentiment": q_sentiment,
     "text_simhash": q_simhash,
     "dedup_simhash_pairs": q_simhash_pairs,
+    "graph_triangle_count": q_graph_triangles,
     "dedup_edit_distance_pairs": q_edit_distance_pairs,
     "dedup_exact_groups": q_exact_dedup_groups,
     "dedup_chunks_corpus": q_chunk_dedup,
@@ -5887,6 +5958,7 @@ def ext_oracles() -> dict[str, str]:
         "text_sentiment": _sentiment_body(DUCKDB, "documents"),
         "text_simhash": simhash_oracle(),
         "dedup_simhash_pairs": simhash_pairs_oracle(),
+        "graph_triangle_count": graph_triangles_oracle(),
         "dedup_edit_distance_pairs": edit_distance_pairs_oracle(),
         "dedup_exact_groups": EXACT_DEDUP_SQL,
         "dedup_chunks_corpus": chunk_dedup_oracle(),

@@ -169,3 +169,55 @@ def test_audio_chroma_fingerprint_matches_closed_form(spark):
     assert (
         multimodal.audio_chroma_fingerprint(bad).collect()[0]["cfp"] is None
     )
+
+
+def test_triangle_body_hand_graph(spark):
+    """TRIANGLE_BODY on a hand graph: K3 plus a pendant edge —
+    1 triangle, 5 wedges, clustering 0.6."""
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        TRIANGLE_BODY,
+    )
+
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long"
+    ).createOrReplaceTempView("_t7_tri")
+    r = spark.sql(TRIANGLE_BODY.format(pairs="_t7_tri")).collect()[0]
+    assert (
+        r["n_nodes"],
+        r["n_edges"],
+        r["n_triangles"],
+        float(r["n_wedges"]),
+    ) == (4, 4, 1, 5.0)
+    assert abs(r["global_clustering"] - 0.6) < 1e-12
+
+
+def test_markov_body_hand_sequence(spark):
+    """MARKOV_BODY on a fixed two-user sequence: counts and row-exact
+    probabilities."""
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        MARKOV_BODY,
+    )
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"),
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "b"),
+    ]
+    spark.createDataFrame(
+        [(u, float(t), e) for u, t, e in rows],
+        "user_id long, ts double, event_type string",
+    ).selectExpr(
+        "user_id",
+        "cast(timestamp_seconds(ts) as timestamp) ts",
+        "event_type",
+        "cast(user_id * 10 + ts as long) as event_id",
+    ).createOrReplaceTempView("_t7_markov")
+    got = {
+        (r["event_type"], r["next_type"]): (r["n"], r["p"])
+        for r in spark.sql(MARKOV_BODY.format(rel="_t7_markov")).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 2 / 3),
+        ("a", "c"): (1, 1 / 3),
+        ("b", "a"): (1, 1 / 2),
+        ("b", "b"): (1, 1 / 2),
+    }
