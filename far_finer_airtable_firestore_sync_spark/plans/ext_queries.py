@@ -814,6 +814,104 @@ from (
 """
 
 
+def _knn_shapley_body(
+    dialect: str, rel: str, k: int = 5, m: int = 64, n_test: int = 10
+) -> str:
+    """Exact KNN-Shapley data valuation (Jia et al., VLDB'19: the
+    Shapley value of each training point under a K-NN utility has a
+    closed form over the distance-sorted neighbor ranks), restricted
+    to each test point's M nearest candidates (the truncated variant —
+    points outside the top-M get value 0 by the same theorem's decay).
+
+    Cross-engine exactness: distances are integer squared-L2 over
+    quantized vectors (order-independent), ranks are total-ordered
+    (dist, train_id), and the recurrence s_j = s_(j+1) +
+    (I_j - I_(j+1)) / max(j, K) is evaluated as an integer suffix sum
+    scaled by D = lcm(1..M) (~1e28 — fits decimal(38,0)/hugeint), so
+    the ONLY float operation is one final correctly-rounded division.
+
+    Scale shape: the cross join is the fixture-size candidate
+    generator; at corpus scale swap in the IVF probe (ivf_topk) for
+    candidates — the rank recurrence is unchanged and stays a window
+    function (no driver loop)."""
+    import math
+
+    D = math.lcm(*range(1, m + 1))
+    qz = tx.quantize("embedding", dialect)
+    l2 = tx.l2sq_int("qv", "tv", dialect)
+    if dialect == SPARK:
+        lits = ", ".join(
+            f"cast('{D // d}' as decimal(38,0))" for d in range(1, m + 1)
+        )
+        arr = f"array({lits})"
+
+        def idx(e: str) -> str:
+            return f"element_at({arr}, cast({e} as int))"
+
+        zero = "cast(0 as decimal(38,0))"
+    else:
+        lits = ", ".join(
+            f"cast('{D // d}' as hugeint)" for d in range(1, m + 1)
+        )
+        arr = f"[{lits}]"
+
+        def idx(e: str) -> str:
+            return f"({arr})[cast({e} as int)]"
+
+        zero = "cast(0 as hugeint)"
+    return f"""
+with tq as (select vec_id as test_id, {qz} as qv, label as tl
+            from {rel} where vec_id < {n_test}),
+tr as (select vec_id as train_id, {qz} as tv, label as rl
+       from {rel} where vec_id >= {n_test}),
+d as (select test_id, train_id, {l2} as dist,
+             case when tl = rl then 1 else 0 end as ind
+      from tq cross join tr),
+rnk as (select test_id, train_id, ind,
+               row_number() over (
+                 partition by test_id order by dist asc, train_id asc
+               ) as j
+        from d),
+top as (select * from rnk where j <= {m}),
+aug as (select test_id, train_id, ind, j,
+               lead(ind) over (partition by test_id order by j) as ind_nxt,
+               max(j) over (partition by test_id) as jmax
+        from top),
+terms as (
+  select test_id, train_id, j,
+    case when j = jmax then
+           (case when ind = 1 then {idx('jmax')} else {zero} end)
+         when ind - ind_nxt = 1 then {idx(f'greatest(j, {k})')}
+         when ind - ind_nxt = -1 then -{idx(f'greatest(j, {k})')}
+         else {zero} end as term
+  from aug),
+s as (select test_id, train_id, j,
+             sum(term) over (
+               partition by test_id order by j desc
+               rows between unbounded preceding and current row
+             ) as sd
+      from terms)
+select test_id, train_id, cast(j as int) as rank,
+       cast(sd as double) / cast('{D}' as double) as shapley
+from s
+"""
+
+
+def q_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data valuation: exact truncated KNN-Shapley of every training
+    embedding against the held-out test vectors — the principled
+    'which training points helped' score used for data selection and
+    mislabeled-point detection. See ``_knn_shapley_body``."""
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "_ffs_shapley_emb"
+    )
+    return spark.sql(_knn_shapley_body(SPARK, "_ffs_shapley_emb"))
+
+
+def knn_shapley_oracle() -> str:
+    return _knn_shapley_body(DUCKDB, "embeddings")
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity_search.ivf_topk(
@@ -5853,6 +5951,7 @@ EXT_QUERIES = {
     "dedup_lsh_pairs_fast": q_lsh_pairs_fast,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "similarity_cosine_topk": q_cosine_topk,
+    "valuation_knn_shapley": q_knn_shapley,
     "similarity_ivf_topk": q_ivf_topk,
     "similarity_ivf_kmeans_topk": q_ivf_kmeans_topk,
     "retrieval_eval_ndcg": q_retrieval_eval,
@@ -5966,6 +6065,7 @@ def ext_oracles() -> dict[str, str]:
         "dedup_lsh_pairs_fast": lsh_pairs_fast_oracle(),
         "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
         "similarity_cosine_topk": cosine_topk_oracle(),
+        "valuation_knn_shapley": knn_shapley_oracle(),
         "similarity_srp_lsh_topk": srp_lsh_topk_oracle(),
         "similarity_brp_lsh_topk": brp_lsh_topk_oracle(),
         "similarity_ivf_topk": ivf_topk_oracle(),

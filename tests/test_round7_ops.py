@@ -221,3 +221,40 @@ def test_markov_body_hand_sequence(spark):
         ("b", "a"): (1, 1 / 2),
         ("b", "b"): (1, 1 / 2),
     }
+
+
+def test_knn_shapley_hand_example(spark):
+    """5-train-point KNN-Shapley against the Jia et al. recurrence
+    computed by hand: I = [1,0,1,0,0] with K=5 gives
+    s = [0.2, 0, 0.2, 0, 0]."""
+    from far_finer_airtable_firestore_sync_spark.functions.canonical import (
+        SPARK as SPARK_D,
+    )
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        _knn_shapley_body,
+    )
+
+    rows = [(0, [0.0], 1)] + [
+        (10 + i, [0.001 * (i + 1)], lab)
+        for i, lab in enumerate([1, 0, 1, 0, 0])
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).createOrReplaceTempView("_t7_shap")
+    got = {
+        r["train_id"]: (r["rank"], r["shapley"])
+        for r in spark.sql(_knn_shapley_body(SPARK_D, "_t7_shap")).collect()
+    }
+    # expected 1/5 must round the same way the engines do: the exact
+    # integer D/5 cast to double, then one IEEE division by double(D)
+    import math
+
+    D = math.lcm(*range(1, 65))
+    fifth = float(D // 5) / float(D)
+    assert got == {
+        10: (1, fifth),
+        11: (2, 0.0),
+        12: (3, fifth),
+        13: (4, 0.0),
+        14: (5, 0.0),
+    }
