@@ -1662,6 +1662,101 @@ from customer
 group by c_nationkey, c_mktsegment
 """
 
+#: distinct-l threshold for the l-diversity audit
+LDIV_L = 3
+
+LDIV_BODY = f"""
+with banded as (
+  select c_nationkey, c_mktsegment,
+         case when c_acctbal < 0 then 'debt'
+              when c_acctbal < 5000 then 'mid'
+              else 'high' end as sensitive_band
+  from {{rel}}
+)
+select c_nationkey, c_mktsegment,
+       cast(count(*) as bigint) as group_n,
+       cast(count(distinct sensitive_band) as bigint) as l_distinct,
+       count(distinct sensitive_band) >= {LDIV_L} as diverse
+from banded
+group by c_nationkey, c_mktsegment
+"""
+
+
+def q_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al.): k-anonymity's
+    group-size check misses homogeneity attacks — a group of 50 where
+    every member shares the sensitive value re-identifies the
+    attribute with certainty. Per quasi-identifier group, the number
+    of DISTINCT sensitive values (banded account balance) and a
+    diverse flag at l>={LDIV_L}. Same one-groupBy scale shape as the
+    k-anonymity entry; count(distinct) partial-aggregates."""
+    _utc(spark)
+    _read(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_ffs_ldiv_customer"
+    )
+    return spark.sql(LDIV_BODY.format(rel="_ffs_ldiv_customer"))
+
+
+LDIV_SQL = LDIV_BODY.format(rel="customer")
+
+#: split-conformal miscoverage level: threshold is the
+#: ceil((n+1)(1-alpha))-th smallest calibration score
+CONFORMAL_ALPHA_NUM, CONFORMAL_ALPHA_DEN = 9, 10  # 1-alpha = 9/10
+
+CONFORMAL_BODY = f"""
+with calib as (
+  select n_chars as s from {{rel}} where doc_id % 2 = 0
+),
+stats as (select cast(count(*) as bigint) as n from calib),
+kth as (
+  -- ceil((n+1)*num/den) in exact integer arithmetic; floor-then-cast
+  -- because bare `/` is double in BOTH engines and cast(double as
+  -- bigint) rounds in DuckDB but truncates in Spark (round-5 gotcha)
+  select cast(floor(
+           ((n + 1) * {CONFORMAL_ALPHA_NUM} + {CONFORMAL_ALPHA_DEN} - 1)
+             / cast({CONFORMAL_ALPHA_DEN} as double)
+         ) as bigint) as k, n
+  from stats
+),
+thr as (
+  select k, n, s as threshold
+  from kth join (
+    select s, row_number() over (order by s) as rn from calib
+  ) r on r.rn = least(kth.k, kth.n)
+),
+test as (select n_chars as s from {{rel}} where doc_id % 2 = 1)
+select thr.n as n_calib,
+       cast(thr.threshold as bigint) as threshold,
+       cast(count(*) as bigint) as n_test,
+       cast(sum(case when test.s > thr.threshold then 1 else 0 end)
+            as bigint) as n_flagged,
+       cast(sum(case when test.s <= thr.threshold then 1 else 0 end)
+            as double) / cast(count(*) as double) as coverage
+from test cross join thr
+group by thr.n, thr.threshold
+"""
+
+
+def q_conformal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal outlier gate (Vovk; Lei et al.): the
+    calibration half's exact ceil((n+1)(1-alpha))-th order statistic
+    becomes a finite-sample-valid threshold; the test half reports
+    flags and empirical coverage. Everything is integer-exact (the
+    ceil is integer arithmetic, the order statistic a row_number
+    pick); the one double division is the coverage ratio.
+
+    Scale shape: the order statistic is a single-column sort-free
+    selection (row_number window on the score only); calibration and
+    test halves are disjoint hash splits of one scan."""
+    _utc(spark)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_conf_docs"
+    )
+    return spark.sql(CONFORMAL_BODY.format(rel="_ffs_conf_docs"))
+
+
+CONFORMAL_SQL = CONFORMAL_BODY.format(rel="documents")
+
 
 def _user_trend_body(dialect: str, rel: str) -> str:
     """Per-user OLS trend of event value over time, engine-exact.
@@ -2615,6 +2710,8 @@ AGG_QUERIES = {
     "forecast_revenue": q_forecast_revenue,
     "event_funnel": q_funnel,
     "event_markov_transitions": q_markov_transitions,
+    "ldiversity_audit": q_ldiversity,
+    "calibration_conformal": q_conformal_outliers,
     "retention_cohorts": q_retention_cohorts,
     "event_mix_drift": q_event_mix_drift,
     "event_value_mad": q_event_value_mad,
@@ -2675,6 +2772,8 @@ AGG_ORACLES = {
     "forecast_revenue": FORECAST_REVENUE_SQL,
     "event_funnel": FUNNEL_SQL,
     "event_markov_transitions": MARKOV_SQL,
+    "ldiversity_audit": LDIV_SQL,
+    "calibration_conformal": CONFORMAL_SQL,
     "retention_cohorts": COHORT_SQL,
     "event_mix_drift": EVENT_DRIFT_SQL,
     "event_value_mad": EVENT_MAD_SQL,
