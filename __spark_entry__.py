@@ -750,6 +750,86 @@ from customer
 """
 
 
+def _q_store_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-CDF-shaped change feed across a THREE-commit history:
+    every row-level change since the first version, stamped with the
+    commit it landed in (wall-clock commit_ms re-ranked to a
+    deterministic commit_seq for the oracle). The oracle replays both
+    consecutive diffs closed-form."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.expr("cast(c_acctbal as double) as bal")
+    )
+    v1 = cust.filter("c_custkey % 3 <> 0")
+    v2 = cust.filter("c_custkey % 7 <> 0").withColumn(
+        "bal", F.expr("bal + case when c_custkey % 5 = 0 then 10 else 0 end")
+    )
+    v3 = v2.filter("c_custkey % 11 <> 0").withColumn(
+        "bal", F.expr("bal + case when c_custkey % 2 = 0 then 1 else 0 end")
+    )
+    root = tempfile.mkdtemp(prefix="ffs_cdf_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "c_custkey")
+    for v in (v1, v2, v3):
+        store.commit(v)
+    from pyspark.sql import Window
+
+    feed = store.change_feed()
+    return feed.select(
+        "c_custkey",
+        "change_type",
+        "c_name",
+        "bal",
+        F.dense_rank()
+        .over(Window.orderBy("commit_ms"))
+        .cast("int")
+        .alias("commit_seq"),
+    )
+
+
+_STORE_CDF_SQL = """
+with base as (
+  select c_custkey, c_name, cast(c_acctbal as double) as bal from customer
+),
+v1 as (select * from base where c_custkey % 3 <> 0),
+v2 as (select c_custkey, c_name,
+              bal + case when c_custkey % 5 = 0 then 10 else 0 end as bal
+       from base where c_custkey % 7 <> 0),
+v3 as (select c_custkey, c_name,
+              bal + case when c_custkey % 2 = 0 then 1 else 0 end as bal
+       from v2 where c_custkey % 11 <> 0),
+d12 as (
+  select coalesce(n.c_custkey, o.c_custkey) as c_custkey,
+         case when o.c_custkey is null then 'insert'
+              when n.c_custkey is null then 'delete'
+              when o.c_name is distinct from n.c_name
+                or o.bal is distinct from n.bal then 'update'
+         end as change_type,
+         n.c_name as c_name, n.bal as bal, 1 as commit_seq
+  from v1 o full outer join v2 n on o.c_custkey = n.c_custkey
+),
+d23 as (
+  select coalesce(n.c_custkey, o.c_custkey) as c_custkey,
+         case when o.c_custkey is null then 'insert'
+              when n.c_custkey is null then 'delete'
+              when o.c_name is distinct from n.c_name
+                or o.bal is distinct from n.bal then 'update'
+         end as change_type,
+         n.c_name as c_name, n.bal as bal, 2 as commit_seq
+  from v2 o full outer join v3 n on o.c_custkey = n.c_custkey
+)
+select c_custkey, change_type, c_name, bal, cast(commit_seq as int) as commit_seq
+from (select * from d12 union all select * from d23)
+where change_type is not null
+"""
+
+
 def _q_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction (the Delta OPTIMIZE shape) through the
     REAL store path: commit events deliberately fragmented into 64
@@ -1182,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_zone_map_scan": _q_store_zone_scan,
         "store_txn_multiwriter": _q_store_txn_multiwriter,
         "store_compaction": _q_store_compaction,
+        "store_change_feed": _q_store_change_feed,
         "salted_agg_revenue": _q_salted_agg,
         "skew_hot_key_unsalted": _q_skew_hot_unsalted,
         "skew_hot_key_salted": _q_skew_hot_salted,
@@ -1224,6 +1305,7 @@ def oracle_sql() -> dict[str, str]:
         "store_zone_map_scan": _STORE_ZONE_SQL,
         "store_txn_multiwriter": _STORE_TXN_MW_SQL,
         "store_compaction": _STORE_COMPACT_SQL,
+        "store_change_feed": _STORE_CDF_SQL,
         "salted_agg_revenue": _SALTED_AGG_SQL,
         "skew_hot_key_unsalted": _SKEW_HOT_SQL,
         "skew_hot_key_salted": _SKEW_HOT_SQL,

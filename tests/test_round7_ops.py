@@ -258,3 +258,49 @@ def test_knn_shapley_hand_example(spark):
         13: (4, 0.0),
         14: (5, 0.0),
     }
+
+
+def test_change_feed_matches_pairwise_diffs(spark, tmp_path):
+    """change_feed == union of consecutive diff_versions, stamped with
+    the right commit; single-version stores yield an EMPTY feed with
+    the full schema; non-version bounds raise."""
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "cdf"), "k")
+    v1 = store.commit(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"))
+    feed0 = store.change_feed()
+    assert feed0.count() == 0
+    assert set(feed0.columns) >= {"change_type", "k", "commit_ms"}
+    v2 = store.commit(spark.createDataFrame(
+        [(1, "a"), (3, "c")], "k long, v string"))
+    v3 = store.commit(spark.createDataFrame(
+        [(1, "A"), (3, "c")], "k long, v string"))
+    feed = {
+        (r["k"], r["change_type"], r["v"])
+        for r in store.change_feed().collect()
+    }
+    assert feed == {
+        (2, "delete", None),
+        (3, "insert", "c"),
+        (1, "update", "A"),
+    }
+    # commit stamps are the version dirs' epoch ms, strictly increasing
+    ms = sorted(
+        r["commit_ms"] for r in store.change_feed().collect()
+    )
+    import os
+
+    assert ms[0] == int(os.path.basename(v2).split("-")[1])
+    assert ms[-1] == int(os.path.basename(v3).split("-")[1])
+    # bounded range: only the last hop
+    last = store.change_feed(from_dir=v2).collect()
+    assert {(r["k"], r["change_type"]) for r in last} == {(1, "update")}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="committed versions"):
+        store.change_feed(from_dir="/nope")
+    with _pt.raises(ValueError, match="newer"):
+        store.change_feed(from_dir=v3, to_dir=v1)
