@@ -533,6 +533,52 @@ def quantize(col: str, dialect: str, scale: int = 1000) -> str:
     return ltransform(col, lam, dialect)
 
 
+#: letter -> soundex digit map (A..Z); 7 marks H/W (removed before the
+#: run-collapse so same codes separated by h/w merge — the Ashcraft
+#: rule), 0 marks vowels+Y (kept through the collapse so they split
+#: runs, dropped after)
+_SOUNDEX_MAP = "01230127022455012623017202"
+
+
+def soundex_expr(col: str, dialect: str) -> str:
+    """American Soundex as ONE portable SQL expression (identical
+    pipeline both dialects, so the oracle can't drift): strip
+    non-letters, map letters to codes, delete H/W, collapse runs,
+    drop the first letter's code, drop vowels, pad to 4. Verified
+    against Spark's native ``soundex()`` on a random alpha corpus
+    (tests/test_round7_ops.py). NULL/letterless input -> NULL."""
+    if dialect == SPARK:
+        strip = f"regexp_replace({col}, '[^A-Za-z]', '')"
+
+        def collapse_digit(x: str, d: int) -> str:
+            return f"regexp_replace({x}, '{d}{d}+', '{d}')"
+    else:
+        strip = f"regexp_replace({col}, '[^A-Za-z]', '', 'g')"
+
+        # DuckDB regex is RE2: no backreferences — collapse each
+        # digit's runs with its own pass (identical chain in Spark,
+        # keeping the two dialects the same pipeline)
+        def collapse_digit(x: str, d: int) -> str:
+            return f"regexp_replace({x}, '{d}{d}+', '{d}', 'g')"
+    u = f"upper({strip})"
+    m = f"translate({u}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '{_SOUNDEX_MAP}')"
+    coll = f"replace({m}, '7', '')"
+    for d in range(7):
+        coll = collapse_digit(coll, d)
+    # drop the first LETTER's code — unless that letter is H/W, whose
+    # 7 was already deleted (dropping a position here would eat the
+    # second letter's code: 'Hmm' must be H500, not H000)
+    rest = (
+        f"case when substring({u}, 1, 1) in ('H', 'W') then {coll} "
+        f"else substring({coll}, 2) end"
+    )
+    digits = f"replace({rest}, '0', '')"
+    return (
+        f"case when length({u}) = 0 then null else "
+        f"substring(concat(substring({u}, 1, 1), {digits}, '000'), 1, 4) end"
+    )
+
+
 def dot_int(a: str, b: str, dialect: str) -> str:
     if dialect == SPARK:
         return (

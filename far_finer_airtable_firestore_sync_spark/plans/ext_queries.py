@@ -897,6 +897,44 @@ from s
 """
 
 
+def _soundex_groups_body(dialect: str, rel: str) -> str:
+    """Phonetic blocking (American Soundex, tx.soundex_expr — fuzzed
+    against Spark's native soundex): the classic entity-resolution
+    blocking key. Groups of distinct part-name words that collide
+    phonetically; blocking on the 4-char code turns fuzzy name
+    matching into an equi-join, the same candidate-generation shape
+    as the LSH/SimHash/PassJoin families."""
+    sx = tx.soundex_expr("w", dialect)
+    if dialect == SPARK:
+        un = (
+            f"select distinct lower(wd) as w from "
+            f"(select explode(split(p_name, ' ')) as wd from {rel})"
+        )
+    else:
+        un = (
+            f"select distinct lower(wd) as w from "
+            f"(select unnest(string_split(p_name, ' ')) as wd from {rel})"
+        )
+    return f"""
+with words as ({un}),
+coded as (select {sx} as sx, w from words where length(w) > 0)
+select sx, cast(count(*) as bigint) as n_words,
+       min(w) as first_word, max(w) as last_word
+from coded group by sx having count(*) > 1
+"""
+
+
+def q_soundex_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView(
+        "_ffs_sx_part"
+    )
+    return spark.sql(_soundex_groups_body(SPARK, "_ffs_sx_part"))
+
+
+def soundex_groups_oracle() -> str:
+    return _soundex_groups_body(DUCKDB, "part")
+
+
 def q_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data valuation: exact truncated KNN-Shapley of every training
     embedding against the held-out test vectors — the principled
@@ -5952,6 +5990,7 @@ EXT_QUERIES = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "similarity_cosine_topk": q_cosine_topk,
     "valuation_knn_shapley": q_knn_shapley,
+    "phonetic_soundex_groups": q_soundex_groups,
     "similarity_ivf_topk": q_ivf_topk,
     "similarity_ivf_kmeans_topk": q_ivf_kmeans_topk,
     "retrieval_eval_ndcg": q_retrieval_eval,
@@ -6066,6 +6105,7 @@ def ext_oracles() -> dict[str, str]:
         "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
         "similarity_cosine_topk": cosine_topk_oracle(),
         "valuation_knn_shapley": knn_shapley_oracle(),
+        "phonetic_soundex_groups": soundex_groups_oracle(),
         "similarity_srp_lsh_topk": srp_lsh_topk_oracle(),
         "similarity_brp_lsh_topk": brp_lsh_topk_oracle(),
         "similarity_ivf_topk": ivf_topk_oracle(),

@@ -304,3 +304,57 @@ def test_change_feed_matches_pairwise_diffs(spark, tmp_path):
         store.change_feed(from_dir="/nope")
     with _pt.raises(ValueError, match="newer"):
         store.change_feed(from_dir=v3, to_dir=v1)
+
+
+def test_soundex_expr_matches_native_and_duckdb(spark):
+    """The portable soundex pipeline must equal Spark's NATIVE
+    soundex() on classic fixtures + a random alpha corpus, and the
+    DuckDB rendering must agree with the Spark rendering (RE2 has no
+    backreferences — the per-digit collapse chain is the portable
+    form)."""
+    import random
+    import string
+
+    import duckdb
+
+    from far_finer_airtable_firestore_sync_spark.functions.canonical import (
+        DUCKDB,
+        SPARK as SPARK_D,
+    )
+    from far_finer_airtable_firestore_sync_spark.functions.textsql import (
+        soundex_expr,
+    )
+
+    random.seed(7)
+    words = [
+        "Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak",
+        "Pfister", "Honeyman", "Holmes", "Hmm", "Tybbs", "Jackson",
+        "Wwwx", "Yy", "Aeiou",
+    ] + [
+        "".join(random.choices(string.ascii_letters, k=random.randint(1, 12)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    mine = {
+        r["w"]: r["sx"]
+        for r in df.selectExpr(
+            "w", f"{soundex_expr('w', SPARK_D)} as sx"
+        ).collect()
+    }
+    native = {
+        r["w"]: r["sx"]
+        for r in df.selectExpr("w", "soundex(w) as sx").collect()
+    }
+    assert mine == native
+    # the HW-first classics specifically
+    assert mine["Ashcraft"] == "A261" and mine["Hmm"] == "H500"
+    con = duckdb.connect()
+    con.execute(
+        "create table t as select * from (values "
+        + ",".join(f"('{w}')" for w in words)
+        + ") v(w)"
+    )
+    duck = dict(
+        con.execute(f"select w, {soundex_expr('w', DUCKDB)} from t").fetchall()
+    )
+    assert duck == mine
