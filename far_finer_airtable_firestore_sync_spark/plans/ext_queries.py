@@ -897,6 +897,82 @@ from s
 """
 
 
+def _kcenter_body(dialect: str, rel: str, k: int = 6) -> str:
+    """Greedy k-center coreset selection (Gonzalez '85 farthest-point
+    traversal, the 2-approximation; Sener & Savarese ICLR'18 use
+    exactly this for training-set coreset selection): seed at the min
+    vec_id, then k-1 times pick the point farthest from the selected
+    set (ties -> min id). Distances are integer squared-L2 over
+    quantized vectors — every comparison exact, both engines agree.
+
+    Unrolled as a WINDOW-ONLY stage chain (each stage CTE referenced
+    once by its successor — the round-5 CTE-inlining rule); the output
+    union re-references each stage, which inlines as an O(k^2) prefix
+    copy, fine at k={k}. Scale shape: each stage is one broadcast-able
+    single-row join + a full-table min — k passes over the corpus,
+    the textbook distributed greedy (no driver loop)."""
+    qz = tx.quantize("embedding", dialect)
+    stages = []
+    out_rows = []
+    stages.append(
+        f"s0 as (select vec_id, {qz} as v from {rel} where vec_id % 5 = 0)"
+    )
+    stages.append(
+        "seed as (select vec_id as sel, v as sv from s0 "
+        "where vec_id = (select min(vec_id) from s0))"
+    )
+    l2_seed = tx.l2sq_int("s0.v", "seed.sv", dialect)
+    stages.append(
+        f"p1 as (select s0.vec_id, s0.v, {l2_seed} as dist, "
+        "first_value(s0.vec_id) over (order by "
+        f"{l2_seed} desc, s0.vec_id asc) as nxt "
+        "from s0 cross join seed)"
+    )
+    out_rows.append(
+        "select 0 as step, sel as center_id, "
+        "cast(null as bigint) as radius_sq from seed"
+    )
+    out_rows.append(
+        "select 1 as step, min(nxt) as center_id, max(dist) as radius_sq "
+        "from p1"
+    )
+    for i in range(2, k):
+        prev = f"p{i - 1}"
+        l2s = tx.l2sq_int("p.v", "q.v", dialect)
+        stages.append(
+            f"d{i} as (select p.vec_id, p.v, "
+            f"least(p.dist, {l2s}) as dist "
+            f"from {prev} p join s0 q on q.vec_id = p.nxt)"
+        )
+        stages.append(
+            f"p{i} as (select vec_id, v, dist, "
+            "first_value(vec_id) over (order by dist desc, vec_id asc) "
+            f"as nxt from d{i})"
+        )
+        out_rows.append(
+            f"select {i} as step, min(nxt) as center_id, "
+            f"max(dist) as radius_sq from p{i}"
+        )
+    body = ",\n".join(stages)
+    union = "\nunion all\n".join(out_rows)
+    return f"""
+with {body}
+select cast(step as int) as step, center_id, radius_sq
+from ({union})
+"""
+
+
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "_ffs_kc_emb"
+    )
+    return spark.sql(_kcenter_body(SPARK, "_ffs_kc_emb"))
+
+
+def kcenter_oracle() -> str:
+    return _kcenter_body(DUCKDB, "embeddings")
+
+
 def _soundex_groups_body(dialect: str, rel: str) -> str:
     """Phonetic blocking (American Soundex, tx.soundex_expr — fuzzed
     against Spark's native soundex): the classic entity-resolution
@@ -5991,6 +6067,7 @@ EXT_QUERIES = {
     "similarity_cosine_topk": q_cosine_topk,
     "valuation_knn_shapley": q_knn_shapley,
     "phonetic_soundex_groups": q_soundex_groups,
+    "selection_kcenter_coreset": q_kcenter_coreset,
     "similarity_ivf_topk": q_ivf_topk,
     "similarity_ivf_kmeans_topk": q_ivf_kmeans_topk,
     "retrieval_eval_ndcg": q_retrieval_eval,
@@ -6106,6 +6183,7 @@ def ext_oracles() -> dict[str, str]:
         "similarity_cosine_topk": cosine_topk_oracle(),
         "valuation_knn_shapley": knn_shapley_oracle(),
         "phonetic_soundex_groups": soundex_groups_oracle(),
+        "selection_kcenter_coreset": kcenter_oracle(),
         "similarity_srp_lsh_topk": srp_lsh_topk_oracle(),
         "similarity_brp_lsh_topk": brp_lsh_topk_oracle(),
         "similarity_ivf_topk": ivf_topk_oracle(),

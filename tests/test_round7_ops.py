@@ -358,3 +358,31 @@ def test_soundex_expr_matches_native_and_duckdb(spark):
         con.execute(f"select w, {soundex_expr('w', DUCKDB)} from t").fetchall()
     )
     assert duck == mine
+
+
+def test_kcenter_hand_example(spark):
+    """Greedy farthest-point on 4 one-dimensional points: the picks
+    and coverage radii are checkable by hand."""
+    from far_finer_airtable_firestore_sync_spark.functions.canonical import (
+        SPARK as SPARK_D,
+    )
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        _kcenter_body,
+    )
+
+    pts = [(0, [0.0]), (5, [0.010]), (10, [0.003]), (15, [0.006])]
+    spark.createDataFrame(
+        pts, "vec_id long, embedding array<float>"
+    ).createOrReplaceTempView("_t7_kc")
+    rows = {
+        r["step"]: (r["center_id"], r["radius_sq"])
+        for r in spark.sql(_kcenter_body(SPARK_D, "_t7_kc", k=4)).collect()
+    }
+    # seed=0; farthest is 10 units away (id 5, r=100); then id 15
+    # (min-dist 4 units, r=16); then id 10 (r=9)
+    assert rows == {
+        0: (0, None),
+        1: (5, 100),
+        2: (15, 16),
+        3: (10, 9),
+    }
