@@ -386,3 +386,150 @@ def test_kcenter_hand_example(spark):
         2: (15, 16),
         3: (10, 9),
     }
+
+
+def test_fuzz_round7_bodies_parity(spark, tmp_path):
+    """Adversarial cross-engine parity for the round-7 dual-dialect
+    bodies: Markov transitions (ts ties pinned by event_id), triangle
+    stats (duplicate edges), l-diversity (NULL/boundary balances),
+    conformal threshold (tied scores), KNN-Shapley and k-center
+    (random embeddings with duplicate vectors)."""
+    import datetime as dt
+    import random
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from far_finer_airtable_firestore_sync_spark.functions.canonical import (
+        DUCKDB,
+        SPARK as SPARK_D,
+    )
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        CONFORMAL_BODY,
+        LDIV_BODY,
+        MARKOV_BODY,
+    )
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        TRIANGLE_BODY,
+        _kcenter_body,
+        _knn_shapley_body,
+    )
+
+    rng = random.Random(77)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    con = duckdb.connect()
+
+    def stage(name, table):
+        p = str(tmp_path / f"{name}.parquet")
+        pq.write_table(table, p)
+        spark.read.parquet(p).createOrReplaceTempView(name)
+        con.execute(
+            f"create view {name} as select * from read_parquet('{p}')"
+        )
+
+    # events with deliberate ts ties
+    ev = []
+    for i in range(300):
+        ev.append(
+            (
+                i,
+                rng.randint(0, 5),
+                dt.datetime(2024, 3, 1 + rng.randint(0, 5),
+                            rng.randint(0, 23), rng.choice([0, 30])),
+                rng.choice(["a", "b", "c"]),
+            )
+        )
+    stage(
+        "fz7_events",
+        pa.table(
+            {
+                "event_id": pa.array([e[0] for e in ev], pa.int64()),
+                "user_id": pa.array([e[1] for e in ev], pa.int64()),
+                "ts": pa.array([e[2] for e in ev], pa.timestamp("us")),
+                "event_type": pa.array([e[3] for e in ev], pa.string()),
+            }
+        ),
+    )
+    # edge list with duplicates
+    edges = [(a, b) for _ in range(80)
+             for a, b in [sorted(rng.sample(range(15), 2))]]
+    stage(
+        "fz7_edges",
+        pa.table(
+            {
+                "id_a": pa.array([e[0] for e in edges], pa.int64()),
+                "id_b": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        ),
+    )
+    # customers with NULL and boundary balances
+    bal = [None, -1.0, 0.0, 4999.99, 5000.0, 7000.0]
+    stage(
+        "fz7_customer",
+        pa.table(
+            {
+                "c_nationkey": pa.array(
+                    [rng.randint(0, 3) for _ in range(120)], pa.int32()
+                ),
+                "c_mktsegment": pa.array(
+                    [rng.choice(["X", "Y"]) for _ in range(120)], pa.string()
+                ),
+                "c_acctbal": pa.array(
+                    [rng.choice(bal) for _ in range(120)], pa.float64()
+                ),
+            }
+        ),
+    )
+    # documents with heavily tied scores
+    stage(
+        "fz7_docs",
+        pa.table(
+            {
+                "doc_id": pa.array(range(150), pa.int64()),
+                "n_chars": pa.array(
+                    [rng.choice([10, 10, 20, 30, 30, 30, 99])
+                     for _ in range(150)],
+                    pa.int64(),
+                ),
+            }
+        ),
+    )
+    # embeddings with duplicate vectors and both labels
+    vecs = [[rng.choice([0.0, 0.25, -0.5, 1.0]) for _ in range(4)]
+            for _ in range(40)]
+    stage(
+        "fz7_emb",
+        pa.table(
+            {
+                "vec_id": pa.array(range(40), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array(
+                    [rng.randint(0, 1) for _ in range(40)], pa.int32()
+                ),
+            }
+        ),
+    )
+
+    pairs = [
+        ("markov", MARKOV_BODY.format(rel="fz7_events"),
+         MARKOV_BODY.format(rel="fz7_events")),
+        ("triangle", TRIANGLE_BODY.format(pairs="fz7_edges"),
+         TRIANGLE_BODY.format(pairs="fz7_edges")),
+        ("ldiv", LDIV_BODY.format(rel="fz7_customer"),
+         LDIV_BODY.format(rel="fz7_customer")),
+        ("conformal", CONFORMAL_BODY.format(rel="fz7_docs"),
+         CONFORMAL_BODY.format(rel="fz7_docs")),
+        ("shapley", _knn_shapley_body(SPARK_D, "fz7_emb"),
+         _knn_shapley_body(DUCKDB, "fz7_emb")),
+        ("kcenter", _kcenter_body(SPARK_D, "fz7_emb"),
+         _kcenter_body(DUCKDB, "fz7_emb")),
+    ]
+    for name, s_sql, d_sql in pairs:
+        s_rows = sorted(map(repr, (tuple(r) for r in spark.sql(s_sql).collect())))
+        d_rows = sorted(map(repr, (tuple(r) for r in con.execute(d_sql).fetchall())))
+        assert s_rows == d_rows, (
+            f"{name}: {len(s_rows)} vs {len(d_rows)}; "
+            f"spark={s_rows[:2]} duck={d_rows[:2]}"
+        )
+        assert s_rows, f"{name}: fuzz produced no rows (weak test)"
