@@ -336,6 +336,11 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_docs.simhash_near_dup_pairs(
         dedup_corpus(spark, sf_dir), max_hamming=3
     ).select("id_a", "id_b")
+    # the body references the edge list from deg/oriented/tri — without
+    # a materialization barrier Spark's CTE inlining re-executes the
+    # whole pair-generation join per reference (review finding; same
+    # lesson as hex_hamming_pairs' checkpointed input)
+    pairs = pairs.localCheckpoint(eager=True)
     pairs.createOrReplaceTempView("_ffs_tri_pairs")
     return pairs.sparkSession.sql(
         TRIANGLE_BODY.format(pairs="_ffs_tri_pairs")
@@ -922,9 +927,15 @@ def _kcenter_body(dialect: str, rel: str, k: int = 6) -> str:
         "where vec_id = (select min(vec_id) from s0))"
     )
     l2_seed = tx.l2sq_int("s0.v", "seed.sv", dialect)
+    # the argmax masks dist=0 rows: once every remaining point
+    # coincides with a selected center (fewer distinct vectors than
+    # k), nxt goes NULL and later stages report (step, NULL, NULL)
+    # instead of silently re-selecting an existing center (review
+    # finding)
     stages.append(
         f"p1 as (select s0.vec_id, s0.v, {l2_seed} as dist, "
-        "first_value(s0.vec_id) over (order by "
+        f"first_value(case when {l2_seed} > 0 then s0.vec_id end) "
+        "over (order by "
         f"{l2_seed} desc, s0.vec_id asc) as nxt "
         "from s0 cross join seed)"
     )
@@ -946,7 +957,8 @@ def _kcenter_body(dialect: str, rel: str, k: int = 6) -> str:
         )
         stages.append(
             f"p{i} as (select vec_id, v, dist, "
-            "first_value(vec_id) over (order by dist desc, vec_id asc) "
+            "first_value(case when dist > 0 then vec_id end) "
+            "over (order by dist desc, vec_id asc) "
             f"as nxt from d{i})"
         )
         out_rows.append(

@@ -276,7 +276,13 @@ class TransactionalParquetBackend:
         processes AND hosts, no locks. Without it, the commit is a
         blind snapshot replace (last-writer-wins, like
         ``DocumentStore``), which still never corrupts the log or
-        loses another writer's txn marker."""
+        loses another writer's txn marker.
+
+        Returns the committed ``txn://N`` handle — the SAME form
+        ``current_version()`` yields, so (unlike a data-dir path) the
+        return value is directly usable as the next commit's
+        ``expected_version`` (review finding: the backends' handles
+        must be interchangeable for the seam to hold)."""
         import json
         import os
         import shutil
@@ -287,6 +293,26 @@ class TransactionalParquetBackend:
             ConcurrentCommitError,
         )
 
+        def stale(base_v: int) -> bool:
+            # "txn://0" is the explicit EMPTY-base handle: a CAS from an
+            # empty store must still be a CAS (two writers racing on
+            # version 1 must not both win) — None stays the blind-commit
+            # sentinel only.
+            return (
+                expected_version is not None
+                and f"txn://{base_v}" != expected_version
+            )
+
+        # Fail-fast BEFORE the (cluster-wide) parquet write: a base
+        # already stale at call time must not pay a full table write
+        # just to delete it (review finding; same shape as
+        # DocumentStore.commit's pre-write check).
+        if stale(self.latest()[0]):
+            raise ConcurrentCommitError(
+                f"store {self.root}: log advanced past "
+                f"{expected_version!r}; base snapshot is stale"
+            )
+
         rel = f"v-{uuid.uuid4().hex}"
         out = os.path.join(self.root, rel)
         writer = post_state.write.mode("errorifexists")
@@ -296,14 +322,7 @@ class TransactionalParquetBackend:
 
         while True:
             base_v, base_rec = self.latest()
-            # "txn://0" is the explicit EMPTY-base handle: a CAS from an
-            # empty store must still be a CAS (two writers racing on
-            # version 1 must not both win) — None stays the blind-commit
-            # sentinel only.
-            if (
-                expected_version is not None
-                and f"txn://{base_v}" != expected_version
-            ):
+            if stale(base_v):
                 shutil.rmtree(out, ignore_errors=True)
                 raise ConcurrentCommitError(
                     f"store {self.root}: log advanced past "
@@ -327,11 +346,15 @@ class TransactionalParquetBackend:
             target = self._record_path(base_v + 1)
             try:
                 os.link(tmp, target)  # atomic put-if-absent
-                return out
+                return f"txn://{base_v + 1}"
             except FileExistsError:
-                # another writer owns version base_v+1: re-validate the
-                # base (raises for CAS commits, re-merges txns and
-                # retries the next slot for blind commits)
+                # Either a rival owns version base_v+1 — or OUR link
+                # succeeded server-side and only the reply was lost (an
+                # NFS retransmit returns EEXIST for a link this writer
+                # actually won; review finding). The tmp file's link
+                # count disambiguates: 2 means the target IS our record.
+                if os.stat(tmp).st_nlink == 2:
+                    return f"txn://{base_v + 1}"
                 continue
             finally:
                 os.unlink(tmp)

@@ -317,9 +317,11 @@ class DocumentStore:
         per-commit add/remove files; semantics are identical.
         """
         versions = self.list_versions()
-        if from_dir is None and versions:
+        if not versions:
+            raise ValueError(f"store {self.root} has no versions")
+        if from_dir is None:
             from_dir = versions[0]
-        if to_dir is None and versions:
+        if to_dir is None:
             to_dir = versions[-1]
         try:
             lo, hi = versions.index(from_dir), versions.index(to_dir)
@@ -341,11 +343,9 @@ class DocumentStore:
             )
             feed = step if feed is None else feed.unionByName(step)
         if feed is None:  # single version or empty range: no changes
-            base = self.read_version(to_dir) if to_dir else None
-            if base is None:
-                raise ValueError(f"store {self.root} has no versions")
             return (
-                base.withColumn("change_type", F.lit("insert"))
+                self.read_version(to_dir)
+                .withColumn("change_type", F.lit("insert"))
                 .withColumn("commit_ms", F.lit(0).cast("long"))
                 .filter(F.lit(False))
             )
@@ -837,10 +837,11 @@ def prune_files_by_zone(
     version_dir: str, col: str, lo, hi
 ) -> tuple[list[str], int]:
     """Files of a committed version whose [min, max] zone for ``col``
-    intersects [lo, hi] — plus the total file count for skip-rate
-    assertions. Files with no zone for the column are kept (pruning
-    must never be lossy). Reads only the sidecar manifest (written
-    lazily if absent)."""
+    intersects [lo, hi] — plus the NON-EMPTY file count for skip-rate
+    assertions (zero-row files are always safely prunable and count
+    toward neither side). Files with no zone for the column are kept
+    (pruning must never be lossy). Reads only the sidecar manifest
+    (written lazily if absent)."""
     mpath = os.path.join(version_dir, "_zone_manifest.json")
     try:
         with open(mpath) as fh:
@@ -848,10 +849,15 @@ def prune_files_by_zone(
     except FileNotFoundError:
         manifest = write_zone_manifest(version_dir)
     keep = []
+    n_nonempty = 0
     for rel, meta in manifest.items():
         if meta["rows"] == 0:
             continue  # an empty file is always safely prunable
+        n_nonempty += 1
         zone = meta["columns"].get(col)
         if zone is None or (zone[0] <= hi and zone[1] >= lo):
             keep.append(os.path.join(version_dir, rel))
-    return keep, len(manifest)
+    # total counts NON-empty files only: otherwise a skip-rate
+    # assertion (len(keep) < total) could be satisfied purely by empty
+    # part files without the zones pruning anything (review finding)
+    return keep, n_nonempty

@@ -397,8 +397,11 @@ def run_stream_to_memory(
     # The single-sentinel flush contract (read_event_stream_with_flush)
     # needs the engine's no-data micro-batch to run the post-watermark
     # eviction — pin the default so a session that disabled it can't
-    # silently starve append-mode output.
-    sess.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    # silently starve append-mode output (restored below, like the
+    # other two confs; review finding).
+    ndm = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_ndm = sess.conf.get(ndm, None)
+    sess.conf.set(ndm, "true")
     if state_partitions is not None:
         sess.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
@@ -418,6 +421,10 @@ def run_stream_to_memory(
             sess.conf.unset(ck)
         else:
             sess.conf.set(ck, prev_ck)
+        if prev_ndm is None:
+            sess.conf.unset(ndm)
+        else:
+            sess.conf.set(ndm, prev_ndm)
     return sess.table(query_name)
 
 
