@@ -4059,6 +4059,53 @@ def q_video_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("hamming", F.col("hamming").cast("int"))
 
 
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over REAL Y4M parsing (see
+    ``multimodal.video_scene_cuts``); oracle recomputes every luma
+    sum closed-form from the id."""
+    from far_finer_airtable_firestore_sync_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    ids = docs.filter("doc_id % 3 = 0")
+    return multimodal.video_scene_cuts(
+        multimodal.synth_gradient_y4m_blobs(ids, "doc_id")
+    )
+
+
+def video_scene_cuts_oracle() -> str:
+    from far_finer_airtable_firestore_sync_spark.operators.multimodal import (
+        SCENE_CUT_THRESHOLD,
+        VFP_FRAMES,
+        VFP_H,
+        VFP_W,
+    )
+
+    npx = VFP_W * VFP_H
+    return f"""
+with ids as (select doc_id as i from documents where doc_id % 3 = 0),
+pre as (select i, i % 256 as lo, (i // 256) % 256 as hi from ids),
+px as (
+  select i, f,
+         (lo * ((f + 1) * ((p % {VFP_W}) + 2) + (p // {VFP_W}))
+          + hi * (f + 3 * (p % {VFP_W}) + 5 * (p // {VFP_W}) + 7)
+          + f * f + (p % {VFP_W})) % 256 as l
+  from pre,
+       unnest(generate_series(0, {VFP_FRAMES - 1})) t(f),
+       unnest(generate_series(0, {npx - 1})) u(p)
+),
+en as (select i, f, sum(cast(l as bigint)) as e from px group by i, f),
+d as (
+  select a.i, a.f + 1 as cut_frame,
+         abs(b.e - a.e) > {SCENE_CUT_THRESHOLD} as is_cut
+  from en a join en b on a.i = b.i and b.f = a.f + 1
+)
+select i as media_id,
+       cast(sum(case when is_cut then 1 else 0 end) as bigint) as n_cuts,
+       cast(min(case when is_cut then cut_frame end) as int) as first_cut
+from d group by i
+"""
+
+
 def video_fingerprint_pairs_oracle() -> str:
     from far_finer_airtable_firestore_sync_spark.operators.multimodal import (
         VFP_FRAMES,
@@ -6111,6 +6158,7 @@ EXT_QUERIES = {
     "multimodal_audio_fp_pairs": q_audio_fingerprint_pairs,
     "multimodal_audio_chroma_pairs": q_audio_chroma_pairs,
     "multimodal_video_fp_pairs": q_video_fingerprint_pairs,
+    "multimodal_video_scene_cuts": q_video_scene_cuts,
     "llm_pipeline_e2e": q_llm_pipeline_e2e,
     "embedding_truncate_normalize": q_truncate_normalize,
     "quality_quantile_filter": q_quality_quantile_filter,
@@ -6227,6 +6275,7 @@ def ext_oracles() -> dict[str, str]:
         "multimodal_audio_fp_pairs": audio_fingerprint_pairs_oracle(),
         "multimodal_audio_chroma_pairs": audio_chroma_pairs_oracle(),
         "multimodal_video_fp_pairs": video_fingerprint_pairs_oracle(),
+        "multimodal_video_scene_cuts": video_scene_cuts_oracle(),
         "llm_pipeline_e2e": llm_pipeline_oracle(),
         "embedding_truncate_normalize": truncate_normalize_oracle(),
         "quality_quantile_filter": quality_quantile_oracle(),

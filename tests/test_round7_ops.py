@@ -533,3 +533,51 @@ def test_fuzz_round7_bodies_parity(spark, tmp_path):
             f"spark={s_rows[:2]} duck={d_rows[:2]}"
         )
         assert s_rows, f"{name}: fuzz produced no rows (weak test)"
+
+
+def test_video_scene_cuts_matches_closed_form(spark):
+    """Real Y4M parse -> luma-sum deltas -> cut flags must equal the
+    pure-Python closed form; undecodable bytes -> NULLs."""
+    from pyspark.sql import Row
+
+    from far_finer_airtable_firestore_sync_spark.operators import multimodal
+    from far_finer_airtable_firestore_sync_spark.operators.multimodal import (
+        SCENE_CUT_THRESHOLD,
+        VFP_FRAMES,
+        VFP_H,
+        VFP_W,
+        gradient_luma,
+    )
+
+    ids = [0, 3, 255, 4999]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["media_id"]: (r["n_cuts"], r["first_cut"])
+        for r in multimodal.video_scene_cuts(
+            multimodal.synth_gradient_y4m_blobs(df)
+        ).collect()
+    }
+
+    def expect(i):
+        sums = [
+            sum(
+                gradient_luma(i, f, x, y)
+                for x in range(VFP_W)
+                for y in range(VFP_H)
+            )
+            for f in range(VFP_FRAMES)
+        ]
+        cuts = [
+            f + 1
+            for f in range(VFP_FRAMES - 1)
+            if abs(sums[f + 1] - sums[f]) > SCENE_CUT_THRESHOLD
+        ]
+        return (len(cuts), cuts[0] if cuts else None)
+
+    assert got == {i: expect(i) for i in ids}
+    assert any(v[0] > 0 for v in got.values())
+    bad = spark.createDataFrame(
+        [Row(media_id=1, content=b"nope", media_type="video/x")]
+    )
+    r = multimodal.video_scene_cuts(bad).collect()[0]
+    assert r["n_cuts"] is None and r["first_cut"] is None
