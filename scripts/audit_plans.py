@@ -59,7 +59,8 @@ SKIP = {
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    positional = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = positional[0] if positional else "/root/testdata/sf0.001"
     write_md = "--write-md" in sys.argv
 
     from pyspark.sql import SparkSession
