@@ -1010,6 +1010,72 @@ def pagerank(
     return ranks.select(F.col("u").alias("doc_id"), F.col("r").alias("pr_micro"))
 
 
+def weighted_pagerank(
+    pairs: DataFrame,
+    iterations: int = 3,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    weight: str = "w",
+) -> DataFrame:
+    """Integer-exact WEIGHTED PageRank over an undirected weighted
+    pair graph — the TextRank recurrence (Mihalcea & Tarau, EMNLP'04:
+    vote mass splits proportionally to edge weight instead of evenly).
+
+    Determinism: identical idiom to :func:`pagerank`, with the
+    per-edge contribution `(r_u * w_uv) div W_u` (multiply BEFORE the
+    integer division — one truncation per edge, not per unit) where
+    W_u is u's total incident weight. r <= PR_UNIT (1e12) and fixture
+    weights are small ints, so the product stays far inside bigint.
+
+    Scale shape: per iteration one join on the edge key + one groupBy
+    on the destination, lineage truncated per round — same plan as
+    the unweighted operator."""
+    edges = (
+        pairs.select(
+            F.col(id_a).alias("u"),
+            F.col(id_b).alias("v"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .unionByName(
+            pairs.select(
+                F.col(id_b).alias("u"),
+                F.col(id_a).alias("v"),
+                F.col(weight).cast("long").alias("w"),
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    wdeg = edges.groupBy("u").agg(F.sum("w").alias("wd"))
+    n = wdeg.agg(F.count(F.lit(1)).alias("nn"))
+    ranks = (
+        wdeg.crossJoin(F.broadcast(n))
+        .select("u", F.expr(f"{PR_UNIT} div nn").alias("r"))
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, "u")
+            .join(wdeg, "u")
+            .select(F.col("v"), F.expr("(r * w) div wd").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            wdeg.join(contrib, wdeg.u == contrib.v, "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                wdeg.u.alias("u"),
+                F.expr(
+                    f"(15 * {PR_UNIT}) div (100 * nn)"
+                    " + (85 * coalesce(s, 0)) div 100"
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("u").alias("node"), F.col("r").alias("pr_micro"))
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str = "text",

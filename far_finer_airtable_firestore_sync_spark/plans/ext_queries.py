@@ -902,6 +902,136 @@ from s
 """
 
 
+#: TextRank geometry: fixed 12-word sentences (the fixture corpus has
+#: no punctuation), edges between same-doc sentences sharing >= 2
+#: distinct tokens, weighted by the shared count; top-2 per doc.
+TEXTRANK_SENT_WORDS, TEXTRANK_MIN_SHARED, TEXTRANK_TOP = 12, 2, 2
+
+
+def _textrank_pairs_sql(dialect: str, rel: str) -> str:
+    """Sentence-graph construction shared by both engines: word
+    positions via the generate_series indexing idiom (posexplode has
+    no DuckDB twin), sentence id = doc_id*1000 + word_pos div 12,
+    edge weight = number of shared distinct tokens."""
+    if dialect == SPARK:
+        un = (
+            f"select doc_id, a, explode(sequence(1, size(a))) as i "
+            f"from (select doc_id, split(text, ' ') as a from {rel} "
+            "where doc_id % 5 = 0)"
+        )
+        word = "element_at(a, cast(i as int))"
+        sid = f"(i - 1) div {TEXTRANK_SENT_WORDS}"
+    else:
+        un = (
+            f"select doc_id, a, unnest(generate_series(1, len(a))) as i "
+            f"from (select doc_id, string_split(text, ' ') as a from {rel} "
+            "where doc_id % 5 = 0)"
+        )
+        word = "a[cast(i as int)]"
+        sid = f"(i - 1) // {TEXTRANK_SENT_WORDS}"
+    return f"""
+words as ({un}),
+toks as (
+  select distinct doc_id, {sid} as sid, {word} as w
+  from words where {word} <> ''
+),
+spairs as (
+  select a.doc_id, a.sid as sa, b.sid as sb,
+         cast(count(*) as bigint) as w
+  from toks a join toks b
+    on a.doc_id = b.doc_id and a.w = b.w and a.sid < b.sid
+  group by a.doc_id, a.sid, b.sid
+  having count(*) >= {TEXTRANK_MIN_SHARED}
+),
+tr_pairs as (
+  select doc_id * 1000 + sa as id_a, doc_id * 1000 + sb as id_b, w
+  from spairs
+)"""
+
+
+def q_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractive summarization by TextRank (Mihalcea & Tarau
+    EMNLP'04): sentence graph weighted by shared-token counts,
+    integer-exact weighted PageRank (``dedup_docs.weighted_pagerank``),
+    top-2 sentences per document by (rank desc, position asc). The
+    global teleport constant shifts every node equally, so within-doc
+    ordering — the thing a summary needs — is unaffected by ranking
+    all docs' sentence graphs in one pass (the distributed shape: one
+    job, not one per document)."""
+    from pyspark.sql import Window
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_txr_docs"
+    )
+    pairs = spark.sql(
+        "with " + _textrank_pairs_sql(SPARK, "_ffs_txr_docs")
+        + " select * from tr_pairs"
+    )
+    ranks = dedup_docs.weighted_pagerank(pairs, iterations=3)
+    ranked = ranks.select(
+        F.expr("node div 1000").alias("doc_id"),
+        F.expr("node % 1000").cast("int").alias("sentence_idx"),
+        F.col("pr_micro"),
+    ).withColumn(
+        "pick",
+        F.row_number()
+        .over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("pr_micro").desc(), F.col("sentence_idx").asc()
+            )
+        )
+        .cast("int"),
+    )
+    return ranked.filter(F.col("pick") <= TEXTRANK_TOP)
+
+
+def textrank_oracle() -> str:
+    from far_finer_airtable_firestore_sync_spark.operators.dedup_docs import (
+        PR_UNIT,
+    )
+
+    step = """
+r{i} as (
+  select d.u,
+         (15 * {unit}) // (100 * n.nn)
+         + (85 * coalesce(s.s, 0)) // 100 as r
+  from wdeg d cross join n
+  left join (
+    select e.v as u, sum((r.r * e.w) // dg.wd) as s
+    from tr_edges e
+    join r{prev} r on e.u = r.u
+    join wdeg dg on e.u = dg.u
+    group by e.v
+  ) s on s.u = d.u
+)"""
+    steps = ",".join(
+        step.format(i=i, prev=i - 1, unit=PR_UNIT) for i in range(1, 4)
+    )
+    return f"""
+with {_textrank_pairs_sql(DUCKDB, "documents")},
+tr_edges as (
+  select id_a as u, id_b as v, w from tr_pairs
+  union
+  select id_b as u, id_a as v, w from tr_pairs
+),
+wdeg as (select u, sum(w) as wd from tr_edges group by u),
+n as (select cast(count(*) as bigint) as nn from wdeg),
+r0 as (
+  select u, cast({PR_UNIT} // nn as bigint) as r from wdeg cross join n
+),{steps},
+ranked as (
+  select u // 1000 as doc_id, cast(u % 1000 as int) as sentence_idx,
+         cast(r as bigint) as pr_micro,
+         cast(row_number() over (
+           partition by u // 1000 order by r desc, u % 1000 asc
+         ) as int) as pick
+  from r3
+)
+select doc_id, sentence_idx, pr_micro, pick
+from ranked where pick <= {TEXTRANK_TOP}
+"""
+
+
 def _kcenter_body(dialect: str, rel: str, k: int = 6) -> str:
     """Greedy k-center coreset selection (Gonzalez '85 farthest-point
     traversal, the 2-approximation; Sener & Savarese ICLR'18 use
@@ -6127,6 +6257,7 @@ EXT_QUERIES = {
     "valuation_knn_shapley": q_knn_shapley,
     "phonetic_soundex_groups": q_soundex_groups,
     "selection_kcenter_coreset": q_kcenter_coreset,
+    "summarize_textrank": q_textrank_summary,
     "similarity_ivf_topk": q_ivf_topk,
     "similarity_ivf_kmeans_topk": q_ivf_kmeans_topk,
     "retrieval_eval_ndcg": q_retrieval_eval,
@@ -6244,6 +6375,7 @@ def ext_oracles() -> dict[str, str]:
         "valuation_knn_shapley": knn_shapley_oracle(),
         "phonetic_soundex_groups": soundex_groups_oracle(),
         "selection_kcenter_coreset": kcenter_oracle(),
+        "summarize_textrank": textrank_oracle(),
         "similarity_srp_lsh_topk": srp_lsh_topk_oracle(),
         "similarity_brp_lsh_topk": brp_lsh_topk_oracle(),
         "similarity_ivf_topk": ivf_topk_oracle(),
