@@ -972,42 +972,16 @@ def pagerank(
     `localCheckpoint` truncates lineage each round exactly like the
     CC operator. Iterations are fixed (ranking stabilizes long before
     convergence for dedup-cluster graphs, which are shallow)."""
-    edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
-        )
-        .distinct()
-        .localCheckpoint()
-    )
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    n = deg.agg(F.count(F.lit(1)).alias("nn"))
-    ranks = (
-        deg.crossJoin(F.broadcast(n))
-        .select("u", F.expr(f"{PR_UNIT} div nn").alias("r"))
-        .localCheckpoint()
-    )
-    for _ in range(iterations):
-        contrib = (
-            edges.join(ranks, "u")
-            .join(deg, "u")
-            .select(F.col("v"), F.expr("r div deg").alias("c"))
-            .groupBy("v")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            deg.join(contrib, deg.u == contrib.v, "left")
-            .crossJoin(F.broadcast(n))
-            .select(
-                deg.u.alias("u"),
-                F.expr(
-                    f"(15 * {PR_UNIT}) div (100 * nn)"
-                    " + (85 * coalesce(s, 0)) div 100"
-                ).alias("r"),
-            )
-            .localCheckpoint()
-        )
-    return ranks.select(F.col("u").alias("doc_id"), F.col("r").alias("pr_micro"))
+    # w=1 reduces the weighted recurrence to exactly this one:
+    # (r * 1) div wd == r div deg — delegate so the two operators
+    # can never drift (review finding).
+    return weighted_pagerank(
+        pairs.select(F.col(id_a), F.col(id_b), F.lit(1).alias("_pr_w")),
+        iterations=iterations,
+        id_a=id_a,
+        id_b=id_b,
+        weight="_pr_w",
+    ).select(F.col("node").alias("doc_id"), F.col("pr_micro"))
 
 
 def weighted_pagerank(

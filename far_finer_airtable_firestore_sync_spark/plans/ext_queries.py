@@ -967,6 +967,10 @@ def q_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "with " + _textrank_pairs_sql(SPARK, "_ffs_txr_docs")
         + " select * from tr_pairs"
     )
+    # weighted_pagerank's two-direction edge union references this
+    # plan twice — materialize once (same lesson as the triangle
+    # entry's edge list; review finding)
+    pairs = pairs.localCheckpoint(eager=True)
     ranks = dedup_docs.weighted_pagerank(pairs, iterations=3)
     ranked = ranks.select(
         F.expr("node div 1000").alias("doc_id"),
@@ -985,7 +989,7 @@ def q_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("pick") <= TEXTRANK_TOP)
 
 
-def textrank_oracle() -> str:
+def textrank_oracle(rel: str = "documents") -> str:
     from far_finer_airtable_firestore_sync_spark.operators.dedup_docs import (
         PR_UNIT,
     )
@@ -1008,7 +1012,7 @@ r{i} as (
         step.format(i=i, prev=i - 1, unit=PR_UNIT) for i in range(1, 4)
     )
     return f"""
-with {_textrank_pairs_sql(DUCKDB, "documents")},
+with {_textrank_pairs_sql(DUCKDB, rel)},
 tr_edges as (
   select id_a as u, id_b as v, w from tr_pairs
   union
@@ -4196,7 +4200,10 @@ def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from far_finer_airtable_firestore_sync_spark.operators import multimodal
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    ids = docs.filter("doc_id % 3 = 0")
+    # pin the plain-id namespace on BOTH sides: the oracle does not
+    # model the >=500k perturbed-copy namespace this synth applies
+    # (review finding — a silent divergence waiting for huge fixtures)
+    ids = docs.filter("doc_id % 3 = 0 and doc_id < 500000")
     return multimodal.video_scene_cuts(
         multimodal.synth_gradient_y4m_blobs(ids, "doc_id")
     )
@@ -4212,7 +4219,8 @@ def video_scene_cuts_oracle() -> str:
 
     npx = VFP_W * VFP_H
     return f"""
-with ids as (select doc_id as i from documents where doc_id % 3 = 0),
+with ids as (select doc_id as i from documents
+             where doc_id % 3 = 0 and doc_id < 500000),
 pre as (select i, i % 256 as lo, (i // 256) % 256 as hi from ids),
 px as (
   select i, f,

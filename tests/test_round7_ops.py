@@ -581,3 +581,78 @@ def test_video_scene_cuts_matches_closed_form(spark):
     )
     r = multimodal.video_scene_cuts(bad).collect()[0]
     assert r["n_cuts"] is None and r["first_cut"] is None
+
+
+def test_fuzz_textrank_parity(spark, tmp_path):
+    """Full TextRank pipeline parity on an adversarial corpus: empty
+    texts, single-word docs, heavy duplication (dense graphs),
+    isolated sentences. Spark = shared pairs SQL + DataFrame
+    weighted_pagerank; DuckDB = the hand-unrolled oracle recurrence —
+    the two implementations must agree row-exactly."""
+    import random
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from far_finer_airtable_firestore_sync_spark.functions.canonical import (
+        SPARK as SPARK_D,
+    )
+    from far_finer_airtable_firestore_sync_spark.operators import dedup_docs
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        TEXTRANK_TOP,
+        _textrank_pairs_sql,
+        textrank_oracle,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(99)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = []
+    for i in range(40):
+        n = rng.choice([0, 1, 11, 12, 13, 30, 60])
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+    p = str(tmp_path / "txr_docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(0, 200, 5), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        p,
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.read.parquet(p).createOrReplaceTempView("fz_txr")
+    pairs = spark.sql(
+        "with " + _textrank_pairs_sql(SPARK_D, "fz_txr")
+        + " select * from tr_pairs"
+    ).localCheckpoint(eager=True)
+    ranks = dedup_docs.weighted_pagerank(pairs, iterations=3)
+    got = (
+        ranks.select(
+            F.expr("node div 1000").alias("doc_id"),
+            F.expr("node % 1000").cast("int").alias("sentence_idx"),
+            F.col("pr_micro"),
+        )
+        .withColumn(
+            "pick",
+            F.row_number()
+            .over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("pr_micro").desc(), F.col("sentence_idx").asc()
+                )
+            )
+            .cast("int"),
+        )
+        .filter(F.col("pick") <= TEXTRANK_TOP)
+    )
+    s_rows = sorted(tuple(r) for r in got.collect())
+    con = duckdb.connect()
+    con.execute(f"create view fz_txr as select * from read_parquet('{p}')")
+    d_rows = sorted(
+        tuple(r) for r in con.execute(textrank_oracle("fz_txr")).fetchall()
+    )
+    assert s_rows == d_rows
+    assert s_rows, "fuzz corpus produced no summary rows (weak test)"
