@@ -656,3 +656,57 @@ def test_fuzz_textrank_parity(spark, tmp_path):
     )
     assert s_rows == d_rows
     assert s_rows, "fuzz corpus produced no summary rows (weak test)"
+
+
+def test_weighted_pagerank_matches_python_replica(spark):
+    """weighted_pagerank on a small weighted graph == an independent
+    pure-Python replay of the integer recurrence; and pagerank (which
+    now delegates with w=1) still equals its own replica."""
+    from far_finer_airtable_firestore_sync_spark.operators import dedup_docs
+    from far_finer_airtable_firestore_sync_spark.operators.dedup_docs import (
+        PR_UNIT,
+    )
+
+    pairs = [(1, 2, 3), (1, 3, 1), (2, 4, 2)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long, w long")
+    got = {
+        r["node"]: r["pr_micro"]
+        for r in dedup_docs.weighted_pagerank(df, iterations=3).collect()
+    }
+
+    edges = {}
+    for a, b, w in pairs:
+        edges.setdefault(a, []).append((b, w))
+        edges.setdefault(b, []).append((a, w))
+    wd = {u: sum(w for _v, w in nbrs) for u, nbrs in edges.items()}
+    n = len(wd)
+    r = {u: PR_UNIT // n for u in wd}
+    for _ in range(3):
+        s = {u: 0 for u in wd}
+        for u, nbrs in edges.items():
+            for v, w in nbrs:
+                s[v] += (r[u] * w) // wd[u]
+        r = {u: (15 * PR_UNIT) // (100 * n) + (85 * s[u]) // 100
+             for u in wd}
+    assert got == r
+    # the delegation: unweighted == weighted with w=1
+    got_unw = {
+        x["doc_id"]: x["pr_micro"]
+        for x in dedup_docs.pagerank(
+            df.select("id_a", "id_b"), iterations=2
+        ).collect()
+    }
+    edges1 = {}
+    for a, b, _w in pairs:
+        edges1.setdefault(a, []).append(b)
+        edges1.setdefault(b, []).append(a)
+    deg = {u: len(v) for u, v in edges1.items()}
+    r1 = {u: PR_UNIT // n for u in deg}
+    for _ in range(2):
+        s = {u: 0 for u in deg}
+        for u, nbrs in edges1.items():
+            for v in nbrs:
+                s[v] += r1[u] // deg[u]
+        r1 = {u: (15 * PR_UNIT) // (100 * n) + (85 * s[u]) // 100
+              for u in deg}
+    assert got_unw == r1
