@@ -790,23 +790,26 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame: per-user trailing-1-hour event count
     and value sum at every event — RANGE frames bound by the ORDER
     key's VALUE (epoch seconds), not row offsets, which is the
-    correct semantics for irregular event spacing. Sum is
-    integer-cents exact; the output projects a small slice but the
-    window computes over the full stream."""
+    correct semantics for irregular event spacing. Sum is exact
+    integer 64ths — floor(value * 64): a power-of-two multiply is an
+    exponent shift and floor has no tie semantics, bit-identical
+    cross-engine on any data (r8 round-idiom sweep); the output
+    projects a small slice but the window computes over the full
+    stream."""
     _utc(spark)
     ev = read_events(spark, sf_dir)
     ev.createOrReplaceTempView("_ffs_rng_events")
     return spark.sql("""
-select event_id, user_id, ts_s, n_1h, cents_1h
+select event_id, user_id, ts_s, n_1h, v64_1h
 from (
   select event_id, user_id, ts_s, value,
          count(*) over w as n_1h,
-         sum(cents) over w as cents_1h
+         sum(v64) over w as v64_1h
   from (
     select event_id, user_id,
            cast(unix_timestamp(ts) as bigint) as ts_s,
            value,
-           cast(round(value * 100) as bigint) as cents
+           cast(floor(value * cast(64 as double)) as bigint) as v64
     from _ffs_rng_events
   )
   window w as (partition by user_id order by ts_s asc
@@ -817,18 +820,18 @@ where value > 197
 
 
 WINDOW_RANGE_FRAME_SQL = """
-select event_id, user_id, ts_s, n_1h, cents_1h
+select event_id, user_id, ts_s, n_1h, v64_1h
 from (
   select event_id, user_id, ts_s, value,
          count(*) over w as n_1h,
-         sum(cents) over w as cents_1h
+         sum(v64) over w as v64_1h
   from (
     select event_id, user_id,
            -- floor, not cast: DuckDB double->bigint casts ROUND, but
            -- Spark's unix_timestamp truncates sub-second parts
            cast(floor(epoch(ts)) as bigint) as ts_s,
            value,
-           cast(round(value * 100) as bigint) as cents
+           cast(floor(value * cast(64 as double)) as bigint) as v64
     from events
   )
   window w as (partition by user_id order by ts_s asc
@@ -1568,10 +1571,11 @@ def q_event_iqr_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type interquartile range of event values computed by numpy
     percentiles inside an Arrow-batched GROUPED_AGG pandas_udf —
     value-pinned against a rank-selection SQL twin. Both sides
-    interpolate on INTEGER cents (quartile fractions are quarters, so
-    4*a + (b-a)*k is exact bigint math; naive np.percentile vs
-    percentile_cont differ in the last ulp) with one final identical
-    /400 double division.
+    interpolate on an exact INTEGER grid — floor(value * 64), a
+    power-of-two multiply with no tie semantics (quartile fractions
+    are quarters, so 4*a + (b-a)*k is exact bigint math; naive
+    np.percentile vs percentile_cont differ in the last ulp) with one
+    final identical /256 double division (an exact exponent shift).
 
     This is the surface demo — for plain percentiles the native
     `percentile()` expression is the production path (codegen, no
@@ -1598,7 +1602,7 @@ def q_event_iqr_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENT_IQR_SQL = """
 with ranked as (
   select event_type,
-         cast(round(value * 100) as bigint) as cents,
+         cast(floor(value * cast(64 as double)) as bigint) as v64,
          row_number() over (
            partition by event_type order by value, event_id
          ) as rn,
@@ -1608,18 +1612,18 @@ with ranked as (
 ),
 sel as (
   select event_type, n,
-         max(case when rn - 1 = (n - 1) // 4 then cents end) as a25,
-         max(case when rn - 1 = (n - 1) // 4 + 1 then cents end) as b25,
-         max(case when rn - 1 = (3 * (n - 1)) // 4 then cents end) as a75,
-         max(case when rn - 1 = (3 * (n - 1)) // 4 + 1 then cents end) as b75
+         max(case when rn - 1 = (n - 1) // 4 then v64 end) as a25,
+         max(case when rn - 1 = (n - 1) // 4 + 1 then v64 end) as b25,
+         max(case when rn - 1 = (3 * (n - 1)) // 4 then v64 end) as a75,
+         max(case when rn - 1 = (3 * (n - 1)) // 4 + 1 then v64 end) as b75
   from ranked group by event_type, n
 ),
 q as (
   select event_type,
          cast(4 * a25 + (coalesce(b25, a25) - a25) * ((n - 1) % 4)
-              as double) / 400.0 as p25,
+              as double) / 256.0 as p25,
          cast(4 * a75 + (coalesce(b75, a75) - a75) * ((3 * (n - 1)) % 4)
-              as double) / 400.0 as p75
+              as double) / 256.0 as p75
   from sel
 )
 select event_type, p25, p75, (p75 - p25) as iqr from q
@@ -1762,13 +1766,25 @@ def _user_trend_body(dialect: str, rel: str) -> str:
     """Per-user OLS trend of event value over time, engine-exact.
 
     Closed-form simple regression from five integer sums: x is epoch
-    SECONDS centered on the user's first event (bounds products —
-    raw epoch squared would pass 2^63), y is the value on the 1e-6
-    grid. All sums run in decimal(38,0)/hugeint (the table-checksum
-    widening idiom); slope/intercept are then a fixed expression of
-    IEEE double ops on exactly-representable integers — bit-identical
-    cross-engine (the bitext-margin recipe). Float sums would be
-    partition-order-dependent; integer sums are not.
+    MINUTES centered on the user's first event (bounds products —
+    raw epoch squared would pass 2^63), y is the value on the 2^-10
+    grid — floor(value * 2^10): a power-of-two multiply is an exact
+    exponent shift and floor has no tie semantics, so the grid is
+    bit-identical cross-engine on ANY input data (round-half on a
+    double is the one idiom the r7 driver flagged; r8 sweep). All
+    sums run in decimal(38,0)/hugeint (the table-checksum widening
+    idiom); the closed-form combinations are then clamped back
+    through BIGINT before the double cast: DuckDB's hugeint->double
+    software conversion is NOT correctly rounded above 2^53 (measured
+    1-ulp skew on -28334278284657830 this round), while int64->double
+    is a correctly-rounded hardware op in both engines. Minute
+    resolution + the 2^-10 grid keep every combination inside int64
+    up to ~6700 events/user over the fixture window; past that the
+    clamp cast fails LOUDLY in both engines instead of silently
+    diverging. slope/intercept are then a fixed expression of IEEE
+    double ops — bit-identical cross-engine (the bitext-margin
+    recipe). Float sums would be partition-order-dependent; integer
+    sums are not.
 
     Scale shape: one window (per-user min) sharing the partition key
     with the one aggregation; map-side partial aggregation collapses
@@ -1777,12 +1793,15 @@ def _user_trend_body(dialect: str, rel: str) -> str:
     spark_d = dialect == SPARK_D
     wide = "decimal(38,0)" if spark_d else "hugeint"
     if spark_d:
-        x = "unix_timestamp(ts)"
+        x = "(unix_timestamp(ts) div 60)"
     else:
         # Spark truncates to seconds; DuckDB epoch() keeps micros —
-        # floor, never cast (cast ROUNDS; round-5 gotcha)
-        x = "cast(floor(epoch(ts)) as bigint)"
-    yq = "cast(round(value * 1000000) as bigint)"
+        # floor, never cast (cast ROUNDS; round-5 gotcha). Epochs are
+        # positive, so // and div agree.
+        x = "(cast(floor(epoch(ts)) as bigint) // 60)"
+    yq = "cast(floor(value * cast(1024 as double)) as bigint)"
+    num = "cast(cast(n * sxy - sx * sy as bigint) as double)"
+    den = "cast(cast(n * sxx - sx * sx as bigint) as double)"
     return f"""
 with base as (select user_id, {x} as x, {yq} as yq from {rel}),
 cent as (
@@ -1798,16 +1817,14 @@ agg as (
   from cent group by user_id
 )
 select user_id, cast(n as bigint) as n_events,
-       cast(cast(n * sxy - sx * sy as double)
-            / cast(n * sxx - sx * sx as double)
-            * cast(86400 as double) * cast(0.000001 as double)
+       cast({num} / {den}
+            * cast(1440 as double) / cast(1024 as double)
             as double) as slope_per_day,
-       cast((cast(sy as double)
-             - cast(n * sxy - sx * sy as double)
-               / cast(n * sxx - sx * sx as double)
-               * cast(sx as double))
-            / cast(n as double)
-            * cast(0.000001 as double) as double) as intercept
+       cast((cast(cast(sy as bigint) as double)
+             - {num} / {den}
+               * cast(cast(sx as bigint) as double))
+            / cast(cast(n as bigint) as double)
+            / cast(1024 as double) as double) as intercept
 from agg
 where n >= 2 and n * sxx - sx * sx <> 0
 """
@@ -1825,9 +1842,11 @@ def q_events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _max_concurrency_body(dialect: str, rel: str) -> str:
     """Peak concurrent sessions per event type — the interval sweep
     line as ONE window pass: each event opens a session occupying the
-    CLOSED integer-second interval [t0, t0 + round(value)] — i.e.
-    round(value) + 1 seconds, with the -1 boundary point placed
-    end-exclusively at t0 + round(value) + 1 (a session whose last
+    CLOSED integer-second interval [t0, t0 + floor(value)] — i.e.
+    floor(value) + 1 seconds (floor, not round: floor of a double has
+    no tie semantics, so the length is bit-identical cross-engine on
+    any data; r8 round-idiom sweep), with the -1 boundary point placed
+    end-exclusively at t0 + floor(value) + 1 (a session whose last
     occupied second is t does not overlap one starting at t + 1).
     Intervals become +1/-1 boundary points on an integer-seconds
     timeline (epoch ints — no interval-type dialect drift), points
@@ -1846,7 +1865,7 @@ def _max_concurrency_body(dialect: str, rel: str) -> str:
     return f"""
 with iv as (
   select event_type, {x} as t0,
-         {x} + cast(round(value) as bigint) + 1 as t1
+         {x} + cast(floor(value) as bigint) + 1 as t1
   from {rel}
   -- a session needs a timestamp and a duration; NULLs would also
   -- diverge cross-engine in the window ordering (Spark NULLS FIRST

@@ -832,8 +832,15 @@ def _knn_shapley_body(
     quantized vectors (order-independent), ranks are total-ordered
     (dist, train_id), and the recurrence s_j = s_(j+1) +
     (I_j - I_(j+1)) / max(j, K) is evaluated as an integer suffix sum
-    scaled by D = lcm(1..M) (~1e28 — fits decimal(38,0)/hugeint), so
-    the ONLY float operation is one final correctly-rounded division.
+    scaled by D = lcm(1..M) (~1e28 — fits decimal(38,0)/hugeint). The
+    scaled sum then leaves integer space through a 1e-6 QUANTIZED
+    integer division (offset by a positive constant so truncation ==
+    floor in both engines for negative values), never through a wide
+    cast: DuckDB's hugeint->double conversion is NOT correctly
+    rounded above 2^53 (measured 1-ulp skew this round, r8), so
+    ``cast(sd as double)`` with sd ~ 1e27 was a latent cross-engine
+    flake. The final micro value is < 2^27, whose int64->double cast
+    and /1e6 are single correctly-rounded ops in both engines.
 
     Scale shape: the cross join is the fixture-size candidate
     generator; at corpus scale swap in the IVF probe (ivf_topk) for
@@ -842,8 +849,16 @@ def _knn_shapley_body(
     import math
 
     D = math.lcm(*range(1, m + 1))
+    # |shapley| <= sum 1/j <= ln(M)+1 < 64, so sd/D + OFF is always
+    # positive: positive integer division truncates == floors in BOTH
+    # engines (negative intdiv semantics differ; the offset sidesteps
+    # them). OFFD = OFF * D is precomputed exactly in Python.
+    OFF = 64_000_000
+    OFFD = OFF * D
     qz = tx.quantize("embedding", dialect)
     l2 = tx.l2sq_int("qv", "tv", dialect)
+    intdiv = "div" if dialect == SPARK else "//"
+    wide = "decimal(38,0)" if dialect == SPARK else "hugeint"
     if dialect == SPARK:
         lits = ", ".join(
             f"cast('{D // d}' as decimal(38,0))" for d in range(1, m + 1)
@@ -897,7 +912,11 @@ s as (select test_id, train_id, j,
              ) as sd
       from terms)
 select test_id, train_id, cast(j as int) as rank,
-       cast(sd as double) / cast('{D}' as double) as shapley
+       cast(cast(
+         (sd * cast(1000000 as {wide}) + cast('{OFFD}' as {wide}))
+           {intdiv} cast('{D}' as {wide})
+         - cast({OFF} as {wide})
+       as bigint) as double) / cast(1000000 as double) as shapley
 from s
 """
 
@@ -906,6 +925,13 @@ from s
 #: no punctuation), edges between same-doc sentences sharing >= 2
 #: distinct tokens, weighted by the shared count; top-2 per doc.
 TEXTRANK_SENT_WORDS, TEXTRANK_MIN_SHARED, TEXTRANK_TOP = 12, 2, 2
+
+#: Sentence-node packing base: node = doc_id * BASE + sentence_idx.
+#: 1e6 sentences/doc = 12M words at 12 words/sentence — far past any
+#: real document; q_textrank_summary still asserts the bound loudly
+#: instead of letting an oversize doc bleed nodes into the next
+#: doc_id's namespace (r7 ADVICE finding on the old 1000 base).
+TEXTRANK_SID_BASE = 1_000_000
 
 
 def _textrank_pairs_sql(dialect: str, rel: str) -> str:
@@ -944,7 +970,8 @@ spairs as (
   having count(*) >= {TEXTRANK_MIN_SHARED}
 ),
 tr_pairs as (
-  select doc_id * 1000 + sa as id_a, doc_id * 1000 + sb as id_b, w
+  select doc_id * {TEXTRANK_SID_BASE} + sa as id_a,
+         doc_id * {TEXTRANK_SID_BASE} + sb as id_b, w
   from spairs
 )"""
 
@@ -963,6 +990,18 @@ def q_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "_ffs_txr_docs"
     )
+    # Loud namespace-overflow guard: a doc whose sentence count reaches
+    # TEXTRANK_SID_BASE would bleed nodes into the next doc_id (r7
+    # ADVICE). One cheap column scan; fails the entry instead of
+    # silently corrupting two docs' rankings.
+    mx_words = spark.sql(
+        "select max(size(split(text, ' '))) as n from _ffs_txr_docs "
+        "where doc_id % 5 = 0"
+    ).first()[0]
+    assert (mx_words or 0) < TEXTRANK_SENT_WORDS * TEXTRANK_SID_BASE, (
+        f"textrank: document with {mx_words} words overflows the "
+        f"sentence-id namespace (base {TEXTRANK_SID_BASE})"
+    )
     pairs = spark.sql(
         "with " + _textrank_pairs_sql(SPARK, "_ffs_txr_docs")
         + " select * from tr_pairs"
@@ -973,8 +1012,10 @@ def q_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = pairs.localCheckpoint(eager=True)
     ranks = dedup_docs.weighted_pagerank(pairs, iterations=3)
     ranked = ranks.select(
-        F.expr("node div 1000").alias("doc_id"),
-        F.expr("node % 1000").cast("int").alias("sentence_idx"),
+        F.expr(f"node div {TEXTRANK_SID_BASE}").alias("doc_id"),
+        F.expr(f"node % {TEXTRANK_SID_BASE}").cast("int").alias(
+            "sentence_idx"
+        ),
         F.col("pr_micro"),
     ).withColumn(
         "pick",
@@ -1024,10 +1065,12 @@ r0 as (
   select u, cast({PR_UNIT} // nn as bigint) as r from wdeg cross join n
 ),{steps},
 ranked as (
-  select u // 1000 as doc_id, cast(u % 1000 as int) as sentence_idx,
+  select u // {TEXTRANK_SID_BASE} as doc_id,
+         cast(u % {TEXTRANK_SID_BASE} as int) as sentence_idx,
          cast(r as bigint) as pr_micro,
          cast(row_number() over (
-           partition by u // 1000 order by r desc, u % 1000 asc
+           partition by u // {TEXTRANK_SID_BASE}
+           order by r desc, u % {TEXTRANK_SID_BASE} asc
          ) as int) as pick
   from r3
 )

@@ -33,6 +33,33 @@ from pyspark.sql import types as T
 _POINTER = "_LATEST"
 
 
+def _new_version_dir_name(epoch_ms: int) -> str:
+    """Format a version directory name: ``v-<epochms>-<uuid8>``.
+
+    The single definition shared with :func:`version_commit_ms` — the
+    commit epoch is part of the store's on-disk contract (time travel,
+    history, the change feed all parse it back), so format and parse
+    must never drift apart (r7 ADVICE: they were silently coupled
+    through two hand-rolled f-string/split sites)."""
+    return f"v-{epoch_ms}-{uuid.uuid4().hex[:8]}"
+
+
+def version_commit_ms(version_dir: str) -> int:
+    """Parse the commit epoch-ms out of a version directory name
+    produced by :func:`_new_version_dir_name`."""
+    base = os.path.basename(version_dir)
+    try:
+        prefix, ms, _hex = base.split("-", 2)
+        if prefix != "v":
+            raise ValueError(base)
+        return int(ms)
+    except ValueError as exc:  # wrong shape or non-numeric ms
+        raise ValueError(
+            f"not a store version directory name: {base!r} "
+            "(expected 'v-<epochms>-<hex>')"
+        ) from exc
+
+
 class ConcurrentCommitError(RuntimeError):
     """The store's pointer moved between read() and commit()."""
 
@@ -154,9 +181,8 @@ class DocumentStore:
         now_ms = int(time.time() * 1000)
         prior = self.list_versions()
         if prior:
-            last_ms = int(os.path.basename(prior[-1]).split("-")[1])
-            now_ms = max(now_ms, last_ms + 1)
-        rel = f"v-{now_ms}-{uuid.uuid4().hex[:8]}"
+            now_ms = max(now_ms, version_commit_ms(prior[-1]) + 1)
+        rel = _new_version_dir_name(now_ms)
         out = os.path.join(self.root, rel)
         writer = post_state.write.mode("errorifexists")
         if partition_by:
@@ -215,7 +241,7 @@ class DocumentStore:
         candidates = [
             d
             for d in self.list_versions()
-            if int(os.path.basename(d).split("-")[1]) <= epoch_ms
+            if version_commit_ms(d) <= epoch_ms
         ]
         if not candidates:
             return None
@@ -248,7 +274,7 @@ class DocumentStore:
             rows.append(
                 Row(
                     version_dir=base,
-                    commit_ms=int(base.split("-")[1]),
+                    commit_ms=version_commit_ms(base),
                     is_current=(vd == cur),
                     n_rows=n,
                 )
@@ -339,15 +365,22 @@ class DocumentStore:
                 self.read_version(old), self.read_version(new), key
             ).withColumn(
                 "commit_ms",
-                F.lit(int(os.path.basename(new).split("-")[1])).cast("long"),
+                F.lit(version_commit_ms(new)).cast("long"),
             )
             feed = step if feed is None else feed.unionByName(step)
         if feed is None:  # single version or empty range: no changes
+            base = self.read_version(to_dir)
+            payload = [c for c in base.columns if c != key]
+            # Same column ORDER as the diff branch (key, change_type,
+            # payload..., commit_ms) — consumers that unionByName both
+            # shapes are fine either way, but positional consumers and
+            # schema equality checks must not see a different feed
+            # schema just because the range happened to be empty.
             return (
-                self.read_version(to_dir)
-                .withColumn("change_type", F.lit("insert"))
+                base.withColumn("change_type", F.lit("insert"))
                 .withColumn("commit_ms", F.lit(0).cast("long"))
                 .filter(F.lit(False))
+                .select(key, "change_type", *payload, "commit_ms")
             )
         return feed
 

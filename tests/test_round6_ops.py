@@ -437,17 +437,19 @@ def test_events_user_trend_matches_numpy(spark):
         for r in spark.sql(_user_trend_body(SPARK_D, "_trend_t")).collect()
     }
     assert set(got) == {1, 2}
+    import math
+
     for uid in (1, 2):
         pts = [(i, v) for (u, t, v) in rows if u == uid
                for i in [__import__("datetime").datetime.fromisoformat(t)
-                         .timestamp()]]
+                         .timestamp() // 60]]  # minute resolution
         xs = np.array([p[0] for p in pts])
         xs = xs - xs.min()
-        ys = np.array([round(p[1] * 1e6) for p in pts])
+        ys = np.array([math.floor(p[1] * 1024.0) for p in pts])
         slope, intercept = np.polyfit(xs, ys, 1)
-        # slope is in quantized (1e-6-grid) units/sec -> value units/day
-        assert abs(got[uid]["slope_per_day"] - slope * 86400 * 1e-6) < 1e-9
-        assert abs(got[uid]["intercept"] - intercept * 1e-6) < 1e-9
+        # slope is in quantized (2^-10-grid) units/min -> value units/day
+        assert abs(got[uid]["slope_per_day"] - slope * 1440 / 1024) < 1e-9
+        assert abs(got[uid]["intercept"] - intercept / 1024) < 1e-9
         assert got[uid]["n_events"] == len(pts)
 
 

@@ -84,9 +84,11 @@ def test_zone_scan_equals_full_scan(spark):
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias(
-                "value_cents"
-            ),
+            F.sum(
+                F.expr("cast(floor(value * cast(64 as double)) as bigint)")
+            )
+            .cast("long")
+            .alias("value_64ths"),
         )
     )
     assert got == want
@@ -245,12 +247,14 @@ def test_knn_shapley_hand_example(spark):
         r["train_id"]: (r["rank"], r["shapley"])
         for r in spark.sql(_knn_shapley_body(SPARK_D, "_t7_shap")).collect()
     }
-    # expected 1/5 must round the same way the engines do: the exact
-    # integer D/5 cast to double, then one IEEE division by double(D)
+    # expected 1/5 on the engines' exact 1e-6 micro grid: the scaled
+    # integer D/5 is floor-divided to micros, then one int64->double
+    # cast and one IEEE division by 1e6 (the r8 exact-output recipe —
+    # no wide hugeint->double cast, which DuckDB mis-rounds past 2^53)
     import math
 
     D = math.lcm(*range(1, 65))
-    fifth = float(D // 5) / float(D)
+    fifth = float(((D // 5) * 1_000_000) // D) / 1e6
     assert got == {
         10: (1, fifth),
         11: (2, 0.0),
@@ -600,6 +604,7 @@ def test_fuzz_textrank_parity(spark, tmp_path):
     )
     from far_finer_airtable_firestore_sync_spark.operators import dedup_docs
     from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        TEXTRANK_SID_BASE,
         TEXTRANK_TOP,
         _textrank_pairs_sql,
         textrank_oracle,
@@ -632,8 +637,10 @@ def test_fuzz_textrank_parity(spark, tmp_path):
     ranks = dedup_docs.weighted_pagerank(pairs, iterations=3)
     got = (
         ranks.select(
-            F.expr("node div 1000").alias("doc_id"),
-            F.expr("node % 1000").cast("int").alias("sentence_idx"),
+            F.expr(f"node div {TEXTRANK_SID_BASE}").alias("doc_id"),
+            F.expr(f"node % {TEXTRANK_SID_BASE}").cast("int").alias(
+                "sentence_idx"
+            ),
             F.col("pr_micro"),
         )
         .withColumn(
