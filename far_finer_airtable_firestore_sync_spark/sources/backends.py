@@ -188,6 +188,11 @@ class TransactionalParquetBackend:
 
     _LOG = "_log"
     _WIDTH = 20
+    #: write a `_last_checkpoint` hint every N commits (Delta's
+    #: checkpointInterval shape) so `latest()` is O(tail), not
+    #: O(commits) — the r7 VERDICT scale gap: the most-used read path
+    #: listed the whole log directory on every read and CAS retry.
+    CHECKPOINT_INTERVAL = 10
 
     def __init__(
         self,
@@ -217,22 +222,84 @@ class TransactionalParquetBackend:
 
         return os.path.join(self._log_dir(), f"{version:0{self._WIDTH}d}.json")
 
-    def latest(self) -> tuple[int, Optional[dict]]:
-        """(version, record) of the newest commit; (0, None) if empty.
-        One directory listing — no data read."""
+    def _checkpoint_path(self) -> str:
+        import os
+
+        return os.path.join(self._log_dir(), "_last_checkpoint")
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Publish a `_last_checkpoint` hint (write-temp + atomic
+        replace). Best-effort and purely advisory: every record
+        already carries the full carried-forward state, so ANY
+        committed version is a valid probe start — a failed, stale,
+        or lost checkpoint only costs extra forward probes, never
+        correctness. (Two writers replacing concurrently can regress
+        the hint to the older of the two versions; same benign
+        outcome, so no lock.)"""
+        import json
+        import os
+        import uuid
+
+        tmp = os.path.join(
+            self._log_dir(), f"_tmp-ckpt-{uuid.uuid4().hex}.json"
+        )
+        try:
+            with open(tmp, "w") as fh:
+                json.dump({"version": version}, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, self._checkpoint_path())
+        except OSError:
+            # advisory only — the commit that triggered this has
+            # already been published atomically
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+    def _checkpoint_version(self) -> int:
+        """Probe start from the `_last_checkpoint` hint; 0 when the
+        hint is missing, unreadable, or names a record that does not
+        exist (a hint can never be trusted past what the log shows)."""
         import json
         import os
 
-        names = [
-            n
-            for n in os.listdir(self._log_dir())
-            if n.endswith(".json") and n[: -5].isdigit()
-        ]
-        if not names:
+        try:
+            with open(self._checkpoint_path()) as fh:
+                cand = json.load(fh).get("version", 0)
+        except (OSError, ValueError):
+            return 0
+        if (
+            isinstance(cand, int)
+            and cand > 0
+            and os.path.exists(self._record_path(cand))
+        ):
+            return cand
+        return 0
+
+    def latest(self) -> tuple[int, Optional[dict]]:
+        """(version, record) of the newest commit; (0, None) if empty.
+
+        O(tail) — versions are DENSE by construction (N+1 is only ever
+        created by a writer that observed N), so the newest version is
+        found by probing forward from the `_last_checkpoint` hint with
+        existence stats: no directory listing at all. At 1e5 commits
+        with the default interval this is <= ~10 stats + 1 hint read +
+        1 record read, where the r7 implementation listed the whole
+        `_log/` directory on EVERY read and CAS retry (O(commits) per
+        read, quadratic over the store's lifetime). A record is fully
+        written and fsync'd BEFORE its atomic link publish, so an
+        existing path always reads back complete."""
+        import json
+        import os
+
+        v = self._checkpoint_version()
+        while os.path.exists(self._record_path(v + 1)):
+            v += 1
+        if v == 0:
             return 0, None
-        top = max(names)
-        with open(os.path.join(self._log_dir(), top)) as fh:
-            return int(top[:-5]), json.load(fh)
+        with open(self._record_path(v)) as fh:
+            return v, json.load(fh)
 
     # -- StoreBackend protocol --------------------------------------------
 
@@ -346,7 +413,7 @@ class TransactionalParquetBackend:
             target = self._record_path(base_v + 1)
             try:
                 os.link(tmp, target)  # atomic put-if-absent
-                return f"txn://{base_v + 1}"
+                return self._published(base_v + 1)
             except FileExistsError:
                 # Either a rival owns version base_v+1 — or OUR link
                 # succeeded server-side and only the reply was lost (an
@@ -354,10 +421,53 @@ class TransactionalParquetBackend:
                 # actually won; review finding). The tmp file's link
                 # count disambiguates: 2 means the target IS our record.
                 if os.stat(tmp).st_nlink == 2:
-                    return f"txn://{base_v + 1}"
+                    return self._published(base_v + 1)
                 continue
             finally:
                 os.unlink(tmp)
+
+    def _published(self, version: int) -> str:
+        """Post-publish bookkeeping shared by both commit-win paths:
+        roll the `_last_checkpoint` hint every CHECKPOINT_INTERVAL
+        commits, then hand back the ``txn://N`` handle."""
+        if version % self.CHECKPOINT_INTERVAL == 0:
+            self._write_checkpoint(version)
+        return f"txn://{version}"
+
+    def vacuum_orphans(self, min_age_s: float = 3600.0) -> list[str]:
+        """Remove data directories no commit record references — the
+        leak path is a writer that crashed (or hit a non-EEXIST link
+        error) BETWEEN its parquet write and its log publish (r8
+        ADVICE). ``min_age_s`` guards in-flight commits: a directory
+        younger than the threshold may belong to a writer that has
+        written its data but not yet linked its record, so it is left
+        alone. Referenced-set construction reads every log record —
+        O(commits) — which is fine for an explicit maintenance call
+        (unlike ``latest()``, which is on every read path). Returns
+        the removed directory paths."""
+        import json
+        import os
+        import shutil
+        import time
+
+        referenced = set()
+        for n in os.listdir(self._log_dir()):
+            if n.endswith(".json") and n[:-5].isdigit():
+                with open(os.path.join(self._log_dir(), n)) as fh:
+                    referenced.add(json.load(fh)["version_dir"])
+        removed = []
+        now = time.time()
+        for n in os.listdir(self.root):
+            p = os.path.join(self.root, n)
+            if (
+                n.startswith("v-")
+                and os.path.isdir(p)
+                and n not in referenced
+                and now - os.path.getmtime(p) >= min_age_s
+            ):
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
+        return removed
 
     def commit_with(
         self,

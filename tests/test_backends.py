@@ -376,3 +376,127 @@ def test_txn_backend_true_thread_concurrency(spark, tmp_path):
     assert reader.read().collect()[0]["n"] == 9
     versions = [r["version"] for r in reader.history().collect()]
     assert versions == list(range(1, 10))
+
+
+# ---------------------------------------------------------------------------
+# r8: log checkpointing (latest() is O(tail), not O(commits)) + orphan GC
+# ---------------------------------------------------------------------------
+
+
+def _synth_log(root: str, n: int) -> None:
+    """Write n dense synthetic commit records straight into _log/
+    (no parquet — these tests exercise the LOG protocol, not data)."""
+    import json
+    import os
+
+    log = os.path.join(root, TransactionalParquetBackend._LOG)
+    os.makedirs(log, exist_ok=True)
+    w = TransactionalParquetBackend._WIDTH
+    for v in range(1, n + 1):
+        with open(os.path.join(log, f"{v:0{w}d}.json"), "w") as fh:
+            json.dump(
+                {"version_dir": f"v-{v:08x}", "writer": "s", "ts_ms": v,
+                 "txns": {}},
+                fh,
+            )
+
+
+def test_txn_latest_is_o_tail_with_checkpoint(spark, tmp_path, monkeypatch):
+    """At 1e4 synthetic commits with a fresh checkpoint, latest() must
+    resolve with a BOUNDED number of existence probes (no directory
+    listing) — the r7 VERDICT scale gap: O(commits) listing on every
+    read and CAS retry."""
+    import os
+
+    root = str(tmp_path / "big")
+    n = 10_000
+    _synth_log(root, n)
+    b = TransactionalParquetBackend(spark, root, writer_id="r")
+    b._write_checkpoint(n)
+
+    real_exists = os.path.exists
+    calls = {"n": 0}
+
+    def counting_exists(p):
+        calls["n"] += 1
+        return real_exists(p)
+
+    monkeypatch.setattr(os.path, "exists", counting_exists)
+    real_listdir = os.listdir
+
+    def no_listdir(p):  # pragma: no cover - failure path
+        raise AssertionError(f"latest() must not list {p}")
+
+    monkeypatch.setattr(os, "listdir", no_listdir)
+    v, rec = b.latest()
+    monkeypatch.setattr(os, "listdir", real_listdir)
+    assert v == n and rec["version_dir"] == f"v-{n:08x}"
+    # 1 probe validates the checkpoint, 1 finds n+1 missing
+    assert calls["n"] <= 3, calls
+
+
+def test_txn_latest_stale_or_missing_checkpoint_falls_back(spark, tmp_path):
+    """A stale hint probes forward to the true head; a hint naming a
+    nonexistent record (or no hint at all) falls back to probing from
+    0 — a checkpoint is advisory, never load-bearing."""
+    import json
+    import os
+
+    root = str(tmp_path / "stale")
+    _synth_log(root, 25)
+    b = TransactionalParquetBackend(spark, root, writer_id="r")
+    b._write_checkpoint(10)  # stale: head is 25
+    assert b.latest()[0] == 25
+    with open(b._checkpoint_path(), "w") as fh:
+        json.dump({"version": 999}, fh)  # names a missing record
+    assert b.latest()[0] == 25
+    os.unlink(b._checkpoint_path())
+    assert b.latest()[0] == 25
+    with open(b._checkpoint_path(), "w") as fh:
+        fh.write("{corrupt")  # unreadable hint
+    assert b.latest()[0] == 25
+
+
+def test_txn_commit_rolls_checkpoint_at_interval(spark, tmp_path):
+    """CHECKPOINT_INTERVAL real commits auto-publish _last_checkpoint,
+    and the multi-writer protocol stays intact across it."""
+    import json
+    import os
+
+    root = str(tmp_path / "roll")
+    b = TransactionalParquetBackend(spark, root, "k", writer_id="a")
+    one = spark.createDataFrame([(1, 1)], "k long, n long")
+    for i in range(TransactionalParquetBackend.CHECKPOINT_INTERVAL):
+        b.commit_with(lambda cur, i=i: one.selectExpr("k", f"{i} as n"))
+    assert os.path.exists(b._checkpoint_path())
+    with open(b._checkpoint_path()) as fh:
+        assert json.load(fh)["version"] == b.CHECKPOINT_INTERVAL
+    v, rec = b.latest()
+    assert v == b.CHECKPOINT_INTERVAL
+    assert b.read().collect()[0]["n"] == b.CHECKPOINT_INTERVAL - 1
+
+
+def test_txn_vacuum_orphans_removes_only_old_unreferenced(spark, tmp_path):
+    """An orphaned v-* dir (crash between parquet write and publish)
+    is removed once old enough; referenced dirs and young orphans
+    survive (young = possibly a concurrent writer's in-flight data)."""
+    import os
+    import time
+
+    root = str(tmp_path / "gc")
+    b = TransactionalParquetBackend(spark, root, "k", writer_id="a")
+    h = b.commit(spark.createDataFrame([(1, "x")], "k long, v string"))
+    assert h == "txn://1"
+    live = b.latest()[1]["version_dir"]
+    old_orphan = os.path.join(root, "v-deadbeef")
+    young_orphan = os.path.join(root, "v-cafebabe")
+    os.makedirs(old_orphan)
+    os.makedirs(young_orphan)
+    past = time.time() - 7200
+    os.utime(old_orphan, (past, past))
+    removed = b.vacuum_orphans(min_age_s=3600)
+    assert removed == [old_orphan]
+    assert not os.path.exists(old_orphan)
+    assert os.path.exists(young_orphan)
+    assert os.path.exists(os.path.join(root, live))
+    assert b.read().count() == 1
