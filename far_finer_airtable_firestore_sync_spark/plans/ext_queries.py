@@ -1165,23 +1165,41 @@ def kcenter_oracle() -> str:
 def _soundex_groups_body(dialect: str, rel: str) -> str:
     """Phonetic blocking (American Soundex, tx.soundex_expr — fuzzed
     against Spark's native soundex): the classic entity-resolution
-    blocking key. Groups of distinct part-name words that collide
+    blocking key. Groups of distinct name words that collide
     phonetically; blocking on the 4-char code turns fuzzy name
     matching into an equi-join, the same candidate-generation shape
-    as the LSH/SimHash/PassJoin families."""
+    as the LSH/SimHash/PassJoin families.
+
+    Corpus (r7 VERDICT #7 — the raw part-word corpus yielded a single
+    thin collision group): part-name words plus a derived name-mangle
+    variant per consonant-initial word with every vowel flattened to
+    'a' — soundex discards non-initial vowels, so each variant
+    collides with its source by construction (the deterministic
+    cross-engine stand-in for a misspelled-names corpus), exercising
+    the grouping over many multi-member blocks instead of one."""
     sx = tx.soundex_expr("w", dialect)
     if dialect == SPARK:
         un = (
             f"select distinct lower(wd) as w from "
             f"(select explode(split(p_name, ' ')) as wd from {rel})"
         )
+        # Spark regexp_replace is replace-ALL by default
+        flat = "regexp_replace(w, '[aeiou]', 'a')"
     else:
         un = (
             f"select distinct lower(wd) as w from "
             f"(select unnest(string_split(p_name, ' ')) as wd from {rel})"
         )
+        # DuckDB replaces only the FIRST match without the 'g' flag
+        flat = "regexp_replace(w, '[aeiou]', 'a', 'g')"
     return f"""
-with words as ({un}),
+with words0 as ({un}),
+variants as (
+  select distinct {flat} as w from words0
+  where length(w) > 0
+    and substring(w, 1, 1) not in ('a', 'e', 'i', 'o', 'u')
+),
+words as (select w from words0 union select w from variants),
 coded as (select {sx} as sx, w from words where length(w) > 0)
 select sx, cast(count(*) as bigint) as n_words,
        min(w) as first_word, max(w) as last_word

@@ -717,3 +717,17 @@ def test_weighted_pagerank_matches_python_replica(spark):
         r1 = {u: (15 * PR_UNIT) // (100 * n) + (85 * s[u]) // 100
               for u in deg}
     assert got_unw == r1
+
+
+def test_soundex_groups_fixture_is_rich(spark):
+    """The blocking entry must exercise MANY multi-member collision
+    groups (r7 VERDICT: the raw part-word corpus had exactly one thin
+    red/rod group) — the vowel-flattened variant corpus guarantees a
+    collision per consonant-initial vowel-bearing word."""
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        q_soundex_groups,
+    )
+
+    rows = q_soundex_groups(spark, SF_DIR).collect()
+    assert len(rows) >= 5, [tuple(r) for r in rows]
+    assert all(r["n_words"] >= 2 for r in rows)
