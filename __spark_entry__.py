@@ -725,6 +725,207 @@ group by user_id
 """
 
 
+def _q_store_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-dimension data skipping — the Delta OPTIMIZE ZORDER shape
+    — through the REAL store path: cluster events by the Morton
+    interleave of (user_id, epoch-day) buckets, commit, write the
+    footer-stats manifest, and prune the file list on BOTH dimensions
+    independently (intersecting the two per-column zone prunes). A
+    1-D sort layout can only skip on its leading column; the Z-order
+    tiles keep per-file min/max ranges tight on EVERY interleaved
+    column, which is exactly why table formats Z-order their 100 TB
+    tables before range-query workloads. Layout is deterministic:
+    buckets come from exact min/max aggregates and the partitioner is
+    murmur3 of the Morton tile (r7 de-flake recipe); pruning re-applies
+    the predicate so it is loss-impossible by construction, and the
+    entry asserts Spark-side equality against the direct scan
+    (self-bisect contract, VERDICT r7 #1)."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.operators.layout import (
+        morton_key_expr,
+    )
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        read_events,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+        prune_files_by_zone,
+        write_zone_manifest,
+    )
+
+    _utc(spark)
+    ev = read_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.expr("unix_timestamp(ts) div 86400").alias("d"),
+        "value",
+    )
+    root = tempfile.mkdtemp(prefix="ffs_zorder_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "event_id")
+    mnu, mxu, mnd, mxd = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("d"), F.max("d")
+    ).first()
+    wu = max(1, (int(mxu) - int(mnu) + 16) // 16)
+    wd = max(1, (int(mxd) - int(mnd) + 16) // 16)
+    ub = f"((user_id - {int(mnu)}) div {wu})"
+    db = f"((d - {int(mnd)}) div {wd})"
+    morton = morton_key_expr(ub, db, SPARK)
+    # 16 consecutive Morton codes = one 4x4 (user, day) tile; files
+    # hold whole tiles, so footer zones stay tight on BOTH columns
+    vdir = store.commit(
+        ev.repartition(16, F.expr(f"cast(({morton}) div 16 as int)"))
+    )
+    write_zone_manifest(vdir)
+    ulo, uhi = 10, 19
+    dlo, dhi = int(mnd), int(mnd) + (int(mxd) - int(mnd)) // 4
+    keep_u, total = prune_files_by_zone(vdir, "user_id", ulo, uhi)
+    keep_d, _ = prune_files_by_zone(vdir, "d", dlo, dhi)
+    keep = sorted(set(keep_u) & set(keep_d))
+    # each dimension must skip on its own, and the intersection more
+    assert 0 < len(keep_u) < total, (len(keep_u), total)
+    assert 0 < len(keep_d) < total, (len(keep_d), total)
+    assert 0 < len(keep) <= min(len(keep_u), len(keep_d))
+    flt = (
+        (F.col("user_id") >= ulo)
+        & (F.col("user_id") <= uhi)
+        & (F.col("d") >= dlo)
+        & (F.col("d") <= dhi)
+    )
+
+    def agg64(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.expr("cast(floor(value * cast(64 as double)) as bigint)"))
+            .cast("long")
+            .alias("value_64ths"),
+        )
+
+    out = agg64(spark.read.parquet(*keep).filter(flt))
+    direct = agg64(ev.filter(flt))
+    n_bad = out.exceptAll(direct).unionByName(direct.exceptAll(out)).count()
+    assert n_bad == 0, (
+        f"z-order pruned aggregate diverges from direct scan on {n_bad} "
+        "rows — store/prune path bug, not oracle"
+    )
+    return out
+
+
+_STORE_ZORDER_SQL = """
+with ev as (
+  select user_id, cast(floor(epoch(ts)) as bigint) // 86400 as d, value
+  from events
+),
+b as (select min(d) as mnd, max(d) as mxd from ev)
+select user_id, cast(count(*) as bigint) as n_events,
+       cast(sum(cast(floor(value * cast(64 as double)) as bigint))
+            as bigint) as value_64ths
+from ev cross join b
+where user_id between 10 and 19
+  and d >= mnd and d <= mnd + (mxd - mnd) // 4
+group by user_id
+"""
+
+
+def _q_store_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout EVOLUTION through the store (the Iceberg
+    partition-evolution shape on immutable versions): the same events
+    land once hive-partitioned by event_type and once by epoch-day —
+    each later commit is free to pick the layout its read pattern
+    wants, because versions are independent directories. Selective
+    reads against each layout prune WHOLE PARTITION DIRECTORIES
+    (Spark PartitionFilters — pinned by a plan-shape test); at 100 TB
+    the type-filtered report touches 1/|types| of the data under v1's
+    layout and the day-ranged report 1/|days| under v2's, with zero
+    rewrite of the other layout. Results are layout-invariant by
+    construction and the entry asserts both aggregates equal the
+    direct unpartitioned scan (self-bisect contract)."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        read_events,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    _utc(spark)
+    ev = read_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("unix_timestamp(ts) div 86400").alias("d"),
+        "value",
+    )
+    root = tempfile.mkdtemp(prefix="ffs_pevo_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "event_id")
+    v1 = store.commit(ev, partition_by=["event_type"])
+    v2 = store.commit(ev, partition_by=["d"])
+    et = ev.agg(F.min("event_type")).first()[0]
+    mnd, mxd = ev.agg(F.min("d"), F.max("d")).first()
+    dlo, dhi = int(mnd), int(mnd) + (int(mxd) - int(mnd)) // 4
+
+    def agg64(df: DataFrame, label: str) -> DataFrame:
+        return (
+            df.groupBy()
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(
+                    F.expr(
+                        "cast(floor(value * cast(64 as double)) as bigint)"
+                    )
+                )
+                .cast("long")
+                .alias("value_64ths"),
+            )
+            .select(F.lit(label).alias("layout"), "n_events", "value_64ths")
+        )
+
+    by_type = agg64(
+        store.read_version(v1).filter(F.col("event_type") == et), "by_type"
+    )
+    by_day = agg64(
+        store.read_version(v2).filter(
+            (F.col("d") >= dlo) & (F.col("d") <= dhi)
+        ),
+        "by_day",
+    )
+    # layout must never change answers: both pruned reads == the
+    # direct unpartitioned scan (err here names the store/layout side)
+    for got, want in (
+        (by_type, agg64(ev.filter(F.col("event_type") == et), "by_type")),
+        (by_day, agg64(ev.filter((F.col("d") >= dlo) & (F.col("d") <= dhi)),
+                       "by_day")),
+    ):
+        n_bad = got.exceptAll(want).unionByName(want.exceptAll(got)).count()
+        assert n_bad == 0, (
+            f"partitioned-layout aggregate diverges from direct scan on "
+            f"{n_bad} rows — store/partition-pruning bug, not oracle"
+        )
+    return by_type.unionByName(by_day)
+
+
+_STORE_PEVO_SQL = """
+with ev as (
+  select event_type, cast(floor(epoch(ts)) as bigint) // 86400 as d, value
+  from events
+),
+b as (select min(event_type) as et, min(d) as mnd, max(d) as mxd from ev)
+select 'by_type' as layout, cast(count(*) as bigint) as n_events,
+       cast(sum(cast(floor(value * cast(64 as double)) as bigint))
+            as bigint) as value_64ths
+from ev cross join b where ev.event_type = b.et
+union all
+select 'by_day' as layout, cast(count(*) as bigint) as n_events,
+       cast(sum(cast(floor(value * cast(64 as double)) as bigint))
+            as bigint) as value_64ths
+from ev cross join b
+where ev.d >= b.mnd and ev.d <= b.mnd + (b.mxd - b.mnd) // 4
+"""
+
+
 def _q_store_txn_multiwriter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lock-free multi-writer commit through the log-structured
     backend (TransactionalParquetBackend): writer A captures the EMPTY
@@ -1307,6 +1508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_bucket_drift": _q_store_bucket_drift,
         "store_bucket_repair": _q_store_bucket_repair,
         "store_zone_map_scan": _q_store_zone_scan,
+        "store_zorder_scan": _q_store_zorder_scan,
+        "store_partition_evolution": _q_store_partition_evolution,
         "store_txn_multiwriter": _q_store_txn_multiwriter,
         "store_compaction": _q_store_compaction,
         "store_change_feed": _q_store_change_feed,
@@ -1350,6 +1553,8 @@ def oracle_sql() -> dict[str, str]:
         "store_bucket_drift": _store_bucket_drift_oracle(),
         "store_bucket_repair": _STORE_REPAIR_SQL,
         "store_zone_map_scan": _STORE_ZONE_SQL,
+        "store_zorder_scan": _STORE_ZORDER_SQL,
+        "store_partition_evolution": _STORE_PEVO_SQL,
         "store_txn_multiwriter": _STORE_TXN_MW_SQL,
         "store_compaction": _STORE_COMPACT_SQL,
         "store_change_feed": _STORE_CDF_SQL,

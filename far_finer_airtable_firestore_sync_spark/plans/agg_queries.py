@@ -2809,3 +2809,95 @@ AGG_ORACLES = {
     "events_max_concurrency": _max_concurrency_body(DUCK_D, "events"),
     "event_iqr_udaf": EVENT_IQR_SQL,
 }
+
+
+#: equi-depth histogram buckets
+EQUIDEPTH_BUCKETS = 8
+
+EQUIDEPTH_SQL = f"""
+with ranked as (
+  select value, event_id,
+         row_number() over (order by value asc, event_id asc) as rn,
+         count(*) over () as n
+  from events where value is not null
+)
+select cast((rn - 1) * {EQUIDEPTH_BUCKETS} // n as int) as bucket,
+       cast(count(*) as bigint) as n_rows,
+       min(cast(floor(value * cast(64 as double)) as bigint)) as lo_64,
+       max(cast(floor(value * cast(64 as double)) as bigint)) as hi_64
+from ranked
+group by 1
+"""
+
+
+def q_events_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth histogram of event values (8 buckets of equal
+    row count, rank-cut boundaries) — the optimizer-statistics /
+    data-profiling shape, built DISTRIBUTED:
+
+    a naive ``row_number() over (order by value)`` collapses the whole
+    table into ONE task (a global window has a single partition — the
+    classic 100 TB scale killer). Here global ranks come from the
+    distributed exact-rank recipe instead: range-repartition on the
+    total order, sort within partitions, compute per-partition local
+    ranks, and add the prefix sum of partition counts (a tiny
+    O(partitions) broadcastable side). ``repartitionByRange`` samples
+    its boundaries nondeterministically, but ranks over a UNIQUE total
+    order (value, event_id) are boundary-invariant, so the result is
+    deterministic even though the partitioning is not (the r6 gotcha
+    applies to file layouts, not rank outputs). The DuckDB oracle runs
+    the plain single-window SQL — same answer, two plan shapes.
+
+    Bucket values are exact integers (floor(value*64) grid +
+    rank-derived cuts), so the value hash is engine-stable on any
+    data."""
+    from pyspark.sql import Window
+
+    _utc(spark)
+    ev = (
+        read_events(spark, sf_dir)
+        .filter("value is not null")
+        .select("value", "event_id")
+    )
+    # pid = the RANGE partition index (ordered: every value in pid i
+    # sorts before every value in pid i+1); the per-pid window below
+    # does its own local sort, so no sortWithinPartitions needed
+    parts = ev.repartitionByRange(
+        32, F.col("value"), F.col("event_id")
+    ).withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid").orderBy("value", "event_id")
+    local = parts.withColumn("lrn", F.row_number().over(w_local))
+    sizes = local.groupBy("pid").agg(F.max("lrn").alias("cnt"))
+    w_prefix = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sizes.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(w_prefix), F.lit(0)).alias("off"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").select(
+        "value",
+        (F.col("lrn") + F.col("off")).alias("rn"),
+        "n",
+    )
+    return ranked.select(
+        F.expr(
+            f"cast((rn - 1) * {EQUIDEPTH_BUCKETS} div n as int)"
+        ).alias("bucket"),
+        F.expr("cast(floor(value * cast(64 as double)) as bigint)").alias(
+            "v64"
+        ),
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("v64").alias("lo_64"),
+        F.max("v64").alias("hi_64"),
+    )
+
+
+AGG_QUERIES["events_equidepth_hist"] = q_events_equidepth_hist
+AGG_ORACLES["events_equidepth_hist"] = EQUIDEPTH_SQL

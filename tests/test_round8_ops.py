@@ -1,0 +1,217 @@
+"""Round-8 feature/regression tests: Z-order store skipping,
+partition-layout evolution, and the distributed exact equi-depth
+histogram."""
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_zorder_entry_repeat_run_stable(spark):
+    """store_zorder_scan twice with fresh roots: identical results
+    (murmur3-tile layout is run-deterministic) and non-empty."""
+    import __spark_entry__ as e
+
+    q = e.queries()["store_zorder_scan"]
+    a, b = _canon(q(spark, SF_DIR)), _canon(q(spark, SF_DIR))
+    assert a == b and len(a) > 0
+
+
+def test_zorder_entry_equals_direct_scan(spark):
+    """The pruned Z-order aggregate == the same filter computed from
+    the raw parquet (the in-entry assert already enforces it against
+    the store round-trip; this pins it against the fixture too)."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    got = _canon(e.queries()["store_zorder_scan"](spark, SF_DIR))
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").selectExpr(
+        "user_id", "unix_timestamp(ts) div 86400 as d", "value"
+    )
+    mnd, mxd = ev.agg(F.min("d"), F.max("d")).first()
+    dhi = int(mnd) + (int(mxd) - int(mnd)) // 4
+    want = _canon(
+        ev.filter(f"user_id between 10 and 19 and d between {mnd} and {dhi}")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.expr("cast(floor(value * cast(64 as double)) as bigint)")
+            )
+            .cast("long")
+            .alias("value_64ths"),
+        )
+    )
+    assert got == want
+
+
+def test_partition_evolution_entry_and_plan_pruning(spark, tmp_path):
+    """Both layouts answer identically (entry), and a filtered read of
+    a hive-partitioned version carries real PartitionFilters in its
+    plan — directory-level skipping, not a post-scan filter."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    rows = _canon(e.queries()["store_partition_evolution"](spark, SF_DIR))
+    assert {r[0] for r in rows} == {"by_type", "by_day"}
+    assert all(r[1] > 0 for r in rows)
+
+    store = DocumentStore(spark, str(tmp_path / "pevo"), "event_id")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    vdir = store.commit(ev, partition_by=["event_type"])
+    et = ev.agg(F.min("event_type")).first()[0]
+    plan = (
+        store.read_version(vdir)
+        .filter(F.col("event_type") == et)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    head = plan.split("== Initial Plan ==")[0]
+    assert "PartitionFilters" in head
+    # the filter must actually reach the partition-filter slot
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", head)
+    assert m and "event_type" in m.group(1), head[:2000]
+
+
+def test_equidepth_distributed_matches_global_window(spark):
+    """The range-partition + prefix-offset exact-rank recipe must
+    equal the single-window formulation row-for-row, and bucket sizes
+    must be floor-balanced (max-min <= 1)."""
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        EQUIDEPTH_BUCKETS,
+        q_events_equidepth_hist,
+    )
+
+    got = _canon(q_events_equidepth_hist(spark, SF_DIR))
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev.createOrReplaceTempView("_r8_eq_events")
+    want = _canon(
+        spark.sql(
+            f"""
+            with ranked as (
+              select value, event_id,
+                     row_number() over (
+                       order by value asc, event_id asc) as rn,
+                     count(*) over () as n
+              from _r8_eq_events where value is not null
+            )
+            select cast((rn - 1) * {EQUIDEPTH_BUCKETS} div n as int)
+                     as bucket,
+                   cast(count(*) as bigint) as n_rows,
+                   min(cast(floor(value * cast(64 as double)) as bigint))
+                     as lo_64,
+                   max(cast(floor(value * cast(64 as double)) as bigint))
+                     as hi_64
+            from ranked group by 1
+            """
+        )
+    )
+    assert got == want
+    sizes = [r[1] for r in got]
+    assert len(got) == EQUIDEPTH_BUCKETS
+    assert max(sizes) - min(sizes) <= 1
+    # bucket ranges are non-overlapping and ordered
+    ordered = sorted(got)
+    for (b1, _n1, _lo1, hi1), (b2, _n2, lo2, _hi2) in zip(
+        ordered, ordered[1:]
+    ):
+        # rank cuts keep value order: the next bucket starts at or
+        # above where the previous one ended (ties may share the cell)
+        assert b2 == b1 + 1 and lo2 >= hi1
+
+
+def test_equidepth_fuzz_duplicates_and_negatives(spark):
+    """Adversarial value distributions (heavy ties, negatives, tiny
+    fractions) keep the distributed and window formulations equal."""
+    import random
+
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        EQUIDEPTH_BUCKETS,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(8)
+    vals = (
+        [0.0] * 40
+        + [-1.25] * 17
+        + [rng.uniform(-5, 5) for _ in range(150)]
+        + [3.0000001, 2.9999999, 0.015625]
+    )
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "event_id long, value double"
+    )
+    # distributed recipe inline (mirrors q_events_equidepth_hist)
+    parts = df.repartitionByRange(
+        8, F.col("value"), F.col("event_id")
+    ).withColumn("pid", F.spark_partition_id())
+    local = parts.withColumn(
+        "lrn",
+        F.row_number().over(Window.partitionBy("pid").orderBy(
+            "value", "event_id")),
+    )
+    sizes = local.groupBy("pid").agg(F.max("lrn").alias("cnt"))
+    off = sizes.select(
+        "pid",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("pid").rowsBetween(
+                    Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("off"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    dist = _canon(
+        local.join(F.broadcast(off), "pid")
+        .select(
+            F.expr(
+                f"cast((lrn + off - 1) * {EQUIDEPTH_BUCKETS} div n as int)"
+            ).alias("bucket"),
+            F.expr(
+                "cast(floor(value * cast(64 as double)) as bigint)"
+            ).alias("v64"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("v64").alias("lo_64"),
+            F.max("v64").alias("hi_64"),
+        )
+    )
+    df.createOrReplaceTempView("_r8_eq_fuzz")
+    want = _canon(
+        spark.sql(
+            f"""
+            with ranked as (
+              select value, event_id,
+                     row_number() over (
+                       order by value asc, event_id asc) as rn,
+                     count(*) over () as n
+              from _r8_eq_fuzz where value is not null
+            )
+            select cast((rn - 1) * {EQUIDEPTH_BUCKETS} div n as int)
+                     as bucket,
+                   cast(count(*) as bigint) as n_rows,
+                   min(cast(floor(value * cast(64 as double)) as bigint))
+                     as lo_64,
+                   max(cast(floor(value * cast(64 as double)) as bigint))
+                     as hi_64
+            from ranked group by 1
+            """
+        )
+    )
+    assert dist == want
