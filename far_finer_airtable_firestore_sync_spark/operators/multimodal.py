@@ -986,6 +986,74 @@ def audio_chroma_fingerprint(df: DataFrame) -> DataFrame:
     )
 
 
+def audio_dynamics(
+    df: DataFrame, loud_abs: int = 512, quiet_abs: int = 64
+) -> DataFrame:
+    """Clip dynamics from REAL WAV byte decode: peak absolute sample,
+    loud/quiet sample counts, and the integer DC sum — the
+    silence/clipping screen a speech-curation pipeline runs before
+    paying for feature extraction. All outputs are integers over the
+    decoded PCM, so the DuckDB oracle replays them exactly from the
+    synth formula (gradient_pcm_sample).
+
+    Scale shape: mapInPandas projection — clips decode where they
+    live; only (media_id, 4 small ints) shuffle."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import io
+        import struct
+        import wave
+
+        import pandas as pd
+
+        def one(content):
+            if content is None:
+                return (None, None, None, None)
+            try:
+                with wave.open(io.BytesIO(bytes(content))) as w:
+                    if (
+                        w.getnchannels() != 1
+                        or w.getsampwidth() != 2
+                        or w.getnframes() != AFP_N_SAMPLES
+                    ):
+                        return (None, None, None, None)
+                    raw = w.readframes(AFP_N_SAMPLES)
+                s = struct.unpack(f"<{AFP_N_SAMPLES}h", raw)
+            except Exception:
+                return (None, None, None, None)
+            return (
+                max(abs(x) for x in s),
+                sum(1 for x in s if abs(x) >= loud_abs),
+                sum(1 for x in s if abs(x) <= quiet_abs),
+                sum(s),
+            )
+
+        for pdf in batches:
+            vals = [one(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    # nullable Int64: a quarantined (undecodable) clip
+                    # must surface as NULL, not coerce the column to
+                    # float
+                    "peak_abs": pd.array(
+                        [v[0] for v in vals], dtype="Int64"
+                    ),
+                    "n_loud": pd.array([v[1] for v in vals], dtype="Int64"),
+                    "n_quiet": pd.array(
+                        [v[2] for v in vals], dtype="Int64"
+                    ),
+                    "dc_sum": pd.array([v[3] for v in vals], dtype="Int64"),
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        run,
+        "media_id long, peak_abs int, n_loud bigint, n_quiet bigint,"
+        " dc_sum bigint",
+    )
+
+
 VFP_FRAMES, VFP_W, VFP_H = 65, 4, 2
 
 

@@ -4147,6 +4147,54 @@ def q_audio_chroma_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("hamming", F.col("hamming").cast("int"))
 
 
+def q_audio_dynamics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence/clipping screen over REAL WAV decode: per clip the peak
+    absolute sample, counts of loud (|s| >= 512) and quiet (|s| <= 64)
+    samples, and the integer DC sum — the cheap gate a speech-data
+    pipeline runs before feature extraction. All-integer outputs, so
+    the oracle replays the synth PCM formula exactly (doc_id < 500000
+    pinned on BOTH sides — the perturbed-copy namespace is not
+    modeled, scene-cut lesson)."""
+    from far_finer_airtable_firestore_sync_spark.operators import multimodal
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter("doc_id % 3 = 0 and doc_id < 500000")
+    )
+    return multimodal.audio_dynamics(
+        multimodal.synth_gradient_wav_blobs(docs, "doc_id")
+    )
+
+
+def audio_dynamics_oracle() -> str:
+    from far_finer_airtable_firestore_sync_spark.operators.multimodal import (
+        AFP_N_SAMPLES,
+    )
+
+    return f"""
+with ids as (
+  select doc_id as i from documents
+  where doc_id % 3 = 0 and doc_id < 500000
+),
+samp as (
+  select i,
+         (((i % 256) * ((j * j) % 251 + 3)
+           + ((i // 256) % 256) * (5 * j + 7) + j)
+          % 2048) - 1024 as s
+  from ids, unnest(generate_series(0, {AFP_N_SAMPLES - 1})) t(j)
+)
+select i as media_id,
+       cast(max(abs(s)) as int) as peak_abs,
+       cast(sum(case when abs(s) >= 512 then 1 else 0 end) as bigint)
+         as n_loud,
+       cast(sum(case when abs(s) <= 64 then 1 else 0 end) as bigint)
+         as n_quiet,
+       cast(sum(s) as bigint) as dc_sum
+from samp group by i
+"""
+
+
 def audio_chroma_pairs_oracle() -> str:
     from far_finer_airtable_firestore_sync_spark.operators.multimodal import (
         CFP_FRAME_LEN,
@@ -6357,6 +6405,7 @@ EXT_QUERIES = {
     "record_sink_roundtrip": q_record_sink_roundtrip,
     "multimodal_audio_fp_pairs": q_audio_fingerprint_pairs,
     "multimodal_audio_chroma_pairs": q_audio_chroma_pairs,
+    "multimodal_audio_dynamics": q_audio_dynamics,
     "multimodal_video_fp_pairs": q_video_fingerprint_pairs,
     "multimodal_video_scene_cuts": q_video_scene_cuts,
     "llm_pipeline_e2e": q_llm_pipeline_e2e,
@@ -6475,6 +6524,7 @@ def ext_oracles() -> dict[str, str]:
         "record_sink_roundtrip": RECORD_SINK_ROUNDTRIP_SQL,
         "multimodal_audio_fp_pairs": audio_fingerprint_pairs_oracle(),
         "multimodal_audio_chroma_pairs": audio_chroma_pairs_oracle(),
+        "multimodal_audio_dynamics": audio_dynamics_oracle(),
         "multimodal_video_fp_pairs": video_fingerprint_pairs_oracle(),
         "multimodal_video_scene_cuts": video_scene_cuts_oracle(),
         "llm_pipeline_e2e": llm_pipeline_oracle(),

@@ -215,3 +215,42 @@ def test_equidepth_fuzz_duplicates_and_negatives(spark):
         )
     )
     assert dist == want
+
+
+def test_audio_dynamics_matches_closed_form(spark):
+    """Real WAV decode -> dynamics stats must equal the pure-Python
+    closed form from the id; undecodable bytes quarantine to NULLs."""
+    from pyspark.sql import Row
+
+    from far_finer_airtable_firestore_sync_spark.operators import multimodal
+    from far_finer_airtable_firestore_sync_spark.operators.multimodal import (
+        AFP_N_SAMPLES,
+        gradient_pcm_sample,
+    )
+
+    ids = [0, 3, 17, 255, 256, 4999]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["media_id"]: (r["peak_abs"], r["n_loud"], r["n_quiet"], r["dc_sum"])
+        for r in multimodal.audio_dynamics(
+            multimodal.synth_gradient_wav_blobs(df)
+        ).collect()
+    }
+
+    def expect(i):
+        s = [gradient_pcm_sample(i, j) for j in range(AFP_N_SAMPLES)]
+        return (
+            max(abs(x) for x in s),
+            sum(1 for x in s if abs(x) >= 512),
+            sum(1 for x in s if abs(x) <= 64),
+            sum(s),
+        )
+
+    assert got == {i: expect(i) for i in ids}
+    bad = spark.createDataFrame(
+        [Row(media_id=1, content=b"RIFFnope", media_type="audio/wav")]
+    )
+    r = multimodal.audio_dynamics(bad).collect()[0]
+    assert (r["peak_abs"], r["n_loud"], r["n_quiet"], r["dc_sum"]) == (
+        None, None, None, None,
+    )
