@@ -4147,6 +4147,117 @@ def q_audio_chroma_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("hamming", F.col("hamming").cast("int"))
 
 
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join through REAL bucketed tables:
+    customer and orders are written hash-bucketed (and per-bucket
+    sorted) on the customer key, then joined — the scan itself
+    satisfies the join's required distribution, so the join runs with
+    ZERO Exchange (pinned by tests/test_store_and_sinks.py's
+    plan-shape test on the same helper). At 100 TB this moves the
+    join's shuffle to write time, paid once, instead of per query —
+    the bucketing story the brief names, now value-verified end to
+    end by the driver. Results are layout-independent, so the oracle
+    is the plain join."""
+    from far_finer_airtable_firestore_sync_spark.operators._util import (
+        next_seq,
+        scratch_dir,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.tables import (
+        write_bucketed,
+    )
+
+    seq = next_seq()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    )
+    lt, rt = f"ffs_bk_cust_{seq}", f"ffs_bk_orders_{seq}"
+    write_bucketed(
+        cust, lt, "c_custkey", 8, path=scratch_dir("ffs-bk-c-")
+    )
+    write_bucketed(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        rt,
+        "c_custkey",
+        8,
+        path=scratch_dir("ffs-bk-o-"),
+    )
+    j = spark.table(lt).join(spark.table(rt), "c_custkey")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(
+            F.expr("cast(floor(o_totalprice * cast(64 as double)) as bigint)")
+        )
+        .cast("long")
+        .alias("price_64ths"),
+    )
+
+
+BUCKETED_JOIN_SQL = """
+select c.c_mktsegment,
+       cast(count(*) as bigint) as n_orders,
+       cast(sum(cast(floor(o_totalprice * cast(64 as double)) as bigint))
+            as bigint) as price_64ths
+from customer c join orders o on o.o_custkey = c.c_custkey
+group by c.c_mktsegment
+"""
+
+
+def _zipf_profile_body(dialect: str, rel: str) -> str:
+    """Rank-frequency (Zipf) profile of the corpus vocabulary on an
+    EXACT log2 grid: bucket = floor(log2(rank)) computed as
+    length(bin(rank)) - 1 — binary-string length is pure integer
+    machinery in both engines, where floor(ln(x)/ln(2)) would ride
+    libm's last-ulp differences right at the bucket boundaries (the
+    r8 wide-cast lesson applied to logarithms). Every output is an
+    integer: words per rank-octave, total/max/min frequency."""
+    if dialect == SPARK:
+        un = (
+            f"select lower(wd) as w from "
+            f"(select explode(split(text, ' ')) as wd from {rel} "
+            "where doc_id % 11 = 0)"
+        )
+    else:
+        un = (
+            f"select lower(wd) as w from "
+            f"(select unnest(string_split(text, ' ')) as wd from {rel} "
+            "where doc_id % 11 = 0)"
+        )
+    return f"""
+with words as ({un}),
+freq as (
+  select w, cast(count(*) as bigint) as f
+  from words where length(w) > 0 group by w
+),
+ranked as (
+  select f, row_number() over (order by f desc, w asc) as r from freq
+)
+select cast(length(bin(r)) - 1 as int) as rank_octave,
+       cast(count(*) as bigint) as n_words,
+       cast(sum(f) as bigint) as total_freq,
+       cast(max(f) as bigint) as max_freq,
+       cast(min(f) as bigint) as min_freq
+from ranked group by 1
+"""
+
+
+def q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary rank-frequency profile on exact log2 rank octaves
+    (see ``_zipf_profile_body``) — the corpus-statistics sanity plot
+    (Zipf 1949) every training-data card reports, computed with one
+    word-count aggregate and one rank window."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_zipf_docs"
+    )
+    return spark.sql(_zipf_profile_body(SPARK, "_ffs_zipf_docs"))
+
+
+def zipf_profile_oracle() -> str:
+    return _zipf_profile_body(DUCKDB, "documents")
+
+
 def q_audio_dynamics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Silence/clipping screen over REAL WAV decode: per clip the peak
     absolute sample, counts of loud (|s| >= 512) and quiet (|s| <= 64)
@@ -6406,6 +6517,8 @@ EXT_QUERIES = {
     "multimodal_audio_fp_pairs": q_audio_fingerprint_pairs,
     "multimodal_audio_chroma_pairs": q_audio_chroma_pairs,
     "multimodal_audio_dynamics": q_audio_dynamics,
+    "bucketed_colocated_join": q_bucketed_colocated_join,
+    "text_zipf_profile": q_zipf_profile,
     "multimodal_video_fp_pairs": q_video_fingerprint_pairs,
     "multimodal_video_scene_cuts": q_video_scene_cuts,
     "llm_pipeline_e2e": q_llm_pipeline_e2e,
@@ -6525,6 +6638,8 @@ def ext_oracles() -> dict[str, str]:
         "multimodal_audio_fp_pairs": audio_fingerprint_pairs_oracle(),
         "multimodal_audio_chroma_pairs": audio_chroma_pairs_oracle(),
         "multimodal_audio_dynamics": audio_dynamics_oracle(),
+        "bucketed_colocated_join": BUCKETED_JOIN_SQL,
+        "text_zipf_profile": zipf_profile_oracle(),
         "multimodal_video_fp_pairs": video_fingerprint_pairs_oracle(),
         "multimodal_video_scene_cuts": video_scene_cuts_oracle(),
         "llm_pipeline_e2e": llm_pipeline_oracle(),

@@ -254,3 +254,59 @@ def test_audio_dynamics_matches_closed_form(spark):
     assert (r["peak_abs"], r["n_loud"], r["n_quiet"], r["dc_sum"]) == (
         None, None, None, None,
     )
+
+
+def test_bucketed_entry_join_is_shuffle_free(spark, tmp_path):
+    """The contract entry's full plan carries at most ONE SHUFFLE
+    exchange — the final groupBy's — because the bucketed scans
+    already satisfy the join distribution (write-time shuffle, paid
+    once). At fixture scale AQE may legitimately broadcast the tiny
+    dim side instead (BroadcastExchange is not a shuffle), so only
+    hash-partitioning exchanges count; the scans must still read as
+    Bucketed."""
+    import __spark_entry__ as e
+
+    df = e.queries()["bucketed_colocated_join"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("== Initial Plan ==")[0]
+    assert head.count("Exchange hashpartitioning") <= 1, head[:3000]
+    assert "Bucketed: true" in head
+    assert df.count() > 0
+
+
+def test_zipf_profile_octaves_conserve_vocabulary(spark):
+    """Octave k holds exactly 2^k ranks (except the tail octave), the
+    octaves partition the vocabulary, and max_freq never increases as
+    rank grows."""
+    from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
+        q_zipf_profile,
+    )
+
+    rows = sorted(
+        (r["rank_octave"], r["n_words"], r["max_freq"], r["min_freq"])
+        for r in q_zipf_profile(spark, SF_DIR).collect()
+    )
+    assert rows, "empty profile"
+    total = sum(n for _o, n, _mx, _mn in rows)
+    for (o, n, _mx, _mn) in rows[:-1]:
+        assert n == 2 ** o, rows
+    assert rows[-1][1] <= 2 ** rows[-1][0]
+    # frequency is non-increasing across octaves
+    for (_o1, _n1, _mx1, mn1), (_o2, _n2, mx2, _mn2) in zip(
+        rows, rows[1:]
+    ):
+        assert mx2 <= mn1
+    # octaves 0..k are dense
+    assert [o for o, *_ in rows] == list(range(len(rows)))
+    # vocabulary conservation against a direct distinct count
+    vocab = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter("doc_id % 11 = 0")
+        .selectExpr("explode(split(text, ' ')) as w")
+        .selectExpr("lower(w) as w")
+        .filter("length(w) > 0")
+        .select("w")
+        .distinct()
+        .count()
+    )
+    assert total == vocab
