@@ -40,6 +40,36 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _agg64(df: DataFrame, *keys: str) -> DataFrame:
+    """The store entries' shared exact aggregate: count plus
+    sum(floor(value * 64)) — a power-of-two multiply is an exact
+    exponent shift for any finite double and floor has no tie
+    semantics, so the value hash is engine-stable on ANY data (the
+    r6/r7 zone/compaction driver-flake family was round(value*100),
+    whose half-away behavior depends on unseen data; VERDICT r7 #1).
+    ONE definition — the grid constant must never drift between the
+    entries and their self-bisect asserts (r8 review finding)."""
+    return df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.expr("cast(floor(value * cast(64 as double)) as bigint)"))
+        .cast("long")
+        .alias("value_64ths"),
+    )
+
+
+def _assert_spark_equal(got: DataFrame, want: DataFrame, what: str) -> None:
+    """SELF-BISECT assert (VERDICT r7 #1): Spark-side multiset
+    equality between a store-path result and the direct-scan result.
+    If the store/prune/layout path ever diverges, the entry fails
+    with err naming the Spark side; a driver hash mismatch with this
+    green can only be oracle-side."""
+    n_bad = got.exceptAll(want).unionByName(want.exceptAll(got)).count()
+    assert n_bad == 0, (
+        f"{what} diverges from the direct events scan on {n_bad} rows "
+        "— store-path bug, not oracle"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: UPSERT_CHECKSUM (M4) strategy post-state on sf0.001."""
     return _q_upsert_checksum(_utc(spark), "/root/testdata/sf0.001")
@@ -682,36 +712,14 @@ def _q_store_zone_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") >= lo) & (F.col("user_id") <= hi)
     )
 
-    # value_64ths = sum(floor(value * 64)): a power-of-two multiply is
-    # an exact exponent shift for any finite double and floor has no
-    # tie semantics — unlike the previous round(value*100), whose
-    # half-away behavior is the one idiom that can diverge between
-    # engines on data we can't see (this entry hash-mismatched on the
-    # r7/r6 driver while passing every local re-run; VERDICT r7 #1).
-    def agg64(df: DataFrame) -> DataFrame:
-        return df.groupBy("user_id").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum(F.expr("cast(floor(value * cast(64 as double)) as bigint)"))
-            .cast("long")
-            .alias("value_64ths"),
-        )
-
-    out = agg64(pruned)
-    # SELF-BISECT (VERDICT r7 #1): assert Spark-side equality of the
-    # store-round-trip + zone-pruned aggregate against the DIRECT
-    # parquet read. If the store/prune path ever diverges (lossy prune
-    # on an unseen layout, round-trip corruption), the entry now fails
-    # with err naming the Spark side; a hash mismatch with this assert
-    # green can only be oracle-side.
-    direct = agg64(
-        ev.filter((F.col("user_id") >= lo) & (F.col("user_id") <= hi))
-    )
-    n_bad = (
-        out.exceptAll(direct).unionByName(direct.exceptAll(out)).count()
-    )
-    assert n_bad == 0, (
-        f"zone-pruned store aggregate diverges from the direct events "
-        f"scan on {n_bad} rows — store/prune path bug, not oracle"
+    out = _agg64(pruned, "user_id")
+    _assert_spark_equal(
+        out,
+        _agg64(
+            ev.filter((F.col("user_id") >= lo) & (F.col("user_id") <= hi)),
+            "user_id",
+        ),
+        "zone-pruned store aggregate",
     )
     return out
 
@@ -735,11 +743,15 @@ def _q_store_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles keep per-file min/max ranges tight on EVERY interleaved
     column, which is exactly why table formats Z-order their 100 TB
     tables before range-query workloads. Layout is deterministic:
-    buckets come from exact min/max aggregates and the partitioner is
-    murmur3 of the Morton tile (r7 de-flake recipe); pruning re-applies
-    the predicate so it is loss-impossible by construction, and the
-    entry asserts Spark-side equality against the direct scan
-    (self-bisect contract, VERDICT r7 #1)."""
+    buckets come from exact min/max aggregates and the version is
+    hive-partitioned on the tile VALUE — every data file holds
+    exactly one tile, so per-file zones are the tile's own tight
+    rectangle (no hash scatter, no sampled boundaries; r8 review
+    finding: a murmur3 tile->partition layout unions distant tiles
+    into one file and makes skip-rate asserts SF-luck-dependent);
+    pruning re-applies the predicate so it is loss-impossible by
+    construction, and the entry asserts Spark-side equality against
+    the direct scan (self-bisect contract, VERDICT r7 #1)."""
     import tempfile
 
     from far_finer_airtable_firestore_sync_spark.operators.layout import (
@@ -772,10 +784,16 @@ def _q_store_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ub = f"((user_id - {int(mnu)}) div {wu})"
     db = f"((d - {int(mnd)}) div {wd})"
     morton = morton_key_expr(ub, db, SPARK)
-    # 16 consecutive Morton codes = one 4x4 (user, day) tile; files
-    # hold whole tiles, so footer zones stay tight on BOTH columns
+    # 16 consecutive Morton codes = one 4x4 (user, day) tile. The
+    # version is HIVE-PARTITIONED on the tile id, so every data file
+    # holds exactly one tile — per-file footer zones are the tile's
+    # own tight rectangle on BOTH columns by construction, and the
+    # layout is value-deterministic (no hash scatter: an r8 review
+    # finding showed murmur3(tile)->partition collisions union distant
+    # tiles into one file, making skip-rate asserts SF-luck-dependent).
     vdir = store.commit(
-        ev.repartition(16, F.expr(f"cast(({morton}) div 16 as int)"))
+        ev.withColumn("tile", F.expr(f"cast(({morton}) div 16 as int)")),
+        partition_by=["tile"],
     )
     write_zone_manifest(vdir)
     ulo, uhi = 10, 19
@@ -794,20 +812,9 @@ def _q_store_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("d") <= dhi)
     )
 
-    def agg64(df: DataFrame) -> DataFrame:
-        return df.groupBy("user_id").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum(F.expr("cast(floor(value * cast(64 as double)) as bigint)"))
-            .cast("long")
-            .alias("value_64ths"),
-        )
-
-    out = agg64(spark.read.parquet(*keep).filter(flt))
-    direct = agg64(ev.filter(flt))
-    n_bad = out.exceptAll(direct).unionByName(direct.exceptAll(out)).count()
-    assert n_bad == 0, (
-        f"z-order pruned aggregate diverges from direct scan on {n_bad} "
-        "rows — store/prune path bug, not oracle"
+    out = _agg64(spark.read.parquet(*keep).filter(flt), "user_id")
+    _assert_spark_equal(
+        out, _agg64(ev.filter(flt), "user_id"), "z-order pruned aggregate"
     )
     return out
 
@@ -867,43 +874,25 @@ def _q_store_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     mnd, mxd = ev.agg(F.min("d"), F.max("d")).first()
     dlo, dhi = int(mnd), int(mnd) + (int(mxd) - int(mnd)) // 4
 
-    def agg64(df: DataFrame, label: str) -> DataFrame:
-        return (
-            df.groupBy()
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_events"),
-                F.sum(
-                    F.expr(
-                        "cast(floor(value * cast(64 as double)) as bigint)"
-                    )
-                )
-                .cast("long")
-                .alias("value_64ths"),
-            )
-            .select(F.lit(label).alias("layout"), "n_events", "value_64ths")
+    def labeled(df: DataFrame, label: str) -> DataFrame:
+        return _agg64(df).select(
+            F.lit(label).alias("layout"), "n_events", "value_64ths"
         )
 
-    by_type = agg64(
-        store.read_version(v1).filter(F.col("event_type") == et), "by_type"
-    )
-    by_day = agg64(
-        store.read_version(v2).filter(
-            (F.col("d") >= dlo) & (F.col("d") <= dhi)
-        ),
-        "by_day",
-    )
+    t_flt = F.col("event_type") == et
+    d_flt = (F.col("d") >= dlo) & (F.col("d") <= dhi)
+    by_type = labeled(store.read_version(v1).filter(t_flt), "by_type")
+    by_day = labeled(store.read_version(v2).filter(d_flt), "by_day")
     # layout must never change answers: both pruned reads == the
     # direct unpartitioned scan (err here names the store/layout side)
-    for got, want in (
-        (by_type, agg64(ev.filter(F.col("event_type") == et), "by_type")),
-        (by_day, agg64(ev.filter((F.col("d") >= dlo) & (F.col("d") <= dhi)),
-                       "by_day")),
-    ):
-        n_bad = got.exceptAll(want).unionByName(want.exceptAll(got)).count()
-        assert n_bad == 0, (
-            f"partitioned-layout aggregate diverges from direct scan on "
-            f"{n_bad} rows — store/partition-pruning bug, not oracle"
-        )
+    _assert_spark_equal(
+        by_type, labeled(ev.filter(t_flt), "by_type"),
+        "by-type partitioned aggregate",
+    )
+    _assert_spark_equal(
+        by_day, labeled(ev.filter(d_flt), "by_day"),
+        "by-day partitioned aggregate",
+    )
     return by_type.unionByName(by_day)
 
 
@@ -1095,31 +1084,13 @@ def _q_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert n_files(compacted) < n_files(frag), (frag, compacted)
     assert store.current_version_dir() == compacted
 
-    # Exact integer 64ths — floor(value * 64) — instead of
-    # round(value*100): same de-flake as store_zone_map_scan (this
-    # entry failed the r7 driver's value hash identically while
-    # passing locally; the round-on-double half-away is the only op
-    # whose cross-engine behavior depends on unseen data).
-    def agg64(df: DataFrame) -> DataFrame:
-        return df.groupBy("user_id").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum(F.expr("cast(floor(value * cast(64 as double)) as bigint)"))
-            .cast("long")
-            .alias("value_64ths"),
-        )
-
-    out = agg64(store.read())
-    # SELF-BISECT (VERDICT r7 #1): compaction must be a pure layout
-    # change — assert the post-compaction aggregate equals the direct
-    # events-scan aggregate Spark-side, so a store-path divergence
-    # surfaces as err (names the Spark side) rather than a silent
-    # driver hash mismatch.
-    n_bad = (
-        out.exceptAll(agg64(ev)).unionByName(agg64(ev).exceptAll(out)).count()
-    )
-    assert n_bad == 0, (
-        f"post-compaction aggregate diverges from the direct events "
-        f"scan on {n_bad} rows — store/compaction bug, not oracle"
+    # Compaction must be a pure layout change — the post-compaction
+    # aggregate self-bisects against the direct scan (this entry
+    # failed the r7 driver's value hash while passing locally; the
+    # shared _agg64 grid is the de-flake).
+    out = _agg64(store.read(), "user_id")
+    _assert_spark_equal(
+        out, _agg64(ev, "user_id"), "post-compaction aggregate"
     )
     return out
 

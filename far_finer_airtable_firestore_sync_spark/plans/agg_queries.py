@@ -2861,10 +2861,17 @@ def q_events_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pid = the RANGE partition index (ordered: every value in pid i
     # sorts before every value in pid i+1); the per-pid window below
-    # does its own local sort, so no sortWithinPartitions needed
-    parts = ev.repartitionByRange(
-        32, F.col("value"), F.col("event_id")
-    ).withColumn("pid", F.spark_partition_id())
+    # does its own local sort, so no sortWithinPartitions needed.
+    # localCheckpoint: this plan feeds BOTH the offsets branch and the
+    # rank join, and repartitionByRange samples its boundaries
+    # nondeterministically — without pinning, the two branches only
+    # see the SAME boundaries while Spark's exchange reuse happens to
+    # kick in (r8 review finding; same pattern as the textrank pairs).
+    parts = (
+        ev.repartitionByRange(32, F.col("value"), F.col("event_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     w_local = Window.partitionBy("pid").orderBy("value", "event_id")
     local = parts.withColumn("lrn", F.row_number().over(w_local))
     sizes = local.groupBy("pid").agg(F.max("lrn").alias("cnt"))

@@ -937,8 +937,9 @@ TEXTRANK_SID_BASE = 1_000_000
 def _textrank_pairs_sql(dialect: str, rel: str) -> str:
     """Sentence-graph construction shared by both engines: word
     positions via the generate_series indexing idiom (posexplode has
-    no DuckDB twin), sentence id = doc_id*1000 + word_pos div 12,
-    edge weight = number of shared distinct tokens."""
+    no DuckDB twin), sentence node id = doc_id * TEXTRANK_SID_BASE +
+    (word_pos div TEXTRANK_SENT_WORDS), edge weight = number of
+    shared distinct tokens."""
     if dialect == SPARK:
         un = (
             f"select doc_id, a, explode(sequence(1, size(a))) as i "

@@ -152,10 +152,14 @@ def test_equidepth_fuzz_duplicates_and_negatives(spark):
     df = spark.createDataFrame(
         [(i, v) for i, v in enumerate(vals)], "event_id long, value double"
     )
-    # distributed recipe inline (mirrors q_events_equidepth_hist)
-    parts = df.repartitionByRange(
-        8, F.col("value"), F.col("event_id")
-    ).withColumn("pid", F.spark_partition_id())
+    # distributed recipe inline (mirrors q_events_equidepth_hist,
+    # incl. the checkpoint pin — the two consuming branches must see
+    # the same sampled range boundaries)
+    parts = (
+        df.repartitionByRange(8, F.col("value"), F.col("event_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     local = parts.withColumn(
         "lrn",
         F.row_number().over(Window.partitionBy("pid").orderBy(
