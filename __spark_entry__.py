@@ -1048,6 +1048,146 @@ where change_type is not null
 """
 
 
+def _q_store_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC across SCHEMA EVOLUTION: commit 2 ADDS a column (bal) and
+    commit 3 DROPS one (c_name) — the document-store contract the
+    reference inherits from schemaless Firestore. The change feed
+    compares over the UNION of each step's columns (typed-NULL
+    backfill on the missing side), so a row whose only change is a
+    newly-populated or dropped field is an 'update' and the payload
+    always carries the new snapshot's view; heterogeneous steps union
+    by name. At 100 TB this is why adding a field to the spec is a
+    metadata-only event — no version rewrite, CDC keeps working."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer")
+    v1 = cust.select("c_custkey", "c_name").filter("c_custkey % 3 <> 0")
+    v2 = cust.select(
+        "c_custkey", "c_name", F.expr("cast(c_acctbal as double) as bal")
+    ).filter("c_custkey % 7 <> 0")
+    v3 = cust.select(
+        "c_custkey",
+        F.expr(
+            "cast(c_acctbal as double)"
+            " + case when c_custkey % 2 = 0 then 1 else 0 end as bal"
+        ),
+    ).filter("c_custkey % 7 <> 0 and c_custkey % 11 <> 0")
+    root = tempfile.mkdtemp(prefix="ffs_sevo_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "c_custkey")
+    for v in (v1, v2, v3):
+        store.commit(v)
+    feed = store.change_feed()
+    return feed.select(
+        "c_custkey",
+        "change_type",
+        "c_name",
+        "bal",
+        F.dense_rank()
+        .over(Window.orderBy("commit_ms"))
+        .cast("int")
+        .alias("commit_seq"),
+    )
+
+
+_STORE_SEVO_SQL = """
+with base as (
+  select c_custkey, c_name, cast(c_acctbal as double) as bal from customer
+),
+v1 as (select c_custkey, c_name from base where c_custkey % 3 <> 0),
+v2 as (select c_custkey, c_name, bal from base where c_custkey % 7 <> 0),
+v3 as (select c_custkey,
+              bal + case when c_custkey % 2 = 0 then 1 else 0 end as bal
+       from base where c_custkey % 7 <> 0 and c_custkey % 11 <> 0),
+d12 as (
+  -- v1 has no bal column: compared as NULL against v2's values
+  select coalesce(n.c_custkey, o.c_custkey) as c_custkey,
+         case when o.c_custkey is null then 'insert'
+              when n.c_custkey is null then 'delete'
+              when o.c_name is distinct from n.c_name
+                or cast(null as double) is distinct from n.bal
+                then 'update'
+         end as change_type,
+         n.c_name as c_name, n.bal as bal, 1 as commit_seq
+  from v1 o full outer join v2 n on o.c_custkey = n.c_custkey
+),
+d23 as (
+  -- v3 dropped c_name: compared (and emitted) as NULL
+  select coalesce(n.c_custkey, o.c_custkey) as c_custkey,
+         case when o.c_custkey is null then 'insert'
+              when n.c_custkey is null then 'delete'
+              when o.c_name is distinct from cast(null as string)
+                or o.bal is distinct from n.bal then 'update'
+         end as change_type,
+         cast(null as string) as c_name, n.bal as bal, 2 as commit_seq
+  from v2 o full outer join v3 n on o.c_custkey = n.c_custkey
+)
+select c_custkey, change_type, c_name, bal,
+       cast(commit_seq as int) as commit_seq
+from (select * from d12 union all select * from d23)
+where change_type is not null
+"""
+
+
+def _q_store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel + RESTORE, driver-verified: three deterministic
+    commits; ``read_as_of`` at commit 2's exact epoch-ms returns
+    snapshot 2 (directory-name lookup — no data scan), then
+    ``restore`` to version 1 republishes ITS data as a NEW commit
+    (history is append-only: a restore never destroys the versions it
+    rolls back past). The result unions both reads, labeled; each is
+    additionally self-bisected against the frame that was committed."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+        version_commit_ms,
+    )
+
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer")
+    v1 = cust.select("c_custkey", "c_name").filter("c_custkey % 3 = 0")
+    v2 = cust.select("c_custkey", "c_name").filter("c_custkey % 5 = 0")
+    v3 = cust.select("c_custkey", "c_name").filter("c_custkey % 2 = 0")
+    root = tempfile.mkdtemp(prefix="ffs_travel_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "c_custkey")
+    d1 = store.commit(v1)
+    d2 = store.commit(v2)
+    store.commit(v3)
+    asof = store.read_as_of(version_commit_ms(d2))
+    store.restore(d1)
+    restored = store.read()
+
+    def labeled(df: DataFrame, label: str) -> DataFrame:
+        return df.select(
+            F.lit(label).alias("snapshot"), "c_custkey", "c_name"
+        )
+
+    out = labeled(asof, "asof_v2").unionByName(labeled(restored, "restored_v1"))
+    _assert_spark_equal(labeled(asof, "x"), labeled(v2, "x"), "as-of read")
+    _assert_spark_equal(
+        labeled(restored, "x"), labeled(v1, "x"), "post-restore read"
+    )
+    return out
+
+
+_STORE_TRAVEL_SQL = """
+select 'asof_v2' as snapshot, c_custkey, c_name
+from customer where c_custkey % 5 = 0
+union all
+select 'restored_v1' as snapshot, c_custkey, c_name
+from customer where c_custkey % 3 = 0
+"""
+
+
 def _q_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction (the Delta OPTIMIZE shape) through the
     REAL store path: commit events deliberately fragmented into 64
@@ -1481,6 +1621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_zone_map_scan": _q_store_zone_scan,
         "store_zorder_scan": _q_store_zorder_scan,
         "store_partition_evolution": _q_store_partition_evolution,
+        "store_schema_evolution": _q_store_schema_evolution,
+        "store_time_travel": _q_store_time_travel,
         "store_txn_multiwriter": _q_store_txn_multiwriter,
         "store_compaction": _q_store_compaction,
         "store_change_feed": _q_store_change_feed,
@@ -1526,6 +1668,8 @@ def oracle_sql() -> dict[str, str]:
         "store_zone_map_scan": _STORE_ZONE_SQL,
         "store_zorder_scan": _STORE_ZORDER_SQL,
         "store_partition_evolution": _STORE_PEVO_SQL,
+        "store_schema_evolution": _STORE_SEVO_SQL,
+        "store_time_travel": _STORE_TRAVEL_SQL,
         "store_txn_multiwriter": _STORE_TXN_MW_SQL,
         "store_compaction": _STORE_COMPACT_SQL,
         "store_change_feed": _STORE_CDF_SQL,

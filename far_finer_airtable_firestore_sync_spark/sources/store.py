@@ -367,7 +367,14 @@ class DocumentStore:
                 "commit_ms",
                 F.lit(version_commit_ms(new)).cast("long"),
             )
-            feed = step if feed is None else feed.unionByName(step)
+            # allowMissingColumns: consecutive steps may have evolved
+            # schemas (a column added in commit k exists only in steps
+            # >= k's diffs) — absent columns read as NULL
+            feed = (
+                step
+                if feed is None
+                else feed.unionByName(step, allowMissingColumns=True)
+            )
         if feed is None:  # single version or empty range: no changes
             base = self.read_version(to_dir)
             payload = [c for c in base.columns if c != key]
@@ -400,13 +407,34 @@ class DocumentStore:
         NULL-key row used to emit two phantom 'insert' rows and a
         deleted one was mislabeled 'insert' with an all-NULL payload,
         breaking the repair_rows == diff_versions completeness
-        contract (repair correctly pruned the bucket; the diff lied)."""
+        contract (repair correctly pruned the bucket; the diff lied).
+
+        SCHEMA EVOLUTION (r8): versions are allowed to differ in
+        columns — the document-store contract (the reference's
+        Firestore is schemaless; a spec gaining or losing a field
+        must not break CDC). Each side is backfilled with the other's
+        missing columns as typed NULLs and the comparison runs over
+        the UNION of columns, so a row whose only change is a
+        newly-populated (or dropped) field is correctly an 'update'
+        and the payload carries the new snapshot's view (NULL for
+        dropped columns). A key-column TYPE change across versions
+        remains out of scope (rewrite, not evolve)."""
         for reserved in ("_ffs_diff_o", "_ffs_diff_n"):
             if reserved in old_df.columns or reserved in new_df.columns:
                 raise ValueError(
                     f"column {reserved!r} is reserved by diff_versions/"
                     "repair_rows; rename it in the snapshot"
                 )
+        old_names = set(old_df.columns)
+        new_names = set(new_df.columns)
+        dropped = [
+            (c, t) for c, t in old_df.dtypes if c not in new_names
+        ]
+        for c, t in new_df.dtypes:
+            if c not in old_names:
+                old_df = old_df.withColumn(c, F.lit(None).cast(t))
+        for c, t in dropped:
+            new_df = new_df.withColumn(c, F.lit(None).cast(t))
         old = old_df.withColumn("_ffs_diff_o", F.lit(1)).alias("o")
         new = new_df.withColumn("_ffs_diff_n", F.lit(1)).alias("n")
         cols = [c for c in new_df.columns if c != key]

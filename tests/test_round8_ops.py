@@ -314,3 +314,57 @@ def test_zipf_profile_octaves_conserve_vocabulary(spark):
         .count()
     )
     assert total == vocab
+
+
+def test_diff_frames_schema_evolution(spark, tmp_path):
+    """Added and dropped columns across versions: typed-NULL backfill,
+    union-of-columns comparison, payload = new snapshot's view; the
+    feed unions heterogeneous steps by name."""
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "sevo"), "k")
+    v1 = store.commit(spark.createDataFrame([(1, "a"), (2, "b")],
+                                            "k long, v string"))
+    v2 = store.commit(
+        spark.createDataFrame(
+            [(1, "a", 5.0), (3, "c", 7.0)], "k long, v string, bal double"
+        )
+    )
+    d = {r["k"]: r for r in store.diff_versions(v1, v2).collect()}
+    # k=1: only change is the NEW column gaining a value -> update
+    assert d[1]["change_type"] == "update" and d[1]["bal"] == 5.0
+    assert d[2]["change_type"] == "delete"
+    assert d[3]["change_type"] == "insert"
+    # drop the v column in v3: surviving rows update, payload v=NULL
+    v3 = store.commit(
+        spark.createDataFrame([(1, 5.0), (3, 7.0)], "k long, bal double")
+    )
+    d2 = {r["k"]: r for r in store.diff_versions(v2, v3).collect()}
+    assert d2[1]["change_type"] == "update" and d2[1]["v"] is None
+    # the 3-commit feed spans both evolutions in one plan
+    feed = store.change_feed()
+    assert feed.count() == len(d) + len(d2)
+    assert {"k", "change_type", "v", "bal", "commit_ms"} <= set(feed.columns)
+
+
+def test_restore_and_read_as_of_roundtrip(spark, tmp_path):
+    """read_as_of at a commit's exact epoch returns that snapshot;
+    restore republishes an old snapshot as a NEW version (append-only
+    history)."""
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+        version_commit_ms,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "tt"), "k")
+    d1 = store.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+    d2 = store.commit(spark.createDataFrame([(2, "b")], "k long, v string"))
+    store.commit(spark.createDataFrame([(3, "c")], "k long, v string"))
+    assert [tuple(r) for r in store.read_as_of(
+        version_commit_ms(d2)).collect()] == [(2, "b")]
+    n_before = len(store.list_versions())
+    store.restore(d1)
+    assert [tuple(r) for r in store.read().collect()] == [(1, "a")]
+    assert len(store.list_versions()) == n_before + 1
