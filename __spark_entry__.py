@@ -791,9 +791,15 @@ def _q_store_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # layout is value-deterministic (no hash scatter: an r8 review
     # finding showed murmur3(tile)->partition collisions union distant
     # tiles into one file, making skip-rate asserts SF-luck-dependent).
+    tiled = ev.withColumn("tile", F.expr(f"cast(({morton}) div 16 as int)"))
+    # repartition BY tile before the partitioned write: without it
+    # every upstream read task writes its own part file into each tile
+    # directory it touches (one file per task x tile — manifest and
+    # prune costs then scale with input splits, not tiles; r8
+    # second-wave review finding). After the shuffle each tile's rows
+    # land in one task -> one file per tile directory.
     vdir = store.commit(
-        ev.withColumn("tile", F.expr(f"cast(({morton}) div 16 as int)")),
-        partition_by=["tile"],
+        tiled.repartition(F.col("tile")), partition_by=["tile"]
     )
     write_zone_manifest(vdir)
     ulo, uhi = 10, 19
@@ -977,10 +983,12 @@ def _q_store_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolve the head from the `_last_checkpoint` hint + forward
     probes instead of an O(commits) listing (the r7 VERDICT scale
     gap, closed in r8). Each commit appends one deterministic
-    customer slice; the entry asserts the hint exists, the head is
-    gap-free, and the final state equals the closed-form union — so
-    the checkpointed read path itself is value-verified by the
-    driver, not just unit-tested."""
+    customer slice; the entry asserts the hint file exists and the
+    probed head is exactly 5 (versions are dense by construction, so
+    a short probe would surface here), and the oracle value-verifies
+    the final state against the closed-form slice union — so the
+    checkpointed read path itself is driver-verified, not just
+    unit-tested."""
     import os
     import tempfile
 
@@ -989,7 +997,7 @@ def _q_store_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _utc(spark)
-    # quarter subset: 12 snapshot commits write O(commits^2) cumulative
+    # quarter subset: snapshot commits write O(commits^2) cumulative
     # rows by nature — the entry verifies the checkpointed READ path,
     # not write throughput, so keep the data side small
     cust = (

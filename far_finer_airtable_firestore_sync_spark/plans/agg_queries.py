@@ -2842,11 +2842,14 @@ def q_events_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order, sort within partitions, compute per-partition local
     ranks, and add the prefix sum of partition counts (a tiny
     O(partitions) broadcastable side). ``repartitionByRange`` samples
-    its boundaries nondeterministically, but ranks over a UNIQUE total
-    order (value, event_id) are boundary-invariant, so the result is
-    deterministic even though the partitioning is not (the r6 gotcha
-    applies to file layouts, not rank outputs). The DuckDB oracle runs
-    the plain single-window SQL — same answer, two plan shapes.
+    its boundaries nondeterministically; ranks over a UNIQUE total
+    order (value, event_id) are boundary-invariant ONLY when the
+    offsets branch and the rank-join branch observe the SAME sampled
+    boundaries — which is exactly what the eager localCheckpoint
+    below pins (do NOT remove it as an 'optimization': without it the
+    two consumers only agree while Spark's exchange reuse happens to
+    kick in; r8 review finding). The DuckDB oracle runs the plain
+    single-window SQL — same answer, two plan shapes.
 
     Bucket values are exact integers (floor(value*64) grid +
     rank-derived cuts), so the value hash is engine-stable on any

@@ -425,13 +425,19 @@ class DocumentStore:
                     f"column {reserved!r} is reserved by diff_versions/"
                     "repair_rows; rename it in the snapshot"
                 )
-        old_names = set(old_df.columns)
-        new_names = set(new_df.columns)
+        # CASE-INSENSITIVE membership (r8 second-wave review finding):
+        # Spark resolves column names case-insensitively by default,
+        # so 'Bal' -> 'bal' across versions is the SAME column to the
+        # comparison below — treating it as missing would make
+        # withColumn REPLACE the existing data with NULLs on both
+        # sides and silently drop every value change from the diff.
+        old_names = {c.lower() for c in old_df.columns}
+        new_names = {c.lower() for c in new_df.columns}
         dropped = [
-            (c, t) for c, t in old_df.dtypes if c not in new_names
+            (c, t) for c, t in old_df.dtypes if c.lower() not in new_names
         ]
         for c, t in new_df.dtypes:
-            if c not in old_names:
+            if c.lower() not in old_names:
                 old_df = old_df.withColumn(c, F.lit(None).cast(t))
         for c, t in dropped:
             new_df = new_df.withColumn(c, F.lit(None).cast(t))

@@ -368,3 +368,24 @@ def test_restore_and_read_as_of_roundtrip(spark, tmp_path):
     store.restore(d1)
     assert [tuple(r) for r in store.read().collect()] == [(1, "a")]
     assert len(store.list_versions()) == n_before + 1
+
+
+def test_diff_frames_case_drift_is_not_schema_evolution(spark, tmp_path):
+    """A column renamed only in CASE across versions ('Bal' -> 'bal')
+    is the SAME column under Spark's default case-insensitive
+    resolution — the schema-evolution backfill must not treat it as
+    added+dropped (which would NULL both sides and silently drop every
+    value change from the diff; r8 second-wave review finding)."""
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "case"), "k")
+    v1 = store.commit(spark.createDataFrame([(1, 100.0)],
+                                            "k long, Bal double"))
+    v2 = store.commit(spark.createDataFrame([(1, 200.0)],
+                                            "k long, bal double"))
+    d = store.diff_versions(v1, v2).collect()
+    assert len(d) == 1
+    assert d[0]["change_type"] == "update"
+    assert d[0]["bal"] == 200.0
