@@ -2683,6 +2683,305 @@ where r.rev = (select max(rev) from revenue)
 """
 
 
+def _ohlc_body(rel: str) -> str:
+    """Hourly OHLC candlestick bars per event type — the resample
+    step every time-series feature pipeline runs before modeling.
+    Portable single body: open/close are row_number picks (first/last
+    tick by (ts, event_id) — event_id breaks timestamp ties, so the
+    pick is deterministic in both engines, unlike FIRST_VALUE whose
+    null/tie semantics diverge), high/low are plain min/max (no
+    arithmetic, bit-exact on the raw doubles), and the volume sum
+    goes through decimal so partition order cannot perturb it."""
+    return f"""
+with pts as (
+  select event_type, date_trunc('hour', ts) as hr, ts, event_id, value
+  from {rel}
+  where ts is not null and value is not null
+),
+rn as (
+  select event_type, hr, value,
+         row_number() over (
+           partition by event_type, hr
+           order by ts asc, event_id asc) as rf,
+         row_number() over (
+           partition by event_type, hr
+           order by ts desc, event_id desc) as rl
+  from pts
+)
+select event_type, hr,
+       cast(count(*) as bigint) as n_ticks,
+       max(case when rf = 1 then value end) as open,
+       cast(max(value) as double) as high,
+       cast(min(value) as double) as low,
+       max(case when rl = 1 then value end) as close,
+       cast(sum(cast(value as decimal(18,2))) as double) as volume
+from rn
+group by event_type, hr
+"""
+
+
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type (see ``_ohlc_body``).
+
+    Scale shape: the two window passes share one hash partitioning on
+    (event_type, hr) — a single shuffle whose key count is bars, not
+    ticks, then a partial-aggregating groupBy on the same key; output
+    is |types| x |hours| rows regardless of tick volume. At 100 TB
+    the bar grain keys are still tiny relative to ticks, so the plan
+    stays one exchange + in-partition windows."""
+    _utc(spark)
+    read_events(spark, sf_dir).createOrReplaceTempView("_ffs_ohlc_events")
+    return spark.sql(_ohlc_body("_ffs_ohlc_events"))
+
+
+def _interp_body(dialect: str, rel: str) -> str:
+    """Gap densification with LINEAR interpolation (the step beyond
+    ``events_gapfill``'s LOCF): missing grid days get the straight
+    line between their nearest observed neighbors, evaluated in
+    integer cents so the interpolated value is engine-exact
+    (``(prev*(next_i-i) + next*(i-prev_i)) intdiv (next_i-prev_i)``;
+    Spark's ``div`` and DuckDB's ``//`` both truncate toward zero —
+    probed ``-7 intdiv 2 = -3`` in each — so parity holds for
+    negative daily sums too). Neighbor lookup is the
+    portable two-window group trick in both directions (no IGNORE
+    NULLS dialect divergence); leading/trailing gaps fall back to
+    nearest-observation fill, tagged in ``fill_src``."""
+    spark_d = dialect == SPARK_D
+    if spark_d:
+        spine = (
+            "select explode(sequence(b.d0, b.d1, interval 1 day)) as day"
+            " from bounds b"
+        )
+        idx = "datediff(s.day, b.d0)"
+        idiv = "div"
+    else:
+        spine = (
+            "select unnest(generate_series(b.d0, b.d1,"
+            " interval 1 day))::date as day from bounds b"
+        )
+        idx = "(s.day - b.d0)"
+        idiv = "//"
+    return f"""
+with d as (
+  select event_type, cast(date_trunc('day', ts) as date) as day,
+         cast(floor(sum(cast(value as decimal(18,2))) * 100) as bigint)
+           as v_cents
+  from {rel}
+  where ts is not null and value is not null
+  group by 1, 2
+),
+bounds as (select min(day) as d0, max(day) as d1 from d),
+spine as ({spine}),
+grid as (
+  select s.day, et.event_type, {idx} as i
+  from spine s
+  cross join (select distinct event_type from d) et
+  cross join bounds b
+),
+g as (
+  select gr.event_type, gr.day, gr.i, d.v_cents
+  from grid gr
+  left join d on d.event_type = gr.event_type and d.day = gr.day
+),
+fwd as (
+  select event_type, day, i, v_cents,
+         count(v_cents) over (
+           partition by event_type order by i asc
+           rows between unbounded preceding and current row) as fgrp
+  from g
+),
+f2 as (
+  select event_type, day, i, v_cents, fgrp,
+         max(v_cents) over (partition by event_type, fgrp) as prev_v,
+         max(case when v_cents is not null then i end)
+           over (partition by event_type, fgrp) as prev_i
+  from fwd
+),
+bwd as (
+  select event_type, day, i, v_cents, prev_v, prev_i,
+         count(v_cents) over (
+           partition by event_type order by i desc
+           rows between unbounded preceding and current row) as bgrp
+  from f2
+),
+b2 as (
+  select event_type, day, i, v_cents, prev_v, prev_i,
+         max(v_cents) over (partition by event_type, bgrp) as next_v,
+         min(case when v_cents is not null then i end)
+           over (partition by event_type, bgrp) as next_i
+  from bwd
+)
+select event_type, day,
+       cast(case
+         when v_cents is not null then v_cents
+         when prev_v is not null and next_v is not null then
+           (prev_v * (next_i - i) + next_v * (i - prev_i))
+             {idiv} (next_i - prev_i)
+         when prev_v is not null then prev_v
+         else next_v end as bigint) as v_cents_filled,
+       case when v_cents is not null then 'obs'
+            when prev_v is not null and next_v is not null then 'interp'
+            when prev_v is not null then 'locf'
+            else 'bocf' end as fill_src
+from b2
+"""
+
+
+def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation densification (see ``_interp_body``).
+
+    Scale shape: the grid is days x types (tiny, built from one 2-row
+    bounds aggregate); the corpus-wide work is one per-(type, day)
+    partial aggregate, then four window passes that all share the
+    per-type hash partitioning — Spark plans one exchange for the
+    ascending pair and reuses sort order where it can. Row count out
+    is the grid size, independent of event volume."""
+    _utc(spark)
+    # sparse slice so gap days actually occur (same trick as gapfill,
+    # different threshold so the two entries exercise different grids)
+    ev = read_events(spark, sf_dir).filter("value > 250")
+    ev.createOrReplaceTempView("_ffs_interp_events")
+    return spark.sql(_interp_body(SPARK_D, "_ffs_interp_events"))
+
+
+def _cusum_body(rel: str) -> str:
+    """CUSUM changepoint detection per event type: the day whose
+    cumulative deviation from the series mean is largest in absolute
+    value (Page's statistic argmax). Kept integer-exact by scaling
+    the mean away: ``n * prefix_sum(v) - i * total(v)`` equals
+    ``n * cusum_i`` with v in cents — no float division anywhere, so
+    the argmax (tie-broken by day) is engine-exact. Portable single
+    body."""
+    return f"""
+with d as (
+  select event_type, cast(date_trunc('day', ts) as date) as day,
+         cast(floor(sum(cast(value as decimal(18,2))) * 100) as bigint) as v
+  from {rel}
+  where ts is not null and value is not null
+  group by 1, 2
+),
+s as (
+  select event_type, day, v,
+         cast(row_number() over (
+           partition by event_type order by day asc) as bigint) as i,
+         sum(v) over (
+           partition by event_type order by day asc
+           rows between unbounded preceding and current row) as pre,
+         sum(v) over (partition by event_type) as tot,
+         cast(count(*) over (partition by event_type) as bigint) as n
+  from d
+),
+c as (
+  select event_type, day, n * pre - i * tot as cusum_scaled
+  from s
+),
+r as (
+  select event_type, day, cusum_scaled,
+         row_number() over (
+           partition by event_type
+           order by abs(cusum_scaled) desc, day asc) as rk
+  from c
+)
+select event_type, day as changepoint_day,
+       cast(cusum_scaled as bigint) as cusum_scaled_by_n
+from r where rk = 1
+"""
+
+
+def q_event_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type (see ``_cusum_body``).
+
+    Scale shape: one partial-aggregating groupBy to day grain, then
+    windows over |days| rows per type — the expensive pass is the
+    day-grain aggregate, everything after is per-type tiny. The
+    argmax is a row_number top-1, not a self-join."""
+    _utc(spark)
+    read_events(spark, sf_dir).createOrReplaceTempView("_ffs_cusum_events")
+    return spark.sql(_cusum_body("_ffs_cusum_events"))
+
+
+#: t-closeness threshold, as a fraction num/den (Li et al. 2007)
+TCLOSE_NUM, TCLOSE_DEN = 1, 5  # t = 0.2
+
+TCLOSE_BODY = f"""
+with b as (
+  select c_nationkey, c_mktsegment,
+         case when c_acctbal < 0 then 0
+              when c_acctbal < 5000 then 1
+              else 2 end as band
+  from {{rel}}
+),
+g as (
+  select c_nationkey, c_mktsegment, band, cast(count(*) as bigint) as n
+  from b group by 1, 2, 3
+),
+tot as (select band, cast(sum(n) as bigint) as gn from g group by band),
+grand as (select cast(sum(n) as bigint) as tn from g),
+grp as (
+  select c_nationkey, c_mktsegment, cast(sum(n) as bigint) as grp_n
+  from g group by 1, 2
+),
+grid as (
+  select gr.c_nationkey, gr.c_mktsegment, gr.grp_n, t.band, t.gn, gd.tn
+  from grp gr cross join tot t cross join grand gd
+),
+j as (
+  select grid.c_nationkey, grid.c_mktsegment, grid.grp_n, grid.band,
+         grid.gn, grid.tn, coalesce(g.n, 0) as n_band
+  from grid
+  left join g on g.c_nationkey = grid.c_nationkey
+             and g.c_mktsegment = grid.c_mktsegment
+             and g.band = grid.band
+),
+cum as (
+  select c_nationkey, c_mktsegment, grp_n, band, tn,
+         sum(n_band) over (
+           partition by c_nationkey, c_mktsegment
+           order by band asc) as cum_g,
+         sum(gn) over (
+           partition by c_nationkey, c_mktsegment
+           order by band asc) as cum_t
+  from j
+)
+select c_nationkey, c_mktsegment, cast(max(grp_n) as bigint) as grp_n,
+       cast(sum(abs(cum_g * tn - cum_t * grp_n)) as bigint) as emd_num,
+       cast(max(2 * grp_n * tn) as bigint) as emd_den,
+       sum(abs(cum_g * tn - cum_t * grp_n)) * {TCLOSE_DEN}
+         <= max(2 * grp_n * tn) * {TCLOSE_NUM} as t_close
+from cum
+group by c_nationkey, c_mktsegment
+"""
+
+
+def q_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li/Li/Venkatasubramanian 2007) — the third
+    rung of the privacy-audit ladder after `kanon_risk_report` (group
+    size) and `ldiversity_audit` (distinct sensitive values): a group
+    can be large AND diverse yet still leak if its sensitive-value
+    DISTRIBUTION diverges from the table's. Per quasi-identifier
+    group, the Earth Mover's Distance between the group's and the
+    global distribution over the ORDERED acctbal bands — for ordered
+    1-D distributions with unit ground distance, EMD is the sum of
+    absolute cumulative-probability gaps over the K-1 interior band
+    boundaries, normalized by K-1. Kept as an exact integer fraction:
+    numerator ``sum |cum_g*tn - cum_t*grp_n|``, denominator
+    ``(K-1) * grp_n * tn`` (K=3), so the t<=0.2 flag is a pure
+    integer comparison — engine-exact, no float EMD.
+
+    Scale shape: one partial-aggregating groupBy on (QI, band), a
+    3-row broadcast of the global marginals, and windows over the
+    |QI-domain| x 3 grid — the report never exceeds QI-domain rows
+    regardless of table size."""
+    _utc(spark)
+    _read(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_ffs_tclose_customer"
+    )
+    return spark.sql(TCLOSE_BODY.format(rel="_ffs_tclose_customer"))
+
+
+TCLOSE_SQL = TCLOSE_BODY.format(rel="customer")
+
+
 AGG_QUERIES = {
     "agg_pricing_summary": q_pricing_summary,
     "agg_revenue_by_nation": q_revenue_by_nation,
@@ -2744,6 +3043,10 @@ AGG_QUERIES = {
     "kanon_risk_report": q_kanon_risk,
     "events_dow_profile": q_events_dow_profile,
     "event_iqr_udaf": q_event_iqr_udaf,
+    "events_ohlc_bars": q_events_ohlc,
+    "events_interpolate": q_events_interpolate,
+    "event_changepoint_cusum": q_event_changepoint,
+    "tcloseness_audit": q_tcloseness,
 }
 
 AGG_ORACLES = {
@@ -2808,6 +3111,12 @@ AGG_ORACLES = {
     "events_user_trend": _user_trend_body(DUCK_D, "events"),
     "events_max_concurrency": _max_concurrency_body(DUCK_D, "events"),
     "event_iqr_udaf": EVENT_IQR_SQL,
+    "events_ohlc_bars": _ohlc_body("events"),
+    "events_interpolate": _interp_body(
+        DUCK_D, "(select * from events where value > 250)"
+    ),
+    "event_changepoint_cusum": _cusum_body("events"),
+    "tcloseness_audit": TCLOSE_SQL,
 }
 
 

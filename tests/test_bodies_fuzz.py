@@ -450,3 +450,90 @@ def test_fuzz_bpe_encode_parity(spark, tmp_path):
         con.execute(_bpe_encode_oracle("fz_bpe", top_k=10**6)).fetchall()
     )
     assert got == want and got
+
+
+def test_fuzz_round8b_event_bodies_parity(spark, tmp_path):
+    """OHLC / linear-interp / CUSUM / t-closeness parity on adversarial
+    data: NEGATIVE and zero values (interp's intdiv and CUSUM's
+    deviations go negative — both engines must truncate toward zero
+    identically), duplicate timestamps inside an hour (OHLC open/close
+    tie-break via event_id), vanishing event types, and singleton QI
+    groups (t-closeness grp_n=1)."""
+    import datetime as dt
+
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        TCLOSE_BODY,
+        _cusum_body,
+        _interp_body,
+        _ohlc_body,
+    )
+
+    rng = random.Random(47)
+    types = ["a", "b", "c"]
+    rows = []
+    for day in range(10):
+        active = types if day % 4 else types[:1]
+        for _ in range(rng.randint(3, 18)):
+            # duplicate ts on purpose: minute pinned to a coarse grid
+            ts = dt.datetime(2024, 5, 1 + day, rng.randint(0, 5),
+                             rng.choice([0, 30]))
+            rows.append((ts, rng.choice(active),
+                         rng.choice([-250.5, -1.0, 0.0, 3.25, 7.0, 300.0])))
+    epath = str(tmp_path / "fz8b_events.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        ),
+        epath,
+    )
+    cpath = str(tmp_path / "fz8b_customer.parquet")
+    crows = []
+    for i in range(90):
+        crows.append(
+            (i, f"n{i}", rng.randint(0, 3),
+             rng.choice([-500.0, 0.0, 120.75, 4999.99, 5000.0, 20000.0]),
+             rng.choice(["AUTO", "BLDG"]) if i else "SINGLETON")
+        )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in crows], pa.int64()),
+                "c_name": pa.array([r[1] for r in crows], pa.string()),
+                "c_nationkey": pa.array([r[2] for r in crows], pa.int32()),
+                "c_acctbal": pa.array([r[3] for r in crows], pa.float64()),
+                "c_mktsegment": pa.array([r[4] for r in crows], pa.string()),
+            }
+        ),
+        cpath,
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.read.parquet(epath).createOrReplaceTempView("fz8b_events")
+    spark.read.parquet(cpath).createOrReplaceTempView("fz8b_customer")
+    con = duckdb.connect()
+    con.execute(
+        f"create view fz8b_events as select * from read_parquet('{epath}')"
+    )
+    con.execute(
+        f"create view fz8b_customer as select * from read_parquet('{cpath}')"
+    )
+    pairs = [
+        ("ohlc", _ohlc_body("fz8b_events"), _ohlc_body("fz8b_events")),
+        ("interp", _interp_body(SPARK_D, "fz8b_events"),
+         _interp_body(DUCK_D, "fz8b_events")),
+        ("cusum", _cusum_body("fz8b_events"), _cusum_body("fz8b_events")),
+        ("tclose", TCLOSE_BODY.format(rel="fz8b_customer"),
+         TCLOSE_BODY.format(rel="fz8b_customer")),
+    ]
+    for name, s_sql, d_sql in pairs:
+        s_rows = _norm([tuple(r) for r in spark.sql(s_sql).collect()])
+        d_rows = _norm(con.execute(d_sql).fetchall())
+        assert s_rows == d_rows, (
+            f"{name}: {len(s_rows)} vs {len(d_rows)} rows; "
+            f"first spark={s_rows[:2]} duck={d_rows[:2]}"
+        )
+        assert s_rows, f"{name}: fuzz produced no rows (weak test)"

@@ -1,0 +1,201 @@
+"""Round-8 second-wave tests: OHLC bars, linear interpolation,
+CUSUM changepoint, and the t-closeness audit — each pinned by an
+independent Python replica or an algebraic invariant, not just the
+DuckDB oracle (which shares the SQL body)."""
+
+import math
+
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+def _events_pdf():
+    pdf = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    pdf = pdf[pdf["ts"].notna() & pdf["value"].notna()]
+    return pdf
+
+
+def test_ohlc_invariants_and_tick_conservation(spark):
+    import __spark_entry__ as e
+
+    out = _rows(e.queries()["events_ohlc_bars"](spark, SF_DIR))
+    assert out
+    for r in out:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n_ticks"] >= 1
+    pdf = _events_pdf()
+    assert sum(r["n_ticks"] for r in out) == len(pdf)
+
+
+def test_ohlc_matches_python_replica(spark):
+    import __spark_entry__ as e
+
+    out = {
+        (r["event_type"], r["hr"]): r
+        for r in _rows(e.queries()["events_ohlc_bars"](spark, SF_DIR))
+    }
+    pdf = _events_pdf().copy()
+    pdf["hr"] = pdf["ts"].dt.floor("h")
+    for (et, hr), g in pdf.groupby(["event_type", "hr"]):
+        g = g.sort_values(["ts", "event_id"])
+        r = out[(et, hr.to_pydatetime())]
+        assert r["open"] == g["value"].iloc[0]
+        assert r["close"] == g["value"].iloc[-1]
+        assert r["high"] == g["value"].max()
+        assert r["low"] == g["value"].min()
+        assert r["n_ticks"] == len(g)
+
+
+def _daily_cents(pdf, threshold=None):
+    """Python replica of the decimal-exact daily cents aggregate."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if threshold is not None:
+        pdf = pdf[pdf["value"] > threshold]
+    out = {}
+    for (et, day), g in pdf.groupby(
+        ["event_type", pdf["ts"].dt.floor("d").dt.date]
+    ):
+        s = sum(
+            Decimal(repr(v)).quantize(Decimal("0.01"), ROUND_HALF_UP)
+            for v in g["value"]
+        )
+        out[(et, day)] = int(math.floor(s * 100))
+    return out
+
+
+def test_interpolate_matches_python_replica(spark):
+    import __spark_entry__ as e
+
+    got = {
+        (r["event_type"], r["day"]): r
+        for r in _rows(e.queries()["events_interpolate"](spark, SF_DIR))
+    }
+    assert got
+    # replica of the fill over the same grid. NOTE: double->decimal(18,2)
+    # rounding replicated via Decimal(repr(v)) half-up; this matches the
+    # engines on this fixture (no half-cent boundary doubles).
+    obs = _daily_cents(_events_pdf(), threshold=250)
+    days = sorted({d for (_, d) in got})
+    types = sorted({t for (t, _) in got})
+    assert set(got) == {(t, d) for t in types for d in days}
+    for t in types:
+        series = [(i, obs.get((t, d))) for i, d in enumerate(days)]
+        known = [(i, v) for i, v in series if v is not None]
+        for i, d in enumerate(days):
+            r = got[(t, d)]
+            v = obs.get((t, d))
+            prevs = [(j, w) for j, w in known if j <= i]
+            nexts = [(j, w) for j, w in known if j >= i]
+            if v is not None:
+                assert r["fill_src"] == "obs" and r["v_cents_filled"] == v
+            elif prevs and nexts:
+                (pj, pv), (nj, nv) = prevs[-1], nexts[0]
+                num, den = pv * (nj - i) + nv * (i - pj), nj - pj
+                # both engines truncate toward zero (Python // floors)
+                want = abs(num) // den * (1 if num >= 0 else -1)
+                assert r["fill_src"] == "interp"
+                assert r["v_cents_filled"] == want, (t, d)
+            elif prevs:
+                assert r["fill_src"] == "locf"
+                assert r["v_cents_filled"] == prevs[-1][1]
+            else:
+                assert r["fill_src"] == "bocf"
+                assert r["v_cents_filled"] == nexts[0][1]
+
+
+def test_cusum_matches_python_replica(spark):
+    import __spark_entry__ as e
+
+    got = {
+        r["event_type"]: r
+        for r in _rows(e.queries()["event_changepoint_cusum"](spark, SF_DIR))
+    }
+    obs = _daily_cents(_events_pdf())
+    types = sorted({t for (t, _) in obs})
+    assert set(got) == set(types)
+    for t in types:
+        days = sorted(d for (tt, d) in obs if tt == t)
+        vs = [obs[(t, d)] for d in days]
+        n, tot = len(vs), sum(vs)
+        best = None
+        pre = 0
+        for i, (d, v) in enumerate(zip(days, vs), start=1):
+            pre += v
+            sc = n * pre - i * tot
+            if best is None or abs(sc) > abs(best[1]):
+                best = (d, sc)
+        assert got[t]["changepoint_day"] == best[0]
+        assert got[t]["cusum_scaled_by_n"] == best[1]
+
+
+def test_tcloseness_matches_python_replica(spark):
+    import __spark_entry__ as e
+
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"]): r
+        for r in _rows(e.queries()["tcloseness_audit"](spark, SF_DIR))
+    }
+    assert got
+    pdf = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    pdf["band"] = pdf["c_acctbal"].map(
+        lambda v: 0 if v < 0 else (1 if v < 5000 else 2)
+    )
+    tn = len(pdf)
+    gl = [int((pdf["band"] == b).sum()) for b in range(3)]
+    for (nk, seg), g in pdf.groupby(["c_nationkey", "c_mktsegment"]):
+        grp_n = len(g)
+        cnt = [int((g["band"] == b).sum()) for b in range(3)]
+        num = 0
+        cg = ct = 0
+        for b in range(3):
+            cg += cnt[b]
+            ct += gl[b]
+            num += abs(cg * tn - ct * grp_n)
+        r = got[(nk, seg)]
+        assert r["grp_n"] == grp_n
+        assert r["emd_num"] == num
+        assert r["emd_den"] == 2 * grp_n * tn
+        # EMD is a normalized distance: num <= den always
+        assert r["emd_num"] <= r["emd_den"]
+        assert r["t_close"] == (5 * num <= 2 * grp_n * tn)
+
+
+def test_tcloseness_identical_distribution_is_zero(spark):
+    """A group whose band distribution mirrors the global one has
+    EMD exactly 0 — the defining property of the distance."""
+    import __spark_entry__ as e
+    from pyspark.sql import Row
+
+    rows = []
+    # two groups, both with the same 1:2:1 band mix -> global is also
+    # 1:2:1 -> every group's EMD must be 0
+    for nk, seg in [(0, "A"), (1, "B")]:
+        for bal, k in [(-10.0, 1), (100.0, 2), (9000.0, 1)]:
+            rows += [
+                Row(
+                    c_custkey=len(rows) + i,
+                    c_name="x",
+                    c_nationkey=nk,
+                    c_acctbal=bal,
+                    c_mktsegment=seg,
+                )
+                for i in range(k)
+            ]
+    spark.createDataFrame(rows).createOrReplaceTempView(
+        "_ffs_tclose_customer"
+    )
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        TCLOSE_BODY,
+    )
+
+    out = _rows(spark.sql(TCLOSE_BODY.format(rel="_ffs_tclose_customer")))
+    assert len(out) == 2
+    for r in out:
+        assert r["emd_num"] == 0 and r["t_close"]
