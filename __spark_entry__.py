@@ -841,6 +841,142 @@ group by user_id
 """
 
 
+def _q_store_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping for POINT lookups through the real
+    store path — the workload zone maps cannot help: events are
+    committed hash-clustered on user_id, so every file's
+    [min, max] event_id range spans the whole domain and range zones
+    keep everything; the per-file bloom sidecar
+    (``write_bloom_manifest``) answers "can this file contain THIS
+    key?" and prunes to the handful of files that may. Probe keys
+    derive from an exact min/max aggregate (``mn + (mx-mn)*j/7``,
+    j=1..3 — integer arithmetic, identical in the oracle), so the
+    entry is deterministic at any scale factor; blooms have no false
+    negatives and the predicate is re-applied on the pruned read, so
+    pruning is loss-impossible by construction. Self-bisect: asserts
+    Spark-side equality against the direct full scan.
+
+    Reference analog: FirestoreWrapper.get_document point reads ride
+    Firestore's server-side key index
+    (/root/reference/lib/FirestoreWrapper.py:60-75); a parquet store
+    has no server, so the key index rides with the version."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        read_events,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+        prune_files_by_bloom,
+        write_bloom_manifest,
+    )
+
+    _utc(spark)
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="ffs_bloom_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "event_id")
+    # hash-cluster on user_id: event_ids scatter across all files —
+    # the exact layout where range-based skipping degenerates
+    vdir = store.commit(ev.repartition(8, F.col("user_id")))
+    write_bloom_manifest(vdir, "event_id")
+    mn, mx = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    ids = sorted({int(mn) + (int(mx) - int(mn)) * j // 7 for j in (1, 2, 3)})
+    keep, total = prune_files_by_bloom(vdir, "event_id", ids)
+    # 3 probe keys live in <=3 of the 8 files; ~1.2% fp per (key,
+    # file) keeps the rest skipped at any SF
+    assert 0 < len(keep) < total, (len(keep), total)
+    pruned = spark.read.parquet(*keep).filter(F.col("event_id").isin(ids))
+
+    out = _agg64(pruned, "event_id")
+    _assert_spark_equal(
+        out,
+        _agg64(ev.filter(F.col("event_id").isin(ids)), "event_id"),
+        "bloom-pruned point-lookup aggregate",
+    )
+    return out
+
+
+_STORE_BLOOM_SQL = """
+with b as (select min(event_id) as mn, max(event_id) as mx from events),
+probe as (
+  select distinct mn + ((mx - mn) * j) // 7 as event_id
+  from b cross join (values (1), (2), (3)) t(j)
+)
+select e.event_id, cast(count(*) as bigint) as n_events,
+       cast(sum(cast(floor(value * cast(64 as double)) as bigint))
+            as bigint) as value_64ths
+from events e join probe p on e.event_id = p.event_id
+group by e.event_id
+"""
+
+
+#: deletion-vector predicate — null-proof (coalesce) so the DV mask
+#: and the oracle's NOT(...) agree even if a regenerated fixture
+#: carries NULLs (NULL predicate rows survive the mask but would drop
+#: from a bare NOT filter)
+_DV_PREDICATE = (
+    "coalesce(event_type, '') = 'click' and coalesce(user_id, -1) % 7 = 0"
+)
+
+
+def _q_store_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE via deletion vectors through the real store
+    path — the Delta DV shape: commit events, mark the rows matching
+    a predicate POSITIONALLY (parquet ``_metadata.row_index`` into a
+    ``_deletion_vectors/`` sidecar, data files untouched), and read
+    the version back with the positional anti-join mask applied. The
+    read-side mask never re-evaluates the predicate — it joins on
+    (file, row position) only — so the entry proves the positional
+    plumbing, not a filter re-enactment; at 100 TB a 0.1% delete
+    writes megabytes of positions instead of rewriting terabytes.
+    Self-bisect asserts: deleted + surviving row counts reconcile,
+    and the masked aggregate equals the direct NOT-predicate scan."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        read_events,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+        read_with_deletion_vectors,
+        write_deletion_vectors,
+    )
+
+    _utc(spark)
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="ffs_dv_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "event_id")
+    vdir = store.commit(ev.repartition(8, F.col("user_id")))
+    n_deleted = write_deletion_vectors(spark, vdir, _DV_PREDICATE)
+    assert n_deleted > 0, "DV predicate matched nothing (weak entry)"
+    surv = read_with_deletion_vectors(spark, vdir)
+    n_total = ev.count()
+    n_surv = surv.count()
+    assert n_surv == n_total - n_deleted, (n_surv, n_total, n_deleted)
+
+    out = _agg64(surv, "event_type")
+    _assert_spark_equal(
+        out,
+        _agg64(ev.filter(f"not ({_DV_PREDICATE})"), "event_type"),
+        "deletion-vector-masked aggregate",
+    )
+    return out
+
+
+_STORE_DV_SQL = f"""
+select event_type, cast(count(*) as bigint) as n_events,
+       cast(sum(cast(floor(value * cast(64 as double)) as bigint))
+            as bigint) as value_64ths
+from events
+where not ({_DV_PREDICATE})
+group by event_type
+"""
+
+
 def _q_store_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-layout EVOLUTION through the store (the Iceberg
     partition-evolution shape on immutable versions): the same events
@@ -1682,6 +1818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_bucket_repair": _q_store_bucket_repair,
         "store_zone_map_scan": _q_store_zone_scan,
         "store_zorder_scan": _q_store_zorder_scan,
+        "store_bloom_scan": _q_store_bloom_scan,
+        "store_delete_vectors": _q_store_delete_vectors,
         "store_partition_evolution": _q_store_partition_evolution,
         "store_schema_evolution": _q_store_schema_evolution,
         "store_time_travel": _q_store_time_travel,
@@ -1730,6 +1868,8 @@ def oracle_sql() -> dict[str, str]:
         "store_bucket_repair": _STORE_REPAIR_SQL,
         "store_zone_map_scan": _STORE_ZONE_SQL,
         "store_zorder_scan": _STORE_ZORDER_SQL,
+        "store_bloom_scan": _STORE_BLOOM_SQL,
+        "store_delete_vectors": _STORE_DV_SQL,
         "store_partition_evolution": _STORE_PEVO_SQL,
         "store_schema_evolution": _STORE_SEVO_SQL,
         "store_time_travel": _STORE_TRAVEL_SQL,

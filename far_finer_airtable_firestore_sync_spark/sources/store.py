@@ -852,7 +852,10 @@ def write_zone_manifest(version_dir: str) -> dict:
     import pyarrow.parquet as pq
 
     manifest: dict = {}
-    for root, _dirs, files in os.walk(version_dir):
+    for root, dirs, files in os.walk(version_dir):
+        # sidecar dirs (_deletion_vectors, ...) are not data files —
+        # Spark's reader skips underscore paths and so must the zones
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
             if not f.endswith(".parquet"):
                 continue
@@ -928,3 +931,175 @@ def prune_files_by_zone(
     # assertion (len(keep) < total) could be satisfied purely by empty
     # part files without the zones pruning anything (review finding)
     return keep, n_nonempty
+
+
+def _bloom_hashes(value: str, n_bits: int, k: int) -> list[int]:
+    """Deterministic double-hashing (Kirsch-Mitzenmacher): two 64-bit
+    halves of blake2b seed ``h1 + i*h2`` — stable across runs, hosts
+    and Python processes (no PYTHONHASHSEED dependence)."""
+    import hashlib
+
+    d = hashlib.blake2b(value.encode("utf-8"), digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1  # odd: full-period stride
+    return [(h1 + i * h2) % n_bits for i in range(k)]
+
+
+#: bloom sizing: bits per distinct key (~10 => ~1.2% fp at k=4)
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_K = 4
+
+
+def write_bloom_manifest(version_dir: str, col: str) -> dict:
+    """Per-file Bloom filters over ``col`` for a committed version —
+    the parquet-footer bloom-filter / Delta-Iceberg point-lookup
+    skipping shape, as a ``_bloom_<col>.json`` sidecar. Zone maps
+    (``write_zone_manifest``) skip on RANGES; for a high-cardinality
+    key whose values hash-scatter across files, every file's [min,max]
+    covers every probe and zones skip nothing — the bloom answers
+    "can this file contain THIS key?" instead.
+
+    Filter size adapts to the file's row count (~10 bits/key, k=4:
+    ~1.2% false-positive rate), so the skip rate survives scale-factor
+    changes. Building reads ONE column per file (columnar projection,
+    not a full scan); at 100 TB this single-column pass would be the
+    same distributed job that computes footer stats — per-file
+    independent, no shuffle — with the manifest footprint ~10 bits
+    per key, still O(keys/800) bytes.
+
+    Reference analog: Firestore serves point reads from its own key
+    index (lib/FirestoreWrapper.py get_document); a parquet store has
+    no server, so the index rides with the version as a sidecar."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    manifest: dict = {}
+    for root, dirs, files in os.walk(version_dir):
+        # sidecar dirs (_deletion_vectors, ...) are not data files
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            path = os.path.join(root, f)
+            tbl = pq.read_table(path, columns=[col])
+            vals = [v for v in tbl.column(col).to_pylist() if v is not None]
+            n_bits = 64
+            while n_bits < _BLOOM_BITS_PER_KEY * max(1, len(vals)):
+                n_bits *= 2
+            bits = bytearray(n_bits // 8)
+            for v in vals:
+                for h in _bloom_hashes(str(v), n_bits, _BLOOM_K):
+                    bits[h >> 3] |= 1 << (h & 7)
+            manifest[os.path.relpath(path, version_dir)] = {
+                "rows": tbl.num_rows,
+                "n_bits": n_bits,
+                "bitmap": base64.b64encode(bytes(bits)).decode("ascii"),
+            }
+    with open(
+        os.path.join(version_dir, f"_bloom_{col}.json"), "w"
+    ) as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def prune_files_by_bloom(
+    version_dir: str, col: str, values: list
+) -> tuple[list[str], int]:
+    """Files of a committed version that MAY contain at least one of
+    ``values`` in ``col`` per the bloom sidecar (written lazily if
+    absent), plus the non-empty file count for skip-rate assertions.
+    Bloom filters have no false negatives, so the prune is loss-free
+    by construction; callers re-apply the predicate after the scan
+    exactly like the zone-map path."""
+    import base64
+
+    mpath = os.path.join(version_dir, f"_bloom_{col}.json")
+    try:
+        with open(mpath) as fh:
+            manifest = json.load(fh)
+    except FileNotFoundError:
+        manifest = write_bloom_manifest(version_dir, col)
+    keep = []
+    n_nonempty = 0
+    for rel, meta in manifest.items():
+        if meta["rows"] == 0:
+            continue
+        n_nonempty += 1
+        bits = base64.b64decode(meta["bitmap"])
+        n_bits = meta["n_bits"]
+
+        def _maybe(v) -> bool:
+            return all(
+                bits[h >> 3] & (1 << (h & 7))
+                for h in _bloom_hashes(str(v), n_bits, _BLOOM_K)
+            )
+
+        if any(_maybe(v) for v in values):
+            keep.append(os.path.join(version_dir, rel))
+    return keep, n_nonempty
+
+
+_DV_DIR = "_deletion_vectors"
+
+
+def write_deletion_vectors(
+    spark: SparkSession, version_dir: str, predicate: str
+) -> int:
+    """Row-level DELETE without rewriting data files — the Delta
+    deletion-vector shape: rows of the committed version matching
+    ``predicate`` are recorded POSITIONALLY as (file_path, row_index)
+    in a ``_deletion_vectors/`` parquet sidecar; the data files stay
+    byte-identical (a 100 TB version deletes 0.1% of its rows by
+    writing megabytes, not rewriting terabytes). Positions come from
+    Spark's parquet ``_metadata.row_index`` virtual column, which is
+    the file's physical row order — stable for an immutable file.
+
+    Returns the number of rows marked deleted. The mask is computed
+    once by a distributed scan of only the matching rows; readers
+    (``read_with_deletion_vectors``) never re-evaluate the predicate —
+    masking is purely positional, so it also covers deletes whose
+    predicate columns were later dropped or renamed."""
+    df = spark.read.parquet(version_dir)
+    dv = (
+        df.filter(predicate)
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("row_index"),
+        )
+    )
+    out = os.path.join(version_dir, _DV_DIR)
+    dv.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).count()
+
+
+def read_with_deletion_vectors(
+    spark: SparkSession, version_dir: str
+) -> DataFrame:
+    """Snapshot of a version with its deletion vectors applied: a
+    positional LEFT ANTI join of the data scan (tagged with the
+    ``_metadata`` file/row position) against the DV sidecar. The DV
+    side is broadcast when small (deletes are typically a sliver of
+    the table); the join keys are (file_path, row_index), so no data
+    column takes part in masking. Without a DV sidecar the plain scan
+    returns unchanged."""
+    data = spark.read.parquet(version_dir)
+    dv_path = os.path.join(version_dir, _DV_DIR)
+    if not os.path.isdir(dv_path):
+        return data
+    dv = spark.read.parquet(dv_path)
+    cols = data.columns
+    return (
+        data.select(
+            "*",
+            F.col("_metadata.file_path").alias("_dv_fp"),
+            F.col("_metadata.row_index").alias("_dv_ri"),
+        )
+        .join(
+            F.broadcast(dv),
+            (F.col("_dv_fp") == dv["file_path"])
+            & (F.col("_dv_ri") == dv["row_index"]),
+            "left_anti",
+        )
+        .select(*cols)
+    )

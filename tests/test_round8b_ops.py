@@ -199,3 +199,147 @@ def test_tcloseness_identical_distribution_is_zero(spark):
     assert len(out) == 2
     for r in out:
         assert r["emd_num"] == 0 and r["t_close"]
+
+
+def test_bloom_manifest_no_false_negatives(spark, tmp_path):
+    """Every key present in a file must pass that file's bloom —
+    bloom pruning is loss-free by definition; a false negative here
+    would make prune_files_by_bloom silently drop matching rows."""
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+        prune_files_by_bloom,
+        write_bloom_manifest,
+    )
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    store = DocumentStore(spark, str(tmp_path / "bl"), "event_id")
+    vdir = store.commit(ev.repartition(8, F.col("user_id")))
+    write_bloom_manifest(vdir, "event_id")
+    import pyarrow.parquet as pq
+    import glob
+    import os
+
+    all_ids = [r.event_id for r in ev.select("event_id").collect()]
+    for probe in all_ids[::97]:  # sampled probes across the id space
+        keep, total = prune_files_by_bloom(vdir, "event_id", [probe])
+        assert keep, f"bloom false negative for {probe}"
+        # the file that physically holds the key must be in keep
+        owner = None
+        for f in glob.glob(os.path.join(vdir, "*.parquet")):
+            ids = set(
+                pq.read_table(f, columns=["event_id"])
+                .column("event_id").to_pylist()
+            )
+            if probe in ids:
+                owner = f
+                break
+        assert owner is not None and owner in keep
+
+
+def test_bloom_prune_is_deterministic_across_commits(spark, tmp_path):
+    """Same data, two fresh commits: identical pruned file SETS
+    (relative names) — murmur3 clustering + blake2b blooms have no
+    run-dependent state."""
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+        prune_files_by_bloom,
+        write_bloom_manifest,
+    )
+    from pyspark.sql import functions as F
+    import os
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    rels = []
+    for sub in ("a", "b"):
+        store = DocumentStore(spark, str(tmp_path / sub), "event_id")
+        vdir = store.commit(ev.repartition(8, F.col("user_id")))
+        write_bloom_manifest(vdir, "event_id")
+        keep, total = prune_files_by_bloom(vdir, "event_id", [17, 411])
+        # file names embed a per-job uuid; the deterministic layout
+        # fact is WHICH partition indices survive the prune
+        rels.append(
+            sorted(os.path.basename(k).split("-")[1] for k in keep)
+        )
+        assert 0 < len(keep) < total
+    assert rels[0] == rels[1]
+
+
+def test_deletion_vectors_positional_row_identity(spark, tmp_path):
+    """The DV-masked read returns EXACTLY the non-matching rows —
+    full row-level identity against the direct NOT-filter, and the
+    data files stay byte-identical (delete-without-rewrite)."""
+    import glob
+    import hashlib
+    import os
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+        read_with_deletion_vectors,
+        write_deletion_vectors,
+    )
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    store = DocumentStore(spark, str(tmp_path / "dv"), "event_id")
+    vdir = store.commit(ev.repartition(4, F.col("user_id")))
+
+    def _digests():
+        return {
+            os.path.basename(f): hashlib.md5(
+                open(f, "rb").read()
+            ).hexdigest()
+            for f in glob.glob(os.path.join(vdir, "*.parquet"))
+        }
+
+    before = _digests()
+    pred = "event_type = 'error' and user_id % 3 = 0"
+    nd = write_deletion_vectors(spark, vdir, pred)
+    assert nd > 0
+    assert _digests() == before  # no data file rewritten
+    got = sorted(tuple(r) for r in read_with_deletion_vectors(
+        spark, vdir).collect())
+    want = sorted(
+        tuple(r) for r in ev.filter(f"not ({pred})").collect()
+    )
+    assert got == want
+
+
+def test_deletion_vectors_absent_is_plain_scan(spark, tmp_path):
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+        read_with_deletion_vectors,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "value"
+    )
+    store = DocumentStore(spark, str(tmp_path / "plain"), "event_id")
+    vdir = store.commit(ev)
+    assert read_with_deletion_vectors(spark, vdir).count() == ev.count()
+
+
+def test_zone_manifest_skips_dv_sidecar(spark, tmp_path):
+    """write_zone_manifest over a version that carries a DV sidecar
+    must not index the sidecar's parquet files as data."""
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+        write_deletion_vectors,
+        write_zone_manifest,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    store = DocumentStore(spark, str(tmp_path / "zdv"), "event_id")
+    vdir = store.commit(ev)
+    write_deletion_vectors(spark, vdir, "user_id % 5 = 0")
+    manifest = write_zone_manifest(vdir)
+    assert manifest
+    assert all("_deletion_vectors" not in rel for rel in manifest)
