@@ -725,6 +725,101 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_search.cosine_topk(emb, emb.filter("vec_id < 5"), k=10)
 
 
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized ANN (see similarity_search.sq8_topk):
+    per-dimension-calibrated byte codes, exact integer dot ranking —
+    the 4x-compression tier real vector stores ship (FAISS SQ8 /
+    Lucene int8 HNSW). Calibration is one bounded posexplode
+    aggregate; scoring broadcasts only the query side."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity_search.sq8_topk(
+        emb, emb.filter("vec_id % 100 = 0"), k=10
+    )
+
+
+def _sq8_codes_ctes() -> str:
+    """Shared DuckDB CTE chain: milli-quantize, per-dim calibrate,
+    int8 codes, then bucket-midpoint DECODED values on the x510
+    integer grid (``510*mn + (2c+1)*span``) in long (vec_id, p, d)
+    form — ranking must score decoded values, not raw unsigned codes
+    (see similarity_search.sq8_topk)."""
+    qz = tx.quantize("embedding", DUCKDB)
+    return f"""
+mi as (select vec_id, {qz} as qv from embeddings),
+pos as (select unnest(generate_series(1, 64)) as p),
+lng as (select vec_id, p, qv[p] as x from mi cross join pos),
+stats as (
+  select p, min(x) as mn, greatest(max(x) - min(x), 1) as sp
+  from lng group by p
+),
+codes as (
+  select vec_id, p, ((x - mn) * 255) // sp as c, mn, sp
+  from lng join stats using (p)
+),
+dec as (
+  select vec_id, p, 510 * mn + (2 * c + 1) * sp as d from codes
+),
+qdec as (
+  select vec_id as query_id, p, d from dec where vec_id % 100 = 0
+),
+dots as (
+  select q.query_id, c.vec_id as neighbor_id,
+         cast(sum(q.d * c.d) as bigint) as dot8
+  from qdec q join dec c using (p)
+  where c.vec_id <> q.query_id
+  group by 1, 2
+)"""
+
+
+def sq8_topk_oracle() -> str:
+    return f"""
+with {_sq8_codes_ctes()}
+select query_id, neighbor_id, dot8, cast(rn as int) as rank
+from (
+  select *, row_number() over (
+    partition by query_id order by dot8 desc, neighbor_id asc) as rn
+  from dots)
+where rn <= 10
+"""
+
+
+def q_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN serving cascade (see
+    similarity_search.sq8_rerank_topk): SQ8 byte-code shortlist, then
+    exact quantized-cosine rerank on candidates only."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity_search.sq8_rerank_topk(
+        emb, emb.filter("vec_id % 100 = 0"), k=10, shortlist=50
+    )
+
+
+def sq8_rerank_oracle() -> str:
+    cos = tx.cosine_quantized("q.qv", "c.qv", DUCKDB)
+    return f"""
+with {_sq8_codes_ctes()},
+short as (
+  select query_id, neighbor_id
+  from (
+    select *, row_number() over (
+      partition by query_id order by dot8 desc, neighbor_id asc) as rn
+    from dots)
+  where rn <= 50
+),
+rer as (
+  select s.query_id, s.neighbor_id, {cos} as cosine
+  from short s
+  join mi c on c.vec_id = s.neighbor_id
+  join mi q on q.vec_id = s.query_id
+)
+select query_id, neighbor_id, cosine, cast(rn as int) as rank
+from (
+  select *, row_number() over (
+    partition by query_id order by cosine desc, neighbor_id asc) as rn
+  from rer)
+where rn <= 10
+"""
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 hard negatives (cosine < 0.95) for 5 query vectors."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -6483,6 +6578,8 @@ EXT_QUERIES = {
     "dedup_lsh_pairs_fast": q_lsh_pairs_fast,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "similarity_cosine_topk": q_cosine_topk,
+    "similarity_sq8_topk": q_sq8_topk,
+    "similarity_sq8_rerank": q_sq8_rerank,
     "valuation_knn_shapley": q_knn_shapley,
     "phonetic_soundex_groups": q_soundex_groups,
     "selection_kcenter_coreset": q_kcenter_coreset,
@@ -6604,6 +6701,8 @@ def ext_oracles() -> dict[str, str]:
         "dedup_lsh_pairs_fast": lsh_pairs_fast_oracle(),
         "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
         "similarity_cosine_topk": cosine_topk_oracle(),
+        "similarity_sq8_topk": sq8_topk_oracle(),
+        "similarity_sq8_rerank": sq8_rerank_oracle(),
         "valuation_knn_shapley": knn_shapley_oracle(),
         "phonetic_soundex_groups": soundex_groups_oracle(),
         "selection_kcenter_coreset": kcenter_oracle(),

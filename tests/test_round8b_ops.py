@@ -343,3 +343,77 @@ def test_zone_manifest_skips_dv_sidecar(spark, tmp_path):
     manifest = write_zone_manifest(vdir)
     assert manifest
     assert all("_deletion_vectors" not in rel for rel in manifest)
+
+
+def test_sq8_codes_bounded_and_calibrated(spark):
+    """Every SQ8 code lies in [0, 255]; each dimension's corpus min
+    maps to 0 and max to 255 (affine calibration actually spans the
+    byte range — a shifted/clipped map would waste code space)."""
+    from far_finer_airtable_firestore_sync_spark.operators import (
+        similarity_search as ss,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    c = ss._quantized(emb, "embedding", "_qv")
+    mn, span = ss.sq8_stats(c)
+    coded = ss.sq8_codes(c, mn, span)
+    lo, hi = coded.select(
+        F.min(F.array_min("_qc")), F.max(F.array_max("_qc"))
+    ).first()
+    assert lo == 0 and hi == 255
+    per_dim = (
+        coded.select(F.posexplode("_qc").alias("p", "c"))
+        .groupBy("p")
+        .agg(F.min("c").alias("cmn"), F.max("c").alias("cmx"))
+        .collect()
+    )
+    for r in per_dim:
+        assert r.cmn == 0 and r.cmx == 255, (r.p, r.cmn, r.cmx)
+
+
+def test_sq8_recall_vs_exact_cosine(spark):
+    """Decoded-code scoring must track exact cosine ranking on the
+    unit-norm fixture: rerank@10 recall >= 0.9, raw SQ8 >= 0.8
+    (measured 1.0 / 0.98; raw UNSIGNED-code dot scored 0.1 before the
+    decode fix — this test is the regression guard for that)."""
+    from far_finer_airtable_firestore_sync_spark.operators import (
+        similarity_search as ss,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter("vec_id % 100 = 0")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ss.cosine_topk(emb, q, k=10).collect()
+    }
+    rr = {
+        (r.query_id, r.neighbor_id)
+        for r in ss.sq8_rerank_topk(emb, q, k=10, shortlist=50).collect()
+    }
+    sq = {
+        (r.query_id, r.neighbor_id)
+        for r in ss.sq8_topk(emb, q, k=10).collect()
+    }
+    assert len(exact & rr) / len(exact) >= 0.9
+    assert len(exact & sq) / len(exact) >= 0.8
+
+
+def test_sq8_rerank_subset_of_shortlist(spark):
+    """The rerank stage may only ever return pairs its SQ8 shortlist
+    produced — the cascade contract."""
+    from far_finer_airtable_firestore_sync_spark.operators import (
+        similarity_search as ss,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter("vec_id % 100 = 0")
+    short = {
+        (r.query_id, r.neighbor_id)
+        for r in ss.sq8_topk(emb, q, k=50).collect()
+    }
+    rer = {
+        (r.query_id, r.neighbor_id)
+        for r in ss.sq8_rerank_topk(emb, q, k=10, shortlist=50).collect()
+    }
+    assert rer <= short
