@@ -725,6 +725,115 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_search.cosine_topk(emb, emb.filter("vec_id < 5"), k=10)
 
 
+def _readability_body(dialect: str, rel: str) -> str:
+    """Flesch-Kincaid grade level per document, engine-exact: words =
+    the shared word-token regex, sentences = terminal-punctuation
+    groups, syllables ~ vowel groups (the standard regex heuristic;
+    clamped to >= words since every word has a syllable). The grade
+    ``0.39*w/s + 11.8*y/w - 15.59`` is evaluated as ONE integer
+    fraction on the milli grid — ``(390*w*w + 11800*y*s - 15590*s*w)
+    intdiv (s*w)`` — no float division, and both engines truncate
+    toward zero identically for the negative grades short docs
+    produce."""
+    intdiv = "div" if dialect == SPARK else "//"
+    words = tx.word_token_count("coalesce(text, '')", dialect)
+    sents = tx.rx_count("coalesce(text, '')", "[.!?]+", dialect)
+    syl = tx.rx_count("lower(coalesce(text, ''))", "[aeiouy]+", dialect)
+    return f"""
+with m as (
+  select doc_id,
+         cast({words} as bigint) as w0,
+         cast({sents} as bigint) as s0,
+         cast({syl} as bigint) as y0
+  from {rel}
+),
+g as (
+  select doc_id, w0, s0, y0,
+         greatest(w0, 1) as w, greatest(s0, 1) as s,
+         greatest(y0, w0, 1) as y
+  from m
+)
+select doc_id, w0 as n_words, s0 as n_sentences, y0 as n_vowel_groups,
+       cast((390 * w * w + 11800 * y * s - 15590 * s * w)
+            {intdiv} (s * w) as bigint) as fk_grade_milli
+from g
+"""
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid readability per doc (see ``_readability_body``)
+    — the grade-level quality signal curation recipes (C4, Gopher)
+    bucket on. Scale shape: embarrassingly parallel scan, three regex
+    counters per row, no shuffle at all."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_read_docs"
+    )
+    return spark.sql(_readability_body(SPARK, "_ffs_read_docs"))
+
+
+#: per-source cap on preference pairs
+PREF_PAIR_CAP = 50
+
+
+def _preference_pairs_body(dialect: str, rel: str) -> str:
+    """RLHF/DPO preference-pair construction: within each source,
+    pair the i-th best document (by the shared integer quality
+    classifier score) with the i-th worst — maximal-margin pairs, the
+    standard heuristic when only pointwise quality exists. The two
+    rankings are exact mirrors (score desc/doc_id asc vs score
+    asc/doc_id desc), so ``r_bot = n + 1 - r_top`` holds even under
+    score ties and the chosen/rejected sets are provably disjoint at
+    the n/2 cap; zero-margin pairs are dropped."""
+    intdiv = "div" if dialect == SPARK else "//"
+    score = tx.quality_classifier_exprs("coalesce(text, '')", dialect)[
+        "clf_score_milli"
+    ]
+    return f"""
+with s as (
+  select doc_id, source, {score} as score
+  from {rel}
+  where text is not null and source is not null
+),
+r as (
+  select doc_id, source, score,
+         row_number() over (
+           partition by source order by score desc, doc_id asc) as rtop,
+         row_number() over (
+           partition by source order by score asc, doc_id desc) as rbot,
+         cast(count(*) over (partition by source) as bigint) as n
+  from s
+),
+top as (
+  select source, rtop as pr, doc_id as chosen_id, score as chosen_score
+  from r where rtop <= least(n {intdiv} 2, {PREF_PAIR_CAP})
+),
+bot as (
+  select source, rbot as pr, doc_id as rejected_id,
+         score as rejected_score
+  from r where rbot <= least(n {intdiv} 2, {PREF_PAIR_CAP})
+)
+select t.source, cast(t.pr as int) as pair_rank,
+       t.chosen_id, b.rejected_id,
+       cast(t.chosen_score - b.rejected_score as bigint) as margin_milli
+from top t
+join bot b on t.source = b.source and t.pr = b.pr
+where t.chosen_score - b.rejected_score > 0
+"""
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining (see ``_preference_pairs_body``).
+
+    Scale shape: one hash partitioning on source shared by both
+    window passes and the self-join (top and bot are slices of the
+    same ranked relation, joined on (source, rank) — tiny, capped at
+    {cap}/source)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_pref_docs"
+    )
+    return spark.sql(_preference_pairs_body(SPARK, "_ffs_pref_docs"))
+
+
 def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized ANN (see similarity_search.sq8_topk):
     per-dimension-calibrated byte codes, exact integer dot ranking —
@@ -6580,6 +6689,8 @@ EXT_QUERIES = {
     "similarity_cosine_topk": q_cosine_topk,
     "similarity_sq8_topk": q_sq8_topk,
     "similarity_sq8_rerank": q_sq8_rerank,
+    "text_readability": q_text_readability,
+    "mining_preference_pairs": q_preference_pairs,
     "valuation_knn_shapley": q_knn_shapley,
     "phonetic_soundex_groups": q_soundex_groups,
     "selection_kcenter_coreset": q_kcenter_coreset,
@@ -6703,6 +6814,10 @@ def ext_oracles() -> dict[str, str]:
         "similarity_cosine_topk": cosine_topk_oracle(),
         "similarity_sq8_topk": sq8_topk_oracle(),
         "similarity_sq8_rerank": sq8_rerank_oracle(),
+        "text_readability": _readability_body(DUCKDB, "documents"),
+        "mining_preference_pairs": _preference_pairs_body(
+            DUCKDB, "documents"
+        ),
         "valuation_knn_shapley": knn_shapley_oracle(),
         "phonetic_soundex_groups": soundex_groups_oracle(),
         "selection_kcenter_coreset": kcenter_oracle(),

@@ -56,6 +56,8 @@ from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
     _winnowing_body,
     _bpe_encode_oracle,
     _kmv_intersect_body,
+    _preference_pairs_body,
+    _readability_body,
     _sentiment_body,
 )
 
@@ -210,6 +212,14 @@ def test_fuzz_body_parity(spark, tmp_path):
                 " from fz_docs)",
                 k=40,
             ),
+        ),
+        "readability": (
+            _readability_body(SPARK, "fz_docs"),
+            _readability_body(DUCKDB, "fz_docs"),
+        ),
+        "pref_pairs": (
+            _preference_pairs_body(SPARK, "fz_docs"),
+            _preference_pairs_body(DUCKDB, "fz_docs"),
         ),
         "kmv": (_kmv_body(SPARK, "fz_docs"), _kmv_body(DUCKDB, "fz_docs")),
         "entropy": (

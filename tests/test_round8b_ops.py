@@ -417,3 +417,58 @@ def test_sq8_rerank_subset_of_shortlist(spark):
         for r in ss.sq8_rerank_topk(emb, q, k=10, shortlist=50).collect()
     }
     assert rer <= short
+
+
+def test_readability_matches_python_replica(spark):
+    """FK grade per doc against a regex replica in Python (truncating
+    integer division replicated exactly)."""
+    import re
+
+    import __spark_entry__ as e
+
+    got = {
+        r["doc_id"]: r
+        for r in _rows(e.queries()["text_readability"](spark, SF_DIR))
+    }
+    pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert set(got) == set(pdf["doc_id"])
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        t = text or ""
+        # word count comes from the shared WORD regex in textsql; the
+        # replica trusts the entry's n_words and re-derives the rest
+        r = got[doc_id]
+        s0 = len(re.findall(r"[.!?]+", t))
+        y0 = len(re.findall(r"[aeiouy]+", t.lower()))
+        assert r["n_sentences"] == s0
+        assert r["n_vowel_groups"] == y0
+        w = max(r["n_words"], 1)
+        s = max(s0, 1)
+        y = max(y0, r["n_words"], 1)
+        num = 390 * w * w + 11800 * y * s - 15590 * s * w
+        den = s * w
+        want = abs(num) // den * (1 if num >= 0 else -1)
+        assert r["fk_grade_milli"] == want
+
+
+def test_preference_pairs_disjoint_and_positive_margin(spark):
+    import __spark_entry__ as e
+
+    out = _rows(e.queries()["mining_preference_pairs"](spark, SF_DIR))
+    assert out
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+        assert r["margin_milli"] > 0
+    pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    n_by_src = pdf[pdf["text"].notna() & pdf["source"].notna()][
+        "source"
+    ].value_counts()
+    for src, rows in by_src.items():
+        chosen = {r["chosen_id"] for r in rows}
+        rejected = {r["rejected_id"] for r in rows}
+        assert not (chosen & rejected), src
+        assert len(rows) <= min(int(n_by_src[src]) // 2, 50)
+        # pair ranks are 1..k contiguous before the margin filter;
+        # after it they are still unique
+        prs = [r["pair_rank"] for r in rows]
+        assert len(prs) == len(set(prs))
