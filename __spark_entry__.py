@@ -977,6 +977,175 @@ group by event_type
 """
 
 
+#: commit expectations — names + predicates shared VERBATIM with the
+#: oracle (the case chain is the same text in both engines). Rule 2's
+#: modulus marker guarantees deterministic hits at every SF.
+_EXPECT_RULES = [
+    ("value_in_range", "value >= 0 and value <= 400"),
+    ("checksum_ok", "event_id % 101 <> 7"),
+    (
+        "type_known",
+        "event_type in ('click','view','purchase','signup','error')",
+    ),
+]
+
+
+def _q_store_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit expectations with a quarantine channel — the Delta
+    CHECK-constraint / DLT-expectations shape through the real store
+    path: rows are tagged with their FIRST violated rule, clean rows
+    COMMIT to a DocumentStore (real versioned write + read-back),
+    violating rows route to quarantine grouped by reason — bad rows
+    are data, not exceptions, so one poisoned record cannot abort a
+    100 TB sync. The rule order is deterministic and the case chain
+    is shared verbatim with the oracle. Self-bisect: the committed
+    read-back aggregate must equal the direct clean-filter scan."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.operators.expectations import (
+        split_expectations,
+    )
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        read_events,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    _utc(spark)
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    valid, quarantined = split_expectations(ev, _EXPECT_RULES)
+    root = tempfile.mkdtemp(prefix="ffs_expect_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "event_id")
+    vdir = store.commit(valid)
+    committed = spark.read.parquet(vdir)
+
+    com_agg = _agg64(
+        committed.withColumn("status", F.lit("committed")).withColumn(
+            "reason", F.lit("ok")
+        ),
+        "status",
+        "reason",
+    )
+    _assert_spark_equal(
+        com_agg,
+        _agg64(
+            valid.withColumn("status", F.lit("committed")).withColumn(
+                "reason", F.lit("ok")
+            ),
+            "status",
+            "reason",
+        ),
+        "expectation-gated committed aggregate",
+    )
+    q_agg = _agg64(
+        quarantined.withColumn("status", F.lit("quarantined")).withColumn(
+            "reason", F.col("_violation")
+        ),
+        "status",
+        "reason",
+    )
+    return com_agg.unionByName(q_agg)
+
+
+def _expect_oracle() -> str:
+    from far_finer_airtable_firestore_sync_spark.operators.expectations import (
+        violation_sql,
+    )
+
+    return f"""
+with tagged as (
+  select *, {violation_sql(_EXPECT_RULES)} as v from events
+)
+select case when v is null then 'committed' else 'quarantined' end
+         as status,
+       coalesce(v, 'ok') as reason,
+       cast(count(*) as bigint) as n_events,
+       cast(sum(cast(floor(value * cast(64 as double)) as bigint))
+            as bigint) as value_64ths
+from tagged
+group by 1, 2
+"""
+
+
+def _q_store_dpp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning through the store — the third
+    skipping tier after static partition pruning (store_partition_
+    evolution) and footer stats (zone/z-order/bloom): the filter that
+    prunes the fact scan is not known until runtime, because the
+    "hot" dimension side is itself computed from data (types whose
+    count reaches the global mean — an integer comparison, no
+    floats). Spark plans a DPP subquery: the broadcasted dim result
+    feeds the fact scan's PartitionFilters at execution time, so the
+    hive-partitioned store version only opens the surviving type
+    directories (plan shape pinned by a test asserting
+    dynamicpruningexpression). Self-bisect: equals the direct
+    semi-join on the raw parquet."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        read_events,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    _utc(spark)
+    ev = read_events(spark, sf_dir).select("event_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="ffs_dpp_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "event_id")
+    vdir = store.commit(
+        ev.repartition(F.col("event_type")), partition_by=["event_type"]
+    )
+    fact = spark.read.parquet(vdir)
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    # the mean gate is a bounded 1-row aggregate, collected and
+    # inlined as LITERALS: Spark's PartitionPruning rule only plants a
+    # DPP subquery when the dim side has a likely-selective predicate,
+    # and its isLikelySelective test accepts attribute-vs-literal
+    # comparisons only (attribute-vs-attribute planned no DPP —
+    # measured)
+    ntypes, tot = counts.agg(
+        F.count(F.lit(1)), F.sum("n")
+    ).first()
+    hot = counts.filter(
+        F.col("n") * F.lit(int(ntypes)) >= F.lit(int(tot))
+    ).select("event_type")
+    out = _agg64(
+        fact.join(F.broadcast(hot), "event_type"), "event_type"
+    )
+    _assert_spark_equal(
+        out,
+        _agg64(ev.join(F.broadcast(hot), "event_type"), "event_type"),
+        "DPP-pruned hot-type aggregate",
+    )
+    return out
+
+
+_STORE_DPP_SQL = """
+with d as (
+  select event_type, cast(count(*) as bigint) as n
+  from events group by 1
+),
+t as (
+  select cast(count(*) as bigint) as ntypes, cast(sum(n) as bigint) as tot
+  from d
+),
+hot as (
+  select event_type from d cross join t where n * ntypes >= tot
+)
+select e.event_type, cast(count(*) as bigint) as n_events,
+       cast(sum(cast(floor(value * cast(64 as double)) as bigint))
+            as bigint) as value_64ths
+from events e join hot h on e.event_type = h.event_type
+group by e.event_type
+"""
+
+
 def _q_store_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-layout EVOLUTION through the store (the Iceberg
     partition-evolution shape on immutable versions): the same events
@@ -1820,6 +1989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_zorder_scan": _q_store_zorder_scan,
         "store_bloom_scan": _q_store_bloom_scan,
         "store_delete_vectors": _q_store_delete_vectors,
+        "store_expectations": _q_store_expectations,
+        "store_dpp_scan": _q_store_dpp_scan,
         "store_partition_evolution": _q_store_partition_evolution,
         "store_schema_evolution": _q_store_schema_evolution,
         "store_time_travel": _q_store_time_travel,
@@ -1870,6 +2041,8 @@ def oracle_sql() -> dict[str, str]:
         "store_zorder_scan": _STORE_ZORDER_SQL,
         "store_bloom_scan": _STORE_BLOOM_SQL,
         "store_delete_vectors": _STORE_DV_SQL,
+        "store_expectations": _expect_oracle(),
+        "store_dpp_scan": _STORE_DPP_SQL,
         "store_partition_evolution": _STORE_PEVO_SQL,
         "store_schema_evolution": _STORE_SEVO_SQL,
         "store_time_travel": _STORE_TRAVEL_SQL,

@@ -472,3 +472,89 @@ def test_preference_pairs_disjoint_and_positive_margin(spark):
         # after it they are still unique
         prs = [r["pair_rank"] for r in rows]
         assert len(prs) == len(set(prs))
+
+
+def test_expectations_first_violation_and_null_hostility(spark):
+    """Multi-violating rows report the FIRST rule in declaration
+    order; NULL predicates count as violations."""
+    from far_finer_airtable_firestore_sync_spark.operators.expectations import (
+        apply_expectations,
+        split_expectations,
+    )
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(a=1, b=1),      # clean
+            Row(a=-1, b=1),     # violates r1
+            Row(a=-1, b=-1),    # violates r1 AND r2 -> reported as r1
+            Row(a=1, b=-1),     # violates r2
+            Row(a=None, b=1),   # NULL predicate -> violation (r1)
+        ]
+    )
+    rules = [("a_pos", "a >= 0"), ("b_pos", "b >= 0")]
+    tagged = {
+        (r.a, r.b): r._violation
+        for r in apply_expectations(df, rules).collect()
+    }
+    assert tagged[(1, 1)] is None
+    assert tagged[(-1, 1)] == "a_pos"
+    assert tagged[(-1, -1)] == "a_pos"
+    assert tagged[(1, -1)] == "b_pos"
+    assert tagged[(None, 1)] == "a_pos"
+    valid, quar = split_expectations(df, rules)
+    assert valid.count() + quar.count() == df.count()
+    assert "_violation" not in valid.columns
+    assert "_violation" in quar.columns
+
+
+def test_expectations_entry_partitions_the_table(spark):
+    """committed + quarantined row counts must cover events exactly,
+    and every reason matches a declared rule name."""
+    import __spark_entry__ as e
+
+    out = _rows(e.queries()["store_expectations"](spark, SF_DIR))
+    n = sum(r["n_events"] for r in out)
+    total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert n == total
+    names = {r[0] for r in e._EXPECT_RULES} | {"ok"}
+    assert {r["reason"] for r in out} <= names
+    assert any(r["status"] == "committed" for r in out)
+    assert any(r["status"] == "quarantined" for r in out)
+
+
+def test_dpp_entry_plan_has_dynamic_pruning(spark):
+    """The hot-type join over the hive-partitioned store version must
+    plan a DPP subquery (dynamicpruningexpression in PartitionFilters)
+    — the runtime directory-skipping tier the entry exists to prove."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        read_events,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = read_events(spark, SF_DIR).select(
+        "event_id", "event_type", "value"
+    )
+    store = DocumentStore(
+        spark, tempfile.mkdtemp(prefix="ffs_dpp_t_"), "event_id"
+    )
+    vdir = store.commit(
+        ev.repartition(F.col("event_type")), partition_by=["event_type"]
+    )
+    fact = spark.read.parquet(vdir)
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ntypes, tot = counts.agg(F.count(F.lit(1)), F.sum("n")).first()
+    hot = counts.filter(
+        F.col("n") * F.lit(int(ntypes)) >= F.lit(int(tot))
+    ).select("event_type")
+    j = fact.join(F.broadcast(hot), "event_type").groupBy(
+        "event_type"
+    ).count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
