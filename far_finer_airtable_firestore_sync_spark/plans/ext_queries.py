@@ -834,6 +834,119 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_preference_pairs_body(SPARK, "_ffs_pref_docs"))
 
 
+#: a line is boilerplate when it appears in more than this many docs
+LINE_XDOC_CAP = 1
+#: minimum words for a line to survive the short-line rule
+LINE_MIN_WORDS = 3
+
+
+def _line_dedup_body(dialect: str, rel: str) -> str:
+    """LINE-level cleaning + cross-document line dedup — the CCNet /
+    RefinedWeb boilerplate-removal stage the doc-level `text_c4_rules`
+    entry discloses it cannot exercise on a single-line fixture.
+    Multi-line documents are synthesized deterministically (4 fixture
+    docs -> 1 doc, joined on chr(10)) with three planted phenomena so
+    every rule observably fires at any SF: the first member line
+    repeated (within-doc dedup), a constant footer (cross-doc
+    boilerplate), and a one-word line (short-line rule).
+
+    Rules, applied per line: keep the FIRST within-doc occurrence
+    (row_number over (doc, line) by position), drop lines present in
+    more than {cap} distinct docs (the shuffle-on-line-hash
+    boilerplate removal real pipelines run corpus-wide), drop lines
+    under {mw} words. Docs reassemble in original line order and the
+    output carries md5(cleaned) so reassembly is value-checked, not
+    just counted."""
+    nl = "chr(10)"
+    wc = tx.lsize(tx.split_ws_safe("line", dialect), dialect)
+    if dialect == SPARK:
+        joined = (
+            "array_join(transform(array_sort(collect_list("
+            f"struct(doc_id, text))), x -> x.text), {nl})"
+        )
+        explode_lines = (
+            f"select gid, i0 + 1 as idx, line from docs "
+            f"lateral view posexplode(split(dtext, {nl})) t as i0, line"
+        )
+        reassemble = (
+            "array_join(transform(array_sort(collect_list("
+            f"struct(idx, line))), x -> x.line), {nl})"
+        )
+        gid = "doc_id div 4"
+    else:
+        joined = f"string_agg(text, {nl} order by doc_id)"
+        explode_lines = (
+            "select d.gid, t.i as idx, d.arr[t.i] as line "
+            f"from (select gid, string_split(dtext, {nl}) as arr "
+            "from docs) d "
+            "cross join unnest(generate_series(1, len(d.arr))) as t(i)"
+        )
+        reassemble = f"string_agg(line, {nl} order by idx)"
+        gid = "doc_id // 4"
+    return f"""
+with base as (
+  select doc_id, text from {rel} where text is not null
+),
+docs as (
+  select {gid} as gid,
+         {joined} || {nl} || min_by(text, doc_id)
+           || {nl} || 'all rights reserved footer' || {nl} || 'end'
+           as dtext
+  from base
+  group by 1
+),
+lines as ({explode_lines}),
+firsts as (
+  select gid, idx, line,
+         cast({wc} as int) as n_words,
+         row_number() over (
+           partition by gid, line order by idx asc) as occ
+  from lines
+),
+xdoc as (
+  select line, cast(count(distinct gid) as bigint) as ndocs
+  from lines group by line
+),
+kept as (
+  select f.gid, f.idx, f.line
+  from firsts f
+  join xdoc x on f.line = x.line
+  where f.occ = 1
+    and x.ndocs <= {LINE_XDOC_CAP}
+    and f.n_words >= {LINE_MIN_WORDS}
+),
+n_in as (
+  select gid, cast(count(*) as bigint) as n_lines_in
+  from lines group by gid
+),
+n_out as (
+  select gid, cast(count(*) as bigint) as n_lines_kept,
+         md5({reassemble}) as cleaned_md5
+  from kept group by gid
+)
+select i.gid, i.n_lines_in,
+       coalesce(o.n_lines_kept, cast(0 as bigint)) as n_lines_kept,
+       o.cleaned_md5
+from n_in i
+left join n_out o on i.gid = o.gid
+"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level cleaning + cross-doc line dedup (see
+    ``_line_dedup_body``).
+
+    Scale shape: one groupBy to synthesize docs (fixture-only; real
+    corpora arrive multi-line), then the two real corpus-wide ops —
+    a (doc, line) window for within-doc firsts and a shuffle on the
+    line value for cross-doc counts — both partial-aggregating; the
+    join back is on the line key the shuffle already produced."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_lined_docs"
+    )
+    return spark.sql(_line_dedup_body(SPARK, "_ffs_lined_docs"))
+
+
 def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized ANN (see similarity_search.sq8_topk):
     per-dimension-calibrated byte codes, exact integer dot ranking —
@@ -6691,6 +6804,7 @@ EXT_QUERIES = {
     "similarity_sq8_rerank": q_sq8_rerank,
     "text_readability": q_text_readability,
     "mining_preference_pairs": q_preference_pairs,
+    "text_line_dedup": q_line_dedup,
     "valuation_knn_shapley": q_knn_shapley,
     "phonetic_soundex_groups": q_soundex_groups,
     "selection_kcenter_coreset": q_kcenter_coreset,
@@ -6818,6 +6932,7 @@ def ext_oracles() -> dict[str, str]:
         "mining_preference_pairs": _preference_pairs_body(
             DUCKDB, "documents"
         ),
+        "text_line_dedup": _line_dedup_body(DUCKDB, "documents"),
         "valuation_knn_shapley": knn_shapley_oracle(),
         "phonetic_soundex_groups": soundex_groups_oracle(),
         "selection_kcenter_coreset": kcenter_oracle(),

@@ -56,6 +56,7 @@ from far_finer_airtable_firestore_sync_spark.plans.ext_queries import (
     _winnowing_body,
     _bpe_encode_oracle,
     _kmv_intersect_body,
+    _line_dedup_body,
     _preference_pairs_body,
     _readability_body,
     _sentiment_body,
@@ -216,6 +217,10 @@ def test_fuzz_body_parity(spark, tmp_path):
         "readability": (
             _readability_body(SPARK, "fz_docs"),
             _readability_body(DUCKDB, "fz_docs"),
+        ),
+        "line_dedup": (
+            _line_dedup_body(SPARK, "fz_docs"),
+            _line_dedup_body(DUCKDB, "fz_docs"),
         ),
         "pref_pairs": (
             _preference_pairs_body(SPARK, "fz_docs"),

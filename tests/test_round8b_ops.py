@@ -558,3 +558,55 @@ def test_dpp_entry_plan_has_dynamic_pruning(spark):
     ).count()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_line_dedup_rules_fire_and_replica(spark):
+    """Every planted phenomenon must be observable: the repeated
+    first line drops (within-doc dedup), the constant footer drops
+    (cross-doc boilerplate), 'end' drops (short-line) — verified by a
+    Python replica of the whole pipeline including reassembly md5."""
+    import hashlib
+
+    import __spark_entry__ as e
+
+    got = {
+        r["gid"]: r
+        for r in _rows(e.queries()["text_line_dedup"](spark, SF_DIR))
+    }
+    assert got
+    pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    pdf = pdf[pdf["text"].notna()]
+    docs = {}
+    for gid, g in pdf.groupby(pdf["doc_id"] // 4):
+        g = g.sort_values("doc_id")
+        texts = list(g["text"])
+        dtext = "\n".join(
+            texts + [texts[0], "all rights reserved footer", "end"]
+        )
+        docs[gid] = dtext.split("\n")
+    from collections import Counter
+
+    xdoc = Counter()
+    for gid, lines in docs.items():
+        for line in set(lines):
+            xdoc[line] += 1
+    for gid, lines in docs.items():
+        seen = set()
+        kept = []
+        for line in lines:
+            if line in seen:
+                continue
+            seen.add(line)
+            if xdoc[line] > 1:
+                continue
+            if len([w for w in line.split(" ") if w]) < 3:
+                continue
+            kept.append(line)
+        r = got[gid]
+        assert r["n_lines_in"] == len(lines)
+        assert r["n_lines_kept"] == len(kept)
+        if kept:
+            want = hashlib.md5("\n".join(kept).encode()).hexdigest()
+            assert r["cleaned_md5"] == want, gid
+        # the footer and the 1-word line are always dropped
+        assert r["n_lines_kept"] <= len(lines) - 3
