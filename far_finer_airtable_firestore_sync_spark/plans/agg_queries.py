@@ -2912,44 +2912,35 @@ with b as (
   from {{rel}}
 ),
 g as (
-  select c_nationkey, c_mktsegment, band, cast(count(*) as bigint) as n
-  from b group by 1, 2, 3
+  -- K=3 ordered bands PIVOTED to columns: one groupBy carries the
+  -- whole per-group distribution, so no (group x band) grid, no
+  -- zero-fill join, and the global marginals are one whole-relation
+  -- window over the |QI-domain| rows (Spark re-executes an inlined
+  -- CTE per reference; the 4-reference grid form planned 12
+  -- exchanges, this plans 2)
+  select c_nationkey, c_mktsegment,
+         cast(sum(case when band = 0 then 1 else 0 end) as bigint) as c0,
+         cast(sum(case when band = 1 then 1 else 0 end) as bigint) as c1,
+         cast(sum(case when band = 2 then 1 else 0 end) as bigint) as c2
+  from b group by 1, 2
 ),
-tot as (select band, cast(sum(n) as bigint) as gn from g group by band),
-grand as (select cast(sum(n) as bigint) as tn from g),
-grp as (
-  select c_nationkey, c_mktsegment, cast(sum(n) as bigint) as grp_n
-  from g group by 1, 2
-),
-grid as (
-  select gr.c_nationkey, gr.c_mktsegment, gr.grp_n, t.band, t.gn, gd.tn
-  from grp gr cross join tot t cross join grand gd
-),
-j as (
-  select grid.c_nationkey, grid.c_mktsegment, grid.grp_n, grid.band,
-         grid.gn, grid.tn, coalesce(g.n, 0) as n_band
-  from grid
-  left join g on g.c_nationkey = grid.c_nationkey
-             and g.c_mktsegment = grid.c_mktsegment
-             and g.band = grid.band
-),
-cum as (
-  select c_nationkey, c_mktsegment, grp_n, band, tn,
-         sum(n_band) over (
-           partition by c_nationkey, c_mktsegment
-           order by band asc) as cum_g,
-         sum(gn) over (
-           partition by c_nationkey, c_mktsegment
-           order by band asc) as cum_t
-  from j
+w as (
+  select c_nationkey, c_mktsegment, c0, c1, c2,
+         c0 + c1 + c2 as grp_n,
+         sum(c0) over () as g0,
+         sum(c1) over () as g1,
+         sum(c0 + c1 + c2) over () as tn
+  from g
 )
-select c_nationkey, c_mktsegment, cast(max(grp_n) as bigint) as grp_n,
-       cast(sum(abs(cum_g * tn - cum_t * grp_n)) as bigint) as emd_num,
-       cast(max(2 * grp_n * tn) as bigint) as emd_den,
-       sum(abs(cum_g * tn - cum_t * grp_n)) * {TCLOSE_DEN}
-         <= max(2 * grp_n * tn) * {TCLOSE_NUM} as t_close
-from cum
-group by c_nationkey, c_mktsegment
+select c_nationkey, c_mktsegment, cast(grp_n as bigint) as grp_n,
+       cast(abs(c0 * tn - g0 * grp_n)
+            + abs((c0 + c1) * tn - (g0 + g1) * grp_n) as bigint)
+         as emd_num,
+       cast(2 * grp_n * tn as bigint) as emd_den,
+       (abs(c0 * tn - g0 * grp_n)
+        + abs((c0 + c1) * tn - (g0 + g1) * grp_n)) * {TCLOSE_DEN}
+         <= 2 * grp_n * tn * {TCLOSE_NUM} as t_close
+from w
 """
 
 
@@ -2968,10 +2959,12 @@ def q_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(K-1) * grp_n * tn`` (K=3), so the t<=0.2 flag is a pure
     integer comparison — engine-exact, no float EMD.
 
-    Scale shape: one partial-aggregating groupBy on (QI, band), a
-    3-row broadcast of the global marginals, and windows over the
-    |QI-domain| x 3 grid — the report never exceeds QI-domain rows
-    regardless of table size."""
+    Scale shape: ONE partial-aggregating groupBy with the K=3 band
+    distribution pivoted to columns, then one whole-relation window
+    for the global marginals — 2 exchanges total (the first grid-join
+    draft planned 12: Spark re-executes an inlined CTE per
+    reference). The unpartitioned window is over report-grain rows
+    only (|QI domain|, never table-sized)."""
     _utc(spark)
     _read(spark, sf_dir, "customer").createOrReplaceTempView(
         "_ffs_tclose_customer"
