@@ -784,16 +784,34 @@ def _preference_pairs_body(dialect: str, rel: str) -> str:
     asc/doc_id desc), so ``r_bot = n + 1 - r_top`` holds even under
     score ties and the chosen/rejected sets are provably disjoint at
     the n/2 cap; zero-margin pairs are dropped."""
-    intdiv = "div" if dialect == SPARK else "//"
+    return _pref_pairs_from_scores(
+        dialect, f"({_pref_scores_sql(dialect, rel)})"
+    )
+
+
+def _pref_scores_sql(dialect: str, rel: str) -> str:
+    """The corpus-grain scoring pass (regex-heavy classifier score),
+    split out so the Spark entry can materialize it ONCE: the pairing
+    body references the ranked relation twice (top and bot slices)
+    and Spark's CTE inlining would re-run the score regexes and the
+    scan per reference (measured 2 doc scans in the single-body
+    plan, 1 after materialization)."""
     score = tx.quality_classifier_exprs("coalesce(text, '')", dialect)[
         "clf_score_milli"
     ]
     return f"""
-with s as (
-  select doc_id, source, {score} as score
-  from {rel}
-  where text is not null and source is not null
-),
+select doc_id, source, {score} as score
+from {rel}
+where text is not null and source is not null
+"""
+
+
+def _pref_pairs_from_scores(dialect: str, srel: str) -> str:
+    """Mirror-ranked pairing over an already-scored relation (narrow:
+    id, source, score)."""
+    intdiv = "div" if dialect == SPARK else "//"
+    return f"""
+with s as (select * from {srel}),
 r as (
   select doc_id, source, score,
          row_number() over (
@@ -824,14 +842,18 @@ where t.chosen_score - b.rejected_score > 0
 def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preference-pair mining (see ``_preference_pairs_body``).
 
-    Scale shape: one hash partitioning on source shared by both
-    window passes and the self-join (top and bot are slices of the
-    same ranked relation, joined on (source, rank) — tiny, capped at
-    {cap}/source)."""
+    Scale shape: the regex-heavy scoring pass is materialized once
+    (localCheckpoint of the narrow (id, source, score) relation);
+    both window passes and the (source, rank) self-join then share
+    one hash partitioning over it, capped at {cap}/source."""
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "_ffs_pref_docs"
     )
-    return spark.sql(_preference_pairs_body(SPARK, "_ffs_pref_docs"))
+    scored = spark.sql(
+        _pref_scores_sql(SPARK, "_ffs_pref_docs")
+    ).localCheckpoint(eager=True)
+    scored.createOrReplaceTempView("_ffs_pref_scored")
+    return spark.sql(_pref_pairs_from_scores(SPARK, "_ffs_pref_scored"))
 
 
 #: a line is boilerplate when it appears in more than this many docs
@@ -857,8 +879,20 @@ def _line_dedup_body(dialect: str, rel: str) -> str:
     under {mw} words. Docs reassemble in original line order and the
     output carries md5(cleaned) so reassembly is value-checked, not
     just counted."""
+    return _line_dedup_from_lines(
+        dialect, f"({_line_synth_sql(dialect, rel)})"
+    )
+
+
+def _line_synth_sql(dialect: str, rel: str) -> str:
+    """The corpus-grain synth + explode pass of the line-dedup
+    pipeline: (gid, idx, line) rows. Split out so the Spark entry can
+    materialize it ONCE — the rules body references the line relation
+    three times (within-doc firsts, cross-doc counts, input counts)
+    and Spark's CTE inlining would re-run the doc synthesis and scan
+    per reference (measured 3 doc scans in the single-body plan, 1
+    after materialization)."""
     nl = "chr(10)"
-    wc = tx.lsize(tx.split_ws_safe("line", dialect), dialect)
     if dialect == SPARK:
         joined = (
             "array_join(transform(array_sort(collect_list("
@@ -867,10 +901,6 @@ def _line_dedup_body(dialect: str, rel: str) -> str:
         explode_lines = (
             f"select gid, i0 + 1 as idx, line from docs "
             f"lateral view posexplode(split(dtext, {nl})) t as i0, line"
-        )
-        reassemble = (
-            "array_join(transform(array_sort(collect_list("
-            f"struct(idx, line))), x -> x.line), {nl})"
         )
         gid = "doc_id div 4"
     else:
@@ -881,7 +911,6 @@ def _line_dedup_body(dialect: str, rel: str) -> str:
             "from docs) d "
             "cross join unnest(generate_series(1, len(d.arr))) as t(i)"
         )
-        reassemble = f"string_agg(line, {nl} order by idx)"
         gid = "doc_id // 4"
     return f"""
 with base as (
@@ -894,8 +923,25 @@ docs as (
            as dtext
   from base
   group by 1
-),
-lines as ({explode_lines}),
+)
+{explode_lines}
+"""
+
+
+def _line_dedup_from_lines(dialect: str, lrel: str) -> str:
+    """Rules + reassembly over an already-exploded (gid, idx, line)
+    relation."""
+    nl = "chr(10)"
+    wc = tx.lsize(tx.split_ws_safe("line", dialect), dialect)
+    if dialect == SPARK:
+        reassemble = (
+            "array_join(transform(array_sort(collect_list("
+            f"struct(idx, line))), x -> x.line), {nl})"
+        )
+    else:
+        reassemble = f"string_agg(line, {nl} order by idx)"
+    return f"""
+with lines as (select * from {lrel}),
 firsts as (
   select gid, idx, line,
          cast({wc} as int) as n_words,
@@ -936,15 +982,21 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level cleaning + cross-doc line dedup (see
     ``_line_dedup_body``).
 
-    Scale shape: one groupBy to synthesize docs (fixture-only; real
-    corpora arrive multi-line), then the two real corpus-wide ops —
-    a (doc, line) window for within-doc firsts and a shuffle on the
-    line value for cross-doc counts — both partial-aggregating; the
-    join back is on the line key the shuffle already produced."""
+    Scale shape: the synth+explode pass is materialized once
+    (localCheckpoint of the (gid, idx, line) relation — real corpora
+    arrive multi-line and skip the synth groupBy); the two real
+    corpus-wide ops — a (doc, line) window for within-doc firsts and
+    a shuffle on the line value for cross-doc counts — are both
+    partial-aggregating over it; the join back is on the line key the
+    shuffle already produced."""
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "_ffs_lined_docs"
     )
-    return spark.sql(_line_dedup_body(SPARK, "_ffs_lined_docs"))
+    lines = spark.sql(
+        _line_synth_sql(SPARK, "_ffs_lined_docs")
+    ).localCheckpoint(eager=True)
+    lines.createOrReplaceTempView("_ffs_lined_lines")
+    return spark.sql(_line_dedup_from_lines(SPARK, "_ffs_lined_lines"))
 
 
 def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
