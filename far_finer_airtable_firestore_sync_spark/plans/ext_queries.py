@@ -760,6 +760,43 @@ from g
 """
 
 
+def q_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space kNN-distance outlier screen (see
+    similarity_search.knn_outliers) — the OOD-pruning step of an
+    embedding-curation pipeline."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity_search.knn_outliers(emb, k=8, top_n=20)
+
+
+def knn_outliers_oracle() -> str:
+    qz = tx.quantize("embedding", DUCKDB)
+    d2 = tx.l2sq_int("a.qv", "b.qv", DUCKDB)
+    return f"""
+with q as (select vec_id, {qz} as qv from embeddings),
+pairs as (
+  select a.vec_id, b.vec_id as other_id, {d2} as d2
+  from q a
+  join (select * from q where vec_id % 20 = 0) b
+    on a.vec_id <> b.vec_id
+),
+knn as (
+  select vec_id, cast(sum(d2) as bigint) as knn_d2_sum
+  from (
+    select *, row_number() over (
+      partition by vec_id order by d2 asc, other_id asc) as rk
+    from pairs)
+  where rk <= 8
+  group by vec_id
+)
+select vec_id, knn_d2_sum, cast(rn as int) as rank
+from (
+  select *, row_number() over (
+    order by knn_d2_sum desc, vec_id asc) as rn
+  from knn)
+where rn <= 20
+"""
+
+
 def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-Kincaid readability per doc (see ``_readability_body``)
     — the grade-level quality signal curation recipes (C4, Gopher)
@@ -6857,6 +6894,7 @@ EXT_QUERIES = {
     "text_readability": q_text_readability,
     "mining_preference_pairs": q_preference_pairs,
     "text_line_dedup": q_line_dedup,
+    "embedding_knn_outliers": q_knn_outliers,
     "valuation_knn_shapley": q_knn_shapley,
     "phonetic_soundex_groups": q_soundex_groups,
     "selection_kcenter_coreset": q_kcenter_coreset,
@@ -6985,6 +7023,7 @@ def ext_oracles() -> dict[str, str]:
             DUCKDB, "documents"
         ),
         "text_line_dedup": _line_dedup_body(DUCKDB, "documents"),
+        "embedding_knn_outliers": knn_outliers_oracle(),
         "valuation_knn_shapley": knn_shapley_oracle(),
         "phonetic_soundex_groups": soundex_groups_oracle(),
         "selection_kcenter_coreset": kcenter_oracle(),

@@ -610,3 +610,36 @@ def test_line_dedup_rules_fire_and_replica(spark):
             assert r["cleaned_md5"] == want, gid
         # the footer and the 1-word line are always dropped
         assert r["n_lines_kept"] <= len(lines) - 3
+
+
+def test_knn_outliers_matches_numpy_replica(spark):
+    """Landmark-kNN outlier screen against an exact int64 numpy
+    replica (same milli quantization, same anchors, same tie-breaks)."""
+    import numpy as np
+
+    import __spark_entry__ as e
+
+    got = [
+        (r["vec_id"], r["knn_d2_sum"], r["rank"])
+        for r in _rows(e.queries()["embedding_knn_outliers"](spark, SF_DIR))
+    ]
+    assert len(got) == 20
+    pdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    ids = pdf["vec_id"].to_numpy()
+    q = np.array(
+        [np.round(np.array(v, dtype=np.float64) * 1000) for v in
+         pdf["embedding"]],
+        dtype=np.int64,
+    )
+    anchors = ids % 20 == 0
+    scores = {}
+    for i, vid in enumerate(ids):
+        d2 = ((q[anchors] - q[i]) ** 2).sum(axis=1)
+        aid = ids[anchors]
+        mask = aid != vid
+        order = np.lexsort((aid[mask], d2[mask]))
+        scores[int(vid)] = int(d2[mask][order][:8].sum())
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == [
+        (vid, s, i + 1) for i, (vid, s) in enumerate(want)
+    ]
