@@ -760,6 +760,69 @@ from g
 """
 
 
+def _quantile_norm_body(dialect: str, srel: str) -> str:
+    """Per-source quantile NORMALIZATION of quality scores — the
+    batch-effect correction step when corpora from heterogeneous
+    sources meet one global threshold: each document's within-source
+    per-mille rank maps onto the GLOBAL score distribution, so a
+    systematically-easy source stops flooding the keep set. All
+    integer: q = ceil(1000*r/n) via (a+b-1) intdiv b, and the mapped
+    value is the smallest global score whose cumulative count covers
+    q — looked up against the bounded score-grid histogram (scores
+    live on the 0..1000 milli grid, so the global side is <= 1001
+    rows broadcast; no corpus-wide single-partition window)."""
+    intdiv = "div" if dialect == SPARK else "//"
+    return f"""
+with s as (select * from {srel}),
+r as (
+  select doc_id, source, score,
+         cast(row_number() over (
+           partition by source order by score asc, doc_id asc)
+           as bigint) as r,
+         cast(count(*) over (partition by source) as bigint) as n
+  from s
+),
+n_all as (select cast(count(*) as bigint) as n_total from s),
+h as (
+  select score as gs, cast(count(*) as bigint) as c
+  from s group by score
+),
+ch as (
+  select gs, sum(c) over (order by gs asc) as cum from h
+),
+q as (
+  select doc_id, source, score,
+         (1000 * r + n - 1) {intdiv} n as q_mille
+  from r
+)
+select q.doc_id, q.source, q.score as score_milli,
+       cast(min(ch.gs) as bigint) as norm_milli
+from q
+cross join n_all
+join ch on 1000 * ch.cum >= q.q_mille * n_all.n_total
+group by q.doc_id, q.source, q.score
+"""
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization (see ``_quantile_norm_body``).
+
+    Scale shape: the regex-heavy scoring pass is materialized once
+    (shared with preference-pair mining); within-source ranks are one
+    source-partitioned window; the global side is a <=1001-row
+    histogram broadcast into an inequality join resolved by a min
+    aggregate — the corpus itself never sees a global window or a
+    second shuffle."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_ffs_qn_docs"
+    )
+    scored = spark.sql(
+        _pref_scores_sql(SPARK, "_ffs_qn_docs")
+    ).localCheckpoint(eager=True)
+    scored.createOrReplaceTempView("_ffs_qn_scored")
+    return spark.sql(_quantile_norm_body(SPARK, "_ffs_qn_scored"))
+
+
 def q_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space kNN-distance outlier screen (see
     similarity_search.knn_outliers) — the OOD-pruning step of an
@@ -6895,6 +6958,7 @@ EXT_QUERIES = {
     "mining_preference_pairs": q_preference_pairs,
     "text_line_dedup": q_line_dedup,
     "embedding_knn_outliers": q_knn_outliers,
+    "quality_quantile_normalize": q_quantile_normalize,
     "valuation_knn_shapley": q_knn_shapley,
     "phonetic_soundex_groups": q_soundex_groups,
     "selection_kcenter_coreset": q_kcenter_coreset,
@@ -7024,6 +7088,9 @@ def ext_oracles() -> dict[str, str]:
         ),
         "text_line_dedup": _line_dedup_body(DUCKDB, "documents"),
         "embedding_knn_outliers": knn_outliers_oracle(),
+        "quality_quantile_normalize": _quantile_norm_body(
+            DUCKDB, f"({_pref_scores_sql(DUCKDB, 'documents')})"
+        ),
         "valuation_knn_shapley": knn_shapley_oracle(),
         "phonetic_soundex_groups": soundex_groups_oracle(),
         "selection_kcenter_coreset": kcenter_oracle(),

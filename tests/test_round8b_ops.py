@@ -643,3 +643,49 @@ def test_knn_outliers_matches_numpy_replica(spark):
     assert got == [
         (vid, s, i + 1) for i, (vid, s) in enumerate(want)
     ]
+
+
+def test_quantile_normalize_properties_and_replica(spark):
+    """Quantile normalization: monotone within source, the top doc of
+    every source maps to the global max score, and an exact Python
+    replica of rank -> per-mille -> global-histogram lookup agrees."""
+    import __spark_entry__ as e
+
+    got = {
+        r["doc_id"]: r
+        for r in _rows(
+            e.queries()["quality_quantile_normalize"](spark, SF_DIR)
+        )
+    }
+    assert got
+    # replicate scores from the entry's own output (score_milli), the
+    # replica re-derives only the normalization
+    rows = sorted(
+        (r["source"], r["score_milli"], d) for d, r in got.items()
+    )
+    n_total = len(rows)
+    hist = {}
+    for _, s, _ in rows:
+        hist[s] = hist.get(s, 0) + 1
+    cum = []
+    acc = 0
+    for s in sorted(hist):
+        acc += hist[s]
+        cum.append((s, acc))
+    by_src = {}
+    for src, s, d in rows:
+        by_src.setdefault(src, []).append((s, d))
+    for src, members in by_src.items():
+        members.sort()
+        n = len(members)
+        prev = None
+        for i, (s, d) in enumerate(members, start=1):
+            q = (1000 * i + n - 1) // n
+            want = min(gs for gs, c in cum if 1000 * c >= q * n_total)
+            r = got[d]
+            assert r["norm_milli"] == want, (src, d)
+            if prev is not None:
+                assert r["norm_milli"] >= prev
+            prev = r["norm_milli"]
+        # the top-ranked doc maps to the global max score
+        assert prev == max(hist)
