@@ -804,6 +804,66 @@ group by q.doc_id, q.source, q.score
 """
 
 
+#: association rules: minimum pair support as a fraction (1/denom)
+ASSOC_MINSUP_DEN = 50  # 2% of baskets
+
+
+def _assoc_rules_body(dialect: str, lrel: str, prel: str) -> str:
+    """Association-rule mining (the a-priori L2 pass): order baskets
+    of part brands, pairwise co-occurrence counts via a self-equi-join
+    on the basket key (bounded by basket size — the classic
+    market-basket shape), then support / confidence / lift for every
+    rule above min-support, all as exact integer fractions on
+    ppm/milli grids (``intdiv`` — no float division, so the rule set
+    and its metrics are engine-exact).
+
+    Scale shape: basket->item dedup and both count passes are
+    partial-aggregating groupBys; the pair join fans out only within
+    a basket (|basket| <= ~11 here, bounded by order size at any SF);
+    item marginals are a |items|-row broadcast."""
+    intdiv = "div" if dialect == SPARK else "//"
+    return f"""
+with li as (
+  select distinct l.l_orderkey as oid, p.p_brand as item
+  from {lrel} l join {prel} p on l.l_partkey = p.p_partkey
+),
+n as (select cast(count(distinct oid) as bigint) as n_baskets from li),
+ic as (select item, cast(count(*) as bigint) as c from li group by item),
+pr as (
+  select a.item as antecedent, b.item as consequent,
+         cast(count(*) as bigint) as c_ab
+  from li a join li b on a.oid = b.oid and a.item <> b.item
+  group by 1, 2
+)
+select pr.antecedent, pr.consequent, pr.c_ab as n_pair,
+       cast((1000000 * pr.c_ab) {intdiv} n.n_baskets as bigint)
+         as support_ppm,
+       cast((1000000 * pr.c_ab) {intdiv} ia.c as bigint)
+         as confidence_ppm,
+       cast((1000 * pr.c_ab * n.n_baskets) {intdiv} (ia.c * ic2.c)
+            as bigint) as lift_milli
+from pr
+join ic ia on ia.item = pr.antecedent
+join ic ic2 on ic2.item = pr.consequent
+cross join n
+where pr.c_ab * {ASSOC_MINSUP_DEN} >= n.n_baskets
+"""
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets of part
+    brands (see ``_assoc_rules_body``)."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "_ffs_assoc_li"
+    )
+    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView(
+        "_ffs_assoc_part"
+    )
+    return spark.sql(
+        _assoc_rules_body(SPARK, "_ffs_assoc_li", "_ffs_assoc_part")
+    )
+
+
 def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quantile normalization (see ``_quantile_norm_body``).
 
@@ -6959,6 +7019,7 @@ EXT_QUERIES = {
     "text_line_dedup": q_line_dedup,
     "embedding_knn_outliers": q_knn_outliers,
     "quality_quantile_normalize": q_quantile_normalize,
+    "mining_association_rules": q_assoc_rules,
     "valuation_knn_shapley": q_knn_shapley,
     "phonetic_soundex_groups": q_soundex_groups,
     "selection_kcenter_coreset": q_kcenter_coreset,
@@ -7090,6 +7151,9 @@ def ext_oracles() -> dict[str, str]:
         "embedding_knn_outliers": knn_outliers_oracle(),
         "quality_quantile_normalize": _quantile_norm_body(
             DUCKDB, f"({_pref_scores_sql(DUCKDB, 'documents')})"
+        ),
+        "mining_association_rules": _assoc_rules_body(
+            DUCKDB, "lineitem", "part"
         ),
         "valuation_knn_shapley": knn_shapley_oracle(),
         "phonetic_soundex_groups": soundex_groups_oracle(),

@@ -689,3 +689,53 @@ def test_quantile_normalize_properties_and_replica(spark):
             prev = r["norm_milli"]
         # the top-ranked doc maps to the global max score
         assert prev == max(hist)
+
+
+def test_association_rules_matches_python_replica(spark):
+    """Support/confidence/lift against a from-scratch basket replica
+    (exact truncating integer fractions)."""
+    from collections import Counter
+    from itertools import permutations
+
+    import __spark_entry__ as e
+
+    got = {
+        (r["antecedent"], r["consequent"]): r
+        for r in _rows(e.queries()["mining_association_rules"](spark, SF_DIR))
+    }
+    assert got
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    pt = pd.read_parquet(f"{SF_DIR}/part.parquet")
+    j = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    baskets = {
+        oid: set(g["p_brand"]) for oid, g in j.groupby("l_orderkey")
+    }
+    n = len(baskets)
+    ic = Counter()
+    pair = Counter()
+    for items in baskets.values():
+        ic.update(items)
+        for a, b in permutations(sorted(items), 2):
+            pair[(a, b)] += 1
+    want = {}
+    for (a, b), c_ab in pair.items():
+        if c_ab * 50 >= n:
+            want[(a, b)] = (
+                c_ab,
+                1_000_000 * c_ab // n,
+                1_000_000 * c_ab // ic[a],
+                1000 * c_ab * n // (ic[a] * ic[b]),
+            )
+    assert set(got) == set(want)
+    for k, (c_ab, sup, conf, lift) in want.items():
+        r = got[k]
+        assert (
+            r["n_pair"],
+            r["support_ppm"],
+            r["confidence_ppm"],
+            r["lift_milli"],
+        ) == (c_ab, sup, conf, lift), k
+    # rules are symmetric in support but not confidence: both
+    # directions exist above min-support by symmetry of c_ab
+    for a, b in want:
+        assert (b, a) in want
