@@ -1146,6 +1146,61 @@ group by e.event_type
 """
 
 
+def _q_store_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy snapshot export — the Delta SHALLOW CLONE shape
+    through the real store path: commit events, clone the version into
+    a NEW store root by hard-linking the immutable data files (zero
+    data movement — the entry asserts inode identity), then answer
+    the report from the CLONE. At 100 TB a clone is O(filecount)
+    metadata ops; dev/test/experiment forks of a production table
+    stop costing a copy. Self-bisect: the clone-served aggregate must
+    equal the direct scan."""
+    import os as _os
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        read_events,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+        shallow_clone,
+    )
+
+    _utc(spark)
+    ev = read_events(spark, sf_dir).select("event_id", "event_type", "value")
+    src_root = tempfile.mkdtemp(prefix="ffs_clone_src_")
+    dst_root = tempfile.mkdtemp(prefix="ffs_clone_dst_")
+    _TMP_DIRS.extend([src_root, dst_root])
+    src = DocumentStore(spark, src_root, "event_id")
+    vdir = src.commit(ev.repartition(4, F.col("event_id")))
+    clone = shallow_clone(spark, src, dst_root)
+    cdir = clone.current_version_dir()
+    # zero-copy proof: every cloned parquet shares its source inode
+    shared = 0
+    for f in _os.listdir(cdir):
+        if f.endswith(".parquet"):
+            s_ino = _os.stat(_os.path.join(vdir, f)).st_ino
+            c_ino = _os.stat(_os.path.join(cdir, f)).st_ino
+            assert s_ino == c_ino, (f, s_ino, c_ino)
+            shared += 1
+    assert shared > 0, "clone linked no data files"
+
+    out = _agg64(clone.read(), "event_type")
+    _assert_spark_equal(
+        out, _agg64(ev, "event_type"), "shallow-clone-served aggregate"
+    )
+    return out
+
+
+_STORE_CLONE_SQL = """
+select event_type, cast(count(*) as bigint) as n_events,
+       cast(sum(cast(floor(value * cast(64 as double)) as bigint))
+            as bigint) as value_64ths
+from events
+group by event_type
+"""
+
+
 def _q_store_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-layout EVOLUTION through the store (the Iceberg
     partition-evolution shape on immutable versions): the same events
@@ -1991,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_delete_vectors": _q_store_delete_vectors,
         "store_expectations": _q_store_expectations,
         "store_dpp_scan": _q_store_dpp_scan,
+        "store_shallow_clone": _q_store_shallow_clone,
         "store_partition_evolution": _q_store_partition_evolution,
         "store_schema_evolution": _q_store_schema_evolution,
         "store_time_travel": _q_store_time_travel,
@@ -2043,6 +2099,7 @@ def oracle_sql() -> dict[str, str]:
         "store_delete_vectors": _STORE_DV_SQL,
         "store_expectations": _expect_oracle(),
         "store_dpp_scan": _STORE_DPP_SQL,
+        "store_shallow_clone": _STORE_CLONE_SQL,
         "store_partition_evolution": _STORE_PEVO_SQL,
         "store_schema_evolution": _STORE_SEVO_SQL,
         "store_time_travel": _STORE_TRAVEL_SQL,

@@ -1103,3 +1103,48 @@ def read_with_deletion_vectors(
         )
         .select(*cols)
     )
+
+
+def shallow_clone(
+    spark: SparkSession, src_store: "DocumentStore", dest_root: str
+) -> "DocumentStore":
+    """Zero-copy snapshot export — the Delta SHALLOW CLONE shape: the
+    source's CURRENT version is published into a new store root by
+    HARD-LINKING its immutable data files (os.link; cross-device
+    fallback copies), sidecar manifests copied, pointer flipped. A
+    100 TB table clones in O(filecount) metadata operations with zero
+    data movement; the clone is immediately a first-class store
+    (reads, commits, time travel of its own), and because versions
+    are immutable the link share is safe — a later commit on either
+    side writes NEW version dirs, never mutating linked bytes.
+    Vacuuming the source keeps the clone alive: hard links hold the
+    inode until every referent is gone.
+
+    Reference analog: Firestore export/import
+    (the reference has no cheap snapshot path at all — it re-syncs)."""
+    src_dir = src_store.current_version_dir()
+    if src_dir is None:
+        raise ValueError("source store has no committed version")
+    os.makedirs(dest_root, exist_ok=True)
+    dest_store = DocumentStore(spark, dest_root, src_store.key_col)
+    dname = _new_version_dir_name(int(time.time() * 1000))
+    dest_dir = os.path.join(dest_root, dname)
+    for root, dirs, files in os.walk(src_dir):
+        rel = os.path.relpath(root, src_dir)
+        troot = dest_dir if rel == "." else os.path.join(dest_dir, rel)
+        os.makedirs(troot, exist_ok=True)
+        for f in files:
+            s = os.path.join(root, f)
+            t = os.path.join(troot, f)
+            if f.endswith(".parquet"):
+                try:
+                    os.link(s, t)  # zero-copy: shares the inode
+                except OSError:  # cross-device: degrade to copy
+                    shutil.copy2(s, t)
+            else:
+                shutil.copy2(s, t)  # sidecars are small; keep private
+    tmp = os.path.join(dest_root, _POINTER + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version_dir": dname, "txns": {}}, fh)
+    os.replace(tmp, os.path.join(dest_root, _POINTER))
+    return dest_store

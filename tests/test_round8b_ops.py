@@ -739,3 +739,53 @@ def test_association_rules_matches_python_replica(spark):
     # directions exist above min-support by symmetry of c_ab
     for a, b in want:
         assert (b, a) in want
+
+
+def test_shallow_clone_is_independent_store(spark, tmp_path):
+    """A clone is a first-class store: commits to the clone do not
+    disturb the source, vacuuming the source does not break the clone
+    (hard links hold inodes), and the clone's snapshot equals the
+    source's at clone time."""
+    from pyspark.sql import functions as F
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+        shallow_clone,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    src = DocumentStore(spark, str(tmp_path / "src"), "event_id")
+    src.commit(ev.filter("event_id % 2 = 0"))  # old version
+    src.commit(ev)  # current
+    clone = shallow_clone(spark, src, str(tmp_path / "dst"))
+    n_src = src.read().count()
+    assert clone.read().count() == n_src
+    # clone commits independently
+    clone.commit(ev.filter("event_id % 3 = 0"))
+    assert src.read().count() == n_src
+    assert clone.read().count() == ev.filter("event_id % 3 = 0").count()
+    # vacuum the source down to its latest: the clone's ORIGINAL
+    # snapshot (pre-commit) stays readable through its own version dir
+    src.vacuum(keep_last=1)
+    assert clone.list_versions()  # clone history intact
+    got = sorted(
+        tuple(r) for r in clone.read_version(
+            clone.list_versions()[0]).collect()
+    )
+    want = sorted(tuple(r) for r in ev.collect())
+    assert got == want
+
+
+def test_shallow_clone_empty_source_raises(spark, tmp_path):
+    import pytest
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+        shallow_clone,
+    )
+
+    src = DocumentStore(spark, str(tmp_path / "esrc"), "event_id")
+    with pytest.raises(ValueError):
+        shallow_clone(spark, src, str(tmp_path / "edst"))
