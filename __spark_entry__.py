@@ -1146,6 +1146,122 @@ group by e.event_type
 """
 
 
+def _q_store_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view — the
+    harder sibling of `store_ivm_rollup` (aggregates are
+    self-maintainable; joins need the delta rules): two stores hold an
+    orders fact and a customer dim, both evolve one commit (fact:
+    inserts, deletes, price updates, and FOREIGN-KEY moves; dim:
+    deletes and segment updates), and the materialized F-join-D view
+    is refreshed from the two CDC changelogs alone — only fact keys
+    touched by either changelog are re-joined; the untouched bulk of
+    the view carries forward without a scan (operators/ivm.py
+    incremental_join_refresh, Gupta & Mumick delta rules). Self-
+    bisect: the refreshed view must equal the full F'-join-D'
+    recompute row-for-row; the returned report aggregates the view.
+
+    The change mix exercises every join-IVM leg: a fact row entering
+    (insert), leaving (delete), changing payload (price), REPOINTING
+    to a different dim row (fk move — retraction on one dim key,
+    addition on another), a dim row vanishing (its fact rows leave the
+    inner join with NO fact-side change), and a dim attribute update
+    rewriting join outputs in place."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.operators.ivm import (
+        incremental_join_refresh,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer")
+    mn = int(cust.agg(F.min("c_custkey")).first()[0])
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    f0 = orders.filter("o_orderkey % 3 != 0")
+    f1 = orders.filter("o_orderkey % 7 != 0").select(
+        "o_orderkey",
+        F.expr(
+            f"case when o_orderkey % 11 = 0 then cast({mn} as bigint)"
+            " else o_custkey end"
+        ).alias("o_custkey"),
+        F.expr(
+            "cast(case when o_orderkey % 5 = 0 then price + 5 else price"
+            " end as decimal(18,2))"
+        ).alias("price"),
+    )
+    d0 = cust.select("c_custkey", "c_mktsegment")
+    d1 = cust.filter("c_custkey % 13 != 0").select(
+        "c_custkey",
+        F.expr(
+            "case when c_custkey % 9 = 0 then 'MOVED' else c_mktsegment"
+            " end"
+        ).alias("c_mktsegment"),
+    )
+    froot = tempfile.mkdtemp(prefix="ffs_ivmj_f_")
+    droot = tempfile.mkdtemp(prefix="ffs_ivmj_d_")
+    _TMP_DIRS.extend([froot, droot])
+    fstore = DocumentStore(spark, froot, "o_orderkey")
+    dstore = DocumentStore(spark, droot, "c_custkey")
+    fv0, fv1 = fstore.commit(f0), fstore.commit(f1)
+    dv0, dv1 = dstore.commit(d0), dstore.commit(d1)
+
+    fact0, fact1 = fstore.read_version(fv0), fstore.read_version(fv1)
+    dim0, dim1 = dstore.read_version(dv0), dstore.read_version(dv1)
+    m0 = fact0.join(dim0, fact0["o_custkey"] == dim0["c_custkey"]).select(
+        "o_orderkey", "o_custkey", "price", "c_mktsegment"
+    )
+    m1 = incremental_join_refresh(
+        m0,
+        fact1,
+        dim1,
+        fstore.diff_versions(fv0, fv1),
+        dstore.diff_versions(dv0, dv1),
+        fact_key="o_orderkey",
+        dim_fk="o_custkey",
+        dim_key="c_custkey",
+    )
+    full = fact1.join(dim1, fact1["o_custkey"] == dim1["c_custkey"]).select(
+        "o_orderkey", "o_custkey", "price", "c_mktsegment"
+    )
+    _assert_spark_equal(m1, full, "incrementally maintained join view")
+    return m1.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.expr("cast(floor(sum(price) * 100) as bigint)").alias(
+            "price_cents"
+        ),
+    )
+
+
+_STORE_IVM_JOIN_SQL = """
+with mn as (select min(c_custkey) as m from customer),
+f1 as (
+  select o_orderkey,
+         case when o_orderkey % 11 = 0 then (select m from mn)
+              else o_custkey end as cust,
+         cast(o_totalprice as decimal(18,2))
+           + case when o_orderkey % 5 = 0 then cast(5 as decimal(18,2))
+                  else cast(0 as decimal(18,2)) end as price
+  from orders where o_orderkey % 7 <> 0
+),
+d1 as (
+  select c_custkey,
+         case when c_custkey % 9 = 0 then 'MOVED'
+              else c_mktsegment end as c_mktsegment
+  from customer where c_custkey % 13 <> 0
+)
+select d1.c_mktsegment, cast(count(*) as bigint) as n_orders,
+       cast(floor(sum(f1.price) * 100) as bigint) as price_cents
+from f1 join d1 on f1.cust = d1.c_custkey
+group by 1
+"""
+
+
 def _q_store_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-copy snapshot export — the Delta SHALLOW CLONE shape
     through the real store path: commit events, clone the version into
@@ -2047,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_expectations": _q_store_expectations,
         "store_dpp_scan": _q_store_dpp_scan,
         "store_shallow_clone": _q_store_shallow_clone,
+        "store_ivm_join": _q_store_ivm_join,
         "store_partition_evolution": _q_store_partition_evolution,
         "store_schema_evolution": _q_store_schema_evolution,
         "store_time_travel": _q_store_time_travel,
@@ -2100,6 +2217,7 @@ def oracle_sql() -> dict[str, str]:
         "store_expectations": _expect_oracle(),
         "store_dpp_scan": _STORE_DPP_SQL,
         "store_shallow_clone": _STORE_CLONE_SQL,
+        "store_ivm_join": _STORE_IVM_JOIN_SQL,
         "store_partition_evolution": _STORE_PEVO_SQL,
         "store_schema_evolution": _STORE_SEVO_SQL,
         "store_time_travel": _STORE_TRAVEL_SQL,

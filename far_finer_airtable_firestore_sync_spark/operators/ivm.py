@@ -134,3 +134,71 @@ def incremental_rollup(
     maintained rollup after applying a CDC changelog to ``base``."""
     delta = rollup_delta(changes, group_col, list(sum_map.values()))
     return apply_rollup_delta(base, delta, group_col, count_col, sum_map)
+
+
+def affected_fact_keys(
+    fact_new: DataFrame,
+    fact_changes: DataFrame,
+    dim_changes: DataFrame,
+    fact_key: str,
+    dim_fk: str,
+) -> DataFrame:
+    """Fact keys whose materialized-join rows may have changed:
+    keys touched by the fact changelog itself, plus fact rows (in the
+    NEW fact snapshot) whose dimension foreign key was touched by the
+    dim changelog. A fact row whose OWN foreign key moved is in the
+    fact changelog; a deleted fact row likewise — so these two legs
+    cover every row that can enter or leave the view (Gupta & Mumick
+    delta rules specialized to a key-preserving equi-join).
+
+    Scale shape: leg 1 is the (delta-sized) changelog's key column;
+    leg 2 is a semi-join of the fact table against the (delta-sized)
+    dim key set — with the fact bucketed on the foreign key this is a
+    pruned probe, never a full shuffle."""
+    leg1 = fact_changes.select(F.col(fact_key))
+    dim_keys = dim_changes.select(
+        F.col(dim_changes.columns[0]).alias("_dk")
+    ).distinct()
+    leg2 = fact_new.join(
+        F.broadcast(dim_keys),
+        fact_new[dim_fk] == F.col("_dk"),
+        "left_semi",
+    ).select(F.col(fact_key))
+    return leg1.unionByName(leg2).distinct()
+
+
+def incremental_join_refresh(
+    m_prev: DataFrame,
+    fact_new: DataFrame,
+    dim_new: DataFrame,
+    fact_changes: DataFrame,
+    dim_changes: DataFrame,
+    fact_key: str,
+    dim_fk: str,
+    dim_key: str,
+) -> DataFrame:
+    """Maintain a materialized equi-join view ``M = F join D on
+    F.dim_fk = D.dim_key`` (key-preserving: one row per surviving
+    fact row) from the two CDC changelogs, touching only affected
+    keys:
+
+        M' = (M_prev anti-join affected) union
+             ((F'[affected]) join D')
+
+    Only the affected slice — bounded by the two changelogs — is
+    re-joined; the untouched bulk of the view is carried forward
+    byte-for-byte. The nightly alternative at 100 TB is a full
+    F' join D' rescan+shuffle for a sliver of changed rows.
+
+    Columns of ``m_prev`` define the view's schema; the fresh slice
+    is projected to the same columns."""
+    affected = affected_fact_keys(
+        fact_new, fact_changes, dim_changes, fact_key, dim_fk
+    )
+    carried = m_prev.join(F.broadcast(affected), fact_key, "left_anti")
+    fresh = (
+        fact_new.join(F.broadcast(affected), fact_key, "left_semi")
+        .join(dim_new, fact_new[dim_fk] == dim_new[dim_key])
+        .select(*[F.col(c) for c in m_prev.columns])
+    )
+    return carried.unionByName(fresh)

@@ -789,3 +789,78 @@ def test_shallow_clone_empty_source_raises(spark, tmp_path):
     src = DocumentStore(spark, str(tmp_path / "esrc"), "event_id")
     with pytest.raises(ValueError):
         shallow_clone(spark, src, str(tmp_path / "edst"))
+
+
+def test_incremental_join_refresh_hand_case(spark):
+    """Every join-IVM leg on a hand-built pair of snapshots: insert,
+    delete, payload update, foreign-key move, dim delete (fact rows
+    leave with no fact-side change), dim attribute update."""
+    from pyspark.sql import Row
+
+    from far_finer_airtable_firestore_sync_spark.operators.ivm import (
+        incremental_join_refresh,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+    import tempfile
+
+    f0 = spark.createDataFrame(
+        [
+            Row(k=1, fk=10, v=100),   # payload update in v1
+            Row(k=2, fk=10, v=200),   # deleted in v1
+            Row(k=3, fk=20, v=300),   # fk moves 20 -> 30 in v1
+            Row(k=4, fk=40, v=400),   # untouched, but dim 40 deleted
+            Row(k=5, fk=50, v=500),   # untouched; dim 50 attr update
+            Row(k=6, fk=10, v=600),   # fully untouched
+        ]
+    )
+    f1 = spark.createDataFrame(
+        [
+            Row(k=1, fk=10, v=111),
+            Row(k=3, fk=30, v=300),
+            Row(k=4, fk=40, v=400),
+            Row(k=5, fk=50, v=500),
+            Row(k=6, fk=10, v=600),
+            Row(k=7, fk=20, v=700),  # insert
+        ]
+    )
+    d0 = spark.createDataFrame(
+        [Row(dk=10, a="x"), Row(dk=20, a="y"), Row(dk=30, a="z"),
+         Row(dk=40, a="w"), Row(dk=50, a="v")]
+    )
+    d1 = spark.createDataFrame(
+        [Row(dk=10, a="x"), Row(dk=20, a="y"), Row(dk=30, a="z"),
+         Row(dk=50, a="V")]  # 40 deleted, 50 updated
+    )
+    fs = DocumentStore(spark, tempfile.mkdtemp(prefix="ivmj_f_"), "k")
+    ds = DocumentStore(spark, tempfile.mkdtemp(prefix="ivmj_d_"), "dk")
+    fv0, fv1 = fs.commit(f0), fs.commit(f1)
+    dv0, dv1 = ds.commit(d0), ds.commit(d1)
+    fact0, fact1 = fs.read_version(fv0), fs.read_version(fv1)
+    dim0, dim1 = ds.read_version(dv0), ds.read_version(dv1)
+    m0 = fact0.join(dim0, fact0["fk"] == dim0["dk"]).select(
+        "k", "fk", "v", "a"
+    )
+    m1 = incremental_join_refresh(
+        m0, fact1, dim1,
+        fs.diff_versions(fv0, fv1), ds.diff_versions(dv0, dv1),
+        fact_key="k", dim_fk="fk", dim_key="dk",
+    )
+    got = sorted(tuple(r) for r in m1.collect())
+    want = sorted(
+        tuple(r)
+        for r in fact1.join(dim1, fact1["fk"] == dim1["dk"])
+        .select("k", "fk", "v", "a")
+        .collect()
+    )
+    assert got == want
+    want_rows = {
+        (1, 10, 111, "x"),   # updated payload
+        (3, 30, 300, "z"),   # fk moved
+        (5, 50, 500, "V"),   # dim attr rewrite
+        (6, 10, 600, "x"),   # carried forward untouched
+        (7, 20, 700, "y"),   # insert
+        # k=2 deleted, k=4 gone with its dim row
+    }
+    assert set(got) == want_rows
