@@ -595,16 +595,22 @@ def test_zone_map_pruning_skips_and_never_loses(spark, tmp_path):
     # edges): a 10%-of-keys range can straddle a few files, so assert
     # real skipping without pinning the exact count
     assert len(keep) <= 4, keep
+    # exact-grid comparison: a raw double sum differs in the last ulp
+    # between the pruned and full reads (different partition layouts
+    # -> different fold order; float addition is not associative —
+    # flaked once in round 8), so compare on the floor(v*64) integer
+    # grid the store entries standardized on
+    exact = "count(k) as n, sum(cast(floor(v * 64) as bigint)) as s64"
     got = (
         spark.read.parquet(*keep)
         .filter("k between 2000 and 2999")
-        .agg({"k": "count", "v": "sum"})
+        .selectExpr(exact)
         .collect()[0]
     )
     want = (
         store.read()
         .filter("k between 2000 and 2999")
-        .agg({"k": "count", "v": "sum"})
+        .selectExpr(exact)
         .collect()[0]
     )
     assert got == want
