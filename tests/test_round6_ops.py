@@ -600,17 +600,17 @@ def test_zone_map_pruning_skips_and_never_loses(spark, tmp_path):
     # -> different fold order; float addition is not associative —
     # flaked once in round 8), so compare on the floor(v*64) integer
     # grid the store entries standardized on
-    exact = "count(k) as n, sum(cast(floor(v * 64) as bigint)) as s64"
+    exact = ["count(k) as n", "sum(cast(floor(v * 64) as bigint)) as s64"]
     got = (
         spark.read.parquet(*keep)
         .filter("k between 2000 and 2999")
-        .selectExpr(exact)
+        .selectExpr(*exact)
         .collect()[0]
     )
     want = (
         store.read()
         .filter("k between 2000 and 2999")
-        .selectExpr(exact)
+        .selectExpr(*exact)
         .collect()[0]
     )
     assert got == want
