@@ -31,8 +31,14 @@ def violation_expr(rules: list[tuple[str, str]]) -> str:
 
 
 def violation_sql(rules: list[tuple[str, str]]) -> str:
+    # Rule names are inert labels, not SQL — escape quotes so a name
+    # like "can't parse" renders as a valid string literal in BOTH
+    # engines instead of malformed SQL (r8 ADVICE). Predicates stay
+    # raw SQL by design.
     arms = " ".join(
-        f"when not coalesce(({pred}), false) then '{name}'"
+        "when not coalesce(({pred}), false) then '{name}'".format(
+            pred=pred, name=name.replace("'", "''")
+        )
         for name, pred in rules
     )
     return f"case {arms} else null end"

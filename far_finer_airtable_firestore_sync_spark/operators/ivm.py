@@ -12,8 +12,8 @@ correction, and the merge touches only the affected groups.
 
 Reference parity: the reference engine re-reads the full Airtable
 table every sync and recomputes derived state
-(/root/reference/lib/AirtableWrapper.py:34-60); this operator is the
-incremental counterpart its versioned store makes possible.
+(/root/reference/lib/AirtableDataFetcher.py:14-37); this operator is
+the incremental counterpart its versioned store makes possible.
 
 Works against `DocumentStore.diff_versions(include_old=True)` output
 (the Delta-CDF preImage/postImage shape) or any frame with

@@ -2639,7 +2639,7 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shuffle (the per-supplier aggregate, map-side
     combined); everything after operates on the tiny supplier-grain
     relation. Reference parity: read-side query surface of
-    /root/reference/lib/AirtableClient.py (scan+aggregate), TPC-H Q15
+    /root/reference/lib/AirtableDataFetcher.py:14-37 (scan+aggregate), TPC-H Q15
     adapted to fixture columns (no partsupp needed)."""
     _utc(spark)
     li = _read(spark, sf_dir, "lineitem").filter(
