@@ -1262,6 +1262,281 @@ group by 1
 """
 
 
+def _q_store_ivm_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-over-JOIN summary view maintained from changelogs
+    alone — the canonical 100 TB summary-table workload (r8 VERDICT
+    next-round #3; Gupta & Mumick §3): ``SELECT segment, count(*),
+    sum(price_cents) FROM F JOIN D GROUP BY segment`` stays current
+    across a commit on BOTH base tables without re-aggregating either
+    — the affected join-view slice is re-derived, diffed into the
+    view's own CDC, and the existing self-maintainable rollup path
+    applies the signed per-group corrections
+    (operators/ivm.py incremental_join_rollup). Sums ride bigint
+    cents, so maintenance is bit-exact vs the full recompute.
+
+    The change mix exercises every summary-IVM leg: fact insert /
+    delete / price update, a FOREIGN-KEY move (retraction in one
+    dim's group, addition in another), a dim delete (its fact rows
+    leave the summary with no fact-side change), and a dim ATTRIBUTE
+    update that migrates whole fact populations between groups.
+    Self-bisect: maintained view AND maintained summary each equal
+    their full recompute.
+
+    Reference analog: the reference recomputes derived state by
+    re-reading the full table every sync
+    (/root/reference/lib/AirtableDataFetcher.py:14-37)."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.operators.ivm import (
+        incremental_join_rollup,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer")
+    mn = int(cust.agg(F.min("c_custkey")).first()[0])
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+        ).alias("price_cents"),
+    )
+    f0 = orders.filter("o_orderkey % 4 != 0")
+    f1 = orders.filter("o_orderkey % 6 != 0").select(
+        "o_orderkey",
+        F.expr(
+            f"case when o_orderkey % 17 = 0 then cast({mn} as bigint)"
+            " else o_custkey end"
+        ).alias("o_custkey"),
+        F.expr(
+            "case when o_orderkey % 9 = 0 then price_cents + 700"
+            " else price_cents end"
+        ).alias("price_cents"),
+    )
+    d0 = cust.select("c_custkey", "c_mktsegment")
+    d1 = cust.filter("c_custkey % 11 != 0").select(
+        "c_custkey",
+        F.expr(
+            "case when c_custkey % 8 = 0 then 'SHIFTED' else c_mktsegment"
+            " end"
+        ).alias("c_mktsegment"),
+    )
+    froot = tempfile.mkdtemp(prefix="ffs_ivmjr_f_")
+    droot = tempfile.mkdtemp(prefix="ffs_ivmjr_d_")
+    _TMP_DIRS.extend([froot, droot])
+    fstore = DocumentStore(spark, froot, "o_orderkey")
+    dstore = DocumentStore(spark, droot, "c_custkey")
+    fv0, fv1 = fstore.commit(f0), fstore.commit(f1)
+    dv0, dv1 = dstore.commit(d0), dstore.commit(d1)
+
+    fact0, fact1 = fstore.read_version(fv0), fstore.read_version(fv1)
+    dim0, dim1 = dstore.read_version(dv0), dstore.read_version(dv1)
+    view_cols = ["o_orderkey", "o_custkey", "price_cents", "c_mktsegment"]
+
+    def summarize(view: DataFrame) -> DataFrame:
+        return view.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("price_cents").cast("bigint").alias("price_cents"),
+        )
+
+    m0 = fact0.join(dim0, fact0["o_custkey"] == dim0["c_custkey"]).select(
+        *view_cols
+    )
+    s0 = summarize(m0)
+    m1, s1 = incremental_join_rollup(
+        s0,
+        m0,
+        fact1,
+        dim1,
+        fstore.diff_versions(fv0, fv1),
+        dstore.diff_versions(dv0, dv1),
+        fact_key="o_orderkey",
+        dim_fk="o_custkey",
+        dim_key="c_custkey",
+        group_col="c_mktsegment",
+        count_col="n_orders",
+        sum_map={"price_cents": "price_cents"},
+    )
+    full_view = fact1.join(
+        dim1, fact1["o_custkey"] == dim1["c_custkey"]
+    ).select(*view_cols)
+    _assert_spark_equal(m1, full_view, "maintained join view (rollup entry)")
+    _assert_spark_equal(
+        s1, summarize(full_view), "incrementally maintained join summary"
+    )
+    return s1
+
+
+_STORE_IVM_JOIN_ROLLUP_SQL = """
+with mn as (select min(c_custkey) as m from customer),
+f1 as (
+  select o_orderkey,
+         case when o_orderkey % 17 = 0 then (select m from mn)
+              else o_custkey end as cust,
+         cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)
+           + case when o_orderkey % 9 = 0 then 700 else 0 end
+           as price_cents
+  from orders where o_orderkey % 6 <> 0
+),
+d1 as (
+  select c_custkey,
+         case when c_custkey % 8 = 0 then 'SHIFTED'
+              else c_mktsegment end as c_mktsegment
+  from customer where c_custkey % 11 <> 0
+)
+select d1.c_mktsegment, cast(count(*) as bigint) as n_orders,
+       cast(sum(f1.price_cents) as bigint) as price_cents
+from f1 join d1 on f1.cust = d1.c_custkey
+group by 1
+"""
+
+
+def _q_store_ivm_join_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained join view as a FIRST-CLASS store citizen (r8
+    VERDICT next-round #7): the view itself lives in a DocumentStore,
+    and each refresh is a CHECKSUM-GATED commit — the
+    ``streaming_rollup_store`` pattern applied to the join view. The
+    refresh plan is the same changelog-bounded
+    ``incremental_join_refresh``; its result's order-independent
+    fingerprint (``view_fingerprint``, the Merkle-drift digest
+    arithmetic) is compared to the last committed tag and an
+    IDEMPOTENT re-refresh writes NOTHING — asserted: the second
+    refresh with the same changelogs leaves the version count
+    unchanged. The entry answers from the store READ-BACK, so the
+    whole lifecycle (refresh → gate → commit → serve) is on the
+    oracle path; self-bisect pins the read-back against the full
+    F' join D' recompute."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.operators.ivm import (
+        commit_view_if_changed,
+        incremental_join_refresh,
+        view_fingerprint,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer")
+    mn = int(cust.agg(F.min("c_custkey")).first()[0])
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+        ).alias("price_cents"),
+    )
+    f0 = orders.filter("o_orderkey % 3 != 0")
+    f1 = orders.filter("o_orderkey % 7 != 0").select(
+        "o_orderkey",
+        F.expr(
+            f"case when o_orderkey % 11 = 0 then cast({mn} as bigint)"
+            " else o_custkey end"
+        ).alias("o_custkey"),
+        F.expr(
+            "case when o_orderkey % 5 = 0 then price_cents + 500"
+            " else price_cents end"
+        ).alias("price_cents"),
+    )
+    d0 = cust.select("c_custkey", "c_mktsegment")
+    d1 = cust.filter("c_custkey % 13 != 0").select(
+        "c_custkey",
+        F.expr(
+            "case when c_custkey % 9 = 0 then 'MOVED' else c_mktsegment"
+            " end"
+        ).alias("c_mktsegment"),
+    )
+    froot = tempfile.mkdtemp(prefix="ffs_ivmp_f_")
+    droot = tempfile.mkdtemp(prefix="ffs_ivmp_d_")
+    vroot = tempfile.mkdtemp(prefix="ffs_ivmp_v_")
+    _TMP_DIRS.extend([froot, droot, vroot])
+    fstore = DocumentStore(spark, froot, "o_orderkey")
+    dstore = DocumentStore(spark, droot, "c_custkey")
+    vstore = DocumentStore(spark, vroot, "o_orderkey")
+    fv0, fv1 = fstore.commit(f0), fstore.commit(f1)
+    dv0, dv1 = dstore.commit(d0), dstore.commit(d1)
+    fact0, fact1 = fstore.read_version(fv0), fstore.read_version(fv1)
+    dim0, dim1 = dstore.read_version(dv0), dstore.read_version(dv1)
+    view_cols = ["o_orderkey", "o_custkey", "price_cents", "c_mktsegment"]
+    #: portable row rendering — bigints + strings only
+    fp_expr = (
+        "cast(o_orderkey as string) || '|' || cast(o_custkey as string)"
+        " || '|' || cast(price_cents as string) || '|'"
+        " || coalesce(c_mktsegment, '<null>')"
+    )
+
+    m0 = fact0.join(dim0, fact0["o_custkey"] == dim0["c_custkey"]).select(
+        *view_cols
+    )
+    assert commit_view_if_changed(
+        vstore, m0, view_fingerprint(m0, fp_expr)
+    ) is not None
+
+    def refresh() -> bool:
+        """One maintenance cycle; True iff a version was committed."""
+        m_new = incremental_join_refresh(
+            vstore.read(),
+            fact1,
+            dim1,
+            fstore.diff_versions(fv0, fv1),
+            dstore.diff_versions(dv0, dv1),
+            fact_key="o_orderkey",
+            dim_fk="o_custkey",
+            dim_key="c_custkey",
+        )
+        return (
+            commit_view_if_changed(
+                vstore, m_new, view_fingerprint(m_new, fp_expr)
+            )
+            is not None
+        )
+
+    assert refresh(), "first refresh must commit (base tables changed)"
+    n_versions = len(vstore.list_versions())
+    # Idempotent re-refresh: same changelogs over the already-current
+    # view produce the same fingerprint — the gate must skip the write
+    assert not refresh(), "re-refresh must be checksum-gated to a no-op"
+    assert len(vstore.list_versions()) == n_versions
+
+    served = vstore.read()
+    full = fact1.join(dim1, fact1["o_custkey"] == dim1["c_custkey"]).select(
+        *view_cols
+    )
+    _assert_spark_equal(served, full, "persisted maintained join view")
+    return served.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("price_cents").cast("bigint").alias("price_cents"),
+    )
+
+
+_STORE_IVM_JOIN_PERSISTED_SQL = """
+with mn as (select min(c_custkey) as m from customer),
+f1 as (
+  select o_orderkey,
+         case when o_orderkey % 11 = 0 then (select m from mn)
+              else o_custkey end as cust,
+         cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)
+           + case when o_orderkey % 5 = 0 then 500 else 0 end
+           as price_cents
+  from orders where o_orderkey % 7 <> 0
+),
+d1 as (
+  select c_custkey,
+         case when c_custkey % 9 = 0 then 'MOVED'
+              else c_mktsegment end as c_mktsegment
+  from customer where c_custkey % 13 <> 0
+)
+select d1.c_mktsegment, cast(count(*) as bigint) as n_orders,
+       cast(sum(f1.price_cents) as bigint) as price_cents
+from f1 join d1 on f1.cust = d1.c_custkey
+group by 1
+"""
+
+
 def _q_store_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-copy snapshot export — the Delta SHALLOW CLONE shape
     through the real store path: commit events, clone the version into
@@ -2164,6 +2439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_dpp_scan": _q_store_dpp_scan,
         "store_shallow_clone": _q_store_shallow_clone,
         "store_ivm_join": _q_store_ivm_join,
+        "store_ivm_join_rollup": _q_store_ivm_join_rollup,
+        "store_ivm_join_persisted": _q_store_ivm_join_persisted,
         "store_partition_evolution": _q_store_partition_evolution,
         "store_schema_evolution": _q_store_schema_evolution,
         "store_time_travel": _q_store_time_travel,
@@ -2218,6 +2495,8 @@ def oracle_sql() -> dict[str, str]:
         "store_dpp_scan": _STORE_DPP_SQL,
         "store_shallow_clone": _STORE_CLONE_SQL,
         "store_ivm_join": _STORE_IVM_JOIN_SQL,
+        "store_ivm_join_rollup": _STORE_IVM_JOIN_ROLLUP_SQL,
+        "store_ivm_join_persisted": _STORE_IVM_JOIN_PERSISTED_SQL,
         "store_partition_evolution": _STORE_PEVO_SQL,
         "store_schema_evolution": _STORE_SEVO_SQL,
         "store_time_travel": _STORE_TRAVEL_SQL,
