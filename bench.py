@@ -15,11 +15,18 @@ driver's ~560 s capture window at the current contract size). Heavy
 entries report the MEDIAN of their samples — this host is a shared VM
 with heavy run-to-run variance, so single-shot numbers are not
 attributable (VERDICT round-1 item 9); the sub-split tail keeps its
-single pass-1 sample (disclosed via tail_singles/split_s in the
-artifact; classification by the cold pass only over-includes, never
-under-includes, since cold >= warm). The soft wall-clock budget still
-degrades by dropping whole passes if the host is slow that day —
+single pass-1 sample (disclosed via tail_singles/split_s/heavy_n in
+the artifact; classification by the cold pass only over-includes,
+never under-includes, since cold >= warm). The soft wall-clock budget
+still degrades by dropping whole passes if the host is slow that day —
 repeats/estimator fields always say what actually happened.
+
+r9 additions (VERDICT r8 #2 — make driver-run anomalies attributable):
+the stdout artifact carries RAW per-sample arrays for the slowest
+multi-sampled entries ("samples"), split_s is the midpoint between
+the last repeated and first single-sampled pass-1 times (ADVICE r8),
+and SPARK_GRAFT_BENCH_FIRST/_LAST (comma-separated name prefixes)
+reorder the suite for position-effect A/B runs, disclosed as "order".
 """
 
 from __future__ import annotations
@@ -63,6 +70,23 @@ def main() -> None:
     ).collect()
 
     qs = e.queries()
+    # Suite-order A/B (r8 VERDICT #2: separate session-position
+    # effects from entry cost when a driver-run sample conflicts with
+    # a committed local run): comma-separated name PREFIXES moved to
+    # the front/back of the suite; disclosed via "order" when used.
+    first = [p for p in os.environ.get(
+        "SPARK_GRAFT_BENCH_FIRST", "").split(",") if p]
+    last = [p for p in os.environ.get(
+        "SPARK_GRAFT_BENCH_LAST", "").split(",") if p]
+    if first or last:
+        def _rank(n: str) -> int:
+            if any(n.startswith(p) for p in first):
+                return 0
+            if any(n.startswith(p) for p in last):
+                return 2
+            return 1
+
+        qs = dict(sorted(qs.items(), key=lambda kv: _rank(kv[0])))
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
     split_s = float(os.environ.get("SPARK_GRAFT_BENCH_SPLIT", "1.4"))
     # Soft wall-clock budget: an external kill (driver harness timeout)
@@ -116,7 +140,17 @@ def main() -> None:
         heavy.append(n)
         acc += t[0]
     if heavy:
-        split_s = round(samples[heavy[-1]][0], 2)
+        # Disclose the effective split as the MIDPOINT between the
+        # last included and first excluded pass-1 times (r8 ADVICE:
+        # rounding the last-included time could land at/below an
+        # excluded entry's identical time, implying it got
+        # median-of-3 when it had one sample). heavy_n makes the
+        # repeated set's size explicit regardless.
+        last_inc = samples[heavy[-1]][0]
+        rest = [t[0] for n, t in ranked if n not in heavy]
+        first_exc = max(rest) if rest else 0.0
+        split_s = round((last_inc + min(last_inc, first_exc)) / 2, 3) \
+            if rest else round(last_inc / 2, 3)
     for _rep in range(1, repeats):
         if time.perf_counter() - bench_t0 > budget_s:
             break
@@ -148,9 +182,12 @@ def main() -> None:
         "repeats": heavy_samples,
         "estimator": "median" if heavy_samples >= 3 else "min",
         "split_s": split_s,
+        "heavy_n": len(heavy),
         "tail_singles": len(qs) - len(heavy),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if first or last:
+        payload["order"] = f"first={','.join(first)};last={','.join(last)}"
     try:
         import duckdb as _duck
 
@@ -198,17 +235,30 @@ def main() -> None:
     budget = int(os.environ.get("SPARK_GRAFT_LINE_BUDGET", "1900"))
     ranked = sorted(timings.items(), key=lambda kv: -kv[1])
     kept: dict[str, float] = {}
+    # RAW per-sample arrays for the slowest (multi-sampled) entries
+    # ride the driver artifact (r8 VERDICT #2: a median-only record
+    # made the dedup_ngram_jaccard 7.13s-vs-1.50s conflict
+    # unattributable post-hoc — with the samples visible, one cold
+    # outlier vs three consistently-slow passes are distinguishable).
+    kept_samples: dict[str, list[float]] = {}
     base = {k: v for k, v in payload.items() if k != "queries"}
     base["queries_total"] = len(timings)
     for name, t in ranked:
         trial = dict(base)
         trial["queries_omitted"] = len(timings) - len(kept) - 1
         trial["queries"] = {**kept, name: t}
+        t_samples = [round(s, 2) for s in samples[name]]
+        trial_samples = dict(kept_samples)
+        if len(t_samples) > 1:
+            trial_samples[name] = t_samples
+        trial["samples"] = trial_samples
         if len(json.dumps(trial, separators=(",", ":"))) > budget:
             break
         kept[name] = t
+        kept_samples = trial_samples
     base["queries_omitted"] = len(timings) - len(kept)
     base["queries"] = kept
+    base["samples"] = kept_samples
     line = json.dumps(base, separators=(",", ":"))
     assert len(line) <= budget, len(line)
     print(line, flush=True)
