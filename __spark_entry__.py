@@ -1123,6 +1123,228 @@ group by e.event_id
 """
 
 
+#: DV-to-IVM predicate — the delete flows through CDC into the rollup
+_DV_IVM_PREDICATE = "coalesce(user_id, -1) % 9 = 0"
+
+
+def _q_store_dv_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round's two storage pillars COMPOSED: a deletion-vector
+    delete (``delete_where`` — zero data rewrite) flows through the
+    store's CDC (``diff_versions`` with before-images over the
+    DV-masked snapshots) into an incrementally maintained rollup
+    (``incremental_rollup`` retraction deltas) — prove that a
+    mask-only delete is a FIRST-CLASS change-data event: the
+    maintained summary equals the full recompute over the post-delete
+    store without ever rescanning the base beyond the changelog
+    slice. At 100 TB this is the summary-table maintenance story for
+    GDPR-style deletes: megabytes of positions in, per-group
+    corrections out, no base re-aggregation. Self-bisect: maintained
+    rollup == direct re-aggregate of the post-delete snapshot."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.operators.ivm import (
+        incremental_rollup,
+    )
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        read_events,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    _utc(spark)
+    ev = read_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr(
+            "cast(floor(value * cast(64 as double)) as bigint)"
+        ).alias("value_64ths"),
+    )
+    root = tempfile.mkdtemp(prefix="ffs_dvivm_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "event_id")
+    v1 = store.commit(ev.repartition(8, F.col("user_id")))
+
+    def summarize(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("value_64ths").cast("bigint").alias("value_64ths"),
+        )
+
+    r1 = summarize(store.read())
+    v2, n_deleted = store.delete_where(_DV_IVM_PREDICATE)
+    assert n_deleted > 0, "DV-IVM predicate matched nothing (weak entry)"
+    changes = store.diff_versions(v1, v2, include_old=True)
+    r2 = incremental_rollup(
+        r1,
+        changes,
+        group_col="event_type",
+        count_col="n_events",
+        sum_map={"value_64ths": "value_64ths"},
+    )
+    _assert_spark_equal(
+        r2, summarize(store.read()), "DV-delete-maintained rollup"
+    )
+    return r2
+
+
+_STORE_DV_IVM_SQL = f"""
+select event_type, cast(count(*) as bigint) as n_events,
+       cast(sum(cast(floor(value * cast(64 as double)) as bigint))
+            as bigint) as value_64ths
+from events
+where not ({_DV_IVM_PREDICATE})
+group by event_type
+"""
+
+
+def _q_store_ivm_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAR-schema join-view maintenance from three changelogs
+    (operators/ivm.py incremental_star_refresh — the multi-dimension
+    generalization of the r8 single-join IVM): ``M = lineitem join
+    supplier join part``, all three base tables evolve one commit
+    (fact: inserts, deletes, price updates, and a FOREIGN-KEY move on
+    EACH dimension; supplier: deletes + nation reassignment; part:
+    deletes + brand rewrite), and the view refreshes touching only
+    fact keys in the union of the fact leg and one changelog-bounded
+    semi-join leg per dimension. The composite (orderkey, linenumber)
+    line identity is carried as one synthetic bigint key. Self-bisect:
+    the refreshed view equals the full three-way recompute
+    row-for-row; the returned report aggregates by the supplier's
+    (possibly reassigned) nation."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.operators.ivm import (
+        incremental_star_refresh,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    _utc(spark)
+    supp = _read(spark, sf_dir, "supplier")
+    part = _read(spark, sf_dir, "part")
+    mn_s = int(supp.agg(F.min("s_suppkey")).first()[0])
+    mn_p = int(part.agg(F.min("p_partkey")).first()[0])
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.expr("l_orderkey * 10 + l_linenumber").alias("lk"),
+        "l_suppkey",
+        "l_partkey",
+        F.expr(
+            "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"
+        ).alias("price_cents"),
+    )
+    f0 = li.filter("lk % 3 != 0")
+    f1 = li.filter("lk % 7 != 0").select(
+        "lk",
+        F.expr(
+            f"case when lk % 17 = 0 then cast({mn_s} as bigint)"
+            " else l_suppkey end"
+        ).alias("l_suppkey"),
+        F.expr(
+            f"case when lk % 19 = 0 then cast({mn_p} as bigint)"
+            " else l_partkey end"
+        ).alias("l_partkey"),
+        F.expr(
+            "case when lk % 5 = 0 then price_cents + 300"
+            " else price_cents end"
+        ).alias("price_cents"),
+    )
+    s0 = supp.select("s_suppkey", F.col("s_nationkey").alias("s_nation"))
+    s1 = supp.filter("s_suppkey % 13 != 0").select(
+        "s_suppkey",
+        F.expr(
+            "cast(case when s_suppkey % 7 = 0 then -1 else s_nationkey"
+            " end as int)"
+        ).alias("s_nation"),
+    )
+    p0 = part.select("p_partkey", "p_brand")
+    p1 = part.filter("p_partkey % 11 != 0").select(
+        "p_partkey",
+        F.expr(
+            "case when p_partkey % 9 = 0 then 'MOVEDBRAND' else p_brand"
+            " end"
+        ).alias("p_brand"),
+    )
+    roots = [
+        tempfile.mkdtemp(prefix=f"ffs_star_{t}_") for t in ("f", "s", "p")
+    ]
+    _TMP_DIRS.extend(roots)
+    fstore = DocumentStore(spark, roots[0], "lk")
+    sstore = DocumentStore(spark, roots[1], "s_suppkey")
+    pstore = DocumentStore(spark, roots[2], "p_partkey")
+    fv0, fv1 = fstore.commit(f0), fstore.commit(f1)
+    sv0, sv1 = sstore.commit(s0), sstore.commit(s1)
+    pv0, pv1 = pstore.commit(p0), pstore.commit(p1)
+    fact0, fact1 = fstore.read_version(fv0), fstore.read_version(fv1)
+    dim_s0, dim_s1 = sstore.read_version(sv0), sstore.read_version(sv1)
+    dim_p0, dim_p1 = pstore.read_version(pv0), pstore.read_version(pv1)
+    view_cols = ["lk", "l_suppkey", "l_partkey", "price_cents",
+                 "s_nation", "p_brand"]
+
+    def star(fact: DataFrame, ds: DataFrame, dp: DataFrame) -> DataFrame:
+        return (
+            fact.join(ds, fact["l_suppkey"] == ds["s_suppkey"])
+            .join(dp, fact["l_partkey"] == dp["p_partkey"])
+            .select(*view_cols)
+        )
+
+    m0 = star(fact0, dim_s0, dim_p0)
+    m1 = incremental_star_refresh(
+        m0,
+        fact1,
+        dims=[
+            (dim_s1, sstore.diff_versions(sv0, sv1), "l_suppkey",
+             "s_suppkey"),
+            (dim_p1, pstore.diff_versions(pv0, pv1), "l_partkey",
+             "p_partkey"),
+        ],
+        fact_changes=fstore.diff_versions(fv0, fv1),
+        fact_key="lk",
+    )
+    full = star(fact1, dim_s1, dim_p1)
+    _assert_spark_equal(m1, full, "incrementally maintained star view")
+    return m1.groupBy("s_nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("price_cents").cast("bigint").alias("price_cents"),
+    )
+
+
+_STORE_IVM_STAR_SQL = """
+with mns as (select min(s_suppkey) as m from supplier),
+mnp as (select min(p_partkey) as m from part),
+f1 as (
+  select lk,
+         case when lk % 17 = 0 then (select m from mns)
+              else l_suppkey end as sk,
+         case when lk % 19 = 0 then (select m from mnp)
+              else l_partkey end as pk,
+         cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)
+           + case when lk % 5 = 0 then 300 else 0 end as price_cents
+  from (select l_orderkey * 10 + l_linenumber as lk, l_suppkey,
+               l_partkey, l_extendedprice
+        from lineitem) t
+  where lk % 7 <> 0
+),
+s1 as (
+  select s_suppkey,
+         cast(case when s_suppkey % 7 = 0 then -1 else s_nationkey end
+              as int) as s_nation
+  from supplier where s_suppkey % 13 <> 0
+),
+p1 as (
+  select p_partkey from part where p_partkey % 11 <> 0
+)
+select s1.s_nation, cast(count(*) as bigint) as n_lines,
+       cast(sum(f1.price_cents) as bigint) as price_cents
+from f1
+join s1 on f1.sk = s1.s_suppkey
+join p1 on f1.pk = p1.p_partkey
+group by 1
+"""
+
+
 #: commit expectations — names + predicates shared VERBATIM with the
 #: oracle (the case chain is the same text in both engines). Rule 2's
 #: modulus marker guarantees deterministic hits at every SF.
@@ -2664,6 +2886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_bloom_scan": _q_store_bloom_scan,
         "store_delete_vectors": _q_store_delete_vectors,
         "store_dv_compaction": _q_store_dv_compaction,
+        "store_dv_ivm_rollup": _q_store_dv_ivm_rollup,
+        "store_ivm_star": _q_store_ivm_star,
         "store_point_lookup_dv": _q_store_point_lookup_dv,
         "store_vacuum_time_travel": _q_store_vacuum_time_travel,
         "store_expectations": _q_store_expectations,
@@ -2723,6 +2947,8 @@ def oracle_sql() -> dict[str, str]:
         "store_bloom_scan": _STORE_BLOOM_SQL,
         "store_delete_vectors": _STORE_DV_SQL,
         "store_dv_compaction": _STORE_DVC_SQL,
+        "store_dv_ivm_rollup": _STORE_DV_IVM_SQL,
+        "store_ivm_star": _STORE_IVM_STAR_SQL,
         "store_point_lookup_dv": _STORE_PLKP_SQL,
         "store_vacuum_time_travel": _STORE_VACUUM_SQL,
         "store_expectations": _expect_oracle(),

@@ -299,6 +299,51 @@ def incremental_join_rollup(
     return carried.unionByName(fresh), summary_new
 
 
+def incremental_star_refresh(
+    m_prev: DataFrame,
+    fact_new: DataFrame,
+    dims: list[tuple[DataFrame, DataFrame, str, str]],
+    fact_changes: DataFrame,
+    fact_key: str,
+) -> DataFrame:
+    """Maintain a STAR-schema materialized view ``M = F join D1 join
+    ... join Dn`` (each an equi-join on its own foreign key;
+    key-preserving: one row per surviving fact row) from the n+1 CDC
+    changelogs — the multi-dimension generalization of
+    :func:`incremental_join_refresh` (Gupta & Mumick delta rules
+    applied join-by-join: a fact row's view output can change only if
+    the fact changelog touched it or ANY of its dimension rows was
+    touched, so the affected set is the union of one fact leg and one
+    semi-join leg per dimension).
+
+    ``dims`` is a list of ``(dim_new, dim_changes, dim_fk, dim_key)``
+    — the new dim snapshot, its changelog, the FACT column joining to
+    it, and its key column (also the changelog's key column).
+
+    Scale shape: each affected leg is a changelog-bounded semi-join
+    probe of F' (pruned when F is bucketed on that foreign key); the
+    fresh slice re-joins only affected fact rows against the full new
+    dims (each dim join individually broadcastable by AQE); the
+    untouched bulk of the view carries forward scan-free. No forced
+    broadcasts anywhere."""
+    affected = fact_changes.select(F.col(fact_key))
+    for _dim_new, dim_changes, dim_fk, dim_key in dims:
+        dim_keys = dim_changes.select(
+            F.col(dim_key).alias("_dk")
+        ).distinct()
+        leg = fact_new.join(
+            dim_keys, fact_new[dim_fk] == F.col("_dk"), "left_semi"
+        ).select(F.col(fact_key))
+        affected = affected.unionByName(leg)
+    affected = affected.distinct()
+    carried = m_prev.join(affected, fact_key, "left_anti")
+    fresh = fact_new.join(affected, fact_key, "left_semi")
+    for dim_new, _chg, dim_fk, dim_key in dims:
+        fresh = fresh.join(dim_new, fresh[dim_fk] == dim_new[dim_key])
+    fresh = fresh.select(*[F.col(c) for c in m_prev.columns])
+    return carried.unionByName(fresh)
+
+
 def view_fingerprint(df: DataFrame, row_string_expr: str) -> str:
     """Order-independent fingerprint of a view for checksum-gated
     refresh commits: ``<rowcount>-<sum of 56-bit md5 digests mod

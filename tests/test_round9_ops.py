@@ -454,6 +454,98 @@ def test_expectation_rule_name_quote_escaped(spark):
     assert got == "it's small"
 
 
+def test_incremental_star_refresh_hand_case(spark):
+    """Two-dimension star IVM, every leg: fact insert/delete/payload
+    update, an fk MOVE on each dimension, a dim delete (fact rows
+    leave via EITHER dim with no fact-side change), and a dim attr
+    update on each dimension."""
+    from far_finer_airtable_firestore_sync_spark.operators.ivm import (
+        incremental_star_refresh,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    f0 = spark.createDataFrame(
+        [
+            Row(k=1, a_fk=10, b_fk=100, v=1),   # payload update
+            Row(k=2, a_fk=10, b_fk=100, v=2),   # deleted
+            Row(k=3, a_fk=20, b_fk=100, v=3),   # a_fk moves 20->30
+            Row(k=4, a_fk=10, b_fk=200, v=4),   # b_fk moves 200->300
+            Row(k=5, a_fk=40, b_fk=100, v=5),   # dim-a row 40 deleted
+            Row(k=6, a_fk=10, b_fk=400, v=6),   # dim-b row 400 deleted
+            Row(k=7, a_fk=50, b_fk=100, v=7),   # dim-a attr update (50)
+            Row(k=8, a_fk=10, b_fk=500, v=8),   # dim-b attr update (500)
+            Row(k=9, a_fk=10, b_fk=100, v=9),   # fully untouched
+        ]
+    )
+    f1 = spark.createDataFrame(
+        [
+            Row(k=1, a_fk=10, b_fk=100, v=11),
+            Row(k=3, a_fk=30, b_fk=100, v=3),
+            Row(k=4, a_fk=10, b_fk=300, v=4),
+            Row(k=5, a_fk=40, b_fk=100, v=5),
+            Row(k=6, a_fk=10, b_fk=400, v=6),
+            Row(k=7, a_fk=50, b_fk=100, v=7),
+            Row(k=8, a_fk=10, b_fk=500, v=8),
+            Row(k=9, a_fk=10, b_fk=100, v=9),
+            Row(k=10, a_fk=20, b_fk=200, v=10),  # insert
+        ]
+    )
+    a0 = spark.createDataFrame(
+        [Row(ak=10, an="x"), Row(ak=20, an="y"), Row(ak=30, an="z"),
+         Row(ak=40, an="w"), Row(ak=50, an="v")]
+    )
+    a1 = spark.createDataFrame(
+        [Row(ak=10, an="x"), Row(ak=20, an="y"), Row(ak=30, an="z"),
+         Row(ak=50, an="V")]  # 40 deleted, 50 updated
+    )
+    b0 = spark.createDataFrame(
+        [Row(bk=100, bn="p"), Row(bk=200, bn="q"), Row(bk=300, bn="r"),
+         Row(bk=400, bn="s"), Row(bk=500, bn="t")]
+    )
+    b1 = spark.createDataFrame(
+        [Row(bk=100, bn="p"), Row(bk=200, bn="q"), Row(bk=300, bn="r"),
+         Row(bk=500, bn="T")]  # 400 deleted, 500 updated
+    )
+    fs = DocumentStore(spark, tempfile.mkdtemp(prefix="star_f_"), "k")
+    as_ = DocumentStore(spark, tempfile.mkdtemp(prefix="star_a_"), "ak")
+    bs = DocumentStore(spark, tempfile.mkdtemp(prefix="star_b_"), "bk")
+    fv0, fv1 = fs.commit(f0), fs.commit(f1)
+    av0, av1 = as_.commit(a0), as_.commit(a1)
+    bv0, bv1 = bs.commit(b0), bs.commit(b1)
+    fact1 = fs.read_version(fv1)
+    da1, db1 = as_.read_version(av1), bs.read_version(bv1)
+    fact0 = fs.read_version(fv0)
+    da0, db0 = as_.read_version(av0), bs.read_version(bv0)
+    cols = ["k", "a_fk", "b_fk", "v", "an", "bn"]
+
+    def star(f, da, db):
+        return (
+            f.join(da, f["a_fk"] == da["ak"])
+            .join(db, f["b_fk"] == db["bk"])
+            .select(*cols)
+        )
+
+    m0 = star(fact0, da0, db0)
+    m1 = incremental_star_refresh(
+        m0,
+        fact1,
+        dims=[
+            (da1, as_.diff_versions(av0, av1), "a_fk", "ak"),
+            (db1, bs.diff_versions(bv0, bv1), "b_fk", "bk"),
+        ],
+        fact_changes=fs.diff_versions(fv0, fv1),
+        fact_key="k",
+    )
+    got = sorted(map(tuple, m1.collect()))
+    want = sorted(map(tuple, star(fact1, da1, db1).collect()))
+    assert got == want
+    keys = {r[0] for r in got}
+    # k=2 deleted; k=5 left with dim-a 40; k=6 left with dim-b 400
+    assert keys == {1, 3, 4, 7, 8, 9, 10}
+
+
 def test_view_fingerprint_order_independent_and_sensitive(spark):
     from far_finer_airtable_firestore_sync_spark.operators.ivm import (
         view_fingerprint,
