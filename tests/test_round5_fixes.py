@@ -66,11 +66,16 @@ def test_commit_version_recheck_is_under_lock():
 
     from far_finer_airtable_firestore_sync_spark.sources.store import DocumentStore
 
-    src = inspect.getsource(DocumentStore.commit)
+    # r9: the flip (lock + re-check + replace) is factored into
+    # _flip_pointer, shared by commit and delete_where — the ordering
+    # invariant moves with it, and BOTH commit paths must ride it.
+    src = inspect.getsource(DocumentStore._flip_pointer)
     lock_at = src.index("fcntl.flock")
-    recheck_at = src.index("pointer moved past", src.index("writer.parquet"))
-    replace_at = src.index("os.replace")
+    recheck_at = src.index("pointer moved past", lock_at)
+    replace_at = src.index("os.replace", recheck_at)
     assert lock_at < recheck_at < replace_at
+    assert "_flip_pointer" in inspect.getsource(DocumentStore.commit)
+    assert "_flip_pointer" in inspect.getsource(DocumentStore.delete_where)
 
 
 def test_commit_expected_version_conflict_raises_and_cleans(spark, tmp_path):
