@@ -757,6 +757,59 @@ class DocumentStore:
         n_files = max(1, -(-n // target_rows_per_file))
         return self.commit(df.coalesce(n_files), partition_by=partition_by)
 
+    def optimize_zorder(
+        self,
+        x_col: str,
+        y_col: str,
+        n_files: int = 32,
+        buckets_per_dim: int = 256,
+    ) -> str:
+        """Re-cluster the current snapshot on a 2-D Z-order (Morton)
+        key — the OPTIMIZE ZORDER BY maintenance job as a STORE API
+        (continuing the r8->r9 composition theme: layout features
+        belong to the store, not to callers wiring free functions).
+        Both columns must be integer-valued (cast dates to epoch-days
+        first). Values are bucketed onto a ``buckets_per_dim`` grid
+        from exact min/max aggregates, bit-interleaved
+        (``operators.layout.morton_key_expr`` — pure shift/mask
+        arithmetic), range-partitioned on the key and sorted within
+        partitions, so every data file covers a compact rectangle in
+        (x, y) space and its footer min/max prune scans filtered on
+        EITHER dimension (``read_where`` rides the eagerly-written
+        zone manifest). Like :meth:`compact`, the rewrite reads
+        through the DV mask — deletes are materialized and the new
+        version carries no sidecar. One range shuffle at write time
+        buys min/max pruning on every later scan; at 100 TB this is
+        the periodic maintenance job run off the write path."""
+        df = self.read()
+        if df is None:
+            raise ValueError(f"store {self.root} is empty; nothing to cluster")
+        if "_ffs_zkey" in df.columns:
+            raise ValueError(
+                "column '_ffs_zkey' is reserved by optimize_zorder"
+            )
+        from far_finer_airtable_firestore_sync_spark.operators.layout import (
+            morton_key_expr,
+        )
+
+        mnx, mxx, mny, mxy = df.agg(
+            F.min(x_col), F.max(x_col), F.min(y_col), F.max(y_col)
+        ).first()
+        wx = max(1, (int(mxx) - int(mnx) + buckets_per_dim) // buckets_per_dim)
+        wy = max(1, (int(mxy) - int(mny) + buckets_per_dim) // buckets_per_dim)
+        bx = f"((`{x_col}` - {int(mnx)}) div {wx})"
+        by = f"((`{y_col}` - {int(mny)}) div {wy})"
+        zkey = morton_key_expr(bx, by, "spark")
+        clustered = (
+            df.withColumn("_ffs_zkey", F.expr(zkey))
+            .repartitionByRange(n_files, "_ffs_zkey")
+            .sortWithinPartitions("_ffs_zkey")
+            .drop("_ffs_zkey")
+        )
+        out = self.commit(clustered)
+        write_zone_manifest(out)
+        return out
+
     def vacuum(self, keep_last: int = 3) -> list[str]:
         """Remove version directories older than the ``keep_last`` most
         recent (the current pointer target is always kept). Returns the

@@ -350,6 +350,48 @@ def test_delete_where_concurrency_guard(spark, tmp_path):
         store.delete_where("doc_id % 7 = 0", expected_version=stale)
 
 
+def test_optimize_zorder_store_api(spark, tmp_path):
+    """OPTIMIZE ZORDER BY as a store API: after a delete_where, the
+    re-cluster materializes the mask (no sidecar, survivors only) and
+    the new layout's zone manifest prunes on BOTH clustered
+    dimensions; read_where rides it and returns exactly the
+    survivors."""
+    import os
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+        prune_files_by_zone,
+    )
+
+    n = 4096
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # hash-scatter both dims so the PRE-cluster layout has no
+        # locality: every file spans the whole (x, y) domain
+        (F.col("id") * 2654435761 % 1000).alias("x"),
+        (F.col("id") * 40503 % 365).alias("y"),
+        (F.col("id") * 7).alias("val"),
+    )
+    store = DocumentStore(spark, str(tmp_path / "zstore"), "doc_id")
+    store.commit(df.repartition(8, F.col("doc_id")))
+    store.delete_where("doc_id % 5 = 0")
+    vd = store.optimize_zorder("x", "y", n_files=8)
+    assert not os.path.isdir(os.path.join(vd, "_deletion_vectors"))
+    survivors = df.filter("doc_id % 5 != 0")
+    assert sorted(map(tuple, store.read().collect())) == sorted(
+        map(tuple, survivors.collect())
+    )
+    keep_x, total = prune_files_by_zone(vd, "x", 0, 99)
+    keep_y, _ = prune_files_by_zone(vd, "y", 0, 39)
+    assert 0 < len(keep_x) < total, (len(keep_x), total)
+    assert 0 < len(keep_y) < total, (len(keep_y), total)
+    got = store.read_where("x", 0, 99)
+    want = survivors.filter("x between 0 and 99")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vacuum x time-travel x checkpoint lifecycle (r8 VERDICT #5)
 # ---------------------------------------------------------------------------
