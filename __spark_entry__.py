@@ -1345,6 +1345,233 @@ group by 1
 """
 
 
+#: update_where predicate/assignment — shared with the oracle text
+_DV_UPD_PREDICATE = "coalesce(event_type, '') = 'click'"
+
+
+def _q_store_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE via deletion vectors + appended images — the
+    Delta UPDATE-with-DV shape completing the store's DML set
+    (``update_where``): the matching rows' OLD images are masked
+    positionally and their NEW images appended as right-sized part
+    files, data files untouched (an update touching 0.1% of 100 TB
+    writes that sliver, not the terabytes around it). The change feed
+    reports the rows as ``update`` (old image masked + new image
+    appended under the same key — no special casing), asserted here;
+    a follow-up DELETE composes on the same version chain, proving
+    updated-then-deleted rows fall out of every read. Self-bisect:
+    the served aggregate equals the closed-form case expression over
+    the direct scan. Sums ride the bigint 64ths grid end to end."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        read_events,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    _utc(spark)
+    ev = read_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr(
+            "cast(floor(value * cast(64 as double)) as bigint)"
+        ).alias("v64"),
+    )
+    root = tempfile.mkdtemp(prefix="ffs_dvu_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "event_id")
+    v1 = store.commit(ev.repartition(8, F.col("user_id")))
+    v2, n_updated = store.update_where(
+        _DV_UPD_PREDICATE, {"v64": "v64 + 64"}
+    )
+    assert n_updated > 0, "update predicate matched nothing (weak entry)"
+    feed = store.change_feed(v1, v2)
+    n_upd_feed = feed.filter("change_type = 'update'").count()
+    assert n_upd_feed == n_updated, (n_upd_feed, n_updated)
+    assert feed.count() == n_updated  # updates only — nothing else
+    # compose a delete on top: updated-then-deleted rows must vanish
+    _v3, _nd = store.delete_where("coalesce(user_id, -1) % 11 = 0")
+
+    served = store.read()
+    want = ev.filter("coalesce(user_id, -1) % 11 != 0").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr(
+            f"case when {_DV_UPD_PREDICATE} then v64 + 64 else v64 end"
+        ).alias("v64"),
+    )
+    out = served.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("v64").cast("bigint").alias("value_64ths"),
+    )
+    _assert_spark_equal(
+        out,
+        want.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("v64").cast("bigint").alias("value_64ths"),
+        ),
+        "update+delete-composed aggregate",
+    )
+    return out
+
+
+_STORE_DV_UPDATE_SQL = f"""
+with ev as (
+  select event_type, user_id,
+         cast(floor(value * cast(64 as double)) as bigint) as v64
+  from events
+)
+select event_type, cast(count(*) as bigint) as n_events,
+       cast(sum(case when {_DV_UPD_PREDICATE} then v64 + 64
+                     else v64 end) as bigint) as value_64ths
+from ev
+where coalesce(user_id, -1) % 11 <> 0
+group by event_type
+"""
+
+
+def _q_store_ivm_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNOWFLAKE-chain view maintenance (orders -> customer ->
+    nation; operators/ivm.py incremental_snowflake_refresh): the
+    dim-of-dim case a star refresh cannot express — a NATION-level
+    change reaches fact rows only THROUGH customer, so affectedness
+    propagates inward along the chain (nation changelog keys ->
+    customers linked to them -> facts linked to those customers; one
+    changelog-bounded semi-join per level). The change mix exercises
+    the ripple explicitly: nation deletes (every downstream order
+    leaves with NO fact- or customer-side change), nation renames
+    (downstream rows rewrite in place), customer nation-moves,
+    customer deletes, and fact insert/delete/update/fk-moves.
+    Self-bisect: the refreshed view equals the full three-way chain
+    recompute row-for-row."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.operators.ivm import (
+        incremental_snowflake_refresh,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer")
+    nat = _read(spark, sf_dir, "nation")
+    mn_c = int(cust.agg(F.min("c_custkey")).first()[0])
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+        ).alias("price_cents"),
+    )
+    f0 = orders.filter("o_orderkey % 3 != 0")
+    f1 = orders.filter("o_orderkey % 7 != 0").select(
+        "o_orderkey",
+        F.expr(
+            f"case when o_orderkey % 11 = 0 then cast({mn_c} as bigint)"
+            " else o_custkey end"
+        ).alias("o_custkey"),
+        F.expr(
+            "case when o_orderkey % 5 = 0 then price_cents + 200"
+            " else price_cents end"
+        ).alias("price_cents"),
+    )
+    c0 = cust.select("c_custkey", "c_nationkey")
+    c1 = cust.filter("c_custkey % 13 != 0").select(
+        "c_custkey",
+        F.expr(
+            "cast(case when c_custkey % 9 = 0 then"
+            " (c_nationkey + 1) % 25 else c_nationkey end as int)"
+        ).alias("c_nationkey"),
+    )
+    n0 = nat.select("n_nationkey", "n_name")
+    n1 = nat.filter("n_nationkey % 7 != 0").select(
+        "n_nationkey",
+        F.expr(
+            "case when n_nationkey % 5 = 0 then n_name || '_X'"
+            " else n_name end"
+        ).alias("n_name"),
+    )
+    roots = [
+        tempfile.mkdtemp(prefix=f"ffs_snow_{t}_") for t in ("f", "c", "n")
+    ]
+    _TMP_DIRS.extend(roots)
+    fstore = DocumentStore(spark, roots[0], "o_orderkey")
+    cstore = DocumentStore(spark, roots[1], "c_custkey")
+    nstore = DocumentStore(spark, roots[2], "n_nationkey")
+    fv0, fv1 = fstore.commit(f0), fstore.commit(f1)
+    cv0, cv1 = cstore.commit(c0), cstore.commit(c1)
+    nv0, nv1 = nstore.commit(n0), nstore.commit(n1)
+    fact0, fact1 = fstore.read_version(fv0), fstore.read_version(fv1)
+    dc0, dc1 = cstore.read_version(cv0), cstore.read_version(cv1)
+    dn0, dn1 = nstore.read_version(nv0), nstore.read_version(nv1)
+    cols = ["o_orderkey", "o_custkey", "price_cents", "c_nationkey",
+            "n_name"]
+
+    def snow(f: DataFrame, dc: DataFrame, dn: DataFrame) -> DataFrame:
+        return (
+            f.join(dc, f["o_custkey"] == dc["c_custkey"])
+            .join(dn, dc["c_nationkey"] == dn["n_nationkey"])
+            .select(*cols)
+        )
+
+    m0 = snow(fact0, dc0, dn0)
+    m1 = incremental_snowflake_refresh(
+        m0,
+        fact1,
+        chain=[
+            (dc1, cstore.diff_versions(cv0, cv1), "o_custkey",
+             "c_custkey"),
+            (dn1, nstore.diff_versions(nv0, nv1), "c_nationkey",
+             "n_nationkey"),
+        ],
+        fact_changes=fstore.diff_versions(fv0, fv1),
+        fact_key="o_orderkey",
+    )
+    full = snow(fact1, dc1, dn1)
+    _assert_spark_equal(m1, full, "incrementally maintained snowflake view")
+    return m1.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("price_cents").cast("bigint").alias("price_cents"),
+    )
+
+
+_STORE_IVM_SNOWFLAKE_SQL = """
+with mnc as (select min(c_custkey) as m from customer),
+f1 as (
+  select o_orderkey,
+         case when o_orderkey % 11 = 0 then (select m from mnc)
+              else o_custkey end as cust,
+         cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)
+           + case when o_orderkey % 5 = 0 then 200 else 0 end
+           as price_cents
+  from orders where o_orderkey % 7 <> 0
+),
+c1 as (
+  select c_custkey,
+         cast(case when c_custkey % 9 = 0 then (c_nationkey + 1) % 25
+              else c_nationkey end as int) as c_nationkey
+  from customer where c_custkey % 13 <> 0
+),
+n1 as (
+  select n_nationkey,
+         case when n_nationkey % 5 = 0 then n_name || '_X'
+              else n_name end as n_name
+  from nation where n_nationkey % 7 <> 0
+)
+select n1.n_name, cast(count(*) as bigint) as n_orders,
+       cast(sum(f1.price_cents) as bigint) as price_cents
+from f1
+join c1 on f1.cust = c1.c_custkey
+join n1 on c1.c_nationkey = n1.n_nationkey
+group by 1
+"""
+
+
 #: commit expectations — names + predicates shared VERBATIM with the
 #: oracle (the case chain is the same text in both engines). Rule 2's
 #: modulus marker guarantees deterministic hits at every SF.
@@ -2887,7 +3114,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_delete_vectors": _q_store_delete_vectors,
         "store_dv_compaction": _q_store_dv_compaction,
         "store_dv_ivm_rollup": _q_store_dv_ivm_rollup,
+        "store_dv_update": _q_store_dv_update,
         "store_ivm_star": _q_store_ivm_star,
+        "store_ivm_snowflake": _q_store_ivm_snowflake,
         "store_point_lookup_dv": _q_store_point_lookup_dv,
         "store_vacuum_time_travel": _q_store_vacuum_time_travel,
         "store_expectations": _q_store_expectations,
@@ -2948,7 +3177,9 @@ def oracle_sql() -> dict[str, str]:
         "store_delete_vectors": _STORE_DV_SQL,
         "store_dv_compaction": _STORE_DVC_SQL,
         "store_dv_ivm_rollup": _STORE_DV_IVM_SQL,
+        "store_dv_update": _STORE_DV_UPDATE_SQL,
         "store_ivm_star": _STORE_IVM_STAR_SQL,
+        "store_ivm_snowflake": _STORE_IVM_SNOWFLAKE_SQL,
         "store_point_lookup_dv": _STORE_PLKP_SQL,
         "store_vacuum_time_travel": _STORE_VACUUM_SQL,
         "store_expectations": _expect_oracle(),

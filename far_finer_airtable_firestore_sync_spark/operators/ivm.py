@@ -344,6 +344,63 @@ def incremental_star_refresh(
     return carried.unionByName(fresh)
 
 
+def incremental_snowflake_refresh(
+    m_prev: DataFrame,
+    fact_new: DataFrame,
+    chain: list[tuple[DataFrame, DataFrame, str, str]],
+    fact_changes: DataFrame,
+    fact_key: str,
+) -> DataFrame:
+    """Maintain a SNOWFLAKE-chain materialized view ``M = F join D1
+    join D2 ... join Dn`` where each dimension joins its PARENT (the
+    fact for D1, D_{i-1} for D_i) — the dim-of-dim case a star
+    refresh cannot express: a change in the outermost dimension
+    (e.g. a nation rename) reaches fact rows only THROUGH the
+    intermediate dimension (customer), so affectedness must
+    PROPAGATE inward along the chain (Gupta & Mumick delta rules
+    applied level by level).
+
+    ``chain[i] = (dim_new, dim_changes, fk_in_parent, dim_key)`` —
+    ``fk_in_parent`` is the column OF THE PARENT relation (fact for
+    i=0, dim i-1 otherwise) referencing this dimension's key.
+
+    Affected-set construction walks the chain leaf-to-fact: a
+    dimension's affected keys are its own changelog keys plus the
+    keys of its rows whose CHILD link was affected (one
+    changelog-bounded semi-join per level); the fact's affected keys
+    are its changelog plus a semi-join against level 1's affected
+    set. Each probe is bounded by the changelogs it transitively
+    carries; the untouched bulk of the view carries forward
+    scan-free, and no join is force-broadcast (AQE sizes the sliver
+    sets at runtime)."""
+    aff = None
+    for i in range(len(chain) - 1, -1, -1):
+        dim_new, dim_changes, _fk, key = chain[i]
+        own = dim_changes.select(F.col(key).alias("_ak"))
+        if aff is not None:
+            child_fk = chain[i + 1][2]  # this dim's link to its child
+            via = dim_new.join(
+                aff, dim_new[child_fk] == aff["_ak"], "left_semi"
+            ).select(F.col(key).alias("_ak"))
+            own = own.unionByName(via)
+        aff = own.distinct()
+    fk1 = chain[0][2]
+    leg = fact_new.join(
+        aff, fact_new[fk1] == aff["_ak"], "left_semi"
+    ).select(F.col(fact_key))
+    affected = (
+        fact_changes.select(F.col(fact_key)).unionByName(leg).distinct()
+    )
+    carried = m_prev.join(affected, fact_key, "left_anti")
+    fresh = fact_new.join(affected, fact_key, "left_semi")
+    for dim_new, _chg, fk, key in chain:
+        # fk resolves against the accumulated join (a fact column for
+        # level 1, a column of the previous dimension afterwards)
+        fresh = fresh.join(dim_new, F.col(fk) == dim_new[key])
+    fresh = fresh.select(*[F.col(c) for c in m_prev.columns])
+    return carried.unionByName(fresh)
+
+
 def view_fingerprint(df: DataFrame, row_string_expr: str) -> str:
     """Order-independent fingerprint of a view for checksum-gated
     refresh commits: ``<rowcount>-<sum of 56-bit md5 digests mod

@@ -757,6 +757,92 @@ class DocumentStore:
         n_files = max(1, -(-n // target_rows_per_file))
         return self.commit(df.coalesce(n_files), partition_by=partition_by)
 
+    def update_where(
+        self,
+        predicate: str,
+        set_exprs: dict[str, str],
+        expected_version: Optional[str] = None,
+    ) -> tuple[str, int]:
+        """Row-level UPDATE without rewriting untouched data — the
+        Delta UPDATE-with-deletion-vectors shape, completing the DML
+        set next to :meth:`delete_where`: the current version's data
+        files HARD-LINK into a new version, the rows matching
+        ``predicate`` are masked positionally, and their updated
+        images (each ``set_exprs`` column replaced by its SQL
+        expression, evaluated against the pre-update row) are
+        APPENDED as new right-sized part files in the same version.
+        At 100 TB an update touching 0.1% of rows writes that sliver
+        plus a positions sidecar — never the terabytes around it.
+
+        Ordering constraint (load-bearing): the mask is computed
+        BEFORE the append, so an update that does not change its own
+        predicate columns (``val = val + 1 WHERE grp = 3``) cannot
+        mask its freshly appended images. Updated images derive from
+        the MASKED snapshot, so previously deleted rows never
+        resurrect as updates. Copied zone/Bloom manifests are
+        invalidated (the appended files would otherwise be invisible
+        to pruning — a LOSSY manifest); they rebuild lazily.
+
+        CDC falls out for free: the old image is masked and the new
+        one appended under the same key, so ``diff_versions`` /
+        ``change_feed`` report the row as an ``update`` with pre/post
+        images — no special casing. ``compact`` later materializes
+        mask + appends into a plain version.
+
+        Returns ``(new_version_dir, n_updated)``; an empty match
+        creates NO new version and returns ``(current_dir, 0)``."""
+        cur = self.current_version_dir()
+        if cur is None:
+            raise ValueError(f"store {self.root} is empty; nothing to update")
+        if expected_version is not None and cur != expected_version:
+            raise ConcurrentCommitError(
+                f"store {self.root}: pointer moved past {expected_version!r} "
+                "since read(); refusing to clobber the concurrent commit"
+            )
+        snap = self.read_version(cur)
+        unknown = [c for c in set_exprs if c not in snap.columns]
+        if unknown:
+            raise ValueError(f"update_where: unknown columns {unknown}")
+        updated = snap.filter(predicate).withColumns(
+            {c: F.expr(e).cast(dict(snap.dtypes)[c]) for c, e in set_exprs.items()}
+        )
+        n = updated.count()
+        if n == 0:
+            return cur, 0
+        rel = _new_version_dir_name(self._next_commit_ms())
+        out = os.path.join(self.root, rel)
+        _link_tree(cur, out)
+        # mask FIRST (see ordering constraint above), then append the
+        # updated images right-sized, then drop now-stale skip sidecars
+        write_deletion_vectors(self.spark, out, predicate)
+        n_files = max(1, -(-n // 1_000_000))
+        # a hive-partitioned version appends PARTITION-AWARE (the
+        # layout is recovered from the directory names — an
+        # unpartitioned append into a partitioned tree would break
+        # partition discovery for every later read); updated rows
+        # whose partition value changed land in their new directory
+        pcols: list[str] = []
+        probe = cur
+        while True:
+            subs = [
+                d
+                for d in os.listdir(probe)
+                if "=" in d and os.path.isdir(os.path.join(probe, d))
+            ]
+            if not subs:
+                break
+            pcols.append(subs[0].split("=", 1)[0])
+            probe = os.path.join(probe, subs[0])
+        writer = updated.coalesce(n_files).write.mode("append")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(out)
+        for f in os.listdir(out):
+            if f == "_zone_manifest.json" or f.startswith("_bloom_"):
+                os.remove(os.path.join(out, f))
+        self._flip_pointer(rel, out, expected_version, None, None)
+        return out, n
+
     def optimize_zorder(
         self,
         x_col: str,

@@ -350,6 +350,223 @@ def test_delete_where_concurrency_guard(spark, tmp_path):
         store.delete_where("doc_id % 7 = 0", expected_version=stale)
 
 
+def test_update_where_masks_old_and_appends_new(spark, tmp_path):
+    """Row-level UPDATE via DV + append: matching rows carry the new
+    image, everything else is untouched; an update that does not
+    change its own predicate columns must not mask its appended
+    images (the mask-before-append ordering)."""
+    store, df = _dv_store(spark, tmp_path)
+    vd, n = store.update_where("grp = 3", {"val": "val + 1000000"})
+    want_n = df.filter("grp = 3").count()
+    assert n == want_n
+    want = df.withColumn(
+        "val",
+        F.expr("case when grp = 3 then val + 1000000 else val end"),
+    )
+    assert sorted(map(tuple, store.read().collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # physical layout: linked originals + a small appended file,
+    # masked positions cover exactly the old images
+    import os
+
+    assert os.path.isdir(os.path.join(vd, "_deletion_vectors"))
+
+
+def test_update_where_cdc_reports_updates(spark, tmp_path):
+    """diff/change_feed see a DV+append update as an UPDATE row with
+    the post-image — no special casing."""
+    store, df = _dv_store(spark, tmp_path)
+    v1 = store.current_version_dir()
+    v2, n = store.update_where("grp = 7", {"val": "val * 2"})
+    feed = store.change_feed(v1, v2)
+    by_type = {
+        r["change_type"]: r["n"]
+        for r in feed.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by_type == {"update": n}
+    post = {r["doc_id"]: r["val"] for r in feed.collect()}
+    for r in df.filter("grp = 7").collect():
+        assert post[r["doc_id"]] == r["val"] * 2
+
+
+def test_update_where_composes_with_delete_and_compact(spark, tmp_path):
+    """delete -> update -> compact: deleted rows never resurrect as
+    updates, and compaction materializes both DMLs."""
+    import os
+
+    store, df = _dv_store(spark, tmp_path)
+    store.delete_where("doc_id % 7 = 0")
+    store.update_where("grp = 2", {"val": "val + 5"})
+    want = (
+        df.filter("doc_id % 7 != 0")
+        .withColumn(
+            "val", F.expr("case when grp = 2 then val + 5 else val end")
+        )
+    )
+    got = store.read()
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    cdir = store.compact()
+    assert not os.path.isdir(os.path.join(cdir, "_deletion_vectors"))
+    assert sorted(map(tuple, store.read().collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_update_where_empty_match_is_noop(spark, tmp_path):
+    store, _df = _dv_store(spark, tmp_path)
+    before = store.current_version_dir()
+    vd, n = store.update_where("doc_id < 0", {"val": "val + 1"})
+    assert n == 0 and vd == before
+    assert len(store.list_versions()) == 1
+
+
+def test_update_where_invalidates_stale_skip_manifests(spark, tmp_path):
+    """The linked zone manifest does not cover appended files — it
+    must be dropped so read_where cannot lossily prune the updated
+    images."""
+    store, df = _dv_store(spark, tmp_path)
+    # build the zone manifest on the pre-update version, then update
+    store.read_where("doc_id", 0, 10).count()
+    vd, _n = store.update_where("doc_id = 4", {"val": "val + 777"})
+    got = store.read_where("doc_id", 0, 10)
+    want = df.filter("doc_id between 0 and 10").withColumn(
+        "val", F.expr("case when doc_id = 4 then val + 777 else val end")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_update_where_partitioned_version(spark, tmp_path):
+    """Partition-aware append: a hive-partitioned version stays
+    readable after update_where, including a partition-value-moving
+    update."""
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    df = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).alias("part"),
+        (F.col("id") * 2).alias("val"),
+    )
+    store = DocumentStore(spark, str(tmp_path / "updpart"), "doc_id")
+    store.commit(df, partition_by=["part"])
+    # move doc 9 to another partition AND bump its value
+    store.update_where(
+        "doc_id = 9", {"part": "cast(0 as bigint)", "val": "val + 1"}
+    )
+    want = {
+        (r["doc_id"], 0 if r["doc_id"] == 9 else r["part"],
+         r["val"] + (1 if r["doc_id"] == 9 else 0))
+        for r in df.collect()
+    }
+    got = {
+        (r["doc_id"], r["part"], r["val"])
+        for r in store.read().select("doc_id", "part", "val").collect()
+    }
+    assert got == want
+
+
+def test_incremental_snowflake_refresh_hand_case(spark):
+    """orders -> customer -> nation chain: a NATION change must reach
+    fact rows THROUGH customer (rename ripples into the view; a
+    nation delete removes every downstream fact row with no
+    fact/customer-side change), alongside the usual fact and
+    customer legs."""
+    from far_finer_airtable_firestore_sync_spark.operators.ivm import (
+        incremental_snowflake_refresh,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    f0 = spark.createDataFrame(
+        [
+            Row(k=1, cfk=10, v=1),   # payload update
+            Row(k=2, cfk=10, v=2),   # deleted
+            Row(k=3, cfk=20, v=3),   # cfk moves 20->30
+            Row(k=4, cfk=40, v=4),   # customer 40 deleted
+            Row(k=5, cfk=50, v=5),   # customer 50 renamed nation-fk
+            Row(k=6, cfk=60, v=6),   # nation of customer 60 RENAMED
+            Row(k=7, cfk=70, v=7),   # nation of customer 70 DELETED
+            Row(k=8, cfk=10, v=8),   # fully untouched
+        ]
+    )
+    f1 = spark.createDataFrame(
+        [
+            Row(k=1, cfk=10, v=11),
+            Row(k=3, cfk=30, v=3),
+            Row(k=4, cfk=40, v=4),
+            Row(k=5, cfk=50, v=5),
+            Row(k=6, cfk=60, v=6),
+            Row(k=7, cfk=70, v=7),
+            Row(k=8, cfk=10, v=8),
+            Row(k=9, cfk=20, v=9),  # insert
+        ]
+    )
+    c0 = spark.createDataFrame(
+        [Row(ck=10, nfk=100), Row(ck=20, nfk=100), Row(ck=30, nfk=100),
+         Row(ck=40, nfk=100), Row(ck=50, nfk=100), Row(ck=60, nfk=200),
+         Row(ck=70, nfk=300)]
+    )
+    c1 = spark.createDataFrame(
+        [Row(ck=10, nfk=100), Row(ck=20, nfk=100), Row(ck=30, nfk=100),
+         Row(ck=50, nfk=200),  # 40 deleted; 50 moves nation 100->200
+         Row(ck=60, nfk=200), Row(ck=70, nfk=300)]
+    )
+    n0 = spark.createDataFrame(
+        [Row(nk=100, nn="alpha"), Row(nk=200, nn="beta"),
+         Row(nk=300, nn="gamma")]
+    )
+    n1 = spark.createDataFrame(
+        [Row(nk=100, nn="alpha"), Row(nk=200, nn="BETA")]
+        # 300 deleted: k=7 leaves through the CHAIN; 200 renamed:
+        # k=6 (and now k=5) rewrite through the chain
+    )
+    fs = DocumentStore(spark, tempfile.mkdtemp(prefix="snow_f_"), "k")
+    cs = DocumentStore(spark, tempfile.mkdtemp(prefix="snow_c_"), "ck")
+    ns = DocumentStore(spark, tempfile.mkdtemp(prefix="snow_n_"), "nk")
+    fv0, fv1 = fs.commit(f0), fs.commit(f1)
+    cv0, cv1 = cs.commit(c0), cs.commit(c1)
+    nv0, nv1 = ns.commit(n0), ns.commit(n1)
+    fact0, fact1 = fs.read_version(fv0), fs.read_version(fv1)
+    dc0, dc1 = cs.read_version(cv0), cs.read_version(cv1)
+    dn0, dn1 = ns.read_version(nv0), ns.read_version(nv1)
+    cols = ["k", "cfk", "v", "nfk", "nn"]
+
+    def snow(f, dc, dn):
+        return (
+            f.join(dc, f["cfk"] == dc["ck"])
+            .join(dn, dc["nfk"] == dn["nk"])
+            .select(*cols)
+        )
+
+    m0 = snow(fact0, dc0, dn0)
+    m1 = incremental_snowflake_refresh(
+        m0,
+        fact1,
+        chain=[
+            (dc1, cs.diff_versions(cv0, cv1), "cfk", "ck"),
+            (dn1, ns.diff_versions(nv0, nv1), "nfk", "nk"),
+        ],
+        fact_changes=fs.diff_versions(fv0, fv1),
+        fact_key="k",
+    )
+    got = sorted(map(tuple, m1.collect()))
+    want = sorted(map(tuple, snow(fact1, dc1, dn1).collect()))
+    assert got == want
+    rows = {r[0]: r for r in got}
+    assert 7 not in rows           # left through the deleted nation
+    assert rows[6][4] == "BETA"    # nation rename rippled via chain
+    assert rows[5][4] == "BETA"    # customer's nation move rippled
+
+
 def test_optimize_zorder_store_api(spark, tmp_path):
     """OPTIMIZE ZORDER BY as a store API: after a delete_where, the
     re-cluster materializes the mask (no sidecar, survivors only) and
