@@ -395,8 +395,11 @@ def incremental_snowflake_refresh(
     fresh = fact_new.join(affected, fact_key, "left_semi")
     for dim_new, _chg, fk, key in chain:
         # fk resolves against the accumulated join (a fact column for
-        # level 1, a column of the previous dimension afterwards)
-        fresh = fresh.join(dim_new, F.col(fk) == dim_new[key])
+        # level 1, a column of the previous dimension afterwards) —
+        # bound to the LEFT side explicitly, so a dimension reusing
+        # its parent's link-column name cannot make the reference
+        # ambiguous (review finding; matches the star refresh)
+        fresh = fresh.join(dim_new, fresh[fk] == dim_new[key])
     fresh = fresh.select(*[F.col(c) for c in m_prev.columns])
     return carried.unionByName(fresh)
 

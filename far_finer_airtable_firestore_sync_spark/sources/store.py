@@ -312,7 +312,11 @@ class DocumentStore:
         Returns ``(new_version_dir, n_deleted_total)`` where the
         count is the TOTAL number of masked rows in the new version
         (inherited + new — the number of physical rows a reader no
-        longer sees)."""
+        longer sees). A predicate adding NO new positions commits
+        NOTHING and returns ``(current_dir, prior_total)`` — no-op
+        maintenance deletes must not churn version history or shift
+        the vacuum retention window (review finding; mirrors
+        :meth:`update_where`'s no-op contract)."""
         cur = self.current_version_dir()
         if cur is None:
             raise ValueError(f"store {self.root} is empty; nothing to delete")
@@ -321,12 +325,19 @@ class DocumentStore:
                 f"store {self.root}: pointer moved past {expected_version!r} "
                 "since read(); refusing to clobber the concurrent commit"
             )
+        prior_total = _dv_position_count(cur)
         rel = _new_version_dir_name(self._next_commit_ms())
         out = os.path.join(self.root, rel)
         # Hard-link the data files + copy sidecars (including any
-        # existing DV mask, which write_deletion_vectors merges with)
+        # existing DV mask, which write_deletion_vectors merges with;
+        # legacy_dir re-roots an inherited absolute-URI-format mask)
         _link_tree(cur, out)
-        n_total = write_deletion_vectors(self.spark, out, predicate)
+        n_total = write_deletion_vectors(
+            self.spark, out, predicate, legacy_dir=cur
+        )
+        if n_total == prior_total:  # positions are distinct: equal
+            shutil.rmtree(out)      # count == no new masked rows
+            return cur, prior_total
         self._flip_pointer(rel, out, expected_version, None, None)
         return out, n_total
 
@@ -346,19 +357,16 @@ class DocumentStore:
         rows = []
         for vd in self.list_versions():
             n = 0
-            for root, _dirs, names in os.walk(vd):
-                if os.path.basename(root) == _DV_DIR:
-                    continue
+            for root, dirs, names in os.walk(vd):
+                # prune ALL underscore/dot dirs like Spark's reader
+                # (and the manifest writers) do — this also excludes
+                # crash residue such as _deletion_vectors.old-* from
+                # the live count (review finding)
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
                 for f in names:
                     if f.endswith(".parquet"):
                         n += pq.read_metadata(os.path.join(root, f)).num_rows
-            dv_dir = os.path.join(vd, _DV_DIR)
-            if os.path.isdir(dv_dir):
-                for f in os.listdir(dv_dir):
-                    if f.endswith(".parquet"):
-                        n -= pq.read_metadata(
-                            os.path.join(dv_dir, f)
-                        ).num_rows
+            n -= _dv_position_count(vd)
             base = os.path.basename(vd)
             rows.append(
                 Row(
@@ -701,7 +709,9 @@ class DocumentStore:
         )
         return _apply_deletion_vectors(self.spark, scan, vd)
 
-    def read_where_eq(self, col: str, values: list) -> Optional[DataFrame]:
+    def read_where_eq(
+        self, col: str, values: list, build_if_missing: bool = True
+    ) -> Optional[DataFrame]:
         """Bloom-pruned POINT lookup of the CURRENT snapshot:
         ``col in values``, opening only the files whose per-file Bloom
         sidecar (``write_bloom_manifest``, written lazily on first
@@ -713,11 +723,27 @@ class DocumentStore:
         on the pruned scan, so pruning is loss-free by construction;
         deletion vectors are applied, so a deleted key does NOT
         resurrect through the point-lookup path. Returns None on an
-        empty store."""
+        empty store.
+
+        ``build_if_missing`` controls the lazy sidecar build: it
+        reads one column per file ON THE DRIVER, which is the right
+        trade for a maintenance-built index serving many lookups but
+        the wrong one for a single ad-hoc read of a large un-indexed
+        version (review finding). With ``build_if_missing=False`` an
+        un-indexed version falls back to the distributed masked
+        filter scan (parquet min/max skipping still applies)."""
         vd = self.current_version_dir()
         if vd is None:
             return None
         vals = list(values)
+        if not build_if_missing and not os.path.exists(
+            os.path.join(vd, f"_bloom_{col}.json")
+        ):
+            return _apply_deletion_vectors(
+                self.spark,
+                self.spark.read.parquet(vd).filter(F.col(col).isin(vals)),
+                vd,
+            )
         keep, _total = prune_files_by_bloom(vd, col, vals)
         if not keep:
             return self.spark.read.parquet(vd).filter(F.lit(False))
@@ -814,7 +840,7 @@ class DocumentStore:
         _link_tree(cur, out)
         # mask FIRST (see ordering constraint above), then append the
         # updated images right-sized, then drop now-stale skip sidecars
-        write_deletion_vectors(self.spark, out, predicate)
+        write_deletion_vectors(self.spark, out, predicate, legacy_dir=cur)
         n_files = max(1, -(-n // 1_000_000))
         # a hive-partitioned version appends PARTITION-AWARE (the
         # layout is recovered from the directory names — an
@@ -878,9 +904,21 @@ class DocumentStore:
             morton_key_expr,
         )
 
+        if not 1 <= buckets_per_dim <= 65536:
+            raise ValueError(
+                "buckets_per_dim must be in [1, 65536]: the Morton "
+                "interleave spreads 16 bits per dimension, so larger "
+                "grids would silently alias distant buckets"
+            )
         mnx, mxx, mny, mxy = df.agg(
             F.min(x_col), F.max(x_col), F.min(y_col), F.max(y_col)
         ).first()
+        if mnx is None or mny is None:
+            bad = x_col if mnx is None else y_col
+            raise ValueError(
+                f"optimize_zorder: column {bad!r} has no non-NULL "
+                "values to derive a bucket grid from"
+            )
         wx = max(1, (int(mxx) - int(mnx) + buckets_per_dim) // buckets_per_dim)
         wy = max(1, (int(mxy) - int(mny) + buckets_per_dim) // buckets_per_dim)
         bx = f"((`{x_col}` - {int(mnx)}) div {wx})"
@@ -925,11 +963,14 @@ class DocumentStore:
     def get_document(self, doc_id: Any) -> Optional[dict]:
         """S5 point read (lib/FirestoreWrapper.py:72-84), served
         through the composed point-lookup path (:meth:`read_where_eq`):
-        Bloom-sidecar file skipping (lazily built on first use —
-        Firestore's server-side key index as a sidecar riding the
-        version) + deletion-vector masking, so a point read never
-        resurrects a deleted row."""
-        df = self.read_where_eq(self.key_col, [doc_id])
+        Bloom-sidecar file skipping WHEN the index exists (built by
+        maintenance via ``write_bloom_manifest`` — Firestore's
+        server-side key index as a sidecar riding the version) +
+        deletion-vector masking, so a point read never resurrects a
+        deleted row. An un-indexed version falls back to the
+        distributed min/max-pruned scan rather than paying a
+        driver-side index build on the read path (review finding)."""
+        df = self.read_where_eq(self.key_col, [doc_id], build_if_missing=False)
         if df is None:
             return None
         rows = df.limit(1).collect()
@@ -1169,8 +1210,14 @@ def write_zone_manifest(version_dir: str) -> dict:
                 "rows": md.num_rows,
                 "columns": cols,
             }
-    with open(os.path.join(version_dir, "_zone_manifest.json"), "w") as fh:
+    # temp + atomic replace: a concurrent reader of the manifest can
+    # never observe a partial write (review finding — prune_* catch
+    # only FileNotFoundError, so a torn JSON would crash them)
+    path = os.path.join(version_dir, "_zone_manifest.json")
+    tmp = path + "." + uuid.uuid4().hex[:8] + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump(manifest, fh)
+    os.replace(tmp, path)
     return manifest
 
 
@@ -1278,10 +1325,12 @@ def write_bloom_manifest(version_dir: str, col: str) -> dict:
                 "n_bits": n_bits,
                 "bitmap": base64.b64encode(bytes(bits)).decode("ascii"),
             }
-    with open(
-        os.path.join(version_dir, f"_bloom_{col}.json"), "w"
-    ) as fh:
+    # temp + atomic replace (same torn-JSON guard as the zone writer)
+    path = os.path.join(version_dir, f"_bloom_{col}.json")
+    tmp = path + "." + uuid.uuid4().hex[:8] + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump(manifest, fh)
+    os.replace(tmp, path)
     return manifest
 
 
@@ -1349,8 +1398,55 @@ def _dv_rel_expr(version_dir: str, path_col: str) -> F.Column:
     return F.expr(f"substring_index({path_col}, '/{base}/', -1)")
 
 
+def _dv_position_count(version_dir: str) -> int:
+    """Number of masked positions recorded in ``version_dir``'s DV
+    sidecar, from the parquet FOOTERS (positions are distinct by
+    construction — the writer ends in ``.distinct()``). 0 when the
+    version carries no mask."""
+    import pyarrow.parquet as pq
+
+    dv_dir = os.path.join(version_dir, _DV_DIR)
+    if not os.path.isdir(dv_dir):
+        return 0
+    return sum(
+        pq.read_metadata(os.path.join(dv_dir, f)).num_rows
+        for f in os.listdir(dv_dir)
+        if f.endswith(".parquet")
+    )
+
+
+def _dv_recover_interrupted_swap(version_dir: str) -> None:
+    """Self-heal a crash between the sidecar swap's two renames
+    (review finding): the swap is write-tmp → rename(live→old) →
+    rename(tmp→live), so a kill in the middle leaves ``.old-*`` (the
+    complete previous mask) and possibly ``.tmp-*`` (the complete
+    next mask) but no live dir — and every read would silently
+    resurrect the deleted rows. Recovery prefers the NEWEST complete
+    candidate: a ``.tmp-*`` (already fully written + counted before
+    any rename) else the ``.old-*``; leftovers are removed."""
+    live = os.path.join(version_dir, _DV_DIR)
+    residue = sorted(
+        d
+        for d in os.listdir(version_dir)
+        if d.startswith(_DV_DIR + ".")
+        and os.path.isdir(os.path.join(version_dir, d))
+    )
+    if not residue:
+        return
+    if not os.path.isdir(live):
+        tmps = [d for d in residue if d.startswith(_DV_DIR + ".tmp-")]
+        pick = tmps[-1] if tmps else residue[-1]
+        os.rename(os.path.join(version_dir, pick), live)
+        residue.remove(pick)
+    for d in residue:
+        shutil.rmtree(os.path.join(version_dir, d), ignore_errors=True)
+
+
 def write_deletion_vectors(
-    spark: SparkSession, version_dir: str, predicate: str
+    spark: SparkSession,
+    version_dir: str,
+    predicate: str,
+    legacy_dir: Optional[str] = None,
 ) -> int:
     """Row-level DELETE without rewriting data files — the Delta
     deletion-vector shape: rows of the committed version matching
@@ -1375,7 +1471,22 @@ def write_deletion_vectors(
     matching rows; readers (:func:`read_with_deletion_vectors` / the
     DV-aware ``DocumentStore`` read paths) never re-evaluate the
     predicate — masking is purely positional, so it also covers
-    deletes whose predicate columns were later dropped or renamed."""
+    deletes whose predicate columns were later dropped or renamed.
+
+    ``legacy_dir`` names the directory an INHERITED sidecar came from
+    (``delete_where``/``update_where`` pass the predecessor version):
+    a retired absolute-URI-format mask names THAT directory, so its
+    entries are additionally re-rooted against it — without this, a
+    legacy mask inherited across a link-tree commit would match no
+    relative path and silently resurrect every deleted row (review
+    finding).
+
+    Crash consistency: the sidecar swap is write-tmp →
+    rename(live→old) → rename(tmp→live); a kill between the renames
+    is detected and self-healed on the next write or masked read
+    (:func:`_dv_recover_interrupted_swap`) — never silently served
+    unmasked."""
+    _dv_recover_interrupted_swap(version_dir)
     df = spark.read.parquet(version_dir)
     new_dv = (
         df.filter(predicate)
@@ -1389,12 +1500,18 @@ def write_deletion_vectors(
     out = os.path.join(version_dir, _DV_DIR)
     has_existing = os.path.isdir(out)
     if has_existing:
-        # normalize inherited positions too (covers a legacy
-        # absolute-URI sidecar of this same directory)
+        # normalize inherited positions too: first against this
+        # directory (covers a legacy sidecar written in place), then
+        # against the predecessor it may have been linked from
+        fp = _dv_rel_expr(version_dir, "file_path")
         existing = spark.read.parquet(out).select(
-            _dv_rel_expr(version_dir, "file_path").alias("file_path"),
-            "row_index",
+            fp.alias("file_path"), "row_index"
         )
+        if legacy_dir is not None:
+            existing = existing.select(
+                _dv_rel_expr(legacy_dir, "file_path").alias("file_path"),
+                "row_index",
+            )
         new_dv = existing.unionByName(new_dv)
     new_dv = new_dv.distinct()
     tmp = out + ".tmp-" + uuid.uuid4().hex[:8]
@@ -1426,10 +1543,17 @@ def _apply_deletion_vectors(
     takes part in masking. The DV side is left to AQE to size (a
     sliver for typical deletes — runtime broadcast; no forced hint,
     so a bulk delete cannot OOM the driver). Without a sidecar the
-    scan returns unchanged."""
+    scan returns unchanged — after first self-healing any
+    interrupted sidecar swap, so a crash mid-rewrite can never be
+    silently served as "no mask" (review finding)."""
     dv_path = os.path.join(version_dir, _DV_DIR)
     if not os.path.isdir(dv_path):
-        return data
+        try:
+            _dv_recover_interrupted_swap(version_dir)
+        except OSError:
+            pass  # a concurrent reader won the recovery rename
+        if not os.path.isdir(dv_path):
+            return data
     for reserved in ("_ffs_dv_fp", "_ffs_dv_ri", "_ffs_dvd_fp", "_ffs_dvd_ri"):
         if reserved in data.columns:
             raise ValueError(

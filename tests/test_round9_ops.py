@@ -235,18 +235,74 @@ def test_delete_where_accumulates_and_preserves_history(spark, tmp_path):
     assert hist[os.path.basename(v3)] == want.count()
 
 
-def test_delete_where_empty_predicate_is_safe(spark, tmp_path):
-    """A predicate matching nothing must not corrupt the version
-    (r8 ADVICE low: an empty overwrite left an unreadable sidecar)."""
+def test_delete_where_empty_predicate_is_noop(spark, tmp_path):
+    """A predicate adding no new positions commits NOTHING (review
+    finding: no-op maintenance deletes must not churn history or
+    shift the vacuum window) and never corrupts the version (r8
+    ADVICE low: an empty overwrite left an unreadable sidecar)."""
     store, df = _dv_store(spark, tmp_path)
-    _vd, n = store.delete_where("doc_id < 0")
-    assert n == 0
+    before = store.current_version_dir()
+    vd, n = store.delete_where("doc_id < 0")
+    assert n == 0 and vd == before
+    assert len(store.list_versions()) == 1
     assert store.read().count() == 200
     # ... and an empty follow-up on a version that HAS a mask keeps it
-    _vd2, n2 = store.delete_where("doc_id % 7 = 0")
-    _vd3, n3 = store.delete_where("doc_id < 0")
-    assert n3 == n2
+    vd2, n2 = store.delete_where("doc_id % 7 = 0")
+    vd3, n3 = store.delete_where("doc_id < 0")
+    assert n3 == n2 and vd3 == vd2
+    assert len(store.list_versions()) == 2
     assert store.read().count() == df.filter("doc_id % 7 != 0").count()
+
+
+def test_dv_interrupted_swap_self_heals(spark, tmp_path):
+    """A crash between the sidecar swap's two renames must never be
+    served as 'no mask' — the masked read self-heals from the
+    residue (review finding)."""
+    import os
+
+    store, df = _dv_store(spark, tmp_path)
+    vd, _n = store.delete_where("doc_id % 7 = 0")
+    live = os.path.join(vd, "_deletion_vectors")
+    # simulate the crash window: live dir renamed away, tmp lost
+    os.rename(live, live + ".old-deadbeef")
+    assert store.read().count() == df.filter("doc_id % 7 != 0").count()
+    assert os.path.isdir(live)  # recovered
+    assert not os.path.isdir(live + ".old-deadbeef")
+
+
+def test_legacy_absolute_dv_sidecar_rerooted_on_delete(spark, tmp_path):
+    """An inherited r8-format sidecar (absolute file URIs naming the
+    PREDECESSOR version) is re-rooted when delete_where links it into
+    a new version — without legacy_dir re-rooting those entries match
+    nothing and every old delete resurrects (review finding)."""
+    import os
+
+    from pyspark.sql import Row as R
+
+    store, df = _dv_store(spark, tmp_path)
+    v1 = store.current_version_dir()
+    # hand-write a legacy-format sidecar: absolute URIs of v1's files
+    masked = (
+        spark.read.parquet(v1)
+        .filter("doc_id % 7 = 0")
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("row_index"),
+        )
+    )
+    rows = masked.collect()
+    assert rows and all(r["file_path"].startswith("file:") for r in rows)
+    spark.createDataFrame(rows).write.parquet(
+        os.path.join(v1, "_deletion_vectors")
+    )
+    # in-place legacy mask applies (same-directory normalization)
+    assert store.read().count() == df.filter("doc_id % 7 != 0").count()
+    # a new delete inherits + re-roots it across the link-tree commit
+    _v2, _n = store.delete_where("doc_id % 5 = 0")
+    want = df.filter("doc_id % 7 != 0 and doc_id % 5 != 0")
+    assert sorted(map(tuple, store.read().collect())) == sorted(
+        map(tuple, want.collect())
+    )
 
 
 def test_change_feed_emits_dv_deletes(spark, tmp_path):
