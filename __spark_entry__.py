@@ -1345,6 +1345,66 @@ group by 1
 """
 
 
+#: lock-free backend delete predicate — shared with the oracle text
+_TXN_DV_PREDICATE = "coalesce(user_id, -1) % 13 = 0"
+
+
+def _q_store_txn_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector DELETE on the LOCK-FREE multi-writer backend
+    (TransactionalParquetBackend.delete_where) — the cross-host form
+    of the store's DV delete: the base snapshot's files hard-link
+    into a new version, the mask publishes as the next log record
+    through the same atomic put-if-absent CAS as commit (a rival
+    winning the version number forces a re-derive, because a
+    positional mask from a stale snapshot is invalid by construction
+    — pinned by the rival-race test), and every backend read —
+    including commit_with's re-derive base — serves the masked view.
+    Entry asserts the version advanced exactly once, the no-op
+    re-delete publishes NOTHING, and a follow-up derived commit
+    starts from the masked view. Self-bisect: the served aggregate
+    equals the direct NOT-predicate scan."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        read_events,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.backends import (
+        TransactionalParquetBackend,
+    )
+
+    _utc(spark)
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="ffs_txndv_")
+    _TMP_DIRS.append(root)
+    be = TransactionalParquetBackend(spark, root, "event_id")
+    be.commit(ev.repartition(8, F.col("user_id")))
+    handle, n_deleted = be.delete_where(_TXN_DV_PREDICATE)
+    assert handle == "txn://2" and n_deleted > 0, (handle, n_deleted)
+    h2, n2 = be.delete_where(_TXN_DV_PREDICATE)  # no-op: nothing new
+    assert h2 == "txn://2" and n2 == n_deleted
+    assert be.latest()[0] == 2
+
+    out = _agg64(be.read(), "event_type")
+    _assert_spark_equal(
+        out,
+        _agg64(ev.filter(f"not ({_TXN_DV_PREDICATE})"), "event_type"),
+        "lock-free DV-delete aggregate",
+    )
+    return out
+
+
+_STORE_TXN_DV_SQL = f"""
+select event_type, cast(count(*) as bigint) as n_events,
+       cast(sum(cast(floor(value * cast(64 as double)) as bigint))
+            as bigint) as value_64ths
+from events
+where not ({_TXN_DV_PREDICATE})
+group by event_type
+"""
+
+
 #: update_where predicate/assignment — shared with the oracle text
 _DV_UPD_PREDICATE = "coalesce(event_type, '') = 'click'"
 
@@ -3115,6 +3175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_dv_compaction": _q_store_dv_compaction,
         "store_dv_ivm_rollup": _q_store_dv_ivm_rollup,
         "store_dv_update": _q_store_dv_update,
+        "store_txn_delete_vectors": _q_store_txn_delete,
         "store_ivm_star": _q_store_ivm_star,
         "store_ivm_snowflake": _q_store_ivm_snowflake,
         "store_point_lookup_dv": _q_store_point_lookup_dv,
@@ -3178,6 +3239,7 @@ def oracle_sql() -> dict[str, str]:
         "store_dv_compaction": _STORE_DVC_SQL,
         "store_dv_ivm_rollup": _STORE_DV_IVM_SQL,
         "store_dv_update": _STORE_DV_UPDATE_SQL,
+        "store_txn_delete_vectors": _STORE_TXN_DV_SQL,
         "store_ivm_star": _STORE_IVM_STAR_SQL,
         "store_ivm_snowflake": _STORE_IVM_SNOWFLAKE_SQL,
         "store_point_lookup_dv": _STORE_PLKP_SQL,

@@ -308,12 +308,23 @@ class TransactionalParquetBackend:
         return f"txn://{v}" if v else None
 
     def read(self) -> Optional[DataFrame]:
+        """Current snapshot with deletion vectors applied (a version
+        published by :meth:`delete_where` carries a positional mask;
+        every reader — including :meth:`commit_with`'s re-derive —
+        must see the post-delete view)."""
         import os
+
+        from far_finer_airtable_firestore_sync_spark.sources.store import (
+            _apply_deletion_vectors,
+        )
 
         _v, rec = self.latest()
         if rec is None:
             return None
-        return self.spark.read.parquet(os.path.join(self.root, rec["version_dir"]))
+        vd = os.path.join(self.root, rec["version_dir"])
+        return _apply_deletion_vectors(
+            self.spark, self.spark.read.parquet(vd), vd
+        )
 
     def read_or_empty(self, like: DataFrame) -> DataFrame:
         df = self.read()
@@ -469,6 +480,94 @@ class TransactionalParquetBackend:
                 removed.append(p)
         return removed
 
+    def delete_where(
+        self,
+        predicate: str,
+        txn: Optional[tuple[str, str]] = None,
+        max_retries: int = 5,
+    ) -> tuple[str, int]:
+        """Row-level DELETE via deletion vectors on the LOCK-FREE log
+        — the cross-host form of ``DocumentStore.delete_where``: the
+        base snapshot's data files hard-link into a new version
+        directory (zero data rewrite), the matching rows are masked
+        positionally (inherited masks merge; legacy formats re-root),
+        and the new version publishes as the next log record through
+        the same atomic put-if-absent CAS as :meth:`commit`. A rival
+        winning the version number invalidates the mask (it was
+        derived positionally from a stale snapshot), so the loop
+        DISCARDS the candidate and RE-DERIVES against the winner —
+        the delete analog of :meth:`commit_with`'s no-lost-update
+        loop; at 100 TB each retry costs the changed sliver's scan
+        plus O(filecount) links, never a table rewrite.
+
+        Returns ``(txn://N handle, total_masked)``; a predicate
+        adding no new positions publishes nothing and returns the
+        current handle."""
+        import json
+        import os
+        import shutil
+        import time
+        import uuid
+
+        from far_finer_airtable_firestore_sync_spark.sources.store import (
+            ConcurrentCommitError,
+            _dv_position_count,
+            _link_tree,
+            write_deletion_vectors,
+        )
+
+        for _attempt in range(max_retries + 1):
+            base_v, base_rec = self.latest()
+            if base_rec is None:
+                raise ValueError(
+                    f"store {self.root} is empty; nothing to delete"
+                )
+            src = os.path.join(self.root, base_rec["version_dir"])
+            prior = _dv_position_count(src)
+            rel = f"v-{uuid.uuid4().hex}"
+            out = os.path.join(self.root, rel)
+            _link_tree(src, out)
+            n_total = write_deletion_vectors(
+                self.spark, out, predicate, legacy_dir=src
+            )
+            if n_total == prior:  # no new positions: publish nothing
+                shutil.rmtree(out, ignore_errors=True)
+                return f"txn://{base_v}", prior
+            record = {
+                "version_dir": rel,
+                "writer": self.writer_id,
+                "ts_ms": int(time.time() * 1000),
+                "txns": dict(base_rec.get("txns", {})),
+            }
+            if txn is not None:
+                record["txns"][txn[0]] = str(txn[1])
+            tmp = os.path.join(
+                self._log_dir(), f"_tmp-{uuid.uuid4().hex}.json"
+            )
+            with open(tmp, "w") as fh:
+                json.dump(record, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            target = self._record_path(base_v + 1)
+            try:
+                os.link(tmp, target)  # atomic put-if-absent
+                return self._published(base_v + 1), n_total
+            except FileExistsError:
+                # lost-reply disambiguation as in commit (NFS
+                # retransmit can EEXIST a link this writer WON)
+                if os.stat(tmp).st_nlink == 2:
+                    return self._published(base_v + 1), n_total
+                # a rival owns base_v+1: our positional mask is stale
+                # by construction — discard and re-derive
+                shutil.rmtree(out, ignore_errors=True)
+                continue
+            finally:
+                os.unlink(tmp)
+        raise ConcurrentCommitError(
+            f"store {self.root}: delete_where CAS failed after "
+            f"{max_retries + 1} attempts (writer {self.writer_id})"
+        )
+
     def commit_with(
         self,
         build_post_state,
@@ -495,8 +594,15 @@ class TransactionalParquetBackend:
             else:
                 import os
 
-                cur = self.spark.read.parquet(
-                    os.path.join(self.root, base_rec["version_dir"])
+                from far_finer_airtable_firestore_sync_spark.sources.store import (
+                    _apply_deletion_vectors,
+                )
+
+                vd = os.path.join(self.root, base_rec["version_dir"])
+                # DV-masked: a post-state derived from a
+                # delete_where-published base must not resurrect rows
+                cur = _apply_deletion_vectors(
+                    self.spark, self.spark.read.parquet(vd), vd
                 )
             try:
                 return self.commit(

@@ -746,6 +746,91 @@ def test_backend_checkpoint_survives_orphan_vacuum(spark, tmp_path):
     assert be2.latest()[0] == 13
 
 
+def test_backend_delete_where_basic_and_noop(spark, tmp_path):
+    """DV deletes on the lock-free log: masked reads through the
+    backend, commit_with re-derives from the MASKED view, and a
+    no-new-positions delete publishes nothing."""
+    from far_finer_airtable_firestore_sync_spark.sources.backends import (
+        TransactionalParquetBackend,
+    )
+
+    be = TransactionalParquetBackend(spark, str(tmp_path / "txnd"), "doc_id")
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("val")
+    )
+    be.commit(df)
+    handle, n = be.delete_where("doc_id % 4 = 0")
+    assert handle == "txn://2" and n == 25
+    assert be.read().count() == 75
+    # no-op: nothing published, version unchanged
+    handle2, n2 = be.delete_where("doc_id % 4 = 0")
+    assert handle2 == "txn://2" and n2 == 25
+    assert be.latest()[0] == 2
+    # a later derived commit starts from the masked view
+    be.commit_with(lambda cur: cur.filter("doc_id % 3 != 0"))
+    assert be.read().count() == df.filter(
+        "doc_id % 4 != 0 and doc_id % 3 != 0"
+    ).count()
+
+
+def test_backend_delete_where_rederives_after_rival(spark, tmp_path):
+    """The CAS loop: a rival owning the next version invalidates the
+    positional mask, so delete_where must discard and RE-DERIVE from
+    the winner — the delete lands on the rival's snapshot with no
+    lost update."""
+    import json
+    import os
+
+    from far_finer_airtable_firestore_sync_spark.sources.backends import (
+        TransactionalParquetBackend,
+    )
+
+    root = str(tmp_path / "txnr")
+    be = TransactionalParquetBackend(spark, root, "doc_id")
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("val")
+    )
+    be.commit(df)
+    # plant a rival's version 2: a different snapshot (rows 0..49
+    # only), fully published by hand via the record path
+    rival_rel = "v-rival00000000000000000000000000000"
+    df.filter("doc_id < 50").write.parquet(os.path.join(root, rival_rel))
+    with open(os.path.join(root, "_log", "_tmp-rival.json"), "w") as fh:
+        json.dump(
+            {"version_dir": rival_rel, "writer": "rival", "ts_ms": 0,
+             "txns": {}},
+            fh,
+        )
+    os.link(
+        os.path.join(root, "_log", "_tmp-rival.json"),
+        be._record_path(2),
+    )
+    os.unlink(os.path.join(root, "_log", "_tmp-rival.json"))
+
+    # monkeypatch latest() to report version 1 on the FIRST call (the
+    # stale base the deleter derived from), then behave normally —
+    # deterministic interleave of "rival wins between read and link"
+    real_latest = be.latest
+    calls = {"n": 0}
+
+    def stale_once():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            with open(be._record_path(1)) as fh:
+                return 1, json.load(fh)
+        return real_latest()
+
+    be.latest = stale_once
+    handle, n = be.delete_where("doc_id % 4 = 0")
+    be.latest = real_latest
+    # delete landed on the RIVAL's 50-row snapshot, not the stale base
+    assert handle == "txn://3"
+    assert n == df.filter("doc_id < 50 and doc_id % 4 = 0").count()
+    assert be.read().count() == df.filter(
+        "doc_id < 50 and doc_id % 4 != 0"
+    ).count()
+
+
 def test_expectation_rule_name_quote_escaped(spark):
     """r8 ADVICE: a rule name containing a quote must render valid
     SQL in both engines (names are inert labels)."""
