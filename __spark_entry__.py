@@ -1345,6 +1345,75 @@ group by 1
 """
 
 
+#: zorder-optimize delete predicate — shared with the oracle text
+_ZOPT_DEL = "coalesce(user_id, -1) % 17 = 0"
+
+
+def _q_store_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY through the STORE API
+    (``DocumentStore.optimize_zorder`` — the maintenance job as a
+    method, not entry-level wiring): events land hash-scattered (no
+    locality on either dimension), a deletion-vector delete runs
+    first, and one re-cluster call then (a) MATERIALIZES the mask —
+    the new version carries no sidecar — and (b) lays files out as
+    compact Morton rectangles, asserted to prune on BOTH (user, day)
+    dimensions via the eagerly-written zone manifest. The report is
+    served by ``read_where`` riding that manifest; self-bisect pins
+    it against the direct filtered scan (survivors only — the
+    re-cluster must not resurrect deleted rows)."""
+    import os as _os
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.plans.agg_queries import (
+        read_events,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+        prune_files_by_zone,
+    )
+
+    _utc(spark)
+    ev = read_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.expr("unix_timestamp(ts) div 86400").alias("d"),
+        "value",
+    )
+    root = tempfile.mkdtemp(prefix="ffs_zopt_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "event_id")
+    store.commit(ev.repartition(8, F.col("event_id")))
+    _v2, n_deleted = store.delete_where(_ZOPT_DEL)
+    assert n_deleted > 0, "delete predicate matched nothing (weak entry)"
+    vd = store.optimize_zorder("user_id", "d", n_files=16)
+    assert not _os.path.isdir(_os.path.join(vd, "_deletion_vectors"))
+    mnd, mxd = ev.agg(F.min("d"), F.max("d")).first()
+    dlo, dhi = int(mnd), int(mnd) + (int(mxd) - int(mnd)) // 4
+    keep_u, total = prune_files_by_zone(vd, "user_id", 10, 19)
+    keep_d, _t = prune_files_by_zone(vd, "d", dlo, dhi)
+    assert 0 < len(keep_u) < total, (len(keep_u), total)
+    assert 0 < len(keep_d) < total, (len(keep_d), total)
+
+    out = _agg64(store.read_where("user_id", 10, 19), "user_id")
+    want = ev.filter(
+        f"not ({_ZOPT_DEL}) and user_id between 10 and 19"
+    )
+    _assert_spark_equal(
+        out, _agg64(want, "user_id"), "post-recluster zone-pruned aggregate"
+    )
+    return out
+
+
+_STORE_ZOPT_SQL = f"""
+select user_id, cast(count(*) as bigint) as n_events,
+       cast(sum(cast(floor(value * cast(64 as double)) as bigint))
+            as bigint) as value_64ths
+from events
+where not ({_ZOPT_DEL}) and user_id between 10 and 19
+group by user_id
+"""
+
+
 #: lock-free backend delete predicate — shared with the oracle text
 _TXN_DV_PREDICATE = "coalesce(user_id, -1) % 13 = 0"
 
@@ -3176,6 +3245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_dv_ivm_rollup": _q_store_dv_ivm_rollup,
         "store_dv_update": _q_store_dv_update,
         "store_txn_delete_vectors": _q_store_txn_delete,
+        "store_zorder_optimize": _q_store_zorder_optimize,
         "store_ivm_star": _q_store_ivm_star,
         "store_ivm_snowflake": _q_store_ivm_snowflake,
         "store_point_lookup_dv": _q_store_point_lookup_dv,
@@ -3240,6 +3310,7 @@ def oracle_sql() -> dict[str, str]:
         "store_dv_ivm_rollup": _STORE_DV_IVM_SQL,
         "store_dv_update": _STORE_DV_UPDATE_SQL,
         "store_txn_delete_vectors": _STORE_TXN_DV_SQL,
+        "store_zorder_optimize": _STORE_ZOPT_SQL,
         "store_ivm_star": _STORE_IVM_STAR_SQL,
         "store_ivm_snowflake": _STORE_IVM_SNOWFLAKE_SQL,
         "store_point_lookup_dv": _STORE_PLKP_SQL,

@@ -568,6 +568,109 @@ class TransactionalParquetBackend:
             f"{max_retries + 1} attempts (writer {self.writer_id})"
         )
 
+    def update_where(
+        self,
+        predicate: str,
+        set_exprs: dict,
+        txn: Optional[tuple[str, str]] = None,
+        max_retries: int = 5,
+    ) -> tuple[str, int]:
+        """Row-level UPDATE on the lock-free log — the cross-host form
+        of ``DocumentStore.update_where`` and the DML twin of
+        :meth:`delete_where`: the base snapshot's files hard-link into
+        a new version, matching rows' OLD images mask positionally,
+        their NEW images (``set_exprs`` columns replaced, evaluated
+        against the pre-update MASKED view so deleted rows never
+        resurrect as updates) append right-sized and partition-aware,
+        and the version publishes via the atomic put-if-absent CAS.
+        A rival winning the version number invalidates both the mask
+        and the derived images, so the loop discards the candidate
+        and re-derives against the winner (bounded retries — the
+        no-lost-update contract). Returns ``(txn://N handle,
+        n_updated)``; an empty match publishes nothing."""
+        import json
+        import os
+        import shutil
+        import time
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from far_finer_airtable_firestore_sync_spark.sources.store import (
+            ConcurrentCommitError,
+            _apply_deletion_vectors,
+            _hive_partition_cols,
+            _link_tree,
+            write_deletion_vectors,
+        )
+
+        for _attempt in range(max_retries + 1):
+            base_v, base_rec = self.latest()
+            if base_rec is None:
+                raise ValueError(
+                    f"store {self.root} is empty; nothing to update"
+                )
+            src = os.path.join(self.root, base_rec["version_dir"])
+            snap = _apply_deletion_vectors(
+                self.spark, self.spark.read.parquet(src), src
+            )
+            unknown = [c for c in set_exprs if c not in snap.columns]
+            if unknown:
+                raise ValueError(f"update_where: unknown columns {unknown}")
+            types = dict(snap.dtypes)
+            updated = snap.filter(predicate).withColumns(
+                {c: F.expr(e).cast(types[c]) for c, e in set_exprs.items()}
+            )
+            n = updated.count()
+            if n == 0:
+                return f"txn://{base_v}", 0
+            rel = f"v-{uuid.uuid4().hex}"
+            out = os.path.join(self.root, rel)
+            _link_tree(src, out)
+            # mask BEFORE append (the DocumentStore ordering contract),
+            # then right-sized partition-aware append, then drop the
+            # now-stale skip sidecars (lossy otherwise)
+            write_deletion_vectors(self.spark, out, predicate, legacy_dir=src)
+            n_files = max(1, -(-n // 1_000_000))
+            writer = updated.coalesce(n_files).write.mode("append")
+            pcols = _hive_partition_cols(src)
+            if pcols:
+                writer = writer.partitionBy(*pcols)
+            writer.parquet(out)
+            for f in os.listdir(out):
+                if f == "_zone_manifest.json" or f.startswith("_bloom_"):
+                    os.remove(os.path.join(out, f))
+            record = {
+                "version_dir": rel,
+                "writer": self.writer_id,
+                "ts_ms": int(time.time() * 1000),
+                "txns": dict(base_rec.get("txns", {})),
+            }
+            if txn is not None:
+                record["txns"][txn[0]] = str(txn[1])
+            tmp = os.path.join(
+                self._log_dir(), f"_tmp-{uuid.uuid4().hex}.json"
+            )
+            with open(tmp, "w") as fh:
+                json.dump(record, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            target = self._record_path(base_v + 1)
+            try:
+                os.link(tmp, target)  # atomic put-if-absent
+                return self._published(base_v + 1), n
+            except FileExistsError:
+                if os.stat(tmp).st_nlink == 2:  # lost-reply win
+                    return self._published(base_v + 1), n
+                shutil.rmtree(out, ignore_errors=True)
+                continue
+            finally:
+                os.unlink(tmp)
+        raise ConcurrentCommitError(
+            f"store {self.root}: update_where CAS failed after "
+            f"{max_retries + 1} attempts (writer {self.writer_id})"
+        )
+
     def commit_with(
         self,
         build_post_state,

@@ -847,18 +847,7 @@ class DocumentStore:
         # unpartitioned append into a partitioned tree would break
         # partition discovery for every later read); updated rows
         # whose partition value changed land in their new directory
-        pcols: list[str] = []
-        probe = cur
-        while True:
-            subs = [
-                d
-                for d in os.listdir(probe)
-                if "=" in d and os.path.isdir(os.path.join(probe, d))
-            ]
-            if not subs:
-                break
-            pcols.append(subs[0].split("=", 1)[0])
-            probe = os.path.join(probe, subs[0])
+        pcols = _hive_partition_cols(cur)
         writer = updated.coalesce(n_files).write.mode("append")
         if pcols:
             writer = writer.partitionBy(*pcols)
@@ -1396,6 +1385,26 @@ def _dv_rel_expr(version_dir: str, path_col: str) -> F.Column:
     resolves)."""
     base = os.path.basename(os.path.normpath(version_dir))
     return F.expr(f"substring_index({path_col}, '/{base}/', -1)")
+
+
+def _hive_partition_cols(version_dir: str) -> list[str]:
+    """Recover a version's hive-partition column chain from its
+    directory names (``col=value`` at each level) — what a
+    partition-aware append needs to keep the tree discoverable.
+    Shared by ``DocumentStore.update_where`` and the transactional
+    backend's DML."""
+    pcols: list[str] = []
+    probe = version_dir
+    while True:
+        subs = [
+            d
+            for d in os.listdir(probe)
+            if "=" in d and os.path.isdir(os.path.join(probe, d))
+        ]
+        if not subs:
+            return pcols
+        pcols.append(subs[0].split("=", 1)[0])
+        probe = os.path.join(probe, subs[0])
 
 
 def _dv_position_count(version_dir: str) -> int:

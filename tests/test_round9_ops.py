@@ -831,6 +831,63 @@ def test_backend_delete_where_rederives_after_rival(spark, tmp_path):
     ).count()
 
 
+def test_backend_update_where_basic_and_rival(spark, tmp_path):
+    """Cross-host UPDATE: masked+appended images publish via CAS; a
+    rival winning the version forces a re-derive so the update lands
+    on the winner's snapshot (no lost update)."""
+    import json
+    import os
+
+    from far_finer_airtable_firestore_sync_spark.sources.backends import (
+        TransactionalParquetBackend,
+    )
+
+    root = str(tmp_path / "txnu")
+    be = TransactionalParquetBackend(spark, root, "doc_id")
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("val")
+    )
+    be.commit(df)
+    handle, n = be.update_where("doc_id % 10 = 0", {"val": "val + 7"})
+    assert handle == "txn://2" and n == 10
+    want = df.withColumn(
+        "val", F.expr("case when doc_id % 10 = 0 then val + 7 else val end")
+    )
+    assert sorted(map(tuple, be.read().collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # empty match publishes nothing
+    h2, n2 = be.update_where("doc_id < 0", {"val": "val + 1"})
+    assert h2 == "txn://2" and n2 == 0 and be.latest()[0] == 2
+
+    # rival race: plant version 3 by hand, serve a stale latest() once
+    rival_rel = "v-rivalupd0000000000000000000000000"
+    df.filter("doc_id < 40").write.parquet(os.path.join(root, rival_rel))
+    with open(os.path.join(root, "_log", "_tmp-r.json"), "w") as fh:
+        json.dump({"version_dir": rival_rel, "writer": "rival",
+                   "ts_ms": 0, "txns": {}}, fh)
+    os.link(os.path.join(root, "_log", "_tmp-r.json"), be._record_path(3))
+    os.unlink(os.path.join(root, "_log", "_tmp-r.json"))
+    real_latest = be.latest
+    calls = {"n": 0}
+
+    def stale_once():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            with open(be._record_path(2)) as fh:
+                return 2, json.load(fh)
+        return real_latest()
+
+    be.latest = stale_once
+    handle3, n3 = be.update_where("doc_id % 10 = 0", {"val": "val + 100"})
+    be.latest = real_latest
+    assert handle3 == "txn://4"
+    assert n3 == 4  # rival snapshot has doc_id < 40: 0,10,20,30
+    got = {r["doc_id"]: r["val"] for r in be.read().collect()}
+    assert len(got) == 40
+    assert got[10] == 30 + 100 and got[11] == 33
+
+
 def test_expectation_rule_name_quote_escaped(spark):
     """r8 ADVICE: a rule name containing a quote must render valid
     SQL in both engines (names are inert labels)."""
