@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from far_finer_airtable_firestore_sync_spark.sources.store import diff_frames
+
 
 def rollup_delta(
     changes: DataFrame,
@@ -269,7 +271,7 @@ def incremental_join_rollup(
     Composition: the affected slice of the join view is re-derived
     (:func:`_join_view_slices`), its before/after rows are diffed on
     ``fact_key`` into a CDC changelog of the VIEW itself (the store's
-    ``_diff_frames`` plan — one null-safe full-outer join over two
+    public ``diff_frames`` seam — one null-safe full-outer join over two
     changelog-bounded slices), and that changelog drives the existing
     self-maintainable rollup path (:func:`incremental_rollup`): signed
     per-group corrections, merged into ``summary_prev`` touching only
@@ -282,15 +284,11 @@ def incremental_join_rollup(
     (typically a dim attribute); ``sum_map`` maps summary sum columns
     to their view source columns, decimal/integer typed for exactness
     (module docstring contract)."""
-    from far_finer_airtable_firestore_sync_spark.sources.store import (
-        DocumentStore,
-    )
-
     carried, old_slice, fresh = _join_view_slices(
         m_prev, fact_new, dim_new, fact_changes, dim_changes,
         fact_key, dim_fk, dim_key,
     )
-    view_changes = DocumentStore._diff_frames(
+    view_changes = diff_frames(
         old_slice, fresh, fact_key, include_old=True
     )
     summary_new = incremental_rollup(
@@ -406,31 +404,63 @@ def incremental_snowflake_refresh(
 
 def view_fingerprint(df: DataFrame, row_string_expr: str) -> str:
     """Order-independent fingerprint of a view for checksum-gated
-    refresh commits: ``<rowcount>-<sum of 56-bit md5 digests mod
-    2^56>`` over the portable row rendering (``row_string_expr`` must
-    cast to bigint/string/decimal — no raw doubles; the
-    ``bucket_drift`` contract). Associative+commutative, so it
-    map-side combines and never depends on row order or partitioning;
-    the driver collects exactly one (count, sum) row. Same digest
-    arithmetic as the store's Merkle drift checksum
-    (``sources.store.bucket_drift_body``) so engine behavior is
-    already fuzz-pinned."""
+    refresh commits: ``<rowcount>-<sumlo>-<sumhi>`` where sumlo/sumhi
+    are sums (mod 2^56) of two DISJOINT 56-bit halves of each row's
+    md5 digest — 112 digest bits total (r9 VERDICT #8: the old single
+    56-bit sum was a thinner gate than the free full-width digest).
+    ``row_string_expr`` must cast to bigint/string/decimal — no raw
+    doubles; the ``bucket_drift`` contract. Associative+commutative,
+    so it map-side combines and never depends on row order or
+    partitioning; the driver collects exactly one aggregate row.
+
+    Collision consequence (documented, by design): this gates a
+    REFRESH COMMIT — if two different views ever collide
+    (~2^-112 per comparison), :func:`commit_view_if_changed` skips
+    one refresh and serves the previous view until the next change;
+    it is a staleness-window trade, not tamper evidence.
+
+    NULL-rendered rows FAIL LOUDLY (r9 ADVICE): a row whose rendering
+    is NULL cannot be hashed distinguishably — the old behavior
+    coalesced every such row to one constant, so two views differing
+    only in NULL-rendered rows fingerprinted identically and a needed
+    refresh was silently skipped. The NULL count rides the same
+    single aggregate; nonzero raises so the caller fixes the
+    rendering (coalesce each nullable column inside the expression).
+    """
     from far_finer_airtable_firestore_sync_spark.functions import (
         textsql as tx,
     )
 
-    h = tx.hex_to_bigint(
-        f"substring(md5(coalesce(({row_string_expr}), '__NULL_ROW__')),"
-        " 1, 14)",
-        "spark",
+    lo = tx.hex_to_bigint(
+        f"substring(md5(({row_string_expr})), 1, 14)", "spark"
+    )
+    hi = tx.hex_to_bigint(
+        f"substring(md5(({row_string_expr})), 15, 14)", "spark"
     )
     row = (
-        df.selectExpr(f"cast({h} as decimal(38,0)) as d")
-        .agg(F.sum("d").alias("s"), F.count(F.lit(1)).alias("n"))
+        df.selectExpr(
+            f"cast({lo} as decimal(38,0)) as dlo",
+            f"cast({hi} as decimal(38,0)) as dhi",
+            f"cast((({row_string_expr}) is null) as long) as isnull",
+        )
+        .agg(
+            F.sum("dlo").alias("slo"),
+            F.sum("dhi").alias("shi"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("isnull").alias("n_null"),
+        )
         .first()
     )
-    total = int(row["s"]) if row["s"] is not None else 0
-    return f"{row['n']}-{total % (1 << 56)}"
+    if row["n_null"]:
+        raise ValueError(
+            f"view_fingerprint: {row['n_null']} row(s) rendered NULL "
+            "by the row_string_expr — coalesce each nullable column "
+            "inside the expression so distinct rows hash distinctly"
+        )
+    m = 1 << 56
+    slo = int(row["slo"]) if row["slo"] is not None else 0
+    shi = int(row["shi"]) if row["shi"] is not None else 0
+    return f"{row['n']}-{slo % m}-{shi % m}"
 
 
 def commit_view_if_changed(store, view_df: DataFrame, fingerprint: str):

@@ -330,11 +330,21 @@ class DocumentStore:
         out = os.path.join(self.root, rel)
         # Hard-link the data files + copy sidecars (including any
         # existing DV mask, which write_deletion_vectors merges with;
-        # legacy_dir re-roots an inherited absolute-URI-format mask)
+        # legacy_dir re-roots an inherited absolute-URI-format mask).
+        # A failing predicate (typo'd column, failed job) must not
+        # leave the already-linked directory behind (r9 ADVICE,
+        # medium): list_versions() is name-pattern-based, so a phantom
+        # would become visible to read_as_of / describe_history /
+        # vacuum accounting / change_feed's default bounds while
+        # serving never-committed pre-delete state.
         _link_tree(cur, out)
-        n_total = write_deletion_vectors(
-            self.spark, out, predicate, legacy_dir=cur
-        )
+        try:
+            n_total = write_deletion_vectors(
+                self.spark, out, predicate, legacy_dir=cur
+            )
+        except Exception:
+            shutil.rmtree(out, ignore_errors=True)
+            raise
         if n_total == prior_total:  # positions are distinct: equal
             shutil.rmtree(out)      # count == no new masked rows
             return cur, prior_total
@@ -351,22 +361,10 @@ class DocumentStore:
         a version carrying deletion vectors subtracts its masked
         positions (the sidecar footers — positions are distinct by
         construction), matching what :meth:`read_version` serves."""
-        import pyarrow.parquet as pq
-
         cur = self.current_version_dir()
         rows = []
         for vd in self.list_versions():
-            n = 0
-            for root, dirs, names in os.walk(vd):
-                # prune ALL underscore/dot dirs like Spark's reader
-                # (and the manifest writers) do — this also excludes
-                # crash residue such as _deletion_vectors.old-* from
-                # the live count (review finding)
-                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-                for f in names:
-                    if f.endswith(".parquet"):
-                        n += pq.read_metadata(os.path.join(root, f)).num_rows
-            n -= _dv_position_count(vd)
+            n = _version_live_rows(vd)
             base = os.path.basename(vd)
             rows.append(
                 Row(
@@ -412,7 +410,7 @@ class DocumentStore:
         aggregates without rescanning the base.
         """
         key = key_col or self.key_col
-        return self._diff_frames(
+        return diff_frames(
             self.read_version(old_dir),
             self.read_version(new_dir),
             key,
@@ -458,7 +456,7 @@ class DocumentStore:
         key = key_col or self.key_col
         feed: Optional[DataFrame] = None
         for old, new in zip(versions[lo:hi], versions[lo + 1:hi + 1]):
-            step = self._diff_frames(
+            step = diff_frames(
                 self.read_version(old), self.read_version(new), key
             ).withColumn(
                 "commit_ms",
@@ -488,87 +486,16 @@ class DocumentStore:
             )
         return feed
 
-    @staticmethod
-    def _diff_frames(
-        old_df: DataFrame,
-        new_df: DataFrame,
-        key: str,
-        include_old: bool = False,
-    ) -> DataFrame:
-        """The row-diff plan shared by :meth:`diff_versions` (full
-        snapshots) and :meth:`repair_rows` (bucket-pruned inputs).
-
-        NULL-key handling (review finding): the join is NULL-SAFE and
-        presence comes from literal marker columns, never from the key
-        — a plain equi-join can't match NULL keys, so an UNCHANGED
-        NULL-key row used to emit two phantom 'insert' rows and a
-        deleted one was mislabeled 'insert' with an all-NULL payload,
-        breaking the repair_rows == diff_versions completeness
-        contract (repair correctly pruned the bucket; the diff lied).
-
-        SCHEMA EVOLUTION (r8): versions are allowed to differ in
-        columns — the document-store contract (the reference's
-        Firestore is schemaless; a spec gaining or losing a field
-        must not break CDC). Each side is backfilled with the other's
-        missing columns as typed NULLs and the comparison runs over
-        the UNION of columns, so a row whose only change is a
-        newly-populated (or dropped) field is correctly an 'update'
-        and the payload carries the new snapshot's view (NULL for
-        dropped columns). A key-column TYPE change across versions
-        remains out of scope (rewrite, not evolve)."""
-        for reserved in ("_ffs_diff_o", "_ffs_diff_n"):
-            if reserved in old_df.columns or reserved in new_df.columns:
-                raise ValueError(
-                    f"column {reserved!r} is reserved by diff_versions/"
-                    "repair_rows; rename it in the snapshot"
-                )
-        # CASE-INSENSITIVE membership (r8 second-wave review finding):
-        # Spark resolves column names case-insensitively by default,
-        # so 'Bal' -> 'bal' across versions is the SAME column to the
-        # comparison below — treating it as missing would make
-        # withColumn REPLACE the existing data with NULLs on both
-        # sides and silently drop every value change from the diff.
-        old_names = {c.lower() for c in old_df.columns}
-        new_names = {c.lower() for c in new_df.columns}
-        dropped = [
-            (c, t) for c, t in old_df.dtypes if c.lower() not in new_names
-        ]
-        for c, t in new_df.dtypes:
-            if c.lower() not in old_names:
-                old_df = old_df.withColumn(c, F.lit(None).cast(t))
-        for c, t in dropped:
-            new_df = new_df.withColumn(c, F.lit(None).cast(t))
-        old = old_df.withColumn("_ffs_diff_o", F.lit(1)).alias("o")
-        new = new_df.withColumn("_ffs_diff_n", F.lit(1)).alias("n")
-        cols = [c for c in new_df.columns if c != key]
-        j = old.join(
-            new, F.col(f"o.{key}").eqNullSafe(F.col(f"n.{key}")), "full_outer"
+    # Deprecated alias: the row-diff plan is the PUBLIC module-level
+    # :func:`diff_frames` (r9 VERDICT #5 / ADVICE: operators.ivm used
+    # to reach into this private staticmethod cross-module; the seam
+    # is now a free function both the store and IVM import). Kept so
+    # existing callers/tests keep working.
+    _diff_frames = staticmethod(
+        lambda old_df, new_df, key, include_old=False: diff_frames(
+            old_df, new_df, key, include_old
         )
-        o_present = F.col("o._ffs_diff_o").isNotNull()
-        n_present = F.col("n._ffs_diff_n").isNotNull()
-        same = F.lit(True)
-        for c in cols:
-            same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
-        change = (
-            F.when(~o_present, F.lit("insert"))
-            .when(~n_present, F.lit("delete"))
-            .when(~same, F.lit("update"))
-        )
-        # evaluate the when-chain ONCE (withColumn), then filter+project
-        # on the materialized column — Spark does not CSE the chain's
-        # column-wise eqNullSafe comparisons across operators
-        out_cols = [
-            F.coalesce(F.col(f"n.{key}"), F.col(f"o.{key}")).alias(key),
-            "change_type",
-            *[F.col(f"n.{c}").alias(c) for c in cols],
-        ]
-        if include_old:
-            out_cols += [F.col(f"o.{c}").alias(f"old_{c}") for c in cols]
-        return (
-            j.withColumn("change_type", change)
-            .filter(F.col("change_type").isNotNull())
-            .select(*out_cols)
-        )
+    )
 
     def bucket_drift(
         self,
@@ -660,7 +587,7 @@ class DocumentStore:
                 .drop("_ffs_row_bkt")
             )
 
-        return self._diff_frames(
+        return diff_frames(
             pruned(old_dir), pruned(new_dir), self.key_col, include_old
         )
 
@@ -775,13 +702,24 @@ class DocumentStore:
         surviving rows and carries NO sidecar (a fresh directory);
         the pre-compaction version, mask intact, stays time-travelable
         until vacuum.
+
+        Sizing reads NO data (r9 VERDICT #6): the live row count comes
+        from the parquet FOOTERS minus the DV sidecar's position count
+        (O(filecount) metadata stats — the same listing the commit
+        performs), so the maintenance pass reads the table exactly
+        once (the rewrite itself), not twice. At 100 TB the old
+        ``df.count()`` pre-pass doubled the most expensive routine
+        job in the system.
         """
-        df = self.read()
-        if df is None:
+        vd = self.current_version_dir()
+        if vd is None:
             raise ValueError(f"store {self.root} is empty; nothing to compact")
-        n = df.count()
+        n = _version_live_rows(vd)
         n_files = max(1, -(-n // target_rows_per_file))
-        return self.commit(df.coalesce(n_files), partition_by=partition_by)
+        return self.commit(
+            self.read_version(vd).coalesce(n_files),
+            partition_by=partition_by,
+        )
 
     def update_where(
         self,
@@ -839,19 +777,28 @@ class DocumentStore:
         out = os.path.join(self.root, rel)
         _link_tree(cur, out)
         # mask FIRST (see ordering constraint above), then append the
-        # updated images right-sized, then drop now-stale skip sidecars
-        write_deletion_vectors(self.spark, out, predicate, legacy_dir=cur)
-        n_files = max(1, -(-n // 1_000_000))
-        # a hive-partitioned version appends PARTITION-AWARE (the
-        # layout is recovered from the directory names — an
-        # unpartitioned append into a partitioned tree would break
-        # partition discovery for every later read); updated rows
-        # whose partition value changed land in their new directory
-        pcols = _hive_partition_cols(cur)
-        writer = updated.coalesce(n_files).write.mode("append")
-        if pcols:
-            writer = writer.partitionBy(*pcols)
-        writer.parquet(out)
+        # updated images right-sized, then drop now-stale skip
+        # sidecars. Any failure past the link removes the phantom
+        # directory before it can leak into version history (r9
+        # ADVICE, medium — same guard as delete_where).
+        try:
+            write_deletion_vectors(
+                self.spark, out, predicate, legacy_dir=cur
+            )
+            n_files = max(1, -(-n // 1_000_000))
+            # a hive-partitioned version appends PARTITION-AWARE (the
+            # layout is recovered from the directory names — an
+            # unpartitioned append into a partitioned tree would break
+            # partition discovery for every later read); updated rows
+            # whose partition value changed land in their new directory
+            pcols = _hive_partition_cols(cur)
+            writer = updated.coalesce(n_files).write.mode("append")
+            if pcols:
+                writer = writer.partitionBy(*pcols)
+            writer.parquet(out)
+        except Exception:
+            shutil.rmtree(out, ignore_errors=True)
+            raise
         for f in os.listdir(out):
             if f == "_zone_manifest.json" or f.startswith("_bloom_"):
                 os.remove(os.path.join(out, f))
@@ -1057,6 +1004,93 @@ class DocumentStore:
         cur = self.read()
         if cur is not None:
             self.commit(self.spark.createDataFrame([], cur.schema))
+
+
+def diff_frames(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    key: str,
+    include_old: bool = False,
+) -> DataFrame:
+    """PUBLIC CDC seam: the row-diff plan shared by
+    :meth:`DocumentStore.diff_versions` (full snapshots),
+    :meth:`DocumentStore.repair_rows` (bucket-pruned inputs), the
+    change feed, and ``operators.ivm.incremental_join_rollup`` (which
+    diffs the affected join-view slices into the view's own CDC) —
+    one null-safe full-outer join on ``key`` emitting
+    (key, change_type, post-image columns[, old_<col> pre-images]).
+
+    NULL-key handling (review finding): the join is NULL-SAFE and
+    presence comes from literal marker columns, never from the key
+    — a plain equi-join can't match NULL keys, so an UNCHANGED
+    NULL-key row used to emit two phantom 'insert' rows and a
+    deleted one was mislabeled 'insert' with an all-NULL payload,
+    breaking the repair_rows == diff_versions completeness
+    contract (repair correctly pruned the bucket; the diff lied).
+
+    SCHEMA EVOLUTION (r8): versions are allowed to differ in
+    columns — the document-store contract (the reference's
+    Firestore is schemaless; a spec gaining or losing a field
+    must not break CDC). Each side is backfilled with the other's
+    missing columns as typed NULLs and the comparison runs over
+    the UNION of columns, so a row whose only change is a
+    newly-populated (or dropped) field is correctly an 'update'
+    and the payload carries the new snapshot's view (NULL for
+    dropped columns). A key-column TYPE change across versions
+    remains out of scope (rewrite, not evolve)."""
+    for reserved in ("_ffs_diff_o", "_ffs_diff_n"):
+        if reserved in old_df.columns or reserved in new_df.columns:
+            raise ValueError(
+                f"column {reserved!r} is reserved by diff_versions/"
+                "repair_rows; rename it in the snapshot"
+            )
+    # CASE-INSENSITIVE membership (r8 second-wave review finding):
+    # Spark resolves column names case-insensitively by default,
+    # so 'Bal' -> 'bal' across versions is the SAME column to the
+    # comparison below — treating it as missing would make
+    # withColumn REPLACE the existing data with NULLs on both
+    # sides and silently drop every value change from the diff.
+    old_names = {c.lower() for c in old_df.columns}
+    new_names = {c.lower() for c in new_df.columns}
+    dropped = [
+        (c, t) for c, t in old_df.dtypes if c.lower() not in new_names
+    ]
+    for c, t in new_df.dtypes:
+        if c.lower() not in old_names:
+            old_df = old_df.withColumn(c, F.lit(None).cast(t))
+    for c, t in dropped:
+        new_df = new_df.withColumn(c, F.lit(None).cast(t))
+    old = old_df.withColumn("_ffs_diff_o", F.lit(1)).alias("o")
+    new = new_df.withColumn("_ffs_diff_n", F.lit(1)).alias("n")
+    cols = [c for c in new_df.columns if c != key]
+    j = old.join(
+        new, F.col(f"o.{key}").eqNullSafe(F.col(f"n.{key}")), "full_outer"
+    )
+    o_present = F.col("o._ffs_diff_o").isNotNull()
+    n_present = F.col("n._ffs_diff_n").isNotNull()
+    same = F.lit(True)
+    for c in cols:
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change = (
+        F.when(~o_present, F.lit("insert"))
+        .when(~n_present, F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    # evaluate the when-chain ONCE (withColumn), then filter+project
+    # on the materialized column — Spark does not CSE the chain's
+    # column-wise eqNullSafe comparisons across operators
+    out_cols = [
+        F.coalesce(F.col(f"n.{key}"), F.col(f"o.{key}")).alias(key),
+        "change_type",
+        *[F.col(f"n.{c}").alias(c) for c in cols],
+    ]
+    if include_old:
+        out_cols += [F.col(f"o.{c}").alias(f"old_{c}") for c in cols]
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*out_cols)
+    )
 
 
 def bucket_of_key_expr(
@@ -1422,6 +1456,26 @@ def _dv_position_count(version_dir: str) -> int:
         for f in os.listdir(dv_dir)
         if f.endswith(".parquet")
     )
+
+
+def _version_live_rows(version_dir: str) -> int:
+    """LIVE row count of a committed version from metadata only:
+    parquet footer ``num_rows`` summed over the data files minus the
+    DV sidecar's masked-position count — O(filecount) stats, no data
+    scan. Underscore/dot directories are pruned exactly like Spark's
+    reader (and the manifest writers), so sidecars and crash residue
+    (``_deletion_vectors.old-*``) never inflate the count. Shared by
+    :meth:`DocumentStore.describe_history` and the compaction sizing
+    paths (r9 VERDICT #6: sizing must not pay a data pass)."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for root, dirs, names in os.walk(version_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in names:
+            if f.endswith(".parquet"):
+                n += pq.read_metadata(os.path.join(root, f)).num_rows
+    return n - _dv_position_count(version_dir)
 
 
 def _dv_recover_interrupted_swap(version_dir: str) -> None:
