@@ -2505,6 +2505,124 @@ from customer where c_custkey % 4 = 0
 """
 
 
+def _q_store_txn_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction on the LOCK-FREE multi-writer log with rival
+    reconciliation (r9 VERDICT #1, the round-10 capstone): a
+    maintenance rewrite racing concurrent writers must lose nothing,
+    in BOTH orderings. Ordering A: while compaction's candidate is
+    written but unpublished, a rival lands a ``delete_where`` AND an
+    ``update_where`` — both are recorded predicate-DML in the log, so
+    the losing compaction REPLAYS them onto its compacted candidate
+    (Delta-OPTIMIZE conflict resolution) and re-CASes, keeping the
+    expensive rewrite. Ordering B: a rival SNAPSHOT commit (an
+    upsert) lands mid-compaction — not replayable (its version_dir is
+    the whole new state), so the compaction discards its candidate
+    and REBUILDS from the winner. The entry asserts the op kinds and
+    version numbers of every commit, self-bisects the final state
+    against the directly-computed expectation, and the oracle
+    value-verifies it closed-form."""
+    import os
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources.backends import (
+        TransactionalParquetBackend,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        _dv_position_count,
+    )
+
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.expr("cast(c_acctbal as double) as bal")
+    )
+    root = tempfile.mkdtemp(prefix="ffs_txncmp_")
+    _TMP_DIRS.append(root)
+    maint = TransactionalParquetBackend(
+        spark, root, "c_custkey", writer_id="maint"
+    )
+    rival = TransactionalParquetBackend(
+        spark, root, "c_custkey", writer_id="rival"
+    )
+    # v1: base snapshot, deliberately fragmented so compaction is real
+    maint.commit(cust.repartition(8))
+
+    # Ordering A: rival predicate-DML lands between the candidate
+    # write and its publish -> replay path (v2=delete, v3=update,
+    # v4=reconciled compact)
+    def rival_dml() -> None:
+        rival.delete_where("c_custkey % 7 = 0")
+        rival.update_where(
+            "c_custkey % 5 = 0", {"bal": "bal + cast(100 as double)"}
+        )
+
+    h = maint.compact(target_rows_per_file=1_000_000, test_hook=rival_dml)
+    assert h == "txn://4", h
+    v, rec = maint.latest()
+    assert v == 4 and rec["op"]["kind"] == "compact", rec
+    # the replayed delete rides the compacted candidate as a mask
+    vd = os.path.join(root, rec["version_dir"])
+    assert _dv_position_count(vd) > 0, "replay must mask positionally"
+
+    # Ordering B: rival snapshot commit mid-compaction -> rebuild
+    # path (v5=snapshot upsert, v6=rebuilt compact)
+    extra = cust.filter("c_custkey % 3 = 0").select(
+        (F.col("c_custkey") + F.lit(10_000_000)).alias("c_custkey"),
+        "c_name",
+        F.lit(0.0).alias("bal"),
+    )
+
+    def rival_snapshot() -> None:
+        rival.commit_with(lambda cur: cur.unionByName(extra))
+
+    h = maint.compact(target_rows_per_file=1_000_000, test_hook=rival_snapshot)
+    assert h == "txn://6", h
+    v, rec = maint.latest()
+    assert v == 6 and rec["op"]["kind"] == "compact", rec
+    vd = os.path.join(root, rec["version_dir"])
+    # the rebuild compacted the winner's state: mask materialized away
+    assert _dv_position_count(vd) == 0
+    files = [
+        f
+        for f in os.listdir(vd)
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 1, files
+
+    got = maint.read()
+    want = (
+        cust.filter("c_custkey % 7 <> 0")
+        .withColumn(
+            "bal",
+            F.expr(
+                "bal + case when c_custkey % 5 = 0 "
+                "then cast(100 as double) else cast(0 as double) end"
+            ),
+        )
+        .unionByName(extra)
+    )
+    _assert_spark_equal(got, want, "reconciled+rebuilt compaction")
+    return got
+
+
+_STORE_TXN_COMPACT_SQL = """
+with base as (
+  select c_custkey, c_name, cast(c_acctbal as double) as bal from customer
+),
+kept as (
+  select c_custkey, c_name,
+         bal + case when c_custkey % 5 = 0
+                    then cast(100 as double) else cast(0 as double) end as bal
+  from base where c_custkey % 7 <> 0
+),
+extra as (
+  select c_custkey + 10000000 as c_custkey, c_name,
+         cast(0 as double) as bal
+  from base where c_custkey % 3 = 0
+)
+select * from kept union all select * from extra
+"""
+
+
 def _q_store_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-CDF-shaped change feed across a THREE-commit history:
     every row-level change since the first version, stamped with the
@@ -3260,6 +3378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_schema_evolution": _q_store_schema_evolution,
         "store_time_travel": _q_store_time_travel,
         "store_txn_checkpoint": _q_store_txn_checkpoint,
+        "store_txn_compaction": _q_store_txn_compaction,
         "store_txn_multiwriter": _q_store_txn_multiwriter,
         "store_compaction": _q_store_compaction,
         "store_change_feed": _q_store_change_feed,
@@ -3325,6 +3444,7 @@ def oracle_sql() -> dict[str, str]:
         "store_schema_evolution": _STORE_SEVO_SQL,
         "store_time_travel": _STORE_TRAVEL_SQL,
         "store_txn_checkpoint": _STORE_TXN_CK_SQL,
+        "store_txn_compaction": _STORE_TXN_COMPACT_SQL,
         "store_txn_multiwriter": _STORE_TXN_MW_SQL,
         "store_compaction": _STORE_COMPACT_SQL,
         "store_change_feed": _STORE_CDF_SQL,

@@ -411,6 +411,11 @@ class TransactionalParquetBackend:
                 "writer": self.writer_id,
                 "ts_ms": int(time.time() * 1000),
                 "txns": dict((base_rec or {}).get("txns", {})),
+                # op metadata: snapshot commits are NOT replayable by a
+                # racing maintenance rewrite (the version_dir IS the
+                # whole new state) — a compaction that loses to one
+                # must rebuild (see _maintenance_publish)
+                "op": {"kind": "snapshot"},
             }
             if txn is not None:
                 record["txns"][txn[0]] = str(txn[1])
@@ -538,6 +543,12 @@ class TransactionalParquetBackend:
                 "writer": self.writer_id,
                 "ts_ms": int(time.time() * 1000),
                 "txns": dict(base_rec.get("txns", {})),
+                # predicate DML is REPLAYABLE: applied to any version
+                # with the same logical content it masks the same
+                # logical rows — what lets a racing compaction
+                # reconcile instead of rebuilding (Delta-OPTIMIZE
+                # conflict-resolution shape; _maintenance_publish)
+                "op": {"kind": "delete_where", "predicate": predicate},
             }
             if txn is not None:
                 record["txns"][txn[0]] = str(txn[1])
@@ -645,6 +656,15 @@ class TransactionalParquetBackend:
                 "writer": self.writer_id,
                 "ts_ms": int(time.time() * 1000),
                 "txns": dict(base_rec.get("txns", {})),
+                # replayable like delete_where: set_exprs evaluate
+                # per-row against the pre-update image, so applying
+                # them to logically-equal content yields logically-
+                # equal results (_maintenance_publish reconciliation)
+                "op": {
+                    "kind": "update_where",
+                    "predicate": predicate,
+                    "set_exprs": dict(set_exprs),
+                },
             }
             if txn is not None:
                 record["txns"][txn[0]] = str(txn[1])
@@ -722,6 +742,266 @@ class TransactionalParquetBackend:
             f"store {self.root}: CAS commit failed after "
             f"{max_retries + 1} attempts (writer {self.writer_id})"
         ) from last
+
+    # -- maintenance on the lock-free log (r9 VERDICT #1) -------------------
+
+    def _read_record(self, version: int) -> dict:
+        import json
+
+        with open(self._record_path(version)) as fh:
+            return json.load(fh)
+
+    def _replay_dml(self, candidate_dir: str, op: dict) -> None:
+        """Re-apply a rival's recorded predicate-DML onto an
+        UNPUBLISHED maintenance candidate — the reconciliation step
+        that lets a compaction losing its CAS race keep its rewrite
+        instead of rebuilding. Sound because predicate DML is a
+        function of logical content, not physical layout: the rival
+        derived its masks/images from a snapshot logically equal to
+        the candidate (pre-replay, inductively per op), so replaying
+        the same predicate/set_exprs here yields the same logical
+        result. The candidate is private until published, so in-place
+        mutation races nothing."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from far_finer_airtable_firestore_sync_spark.sources.store import (
+            _apply_deletion_vectors,
+            _hive_partition_cols,
+            write_deletion_vectors,
+        )
+
+        if op["kind"] == "delete_where":
+            write_deletion_vectors(self.spark, candidate_dir, op["predicate"])
+            return
+        # update_where: freeze the updated images BEFORE mutating the
+        # directory (the mask-before-append ordering contract), then
+        # mask, then append right-sized + partition-aware.
+        snap = _apply_deletion_vectors(
+            self.spark,
+            self.spark.read.parquet(candidate_dir),
+            candidate_dir,
+        )
+        types = dict(snap.dtypes)
+        updated = (
+            snap.filter(op["predicate"])
+            .withColumns(
+                {
+                    c: F.expr(e).cast(types[c])
+                    for c, e in op["set_exprs"].items()
+                }
+            )
+            .localCheckpoint(eager=True)
+        )
+        n = updated.count()
+        write_deletion_vectors(self.spark, candidate_dir, op["predicate"])
+        if n:
+            n_files = max(1, -(-n // 1_000_000))
+            writer = updated.coalesce(n_files).write.mode("append")
+            pcols = _hive_partition_cols(candidate_dir)
+            if pcols:
+                writer = writer.partitionBy(*pcols)
+            writer.parquet(candidate_dir)
+        # appended files are invisible to copied skip sidecars —
+        # a stale manifest would be LOSSY; drop so they rebuild lazily
+        for f in os.listdir(candidate_dir):
+            if f == "_zone_manifest.json" or f.startswith("_bloom_"):
+                os.remove(os.path.join(candidate_dir, f))
+
+    def _maintenance_publish(
+        self,
+        build_candidate,
+        op_kind: str,
+        max_retries: int = 5,
+        test_hook=None,
+    ) -> str:
+        """The maintenance CAS loop with RIVAL RECONCILIATION — how
+        OPTIMIZE-class rewrites (compaction, Z-ordering) publish on
+        the lock-free log (r9 VERDICT #1: at 100 TB compaction is the
+        amortization point for all DV debt, so it must exist where
+        concurrent writers do; Delta resolves the same race in
+        OPTIMIZE's conflict-resolution loop).
+
+        ``build_candidate(src_dir, out_dir)`` writes the rewritten
+        snapshot of ``src_dir`` into the private ``out_dir``. The
+        publish then CASes the candidate as the next log record; when
+        a rival wins the version number:
+
+        - rival(s) are all RECORDED PREDICATE DML (``delete_where`` /
+          ``update_where`` carry their predicate/set_exprs in the log
+          record): REPLAY them onto the candidate in commit order
+          (:meth:`_replay_dml`) and re-CAS at the new head — the
+          expensive rewrite is kept; reconciliation costs the rival's
+          sliver, never a table scan;
+        - any rival is a SNAPSHOT commit (its version_dir is the
+          entire new state — nothing to replay): discard the
+          candidate and rebuild from the new head.
+
+        Every path is bounded by one shared ``max_retries + 1``
+        publish-attempt budget; exhaustion raises
+        :class:`ConcurrentCommitError` with no candidate left behind
+        (``vacuum_orphans`` would catch a crash anyway).
+        ``test_hook`` fires once between the candidate write and the
+        first publish attempt — the deterministic seam race tests
+        inject rivals through."""
+        import os
+        import shutil
+        import time
+        import uuid
+
+        from far_finer_airtable_firestore_sync_spark.sources.store import (
+            ConcurrentCommitError,
+        )
+
+        budget = max_retries + 1
+        while budget > 0:
+            base_v, base_rec = self.latest()
+            if base_rec is None:
+                raise ValueError(
+                    f"store {self.root} is empty; nothing to {op_kind}"
+                )
+            src = os.path.join(self.root, base_rec["version_dir"])
+            rel = f"v-{uuid.uuid4().hex}"
+            out = os.path.join(self.root, rel)
+            try:
+                build_candidate(src, out)
+            except Exception:
+                shutil.rmtree(out, ignore_errors=True)
+                raise
+            if test_hook is not None:
+                test_hook()
+                test_hook = None  # fire exactly once
+            cur_v, cur_rec = base_v, base_rec
+            discarded = False
+            while budget > 0:
+                budget -= 1
+                record = {
+                    "version_dir": rel,
+                    "writer": self.writer_id,
+                    "ts_ms": int(time.time() * 1000),
+                    "txns": dict(cur_rec.get("txns", {})),
+                    "op": {"kind": op_kind},
+                }
+                tmp = os.path.join(
+                    self._log_dir(), f"_tmp-{uuid.uuid4().hex}.json"
+                )
+                with open(tmp, "w") as fh:
+                    import json
+
+                    json.dump(record, fh)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                target = self._record_path(cur_v + 1)
+                try:
+                    os.link(tmp, target)  # atomic put-if-absent
+                    return self._published(cur_v + 1)
+                except FileExistsError:
+                    # lost-reply disambiguation as in commit (NFS
+                    # retransmit can EEXIST a link this writer WON)
+                    if os.stat(tmp).st_nlink == 2:
+                        return self._published(cur_v + 1)
+                    head_v, head_rec = self.latest()
+                    rivals = [
+                        self._read_record(v)
+                        for v in range(cur_v + 1, head_v + 1)
+                    ]
+                    if all(
+                        (r.get("op") or {}).get("kind")
+                        in ("delete_where", "update_where")
+                        for r in rivals
+                    ):
+                        for r in rivals:
+                            self._replay_dml(out, r["op"])
+                        cur_v, cur_rec = head_v, head_rec
+                        continue
+                    # a snapshot/maintenance rival replaced the whole
+                    # state: the candidate is stale in full — rebuild
+                    shutil.rmtree(out, ignore_errors=True)
+                    discarded = True
+                    break
+                finally:
+                    os.unlink(tmp)
+            if not discarded:  # budget exhausted mid-replay loop
+                shutil.rmtree(out, ignore_errors=True)
+        raise ConcurrentCommitError(
+            f"store {self.root}: {op_kind} CAS failed after "
+            f"{max_retries + 1} attempts (writer {self.writer_id})"
+        )
+
+    def compact(
+        self,
+        target_rows_per_file: int = 1_000_000,
+        partition_by: Optional[list[str]] = None,
+        max_retries: int = 5,
+        test_hook=None,
+    ) -> str:
+        """Compaction on the LOCK-FREE log — the multi-writer form of
+        :meth:`DocumentStore.compact`: read the head snapshot through
+        its DV mask (deletes MATERIALIZE; the new version carries no
+        sidecar), rewrite right-sized, and publish through
+        :meth:`_maintenance_publish`'s reconciling CAS loop, so a
+        compaction racing concurrent upserts and deletes loses
+        nothing: rival predicate DML replays onto the compacted
+        candidate, rival snapshot commits force a rebuild. Sizing is
+        footer-metadata only (``_version_live_rows`` — no count
+        pre-pass; r9 VERDICT #6)."""
+        from far_finer_airtable_firestore_sync_spark.sources.store import (
+            _apply_deletion_vectors,
+            _version_live_rows,
+        )
+
+        def build(src: str, out: str) -> None:
+            df = _apply_deletion_vectors(
+                self.spark, self.spark.read.parquet(src), src
+            )
+            n = _version_live_rows(src)
+            n_files = max(1, -(-n // target_rows_per_file))
+            writer = df.coalesce(n_files).write.mode("errorifexists")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(out)
+
+        return self._maintenance_publish(
+            build, "compact", max_retries, test_hook
+        )
+
+    def optimize_zorder(
+        self,
+        x_col: str,
+        y_col: str,
+        n_files: int = 32,
+        buckets_per_dim: int = 256,
+        max_retries: int = 5,
+        test_hook=None,
+    ) -> str:
+        """OPTIMIZE ZORDER BY on the lock-free log: the shared
+        clustering plan (``store.zorder_cluster`` — one definition
+        with the single-writer store) over the DV-masked head
+        snapshot, zone manifest written eagerly, published through
+        the same reconciling CAS loop as :meth:`compact`. A rival
+        delete replayed onto the clustered candidate only ADDS a
+        positional mask — zones over-keep masked rows and stay
+        loss-free; a rival update drops the manifest (appended images
+        are outside it) and pruning rebuilds lazily."""
+        from far_finer_airtable_firestore_sync_spark.sources.store import (
+            _apply_deletion_vectors,
+            write_zone_manifest,
+            zorder_cluster,
+        )
+
+        def build(src: str, out: str) -> None:
+            df = _apply_deletion_vectors(
+                self.spark, self.spark.read.parquet(src), src
+            )
+            zorder_cluster(
+                df, x_col, y_col, n_files, buckets_per_dim
+            ).write.mode("errorifexists").parquet(out)
+            write_zone_manifest(out)
+
+        return self._maintenance_publish(
+            build, "optimize_zorder", max_retries, test_hook
+        )
 
     def history(self) -> DataFrame:
         """Commit lineage from the log: one row per version (version

@@ -832,41 +832,7 @@ class DocumentStore:
         df = self.read()
         if df is None:
             raise ValueError(f"store {self.root} is empty; nothing to cluster")
-        if "_ffs_zkey" in df.columns:
-            raise ValueError(
-                "column '_ffs_zkey' is reserved by optimize_zorder"
-            )
-        from far_finer_airtable_firestore_sync_spark.operators.layout import (
-            morton_key_expr,
-        )
-
-        if not 1 <= buckets_per_dim <= 65536:
-            raise ValueError(
-                "buckets_per_dim must be in [1, 65536]: the Morton "
-                "interleave spreads 16 bits per dimension, so larger "
-                "grids would silently alias distant buckets"
-            )
-        mnx, mxx, mny, mxy = df.agg(
-            F.min(x_col), F.max(x_col), F.min(y_col), F.max(y_col)
-        ).first()
-        if mnx is None or mny is None:
-            bad = x_col if mnx is None else y_col
-            raise ValueError(
-                f"optimize_zorder: column {bad!r} has no non-NULL "
-                "values to derive a bucket grid from"
-            )
-        wx = max(1, (int(mxx) - int(mnx) + buckets_per_dim) // buckets_per_dim)
-        wy = max(1, (int(mxy) - int(mny) + buckets_per_dim) // buckets_per_dim)
-        bx = f"((`{x_col}` - {int(mnx)}) div {wx})"
-        by = f"((`{y_col}` - {int(mny)}) div {wy})"
-        zkey = morton_key_expr(bx, by, "spark")
-        clustered = (
-            df.withColumn("_ffs_zkey", F.expr(zkey))
-            .repartitionByRange(n_files, "_ffs_zkey")
-            .sortWithinPartitions("_ffs_zkey")
-            .drop("_ffs_zkey")
-        )
-        out = self.commit(clustered)
+        out = self.commit(zorder_cluster(df, x_col, y_col, n_files, buckets_per_dim))
         write_zone_manifest(out)
         return out
 
@@ -1004,6 +970,61 @@ class DocumentStore:
         cur = self.read()
         if cur is not None:
             self.commit(self.spark.createDataFrame([], cur.schema))
+
+
+def zorder_cluster(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_files: int = 32,
+    buckets_per_dim: int = 256,
+) -> DataFrame:
+    """The OPTIMIZE-ZORDER clustering PLAN, shared by
+    :meth:`DocumentStore.optimize_zorder` (single-writer) and the
+    lock-free ``TransactionalParquetBackend.optimize_zorder`` — one
+    definition so the two backends can never cluster differently.
+    Both columns must be integer-valued (cast dates to epoch-days
+    first). Values are bucketed onto a ``buckets_per_dim`` grid from
+    exact min/max aggregates, bit-interleaved
+    (``operators.layout.morton_key_expr`` — pure shift/mask
+    arithmetic), range-partitioned on the key and sorted within
+    partitions, so every data file covers a compact rectangle in
+    (x, y) space and its footer min/max prune scans filtered on
+    EITHER dimension."""
+    if "_ffs_zkey" in df.columns:
+        raise ValueError(
+            "column '_ffs_zkey' is reserved by optimize_zorder"
+        )
+    from far_finer_airtable_firestore_sync_spark.operators.layout import (
+        morton_key_expr,
+    )
+
+    if not 1 <= buckets_per_dim <= 65536:
+        raise ValueError(
+            "buckets_per_dim must be in [1, 65536]: the Morton "
+            "interleave spreads 16 bits per dimension, so larger "
+            "grids would silently alias distant buckets"
+        )
+    mnx, mxx, mny, mxy = df.agg(
+        F.min(x_col), F.max(x_col), F.min(y_col), F.max(y_col)
+    ).first()
+    if mnx is None or mny is None:
+        bad = x_col if mnx is None else y_col
+        raise ValueError(
+            f"optimize_zorder: column {bad!r} has no non-NULL "
+            "values to derive a bucket grid from"
+        )
+    wx = max(1, (int(mxx) - int(mnx) + buckets_per_dim) // buckets_per_dim)
+    wy = max(1, (int(mxy) - int(mny) + buckets_per_dim) // buckets_per_dim)
+    bx = f"((`{x_col}` - {int(mnx)}) div {wx})"
+    by = f"((`{y_col}` - {int(mny)}) div {wy})"
+    zkey = morton_key_expr(bx, by, "spark")
+    return (
+        df.withColumn("_ffs_zkey", F.expr(zkey))
+        .repartitionByRange(n_files, "_ffs_zkey")
+        .sortWithinPartitions("_ffs_zkey")
+        .drop("_ffs_zkey")
+    )
 
 
 def diff_frames(
