@@ -138,6 +138,200 @@ def incremental_rollup(
     return apply_rollup_delta(base, delta, group_col, count_col, sum_map)
 
 
+def incremental_rollup_extrema(
+    summary_prev: DataFrame,
+    changes: DataFrame,
+    base_new: DataFrame,
+    group_col: str,
+    count_col: str,
+    sum_map: dict[str, str],
+    min_map: dict[str, str],
+    max_map: dict[str, str],
+) -> DataFrame:
+    """Maintain a rollup that carries MIN/MAX columns alongside
+    count/sum — the NON-self-maintainable leg (r9 VERDICT #2).
+
+    Count/sum are self-maintainable (signed deltas, the existing
+    :func:`incremental_rollup` path). MIN/MAX are not under
+    retraction: inserting a value can only IMPROVE an extreme
+    (``least(stored, new)``), but deleting the row that HELD a
+    group's extreme leaves the next-best unknown without base access
+    — Gupta & Mumick 1995 §"recompute affected groups": maintain
+    incrementally where possible and recompute from the base ONLY
+    the groups where a retracted value ties the stored extreme. The
+    recompute probe is a semi-join of ``base_new`` against the
+    flagged group keys — changelog-bounded (flagged ⊆ touched
+    groups), never a full rescan.
+
+    Per-group decision:
+
+    - adds (insert/update post-images) fold in via
+      ``least``/``greatest`` (NULL-transparent — Spark's least and
+      greatest skip NULLs);
+    - a retraction (delete/update pre-image) whose old value is
+      ``<=`` the stored min (or ``>=`` the stored max) flags the
+      group: the stored extreme may have been the retracted row —
+      multiplicity is unknowable from the summary alone (two rows
+      tying the max, one deleted: the max survives; the summary
+      can't tell), so the group recomputes from ``base_new``;
+    - retractions strictly inside the stored range never flag;
+    - groups new to the summary take their extremes from the adds.
+
+    ``changes`` is the CDC shape of :func:`rollup_delta`
+    (``change_type`` + post-images + ``old_<col>`` pre-images).
+    ``base_new`` is the NEW base snapshot (what the changelog
+    produced) — only flagged groups' rows are ever read from it.
+    ``min_map`` / ``max_map`` map summary columns to their source
+    column in the changelog/base. Returns the maintained summary:
+    (group, count, sums..., mins..., maxes...), groups whose count
+    reaches zero dropped.
+
+    Scale shape: two narrow changelog aggregations + one outer join
+    on touched groups (AQE-sized) + one semi-join-pruned aggregate
+    over the flagged slice of the base. At 100 TB a typical sliver
+    CDC flags a handful of groups; the pathological case (every
+    group's max deleted) degrades to the affected-partition rescan a
+    full recompute would pay anyway — never more."""
+    seq_cols = {
+        "_g", "_ffs_ext_b", "_ffs_ext_a", "_ffs_ext_r", "_ffs_ext_need",
+    }
+    for c in seq_cols:
+        if c in summary_prev.columns or c in changes.columns:
+            raise ValueError(
+                f"column {c!r} is reserved by incremental_rollup_extrema"
+            )
+    val_cols = sorted(set(min_map.values()) | set(max_map.values()))
+
+    # 1) count/sum: the existing self-maintainable path decides which
+    #    groups survive (count > 0) and carries the exact sums.
+    cs_prev = summary_prev.select(
+        group_col, count_col, *sum_map.keys()
+    )
+    cs_new = incremental_rollup(
+        cs_prev, changes, group_col, count_col, sum_map
+    )
+
+    # 2) extrema deltas: one aggregation per changelog side.
+    is_add = F.col("change_type").isin("insert", "update")
+    is_retract = F.col("change_type").isin("delete", "update")
+    add_aggs = []
+    for out, src in min_map.items():
+        add_aggs.append(F.min(src).alias(f"_add_min_{out}"))
+    for out, src in max_map.items():
+        add_aggs.append(F.max(src).alias(f"_add_max_{out}"))
+    adds = (
+        changes.filter(is_add)
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(*add_aggs)
+        .withColumn("_ffs_ext_a", F.lit(1))
+    )
+    ret_aggs = []
+    for out, src in min_map.items():
+        ret_aggs.append(F.min(f"old_{src}").alias(f"_ret_min_{out}"))
+    for out, src in max_map.items():
+        ret_aggs.append(F.max(f"old_{src}").alias(f"_ret_max_{out}"))
+    retracts = (
+        changes.filter(is_retract)
+        .groupBy(F.col(f"old_{group_col}").alias("_g"))
+        .agg(*ret_aggs)
+        .withColumn("_ffs_ext_r", F.lit(1))
+    )
+
+    ext_prev = summary_prev.select(
+        F.col(group_col).alias("_g"),
+        *[F.col(c).alias(f"_prev_{c}") for c in (*min_map, *max_map)],
+    ).withColumn("_ffs_ext_b", F.lit(1))
+
+    def _outer(left: DataFrame, right: DataFrame) -> DataFrame:
+        j = left.alias("l").join(
+            right.alias("r"),
+            F.col("l._g").eqNullSafe(F.col("r._g")),
+            "full_outer",
+        )
+        keep = [
+            F.coalesce(F.col("l._g"), F.col("r._g")).alias("_g"),
+            *[
+                F.col(f"l.{c}")
+                for c in left.columns
+                if c != "_g"
+            ],
+            *[
+                F.col(f"r.{c}")
+                for c in right.columns
+                if c != "_g"
+            ],
+        ]
+        return j.select(*keep)
+
+    ext = _outer(_outer(ext_prev, adds), retracts)
+
+    # 3) flag groups whose retraction ties a stored extreme. A group
+    #    with no prior summary row never flags (its extremes come
+    #    entirely from the adds); a NULL retracted value never flags
+    #    (min/max ignore NULLs).
+    need = F.lit(False)
+    for out in min_map:
+        need = need | F.coalesce(
+            F.col(f"_ret_min_{out}") <= F.col(f"_prev_{out}"),
+            F.lit(False),
+        )
+    for out in max_map:
+        need = need | F.coalesce(
+            F.col(f"_ret_max_{out}") >= F.col(f"_prev_{out}"),
+            F.lit(False),
+        )
+    ext = ext.withColumn(
+        "_ffs_ext_need", F.col("_ffs_ext_b").isNotNull() & need
+    )
+
+    maintained_cols = [F.col("_g"), F.col("_ffs_ext_need")]
+    for out in min_map:
+        maintained_cols.append(
+            F.least(F.col(f"_prev_{out}"), F.col(f"_add_min_{out}")).alias(out)
+        )
+    for out in max_map:
+        maintained_cols.append(
+            F.greatest(
+                F.col(f"_prev_{out}"), F.col(f"_add_max_{out}")
+            ).alias(out)
+        )
+    maintained = ext.select(*maintained_cols)
+
+    # 4) Gupta & Mumick recompute leg: ONLY the flagged groups, read
+    #    from the new base via a semi-join probe (changelog-bounded).
+    flagged = maintained.filter(F.col("_ffs_ext_need")).select("_g")
+    rec_aggs = [
+        F.min(src).alias(out) for out, src in min_map.items()
+    ] + [F.max(src).alias(out) for out, src in max_map.items()]
+    recomputed = (
+        base_new.join(
+            flagged,
+            base_new[group_col].eqNullSafe(flagged["_g"]),
+            "left_semi",
+        )
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(*rec_aggs)
+    )
+    ext_final = maintained.filter(~F.col("_ffs_ext_need")).drop(
+        "_ffs_ext_need"
+    ).unionByName(recomputed)
+
+    # 5) stitch extrema onto the maintained count/sum rollup. Every
+    #    surviving group is present in ext_final: old groups come
+    #    from ext_prev, new groups from the adds aggregation.
+    out_df = cs_new.alias("cs").join(
+        ext_final.alias("e"),
+        F.col(f"cs.{group_col}").eqNullSafe(F.col("e._g")),
+        "left",
+    )
+    return out_df.select(
+        F.col(f"cs.{group_col}").alias(group_col),
+        F.col(f"cs.{count_col}").alias(count_col),
+        *[F.col(f"cs.{c}").alias(c) for c in sum_map],
+        *[F.col(f"e.{c}").alias(c) for c in (*min_map, *max_map)],
+    )
+
+
 def affected_fact_keys(
     fact_new: DataFrame,
     fact_changes: DataFrame,

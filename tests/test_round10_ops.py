@@ -288,3 +288,96 @@ def test_diff_frames_public_seam_matches_alias(spark):
     assert sorted(map(tuple, via_fn)) == sorted(map(tuple, via_alias))
     kinds = {r["k"]: r["change_type"] for r in via_fn}
     assert kinds == {1: "delete", 2: "update", 3: "insert"}
+
+
+# -- MIN/MAX (non-self-maintainable) IVM --------------------------------------
+
+
+def _extrema_roundtrip(spark, v1_rows, v2_rows):
+    """Maintain (count,sum,min,max) from v1->v2 CDC and compare with
+    the direct recompute over v2."""
+    from far_finer_airtable_firestore_sync_spark.operators.ivm import (
+        incremental_rollup_extrema,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        diff_frames,
+    )
+
+    schema = "k long, grp string, val long"
+    v1 = spark.createDataFrame(v1_rows, schema)
+    v2 = spark.createDataFrame(v2_rows, schema)
+
+    def full(df):
+        return df.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").alias("sum_val"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+
+    changes = diff_frames(v1, v2, "k", include_old=True)
+    got = incremental_rollup_extrema(
+        full(v1),
+        changes,
+        v2,
+        group_col="grp",
+        count_col="n",
+        sum_map={"sum_val": "val"},
+        min_map={"min_val": "val"},
+        max_map={"max_val": "val"},
+    )
+    want = full(v2)
+    assert (
+        got.exceptAll(want).unionByName(want.exceptAll(got)).count() == 0
+    ), (sorted(map(tuple, got.collect())), sorted(map(tuple, want.collect())))
+
+
+def test_extrema_delete_of_group_max_recomputes(spark):
+    v1 = [(1, "a", 10), (2, "a", 99), (3, "a", 50), (4, "b", 7)]
+    v2 = [(1, "a", 10), (3, "a", 50), (4, "b", 7)]  # a's max deleted
+    _extrema_roundtrip(spark, v1, v2)
+
+
+def test_extrema_update_past_other_groups_max(spark):
+    v1 = [(1, "a", 10), (2, "a", 99), (3, "b", 5), (4, "b", 7)]
+    # row 3 updated PAST b's stored max; row 2 (a's max) deleted
+    v2 = [(1, "a", 10), (3, "b", 1000), (4, "b", 7)]
+    _extrema_roundtrip(spark, v1, v2)
+
+
+def test_extrema_tied_max_survives_single_delete(spark):
+    # two rows tie a's max; deleting one must keep max=99 (the
+    # recompute leg, not blind maintenance, gets this right)
+    v1 = [(1, "a", 99), (2, "a", 99), (3, "a", 1)]
+    v2 = [(2, "a", 99), (3, "a", 1)]
+    _extrema_roundtrip(spark, v1, v2)
+
+
+def test_extrema_group_key_move_and_new_group(spark):
+    v1 = [(1, "a", 10), (2, "a", 20)]
+    # row 2 moves a->c (retract from a, add to c); new group d appears
+    v2 = [(1, "a", 10), (2, "c", 20), (5, "d", -3)]
+    _extrema_roundtrip(spark, v1, v2)
+
+
+def test_extrema_group_disappears(spark):
+    v1 = [(1, "a", 10), (2, "b", 20)]
+    v2 = [(1, "a", 10)]
+    _extrema_roundtrip(spark, v1, v2)
+
+
+def test_extrema_null_values_ignored(spark):
+    v1 = [(1, "a", 10), (2, "a", None), (3, "b", None)]
+    v2 = [(1, "a", 10), (3, "b", None), (4, "b", 5)]
+    _extrema_roundtrip(spark, v1, v2)
+
+
+def test_extrema_inserts_only_improve_without_recompute(spark):
+    v1 = [(1, "a", 10), (2, "a", 99)]
+    v2 = [(1, "a", 10), (2, "a", 99), (5, "a", 3), (6, "a", 200)]
+    _extrema_roundtrip(spark, v1, v2)
+
+
+def test_extrema_empty_changelog_is_identity(spark):
+    v1 = [(1, "a", 10), (2, "b", 20)]
+    _extrema_roundtrip(spark, v1, v1)
