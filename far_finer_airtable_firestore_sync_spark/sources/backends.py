@@ -532,6 +532,8 @@ class TransactionalParquetBackend:
             rel = f"v-{uuid.uuid4().hex}"
             out = os.path.join(self.root, rel)
             _link_tree(src, out)
+            # inherited _changes describes the predecessor's commit
+            shutil.rmtree(os.path.join(out, "_changes"), ignore_errors=True)
             n_total = write_deletion_vectors(
                 self.spark, out, predicate, legacy_dir=src
             )
@@ -638,6 +640,8 @@ class TransactionalParquetBackend:
             rel = f"v-{uuid.uuid4().hex}"
             out = os.path.join(self.root, rel)
             _link_tree(src, out)
+            # inherited _changes describes the predecessor's commit
+            shutil.rmtree(os.path.join(out, "_changes"), ignore_errors=True)
             # mask BEFORE append (the DocumentStore ordering contract),
             # then right-sized partition-aware append, then drop the
             # now-stale skip sidecars (lossy otherwise)

@@ -31,6 +31,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _POINTER = "_LATEST"
+#: per-commit change sidecar (the Delta CDF _change_data shape): when
+#: a commit opts in (``cdf=True``), the row-level changes THAT COMMIT
+#: introduced are written as parquet under ``<version>/_changes/`` in
+#: the ``diff_frames(include_old=True)`` schema — what the streaming
+#: CDF source (sources.cdf_source) tails without ever re-diffing.
+_CHANGES_DIR = "_changes"
 
 
 def _new_version_dir_name(epoch_ms: int) -> str:
@@ -148,6 +154,7 @@ class DocumentStore:
         expected_version: Optional[str] = None,
         tag: Optional[str] = None,
         txn: Optional[tuple[str, str]] = None,
+        cdf: bool = False,
     ) -> str:
         """Write ``post_state`` as a new immutable version and flip the
         pointer — the atomic 'batch commit' (K7 analog,
@@ -168,8 +175,22 @@ class DocumentStore:
         (or untagged commits) never erase this stream's marker.
         ``tag`` is the legacy single-slot variant — last commit wins,
         safe only under strict single-writer ownership.
+
+        ``cdf=True`` additionally records THIS COMMIT's row-level
+        changes as a ``_changes/`` parquet sidecar inside the new
+        version (the Delta Change-Data-Feed ``_change_data`` shape):
+        the committed snapshot is diffed against the predecessor
+        (``diff_frames(include_old=True)`` — pre/post images, the
+        retraction shape IVM consumers need; a first commit records
+        every row as an insert). The diff costs one extra join at
+        commit time — exactly Delta CDF's cost model — and buys
+        downstream consumers a readable change log with NO re-diffing:
+        the streaming source (``sources.cdf_source``) tails these
+        sidecars with exactly-once version offsets. Underscore-named,
+        so data readers never see it.
         """
-        if expected_version is not None and self.current_version_dir() != expected_version:
+        prev = self.current_version_dir()
+        if expected_version is not None and prev != expected_version:
             raise ConcurrentCommitError(
                 f"store {self.root}: pointer moved past {expected_version!r} "
                 "since read(); refusing to clobber the concurrent commit"
@@ -180,6 +201,38 @@ class DocumentStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out)
+        if cdf:
+            try:
+                new_df = self.spark.read.parquet(out)
+                if prev is None:
+                    cols = [
+                        c for c in new_df.columns if c != self.key_col
+                    ]
+                    types = dict(new_df.dtypes)
+                    changes = new_df.select(
+                        F.col(self.key_col),
+                        F.lit("insert").alias("change_type"),
+                        *cols,
+                        *[
+                            F.lit(None).cast(types[c]).alias(f"old_{c}")
+                            for c in cols
+                        ],
+                    )
+                else:
+                    changes = diff_frames(
+                        self.read_version(prev),
+                        new_df,
+                        self.key_col,
+                        include_old=True,
+                    )
+                changes.write.mode("errorifexists").parquet(
+                    os.path.join(out, _CHANGES_DIR)
+                )
+            except Exception:
+                # no phantom versions on a failed change-sidecar write
+                # (same guard as the DML paths)
+                shutil.rmtree(out, ignore_errors=True)
+                raise
         self._flip_pointer(rel, out, expected_version, tag, txn)
         return out
 
@@ -291,7 +344,10 @@ class DocumentStore:
         return df
 
     def delete_where(
-        self, predicate: str, expected_version: Optional[str] = None
+        self,
+        predicate: str,
+        expected_version: Optional[str] = None,
+        cdf: bool = False,
     ) -> tuple[str, int]:
         """Row-level DELETE as a NEW COMMIT without rewriting data
         files — the Delta deletion-vector shape lifted into the
@@ -338,10 +394,31 @@ class DocumentStore:
         # vacuum accounting / change_feed's default bounds while
         # serving never-committed pre-delete state.
         _link_tree(cur, out)
+        # an inherited _changes sidecar describes the PREDECESSOR's
+        # commit — each version's change feed is its own commit only
+        shutil.rmtree(os.path.join(out, _CHANGES_DIR), ignore_errors=True)
         try:
             n_total = write_deletion_vectors(
                 self.spark, out, predicate, legacy_dir=cur
             )
+            if cdf and n_total != prior_total:
+                # newly masked rows == matching rows of the MASKED
+                # prior snapshot (already-masked rows can't re-delete);
+                # the change sidecar needs NO diff join for DML —
+                # predicate DML knows its own delta
+                prior_snap = self.read_version(cur)
+                cols = [
+                    c for c in prior_snap.columns if c != self.key_col
+                ]
+                types = dict(prior_snap.dtypes)
+                prior_snap.filter(predicate).select(
+                    F.col(self.key_col),
+                    F.lit("delete").alias("change_type"),
+                    *[F.lit(None).cast(types[c]).alias(c) for c in cols],
+                    *[F.col(c).alias(f"old_{c}") for c in cols],
+                ).write.mode("errorifexists").parquet(
+                    os.path.join(out, _CHANGES_DIR)
+                )
         except Exception:
             shutil.rmtree(out, ignore_errors=True)
             raise
@@ -726,6 +803,7 @@ class DocumentStore:
         predicate: str,
         set_exprs: dict[str, str],
         expected_version: Optional[str] = None,
+        cdf: bool = False,
     ) -> tuple[str, int]:
         """Row-level UPDATE without rewriting untouched data — the
         Delta UPDATE-with-deletion-vectors shape, completing the DML
@@ -776,6 +854,9 @@ class DocumentStore:
         rel = _new_version_dir_name(self._next_commit_ms())
         out = os.path.join(self.root, rel)
         _link_tree(cur, out)
+        # inherited _changes describes the predecessor's commit, not
+        # this one — strip before writing this commit's own
+        shutil.rmtree(os.path.join(out, _CHANGES_DIR), ignore_errors=True)
         # mask FIRST (see ordering constraint above), then append the
         # updated images right-sized, then drop now-stale skip
         # sidecars. Any failure past the link removes the phantom
@@ -796,6 +877,27 @@ class DocumentStore:
             if pcols:
                 writer = writer.partitionBy(*pcols)
             writer.parquet(out)
+            if cdf:
+                # predicate DML knows its own delta: one row per
+                # updated key with the post image (set_exprs applied)
+                # and the pre image — no diff join needed
+                cols = [c for c in snap.columns if c != self.key_col]
+                types = dict(snap.dtypes)
+                snap.filter(predicate).select(
+                    F.col(self.key_col),
+                    F.lit("update").alias("change_type"),
+                    *[
+                        (
+                            F.expr(set_exprs[c]).cast(types[c])
+                            if c in set_exprs
+                            else F.col(c)
+                        ).alias(c)
+                        for c in cols
+                    ],
+                    *[F.col(c).alias(f"old_{c}") for c in cols],
+                ).write.mode("errorifexists").parquet(
+                    os.path.join(out, _CHANGES_DIR)
+                )
         except Exception:
             shutil.rmtree(out, ignore_errors=True)
             raise

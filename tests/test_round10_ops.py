@@ -381,3 +381,119 @@ def test_extrema_inserts_only_improve_without_recompute(spark):
 def test_extrema_empty_changelog_is_identity(spark):
     v1 = [(1, "a", 10), (2, "b", 20)]
     _extrema_roundtrip(spark, v1, v1)
+
+
+# -- readStream over the store's change feed ----------------------------------
+
+
+def _cdf_agg(df):
+    return df.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("val").alias("s")
+    )
+
+
+def test_store_cdf_sidecars_written_by_commit_and_dml(spark, tmp_path):
+    store = DocumentStore(spark, str(tmp_path / "s1"), "k")
+    v1 = spark.createDataFrame(
+        [(i, f"g{i % 3}", i * 10) for i in range(12)],
+        "k long, grp string, val long",
+    )
+    d1 = store.commit(v1, cdf=True)
+    ch1 = spark.read.parquet(os.path.join(d1, "_changes"))
+    assert set(ch1.columns) == {
+        "k", "change_type", "grp", "val", "old_grp", "old_val"
+    }
+    assert ch1.count() == 12
+    assert {r["change_type"] for r in ch1.collect()} == {"insert"}
+
+    d2, n = store.delete_where("k % 4 = 0", cdf=True)
+    assert n == 3
+    ch2 = spark.read.parquet(os.path.join(d2, "_changes"))
+    rows = ch2.collect()
+    assert {r["change_type"] for r in rows} == {"delete"}
+    assert {r["k"] for r in rows} == {0, 4, 8}
+    assert all(r["val"] is None and r["old_val"] is not None for r in rows)
+
+    d3, n = store.update_where("k % 5 = 1", {"val": "val + 7"}, cdf=True)
+    ch3 = spark.read.parquet(os.path.join(d3, "_changes"))
+    rows = {r["k"]: r for r in ch3.collect()}
+    assert set(rows) == {1, 6, 11} and n == 3
+    assert all(
+        r["change_type"] == "update" and r["val"] == r["old_val"] + 7
+        for r in rows.values()
+    )
+    # the DML versions must NOT inherit the predecessor's _changes:
+    # each sidecar describes exactly its own commit
+    assert ch2.count() == 3 and ch3.count() == 3
+
+
+def test_store_cdf_stream_exactly_once_across_restart(spark, tmp_path):
+    from far_finer_airtable_firestore_sync_spark.sources import (
+        cdf_source,
+    )
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        cdf_rollup_sync,
+    )
+
+    assert cdf_source.register(spark)
+    src = DocumentStore(spark, str(tmp_path / "src"), "k")
+    base = spark.createDataFrame(
+        [(i, f"g{i % 3}", i * 10) for i in range(30)],
+        "k long, grp string, val long",
+    )
+    src.commit(base.filter("k % 2 = 0"), cdf=True)   # v1: evens
+    src.commit(base.filter("k % 3 <> 0"), cdf=True)  # v2: churn
+
+    roll = DocumentStore(spark, str(tmp_path / "roll"), "grp")
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        stream = (
+            spark.readStream.format("store_cdf")
+            .option("path", src.root)
+            .load()
+        )
+        q = cdf_rollup_sync(
+            stream, roll, ck, "grp", "n", {"s": "val"}, "cdfroll"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    got = {tuple(r) for r in roll.read().collect()}
+    want = {tuple(r) for r in _cdf_agg(src.read()).collect()}
+    assert got == want
+
+    # upstream DML lands while the consumer is DOWN; the restart must
+    # process exactly the two new versions (offsets from checkpoint)
+    src.delete_where("k % 7 = 0", cdf=True)
+    src.update_where("k % 5 = 0", {"val": "val + 100"}, cdf=True)
+    run_once()
+    got = {tuple(r) for r in roll.read().collect()}
+    want = {tuple(r) for r in _cdf_agg(src.read()).collect()}
+    assert got == want
+
+    # a third run with no new upstream commits must write NOTHING
+    n_versions = len(roll.list_versions())
+    run_once()
+    assert len(roll.list_versions()) == n_versions
+
+
+def test_store_cdf_range_with_hole_fails_loudly(spark, tmp_path):
+    from far_finer_airtable_firestore_sync_spark.sources.cdf_source import (
+        StoreCDFStreamReader,
+        _committed_versions,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "s2"), "k")
+    df = spark.createDataFrame([(1, "a", 1)], "k long, grp string, val long")
+    store.commit(df, cdf=True)
+    store.commit(df, cdf=False)  # the hole
+    versions = _committed_versions(store.root)
+    assert len(versions) == 2
+    reader = StoreCDFStreamReader(store.root, spark.read.parquet(
+        os.path.join(store.root, versions[0], "_changes")).schema)
+    with pytest.raises(ValueError, match="without cdf=True"):
+        reader.partitions({"last": ""}, {"last": versions[-1]})
