@@ -2604,6 +2604,117 @@ def _q_store_txn_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got
 
 
+def _q_store_dv_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV DML × SCHEMA EVOLUTION (r9 VERDICT #7): a four-commit
+    history where commit 2 ADDS a column (``bal``), commit 3 is an
+    ``update_where`` SETTING the new column (positional mask over the
+    hard-linked files + evolved-schema image append), and commit 4 is
+    a ``delete_where`` whose predicate READS the new column. The
+    returned change feed spans the whole history — the pre-evolution
+    step compares over the union of columns with typed-NULL backfill,
+    the DML steps fall out of the masked-read diff — and the oracle
+    replays all three consecutive diffs closed-form. In-entry
+    self-bisect pins the final masked snapshot against the direct
+    closed-form computation."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    _utc(spark)
+    base = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.expr(
+            "cast(floor(c_acctbal * cast(64 as double)) as bigint)"
+        ).alias("balc"),
+    )
+    v1 = base.filter("k % 3 <> 0").select("k", "name")
+    v2 = base.filter("k % 3 <> 0").select(
+        "k",
+        "name",
+        F.expr("case when k % 2 = 0 then balc else null end").alias("bal"),
+    )
+    root = tempfile.mkdtemp(prefix="ffs_dvsevo_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "k")
+    store.commit(v1)
+    store.commit(v2)  # schema gains `bal`
+    _d3, n_up = store.update_where(
+        "bal is not null and k % 4 = 0", {"bal": "bal + 64"}
+    )
+    assert n_up > 0, "fixture must exercise the update leg"
+    store.delete_where("bal is not null and k % 6 = 0")
+
+    # self-bisect: final masked snapshot == closed-form post-state
+    want = (
+        v2.withColumn(
+            "bal",
+            F.expr(
+                "bal + case when bal is not null and k % 4 = 0 "
+                "then 64 else 0 end"
+            ),
+        )
+        .filter("not (bal is not null and k % 6 = 0)")
+    )
+    _assert_spark_equal(
+        store.read(), want, "DV DML across schema evolution"
+    )
+    feed = store.change_feed()
+    return feed.select(
+        "k",
+        "change_type",
+        "name",
+        "bal",
+        F.dense_rank()
+        .over(Window.orderBy("commit_ms"))
+        .cast("int")
+        .alias("commit_seq"),
+    )
+
+
+_STORE_DV_SEVO_SQL = """
+with base as (
+  select c_custkey as k, c_name as name,
+         cast(floor(c_acctbal * cast(64 as double)) as bigint) as balc
+  from customer
+),
+v2 as (
+  select k, name, case when k % 2 = 0 then balc else null end as bal
+  from base where k % 3 <> 0
+),
+v3 as (
+  select k, name,
+         bal + case when bal is not null and k % 4 = 0
+                    then 64 else 0 end as bal
+  from v2
+),
+v4 as (select * from v3 where not (bal is not null and k % 6 = 0)),
+d12 as (
+  -- v1 lacks bal: the diff backfills it as typed NULL, so the only
+  -- changed rows are those whose bal became non-null
+  select k, 'update' as change_type, name, bal, 1 as commit_seq
+  from v2 where bal is not null
+),
+d23 as (
+  select v3.k, 'update' as change_type, v3.name, v3.bal, 2 as commit_seq
+  from v3 join v2 on v3.k = v2.k
+  where v3.bal is distinct from v2.bal
+),
+d34 as (
+  select k, 'delete' as change_type, cast(null as string) as name,
+         cast(null as bigint) as bal, 3 as commit_seq
+  from v3 where bal is not null and k % 6 = 0
+)
+select k, change_type, name, bal, cast(commit_seq as int) as commit_seq
+from (select * from d12 union all select * from d23
+      union all select * from d34)
+"""
+
+
 def _q_store_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the store's OWN change feed (r9 VERDICT #4/#3):
     cdf-enabled commits write their row-level changes as per-version
@@ -3609,6 +3720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_ivm_join_persisted": _q_store_ivm_join_persisted,
         "store_partition_evolution": _q_store_partition_evolution,
         "store_schema_evolution": _q_store_schema_evolution,
+        "store_dv_schema_evolution": _q_store_dv_schema_evolution,
         "store_time_travel": _q_store_time_travel,
         "store_txn_checkpoint": _q_store_txn_checkpoint,
         "store_txn_compaction": _q_store_txn_compaction,
@@ -3677,6 +3789,7 @@ def oracle_sql() -> dict[str, str]:
         "store_ivm_join_persisted": _STORE_IVM_JOIN_PERSISTED_SQL,
         "store_partition_evolution": _STORE_PEVO_SQL,
         "store_schema_evolution": _STORE_SEVO_SQL,
+        "store_dv_schema_evolution": _STORE_DV_SEVO_SQL,
         "store_time_travel": _STORE_TRAVEL_SQL,
         "store_txn_checkpoint": _STORE_TXN_CK_SQL,
         "store_txn_compaction": _STORE_TXN_COMPACT_SQL,

@@ -497,3 +497,60 @@ def test_store_cdf_range_with_hole_fails_loudly(spark, tmp_path):
         os.path.join(store.root, versions[0], "_changes")).schema)
     with pytest.raises(ValueError, match="without cdf=True"):
         reader.partitions({"last": ""}, {"last": versions[-1]})
+
+
+# -- DV DML x schema evolution (r9 VERDICT #7) --------------------------------
+
+
+def test_dv_dml_across_schema_evolution(spark, tmp_path):
+    """update_where/delete_where on a version whose schema gained a
+    column mid-history: the mask rides the old files, updated images
+    append with the evolved schema, and the change feed spans the
+    whole history (typed-NULL backfill on pre-evolution steps)."""
+    store = DocumentStore(spark, str(tmp_path / "sevo"), "k")
+    v1 = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(12)], "k long, name string"
+    )
+    store.commit(v1)
+    # schema evolves: column b appears, populated for evens
+    v2 = spark.createDataFrame(
+        [(i, f"n{i}", i * 10 if i % 2 == 0 else None) for i in range(12)],
+        "k long, name string, b long",
+    )
+    store.commit(v2)
+    # DML referencing/setting the NEW column
+    _d3, n_up = store.update_where(
+        "b is not null and k % 4 = 0", {"b": "b + 1"}
+    )
+    assert n_up == 3  # k = 0, 4, 8
+    _d4, n_del = store.delete_where("b is not null and k % 6 = 0")
+    # TOTAL masked positions: 3 inherited from the update's masks
+    # plus the 2 new deletes (k = 0, 6) — the documented contract
+    assert n_del == 5
+
+    got = {(r["k"], r["name"], r["b"]) for r in store.read().collect()}
+    want = set()
+    for i in range(12):
+        b = i * 10 if i % 2 == 0 else None
+        if b is not None and i % 4 == 0:
+            b += 1
+        if b is not None and i % 6 == 0:
+            continue
+        want.add((i, f"n{i}", b))
+    assert got == want
+
+    # the change feed spans the evolution AND the DML versions
+    feed = store.change_feed()
+    by_type = {
+        r["change_type"]: r["n"]
+        for r in feed.groupBy("change_type").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    # d12: evens gained b (6 updates); d23: 3 updates; d34: 2 deletes
+    assert by_type == {"update": 9, "delete": 2}
+    # live counts from footers track the masked view
+    hist = {
+        r["version_dir"]: r["n_rows"]
+        for r in store.describe_history().collect()
+    }
+    assert sorted(hist.values()) == sorted([12, 12, 12, 10])
