@@ -2966,6 +2966,123 @@ select * from kept union all select * from extra
 """
 
 
+def _q_store_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-clause MERGE INTO as ONE deletion-vector commit — the
+    capstone over the store's row-level DML (``merge_into``, round
+    10): matched-delete, matched-update, and not-matched-insert
+    clauses land atomically as a single version (masked old images via
+    the KEY-SET DV form — a semi-join against the touched keys, never
+    a driver-side IN-list — plus right-sized appended images). The
+    reference runs this shape as a Firestore batched set/delete
+    (/root/reference/lib/FirestoreWrapper.py:102-123); here it is one
+    commit with time travel to the pre-merge snapshot and a CDF
+    sidecar carrying all three change types. Balances ride an
+    integer-cents grid end to end so every value hashes exactly.
+    Self-bisect: the served snapshot equals the closed-form
+    left-join/anti-join reconstruction; clause counts are asserted
+    nonzero so the entry cannot quietly degenerate."""
+    import os
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr("cast(round(c_acctbal * 100) as bigint)").alias("bal_c"),
+        "c_mktsegment",
+    )
+    base = cust.filter("c_custkey % 3 <> 0")
+    src = cust.filter("c_custkey % 2 = 0").withColumn(
+        "bal_c", F.expr("bal_c + 100000")
+    )
+    root = tempfile.mkdtemp(prefix="ffs_mrg_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "c_custkey")
+    v1 = store.commit(base.repartition(8, F.col("c_custkey")))
+    _v2, counts = store.merge_into(
+        src,
+        when_matched_update={
+            "bal_c": "s.bal_c + t.bal_c",
+            "c_mktsegment": "'MERGED'",
+        },
+        when_matched_delete="s.bal_c < 200000",
+        when_not_matched_insert=True,
+        cdf=True,
+    )
+    assert all(counts.values()), f"degenerate clause mix: {counts}"
+    # the CDF sidecar describes exactly this commit's clause outcomes
+    cd = {
+        r["change_type"]: r["n"]
+        for r in spark.read.parquet(os.path.join(_v2, "_changes"))
+        .groupBy("change_type").count().withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert cd == {
+        "update": counts["updated"],
+        "delete": counts["deleted"],
+        "insert": counts["inserted"],
+    }, (cd, counts)
+    # time travel: the pre-merge snapshot still serves every base row
+    assert store.read_version(v1).count() == base.count()
+    served = store.read().select(
+        "c_custkey", "c_name", "bal_c", "c_mktsegment"
+    )
+    b, s = base.alias("b"), src.alias("s")
+    kept = (
+        b.join(s, F.col("b.c_custkey") == F.col("s.c_custkey"), "left")
+        .filter("s.c_custkey is null or s.bal_c >= 200000")
+        .select(
+            F.col("b.c_custkey").alias("c_custkey"),
+            F.col("b.c_name").alias("c_name"),
+            F.expr(
+                "case when s.c_custkey is null then b.bal_c "
+                "else s.bal_c + b.bal_c end"
+            ).alias("bal_c"),
+            F.expr(
+                "case when s.c_custkey is null then b.c_mktsegment "
+                "else 'MERGED' end"
+            ).alias("c_mktsegment"),
+        )
+    )
+    inserted = s.join(
+        b, F.col("s.c_custkey") == F.col("b.c_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "bal_c", "c_mktsegment")
+    _assert_spark_equal(
+        served, kept.unionByName(inserted), "merged snapshot"
+    )
+    return served
+
+
+_STORE_MERGE_INTO_SQL = """
+with base as (
+  select c_custkey, c_name,
+         cast(round(c_acctbal * 100) as bigint) as bal_c, c_mktsegment
+  from customer where c_custkey % 3 <> 0
+),
+src as (
+  select c_custkey, c_name,
+         cast(round(c_acctbal * 100) as bigint) + 100000 as bal_c,
+         c_mktsegment
+  from customer where c_custkey % 2 = 0
+)
+select b.c_custkey, b.c_name,
+       case when s.c_custkey is null then b.bal_c
+            else s.bal_c + b.bal_c end as bal_c,
+       case when s.c_custkey is null then b.c_mktsegment
+            else 'MERGED' end as c_mktsegment
+from base b left join src s on b.c_custkey = s.c_custkey
+where s.c_custkey is null or s.bal_c >= 200000
+union all
+select s.c_custkey, s.c_name, s.bal_c, s.c_mktsegment
+from src s left join base b on s.c_custkey = b.c_custkey
+where b.c_custkey is null
+"""
+
+
 def _q_store_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-CDF-shaped change feed across a THREE-commit history:
     every row-level change since the first version, stamped with the
@@ -3728,6 +3845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_compaction": _q_store_compaction,
         "store_change_feed": _q_store_change_feed,
         "store_cdf_stream": _q_store_cdf_stream,
+        "store_merge_into": _q_store_merge_into,
         "salted_agg_revenue": _q_salted_agg,
         "skew_hot_key_unsalted": _q_skew_hot_unsalted,
         "skew_hot_key_salted": _q_skew_hot_salted,
@@ -3797,6 +3915,7 @@ def oracle_sql() -> dict[str, str]:
         "store_compaction": _STORE_COMPACT_SQL,
         "store_change_feed": _STORE_CDF_SQL,
         "store_cdf_stream": _STORE_CDF_STREAM_SQL,
+        "store_merge_into": _STORE_MERGE_INTO_SQL,
         "salted_agg_revenue": _SALTED_AGG_SQL,
         "skew_hot_key_unsalted": _SKEW_HOT_SQL,
         "skew_hot_key_salted": _SKEW_HOT_SQL,

@@ -907,6 +907,205 @@ class DocumentStore:
         self._flip_pointer(rel, out, expected_version, None, None)
         return out, n
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        when_matched_update: Optional[dict[str, str]] = None,
+        update_condition: Optional[str] = None,
+        when_matched_delete: Optional[str] = None,
+        when_not_matched_insert: bool = True,
+        cdf: bool = False,
+        expected_version: Optional[str] = None,
+    ) -> tuple[str, dict[str, int]]:
+        """Multi-clause MERGE INTO as ONE deletion-vector commit — the
+        capstone over the row-level DML machinery: the upsert shape
+        the reference runs as a Firestore batched write
+        (/root/reference/lib/FirestoreWrapper.py:102-123 set/delete
+        batches) expressed as a single atomic store version. Clauses,
+        evaluated per matched row in Delta's order:
+
+        - ``when_matched_delete`` (SQL condition over ``t.*``/``s.*``;
+          ``"true"`` for unconditional): matched rows it selects are
+          DELETED;
+        - ``when_matched_update`` (target column -> SQL expression
+          over ``t.*``/``s.*``), optionally gated by
+          ``update_condition``: remaining matched rows take the
+          updated image;
+        - ``when_not_matched_insert``: source rows with no target
+          match are INSERTED (source columns must be a subset of the
+          target's; absent ones land as typed NULLs).
+
+        Physical shape (mirrors :meth:`update_where`): the current
+        version's files HARD-LINK into a new version, every
+        deleted-or-updated row is masked positionally via the KEY-SET
+        deletion-vector form (a left semi-join against the touched
+        keys — never an IN-list on the driver), and the updated +
+        inserted images append as right-sized part files. At 100 TB a
+        merge touching 0.1% of rows writes that sliver; the join that
+        defines the matched set is one shuffle on the key, AQE-sized.
+
+        A source with DUPLICATE keys is rejected up front (the same
+        ambiguity Delta raises on: two source rows updating one
+        target row have no deterministic winner). All validation and
+        counting happens BEFORE the link, so a bad clause fails
+        cleanly with no phantom directory (r9 ADVICE ordering).
+
+        Returns ``(version_dir, {"updated": u, "deleted": d,
+        "inserted": i})``; a merge that touches nothing commits
+        nothing and returns the current version."""
+        cur = self.current_version_dir()
+        if cur is None:
+            raise ValueError(f"store {self.root} is empty; nothing to merge")
+        if expected_version is not None and cur != expected_version:
+            raise ConcurrentCommitError(
+                f"store {self.root}: pointer moved past {expected_version!r} "
+                "since read(); refusing to clobber the concurrent commit"
+            )
+        if when_matched_update is None and when_matched_delete is None \
+                and not when_not_matched_insert:
+            raise ValueError("merge_into: no clauses given")
+        key = self.key_col
+        if key not in source.columns:
+            raise ValueError(f"merge_into: source lacks key column {key!r}")
+        snap = self.read_version(cur)
+        types = dict(snap.dtypes)
+        extra = [c for c in source.columns if c not in snap.columns]
+        if extra:
+            raise ValueError(
+                f"merge_into: source columns {extra} absent from target "
+                "(schema evolution goes through commit(), not merge)"
+            )
+        if when_matched_update:
+            unknown = [c for c in when_matched_update if c not in types]
+            if unknown:
+                raise ValueError(f"merge_into: unknown columns {unknown}")
+        # ambiguous-source guard: bounded probe, not a full count
+        if source.groupBy(key).count().filter("count > 1").limit(1).count():
+            raise ValueError(
+                "merge_into: source has duplicate keys — per-target-row "
+                "clause outcome would be nondeterministic"
+            )
+        t, s = snap.alias("t"), source.alias("s")
+        matched = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "inner")
+        del_cond = F.expr(when_matched_delete) if when_matched_delete \
+            else F.lit(False)
+        upd_cond = (~del_cond) if when_matched_update else F.lit(False)
+        if when_matched_update and update_condition:
+            upd_cond = upd_cond & F.expr(update_condition)
+        tagged = matched.withColumn(
+            "_ffs_clause",
+            F.when(del_cond, "delete")
+            .when(upd_cond, "update")
+            .otherwise(F.lit(None)),
+        )
+        deletes = tagged.filter("_ffs_clause = 'delete'")
+        updates = tagged.filter("_ffs_clause = 'update'")
+        inserts = (
+            s.join(t, F.col(f"s.{key}") == F.col(f"t.{key}"), "left_anti")
+            if when_not_matched_insert
+            else snap.filter(F.lit(False)).alias("s")
+        )
+        # one pass over the join for both matched-clause counts
+        crow = tagged.agg(
+            F.count(F.when(F.col("_ffs_clause") == "delete", 1)).alias("d"),
+            F.count(F.when(F.col("_ffs_clause") == "update", 1)).alias("u"),
+        ).first()
+        counts = {
+            "updated": crow["u"],
+            "deleted": crow["d"],
+            "inserted": inserts.count(),
+        }
+        if not any(counts.values()):
+            return cur, counts
+        upd_images = updates.select(
+            *[
+                (
+                    F.expr(when_matched_update[c]).cast(types[c])
+                    if when_matched_update and c in when_matched_update
+                    else F.col(f"t.{c}")
+                ).alias(c)
+                for c in snap.columns
+            ]
+        )
+        ins_images = inserts.select(
+            *[
+                (
+                    F.col(f"s.{c}").cast(types[c])
+                    if c in source.columns
+                    else F.lit(None).cast(types[c])
+                ).alias(c)
+                for c in snap.columns
+            ]
+        )
+        appended = upd_images.unionByName(ins_images)
+        touched = (
+            deletes.select(F.col(f"t.{key}").alias(key))
+            .unionByName(updates.select(F.col(f"t.{key}").alias(key)))
+        )
+        rel = _new_version_dir_name(self._next_commit_ms())
+        out = os.path.join(self.root, rel)
+        _link_tree(cur, out)
+        shutil.rmtree(os.path.join(out, _CHANGES_DIR), ignore_errors=True)
+        try:
+            # mask FIRST (positions cover only the linked files), then
+            # append — same ordering constraint as update_where
+            if counts["updated"] or counts["deleted"]:
+                write_deletion_vectors(
+                    self.spark, out, legacy_dir=cur,
+                    match_keys=touched, key_col=key,
+                )
+            n_app = counts["updated"] + counts["inserted"]
+            if n_app:
+                n_files = max(1, -(-n_app // 1_000_000))
+                pcols = _hive_partition_cols(cur)
+                writer = appended.coalesce(n_files).write.mode("append")
+                if pcols:
+                    writer = writer.partitionBy(*pcols)
+                writer.parquet(out)
+            if cdf:
+                cols = [c for c in snap.columns if c != key]
+                upd_cd = updates.select(
+                    F.col(f"t.{key}").alias(key),
+                    F.lit("update").alias("change_type"),
+                    *[
+                        (
+                            F.expr(when_matched_update[c]).cast(types[c])
+                            if when_matched_update
+                            and c in when_matched_update
+                            else F.col(f"t.{c}")
+                        ).alias(c)
+                        for c in cols
+                    ],
+                    *[F.col(f"t.{c}").alias(f"old_{c}") for c in cols],
+                )
+                del_cd = deletes.select(
+                    F.col(f"t.{key}").alias(key),
+                    F.lit("delete").alias("change_type"),
+                    *[F.lit(None).cast(types[c]).alias(c) for c in cols],
+                    *[F.col(f"t.{c}").alias(f"old_{c}") for c in cols],
+                )
+                ins_cd = ins_images.select(
+                    F.col(key),
+                    F.lit("insert").alias("change_type"),
+                    *cols,
+                    *[
+                        F.lit(None).cast(types[c]).alias(f"old_{c}")
+                        for c in cols
+                    ],
+                )
+                upd_cd.unionByName(del_cd).unionByName(ins_cd) \
+                    .write.mode("errorifexists").parquet(
+                        os.path.join(out, _CHANGES_DIR)
+                    )
+        except Exception:
+            shutil.rmtree(out, ignore_errors=True)
+            raise
+        for f in os.listdir(out):
+            if f == "_zone_manifest.json" or f.startswith("_bloom_"):
+                os.remove(os.path.join(out, f))
+        self._flip_pointer(rel, out, expected_version, None, None)
+        return out, counts
+
     def optimize_zorder(
         self,
         x_col: str,
@@ -1631,8 +1830,10 @@ def _dv_recover_interrupted_swap(version_dir: str) -> None:
 def write_deletion_vectors(
     spark: SparkSession,
     version_dir: str,
-    predicate: str,
+    predicate: Optional[str] = None,
     legacy_dir: Optional[str] = None,
+    match_keys: Optional[DataFrame] = None,
+    key_col: Optional[str] = None,
 ) -> int:
     """Row-level DELETE without rewriting data files — the Delta
     deletion-vector shape: rows of the committed version matching
@@ -1671,11 +1872,34 @@ def write_deletion_vectors(
     rename(live→old) → rename(tmp→live); a kill between the renames
     is detected and self-healed on the next write or masked read
     (:func:`_dv_recover_interrupted_swap`) — never silently served
-    unmasked."""
+    unmasked.
+
+    Exactly one of ``predicate`` / ``match_keys`` selects the rows to
+    mask. ``match_keys`` (with ``key_col``) is the KEY-SET form used
+    by :meth:`DocumentStore.merge_into`, whose matched set is defined
+    by a join against an arbitrarily large source — rendering it as an
+    IN-list predicate would put the key set on the driver, so instead
+    the scan LEFT SEMI-joins the key frame (AQE sizes it: a sliver
+    broadcasts, a backfill shuffles)."""
+    if (predicate is None) == (match_keys is None):
+        raise ValueError(
+            "write_deletion_vectors: pass exactly one of "
+            "predicate / match_keys"
+        )
     _dv_recover_interrupted_swap(version_dir)
     df = spark.read.parquet(version_dir)
+    if match_keys is not None:
+        if key_col is None:
+            raise ValueError("match_keys requires key_col")
+        matching = df.join(
+            match_keys.select(F.col(key_col).alias("_ffs_mk")).distinct(),
+            df[key_col] == F.col("_ffs_mk"),
+            "left_semi",
+        )
+    else:
+        matching = df.filter(predicate)
     new_dv = (
-        df.filter(predicate)
+        matching
         .select(
             _dv_rel_expr(version_dir, "_metadata.file_path").alias(
                 "file_path"

@@ -554,3 +554,132 @@ def test_dv_dml_across_schema_evolution(spark, tmp_path):
         for r in store.describe_history().collect()
     }
     assert sorted(hist.values()) == sorted([12, 12, 12, 10])
+
+
+# -- MERGE INTO (multi-clause, one DV commit) ---------------------------------
+
+
+def _merge_fixture(spark, tmp_path):
+    store = DocumentStore(spark, str(tmp_path / "merge"), key_col="k")
+    base = spark.createDataFrame(
+        [(i, i * 10, "base") for i in range(1, 9)],
+        "k int, val int, src string",
+    )
+    store.commit(base)
+    source = spark.createDataFrame(
+        [(2, 99, "s"), (4, 1, "s"), (6, 77, "s"), (10, 5, "s"), (11, 6, "s")],
+        "k int, val int, src string",
+    )
+    return store, source
+
+
+def test_merge_into_three_clauses(spark, tmp_path):
+    store, source = _merge_fixture(spark, tmp_path)
+    out, counts = store.merge_into(
+        source,
+        when_matched_update={"val": "s.val + t.val", "src": "'merged'"},
+        when_matched_delete="s.val < 10",
+        when_not_matched_insert=True,
+        cdf=True,
+    )
+    assert counts == {"updated": 2, "deleted": 1, "inserted": 2}
+    got = {r["k"]: (r["val"], r["src"]) for r in store.read().collect()}
+    assert 4 not in got                      # matched-delete clause
+    assert got[2] == (119, "merged")         # matched-update: s+t
+    assert got[6] == (137, "merged")
+    assert got[10] == (5, "s") and got[11] == (6, "s")   # inserts
+    assert got[1] == (10, "base")            # untouched rows survive
+    # one commit: exactly two versions in history
+    assert len(store.list_versions()) == 2
+    # CDF sidecar carries all three change types with pre/post images
+    feed = {
+        (r["k"], r["change_type"]): (r["val"], r["old_val"])
+        for r in spark.read.parquet(
+            os.path.join(out, "_changes")
+        ).collect()
+    }
+    assert feed[(4, "delete")] == (None, 40)
+    assert feed[(2, "update")] == (119, 20)
+    assert feed[(10, "insert")] == (5, None)
+
+
+def test_merge_into_noop_commits_nothing(spark, tmp_path):
+    store, source = _merge_fixture(spark, tmp_path)
+    cur = store.current_version_dir()
+    out, counts = store.merge_into(
+        source.filter("k = 999"),
+        when_matched_update={"val": "s.val"},
+    )
+    assert out == cur and not any(counts.values())
+    assert len(store.list_versions()) == 1
+
+
+def test_merge_into_duplicate_source_keys_rejected(spark, tmp_path):
+    store, source = _merge_fixture(spark, tmp_path)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        store.merge_into(
+            source.unionByName(source),
+            when_matched_update={"val": "s.val"},
+        )
+    assert len(store.list_versions()) == 1   # no phantom directory
+
+
+def test_merge_into_failed_expr_leaves_no_phantom(spark, tmp_path):
+    store, source = _merge_fixture(spark, tmp_path)
+    with pytest.raises(Exception):
+        store.merge_into(
+            source, when_matched_update={"val": "no_such_col + 1"}
+        )
+    assert len(store.list_versions()) == 1
+
+
+def test_merge_into_update_condition_gates_clause(spark, tmp_path):
+    store, source = _merge_fixture(spark, tmp_path)
+    out, counts = store.merge_into(
+        source,
+        when_matched_update={"val": "s.val"},
+        update_condition="t.val >= 60",      # only k=6 passes the gate
+        when_not_matched_insert=False,
+    )
+    assert counts == {"updated": 1, "deleted": 0, "inserted": 0}
+    got = {r["k"]: r["val"] for r in store.read().collect()}
+    assert got[6] == 77 and got[2] == 20 and got[4] == 40
+
+
+def test_merge_into_insert_only_missing_cols_null(spark, tmp_path):
+    store, _ = _merge_fixture(spark, tmp_path)
+    narrow = spark.createDataFrame([(20, 5)], "k int, val int")  # no src col
+    _, counts = store.merge_into(narrow, when_not_matched_insert=True)
+    assert counts == {"updated": 0, "deleted": 0, "inserted": 1}
+    row = {r["k"]: (r["val"], r["src"]) for r in store.read().collect()}[20]
+    assert row == (5, None)
+
+
+def test_merge_into_deletes_accumulate_with_prior_dv(spark, tmp_path):
+    store, source = _merge_fixture(spark, tmp_path)
+    store.delete_where("k = 8")              # prior DV mask on the version
+    _, counts = store.merge_into(
+        source, when_matched_delete="true", when_not_matched_insert=False,
+    )
+    assert counts["deleted"] == 3            # k in (2, 4, 6); 8 already gone
+    keys = {r["k"] for r in store.read().collect()}
+    assert keys == {1, 3, 5, 7}
+    # time travel still sees the pre-merge masked view
+    v_pre = store.list_versions()[-2]
+    pre = {r["k"] for r in store.read_version(
+        os.path.join(store.root, v_pre)).collect()}
+    assert pre == {1, 2, 3, 4, 5, 6, 7}
+
+
+def test_merge_into_compact_then_equal(spark, tmp_path):
+    store, source = _merge_fixture(spark, tmp_path)
+    store.merge_into(
+        source,
+        when_matched_update={"val": "s.val"},
+        when_matched_delete="s.val < 10",
+    )
+    before = sorted(tuple(r) for r in store.read().collect())
+    store.compact()
+    after = sorted(tuple(r) for r in store.read().collect())
+    assert before == after
+    assert _dv_position_count(store.current_version_dir()) == 0
