@@ -2833,6 +2833,123 @@ from v4 group by seg
 """
 
 
+def _q_store_cdf_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MIN/MAX rollup maintenance from the store's own
+    change feed — ``cdf_extrema_sync`` composes the round-10 pieces:
+    the ``store_cdf`` source tails per-version change sidecars with
+    exactly-once offsets, each micro-batch TELESCOPES to net per-key
+    changes (``collapse_changelog`` — a batch spanning several
+    commits must not leak intermediate post-images into the extrema
+    fold), count/sum fold from the changelog alone, and only groups
+    whose retraction ties a stored extreme recompute — from the
+    upstream snapshot PINNED to the batch's newest commit
+    (``read_as_of``), never the live pointer. The restart batch here
+    carries three upstream commits including a chained double-update
+    on the same keys, so the telescoping path is load-bearing, and
+    the deletes kill group maxes, so the Gupta-Mumick recompute leg
+    fires. Exactly-once proven by a third run writing nothing.
+    Self-bisects against the direct aggregate of the final upstream
+    snapshot; the oracle replays all four commits closed-form."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources import cdf_source
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        cdf_extrema_sync,
+    )
+
+    _utc(spark)
+    assert cdf_source.register(spark)
+    base = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("grp"),
+        F.expr(
+            "cast(floor(c_acctbal * cast(64 as double)) as bigint)"
+        ).alias("bal64"),
+    )
+    v1 = base.filter("k % 3 <> 0")
+    src_root = tempfile.mkdtemp(prefix="ffs_cdfx_src_")
+    roll_root = tempfile.mkdtemp(prefix="ffs_cdfx_roll_")
+    ck = tempfile.mkdtemp(prefix="ffs_cdfx_ck_")
+    _TMP_DIRS.extend([src_root, roll_root, ck])
+    src = DocumentStore(spark, src_root, "k")
+    src.commit(v1, cdf=True)
+    roll = DocumentStore(spark, roll_root, "grp")
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.format("store_cdf")
+            .option("path", src_root)
+            .load()
+        )
+        q = cdf_extrema_sync(
+            stream, src, roll, ck, "grp", "n_customers",
+            {"sum_bal64": "bal64"}, {"min_bal64": "bal64"},
+            {"max_bal64": "bal64"}, "cdfext",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()  # consumes v1
+    # three DML commits land while the consumer is DOWN — the restart
+    # batch telescopes them: deletes kill group maxes (recompute leg),
+    # k % 26 keys chain TWO updates (intermediate image retracted)
+    src.delete_where("bal64 >= 576000", cdf=True)
+    src.update_where("k % 13 = 0", {"bal64": "bal64 + 64000"}, cdf=True)
+    src.update_where("k % 26 = 0", {"bal64": "bal64 + 64000"}, cdf=True)
+    run_once()
+    n_versions = len(roll.list_versions())
+    run_once()  # nothing new: must write nothing
+    assert len(roll.list_versions()) == n_versions, (
+        "replayed epoch wrote a new summary version"
+    )
+    got = roll.read().select(
+        "grp",
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("sum_bal64").cast("bigint").alias("sum_bal64"),
+        F.col("min_bal64").cast("bigint").alias("min_bal64"),
+        F.col("max_bal64").cast("bigint").alias("max_bal64"),
+    )
+    want = src.read().groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("bal64").cast("bigint").alias("sum_bal64"),
+        F.min("bal64").cast("bigint").alias("min_bal64"),
+        F.max("bal64").cast("bigint").alias("max_bal64"),
+    )
+    _assert_spark_equal(got, want, "CDF-maintained extrema rollup")
+    return got
+
+
+_STORE_CDF_EXTREMA_SQL = """
+with base as (
+  select c_custkey as k, c_nationkey as grp,
+         cast(floor(c_acctbal * cast(64 as double)) as bigint) as bal64
+  from customer
+),
+v1 as (select * from base where k % 3 <> 0),
+v2 as (select * from v1 where bal64 < 576000),
+v3 as (
+  select k, grp,
+         bal64 + case when k % 13 = 0 then 64000 else 0 end as bal64
+  from v2
+),
+v4 as (
+  select k, grp,
+         bal64 + case when k % 26 = 0 then 64000 else 0 end as bal64
+  from v3
+)
+select grp, cast(count(*) as bigint) as n_customers,
+       cast(sum(bal64) as bigint) as sum_bal64,
+       cast(min(bal64) as bigint) as min_bal64,
+       cast(max(bal64) as bigint) as max_bal64
+from v4 group by grp
+"""
+
+
 def _q_store_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIN/MAX rollup maintenance — the NON-self-maintainable leg
     (r9 VERDICT #2, Gupta & Mumick's recompute-affected-groups):
@@ -3846,6 +3963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_change_feed": _q_store_change_feed,
         "store_cdf_stream": _q_store_cdf_stream,
         "store_merge_into": _q_store_merge_into,
+        "store_cdf_extrema": _q_store_cdf_extrema,
         "salted_agg_revenue": _q_salted_agg,
         "skew_hot_key_unsalted": _q_skew_hot_unsalted,
         "skew_hot_key_salted": _q_skew_hot_salted,
@@ -3916,6 +4034,7 @@ def oracle_sql() -> dict[str, str]:
         "store_change_feed": _STORE_CDF_SQL,
         "store_cdf_stream": _STORE_CDF_STREAM_SQL,
         "store_merge_into": _STORE_MERGE_INTO_SQL,
+        "store_cdf_extrema": _STORE_CDF_EXTREMA_SQL,
         "salted_agg_revenue": _SALTED_AGG_SQL,
         "skew_hot_key_unsalted": _SKEW_HOT_SQL,
         "skew_hot_key_salted": _SKEW_HOT_SQL,

@@ -669,3 +669,73 @@ def commit_view_if_changed(store, view_df: DataFrame, fingerprint: str):
     if store.current_tag() == fingerprint:
         return None
     return store.commit(view_df, tag=fingerprint)
+
+
+def collapse_changelog(
+    changes: DataFrame, key_col: str, order_col: str = "commit_ms"
+) -> DataFrame:
+    """Telescope a MULTI-COMMIT changelog to net per-key changes —
+    the CDC-compaction step that makes a micro-batch spanning several
+    upstream commits consumable by the single-changelog IVM operators
+    (:func:`incremental_rollup` telescopes algebraically, but
+    :func:`incremental_rollup_extrema`'s adds-fold would otherwise
+    see INTERMEDIATE post-images a later change in the same batch
+    retracted — a new group chained insert->update(lower) would keep
+    the retracted low value as its min forever).
+
+    Per key, across all commits in ``changes`` ordered by
+    ``order_col``: the net pre-image is the FIRST change's ``old_*``
+    columns, the net post-image is the LAST change's payload.
+
+    - absent before, present after  -> one ``insert``
+    - present before, absent after  -> one ``delete``
+    - present before and after      -> one ``update``
+    - absent before AND after (a key inserted and deleted within the
+      batch) -> dropped entirely — it never existed for the consumer.
+
+    Input/output schema is the CDF shape (``key, change_type,
+    payload..., old_payload...``); ``order_col`` is consumed. One
+    hash aggregation on the key (``min_by``/``max_by`` structs — a
+    partial-aggregable argmin/argmax, no window sort), so the cost is
+    one shuffle of the changelog itself: at 100 TB a batch of K
+    change rows collapses in O(K), independent of table size."""
+    payload = [
+        c for c in changes.columns
+        if c not in (key_col, "change_type", order_col)
+        and not c.startswith("old_")
+    ]
+    first = F.min_by(
+        F.struct(
+            F.col("change_type").alias("ct"),
+            *[F.col(f"old_{c}").alias(c) for c in payload],
+        ),
+        F.col(order_col),
+    ).alias("_first")
+    last = F.max_by(
+        F.struct(
+            F.col("change_type").alias("ct"),
+            *[F.col(c).alias(c) for c in payload],
+        ),
+        F.col(order_col),
+    ).alias("_last")
+    netted = changes.groupBy(key_col).agg(first, last)
+    before = F.col("_first.ct") != F.lit("insert")
+    after = F.col("_last.ct") != F.lit("delete")
+    return (
+        netted.filter(before | after)
+        .select(
+            F.col(key_col),
+            F.when(before & after, F.lit("update"))
+            .when(before, F.lit("delete"))
+            .otherwise(F.lit("insert"))
+            .alias("change_type"),
+            *[
+                F.when(after, F.col(f"_last.{c}")).alias(c)
+                for c in payload
+            ],
+            *[
+                F.when(before, F.col(f"_first.{c}")).alias(f"old_{c}")
+                for c in payload
+            ],
+        )
+    )

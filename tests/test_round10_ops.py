@@ -683,3 +683,103 @@ def test_merge_into_compact_then_equal(spark, tmp_path):
     after = sorted(tuple(r) for r in store.read().collect())
     assert before == after
     assert _dv_position_count(store.current_version_dir()) == 0
+
+
+# -- changelog telescoping + streaming extrema sync ---------------------------
+
+
+def test_collapse_changelog_telescopes_chains(spark):
+    from far_finer_airtable_firestore_sync_spark.operators.ivm import (
+        collapse_changelog,
+    )
+
+    rows = [
+        # k=1: insert 5 then update to 7 -> net insert(7)
+        (1, "insert", 5, None, 100),
+        (1, "update", 7, 5, 200),
+        # k=2: update 10->3 then 3->8 -> net update(old 10, new 8)
+        (2, "update", 3, 10, 100),
+        (2, "update", 8, 3, 200),
+        # k=3: update 4->6 then delete(6) -> net delete(old 4)
+        (3, "update", 6, 4, 100),
+        (3, "delete", None, 6, 200),
+        # k=4: insert 9 then delete -> dropped
+        (4, "insert", 9, None, 100),
+        (4, "delete", None, 9, 200),
+        # k=5: delete(2) then insert 11 -> net update(old 2, new 11)
+        (5, "delete", None, 2, 100),
+        (5, "insert", 11, None, 200),
+        # k=6: single insert passes through
+        (6, "insert", 1, None, 100),
+    ]
+    changes = spark.createDataFrame(
+        rows, "k int, change_type string, val int, old_val int, commit_ms long"
+    )
+    got = {
+        r["k"]: (r["change_type"], r["val"], r["old_val"])
+        for r in collapse_changelog(changes, "k").collect()
+    }
+    assert got == {
+        1: ("insert", 7, None),
+        2: ("update", 8, 10),
+        3: ("delete", None, 4),
+        5: ("update", 11, 2),
+        6: ("insert", 1, None),
+    }
+
+
+def test_cdf_extrema_sync_maintains_minmax(spark, tmp_path):
+    from far_finer_airtable_firestore_sync_spark.sources import cdf_source
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        cdf_extrema_sync,
+    )
+
+    assert cdf_source.register(spark)
+    src = DocumentStore(spark, str(tmp_path / "src"), key_col="k")
+    roll = DocumentStore(spark, str(tmp_path / "roll"), key_col="grp")
+    ck = str(tmp_path / "ck")
+    base = spark.createDataFrame(
+        [(i, i % 3, i * 10) for i in range(1, 13)], "k int, grp int, val int"
+    )
+    src.commit(base, cdf=True)
+
+    def run_once():
+        stream = (
+            spark.readStream.format("store_cdf")
+            .option("path", src.root).load()
+        )
+        q = cdf_extrema_sync(
+            stream, src, roll, ck, "grp", "n",
+            {"sum_val": "val"}, {"min_val": "val"}, {"max_val": "val"},
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    # while the consumer is down: delete every group's max, push one
+    # row past another group's max, and chain an update on one key —
+    # the restart consumes BOTH versions in one micro-batch, so the
+    # telescoping path is exercised, not just the single-commit path
+    src.delete_where("val >= 100", cdf=True)          # kills group maxes
+    src.update_where("k = 2", {"val": "val + 500"}, cdf=True)
+    run_once()
+    n_versions = len(roll.list_versions())
+    run_once()  # nothing new: exactly-once marker must skip
+    assert len(roll.list_versions()) == n_versions
+
+    got = {
+        r["grp"]: (r["n"], r["sum_val"], r["min_val"], r["max_val"])
+        for r in roll.read().collect()
+    }
+    want = {
+        r["grp"]: (r["n"], r["sum_val"], r["min_val"], r["max_val"])
+        for r in src.read().groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").alias("sum_val"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        ).collect()
+    }
+    assert got == want
