@@ -2833,6 +2833,103 @@ from v4 group by seg
 """
 
 
+def _q_store_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the LOCK-FREE multi-writer log under a real
+    race, exercised inside the value-oracled entry: writer A builds
+    its merge candidate (masked matched keys + appended images), a
+    RIVAL delete lands between the candidate write and A's first
+    publish attempt (the deterministic ``test_hook`` seam), A's CAS
+    correctly fails, and the loop discards the stale candidate and
+    RE-DERIVES against the winner — so a key the rival deleted flips
+    from MATCHED-update to NOT-MATCHED-insert, taking the SOURCE
+    image, never resurrecting the deleted row. The log records the
+    interleaving (rival owns version 2, the re-derived merge owns 3,
+    op kind ``merge_into`` — NON-replayable, so a racing compaction
+    would rebuild, pinned by pytest). Balances ride integer cents.
+    Self-bisect: the served state equals the closed-form
+    delete-then-merge reconstruction; the oracle replays the same
+    interleaving in SQL."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources.backends import (
+        TransactionalParquetBackend,
+    )
+
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        "c_name",
+        F.expr("cast(round(c_acctbal * 100) as bigint)").alias("bal_c"),
+    )
+    base = cust.filter("k % 4 < 3")
+    src = cust.filter("k % 2 = 0").withColumn(
+        "bal_c", F.expr("bal_c + 100000")
+    )
+    root = tempfile.mkdtemp(prefix="ffs_txnmrg_")
+    _TMP_DIRS.append(root)
+    a = TransactionalParquetBackend(spark, root, "k", writer_id="A")
+    rival = TransactionalParquetBackend(spark, root, "k", writer_id="B")
+    a.commit(base.repartition(8, F.col("k")))
+
+    def racing_delete() -> None:
+        rival.delete_where("k % 9 = 0")
+
+    handle, counts = a.merge_into(
+        src,
+        when_matched_update={"bal_c": "s.bal_c + t.bal_c"},
+        when_matched_delete="s.bal_c < 200000",
+        when_not_matched_insert=True,
+        test_hook=racing_delete,
+    )
+    assert handle == "txn://3", handle  # rival owns 2, re-derive owns 3
+    assert all(counts.values()), f"degenerate clause mix: {counts}"
+    served = a.read().select("k", "c_name", "bal_c")
+    afterdel = base.filter("k % 9 <> 0")
+    b, s = afterdel.alias("b"), src.alias("s")
+    kept = (
+        b.join(s, F.col("b.k") == F.col("s.k"), "left")
+        .filter("s.k is null or s.bal_c >= 200000")
+        .select(
+            F.col("b.k").alias("k"),
+            F.col("b.c_name").alias("c_name"),
+            F.expr(
+                "case when s.k is null then b.bal_c "
+                "else s.bal_c + b.bal_c end"
+            ).alias("bal_c"),
+        )
+    )
+    inserted = s.join(
+        b, F.col("s.k") == F.col("b.k"), "left_anti"
+    ).select("k", "c_name", "bal_c")
+    _assert_spark_equal(
+        served, kept.unionByName(inserted), "raced merge state"
+    )
+    return served
+
+
+_STORE_TXN_MERGE_SQL = """
+with cust as (
+  select c_custkey as k, c_name,
+         cast(round(c_acctbal * 100) as bigint) as bal_c
+  from customer
+),
+base as (select * from cust where k % 4 < 3),
+afterdel as (select * from base where k % 9 <> 0),
+src as (
+  select k, c_name, bal_c + 100000 as bal_c from cust where k % 2 = 0
+)
+select b.k, b.c_name,
+       case when s.k is null then b.bal_c
+            else s.bal_c + b.bal_c end as bal_c
+from afterdel b left join src s on b.k = s.k
+where s.k is null or s.bal_c >= 200000
+union all
+select s.k, s.c_name, s.bal_c
+from src s left join afterdel b on s.k = b.k
+where b.k is null
+"""
+
+
 def _q_store_cdf_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MIN/MAX rollup maintenance from the store's own
     change feed — ``cdf_extrema_sync`` composes the round-10 pieces:
@@ -3964,6 +4061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_cdf_stream": _q_store_cdf_stream,
         "store_merge_into": _q_store_merge_into,
         "store_cdf_extrema": _q_store_cdf_extrema,
+        "store_txn_merge": _q_store_txn_merge,
         "salted_agg_revenue": _q_salted_agg,
         "skew_hot_key_unsalted": _q_skew_hot_unsalted,
         "skew_hot_key_salted": _q_skew_hot_salted,
@@ -4035,6 +4133,7 @@ def oracle_sql() -> dict[str, str]:
         "store_cdf_stream": _STORE_CDF_STREAM_SQL,
         "store_merge_into": _STORE_MERGE_INTO_SQL,
         "store_cdf_extrema": _STORE_CDF_EXTREMA_SQL,
+        "store_txn_merge": _STORE_TXN_MERGE_SQL,
         "salted_agg_revenue": _SALTED_AGG_SQL,
         "skew_hot_key_unsalted": _SKEW_HOT_SQL,
         "skew_hot_key_salted": _SKEW_HOT_SQL,

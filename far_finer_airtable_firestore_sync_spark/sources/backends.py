@@ -695,6 +695,143 @@ class TransactionalParquetBackend:
             f"{max_retries + 1} attempts (writer {self.writer_id})"
         )
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        when_matched_update: Optional[dict] = None,
+        update_condition: Optional[str] = None,
+        when_matched_delete: Optional[str] = None,
+        when_not_matched_insert: bool = True,
+        txn: Optional[tuple[str, str]] = None,
+        max_retries: int = 5,
+        test_hook=None,
+    ) -> tuple[str, dict]:
+        """Multi-clause MERGE INTO on the LOCK-FREE log — the
+        cross-host form of ``DocumentStore.merge_into``, completing
+        the backend's DML set: matched-delete + matched-update rows
+        mask positionally via the key-set deletion-vector form,
+        updated + inserted images append right-sized, and the version
+        publishes through the same atomic put-if-absent CAS as
+        :meth:`commit`. A rival winning the version number
+        invalidates the positional mask AND the clause outcomes (the
+        matched set was computed against a stale snapshot), so the
+        loop discards the candidate and re-derives against the winner
+        — bounded retries, the no-lost-update contract.
+
+        Unlike ``delete_where``/``update_where``, the log record is
+        marked NON-replayable (``op.kind = merge_into``): the clause
+        outcomes depend on the SOURCE DataFrame, which the log cannot
+        re-evaluate later — so a racing compaction that finds a merge
+        rival correctly REBUILDS from the new head instead of
+        replaying (:meth:`_maintenance_publish` whitelists only
+        predicate DML).
+
+        Returns ``(txn://N handle, counts)``; a merge touching
+        nothing publishes nothing. ``test_hook`` fires once between
+        the candidate write and the first publish attempt (the
+        deterministic seam race tests and the driver entry inject
+        rivals through — same contract as
+        :meth:`_maintenance_publish`)."""
+        import json
+        import os
+        import shutil
+        import time
+        import uuid
+
+        from far_finer_airtable_firestore_sync_spark.sources.store import (
+            ConcurrentCommitError,
+            _apply_deletion_vectors,
+            _hive_partition_cols,
+            _link_tree,
+            derive_merge_clauses,
+            write_deletion_vectors,
+        )
+
+        for _attempt in range(max_retries + 1):
+            base_v, base_rec = self.latest()
+            if base_rec is None:
+                raise ValueError(
+                    f"store {self.root} is empty; nothing to merge"
+                )
+            src = os.path.join(self.root, base_rec["version_dir"])
+            snap = _apply_deletion_vectors(
+                self.spark, self.spark.read.parquet(src), src
+            )
+            plan = derive_merge_clauses(
+                snap, source, self.key_col,
+                when_matched_update, update_condition,
+                when_matched_delete, when_not_matched_insert,
+            )
+            counts = plan["counts"]
+            if not any(counts.values()):
+                return f"txn://{base_v}", counts
+            rel = f"v-{uuid.uuid4().hex}"
+            out = os.path.join(self.root, rel)
+            _link_tree(src, out)
+            # inherited _changes describes the predecessor's commit
+            shutil.rmtree(os.path.join(out, "_changes"), ignore_errors=True)
+            try:
+                # mask BEFORE append (the DocumentStore ordering
+                # contract), then right-sized partition-aware append
+                if counts["updated"] or counts["deleted"]:
+                    write_deletion_vectors(
+                        self.spark, out, legacy_dir=src,
+                        match_keys=plan["touched"], key_col=self.key_col,
+                    )
+                n_app = counts["updated"] + counts["inserted"]
+                if n_app:
+                    n_files = max(1, -(-n_app // 1_000_000))
+                    writer = (
+                        plan["appended"].coalesce(n_files)
+                        .write.mode("append")
+                    )
+                    pcols = _hive_partition_cols(src)
+                    if pcols:
+                        writer = writer.partitionBy(*pcols)
+                    writer.parquet(out)
+            except Exception:
+                shutil.rmtree(out, ignore_errors=True)
+                raise
+            for f in os.listdir(out):
+                if f == "_zone_manifest.json" or f.startswith("_bloom_"):
+                    os.remove(os.path.join(out, f))
+            if test_hook is not None:
+                test_hook()
+                test_hook = None  # fire exactly once
+            record = {
+                "version_dir": rel,
+                "writer": self.writer_id,
+                "ts_ms": int(time.time() * 1000),
+                "txns": dict(base_rec.get("txns", {})),
+                "op": {"kind": "merge_into"},
+            }
+            if txn is not None:
+                record["txns"][txn[0]] = str(txn[1])
+            tmp = os.path.join(
+                self._log_dir(), f"_tmp-{uuid.uuid4().hex}.json"
+            )
+            with open(tmp, "w") as fh:
+                json.dump(record, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            target = self._record_path(base_v + 1)
+            try:
+                os.link(tmp, target)  # atomic put-if-absent
+                return self._published(base_v + 1), counts
+            except FileExistsError:
+                if os.stat(tmp).st_nlink == 2:  # lost-reply win
+                    return self._published(base_v + 1), counts
+                # a rival owns base_v+1: mask and clause outcomes are
+                # stale by construction — discard and re-derive
+                shutil.rmtree(out, ignore_errors=True)
+                continue
+            finally:
+                os.unlink(tmp)
+        raise ConcurrentCommitError(
+            f"store {self.root}: merge_into CAS failed after "
+            f"{max_retries + 1} attempts (writer {self.writer_id})"
+        )
+
     def commit_with(
         self,
         build_post_state,

@@ -961,87 +961,20 @@ class DocumentStore:
                 f"store {self.root}: pointer moved past {expected_version!r} "
                 "since read(); refusing to clobber the concurrent commit"
             )
-        if when_matched_update is None and when_matched_delete is None \
-                and not when_not_matched_insert:
-            raise ValueError("merge_into: no clauses given")
         key = self.key_col
-        if key not in source.columns:
-            raise ValueError(f"merge_into: source lacks key column {key!r}")
         snap = self.read_version(cur)
-        types = dict(snap.dtypes)
-        extra = [c for c in source.columns if c not in snap.columns]
-        if extra:
-            raise ValueError(
-                f"merge_into: source columns {extra} absent from target "
-                "(schema evolution goes through commit(), not merge)"
-            )
-        if when_matched_update:
-            unknown = [c for c in when_matched_update if c not in types]
-            if unknown:
-                raise ValueError(f"merge_into: unknown columns {unknown}")
-        # ambiguous-source guard: bounded probe, not a full count
-        if source.groupBy(key).count().filter("count > 1").limit(1).count():
-            raise ValueError(
-                "merge_into: source has duplicate keys — per-target-row "
-                "clause outcome would be nondeterministic"
-            )
-        t, s = snap.alias("t"), source.alias("s")
-        matched = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "inner")
-        del_cond = F.expr(when_matched_delete) if when_matched_delete \
-            else F.lit(False)
-        upd_cond = (~del_cond) if when_matched_update else F.lit(False)
-        if when_matched_update and update_condition:
-            upd_cond = upd_cond & F.expr(update_condition)
-        tagged = matched.withColumn(
-            "_ffs_clause",
-            F.when(del_cond, "delete")
-            .when(upd_cond, "update")
-            .otherwise(F.lit(None)),
+        plan = derive_merge_clauses(
+            snap, source, key,
+            when_matched_update, update_condition,
+            when_matched_delete, when_not_matched_insert,
         )
-        deletes = tagged.filter("_ffs_clause = 'delete'")
-        updates = tagged.filter("_ffs_clause = 'update'")
-        inserts = (
-            s.join(t, F.col(f"s.{key}") == F.col(f"t.{key}"), "left_anti")
-            if when_not_matched_insert
-            else snap.filter(F.lit(False)).alias("s")
-        )
-        # one pass over the join for both matched-clause counts
-        crow = tagged.agg(
-            F.count(F.when(F.col("_ffs_clause") == "delete", 1)).alias("d"),
-            F.count(F.when(F.col("_ffs_clause") == "update", 1)).alias("u"),
-        ).first()
-        counts = {
-            "updated": crow["u"],
-            "deleted": crow["d"],
-            "inserted": inserts.count(),
-        }
+        counts = plan["counts"]
         if not any(counts.values()):
             return cur, counts
-        upd_images = updates.select(
-            *[
-                (
-                    F.expr(when_matched_update[c]).cast(types[c])
-                    if when_matched_update and c in when_matched_update
-                    else F.col(f"t.{c}")
-                ).alias(c)
-                for c in snap.columns
-            ]
-        )
-        ins_images = inserts.select(
-            *[
-                (
-                    F.col(f"s.{c}").cast(types[c])
-                    if c in source.columns
-                    else F.lit(None).cast(types[c])
-                ).alias(c)
-                for c in snap.columns
-            ]
-        )
-        appended = upd_images.unionByName(ins_images)
-        touched = (
-            deletes.select(F.col(f"t.{key}").alias(key))
-            .unionByName(updates.select(F.col(f"t.{key}").alias(key)))
-        )
+        types = plan["types"]
+        updates, deletes = plan["updates"], plan["deletes"]
+        ins_images, appended = plan["ins_images"], plan["appended"]
+        touched = plan["touched"]
         rel = _new_version_dir_name(self._next_commit_ms())
         out = os.path.join(self.root, rel)
         _link_tree(cur, out)
@@ -1326,6 +1259,120 @@ def zorder_cluster(
         .sortWithinPartitions("_ffs_zkey")
         .drop("_ffs_zkey")
     )
+
+
+def derive_merge_clauses(
+    snap: DataFrame,
+    source: DataFrame,
+    key: str,
+    when_matched_update: Optional[dict[str, str]],
+    update_condition: Optional[str],
+    when_matched_delete: Optional[str],
+    when_not_matched_insert: bool,
+) -> dict:
+    """Validate and derive the clause outcomes of a MERGE — the
+    engine-independent half shared by
+    :meth:`DocumentStore.merge_into` (single-writer pointer flip) and
+    ``TransactionalParquetBackend.merge_into`` (lock-free CAS): both
+    need the same matched/not-matched split, the same
+    duplicate-source guard, and the same image/touched-key frames;
+    only the commit protocol differs.
+
+    ``snap`` is the MASKED current snapshot (deleted rows must never
+    resurrect through a merge). Eagerly counts each clause (one
+    aggregate over the matched join + one anti-join count) so a bad
+    expression fails BEFORE the caller links a candidate directory.
+
+    Returns ``{"counts", "types", "updates", "deletes",
+    "ins_images", "appended", "touched"}`` — ``updates``/``deletes``
+    keep both ``t.*`` and ``s.*`` sides for CDF emission; ``appended``
+    is the union of updated + inserted target-schema images;
+    ``touched`` is the one-column key frame to mask (the key-set
+    deletion-vector form)."""
+    if when_matched_update is None and when_matched_delete is None \
+            and not when_not_matched_insert:
+        raise ValueError("merge_into: no clauses given")
+    if key not in source.columns:
+        raise ValueError(f"merge_into: source lacks key column {key!r}")
+    types = dict(snap.dtypes)
+    extra = [c for c in source.columns if c not in snap.columns]
+    if extra:
+        raise ValueError(
+            f"merge_into: source columns {extra} absent from target "
+            "(schema evolution goes through commit(), not merge)"
+        )
+    if when_matched_update:
+        unknown = [c for c in when_matched_update if c not in types]
+        if unknown:
+            raise ValueError(f"merge_into: unknown columns {unknown}")
+    # ambiguous-source guard: bounded probe, not a full count
+    if source.groupBy(key).count().filter("count > 1").limit(1).count():
+        raise ValueError(
+            "merge_into: source has duplicate keys — per-target-row "
+            "clause outcome would be nondeterministic"
+        )
+    t, s = snap.alias("t"), source.alias("s")
+    matched = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "inner")
+    del_cond = F.expr(when_matched_delete) if when_matched_delete \
+        else F.lit(False)
+    upd_cond = (~del_cond) if when_matched_update else F.lit(False)
+    if when_matched_update and update_condition:
+        upd_cond = upd_cond & F.expr(update_condition)
+    tagged = matched.withColumn(
+        "_ffs_clause",
+        F.when(del_cond, "delete")
+        .when(upd_cond, "update")
+        .otherwise(F.lit(None)),
+    )
+    deletes = tagged.filter("_ffs_clause = 'delete'")
+    updates = tagged.filter("_ffs_clause = 'update'")
+    inserts = (
+        s.join(t, F.col(f"s.{key}") == F.col(f"t.{key}"), "left_anti")
+        if when_not_matched_insert
+        else snap.filter(F.lit(False)).alias("s")
+    )
+    # one pass over the join for both matched-clause counts
+    crow = tagged.agg(
+        F.count(F.when(F.col("_ffs_clause") == "delete", 1)).alias("d"),
+        F.count(F.when(F.col("_ffs_clause") == "update", 1)).alias("u"),
+    ).first()
+    counts = {
+        "updated": crow["u"],
+        "deleted": crow["d"],
+        "inserted": inserts.count(),
+    }
+    upd_images = updates.select(
+        *[
+            (
+                F.expr(when_matched_update[c]).cast(types[c])
+                if when_matched_update and c in when_matched_update
+                else F.col(f"t.{c}")
+            ).alias(c)
+            for c in snap.columns
+        ]
+    )
+    ins_images = inserts.select(
+        *[
+            (
+                F.col(f"s.{c}").cast(types[c])
+                if c in source.columns
+                else F.lit(None).cast(types[c])
+            ).alias(c)
+            for c in snap.columns
+        ]
+    )
+    return {
+        "counts": counts,
+        "types": types,
+        "updates": updates,
+        "deletes": deletes,
+        "ins_images": ins_images,
+        "appended": upd_images.unionByName(ins_images),
+        "touched": (
+            deletes.select(F.col(f"t.{key}").alias(key))
+            .unionByName(updates.select(F.col(f"t.{key}").alias(key)))
+        ),
+    }
 
 
 def diff_frames(

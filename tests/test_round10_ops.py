@@ -783,3 +783,109 @@ def test_cdf_extrema_sync_maintains_minmax(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+# -- MERGE INTO on the lock-free multi-writer log -----------------------------
+
+
+def test_txn_merge_into_three_clauses(spark, tmp_path):
+    b = _mk_backend(spark, tmp_path, "m1")
+    b.commit(_seed(spark, 10).repartition(4))
+    source = spark.createDataFrame(
+        [(2, 0, 999), (4, 1, -5), (100, 2, 7)], "k long, grp long, val long"
+    )
+    handle, counts = b.merge_into(
+        source,
+        when_matched_update={"val": "s.val + t.val"},
+        when_matched_delete="s.val < 0",
+        when_not_matched_insert=True,
+    )
+    assert handle == "txn://2"
+    assert counts == {"updated": 1, "deleted": 1, "inserted": 1}
+    got = {r["k"]: r["val"] for r in b.read().collect()}
+    assert 4 not in got and got[2] == 999 + 20 and got[100] == 7
+    assert got[3] == 30  # untouched
+
+
+def test_txn_merge_into_rederives_after_rival(spark, tmp_path):
+    b = _mk_backend(spark, tmp_path, "m2")
+    rival = TransactionalParquetBackend(
+        spark, b.root, "k", writer_id="rival"
+    )
+    b.commit(_seed(spark, 10).repartition(4))
+    source = spark.createDataFrame(
+        [(2, 0, 999), (3, 0, 5), (100, 2, 7)], "k long, grp long, val long"
+    )
+    # fire a rival delete at the merge's FIRST publish attempt: the
+    # merge must discard its candidate and re-derive against the
+    # winner, so the rival's delete of k=3 removes it from the
+    # matched set (its update clause must not resurrect it)
+    real_link = os.link
+    state = {"fired": False}
+
+    def racing_link(src, dst):
+        if (
+            "/_log/" in dst.replace(os.sep, "/")
+            and not os.path.basename(dst).startswith("_")
+            and not state["fired"]
+        ):
+            state["fired"] = True
+            rival.delete_where("k = 3")
+        return real_link(src, dst)
+
+    try:
+        os.link = racing_link
+        handle, counts = b.merge_into(
+            source, when_matched_update={"val": "s.val + t.val"},
+        )
+    finally:
+        os.link = real_link
+    assert handle == "txn://3"  # rival owns 2, re-derived merge owns 3
+    # k=3 was deleted by the rival BEFORE the re-derivation, so the
+    # merge sees it as NOT MATCHED and re-inserts it from the source —
+    # the update clause must not resurrect the old image (val 30)
+    assert counts == {"updated": 1, "deleted": 0, "inserted": 2}
+    got = {r["k"]: r["val"] for r in b.read().collect()}
+    assert got[3] == 5           # source image, not the deleted row's 30
+    assert got[2] == 999 + 20 and got[100] == 7
+
+
+def test_txn_compact_rebuilds_on_rival_merge(spark, tmp_path):
+    b = _mk_backend(spark, tmp_path, "m3")
+    rival = TransactionalParquetBackend(
+        spark, b.root, "k", writer_id="rival"
+    )
+    b.commit(_seed(spark, 10).repartition(4))
+    source = spark.createDataFrame(
+        [(2, 0, 999), (4, 1, -5)], "k long, grp long, val long"
+    )
+
+    def hook():
+        # merge is NON-replayable (clause outcomes depend on the
+        # source frame): the compaction must rebuild, not replay
+        rival.merge_into(
+            source,
+            when_matched_update={"val": "s.val"},
+            when_matched_delete="s.val < 0",
+            when_not_matched_insert=False,
+        )
+
+    b.compact(target_rows_per_file=1_000_000, test_hook=hook)
+    _v, rec = b.latest()
+    assert rec["op"]["kind"] == "compact"
+    got = {r["k"]: r["val"] for r in b.read().collect()}
+    assert 4 not in got and got[2] == 999
+    # rebuilt on top of the merge: compacted snapshot carries no mask
+    vd = os.path.join(b.root, rec["version_dir"])
+    assert _dv_position_count(vd) == 0
+
+
+def test_txn_merge_into_carries_txn_markers(spark, tmp_path):
+    b = _mk_backend(spark, tmp_path, "m4")
+    b.commit(_seed(spark, 10), txn=("appZ", "3"))
+    source = spark.createDataFrame([(1, 0, 42)], "k long, grp long, val long")
+    b.merge_into(
+        source, when_matched_update={"val": "s.val"},
+        txn=("merger", "9"),
+    )
+    assert b.last_txn("appZ") == "3" and b.last_txn("merger") == "9"
