@@ -2882,7 +2882,9 @@ def _q_store_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         test_hook=racing_delete,
     )
     assert handle == "txn://3", handle  # rival owns 2, re-derive owns 3
-    assert all(counts.values()), f"degenerate clause mix: {counts}"
+    assert counts["updated"] and counts["deleted"] and counts["inserted"], (
+        f"degenerate clause mix: {counts}"
+    )
     served = a.read().select("k", "c_name", "bal_c")
     afterdel = base.filter("k % 9 <> 0")
     b, s = afterdel.alias("b"), src.alias("s")
@@ -3183,8 +3185,9 @@ select * from kept union all select * from extra
 def _q_store_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-clause MERGE INTO as ONE deletion-vector commit — the
     capstone over the store's row-level DML (``merge_into``, round
-    10): matched-delete, matched-update, and not-matched-insert
-    clauses land atomically as a single version (masked old images via
+    10): matched-delete, matched-update, not-matched-insert, and
+    not-matched-BY-SOURCE-delete clauses land atomically as a single
+    version (masked old images via
     the KEY-SET DV form — a semi-join against the touched keys, never
     a driver-side IN-list — plus right-sized appended images). The
     reference runs this shape as a Firestore batched set/delete
@@ -3225,6 +3228,7 @@ def _q_store_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         when_matched_delete="s.bal_c < 200000",
         when_not_matched_insert=True,
+        when_not_matched_by_source_delete="bal_c > 900000",
         cdf=True,
     )
     assert all(counts.values()), f"degenerate clause mix: {counts}"
@@ -3237,7 +3241,7 @@ def _q_store_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     assert cd == {
         "update": counts["updated"],
-        "delete": counts["deleted"],
+        "delete": counts["deleted"] + counts["deleted_by_source"],
         "insert": counts["inserted"],
     }, (cd, counts)
     # time travel: the pre-merge snapshot still serves every base row
@@ -3248,7 +3252,10 @@ def _q_store_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     b, s = base.alias("b"), src.alias("s")
     kept = (
         b.join(s, F.col("b.c_custkey") == F.col("s.c_custkey"), "left")
-        .filter("s.c_custkey is null or s.bal_c >= 200000")
+        .filter(
+            "(s.c_custkey is null and b.bal_c <= 900000) "
+            "or (s.c_custkey is not null and s.bal_c >= 200000)"
+        )
         .select(
             F.col("b.c_custkey").alias("c_custkey"),
             F.col("b.c_name").alias("c_name"),
@@ -3289,7 +3296,8 @@ select b.c_custkey, b.c_name,
        case when s.c_custkey is null then b.c_mktsegment
             else 'MERGED' end as c_mktsegment
 from base b left join src s on b.c_custkey = s.c_custkey
-where s.c_custkey is null or s.bal_c >= 200000
+where (s.c_custkey is null and b.bal_c <= 900000)
+   or (s.c_custkey is not null and s.bal_c >= 200000)
 union all
 select s.c_custkey, s.c_name, s.bal_c, s.c_mktsegment
 from src s left join base b on s.c_custkey = b.c_custkey

@@ -702,6 +702,7 @@ class TransactionalParquetBackend:
         update_condition: Optional[str] = None,
         when_matched_delete: Optional[str] = None,
         when_not_matched_insert: bool = True,
+        when_not_matched_by_source_delete: Optional[str] = None,
         txn: Optional[tuple[str, str]] = None,
         max_retries: int = 5,
         test_hook=None,
@@ -761,6 +762,7 @@ class TransactionalParquetBackend:
                 snap, source, self.key_col,
                 when_matched_update, update_condition,
                 when_matched_delete, when_not_matched_insert,
+                when_not_matched_by_source_delete,
             )
             counts = plan["counts"]
             if not any(counts.values()):
@@ -773,7 +775,8 @@ class TransactionalParquetBackend:
             try:
                 # mask BEFORE append (the DocumentStore ordering
                 # contract), then right-sized partition-aware append
-                if counts["updated"] or counts["deleted"]:
+                if counts["updated"] or counts["deleted"] \
+                        or counts["deleted_by_source"]:
                     write_deletion_vectors(
                         self.spark, out, legacy_dir=src,
                         match_keys=plan["touched"], key_col=self.key_col,

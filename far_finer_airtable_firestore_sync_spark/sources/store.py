@@ -914,6 +914,7 @@ class DocumentStore:
         update_condition: Optional[str] = None,
         when_matched_delete: Optional[str] = None,
         when_not_matched_insert: bool = True,
+        when_not_matched_by_source_delete: Optional[str] = None,
         cdf: bool = False,
         expected_version: Optional[str] = None,
     ) -> tuple[str, dict[str, int]]:
@@ -933,7 +934,12 @@ class DocumentStore:
           updated image;
         - ``when_not_matched_insert``: source rows with no target
           match are INSERTED (source columns must be a subset of the
-          target's; absent ones land as typed NULLs).
+          target's; absent ones land as typed NULLs);
+        - ``when_not_matched_by_source_delete`` (SQL condition over
+          bare target columns; ``"true"`` for unconditional): target
+          rows with NO source match are DELETED — with an
+          unconditional insert clause this is the full-sync shape
+          (source = the complete desired state).
 
         Physical shape (mirrors :meth:`update_where`): the current
         version's files HARD-LINK into a new version, every
@@ -967,12 +973,14 @@ class DocumentStore:
             snap, source, key,
             when_matched_update, update_condition,
             when_matched_delete, when_not_matched_insert,
+            when_not_matched_by_source_delete,
         )
         counts = plan["counts"]
         if not any(counts.values()):
             return cur, counts
         types = plan["types"]
         updates, deletes = plan["updates"], plan["deletes"]
+        nbs_deletes = plan["nbs_deletes"]
         ins_images, appended = plan["ins_images"], plan["appended"]
         touched = plan["touched"]
         rel = _new_version_dir_name(self._next_commit_ms())
@@ -982,7 +990,8 @@ class DocumentStore:
         try:
             # mask FIRST (positions cover only the linked files), then
             # append — same ordering constraint as update_where
-            if counts["updated"] or counts["deleted"]:
+            if counts["updated"] or counts["deleted"] \
+                    or counts["deleted_by_source"]:
                 write_deletion_vectors(
                     self.spark, out, legacy_dir=cur,
                     match_keys=touched, key_col=key,
@@ -1026,7 +1035,14 @@ class DocumentStore:
                         for c in cols
                     ],
                 )
+                nbs_cd = nbs_deletes.select(
+                    F.col(key),
+                    F.lit("delete").alias("change_type"),
+                    *[F.lit(None).cast(types[c]).alias(c) for c in cols],
+                    *[F.col(c).alias(f"old_{c}") for c in cols],
+                )
                 upd_cd.unionByName(del_cd).unionByName(ins_cd) \
+                    .unionByName(nbs_cd) \
                     .write.mode("errorifexists").parquet(
                         os.path.join(out, _CHANGES_DIR)
                     )
@@ -1269,6 +1285,7 @@ def derive_merge_clauses(
     update_condition: Optional[str],
     when_matched_delete: Optional[str],
     when_not_matched_insert: bool,
+    when_not_matched_by_source_delete: Optional[str] = None,
 ) -> dict:
     """Validate and derive the clause outcomes of a MERGE — the
     engine-independent half shared by
@@ -1288,9 +1305,18 @@ def derive_merge_clauses(
     keep both ``t.*`` and ``s.*`` sides for CDF emission; ``appended``
     is the union of updated + inserted target-schema images;
     ``touched`` is the one-column key frame to mask (the key-set
-    deletion-vector form)."""
+    deletion-vector form).
+
+    ``when_not_matched_by_source_delete`` is Delta's third clause
+    family: target rows with NO source match are deleted when the
+    condition (SQL over bare target columns; ``"true"`` for
+    unconditional) holds — the full-sync shape (source = complete
+    desired state => matched rows update, unmatched target rows
+    leave). Its rows land in ``nbs_deletes`` (bare target schema, no
+    ``s.*`` side) and their keys join ``touched``."""
     if when_matched_update is None and when_matched_delete is None \
-            and not when_not_matched_insert:
+            and not when_not_matched_insert \
+            and when_not_matched_by_source_delete is None:
         raise ValueError("merge_into: no clauses given")
     if key not in source.columns:
         raise ValueError(f"merge_into: source lacks key column {key!r}")
@@ -1331,6 +1357,12 @@ def derive_merge_clauses(
         if when_not_matched_insert
         else snap.filter(F.lit(False)).alias("s")
     )
+    nbs_deletes = (
+        t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "left_anti")
+        .filter(when_not_matched_by_source_delete)
+        if when_not_matched_by_source_delete is not None
+        else snap.filter(F.lit(False))
+    )
     # one pass over the join for both matched-clause counts
     crow = tagged.agg(
         F.count(F.when(F.col("_ffs_clause") == "delete", 1)).alias("d"),
@@ -1340,6 +1372,7 @@ def derive_merge_clauses(
         "updated": crow["u"],
         "deleted": crow["d"],
         "inserted": inserts.count(),
+        "deleted_by_source": nbs_deletes.count(),
     }
     upd_images = updates.select(
         *[
@@ -1366,11 +1399,13 @@ def derive_merge_clauses(
         "types": types,
         "updates": updates,
         "deletes": deletes,
+        "nbs_deletes": nbs_deletes,
         "ins_images": ins_images,
         "appended": upd_images.unionByName(ins_images),
         "touched": (
             deletes.select(F.col(f"t.{key}").alias(key))
             .unionByName(updates.select(F.col(f"t.{key}").alias(key)))
+            .unionByName(nbs_deletes.select(F.col(key)))
         ),
     }
 

@@ -582,7 +582,8 @@ def test_merge_into_three_clauses(spark, tmp_path):
         when_not_matched_insert=True,
         cdf=True,
     )
-    assert counts == {"updated": 2, "deleted": 1, "inserted": 2}
+    assert counts == {"updated": 2, "deleted": 1, "inserted": 2,
+                      "deleted_by_source": 0}
     got = {r["k"]: (r["val"], r["src"]) for r in store.read().collect()}
     assert 4 not in got                      # matched-delete clause
     assert got[2] == (119, "merged")         # matched-update: s+t
@@ -641,7 +642,8 @@ def test_merge_into_update_condition_gates_clause(spark, tmp_path):
         update_condition="t.val >= 60",      # only k=6 passes the gate
         when_not_matched_insert=False,
     )
-    assert counts == {"updated": 1, "deleted": 0, "inserted": 0}
+    assert counts == {"updated": 1, "deleted": 0, "inserted": 0,
+                      "deleted_by_source": 0}
     got = {r["k"]: r["val"] for r in store.read().collect()}
     assert got[6] == 77 and got[2] == 20 and got[4] == 40
 
@@ -650,7 +652,8 @@ def test_merge_into_insert_only_missing_cols_null(spark, tmp_path):
     store, _ = _merge_fixture(spark, tmp_path)
     narrow = spark.createDataFrame([(20, 5)], "k int, val int")  # no src col
     _, counts = store.merge_into(narrow, when_not_matched_insert=True)
-    assert counts == {"updated": 0, "deleted": 0, "inserted": 1}
+    assert counts == {"updated": 0, "deleted": 0, "inserted": 1,
+                      "deleted_by_source": 0}
     row = {r["k"]: (r["val"], r["src"]) for r in store.read().collect()}[20]
     assert row == (5, None)
 
@@ -801,7 +804,8 @@ def test_txn_merge_into_three_clauses(spark, tmp_path):
         when_not_matched_insert=True,
     )
     assert handle == "txn://2"
-    assert counts == {"updated": 1, "deleted": 1, "inserted": 1}
+    assert counts == {"updated": 1, "deleted": 1, "inserted": 1,
+                      "deleted_by_source": 0}
     got = {r["k"]: r["val"] for r in b.read().collect()}
     assert 4 not in got and got[2] == 999 + 20 and got[100] == 7
     assert got[3] == 30  # untouched
@@ -844,7 +848,8 @@ def test_txn_merge_into_rederives_after_rival(spark, tmp_path):
     # k=3 was deleted by the rival BEFORE the re-derivation, so the
     # merge sees it as NOT MATCHED and re-inserts it from the source —
     # the update clause must not resurrect the old image (val 30)
-    assert counts == {"updated": 1, "deleted": 0, "inserted": 2}
+    assert counts == {"updated": 1, "deleted": 0, "inserted": 2,
+                      "deleted_by_source": 0}
     got = {r["k"]: r["val"] for r in b.read().collect()}
     assert got[3] == 5           # source image, not the deleted row's 30
     assert got[2] == 999 + 20 and got[100] == 7
@@ -889,3 +894,60 @@ def test_txn_merge_into_carries_txn_markers(spark, tmp_path):
         txn=("merger", "9"),
     )
     assert b.last_txn("appZ") == "3" and b.last_txn("merger") == "9"
+
+
+def test_merge_into_not_matched_by_source_delete(spark, tmp_path):
+    store, source = _merge_fixture(spark, tmp_path)
+    # full-sync shape: source IS the desired state — matched rows
+    # update, unmatched target rows leave, unmatched source rows enter
+    out, counts = store.merge_into(
+        source,
+        when_matched_update={"val": "s.val", "src": "s.src"},
+        when_not_matched_insert=True,
+        when_not_matched_by_source_delete="true",
+        cdf=True,
+    )
+    assert counts == {"updated": 3, "deleted": 0, "inserted": 2,
+                      "deleted_by_source": 5}
+    got = sorted((r["k"], r["val"]) for r in store.read().collect())
+    want = sorted((r["k"], r["val"]) for r in source.collect())
+    assert got == want
+    # CDF carries the by-source deletes with pre-images
+    cd = spark.read.parquet(os.path.join(out, "_changes"))
+    dels = {
+        r["k"]: r["old_val"]
+        for r in cd.filter("change_type = 'delete'").collect()
+    }
+    assert dels == {1: 10, 3: 30, 5: 50, 7: 70, 8: 80}
+
+
+def test_merge_into_by_source_delete_conditional(spark, tmp_path):
+    store, source = _merge_fixture(spark, tmp_path)
+    _, counts = store.merge_into(
+        source,
+        when_not_matched_insert=False,
+        when_not_matched_by_source_delete="val > 50",
+    )
+    assert counts == {"updated": 0, "deleted": 0, "inserted": 0,
+                      "deleted_by_source": 2}   # k=7 (70), k=8 (80)
+    keys = {r["k"] for r in store.read().collect()}
+    assert keys == {1, 2, 3, 4, 5, 6}
+
+
+def test_txn_merge_into_by_source_delete(spark, tmp_path):
+    b = _mk_backend(spark, tmp_path, "m5")
+    b.commit(_seed(spark, 10).repartition(4))
+    source = spark.createDataFrame(
+        [(2, 0, 999), (100, 2, 7)], "k long, grp long, val long"
+    )
+    _, counts = b.merge_into(
+        source,
+        when_matched_update={"val": "s.val"},
+        when_not_matched_insert=True,
+        when_not_matched_by_source_delete="k >= 8",
+    )
+    assert counts == {"updated": 1, "deleted": 0, "inserted": 1,
+                      "deleted_by_source": 2}   # k=8, k=9
+    got = {r["k"]: r["val"] for r in b.read().collect()}
+    assert got[2] == 999 and got[100] == 7
+    assert 8 not in got and 9 not in got and got[7] == 70
