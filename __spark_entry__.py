@@ -2833,6 +2833,68 @@ from v4 group by seg
 """
 
 
+def _q_store_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-RESTORE as O(filecount) METADATA (round-10: the previous
+    implementation rewrote the data — restoring a 100 TB snapshot
+    must not copy 100 TB): the target version's immutable files
+    hard-link into a new commit, its deletion-vector sidecar rides
+    along (positions are version-relative, so the restored view keeps
+    the target's masked state), history stays append-only
+    (``read_as_of`` still reaches the rolled-back versions), and
+    ``cdf=True`` writes the restore's own change feed as the diff
+    current -> restored — downstream CDF consumers see the rollback
+    as ordinary retractions. The entry commits a base, DV-deletes a
+    slice, applies an update it then rolls back, restores to the
+    post-delete version, and asserts inode identity (zero data
+    movement), the update-retraction CDF, and four-version history.
+    Balances ride integer cents; self-bisects vs the closed form."""
+    import os
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        "c_name",
+        F.expr("cast(round(c_acctbal * 100) as bigint)").alias("bal_c"),
+    )
+    base = cust.filter("k % 3 <> 0")
+    root = tempfile.mkdtemp(prefix="ffs_rst_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "k")
+    store.commit(base.repartition(4, F.col("k")))
+    v2, _n = store.delete_where("k % 5 = 0")
+    _v3, n_upd = store.update_where("k % 7 = 0", {"bal_c": "bal_c + 100000"})
+    assert n_upd > 0
+    v4 = store.restore(v2, cdf=True)
+    # zero data movement: every target data file is hard-linked
+    for f in os.listdir(v2):
+        if f.endswith(".parquet"):
+            assert os.stat(os.path.join(v4, f)).st_ino == os.stat(
+                os.path.join(v2, f)
+            ).st_ino, f"restore rewrote {f}"
+    # the rollback's own feed: exactly the update retractions
+    cd = spark.read.parquet(os.path.join(v4, "_changes"))
+    assert {r["change_type"] for r in cd.collect()} == {"update"}
+    assert cd.count() == n_upd
+    assert len(store.list_versions()) == 4  # append-only history
+    served = store.read().select("k", "c_name", "bal_c")
+    want = base.filter("k % 5 <> 0")
+    _assert_spark_equal(served, want, "restored snapshot")
+    return served
+
+
+_STORE_RESTORE_SQL = """
+select c_custkey as k, c_name,
+       cast(round(c_acctbal * 100) as bigint) as bal_c
+from customer
+where c_custkey % 3 <> 0 and c_custkey % 5 <> 0
+"""
+
+
 def _q_store_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO on the LOCK-FREE multi-writer log under a real
     race, exercised inside the value-oracled entry: writer A builds
@@ -4070,6 +4132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_merge_into": _q_store_merge_into,
         "store_cdf_extrema": _q_store_cdf_extrema,
         "store_txn_merge": _q_store_txn_merge,
+        "store_restore": _q_store_restore,
         "salted_agg_revenue": _q_salted_agg,
         "skew_hot_key_unsalted": _q_skew_hot_unsalted,
         "skew_hot_key_salted": _q_skew_hot_salted,
@@ -4142,6 +4205,7 @@ def oracle_sql() -> dict[str, str]:
         "store_merge_into": _STORE_MERGE_INTO_SQL,
         "store_cdf_extrema": _STORE_CDF_EXTREMA_SQL,
         "store_txn_merge": _STORE_TXN_MERGE_SQL,
+        "store_restore": _STORE_RESTORE_SQL,
         "salted_agg_revenue": _SALTED_AGG_SQL,
         "skew_hot_key_unsalted": _SKEW_HOT_SQL,
         "skew_hot_key_salted": _SKEW_HOT_SQL,

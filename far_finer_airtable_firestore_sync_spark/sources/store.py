@@ -668,20 +668,51 @@ class DocumentStore:
             pruned(old_dir), pruned(new_dir), self.key_col, include_old
         )
 
-    def restore(self, version_dir: str) -> str:
+    def restore(self, version_dir: str, cdf: bool = False) -> str:
         """Roll the store back to an earlier snapshot AS A NEW COMMIT
         (the Delta RESTORE shape): the restored state is re-committed
         rather than the pointer moved backwards, so history stays
         append-only — describe_history shows the restore, read_as_of
         still reaches the versions in between, and vacuum's
-        keep-last-N window is unaffected. The data is rewritten (plain
-        parquet has no manifest to re-reference); on a table-format
-        backend this becomes a metadata-only operation."""
+        keep-last-N window is unaffected.
+
+        O(filecount) METADATA, not a rewrite (round-10: the previous
+        implementation re-committed the data through a full write —
+        restoring a 100 TB snapshot must not copy 100 TB): the target
+        version's immutable files HARD-LINK into the new version
+        (:func:`_link_tree`), its deletion-vector sidecar copies with
+        them (positions are version-relative and file names are
+        preserved, so the restored view keeps the target's masked
+        state — same argument as :func:`shallow_clone`), and the
+        pointer flips under the commit lock. The inherited
+        ``_changes`` sidecar is stripped (it describes the TARGET's
+        commit, not this restore); ``cdf=True`` writes this restore's
+        own feed as the diff current -> restored, so downstream CDF
+        consumers see the rollback as ordinary retractions/updates."""
         if version_dir not in self.list_versions():
             raise ValueError(
                 f"{version_dir!r} is not a committed version of {self.root}"
             )
-        return self.commit(self.read_version(version_dir))
+        cur = self.current_version_dir()
+        rel = _new_version_dir_name(self._next_commit_ms())
+        out = os.path.join(self.root, rel)
+        _link_tree(version_dir, out)
+        shutil.rmtree(os.path.join(out, _CHANGES_DIR), ignore_errors=True)
+        if cdf:
+            try:
+                diff_frames(
+                    self.read_version(cur),
+                    self.read_version(version_dir),
+                    self.key_col,
+                    include_old=True,
+                ).write.mode("errorifexists").parquet(
+                    os.path.join(out, _CHANGES_DIR)
+                )
+            except Exception:
+                shutil.rmtree(out, ignore_errors=True)
+                raise
+        self._flip_pointer(rel, out, None, None, None)
+        return out
 
     def read_where(self, col: str, lo: Any, hi: Any) -> Optional[DataFrame]:
         """Zone-pruned selective read of the CURRENT snapshot:

@@ -951,3 +951,42 @@ def test_txn_merge_into_by_source_delete(spark, tmp_path):
     got = {r["k"]: r["val"] for r in b.read().collect()}
     assert got[2] == 999 and got[100] == 7
     assert 8 not in got and 9 not in got and got[7] == 70
+
+
+# -- O(filecount) RESTORE ------------------------------------------------------
+
+
+def test_restore_is_linked_not_rewritten(spark, tmp_path):
+    store = DocumentStore(spark, str(tmp_path / "rs"), key_col="k")
+    v1 = store.commit(
+        spark.createDataFrame([(i, i * 10) for i in range(6)], "k int, v int")
+    )
+    store.commit(
+        spark.createDataFrame([(9, 90)], "k int, v int")
+    )
+    v3 = store.restore(v1, cdf=True)
+    assert sorted(r["k"] for r in store.read().collect()) == list(range(6))
+    # metadata-only: every data file in the restored version shares an
+    # inode with the target version (hard link, zero data movement)
+    v1_inodes = {
+        f: os.stat(os.path.join(v1, f)).st_ino
+        for f in os.listdir(v1) if f.endswith(".parquet")
+    }
+    for f, ino in v1_inodes.items():
+        assert os.stat(os.path.join(v3, f)).st_ino == ino
+    # the restore's own CDF describes the rollback as ordinary changes
+    cd = spark.read.parquet(os.path.join(v3, "_changes"))
+    by_type = {r["change_type"] for r in cd.collect()}
+    assert by_type == {"insert", "delete"}   # 0-5 return, 9 retracts
+
+
+def test_restore_preserves_dv_masked_view(spark, tmp_path):
+    store = DocumentStore(spark, str(tmp_path / "rdv"), key_col="k")
+    v1 = store.commit(
+        spark.createDataFrame([(i, i * 10) for i in range(8)], "k int, v int")
+    )
+    v2, _ = store.delete_where("k % 3 = 0")
+    store.commit(spark.createDataFrame([(99, 0)], "k int, v int"))
+    store.restore(v2)
+    got = sorted(r["k"] for r in store.read().collect())
+    assert got == [i for i in range(8) if i % 3 != 0]
