@@ -3111,6 +3111,114 @@ from v4 group by grp
 """
 
 
+def _q_store_txn_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the LOCK-FREE MULTI-WRITER log's change feed —
+    the round-10 CDF machinery moved to where concurrent writers
+    live: every backend commit/DML path takes ``cdf=True`` (snapshot
+    commits re-derive their diff INSIDE the publish loop so the feed
+    always describes the base the CAS actually landed on; predicate
+    DML and merge write their delta with no diff join), and the
+    ``store_cdf_txn`` source tails the log with offsets that are the
+    DENSE INTEGER versions themselves — exactly-once boundary slicing
+    no matter how many rivals land between batches. Maintenance
+    commits (compact here, mid-range, between two DML commits the
+    restart must consume) are LOGICAL NO-OPS and are skipped, Delta-
+    CDF-style; a non-cdf commit in range fails loudly instead of
+    serving a feed with holes. TWO writers feed the log while the
+    consumer is down. Self-bisects the maintained rollup against the
+    direct aggregate of the final backend state; the oracle replays
+    the three data commits closed-form."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources import cdf_source
+    from far_finer_airtable_firestore_sync_spark.sources.backends import (
+        TransactionalParquetBackend,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        cdf_rollup_sync,
+    )
+
+    _utc(spark)
+    assert cdf_source.register_txn(spark)
+    base = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(
+            "cast(floor(c_acctbal * cast(64 as double)) as bigint)"
+        ).alias("bal64"),
+    )
+    src_root = tempfile.mkdtemp(prefix="ffs_txncdf_src_")
+    roll_root = tempfile.mkdtemp(prefix="ffs_txncdf_roll_")
+    ck = tempfile.mkdtemp(prefix="ffs_txncdf_ck_")
+    _TMP_DIRS.extend([src_root, roll_root, ck])
+    a = TransactionalParquetBackend(spark, src_root, "k", writer_id="A")
+    b = TransactionalParquetBackend(spark, src_root, "k", writer_id="B")
+    a.commit(base, cdf=True)
+    roll = DocumentStore(spark, roll_root, "seg")
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.format("store_cdf_txn")
+            .option("path", src_root)
+            .load()
+            .drop("commit_version")
+        )
+        q = cdf_rollup_sync(
+            stream, roll, ck, "seg", "n_customers",
+            {"sum_bal_64ths": "bal64"}, "txncdfroll",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()  # consumes v1
+    # while the consumer is DOWN: a SECOND writer deletes, the first
+    # compacts (log version the feed must SKIP, not trip on), then
+    # updates — the restart batch spans delete..compact..update
+    b.delete_where("k % 11 = 0", cdf=True)
+    a.compact()
+    a.update_where("k % 13 = 0", {"bal64": "bal64 + 64"}, cdf=True)
+    run_once()
+    n_versions = len(roll.list_versions())
+    run_once()  # nothing new: must write nothing
+    assert len(roll.list_versions()) == n_versions, (
+        "replayed epoch wrote a new summary version"
+    )
+    got = roll.read().select(
+        "seg",
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("sum_bal_64ths").cast("bigint").alias("sum_bal_64ths"),
+    )
+    want = a.read().groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("bal64").cast("bigint").alias("sum_bal_64ths"),
+    )
+    _assert_spark_equal(got, want, "txn-CDF-maintained rollup")
+    return got
+
+
+_STORE_TXN_CDF_SQL = """
+with base as (
+  select c_custkey as k, c_mktsegment as seg,
+         cast(floor(c_acctbal * cast(64 as double)) as bigint) as bal64
+  from customer
+),
+v2 as (select * from base where k % 11 <> 0),
+v3 as (
+  select k, seg,
+         bal64 + case when k % 13 = 0 then 64 else 0 end as bal64
+  from v2
+)
+select seg, cast(count(*) as bigint) as n_customers,
+       cast(sum(bal64) as bigint) as sum_bal_64ths
+from v3 group by seg
+"""
+
+
 def _q_store_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIN/MAX rollup maintenance — the NON-self-maintainable leg
     (r9 VERDICT #2, Gupta & Mumick's recompute-affected-groups):
@@ -4131,6 +4239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_cdf_stream": _q_store_cdf_stream,
         "store_merge_into": _q_store_merge_into,
         "store_cdf_extrema": _q_store_cdf_extrema,
+        "store_txn_cdf_stream": _q_store_txn_cdf_stream,
         "store_txn_merge": _q_store_txn_merge,
         "store_restore": _q_store_restore,
         "salted_agg_revenue": _q_salted_agg,
@@ -4204,6 +4313,7 @@ def oracle_sql() -> dict[str, str]:
         "store_cdf_stream": _STORE_CDF_STREAM_SQL,
         "store_merge_into": _STORE_MERGE_INTO_SQL,
         "store_cdf_extrema": _STORE_CDF_EXTREMA_SQL,
+        "store_txn_cdf_stream": _STORE_TXN_CDF_SQL,
         "store_txn_merge": _STORE_TXN_MERGE_SQL,
         "store_restore": _STORE_RESTORE_SQL,
         "salted_agg_revenue": _SALTED_AGG_SQL,

@@ -344,6 +344,7 @@ class TransactionalParquetBackend:
         partition_by: Optional[list[str]] = None,
         expected_version: Optional[str] = None,
         txn: Optional[tuple[str, str]] = None,
+        cdf: bool = False,
     ) -> str:
         """Write ``post_state`` as an immutable version and publish it
         as the next log entry. With ``expected_version`` (captured at
@@ -360,7 +361,16 @@ class TransactionalParquetBackend:
         ``current_version()`` yields, so (unlike a data-dir path) the
         return value is directly usable as the next commit's
         ``expected_version`` (review finding: the backends' handles
-        must be interchangeable for the seam to hold)."""
+        must be interchangeable for the seam to hold).
+
+        ``cdf=True`` records this commit's row-level changes as a
+        ``_changes/`` sidecar (the DocumentStore CDF shape). Because
+        a blind snapshot commit can publish atop a DIFFERENT base
+        than it was derived from, the sidecar is (re)written INSIDE
+        the publish loop against the base the CAS will actually land
+        on — when ``os.link`` wins version N+1, the diff's left side
+        IS version N by construction, so the feed can never describe
+        the wrong predecessor."""
         import json
         import os
         import shutil
@@ -406,6 +416,8 @@ class TransactionalParquetBackend:
                     f"store {self.root}: log advanced past "
                     f"{expected_version!r}; base snapshot is stale"
                 )
+            if cdf:
+                self._write_commit_cdf(out, base_rec)
             record = {
                 "version_dir": rel,
                 "writer": self.writer_id,
@@ -441,6 +453,45 @@ class TransactionalParquetBackend:
                 continue
             finally:
                 os.unlink(tmp)
+
+    def _write_commit_cdf(self, out: str, base_rec: Optional[dict]) -> None:
+        """(Re)write ``out``'s ``_changes/`` sidecar as the diff of the
+        committed data against ``base_rec``'s masked snapshot (every
+        row an insert when the log is empty). Called inside commit's
+        publish loop so a CAS retry re-derives the feed against the
+        base it will actually land on."""
+        import os
+        import shutil
+
+        from far_finer_airtable_firestore_sync_spark.sources.store import (
+            _apply_deletion_vectors,
+            diff_frames,
+        )
+
+        ch = os.path.join(out, "_changes")
+        shutil.rmtree(ch, ignore_errors=True)
+        new_df = self.spark.read.parquet(out)
+        if base_rec is None:
+            cols = [c for c in new_df.columns if c != self.key_col]
+            types = dict(new_df.dtypes)
+            changes = new_df.select(
+                F.col(self.key_col),
+                F.lit("insert").alias("change_type"),
+                *cols,
+                *[
+                    F.lit(None).cast(types[c]).alias(f"old_{c}")
+                    for c in cols
+                ],
+            )
+        else:
+            base_dir = os.path.join(self.root, base_rec["version_dir"])
+            base_df = _apply_deletion_vectors(
+                self.spark, self.spark.read.parquet(base_dir), base_dir
+            )
+            changes = diff_frames(
+                base_df, new_df, self.key_col, include_old=True
+            )
+        changes.write.mode("errorifexists").parquet(ch)
 
     def _published(self, version: int) -> str:
         """Post-publish bookkeeping shared by both commit-win paths:
@@ -490,6 +541,7 @@ class TransactionalParquetBackend:
         predicate: str,
         txn: Optional[tuple[str, str]] = None,
         max_retries: int = 5,
+        cdf: bool = False,
     ) -> tuple[str, int]:
         """Row-level DELETE via deletion vectors on the LOCK-FREE log
         — the cross-host form of ``DocumentStore.delete_where``: the
@@ -540,6 +592,30 @@ class TransactionalParquetBackend:
             if n_total == prior:  # no new positions: publish nothing
                 shutil.rmtree(out, ignore_errors=True)
                 return f"txn://{base_v}", prior
+            if cdf:
+                # predicate DML knows its own delta: the newly masked
+                # rows are the matching rows of the MASKED base — no
+                # diff join (same shape as DocumentStore.delete_where)
+                from far_finer_airtable_firestore_sync_spark.sources.store import (  # noqa: E501
+                    _apply_deletion_vectors,
+                )
+                from pyspark.sql import functions as F
+
+                prior_snap = _apply_deletion_vectors(
+                    self.spark, self.spark.read.parquet(src), src
+                )
+                cols = [
+                    c for c in prior_snap.columns if c != self.key_col
+                ]
+                types = dict(prior_snap.dtypes)
+                prior_snap.filter(predicate).select(
+                    F.col(self.key_col),
+                    F.lit("delete").alias("change_type"),
+                    *[F.lit(None).cast(types[c]).alias(c) for c in cols],
+                    *[F.col(c).alias(f"old_{c}") for c in cols],
+                ).write.mode("errorifexists").parquet(
+                    os.path.join(out, "_changes")
+                )
             record = {
                 "version_dir": rel,
                 "writer": self.writer_id,
@@ -587,6 +663,7 @@ class TransactionalParquetBackend:
         set_exprs: dict,
         txn: Optional[tuple[str, str]] = None,
         max_retries: int = 5,
+        cdf: bool = False,
     ) -> tuple[str, int]:
         """Row-level UPDATE on the lock-free log — the cross-host form
         of ``DocumentStore.update_where`` and the DML twin of
@@ -652,6 +729,23 @@ class TransactionalParquetBackend:
             if pcols:
                 writer = writer.partitionBy(*pcols)
             writer.parquet(out)
+            if cdf:
+                cols = [c for c in snap.columns if c != self.key_col]
+                snap.filter(predicate).select(
+                    F.col(self.key_col),
+                    F.lit("update").alias("change_type"),
+                    *[
+                        (
+                            F.expr(set_exprs[c]).cast(types[c])
+                            if c in set_exprs
+                            else F.col(c)
+                        ).alias(c)
+                        for c in cols
+                    ],
+                    *[F.col(c).alias(f"old_{c}") for c in cols],
+                ).write.mode("errorifexists").parquet(
+                    os.path.join(out, "_changes")
+                )
             for f in os.listdir(out):
                 if f == "_zone_manifest.json" or f.startswith("_bloom_"):
                     os.remove(os.path.join(out, f))
@@ -706,6 +800,7 @@ class TransactionalParquetBackend:
         txn: Optional[tuple[str, str]] = None,
         max_retries: int = 5,
         test_hook=None,
+        cdf: bool = False,
     ) -> tuple[str, dict]:
         """Multi-clause MERGE INTO on the LOCK-FREE log — the
         cross-host form of ``DocumentStore.merge_into``, completing
@@ -745,6 +840,7 @@ class TransactionalParquetBackend:
             _hive_partition_cols,
             _link_tree,
             derive_merge_clauses,
+            merge_changes_frame,
             write_deletion_vectors,
         )
 
@@ -792,6 +888,13 @@ class TransactionalParquetBackend:
                     if pcols:
                         writer = writer.partitionBy(*pcols)
                     writer.parquet(out)
+                if cdf:
+                    merge_changes_frame(
+                        plan, self.key_col, snap.columns,
+                        when_matched_update,
+                    ).write.mode("errorifexists").parquet(
+                        os.path.join(out, "_changes")
+                    )
             except Exception:
                 shutil.rmtree(out, ignore_errors=True)
                 raise
@@ -841,6 +944,7 @@ class TransactionalParquetBackend:
         partition_by: Optional[list[str]] = None,
         txn: Optional[tuple[str, str]] = None,
         max_retries: int = 5,
+        cdf: bool = False,
     ) -> str:
         """The bounded-retry CAS loop — the multi-writer read-modify-
         write primitive: read the current snapshot, build the
@@ -879,6 +983,7 @@ class TransactionalParquetBackend:
                     # race is a conflict too, not a double blind write
                     expected_version=f"txn://{base_v}",
                     txn=txn,
+                    cdf=cdf,
                 )
             except ConcurrentCommitError as exc:
                 last = exc

@@ -287,3 +287,191 @@ def register(spark) -> bool:
         return False
     spark.dataSource.register(StoreCDFDataSource)
     return True
+
+
+# -- CDF over the LOCK-FREE MULTI-WRITER LOG ----------------------------------
+#
+# The TransactionalParquetBackend's commit log gives the feed an even
+# stronger offset than version NAMES: versions are DENSE INTEGERS
+# (exactly one writer owns N+1), so the stream offset is simply the
+# newest consumed log version. Maintenance commits (compact /
+# optimize_zorder) are LOGICAL NO-OPS and are skipped — Delta CDF
+# skips OPTIMIZE commits the same way; any other commit in a consumed
+# range that lacks a sidecar fails loudly (a feed with silent holes
+# is worse than no feed).
+
+_TXN_MAINTENANCE_KINDS = {"compact", "optimize_zorder"}
+
+
+def _txn_records(root: str) -> list[tuple[int, dict]]:
+    """Committed log records of a ``TransactionalParquetBackend``,
+    version order. Reads the ``_log/`` directory directly (json
+    metadata only — no Spark, safe on the driver and in the source's
+    planning path)."""
+    log = os.path.join(root, "_log")
+    if not os.path.isdir(log):
+        raise ValueError(f"{root!r} has no _log/: not a transactional store")
+    recs = []
+    for f in os.listdir(log):
+        if not f.endswith(".json") or f.startswith("_"):
+            continue
+        try:
+            v = int(f[:-5])
+        except ValueError:
+            continue
+        with open(os.path.join(log, f)) as fh:
+            recs.append((v, json.load(fh)))
+    return sorted(recs)
+
+
+class TxnChangeFilePartition(InputPartition):
+    """One change file of one committed log version."""
+
+    def __init__(self, path: str, commit_ms: int, commit_version: int):
+        self.path = path
+        self.commit_ms = commit_ms
+        self.commit_version = commit_version
+
+
+def _read_txn_partition(
+    partition: TxnChangeFilePartition, field_names: list[str]
+) -> Iterator[tuple]:
+    """Arrow-read one change file, projected BY NAME onto the query
+    schema (additive schema evolution tolerated), ``commit_ms`` and
+    ``commit_version`` appended."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(partition.path)
+    columns = []
+    for name in field_names[:-2]:  # last two fields are ours
+        if name in tbl.column_names:
+            columns.append(tbl.column(name).to_pylist())
+        else:
+            columns.append([None] * tbl.num_rows)
+    for row in zip(*columns) if columns else []:
+        yield (*row, partition.commit_ms, partition.commit_version)
+
+
+def _txn_feed_partitions(
+    root: str, recs: list[tuple[int, dict]]
+) -> list[TxnChangeFilePartition]:
+    parts = []
+    for v, rec in recs:
+        kind = (rec.get("op") or {}).get("kind", "snapshot")
+        if kind in _TXN_MAINTENANCE_KINDS:
+            continue  # logical no-op: nothing to feed, nothing to fail
+        ch = os.path.join(root, rec["version_dir"], _CHANGES_DIR)
+        if not os.path.isdir(ch):
+            raise ValueError(
+                f"log version {v} ({kind}) has no {_CHANGES_DIR}/ "
+                "sidecar: commit with cdf=True, or exclude it from "
+                "the consumed range — a feed with holes would "
+                "silently under-maintain every consumer"
+            )
+        files = sorted(
+            os.path.join(ch, f)
+            for f in os.listdir(ch)
+            if f.endswith(".parquet")
+        )
+        for path in files:
+            parts.append(
+                TxnChangeFilePartition(path, int(rec["ts_ms"]), v)
+            )
+    return parts
+
+
+class TxnCDFDataSource(DataSource):
+    """``spark.read/readStream.format("store_cdf_txn").option("path",
+    backend_root)`` — the change feed of the lock-free multi-writer
+    log; streaming offsets are the dense integer log versions."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "store_cdf_txn"
+
+    def schema(self) -> str:
+        import pyarrow.parquet as pq
+
+        root = self.options["path"]
+        for _v, rec in _txn_records(root):
+            ch = os.path.join(root, rec["version_dir"], _CHANGES_DIR)
+            if os.path.isdir(ch):
+                files = [
+                    f for f in os.listdir(ch) if f.endswith(".parquet")
+                ]
+                if files:
+                    sch = pq.read_schema(os.path.join(ch, files[0]))
+                    cols = ", ".join(
+                        f"`{f.name}` {_arrow_ddl(f)}" for f in sch
+                    )
+                    return (
+                        f"{cols}, commit_ms bigint, commit_version bigint"
+                    )
+        raise ValueError(
+            f"transactional store {root!r} has no cdf-enabled commits: "
+            "commit with cdf=True before reading the change feed"
+        )
+
+    def reader(self, schema: T.StructType) -> "TxnCDFBatchReader":
+        return TxnCDFBatchReader(self.options["path"], schema)
+
+    def streamReader(self, schema: T.StructType) -> "TxnCDFStreamReader":
+        return TxnCDFStreamReader(self.options["path"], schema)
+
+
+class TxnCDFBatchReader(DataSourceReader):
+    def __init__(self, root: str, schema: T.StructType):
+        self.root = root
+        self.field_names = [f.name for f in schema.fields]
+
+    def partitions(self) -> list[TxnChangeFilePartition]:
+        return _txn_feed_partitions(self.root, _txn_records(self.root))
+
+    def read(
+        self, partition: TxnChangeFilePartition
+    ) -> Iterator[tuple]:
+        return _read_txn_partition(partition, self.field_names)
+
+
+class TxnCDFStreamReader(DataSourceStreamReader):
+    """Exactly-once CDF tail over the commit log: offset = newest
+    consumed log VERSION (dense integers — exactly one writer owns
+    N+1, so boundary slicing is exact no matter how many rivals land
+    between batches or during a restart)."""
+
+    def __init__(self, root: str, schema: T.StructType):
+        self.root = root
+        self.field_names = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"v": 0}
+
+    def latestOffset(self) -> dict:
+        recs = _txn_records(self.root)
+        return {"v": recs[-1][0] if recs else 0}
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> list[TxnChangeFilePartition]:
+        lo, hi = int(start.get("v", 0)), int(end.get("v", 0))
+        recs = [
+            (v, r) for v, r in _txn_records(self.root) if lo < v <= hi
+        ]
+        return _txn_feed_partitions(self.root, recs)
+
+    def read(
+        self, partition: TxnChangeFilePartition
+    ) -> Iterator[tuple]:
+        return _read_txn_partition(partition, self.field_names)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; log records are immutable
+
+
+def register_txn(spark) -> bool:
+    """Register the transactional-log CDF connector; False when the
+    pyspark.sql.datasource API is unavailable (pyspark < 4)."""
+    if not _HAS_DATASOURCE_API:
+        return False
+    spark.dataSource.register(TxnCDFDataSource)
+    return True

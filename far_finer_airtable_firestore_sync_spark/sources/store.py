@@ -1036,47 +1036,11 @@ class DocumentStore:
                     writer = writer.partitionBy(*pcols)
                 writer.parquet(out)
             if cdf:
-                cols = [c for c in snap.columns if c != key]
-                upd_cd = updates.select(
-                    F.col(f"t.{key}").alias(key),
-                    F.lit("update").alias("change_type"),
-                    *[
-                        (
-                            F.expr(when_matched_update[c]).cast(types[c])
-                            if when_matched_update
-                            and c in when_matched_update
-                            else F.col(f"t.{c}")
-                        ).alias(c)
-                        for c in cols
-                    ],
-                    *[F.col(f"t.{c}").alias(f"old_{c}") for c in cols],
+                merge_changes_frame(
+                    plan, key, snap.columns, when_matched_update
+                ).write.mode("errorifexists").parquet(
+                    os.path.join(out, _CHANGES_DIR)
                 )
-                del_cd = deletes.select(
-                    F.col(f"t.{key}").alias(key),
-                    F.lit("delete").alias("change_type"),
-                    *[F.lit(None).cast(types[c]).alias(c) for c in cols],
-                    *[F.col(f"t.{c}").alias(f"old_{c}") for c in cols],
-                )
-                ins_cd = ins_images.select(
-                    F.col(key),
-                    F.lit("insert").alias("change_type"),
-                    *cols,
-                    *[
-                        F.lit(None).cast(types[c]).alias(f"old_{c}")
-                        for c in cols
-                    ],
-                )
-                nbs_cd = nbs_deletes.select(
-                    F.col(key),
-                    F.lit("delete").alias("change_type"),
-                    *[F.lit(None).cast(types[c]).alias(c) for c in cols],
-                    *[F.col(c).alias(f"old_{c}") for c in cols],
-                )
-                upd_cd.unionByName(del_cd).unionByName(ins_cd) \
-                    .unionByName(nbs_cd) \
-                    .write.mode("errorifexists").parquet(
-                        os.path.join(out, _CHANGES_DIR)
-                    )
         except Exception:
             shutil.rmtree(out, ignore_errors=True)
             raise
@@ -1439,6 +1403,56 @@ def derive_merge_clauses(
             .unionByName(nbs_deletes.select(F.col(key)))
         ),
     }
+
+
+def merge_changes_frame(
+    plan: dict,
+    key: str,
+    columns: list[str],
+    when_matched_update: Optional[dict[str, str]],
+) -> DataFrame:
+    """The CDF rows of one merge commit — update (post images +
+    ``old_*`` pre-images), matched-delete and by-source-delete
+    (pre-images only), insert (post images only) — in the same
+    sidecar shape predicate DML writes, so downstream consumers need
+    no merge-specific code. Shared by both ``merge_into``
+    implementations (single-writer store and lock-free backend)."""
+    types = plan["types"]
+    cols = [c for c in columns if c != key]
+    upd_cd = plan["updates"].select(
+        F.col(f"t.{key}").alias(key),
+        F.lit("update").alias("change_type"),
+        *[
+            (
+                F.expr(when_matched_update[c]).cast(types[c])
+                if when_matched_update and c in when_matched_update
+                else F.col(f"t.{c}")
+            ).alias(c)
+            for c in cols
+        ],
+        *[F.col(f"t.{c}").alias(f"old_{c}") for c in cols],
+    )
+    del_cd = plan["deletes"].select(
+        F.col(f"t.{key}").alias(key),
+        F.lit("delete").alias("change_type"),
+        *[F.lit(None).cast(types[c]).alias(c) for c in cols],
+        *[F.col(f"t.{c}").alias(f"old_{c}") for c in cols],
+    )
+    ins_cd = plan["ins_images"].select(
+        F.col(key),
+        F.lit("insert").alias("change_type"),
+        *cols,
+        *[F.lit(None).cast(types[c]).alias(f"old_{c}") for c in cols],
+    )
+    nbs_cd = plan["nbs_deletes"].select(
+        F.col(key),
+        F.lit("delete").alias("change_type"),
+        *[F.lit(None).cast(types[c]).alias(c) for c in cols],
+        *[F.col(c).alias(f"old_{c}") for c in cols],
+    )
+    return (
+        upd_cd.unionByName(del_cd).unionByName(ins_cd).unionByName(nbs_cd)
+    )
 
 
 def diff_frames(

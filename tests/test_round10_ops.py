@@ -990,3 +990,96 @@ def test_restore_preserves_dv_masked_view(spark, tmp_path):
     store.restore(v2)
     got = sorted(r["k"] for r in store.read().collect())
     assert got == [i for i in range(8) if i % 3 != 0]
+
+
+# -- CDF over the lock-free multi-writer log -----------------------------------
+
+
+def test_txn_cdf_feed_shape_and_maintenance_skip(spark, tmp_path):
+    from far_finer_airtable_firestore_sync_spark.sources import cdf_source
+
+    assert cdf_source.register_txn(spark)
+    b = _mk_backend(spark, tmp_path, "cdf1")
+    b.commit(_seed(spark, 12), cdf=True)
+    b.delete_where("k % 4 = 0", cdf=True)
+    b.compact()                       # maintenance: skipped, not a hole
+    b.update_where("k = 1", {"val": "val + 5"}, cdf=True)
+    src = spark.createDataFrame(
+        [(1, 0, 7), (100, 2, 9)], "k long, grp long, val long"
+    )
+    b.merge_into(src, when_matched_update={"val": "s.val"}, cdf=True)
+    feed = spark.read.format("store_cdf_txn").option("path", b.root).load()
+    got = {
+        (r["commit_version"], r["change_type"]): r["n"]
+        for r in feed.groupBy("commit_version", "change_type")
+        .count().withColumnRenamed("count", "n").collect()
+    }
+    assert got == {
+        (1, "insert"): 12, (2, "delete"): 3,
+        (4, "update"): 1, (5, "update"): 1, (5, "insert"): 1,
+    }
+    # pre/post images: the update carries old_val
+    upd = feed.filter("commit_version = 4").collect()[0]
+    assert upd["val"] == 15 and upd["old_val"] == 10
+
+
+def test_txn_cdf_missing_sidecar_fails_loudly(spark, tmp_path):
+    from far_finer_airtable_firestore_sync_spark.sources import cdf_source
+
+    assert cdf_source.register_txn(spark)
+    b = _mk_backend(spark, tmp_path, "cdf2")
+    b.commit(_seed(spark, 6), cdf=True)
+    b.delete_where("k = 1")           # cdf NOT requested: a real hole
+    with pytest.raises(Exception, match="sidecar|holes"):
+        spark.read.format("store_cdf_txn").option(
+            "path", b.root
+        ).load().collect()
+
+
+def test_txn_cdf_stream_exactly_once_across_restart(spark, tmp_path):
+    from far_finer_airtable_firestore_sync_spark.sources import cdf_source
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        cdf_rollup_sync,
+    )
+
+    assert cdf_source.register_txn(spark)
+    b = _mk_backend(spark, tmp_path, "cdf3")
+    roll = DocumentStore(spark, str(tmp_path / "cdf3roll"), key_col="grp")
+    ck = str(tmp_path / "cdf3ck")
+    b.commit(_seed(spark, 12), cdf=True)
+
+    def run_once():
+        stream = (
+            spark.readStream.format("store_cdf_txn")
+            .option("path", b.root).load()
+            .drop("commit_version")   # rollup consumer is shape-agnostic
+        )
+        q = cdf_rollup_sync(
+            stream, roll, ck, "grp", "n", {"sum_val": "val"}, "txncdfroll",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    # two writers land DML while the consumer is down; a compact in
+    # between must be skipped, not break the offset range
+    rival = TransactionalParquetBackend(spark, b.root, "k", writer_id="r")
+    rival.delete_where("grp = 2", cdf=True)
+    b.compact()
+    b.update_where("grp = 1", {"val": "val + 100"}, cdf=True)
+    run_once()
+    n_versions = len(roll.list_versions())
+    run_once()                        # nothing new: must write nothing
+    assert len(roll.list_versions()) == n_versions
+    got = {
+        r["grp"]: (r["n"], r["sum_val"]) for r in roll.read().collect()
+    }
+    want = {
+        r["grp"]: (r["n"], r["sum_val"])
+        for r in b.read().groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("val").alias("sum_val")
+        ).collect()
+    }
+    assert got == want
