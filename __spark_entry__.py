@@ -2895,6 +2895,66 @@ where c_custkey % 3 <> 0 and c_custkey % 5 <> 0
 """
 
 
+def _q_store_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel + retention vacuum on the LOCK-FREE MULTI-WRITER
+    log (round-10: lifecycle parity with the single-writer store) —
+    ``read_version`` resolves a log version to its DV-masked snapshot
+    in one O(1) record read, ``read_as_of`` takes the newest version
+    at-or-before a timestamp bound (log ORDER is authoritative on a
+    multi-host clock), and ``vacuum_versions`` removes expired DATA
+    while keeping every log RECORD (the Delta split: VACUUM removes
+    data, log cleanup is checkpointing's job). The entry commits,
+    DV-deletes through a SECOND writer, updates, asserts the as-of
+    view equals the mid-history masked snapshot, vacuums to the last
+    two versions, proves outside-the-window travel fails loudly while
+    hard-linked live data survives, and returns the version-2 time
+    travel — a DV-masked HISTORICAL read under the value oracle."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources.backends import (
+        TransactionalParquetBackend,
+    )
+
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        "c_name",
+        F.expr("cast(round(c_acctbal * 100) as bigint)").alias("bal_c"),
+    )
+    root = tempfile.mkdtemp(prefix="ffs_txntt_")
+    _TMP_DIRS.append(root)
+    a = TransactionalParquetBackend(spark, root, "k", writer_id="A")
+    b = TransactionalParquetBackend(spark, root, "k", writer_id="B")
+    a.commit(cust.repartition(8, F.col("k")))
+    b.delete_where("k % 6 = 0")                      # v2, second writer
+    a.update_where("k % 7 = 0", {"bal_c": "bal_c + 100000"})  # v3
+    t2 = int(a._read_record(2)["ts_ms"])
+    served = a.read_version(2).select("k", "c_name", "bal_c")
+    # timestampAsOf(t2) must equal versionAsOf(2)
+    as_of = a.read_as_of(t2).select("k", "c_name", "bal_c")
+    _assert_spark_equal(served, as_of, "as-of == version-2 travel")
+    removed = a.vacuum_versions(keep_last=2)
+    assert len(removed) == 1, removed                # v1's data expired
+    try:
+        a.read_version(1)
+        raise AssertionError("vacuumed travel must fail")
+    except ValueError:
+        pass
+    # live head still serves: hard links survive the vacuum
+    assert a.read().count() == served.count()
+    # version 2 stays readable inside the window… but its data dir is
+    # v1's files hard-linked, so this ALSO proves inode survival
+    return a.read_version(2).select("k", "c_name", "bal_c")
+
+
+_STORE_TXN_TT_SQL = """
+select c_custkey as k, c_name,
+       cast(round(c_acctbal * 100) as bigint) as bal_c
+from customer
+where c_custkey % 6 <> 0
+"""
+
+
 def _q_store_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO on the LOCK-FREE multi-writer log under a real
     race, exercised inside the value-oracled entry: writer A builds
@@ -3216,6 +3276,124 @@ v3 as (
 select seg, cast(count(*) as bigint) as n_customers,
        cast(sum(bal64) as bigint) as sum_bal_64ths
 from v3 group by seg
+"""
+
+
+def _q_store_txn_cdf_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MIN/MAX rollup maintenance from the MULTI-WRITER
+    log's change feed — the round-10 pieces composed at their
+    strongest: ``store_cdf_txn`` supplies the feed with DENSE INTEGER
+    version offsets, ``collapse_changelog`` telescopes the
+    multi-commit restart batch, ``incremental_rollup_extrema``
+    maintains count/sum from the changelog and recomputes only
+    extreme-tied groups — and the recompute base is PINNED BY LOG
+    VERSION (``read_version(max commit_version)``), not by wall
+    clock: on a multi-writer log two hosts' ``ts_ms`` can interleave
+    against the commit order, so version pinning is the only sound
+    anchor (``cdf_extrema_sync`` picks it automatically when the feed
+    carries ``commit_version``). TWO writers land the DML; the
+    deletes kill group maxes (recompute leg fires) and one key chains
+    a double update across commits (telescoping is load-bearing).
+    Exactly-once proven by a third run writing nothing; self-bisects
+    against the direct aggregate of the final backend state."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources import cdf_source
+    from far_finer_airtable_firestore_sync_spark.sources.backends import (
+        TransactionalParquetBackend,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        cdf_extrema_sync,
+    )
+
+    _utc(spark)
+    assert cdf_source.register_txn(spark)
+    base = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("grp"),
+        F.expr(
+            "cast(floor(c_acctbal * cast(64 as double)) as bigint)"
+        ).alias("bal64"),
+    )
+    v1 = base.filter("k % 3 <> 0")
+    src_root = tempfile.mkdtemp(prefix="ffs_txncx_src_")
+    roll_root = tempfile.mkdtemp(prefix="ffs_txncx_roll_")
+    ck = tempfile.mkdtemp(prefix="ffs_txncx_ck_")
+    _TMP_DIRS.extend([src_root, roll_root, ck])
+    a = TransactionalParquetBackend(spark, src_root, "k", writer_id="A")
+    b = TransactionalParquetBackend(spark, src_root, "k", writer_id="B")
+    a.commit(v1, cdf=True)
+    roll = DocumentStore(spark, roll_root, "grp")
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.format("store_cdf_txn")
+            .option("path", src_root)
+            .load()
+        )
+        q = cdf_extrema_sync(
+            stream, a, roll, ck, "grp", "n_customers",
+            {"sum_bal64": "bal64"}, {"min_bal64": "bal64"},
+            {"max_bal64": "bal64"}, "txncdfext",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()  # consumes v1
+    # two writers land DML while the consumer is down: group maxes die
+    # (recompute leg), k % 26 chains a double update (telescoping)
+    b.delete_where("bal64 >= 576000", cdf=True)
+    a.update_where("k % 13 = 0", {"bal64": "bal64 + 64000"}, cdf=True)
+    b.update_where("k % 26 = 0", {"bal64": "bal64 + 64000"}, cdf=True)
+    run_once()
+    n_versions = len(roll.list_versions())
+    run_once()  # nothing new: must write nothing
+    assert len(roll.list_versions()) == n_versions
+    got = roll.read().select(
+        "grp",
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("sum_bal64").cast("bigint").alias("sum_bal64"),
+        F.col("min_bal64").cast("bigint").alias("min_bal64"),
+        F.col("max_bal64").cast("bigint").alias("max_bal64"),
+    )
+    want = a.read().groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("bal64").cast("bigint").alias("sum_bal64"),
+        F.min("bal64").cast("bigint").alias("min_bal64"),
+        F.max("bal64").cast("bigint").alias("max_bal64"),
+    )
+    _assert_spark_equal(got, want, "txn-CDF-maintained extrema rollup")
+    return got
+
+
+_STORE_TXN_CDF_EXTREMA_SQL = """
+with base as (
+  select c_custkey as k, c_nationkey as grp,
+         cast(floor(c_acctbal * cast(64 as double)) as bigint) as bal64
+  from customer
+),
+v1 as (select * from base where k % 3 <> 0),
+v2 as (select * from v1 where bal64 < 576000),
+v3 as (
+  select k, grp,
+         bal64 + case when k % 13 = 0 then 64000 else 0 end as bal64
+  from v2
+),
+v4 as (
+  select k, grp,
+         bal64 + case when k % 26 = 0 then 64000 else 0 end as bal64
+  from v3
+)
+select grp, cast(count(*) as bigint) as n_customers,
+       cast(sum(bal64) as bigint) as sum_bal64,
+       cast(min(bal64) as bigint) as min_bal64,
+       cast(max(bal64) as bigint) as max_bal64
+from v4 group by grp
 """
 
 
@@ -4240,7 +4418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_merge_into": _q_store_merge_into,
         "store_cdf_extrema": _q_store_cdf_extrema,
         "store_txn_cdf_stream": _q_store_txn_cdf_stream,
+        "store_txn_cdf_extrema": _q_store_txn_cdf_extrema,
         "store_txn_merge": _q_store_txn_merge,
+        "store_txn_time_travel": _q_store_txn_time_travel,
         "store_restore": _q_store_restore,
         "salted_agg_revenue": _q_salted_agg,
         "skew_hot_key_unsalted": _q_skew_hot_unsalted,
@@ -4314,7 +4494,9 @@ def oracle_sql() -> dict[str, str]:
         "store_merge_into": _STORE_MERGE_INTO_SQL,
         "store_cdf_extrema": _STORE_CDF_EXTREMA_SQL,
         "store_txn_cdf_stream": _STORE_TXN_CDF_SQL,
+        "store_txn_cdf_extrema": _STORE_TXN_CDF_EXTREMA_SQL,
         "store_txn_merge": _STORE_TXN_MERGE_SQL,
+        "store_txn_time_travel": _STORE_TXN_TT_SQL,
         "store_restore": _STORE_RESTORE_SQL,
         "salted_agg_revenue": _SALTED_AGG_SQL,
         "skew_hot_key_unsalted": _SKEW_HOT_SQL,

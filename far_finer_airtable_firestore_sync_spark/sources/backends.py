@@ -332,6 +332,77 @@ class TransactionalParquetBackend:
             return df
         return self.spark.createDataFrame([], like.schema)
 
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel by LOG VERSION (the Delta ``versionAsOf``
+        shape on the lock-free log): the DV-masked snapshot exactly
+        as it was served when version N was the head. Resolution is
+        one O(1) record read; a version whose data directory was
+        retention-vacuumed (:meth:`vacuum_versions`) fails loudly —
+        never partial state."""
+        import os
+
+        from far_finer_airtable_firestore_sync_spark.sources.store import (
+            _apply_deletion_vectors,
+        )
+
+        rec = self._read_record(version)  # raises on unknown version
+        vd = os.path.join(self.root, rec["version_dir"])
+        if not os.path.isdir(vd):
+            raise ValueError(
+                f"store {self.root}: version {version}'s data was "
+                "removed by retention vacuum; travel inside the "
+                "retention window or restore from upstream"
+            )
+        return _apply_deletion_vectors(
+            self.spark, self.spark.read.parquet(vd), vd
+        )
+
+    def read_as_of(self, ts_ms: int) -> Optional[DataFrame]:
+        """Time travel by TIMESTAMP (`timestampAsOf`): the newest
+        version whose commit record carries ``ts_ms <=`` the bound,
+        or None before the first commit. Commit timestamps on a
+        multi-writer log are wall clocks of DIFFERENT hosts — the log
+        ORDER is authoritative, so the scan takes the newest
+        qualifying VERSION NUMBER, exactly Delta's rule."""
+        head, _rec = self.latest()
+        best = None
+        for v in range(1, head + 1):
+            if int(self._read_record(v)["ts_ms"]) <= ts_ms:
+                best = v
+        if best is None:
+            return None
+        return self.read_version(best)
+
+    def vacuum_versions(self, keep_last: int = 3) -> list[str]:
+        """Retention vacuum: remove the DATA directories of versions
+        older than the newest ``keep_last``, keeping every log RECORD
+        (history/audit stay complete — the Delta split: VACUUM
+        removes data, log cleanup is checkpointing's job). Directories
+        shared with a retained version via hard links lose only the
+        extra name (inodes survive), so vacuuming never corrupts the
+        live view. Distinct from :meth:`vacuum_orphans`, which removes
+        UNREFERENCED crash debris; this removes referenced-but-expired
+        snapshots. Travel past the window then fails loudly in
+        :meth:`read_version`."""
+        import os
+        import shutil
+
+        head, _rec = self.latest()
+        keep_dirs = {
+            self._read_record(v)["version_dir"]
+            for v in range(max(1, head - keep_last + 1), head + 1)
+        }
+        removed = []
+        for v in range(1, max(1, head - keep_last + 1)):
+            vd_rel = self._read_record(v)["version_dir"]
+            if vd_rel in keep_dirs:
+                continue  # shared dir (e.g. a no-op range) — retained
+            vd = os.path.join(self.root, vd_rel)
+            if os.path.isdir(vd):
+                shutil.rmtree(vd)
+                removed.append(vd)
+        return removed
+
     def last_txn(self, app_id: str) -> Optional[str]:
         _v, rec = self.latest()
         if rec is None:

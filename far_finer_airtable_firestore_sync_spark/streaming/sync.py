@@ -753,10 +753,13 @@ def cdf_extrema_sync(
       adds-fold must never see an intermediate post-image a later
       commit in the same batch retracted;
     - the recompute probe reads the upstream snapshot PINNED to the
-      batch's newest commit (``read_as_of(max commit_ms)``), not the
-      live pointer — a commit that lands upstream while the batch is
-      in flight must not leak future values into this epoch's
-      summary (it arrives in the next batch).
+      batch's newest commit, not the live pointer — a commit that
+      lands upstream while the batch is in flight must not leak
+      future values into this epoch's summary (it arrives in the
+      next batch). The pin is ``read_version(max commit_version)``
+      when the feed carries log versions (the ``store_cdf_txn``
+      multi-writer source — version order is authoritative, wall
+      clocks are not) and ``read_as_of(max commit_ms)`` otherwise.
 
     Exactly-once across restarts and foreachBatch retries via the
     same monotone ``txn=(query_name, epoch)`` marker as
@@ -772,9 +775,21 @@ def cdf_extrema_sync(
         last = store.last_txn(query_name)
         if last is not None and int(epoch_id) <= int(last):
             return  # replay of an already-committed epoch
-        hi = batch_df.agg(F.max("commit_ms")).first()[0]
-        if hi is None:
-            return  # empty batch: nothing to fold, no version churn
+        # Pin the recompute base by LOG VERSION when the feed carries
+        # one (the store_cdf_txn source): on a multi-writer log the
+        # version order is authoritative, wall clocks are not. The
+        # single-writer store feed pins by commit_ms via read_as_of.
+        if "commit_version" in batch_df.columns:
+            hi_v = batch_df.agg(F.max("commit_version")).first()[0]
+            if hi_v is None:
+                return  # empty batch: nothing to fold
+            base_new_fn = lambda: upstream.read_version(int(hi_v))  # noqa: E731
+            batch_df = batch_df.drop("commit_version")
+        else:
+            hi = batch_df.agg(F.max("commit_ms")).first()[0]
+            if hi is None:
+                return  # empty batch: nothing to fold, no version churn
+            base_new_fn = lambda: upstream.read_as_of(int(hi))  # noqa: E731
         changes = collapse_changelog(batch_df, upstream.key_col)
         base = store.read()
         if base is None:
@@ -789,7 +804,7 @@ def cdf_extrema_sync(
                     *[F.max(src).alias(dst) for dst, src in max_map.items()],
                 )
             )
-        base_new = upstream.read_as_of(int(hi))
+        base_new = base_new_fn()
         assert base_new is not None  # the batch came from a commit
         summary = incremental_rollup_extrema(
             base, changes, base_new, group_col, count_col,

@@ -1083,3 +1083,107 @@ def test_txn_cdf_stream_exactly_once_across_restart(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+# -- time travel + retention vacuum on the lock-free log -----------------------
+
+
+def test_txn_read_version_and_as_of(spark, tmp_path):
+    b = _mk_backend(spark, tmp_path, "tt1")
+    b.commit(_seed(spark, 6))
+    b.delete_where("k % 2 = 0")
+    b.update_where("k = 1", {"val": "val + 5"})
+    t2 = b._read_record(2)["ts_ms"]
+    # versionAsOf: each snapshot exactly as served at that head
+    assert {r["k"] for r in b.read_version(1).collect()} == set(range(6))
+    assert {r["k"] for r in b.read_version(2).collect()} == {1, 3, 5}
+    v3 = {r["k"]: r["val"] for r in b.read_version(3).collect()}
+    assert v3 == {1: 15, 3: 30, 5: 50}
+    # timestampAsOf: newest version at-or-before the bound
+    as_of = {r["k"] for r in b.read_as_of(t2).collect()}
+    assert as_of == {1, 3, 5}
+    assert b.read_as_of(0) is None
+    with pytest.raises(FileNotFoundError):
+        b.read_version(99)
+
+
+def test_txn_vacuum_versions_window(spark, tmp_path):
+    b = _mk_backend(spark, tmp_path, "tt2")
+    for i in range(4):
+        b.commit_with(
+            lambda cur, i=i: _seed(spark, 6).withColumn(
+                "tag", F.lit(i)
+            )
+            if cur is None
+            else cur.withColumn("tag", F.lit(i))
+        )
+    removed = b.vacuum_versions(keep_last=2)
+    assert len(removed) == 2
+    # history records survive; data inside the window serves exactly
+    assert b.history().count() == 4
+    assert b.read_version(4).count() == 6
+    assert b.read_version(3).count() == 6
+    # outside the window fails loudly, never partial state
+    with pytest.raises(ValueError, match="retention vacuum"):
+        b.read_version(1)
+
+
+def test_txn_vacuum_keeps_hardlinked_live_data(spark, tmp_path):
+    b = _mk_backend(spark, tmp_path, "tt3")
+    b.commit(_seed(spark, 8))
+    b.delete_where("k = 0")     # v2 hard-links v1's files
+    b.delete_where("k = 1")     # v3 hard-links v2's files
+    b.vacuum_versions(keep_last=1)
+    # v1/v2 dirs removed, but v3's hard links keep the inodes alive
+    got = {r["k"] for r in b.read().collect()}
+    assert got == set(range(2, 8))
+    with pytest.raises(ValueError):
+        b.read_version(1)
+
+
+def test_txn_cdf_extrema_pins_by_version(spark, tmp_path):
+    from far_finer_airtable_firestore_sync_spark.sources import cdf_source
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        cdf_extrema_sync,
+    )
+
+    assert cdf_source.register_txn(spark)
+    b = _mk_backend(spark, tmp_path, "cx1")
+    roll = DocumentStore(spark, str(tmp_path / "cx1roll"), key_col="grp")
+    ck = str(tmp_path / "cx1ck")
+    b.commit(_seed(spark, 12), cdf=True)
+
+    def run_once():
+        stream = (
+            spark.readStream.format("store_cdf_txn")
+            .option("path", b.root).load()
+        )
+        q = cdf_extrema_sync(
+            stream, b, roll, ck, "grp", "n",
+            {"sum_val": "val"}, {"min_val": "val"}, {"max_val": "val"},
+            "cxext",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    # restart batch: delete every group's max, then chain two updates
+    # on one key — version pinning + telescoping both load-bearing
+    b.delete_where("val >= 80", cdf=True)
+    b.update_where("k = 1", {"val": "val + 100"}, cdf=True)
+    b.update_where("k = 1", {"val": "val + 100"}, cdf=True)
+    run_once()
+    got = {
+        r["grp"]: (r["n"], r["sum_val"], r["min_val"], r["max_val"])
+        for r in roll.read().collect()
+    }
+    want = {
+        r["grp"]: (r["n"], r["sum_val"], r["min_val"], r["max_val"])
+        for r in b.read().groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("val").alias("sum_val"),
+            F.min("val").alias("min_val"), F.max("val").alias("max_val"),
+        ).collect()
+    }
+    assert got == want
