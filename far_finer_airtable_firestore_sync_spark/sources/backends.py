@@ -387,6 +387,11 @@ class TransactionalParquetBackend:
         import os
         import shutil
 
+        if keep_last < 1:
+            raise ValueError(
+                "vacuum_versions: keep_last must be >= 1 — the head's "
+                "data directory is the live view"
+            )
         head, _rec = self.latest()
         keep_dirs = {
             self._read_record(v)["version_dir"]

@@ -192,7 +192,12 @@ class StoreCDFDataSource(DataSource):
         import pyarrow.parquet as pq
 
         root = self.options["path"]
-        for v in _committed_versions(root):
+        # NEWEST sidecar anchors the stream schema: additive schema
+        # evolution means later sidecars carry a SUPERSET of columns —
+        # anchoring on the first would silently hide every
+        # later-added column; anchoring on the newest projects older
+        # files by name with typed NULLs (the read path's contract).
+        for v in reversed(_committed_versions(root)):
             ch = os.path.join(root, v, _CHANGES_DIR)
             if os.path.isdir(ch):
                 files = [
@@ -393,7 +398,9 @@ class TxnCDFDataSource(DataSource):
         import pyarrow.parquet as pq
 
         root = self.options["path"]
-        for _v, rec in _txn_records(root):
+        # newest sidecar anchors the schema (additive evolution —
+        # same argument as StoreCDFDataSource.schema)
+        for _v, rec in reversed(_txn_records(root)):
             ch = os.path.join(root, rec["version_dir"], _CHANGES_DIR)
             if os.path.isdir(ch):
                 files = [

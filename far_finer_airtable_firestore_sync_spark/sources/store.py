@@ -2018,6 +2018,11 @@ def write_deletion_vectors(
     if match_keys is not None:
         if key_col is None:
             raise ValueError("match_keys requires key_col")
+        if "_ffs_mk" in df.columns:
+            raise ValueError(
+                "column '_ffs_mk' is reserved by the key-set "
+                "deletion-vector path; rename it in the snapshot"
+            )
         matching = df.join(
             match_keys.select(F.col(key_col).alias("_ffs_mk")).distinct(),
             df[key_col] == F.col("_ffs_mk"),

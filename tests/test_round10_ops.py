@@ -1187,3 +1187,66 @@ def test_txn_cdf_extrema_pins_by_version(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_txn_vacuum_rejects_keep_last_zero(spark, tmp_path):
+    b = _mk_backend(spark, tmp_path, "tt4")
+    b.commit(_seed(spark, 4))
+    with pytest.raises(ValueError, match="keep_last"):
+        b.vacuum_versions(keep_last=0)
+    assert b.read().count() == 4
+
+
+def test_txn_cdf_schema_evolution_spans_feed(spark, tmp_path):
+    from far_finer_airtable_firestore_sync_spark.sources import cdf_source
+
+    assert cdf_source.register_txn(spark)
+    b = _mk_backend(spark, tmp_path, "evo1")
+    b.commit(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(6)], "k int, val int"
+        ),
+        cdf=True,
+    )
+    # snapshot commit gains a column; DML then reads/sets it
+    b.commit_with(lambda cur: cur.withColumn("extra", F.col("k") % 2),
+                  cdf=True)
+    b.update_where("extra = 1", {"val": "val + 100"}, cdf=True)
+    b.delete_where("extra = 0 and k >= 4", cdf=True)
+    feed = spark.read.format("store_cdf_txn").option("path", b.root).load()
+    # the NEWEST sidecar anchors the schema: the evolved column is
+    # visible, pre-evolution sidecars read as typed NULLs
+    assert "extra" in feed.columns and "old_extra" in feed.columns
+    assert all(
+        r["extra"] is None
+        for r in feed.filter("commit_version = 1").collect()
+    )
+    got = {
+        (r["commit_version"], r["change_type"]): r["n"]
+        for r in feed.groupBy("commit_version", "change_type")
+        .count().withColumnRenamed("count", "n").collect()
+    }
+    assert got == {
+        (1, "insert"): 6, (2, "update"): 6,
+        (3, "update"): 3, (4, "delete"): 1,
+    }
+
+
+def test_store_cdf_schema_anchors_on_newest_sidecar(spark, tmp_path):
+    from far_finer_airtable_firestore_sync_spark.sources import cdf_source
+
+    assert cdf_source.register(spark)
+    store = DocumentStore(spark, str(tmp_path / "evo2"), key_col="k")
+    store.commit(
+        spark.createDataFrame([(1, "a")], "k int, s string"), cdf=True
+    )
+    store.commit(
+        spark.createDataFrame([(1, "a", 5)], "k int, s string, n int"),
+        cdf=True,
+    )
+    feed = spark.read.format("store_cdf").option(
+        "path", store.root
+    ).load()
+    # before the fix the first sidecar anchored the schema and the
+    # later-added column was silently invisible
+    assert "n" in feed.columns and "old_n" in feed.columns
