@@ -2895,6 +2895,97 @@ where c_custkey % 3 <> 0 and c_custkey % 5 <> 0
 """
 
 
+def _q_store_txn_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution × DML × CDF on the LOCK-FREE MULTI-WRITER log
+    (round-10: the store-side proof ``store_dv_schema_evolution``
+    lifted to where concurrent writers live): a snapshot commit GAINS
+    a column, row-level UPDATE and DELETE then read and set it
+    through the CAS loop, and the ``store_cdf_txn`` feed spans all
+    four commits — anchored on the NEWEST sidecar so the evolved
+    column is visible while pre-evolution sidecars project as typed
+    NULLs (the fix this entry pins: anchoring on the first sidecar
+    silently hid every later-added column). The entry asserts the
+    feed's per-commit change counts and NULL backfill, then returns
+    the final masked snapshot under the value oracle."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources import cdf_source
+    from far_finer_airtable_firestore_sync_spark.sources.backends import (
+        TransactionalParquetBackend,
+    )
+
+    _utc(spark)
+    assert cdf_source.register_txn(spark)
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        "c_name",
+        F.expr("cast(round(c_acctbal * 100) as bigint)").alias("bal_c"),
+    )
+    base = cust.filter("k % 3 <> 0")
+    root = tempfile.mkdtemp(prefix="ffs_txnevo_")
+    _TMP_DIRS.append(root)
+    b = TransactionalParquetBackend(spark, root, "k", writer_id="A")
+    b.commit(base.repartition(8, F.col("k")), cdf=True)
+    # v2: schema evolution — every row gains a tier column
+    b.commit_with(
+        lambda cur: cur.withColumn(
+            "tier", F.expr("case when bal_c >= 500000 then 'hi' else 'lo' end")
+        ),
+        cdf=True,
+    )
+    # v3/v4: DML reading AND setting the evolved column through CAS
+    _h, n_upd = b.update_where(
+        "tier = 'hi'", {"bal_c": "bal_c + 100000"}, cdf=True
+    )
+    # delete_where returns TOTAL masked positions (the update's masked
+    # old images included); the feed carries only the NEW deletes —
+    # compute that expectation directly from the closed form
+    _h, _n_masked_total = b.delete_where(
+        "tier = 'lo' and k % 5 = 0", cdf=True
+    )
+    n_del = base.filter("bal_c < 500000 and k % 5 = 0").count()
+    assert n_upd > 0 and n_del > 0
+    feed = spark.read.format("store_cdf_txn").option("path", root).load()
+    assert "tier" in feed.columns and "old_tier" in feed.columns
+    counts = {
+        (r["commit_version"], r["change_type"]): r["n"]
+        for r in feed.groupBy("commit_version", "change_type")
+        .count().withColumnRenamed("count", "n").collect()
+    }
+    n_base = base.count()
+    assert counts[(1, "insert")] == n_base
+    assert counts[(2, "update")] == n_base      # evolution = all-rows update
+    assert counts[(3, "update")] == n_upd
+    assert counts[(4, "delete")] == n_del
+    # pre-evolution sidecar projects the evolved column as typed NULL
+    assert feed.filter(
+        "commit_version = 1 and tier is not null"
+    ).count() == 0
+    return b.read().select("k", "c_name", "bal_c", "tier")
+
+
+_STORE_TXN_SEVO_SQL = """
+with base as (
+  select c_custkey as k, c_name,
+         cast(round(c_acctbal * 100) as bigint) as bal_c
+  from customer where c_custkey % 3 <> 0
+),
+v2 as (
+  select k, c_name, bal_c,
+         case when bal_c >= 500000 then 'hi' else 'lo' end as tier
+  from base
+),
+v3 as (
+  select k, c_name,
+         bal_c + case when tier = 'hi' then 100000 else 0 end as bal_c,
+         tier
+  from v2
+)
+select * from v3
+where not (tier = 'lo' and k % 5 = 0)
+"""
+
+
 def _q_store_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel + retention vacuum on the LOCK-FREE MULTI-WRITER
     log (round-10: lifecycle parity with the single-writer store) —
@@ -4421,6 +4512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_txn_cdf_extrema": _q_store_txn_cdf_extrema,
         "store_txn_merge": _q_store_txn_merge,
         "store_txn_time_travel": _q_store_txn_time_travel,
+        "store_txn_schema_evolution": _q_store_txn_schema_evolution,
         "store_restore": _q_store_restore,
         "salted_agg_revenue": _q_salted_agg,
         "skew_hot_key_unsalted": _q_skew_hot_unsalted,
@@ -4497,6 +4589,7 @@ def oracle_sql() -> dict[str, str]:
         "store_txn_cdf_extrema": _STORE_TXN_CDF_EXTREMA_SQL,
         "store_txn_merge": _STORE_TXN_MERGE_SQL,
         "store_txn_time_travel": _STORE_TXN_TT_SQL,
+        "store_txn_schema_evolution": _STORE_TXN_SEVO_SQL,
         "store_restore": _STORE_RESTORE_SQL,
         "salted_agg_revenue": _SALTED_AGG_SQL,
         "skew_hot_key_unsalted": _SKEW_HOT_SQL,
