@@ -704,6 +704,20 @@ def collapse_changelog(
         if c not in (key_col, "change_type", order_col)
         and not c.startswith("old_")
     ]
+    # every old_* column must be the pre-image of a payload column; a
+    # leftover (a GENUINE payload column named old_<something absent>)
+    # would otherwise be silently dropped from the netted output
+    pre_images = {f"old_{c}" for c in payload}
+    stray = [
+        c for c in changes.columns
+        if c.startswith("old_") and c not in pre_images
+    ]
+    if stray:
+        raise ValueError(
+            f"collapse_changelog: columns {stray} look like pre-images "
+            "but have no matching payload column — rename 'old_'-"
+            "prefixed payload columns before collapsing"
+        )
     first = F.min_by(
         F.struct(
             F.col("change_type").alias("ct"),

@@ -308,25 +308,40 @@ def register(spark) -> bool:
 _TXN_MAINTENANCE_KINDS = {"compact", "optimize_zorder"}
 
 
-def _txn_records(root: str) -> list[tuple[int, dict]]:
-    """Committed log records of a ``TransactionalParquetBackend``,
-    version order. Reads the ``_log/`` directory directly (json
-    metadata only — no Spark, safe on the driver and in the source's
-    planning path)."""
+def _txn_version_index(root: str) -> dict[int, str]:
+    """version -> record path for a ``TransactionalParquetBackend``
+    log: ONE directory listing, no JSON parsing — the streaming hot
+    path (``latestOffset`` fires every trigger) must not re-parse an
+    O(total commits) record set just to learn the head."""
     log = os.path.join(root, "_log")
     if not os.path.isdir(log):
         raise ValueError(f"{root!r} has no _log/: not a transactional store")
-    recs = []
+    index = {}
     for f in os.listdir(log):
         if not f.endswith(".json") or f.startswith("_"):
             continue
         try:
-            v = int(f[:-5])
+            index[int(f[:-5])] = os.path.join(log, f)
         except ValueError:
             continue
-        with open(os.path.join(log, f)) as fh:
-            recs.append((v, json.load(fh)))
-    return sorted(recs)
+    return index
+
+
+def _txn_records(
+    root: str, lo: int = 0, hi: Optional[int] = None
+) -> list[tuple[int, dict]]:
+    """Committed log records with ``lo < version <= hi``, version
+    order — JSON is parsed ONLY for the requested range, so a
+    micro-batch pays for its own versions, never the table's
+    lifetime."""
+    index = _txn_version_index(root)
+    out = []
+    for v in sorted(index):
+        if v <= lo or (hi is not None and v > hi):
+            continue
+        with open(index[v]) as fh:
+            out.append((v, json.load(fh)))
+    return out
 
 
 class TxnChangeFilePartition(InputPartition):
@@ -369,9 +384,10 @@ def _txn_feed_partitions(
         if not os.path.isdir(ch):
             raise ValueError(
                 f"log version {v} ({kind}) has no {_CHANGES_DIR}/ "
-                "sidecar: commit with cdf=True, or exclude it from "
-                "the consumed range — a feed with holes would "
-                "silently under-maintain every consumer"
+                "sidecar (not committed with cdf=True, or its data "
+                "was retention-vacuumed): start the feed past it "
+                "with .option('startingVersion', N) — a feed with "
+                "silent holes would under-maintain every consumer"
             )
         files = sorted(
             os.path.join(ch, f)
@@ -393,6 +409,12 @@ class TxnCDFDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return "store_cdf_txn"
+
+    def _starting_version(self) -> int:
+        """First version the feed serves (default 1). Versions below
+        are never opened — the escape hatch for retention-vacuumed or
+        pre-CDF history."""
+        return int(self.options.get("startingVersion", 1))
 
     def schema(self) -> str:
         import pyarrow.parquet as pq
@@ -420,19 +442,28 @@ class TxnCDFDataSource(DataSource):
         )
 
     def reader(self, schema: T.StructType) -> "TxnCDFBatchReader":
-        return TxnCDFBatchReader(self.options["path"], schema)
+        return TxnCDFBatchReader(
+            self.options["path"], schema, self._starting_version()
+        )
 
     def streamReader(self, schema: T.StructType) -> "TxnCDFStreamReader":
-        return TxnCDFStreamReader(self.options["path"], schema)
+        return TxnCDFStreamReader(
+            self.options["path"], schema, self._starting_version()
+        )
 
 
 class TxnCDFBatchReader(DataSourceReader):
-    def __init__(self, root: str, schema: T.StructType):
+    def __init__(
+        self, root: str, schema: T.StructType, starting_version: int = 1
+    ):
         self.root = root
         self.field_names = [f.name for f in schema.fields]
+        self.starting_version = starting_version
 
     def partitions(self) -> list[TxnChangeFilePartition]:
-        return _txn_feed_partitions(self.root, _txn_records(self.root))
+        return _txn_feed_partitions(
+            self.root, _txn_records(self.root, lo=self.starting_version - 1)
+        )
 
     def read(
         self, partition: TxnChangeFilePartition
@@ -444,27 +475,31 @@ class TxnCDFStreamReader(DataSourceStreamReader):
     """Exactly-once CDF tail over the commit log: offset = newest
     consumed log VERSION (dense integers — exactly one writer owns
     N+1, so boundary slicing is exact no matter how many rivals land
-    between batches or during a restart)."""
+    between batches or during a restart). ``startingVersion`` begins
+    the feed past retention-vacuumed or pre-CDF history."""
 
-    def __init__(self, root: str, schema: T.StructType):
+    def __init__(
+        self, root: str, schema: T.StructType, starting_version: int = 1
+    ):
         self.root = root
         self.field_names = [f.name for f in schema.fields]
+        self.starting_version = starting_version
 
     def initialOffset(self) -> dict:
-        return {"v": 0}
+        return {"v": self.starting_version - 1}
 
     def latestOffset(self) -> dict:
-        recs = _txn_records(self.root)
-        return {"v": recs[-1][0] if recs else 0}
+        # one directory listing, no JSON parse — fires every trigger
+        index = _txn_version_index(self.root)
+        return {"v": max(index) if index else 0}
 
     def partitions(
         self, start: dict, end: dict
     ) -> list[TxnChangeFilePartition]:
         lo, hi = int(start.get("v", 0)), int(end.get("v", 0))
-        recs = [
-            (v, r) for v, r in _txn_records(self.root) if lo < v <= hi
-        ]
-        return _txn_feed_partitions(self.root, recs)
+        return _txn_feed_partitions(
+            self.root, _txn_records(self.root, lo=lo, hi=hi)
+        )
 
     def read(
         self, partition: TxnChangeFilePartition

@@ -1009,11 +1009,7 @@ class DocumentStore:
         counts = plan["counts"]
         if not any(counts.values()):
             return cur, counts
-        types = plan["types"]
-        updates, deletes = plan["updates"], plan["deletes"]
-        nbs_deletes = plan["nbs_deletes"]
-        ins_images, appended = plan["ins_images"], plan["appended"]
-        touched = plan["touched"]
+        appended, touched = plan["appended"], plan["touched"]
         rel = _new_version_dir_name(self._next_commit_ms())
         out = os.path.join(self.root, rel)
         _link_tree(cur, out)
@@ -1334,8 +1330,15 @@ def derive_merge_clauses(
         )
     t, s = snap.alias("t"), source.alias("s")
     matched = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "inner")
-    del_cond = F.expr(when_matched_delete) if when_matched_delete \
+    # three-valued logic: a NULL delete condition means NOT deleted
+    # (SQL/Delta MERGE semantics) — without the coalesce, ~NULL is
+    # NULL and the update clause would silently skip the row (a lost
+    # update, an undercount, and a missing CDF row)
+    del_cond = (
+        F.coalesce(F.expr(when_matched_delete), F.lit(False))
+        if when_matched_delete
         else F.lit(False)
+    )
     upd_cond = (~del_cond) if when_matched_update else F.lit(False)
     if when_matched_update and update_condition:
         upd_cond = upd_cond & F.expr(update_condition)
@@ -2025,7 +2028,11 @@ def write_deletion_vectors(
             )
         matching = df.join(
             match_keys.select(F.col(key_col).alias("_ffs_mk")).distinct(),
-            df[key_col] == F.col("_ffs_mk"),
+            # null-safe: a NULL-key row selected by a merge clause
+            # (e.g. when_not_matched_by_source_delete) must actually
+            # mask — a plain equi-join would count and CDF-emit the
+            # delete while leaving the row alive in the snapshot
+            df[key_col].eqNullSafe(F.col("_ffs_mk")),
             "left_semi",
         )
     else:

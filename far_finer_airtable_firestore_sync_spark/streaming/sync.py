@@ -784,13 +784,20 @@ def cdf_extrema_sync(
             if hi_v is None:
                 return  # empty batch: nothing to fold
             base_new_fn = lambda: upstream.read_version(int(hi_v))  # noqa: E731
-            batch_df = batch_df.drop("commit_version")
+            # telescope by LOG VERSION too: two writers' wall clocks
+            # can interleave against the commit order (and the log's
+            # ts_ms has no monotone bump), so ordering the per-key
+            # chain by commit_ms could net the WRONG last image
+            changes = collapse_changelog(
+                batch_df.drop("commit_ms"), upstream.key_col,
+                order_col="commit_version",
+            )
         else:
             hi = batch_df.agg(F.max("commit_ms")).first()[0]
             if hi is None:
                 return  # empty batch: nothing to fold, no version churn
             base_new_fn = lambda: upstream.read_as_of(int(hi))  # noqa: E731
-        changes = collapse_changelog(batch_df, upstream.key_col)
+            changes = collapse_changelog(batch_df, upstream.key_col)
         base = store.read()
         if base is None:
             # correctly-typed empty summary derived from the batch

@@ -1250,3 +1250,139 @@ def test_store_cdf_schema_anchors_on_newest_sidecar(spark, tmp_path):
     # before the fix the first sidecar anchored the schema and the
     # later-added column was silently invisible
     assert "n" in feed.columns and "old_n" in feed.columns
+
+
+# -- review fixes: three-valued merge, NULL keys, clock skew, vacuum × feed ----
+
+
+def test_merge_null_delete_condition_falls_to_update(spark, tmp_path):
+    """SQL/Delta three-valued MERGE: a NULL delete condition means
+    NOT deleted — the row must take the update clause, not be
+    silently skipped (review fix)."""
+    store2 = DocumentStore(spark, str(tmp_path / "tv2"), key_col="k")
+    store2.commit(
+        spark.createDataFrame(
+            [(1, 10, None), (2, 20, 9)], "k int, val int, flag int"
+        )
+    )
+    src2 = spark.createDataFrame(
+        [(1, 99), (2, 7)], "k int, val int"
+    )
+    _, c2 = store2.merge_into(
+        src2,
+        when_matched_update={"val": "s.val"},
+        when_matched_delete="t.flag > 5",   # NULL for k=1
+        when_not_matched_insert=False,
+    )
+    assert c2["deleted"] == 1 and c2["updated"] == 1
+    got = {r["k"]: r["val"] for r in store2.read().collect()}
+    assert got == {1: 99}   # k=1 updated (not skipped), k=2 deleted
+
+
+def test_merge_by_source_delete_masks_null_key(spark, tmp_path):
+    """A NULL-key row selected by when_not_matched_by_source_delete
+    must actually disappear from the snapshot (review fix: the
+    key-set mask join is null-safe)."""
+    store = DocumentStore(spark, str(tmp_path / "nk"), key_col="k")
+    store.commit(
+        spark.createDataFrame(
+            [(1, 10), (None, 20), (3, 30)], "k int, val int"
+        )
+    )
+    src = spark.createDataFrame([(1, 99)], "k int, val int")
+    _, counts = store.merge_into(
+        src,
+        when_matched_update={"val": "s.val"},
+        when_not_matched_insert=False,
+        when_not_matched_by_source_delete="true",
+    )
+    assert counts["deleted_by_source"] == 2      # NULL-key row + k=3
+    rows = sorted(
+        (r["k"], r["val"]) for r in store.read().collect()
+    )
+    assert rows == [(1, 99)]                     # NULL-key row GONE
+
+
+def test_txn_cdf_extrema_orders_by_version_not_clock(spark, tmp_path):
+    """Two commits whose wall clocks contradict the log order: the
+    telescoped net change must follow the VERSION order (review fix —
+    commit_ms is not authoritative on a multi-writer log)."""
+    import json as _json
+
+    from far_finer_airtable_firestore_sync_spark.sources import cdf_source
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        cdf_extrema_sync,
+    )
+
+    assert cdf_source.register_txn(spark)
+    b = _mk_backend(spark, tmp_path, "skew")
+    b.commit(_seed(spark, 4), cdf=True)
+    b.update_where("k = 1", {"val": "200"}, cdf=True)   # v2
+    b.update_where("k = 1", {"val": "300"}, cdf=True)   # v3 (final)
+    # skew the clocks: v2 claims a LATER wall time than v3
+    for v, ts in ((2, 9_999_999_999_999), (3, 1)):
+        path = b._record_path(v)
+        rec = _json.load(open(path))
+        rec["ts_ms"] = ts
+        os.chmod(path, 0o644)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(rec, fh)
+        os.replace(tmp, path)
+    roll = DocumentStore(spark, str(tmp_path / "skewroll"), key_col="grp")
+    stream = (
+        spark.readStream.format("store_cdf_txn")
+        .option("path", b.root).load()
+    )
+    q = cdf_extrema_sync(
+        stream, b, roll, str(tmp_path / "skewck"), "grp", "n",
+        {"sum_val": "val"}, {"min_val": "val"}, {"max_val": "val"},
+        "skewext",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["grp"]: r["max_val"] for r in roll.read().collect()}
+    # grp of k=1 is 1; max must reflect v3's 300, not v2's 200
+    assert got[1] == 300, got
+
+
+def test_txn_cdf_starting_version_skips_vacuumed_history(spark, tmp_path):
+    from far_finer_airtable_firestore_sync_spark.sources import cdf_source
+
+    assert cdf_source.register_txn(spark)
+    b = _mk_backend(spark, tmp_path, "vac")
+    b.commit(_seed(spark, 6), cdf=True)
+    b.delete_where("k = 0", cdf=True)
+    b.update_where("k = 1", {"val": "val + 1"}, cdf=True)
+    b.vacuum_versions(keep_last=2)   # v1's data (and sidecar) gone
+    # default feed-from-1 fails loudly and names the escape hatch
+    with pytest.raises(Exception, match="startingVersion"):
+        spark.read.format("store_cdf_txn").option(
+            "path", b.root
+        ).load().collect()
+    feed = (
+        spark.read.format("store_cdf_txn")
+        .option("path", b.root)
+        .option("startingVersion", "2")
+        .load()
+    )
+    got = {
+        (r["commit_version"], r["change_type"]) for r in feed.collect()
+    }
+    assert got == {(2, "delete"), (3, "update")}
+
+
+def test_collapse_changelog_rejects_stray_old_column(spark):
+    from far_finer_airtable_firestore_sync_spark.operators.ivm import (
+        collapse_changelog,
+    )
+
+    changes = spark.createDataFrame(
+        [(1, "insert", 5, None, 100)],
+        "k int, change_type string, old_price int, old_old_price int, "
+        "commit_ms long",
+    )
+    with pytest.raises(ValueError, match="pre-images"):
+        collapse_changelog(changes, "k")
