@@ -2768,6 +2768,7 @@ def _q_store_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.commit(v1, cdf=True)
     src.commit(v2, cdf=True)
     roll = DocumentStore(spark, roll_root, "seg")
+    stats: list = []
 
     def run_once() -> None:
         stream = (
@@ -2777,7 +2778,7 @@ def _q_store_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q = cdf_rollup_sync(
             stream, roll, ck, "seg", "n_customers",
-            {"sum_bal_64ths": "bal64"}, "cdfroll",
+            {"sum_bal_64ths": "bal64"}, "cdfroll", stats=stats,
         )
         try:
             q.processAllAvailable()
@@ -2789,6 +2790,23 @@ def _q_store_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.delete_where("k % 11 = 0", cdf=True)
     src.update_where("k % 13 = 0", {"bal64": "bal64 + 64"}, cdf=True)
     run_once()  # restart: exactly the two new versions replay
+    # O(touched groups) write (round 11): the restart epoch committed
+    # through merge_into, so its write row count must equal the
+    # groups the two DML commits actually touched — computed
+    # independently here from the pre-DML snapshot v2
+    v3f = v2.filter("k % 11 <> 0")
+    n_touched = (
+        v2.filter("k % 11 = 0")
+        .select("seg")
+        .unionByName(v3f.filter("k % 13 = 0").select("seg"))
+        .distinct()
+        .count()
+    )
+    last = stats[-1]
+    assert (
+        last["updated"] + last["deleted"] + last["inserted"]
+        + last["deleted_by_source"] == n_touched
+    ), (last, n_touched)
     n_versions = len(roll.list_versions())
     run_once()  # nothing new: must write nothing
     assert len(roll.list_versions()) == n_versions, (
@@ -3189,6 +3207,7 @@ def _q_store_cdf_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = DocumentStore(spark, src_root, "k")
     src.commit(v1, cdf=True)
     roll = DocumentStore(spark, roll_root, "grp")
+    stats: list = []
 
     def run_once() -> None:
         stream = (
@@ -3199,7 +3218,7 @@ def _q_store_cdf_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = cdf_extrema_sync(
             stream, src, roll, ck, "grp", "n_customers",
             {"sum_bal64": "bal64"}, {"min_bal64": "bal64"},
-            {"max_bal64": "bal64"}, "cdfext",
+            {"max_bal64": "bal64"}, "cdfext", stats=stats,
         )
         try:
             q.processAllAvailable()
@@ -3214,6 +3233,23 @@ def _q_store_cdf_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.update_where("k % 13 = 0", {"bal64": "bal64 + 64000"}, cdf=True)
     src.update_where("k % 26 = 0", {"bal64": "bal64 + 64000"}, cdf=True)
     run_once()
+    # O(touched groups) write (round 11): the restart epoch's merge
+    # touched exactly the groups named by the telescoped changelog —
+    # deleted keys' groups ∪ updated keys' groups, computed here
+    # independently from the replayed intermediate snapshots
+    v2f = v1.filter("bal64 < 576000")
+    n_touched = (
+        v1.filter("bal64 >= 576000")
+        .select("grp")
+        .unionByName(v2f.filter("k % 13 = 0").select("grp"))
+        .distinct()
+        .count()
+    )
+    last = stats[-1]
+    assert (
+        last["updated"] + last["deleted"] + last["inserted"]
+        + last["deleted_by_source"] == n_touched
+    ), (last, n_touched)
     n_versions = len(roll.list_versions())
     run_once()  # nothing new: must write nothing
     assert len(roll.list_versions()) == n_versions, (
@@ -4448,6 +4484,627 @@ group by 1
 # ---------------------------------------------------------------------------
 
 
+# -- round 11: bin-pack OPTIMIZE, log RESTORE/clone, MERGE schema ----------
+# -- evolution, two-feed streaming join view --------------------------------
+
+
+def _q_store_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-OPTIMIZE bin-packing (r10 VERDICT #1 — THE remaining
+    100 TB gap): routine small-file maintenance must cost O(small
+    files), never a full-table rewrite. The entry builds a head with
+    two right-sized base files, two appended merge slivers, and a
+    deletion-vector mask over the base, then ``optimize_binpack``:
+    (a) the base files survive as the SAME INODES (hard-link
+    identity, asserted via ``os.stat``), (b) only the under-sized
+    slivers rewrote (``n_rewritten``), (c) linked files KEEP their
+    DV positions (version-relative paths survive the link — the
+    shallow-clone argument) so the masked view is bit-identical,
+    and (d) a second pack is a committed NO-OP (``n_rewritten == 0``,
+    no version churn) — the fixed-point guarantee that repeated
+    maintenance converges instead of churning. Thresholds derive
+    from one bounded count so the entry holds at every SF. The
+    oracle replays base ∪ slivers minus the delete closed-form.
+    (Reference analog: Firestore compacts invisibly underneath
+    writers, /root/reference/lib/FirestoreWrapper.py:102-123.)"""
+    import os
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+        _dv_position_count,
+    )
+
+    _utc(spark)
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    base = o.filter("k % 2 = 0")
+    n_base = base.count()  # bounded: sizes the SF-proof threshold
+    min_rows = max(2, n_base // 4)
+    root = tempfile.mkdtemp(prefix="ffs_binpack_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "k")
+    store.commit(base.repartition(2))
+    # two sliver merges append under-sized files next to the big ones
+    store.merge_into(o.filter("k % 100 = 1"), when_not_matched_insert=True)
+    store.merge_into(o.filter("k % 100 = 3"), when_not_matched_insert=True)
+    # DV mask over the BASE files — linked files must keep it
+    store.delete_where("k % 500 = 0")
+    pre = store.current_version_dir()
+    inodes_pre = {}
+    for r, ds, fs in os.walk(pre):
+        ds[:] = [d for d in ds if not d.startswith(("_", "."))]
+        for f in fs:
+            if f.endswith(".parquet"):
+                p = os.path.join(r, f)
+                inodes_pre[os.path.relpath(p, pre)] = os.stat(p).st_ino
+    big_pre = {
+        rel for rel, _ in _binpack_stat_files(pre, min_rows)
+    }
+    out, stats = store.optimize_binpack(
+        min_rows_per_file=min_rows, target_rows_per_file=10_000_000
+    )
+    assert stats["n_rewritten"] >= 2 and stats["n_linked"] >= 2, stats
+    # (a) hard-link identity: every right-sized file is the same inode
+    for rel in big_pre:
+        assert (
+            os.stat(os.path.join(out, rel)).st_ino == inodes_pre[rel]
+        ), f"linked file {rel} was rewritten"
+    # (c) the carried DV mask still hides the deleted rows
+    assert _dv_position_count(out) > 0, "linked files lost their mask"
+    # (d) fixed point: a repack selects nothing and commits nothing
+    n_vers = len(store.list_versions())
+    out2, stats2 = store.optimize_binpack(
+        min_rows_per_file=min_rows, target_rows_per_file=10_000_000
+    )
+    assert stats2["n_rewritten"] == 0 and out2 == out, stats2
+    assert len(store.list_versions()) == n_vers, "no-op pack churned"
+    got = store.read()
+    want = (
+        base.unionByName(o.filter("k % 100 = 1"))
+        .unionByName(o.filter("k % 100 = 3"))
+        .filter("k % 500 <> 0")
+    )
+    _assert_spark_equal(got, want, "bin-packed masked view")
+    return got
+
+
+def _binpack_stat_files(version_dir: str, min_rows: int):
+    """(rel_path, rows) of the right-sized data files in a version —
+    entry-side helper mirroring `_binpack_classify`'s footer listing
+    so the inode assertion names exactly the files that must link."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for r, ds, fs in os.walk(version_dir):
+        ds[:] = [d for d in ds if not d.startswith(("_", "."))]
+        for f in fs:
+            if f.endswith(".parquet"):
+                p = os.path.join(r, f)
+                n = pq.read_metadata(p).num_rows
+                if n >= min_rows:
+                    out.append((os.path.relpath(p, version_dir), n))
+    return out
+
+
+_STORE_BINPACK_SQL = """
+with o as (
+  select o_orderkey as k, o_custkey as ck,
+         cast(round(o_totalprice * 100) as bigint) as cents
+  from orders
+)
+select * from o
+where (k % 2 = 0 or k % 100 = 1 or k % 100 = 3) and k % 500 <> 0
+"""
+
+
+def _q_store_txn_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-packing OPTIMIZE on the LOCK-FREE multi-writer log (r10
+    VERDICT #1, txn half): the pack publishes through the same
+    reconciling CAS loop as compaction — while the packed candidate
+    is written but unpublished, a RIVAL ``delete_where`` lands; the
+    losing pack REPLAYS the recorded predicate DML onto its candidate
+    (the delete arrives as a deletion-vector mask over the packed
+    files) and re-CASes, keeping both the cheap rewrite AND the
+    rival's DML. Asserts: final op kind is ``optimize_binpack``, the
+    replayed delete is present positionally, the base files carry
+    v1's inodes THROUGH the pack (links survive reconciliation), and
+    the final state equals the closed-form expectation the oracle
+    replays. A second pack on the packed head is a published no-op
+    handle with no new version."""
+    import os
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources.backends import (
+        TransactionalParquetBackend,
+    )
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        _dv_position_count,
+    )
+
+    _utc(spark)
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    base = o.filter("k % 2 = 0")
+    n_base = base.count()
+    min_rows = max(2, n_base // 4)
+    root = tempfile.mkdtemp(prefix="ffs_txnpack_")
+    _TMP_DIRS.append(root)
+    b = TransactionalParquetBackend(spark, root, "k", writer_id="maint")
+    rival = TransactionalParquetBackend(spark, root, "k", writer_id="rv")
+    b.commit(base.repartition(2))  # v1: two right-sized files
+    v1_dir = os.path.join(root, b._read_record(1)["version_dir"])
+    inodes_v1 = {
+        rel: os.stat(os.path.join(v1_dir, rel)).st_ino
+        for rel, _ in _binpack_stat_files(v1_dir, min_rows)
+    }
+    # v2 + v3: sliver merges append under-sized files
+    b.merge_into(o.filter("k % 100 = 1"), when_not_matched_insert=True)
+    b.merge_into(o.filter("k % 100 = 3"), when_not_matched_insert=True)
+
+    def rival_delete() -> None:
+        rival.delete_where("k % 500 = 0")  # v4 lands mid-pack
+
+    h = b.optimize_binpack(
+        min_rows_per_file=min_rows,
+        target_rows_per_file=10_000_000,
+        test_hook=rival_delete,
+    )
+    assert h == "txn://5", h
+    v, rec = b.latest()
+    assert v == 5 and rec["op"]["kind"] == "optimize_binpack", rec
+    vd = os.path.join(root, rec["version_dir"])
+    # the replayed rival delete masks the packed candidate positionally
+    assert _dv_position_count(vd) > 0, "replayed DML lost"
+    # hard-link identity survived merge-append commits AND the pack
+    for rel, ino in inodes_v1.items():
+        assert os.stat(os.path.join(vd, rel)).st_ino == ino, rel
+    # fixed point on the log: packing a packed head publishes no-op
+    h2 = b.optimize_binpack(
+        min_rows_per_file=min_rows, target_rows_per_file=10_000_000
+    )
+    assert h2 == "txn://5" and b.latest()[0] == 5, h2
+    got = b.read()
+    want = (
+        base.unionByName(o.filter("k % 100 = 1"))
+        .unionByName(o.filter("k % 100 = 3"))
+        .filter("k % 500 <> 0")
+    )
+    _assert_spark_equal(got, want, "reconciled bin-pack")
+    return got
+
+
+_STORE_TXN_BINPACK_SQL = """
+with o as (
+  select o_orderkey as k,
+         cast(round(o_totalprice * 100) as bigint) as cents
+  from orders
+)
+select * from o
+where (k % 2 = 0 or k % 100 = 1 or k % 100 = 3) and k % 500 <> 0
+"""
+
+
+def _q_store_txn_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE on the LOCK-FREE log (r10 VERDICT #4): rolling back is
+    a NEW append-only commit published through the same put-if-absent
+    CAS as every write — with ``cdf=False`` the record simply POINTS
+    AT the target's existing version directory (zero data movement,
+    O(1) metadata — asserted by version_dir identity), with
+    ``cdf=True`` the restore carries its OWN change sidecar (the diff
+    head -> target) so downstream CDF consumers see the rollback as
+    ordinary retractions, never a feed hole. The entry commits a
+    base, an update, and a DV delete (all cdf), CDF-restores to v1 —
+    asserting the v4 feed re-inserts the deleted rows and un-updates
+    the updated ones with only insert/update change types — then
+    plain-restores to v3 and asserts the O(1) dir-sharing property.
+    The oracle replays the final (v3-equal) state closed-form."""
+    import os
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources import cdf_source
+    from far_finer_airtable_firestore_sync_spark.sources.backends import (
+        TransactionalParquetBackend,
+    )
+
+    _utc(spark)
+    assert cdf_source.register_txn(spark)
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    base = o.filter("k % 2 = 0")
+    root = tempfile.mkdtemp(prefix="ffs_txnrst_")
+    _TMP_DIRS.append(root)
+    b = TransactionalParquetBackend(spark, root, "k")
+    b.commit(base, cdf=True)                                      # v1
+    b.update_where("k % 3 = 0", {"cents": "cents + 100"}, cdf=True)  # v2
+    b.delete_where("k % 5 = 0", cdf=True)                         # v3
+    h = b.restore(1, cdf=True)                                    # v4
+    assert h == "txn://4", h
+    v, rec = b.latest()
+    assert v == 4 and rec["op"] == {"kind": "restore", "to": 1}, rec
+    _assert_spark_equal(b.read(), base, "CDF-restored head == v1")
+    feed = (
+        spark.read.format("store_cdf_txn")
+        .option("path", root)
+        .load()
+        .filter("commit_version = 4")
+    )
+    kinds = {
+        r["change_type"]
+        for r in feed.select("change_type").distinct().collect()
+    }
+    assert kinds <= {"insert", "update"} and "insert" in kinds, kinds
+    # the rollback re-inserts every v3-deleted row (k%5, not updated)
+    n_reinserted = feed.filter("change_type = 'insert'").count()
+    n_expected = base.filter("k % 5 = 0").count()
+    assert n_reinserted == n_expected, (n_reinserted, n_expected)
+    # plain restore: O(1) metadata — the new record POINTS AT v3's dir
+    h = b.restore(3)                                              # v5
+    assert h == "txn://5", h
+    _v, rec5 = b.latest()
+    assert (
+        rec5["version_dir"] == b._read_record(3)["version_dir"]
+    ), "plain restore must share the target's directory"
+    got = b.read()
+    want = base.withColumn(
+        "cents",
+        F.expr("cents + case when k % 3 = 0 then 100 else 0 end"),
+    ).filter("k % 5 <> 0")
+    _assert_spark_equal(got, want, "restored-to-v3 head")
+    return got
+
+
+_STORE_TXN_RESTORE_SQL = """
+with base as (
+  select o_orderkey as k,
+         cast(round(o_totalprice * 100) as bigint) as cents
+  from orders where o_orderkey % 2 = 0
+)
+select k,
+       cents + case when k % 3 = 0 then 100 else 0 end as cents
+from base where k % 5 <> 0
+"""
+
+
+def _q_store_txn_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE of the lock-free log's head into a NEW
+    transactional store root (r10 VERDICT #4, the Delta SHALLOW CLONE
+    shape on the CAS protocol): the head's immutable files hard-link
+    into the clone's version 1 — O(filecount) metadata, the deletion-
+    vector mask travels because positions are version-relative — and
+    the clone is a FIRST-CLASS store: it commits its own DML through
+    its own log while the source stays untouched (asserted both
+    ways). The clone starts a fresh txn replay domain and records
+    source lineage. The oracle replays base minus the source's delete
+    minus the clone's own delete closed-form."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources.backends import (
+        TransactionalParquetBackend,
+    )
+
+    _utc(spark)
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    base = o.filter("k % 2 = 0")
+    root = tempfile.mkdtemp(prefix="ffs_txncl_src_")
+    dest = tempfile.mkdtemp(prefix="ffs_txncl_dst_")
+    _TMP_DIRS.extend([root, dest])
+    import shutil
+
+    shutil.rmtree(dest)  # clone wants a fresh root
+    b = TransactionalParquetBackend(spark, root, "k", writer_id="src")
+    b.commit(base)
+    b.delete_where("k % 5 = 0")  # DV mask must travel into the clone
+    clone = b.shallow_clone(dest)
+    v, rec = clone.latest()
+    assert v == 1 and rec["op"]["kind"] == "clone", rec
+    assert rec["op"]["source_version"] == 2 and rec["txns"] == {}, rec
+    _assert_spark_equal(clone.read(), b.read(), "clone == source head")
+    # divergence: the clone's DML is invisible to the source
+    clone.delete_where("k % 7 = 0")
+    src_after = b.read()
+    assert src_after.filter("k % 7 = 0 and k % 5 <> 0").count() > 0, (
+        "clone DML leaked into the source"
+    )
+    got = clone.read()
+    want = base.filter("k % 5 <> 0 and k % 7 <> 0")
+    _assert_spark_equal(got, want, "diverged clone")
+    return got
+
+
+_STORE_TXN_CLONE_SQL = """
+select o_orderkey as k,
+       cast(round(o_totalprice * 100) as bigint) as cents
+from orders
+where o_orderkey % 2 = 0 and o_orderkey % 5 <> 0 and o_orderkey % 7 <> 0
+"""
+
+
+def _q_store_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with SCHEMA EVOLUTION (r10 VERDICT #5 — Delta's
+    ``withSchemaEvolution()``): the source carries a column the
+    target lacks (``tier``); ``schema_evolution=True`` WIDENS the
+    target — untouched rows stay in their hard-linked narrow files
+    (adding a column to a 100 TB table must not rewrite it; the
+    version is marked mixed-schema and reads footer-merge), matched
+    rows take the update clause's value for the new column, inserted
+    rows carry the source value, and every pre-evolution row reads
+    back as a typed NULL. The CDF sidecar carries the EVOLVED schema:
+    update/insert rows populate ``tier``, the pre-image ``old_tier``
+    is NULL everywhere (the column did not exist before). Without the
+    flag the same merge is REJECTED loudly (asserted). The oracle
+    replays the widened left-join closed-form."""
+    import os
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.expr("cast(round(c_acctbal * 100) as bigint)").alias("cents"),
+    )
+    base = cust.filter("k % 3 <> 0")
+    src = (
+        _read(spark, sf_dir, "customer")
+        .filter("c_custkey % 2 = 0")
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_name").alias("name"),
+            F.expr(
+                "cast(round(c_acctbal * 100) as bigint) + 100000"
+            ).alias("cents"),
+            F.expr("substring(c_mktsegment, 1, 4)").alias("tier"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="ffs_mrgev_")
+    _TMP_DIRS.append(root)
+    store = DocumentStore(spark, root, "k")
+    store.commit(base.repartition(4, F.col("k")))
+    # the unflagged merge must fail loudly, committing nothing
+    try:
+        store.merge_into(
+            src,
+            when_matched_update={"cents": "s.cents"},
+            when_not_matched_insert=True,
+        )
+        raise AssertionError("new source column accepted without flag")
+    except ValueError as exc:
+        assert "schema_evolution" in str(exc), exc
+    assert len(store.list_versions()) == 1
+    v2, counts = store.merge_into(
+        src,
+        when_matched_update={"cents": "s.cents + t.cents", "tier": "s.tier"},
+        when_not_matched_insert=True,
+        schema_evolution=True,
+        cdf=True,
+    )
+    assert counts["updated"] > 0 and counts["inserted"] > 0, counts
+    # the CDF sidecar carries the evolved schema
+    ch = spark.read.parquet(os.path.join(v2, "_changes"))
+    assert "tier" in ch.columns and "old_tier" in ch.columns, ch.columns
+    assert ch.filter("tier is not null").count() == (
+        counts["updated"] + counts["inserted"]
+    )
+    assert ch.filter("old_tier is not null").count() == 0, (
+        "pre-images must be NULL for a column that did not exist"
+    )
+    got = store.read().select("k", "name", "cents", "tier")
+    bb, ss = base.alias("b"), src.alias("s")
+    matched = bb.join(ss, F.col("b.k") == F.col("s.k"), "left").select(
+        F.col("b.k").alias("k"),
+        F.col("b.name").alias("name"),
+        F.expr(
+            "case when s.k is null then b.cents "
+            "else s.cents + b.cents end"
+        ).alias("cents"),
+        F.col("s.tier").alias("tier"),
+    )
+    inserted = ss.join(
+        bb, F.col("s.k") == F.col("b.k"), "left_anti"
+    ).select("k", "name", "cents", "tier")
+    _assert_spark_equal(
+        got, matched.unionByName(inserted), "evolved merge"
+    )
+    return got
+
+
+_STORE_MERGE_EVO_SQL = """
+with base as (
+  select c_custkey as k, c_name as name,
+         cast(round(c_acctbal * 100) as bigint) as cents
+  from customer where c_custkey % 3 <> 0
+),
+src as (
+  select c_custkey as k, c_name as name,
+         cast(round(c_acctbal * 100) as bigint) + 100000 as cents,
+         substring(c_mktsegment, 1, 4) as tier
+  from customer where c_custkey % 2 = 0
+)
+select b.k, b.name,
+       case when s.k is null then b.cents else s.cents + b.cents end as cents,
+       s.tier as tier
+from base b left join src s on b.k = s.k
+union all
+select s.k, s.name, s.cents, s.tier
+from src s left join base b on s.k = b.k
+where b.k is null
+"""
+
+
+def _q_store_cdf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-maintained JOIN VIEW + rollup from TWO stores'
+    change feeds (r10 VERDICT #2 — the missing rung between the
+    single-feed CDF consumers and the batch star IVM): the fact
+    store's and dimension store's ``store_cdf`` feeds union into one
+    query; each batch re-joins only the AFFECTED fact slice (fact
+    changelog keys ∪ fact rows whose dimension row changed) against
+    snapshots VERSION-PINNED to the newest commit each feed
+    delivered, and commits O(touched) on both downstream stores
+    through ``merge_into`` — view upserts + departure tombstones,
+    summary as signed corrections — under per-store txn markers
+    (summary-then-view ordering makes a crash between them replay
+    cleanly). The entry FORCES A RESTART: a dimension group move, a
+    fact delete, a fact update, and an insert pointing at the moved
+    dimension row all land while the consumer is DOWN; the restarted
+    stream maintains both stores to equality with the full recompute
+    (asserted Spark-side), the view merge's write count equals the
+    independently-computed affected-key count, and a third run with
+    nothing new writes NOTHING. The oracle replays the final join
+    rollup closed-form."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources import cdf_source
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        cdf_join_sync,
+    )
+
+    _utc(spark)
+    assert cdf_source.register(spark)
+    fact0 = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nk"),
+        F.expr("cast(round(c_acctbal * 100) as bigint)").alias("cents"),
+    ).filter("k % 3 <> 0")
+    dim0 = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("d"),
+        F.col("n_name").alias("nname"),
+    )
+    nk_type = dict(fact0.dtypes)["nk"]
+    roots = {
+        n: tempfile.mkdtemp(prefix=f"ffs_cdfj_{n}_")
+        for n in ("fact", "dim", "view", "summ", "ck")
+    }
+    _TMP_DIRS.extend(roots.values())
+    fact = DocumentStore(spark, roots["fact"], "k")
+    dim = DocumentStore(spark, roots["dim"], "d")
+    dim.commit(dim0, cdf=True)
+    fact.commit(fact0, cdf=True)
+    view = DocumentStore(spark, roots["view"], "k")
+    summ = DocumentStore(spark, roots["summ"], "nname")
+    stats: list = []
+
+    def run_once() -> None:
+        q = cdf_join_sync(
+            spark.readStream.format("store_cdf")
+            .option("path", roots["fact"]).load(),
+            spark.readStream.format("store_cdf")
+            .option("path", roots["dim"]).load(),
+            fact, dim, view, summ, roots["ck"],
+            fact_key="k", dim_fk="nk", dim_key="d",
+            view_cols=["k", "nk", "cents", "nname"],
+            group_col="nname", count_col="n", sum_map={"s": "cents"},
+            query_name="cdfjoin", stats=stats,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def expected() -> tuple[DataFrame, DataFrame]:
+        f, d = fact.read().alias("f"), dim.read().alias("d")
+        vx = f.join(d, F.col("f.nk") == F.col("d.d")).select(
+            "k", "nk", "cents", "nname"
+        )
+        sx = vx.groupBy("nname").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+        )
+        return vx, sx
+
+    run_once()  # bootstrap epoch
+    vx, sx = expected()
+    _assert_spark_equal(view.read(), vx, "bootstrapped join view")
+    # four commits land while the consumer is DOWN: a dim GROUP MOVE
+    # (every nation-7 fact row changes segment), fact delete, fact
+    # update, and an insert POINTING AT the moved dimension row
+    dim.update_where("d = 7", {"nname": "'SHIFTED'"}, cdf=True)
+    fact.delete_where("k % 11 = 0", cdf=True)
+    fact.update_where("k % 13 = 0", {"cents": "cents + 100"}, cdf=True)
+    ins = fact0.filter("k % 17 = 0").select(
+        (F.col("k") + F.lit(1_000_000)).alias("k"),
+        F.lit(7).cast(nk_type).alias("nk"),
+        F.col("cents"),
+    )
+    fact.merge_into(ins, when_not_matched_insert=True, cdf=True)
+    run_once()  # restart: both feeds resume from their checkpoints
+    vx, sx = expected()
+    _assert_spark_equal(view.read(), vx, "maintained join view")
+    _assert_spark_equal(summ.read(), sx, "maintained join rollup")
+    # O(touched) writes: the restart epoch's view merge touched
+    # exactly the affected fact keys, computed independently here
+    f1 = fact0.filter("k % 11 <> 0")
+    affected = (
+        fact0.filter("k % 11 = 0").select("k")          # deletes
+        .unionByName(f1.filter("k % 13 = 0").select("k"))  # updates
+        .unionByName(f1.filter("nk = 7").select("k"))   # dim move
+        .unionByName(ins.select("k"))                   # inserts
+        .distinct()
+        .count()
+    )
+    vc = stats[-1]["view"]
+    n_written = (
+        vc["updated"] + vc["deleted"] + vc["inserted"]
+        + vc["deleted_by_source"]
+    )
+    assert n_written == affected, (vc, affected)
+    # exactly-once: nothing new -> no commit on either store
+    nv, ns = len(view.list_versions()), len(summ.list_versions())
+    run_once()
+    assert len(view.list_versions()) == nv, "idle epoch wrote the view"
+    assert len(summ.list_versions()) == ns, "idle epoch wrote summary"
+    got = summ.read().select(
+        "nname",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("s").cast("bigint").alias("s"),
+    )
+    return got
+
+
+_STORE_CDF_JOIN_SQL = """
+with f0 as (
+  select c_custkey as k, c_nationkey as nk,
+         cast(round(c_acctbal * 100) as bigint) as cents
+  from customer where c_custkey % 3 <> 0
+),
+f1 as (select * from f0 where k % 11 <> 0),
+f2 as (
+  select k, nk, cents + case when k % 13 = 0 then 100 else 0 end as cents
+  from f1
+),
+ins as (
+  select k + 1000000 as k, 7 as nk, cents from f0 where k % 17 = 0
+),
+f3 as (select * from f2 union all select * from ins),
+d as (
+  select n_nationkey as dd,
+         case when n_nationkey = 7 then 'SHIFTED' else n_name end as nname
+  from nation
+)
+select nname, cast(count(*) as bigint) as n,
+       cast(sum(cents) as bigint) as s
+from f3 join d on f3.nk = d.dd
+group by nname
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "typed_projection": _q_typed_projection,
@@ -4514,6 +5171,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_txn_time_travel": _q_store_txn_time_travel,
         "store_txn_schema_evolution": _q_store_txn_schema_evolution,
         "store_restore": _q_store_restore,
+        "store_binpack": _q_store_binpack,
+        "store_txn_binpack": _q_store_txn_binpack,
+        "store_txn_restore": _q_store_txn_restore,
+        "store_txn_clone": _q_store_txn_clone,
+        "store_merge_evolution": _q_store_merge_evolution,
+        "store_cdf_join": _q_store_cdf_join,
         "salted_agg_revenue": _q_salted_agg,
         "skew_hot_key_unsalted": _q_skew_hot_unsalted,
         "skew_hot_key_salted": _q_skew_hot_salted,
@@ -4591,6 +5254,12 @@ def oracle_sql() -> dict[str, str]:
         "store_txn_time_travel": _STORE_TXN_TT_SQL,
         "store_txn_schema_evolution": _STORE_TXN_SEVO_SQL,
         "store_restore": _STORE_RESTORE_SQL,
+        "store_binpack": _STORE_BINPACK_SQL,
+        "store_txn_binpack": _STORE_TXN_BINPACK_SQL,
+        "store_txn_restore": _STORE_TXN_RESTORE_SQL,
+        "store_txn_clone": _STORE_TXN_CLONE_SQL,
+        "store_merge_evolution": _STORE_MERGE_EVO_SQL,
+        "store_cdf_join": _STORE_CDF_JOIN_SQL,
         "salted_agg_revenue": _SALTED_AGG_SQL,
         "skew_hot_key_unsalted": _SKEW_HOT_SQL,
         "skew_hot_key_salted": _SKEW_HOT_SQL,

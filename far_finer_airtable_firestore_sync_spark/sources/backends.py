@@ -315,16 +315,14 @@ class TransactionalParquetBackend:
         import os
 
         from far_finer_airtable_firestore_sync_spark.sources.store import (
-            _apply_deletion_vectors,
+            read_with_deletion_vectors,
         )
 
         _v, rec = self.latest()
         if rec is None:
             return None
         vd = os.path.join(self.root, rec["version_dir"])
-        return _apply_deletion_vectors(
-            self.spark, self.spark.read.parquet(vd), vd
-        )
+        return read_with_deletion_vectors(self.spark, vd)
 
     def read_or_empty(self, like: DataFrame) -> DataFrame:
         df = self.read()
@@ -342,7 +340,7 @@ class TransactionalParquetBackend:
         import os
 
         from far_finer_airtable_firestore_sync_spark.sources.store import (
-            _apply_deletion_vectors,
+            read_with_deletion_vectors,
         )
 
         rec = self._read_record(version)  # raises on unknown version
@@ -353,9 +351,7 @@ class TransactionalParquetBackend:
                 "removed by retention vacuum; travel inside the "
                 "retention window or restore from upstream"
             )
-        return _apply_deletion_vectors(
-            self.spark, self.spark.read.parquet(vd), vd
-        )
+        return read_with_deletion_vectors(self.spark, vd)
 
     def read_as_of(self, ts_ms: int) -> Optional[DataFrame]:
         """Time travel by TIMESTAMP (`timestampAsOf`): the newest
@@ -540,8 +536,8 @@ class TransactionalParquetBackend:
         import shutil
 
         from far_finer_airtable_firestore_sync_spark.sources.store import (
-            _apply_deletion_vectors,
             diff_frames,
+            read_with_deletion_vectors,
         )
 
         ch = os.path.join(out, "_changes")
@@ -561,9 +557,7 @@ class TransactionalParquetBackend:
             )
         else:
             base_dir = os.path.join(self.root, base_rec["version_dir"])
-            base_df = _apply_deletion_vectors(
-                self.spark, self.spark.read.parquet(base_dir), base_dir
-            )
+            base_df = read_with_deletion_vectors(self.spark, base_dir)
             changes = diff_frames(
                 base_df, new_df, self.key_col, include_old=True
             )
@@ -673,13 +667,11 @@ class TransactionalParquetBackend:
                 # rows are the matching rows of the MASKED base — no
                 # diff join (same shape as DocumentStore.delete_where)
                 from far_finer_airtable_firestore_sync_spark.sources.store import (  # noqa: E501
-                    _apply_deletion_vectors,
+                    read_with_deletion_vectors,
                 )
                 from pyspark.sql import functions as F
 
-                prior_snap = _apply_deletion_vectors(
-                    self.spark, self.spark.read.parquet(src), src
-                )
+                prior_snap = read_with_deletion_vectors(self.spark, src)
                 cols = [
                     c for c in prior_snap.columns if c != self.key_col
                 ]
@@ -764,9 +756,9 @@ class TransactionalParquetBackend:
 
         from far_finer_airtable_firestore_sync_spark.sources.store import (
             ConcurrentCommitError,
-            _apply_deletion_vectors,
             _hive_partition_cols,
             _link_tree,
+            read_with_deletion_vectors,
             write_deletion_vectors,
         )
 
@@ -777,9 +769,7 @@ class TransactionalParquetBackend:
                     f"store {self.root} is empty; nothing to update"
                 )
             src = os.path.join(self.root, base_rec["version_dir"])
-            snap = _apply_deletion_vectors(
-                self.spark, self.spark.read.parquet(src), src
-            )
+            snap = read_with_deletion_vectors(self.spark, src)
             unknown = [c for c in set_exprs if c not in snap.columns]
             if unknown:
                 raise ValueError(f"update_where: unknown columns {unknown}")
@@ -877,6 +867,7 @@ class TransactionalParquetBackend:
         max_retries: int = 5,
         test_hook=None,
         cdf: bool = False,
+        schema_evolution: bool = False,
     ) -> tuple[str, dict]:
         """Multi-clause MERGE INTO on the LOCK-FREE log — the
         cross-host form of ``DocumentStore.merge_into``, completing
@@ -912,11 +903,12 @@ class TransactionalParquetBackend:
 
         from far_finer_airtable_firestore_sync_spark.sources.store import (
             ConcurrentCommitError,
-            _apply_deletion_vectors,
+            _MIXED_SCHEMA_MARKER,
             _hive_partition_cols,
             _link_tree,
             derive_merge_clauses,
             merge_changes_frame,
+            read_with_deletion_vectors,
             write_deletion_vectors,
         )
 
@@ -927,14 +919,12 @@ class TransactionalParquetBackend:
                     f"store {self.root} is empty; nothing to merge"
                 )
             src = os.path.join(self.root, base_rec["version_dir"])
-            snap = _apply_deletion_vectors(
-                self.spark, self.spark.read.parquet(src), src
-            )
+            snap = read_with_deletion_vectors(self.spark, src)
             plan = derive_merge_clauses(
                 snap, source, self.key_col,
                 when_matched_update, update_condition,
                 when_matched_delete, when_not_matched_insert,
-                when_not_matched_by_source_delete,
+                when_not_matched_by_source_delete, schema_evolution,
             )
             counts = plan["counts"]
             if not any(counts.values()):
@@ -964,9 +954,16 @@ class TransactionalParquetBackend:
                     if pcols:
                         writer = writer.partitionBy(*pcols)
                     writer.parquet(out)
+                if plan["evolved"]:
+                    # linked files keep the narrow schema; readers
+                    # footer-merge from now on (_MIXED_SCHEMA_MARKER)
+                    with open(
+                        os.path.join(out, _MIXED_SCHEMA_MARKER), "w"
+                    ) as fh:
+                        fh.write("")
                 if cdf:
                     merge_changes_frame(
-                        plan, self.key_col, snap.columns,
+                        plan, self.key_col, plan["columns"],
                         when_matched_update,
                     ).write.mode("errorifexists").parquet(
                         os.path.join(out, "_changes")
@@ -1042,15 +1039,13 @@ class TransactionalParquetBackend:
                 import os
 
                 from far_finer_airtable_firestore_sync_spark.sources.store import (
-                    _apply_deletion_vectors,
+                    read_with_deletion_vectors,
                 )
 
                 vd = os.path.join(self.root, base_rec["version_dir"])
                 # DV-masked: a post-state derived from a
                 # delete_where-published base must not resurrect rows
-                cur = _apply_deletion_vectors(
-                    self.spark, self.spark.read.parquet(vd), vd
-                )
+                cur = read_with_deletion_vectors(self.spark, vd)
             try:
                 return self.commit(
                     build_post_state(cur),
@@ -1092,8 +1087,8 @@ class TransactionalParquetBackend:
         from pyspark.sql import functions as F
 
         from far_finer_airtable_firestore_sync_spark.sources.store import (
-            _apply_deletion_vectors,
             _hive_partition_cols,
+            read_with_deletion_vectors,
             write_deletion_vectors,
         )
 
@@ -1103,11 +1098,7 @@ class TransactionalParquetBackend:
         # update_where: freeze the updated images BEFORE mutating the
         # directory (the mask-before-append ordering contract), then
         # mask, then append right-sized + partition-aware.
-        snap = _apply_deletion_vectors(
-            self.spark,
-            self.spark.read.parquet(candidate_dir),
-            candidate_dir,
-        )
+        snap = read_with_deletion_vectors(self.spark, candidate_dir)
         types = dict(snap.dtypes)
         updated = (
             snap.filter(op["predicate"])
@@ -1272,14 +1263,12 @@ class TransactionalParquetBackend:
         footer-metadata only (``_version_live_rows`` — no count
         pre-pass; r9 VERDICT #6)."""
         from far_finer_airtable_firestore_sync_spark.sources.store import (
-            _apply_deletion_vectors,
             _version_live_rows,
+            read_with_deletion_vectors,
         )
 
         def build(src: str, out: str) -> None:
-            df = _apply_deletion_vectors(
-                self.spark, self.spark.read.parquet(src), src
-            )
+            df = read_with_deletion_vectors(self.spark, src)
             n = _version_live_rows(src)
             n_files = max(1, -(-n // target_rows_per_file))
             writer = df.coalesce(n_files).write.mode("errorifexists")
@@ -1289,6 +1278,69 @@ class TransactionalParquetBackend:
 
         return self._maintenance_publish(
             build, "compact", max_retries, test_hook
+        )
+
+    def optimize_binpack(
+        self,
+        min_rows_per_file: int = 500_000,
+        target_rows_per_file: int = 1_000_000,
+        partition_values=None,
+        max_retries: int = 5,
+        test_hook=None,
+    ) -> str:
+        """Delta-OPTIMIZE bin-packing on the LOCK-FREE log (r10
+        VERDICT #1): the shared builder (``store.binpack_build`` —
+        one definition with the single-writer store, so the two
+        protocols can never pack differently) links every right-sized
+        file, rewrites only the under-sized ones, splits the DV mask
+        along the same line, and publishes through
+        :meth:`_maintenance_publish`'s reconciling CAS loop — a rival
+        predicate DELETE/UPDATE replays onto the packed candidate
+        (its mask/appends land exactly as they do on a compaction
+        candidate), a rival snapshot commit forces a rebuild. A head
+        with no under-sized files in scope publishes nothing and
+        returns the current handle; the (unlocked) pre-check can race
+        a commit, in which case the builder links the new head
+        verbatim — a metadata-only no-op commit, never a wrong one."""
+        import os
+
+        from far_finer_airtable_firestore_sync_spark.sources.store import (
+            _binpack_classify,
+            _link_tree,
+            binpack_build,
+        )
+
+        head_v, head_rec = self.latest()
+        if head_rec is None:
+            raise ValueError(
+                f"store {self.root} is empty; nothing to optimize"
+            )
+        src0 = os.path.join(self.root, head_rec["version_dir"])
+        small, _big = _binpack_classify(
+            src0, min_rows_per_file, partition_values
+        )
+        if not small:
+            return f"txn://{head_v}"
+
+        def build(src: str, out: str) -> None:
+            import shutil
+
+            probe, _ = _binpack_classify(
+                src, min_rows_per_file, partition_values
+            )
+            if not probe:  # head moved and is already packed
+                _link_tree(src, out)
+                shutil.rmtree(
+                    os.path.join(out, "_changes"), ignore_errors=True
+                )
+                return
+            binpack_build(
+                self.spark, src, out, min_rows_per_file,
+                target_rows_per_file, partition_values,
+            )
+
+        return self._maintenance_publish(
+            build, "optimize_binpack", max_retries, test_hook
         )
 
     def optimize_zorder(
@@ -1310,15 +1362,13 @@ class TransactionalParquetBackend:
         loss-free; a rival update drops the manifest (appended images
         are outside it) and pruning rebuilds lazily."""
         from far_finer_airtable_firestore_sync_spark.sources.store import (
-            _apply_deletion_vectors,
+            read_with_deletion_vectors,
             write_zone_manifest,
             zorder_cluster,
         )
 
         def build(src: str, out: str) -> None:
-            df = _apply_deletion_vectors(
-                self.spark, self.spark.read.parquet(src), src
-            )
+            df = read_with_deletion_vectors(self.spark, src)
             zorder_cluster(
                 df, x_col, y_col, n_files, buckets_per_dim
             ).write.mode("errorifexists").parquet(out)
@@ -1327,6 +1377,195 @@ class TransactionalParquetBackend:
         return self._maintenance_publish(
             build, "optimize_zorder", max_retries, test_hook
         )
+
+    def restore(
+        self,
+        version: int,
+        cdf: bool = False,
+        max_retries: int = 5,
+        test_hook=None,
+    ) -> str:
+        """RESTORE on the LOCK-FREE log (r10 VERDICT #4): roll the
+        store back to log version N AS A NEW COMMIT — history stays
+        append-only (the ``DocumentStore.restore`` contract), and the
+        publish is the same atomic put-if-absent CAS as every other
+        commit, so cross-host writers racing the restore serialize
+        through the log like anything else.
+
+        Cost: with ``cdf=False`` the new record simply POINTS AT the
+        target's existing version_dir — zero data movement, zero
+        links, O(1) metadata (the log's version_dir indirection is
+        exactly what makes this free; ``vacuum_versions`` already
+        treats shared dirs as retained while any retained record
+        references them). With ``cdf=True`` the target hard-links
+        into a fresh directory carrying this restore's OWN change
+        sidecar — the diff head -> target, re-derived inside the CAS
+        loop against the base the publish actually lands on, so
+        downstream CDF consumers see the rollback as ordinary
+        retractions/updates (never a feed hole).
+
+        Conflict semantics: ``op.kind = "restore"`` is a SNAPSHOT-
+        class commit — a racing maintenance rewrite that loses to it
+        rebuilds (``_maintenance_publish`` whitelists only predicate
+        DML), and a restore losing its own race re-derives. A
+        retention-vacuumed target fails loudly up front."""
+        import json
+        import os
+        import shutil
+        import time
+        import uuid
+
+        from far_finer_airtable_firestore_sync_spark.sources.store import (
+            ConcurrentCommitError,
+            _link_tree,
+            diff_frames,
+            read_with_deletion_vectors,
+        )
+
+        target_rec = self._read_record(version)  # raises on unknown
+        target_rel = target_rec["version_dir"]
+        target_dir = os.path.join(self.root, target_rel)
+        if not os.path.isdir(target_dir):
+            raise ValueError(
+                f"store {self.root}: version {version}'s data was "
+                "removed by retention vacuum; cannot restore to it"
+            )
+        for _attempt in range(max_retries + 1):
+            base_v, base_rec = self.latest()
+            assert base_rec is not None  # version N exists => log does
+            out = None
+            if cdf:
+                rel = f"v-{uuid.uuid4().hex}"
+                out = os.path.join(self.root, rel)
+                _link_tree(target_dir, out)
+                # inherited _changes describes the TARGET's commit
+                shutil.rmtree(
+                    os.path.join(out, "_changes"), ignore_errors=True
+                )
+                try:
+                    head_dir = os.path.join(
+                        self.root, base_rec["version_dir"]
+                    )
+                    diff_frames(
+                        read_with_deletion_vectors(self.spark, head_dir),
+                        read_with_deletion_vectors(self.spark, target_dir),
+                        self.key_col,
+                        include_old=True,
+                    ).write.mode("errorifexists").parquet(
+                        os.path.join(out, "_changes")
+                    )
+                except Exception:
+                    shutil.rmtree(out, ignore_errors=True)
+                    raise
+            else:
+                rel = target_rel  # point at the old dir: O(1) restore
+            if test_hook is not None:
+                test_hook()
+                test_hook = None  # fire exactly once
+            record = {
+                "version_dir": rel,
+                "writer": self.writer_id,
+                "ts_ms": int(time.time() * 1000),
+                "txns": dict(base_rec.get("txns", {})),
+                # snapshot-class: rivals of a maintenance rewrite
+                # must rebuild, never replay (the merge_into rule)
+                "op": {"kind": "restore", "to": version},
+            }
+            tmp = os.path.join(
+                self._log_dir(), f"_tmp-{uuid.uuid4().hex}.json"
+            )
+            with open(tmp, "w") as fh:
+                json.dump(record, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            target = self._record_path(base_v + 1)
+            try:
+                os.link(tmp, target)  # atomic put-if-absent
+                return self._published(base_v + 1)
+            except FileExistsError:
+                if os.stat(tmp).st_nlink == 2:  # lost-reply win
+                    return self._published(base_v + 1)
+                # a rival owns base_v+1: the cdf diff (if any) named
+                # the wrong predecessor — discard and re-derive
+                if out is not None:
+                    shutil.rmtree(out, ignore_errors=True)
+                continue
+            finally:
+                os.unlink(tmp)
+        raise ConcurrentCommitError(
+            f"store {self.root}: restore CAS failed after "
+            f"{max_retries + 1} attempts (writer {self.writer_id})"
+        )
+
+    def shallow_clone(self, dest_root: str) -> "TransactionalParquetBackend":
+        """Zero-copy snapshot export of the log's HEAD into a NEW
+        transactional store root (r10 VERDICT #4; the Delta SHALLOW
+        CLONE shape on the lock-free protocol): the head version's
+        immutable files hard-link into the clone's first version
+        directory (``_link_tree`` — O(filecount) metadata, deletion
+        vectors travel because positions are version-relative and
+        names are preserved), and the clone's log is born at version
+        1 through the same atomic put-if-absent publish, so a racing
+        second clone into the same root loses cleanly instead of
+        interleaving. The clone starts a FRESH txn replay domain
+        (``txns: {}``) and its record names the source root + version
+        for lineage. Vacuuming the source keeps the clone alive:
+        hard links hold inodes until every referent is gone."""
+        import json
+        import os
+        import shutil
+        import time
+        import uuid
+
+        from far_finer_airtable_firestore_sync_spark.sources.store import (
+            ConcurrentCommitError,
+            _link_tree,
+        )
+
+        head_v, rec = self.latest()
+        if rec is None:
+            raise ValueError(
+                f"store {self.root} has no committed version to clone"
+            )
+        src_dir = os.path.join(self.root, rec["version_dir"])
+        dest = TransactionalParquetBackend(
+            self.spark, dest_root, self.key_col
+        )
+        rel = f"v-{uuid.uuid4().hex}"
+        out = os.path.join(dest_root, rel)
+        _link_tree(src_dir, out)
+        # the inherited _changes describes the SOURCE's last commit;
+        # the clone's version 1 is logically a fresh full state
+        shutil.rmtree(os.path.join(out, "_changes"), ignore_errors=True)
+        record = {
+            "version_dir": rel,
+            "writer": self.writer_id,
+            "ts_ms": int(time.time() * 1000),
+            "txns": {},
+            "op": {
+                "kind": "clone",
+                "source": self.root,
+                "source_version": head_v,
+            },
+        }
+        tmp = os.path.join(
+            dest._log_dir(), f"_tmp-{uuid.uuid4().hex}.json"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(record, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, dest._record_path(1))
+        except FileExistsError:
+            if os.stat(tmp).st_nlink != 2:  # genuine rival clone/commit
+                shutil.rmtree(out, ignore_errors=True)
+                raise ConcurrentCommitError(
+                    f"clone target {dest_root} already has a version 1"
+                )
+        finally:
+            os.unlink(tmp)
+        return dest
 
     def history(self) -> DataFrame:
         """Commit lineage from the log: one row per version (version

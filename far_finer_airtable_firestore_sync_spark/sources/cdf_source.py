@@ -305,7 +305,7 @@ def register(spark) -> bool:
 # range that lacks a sidecar fails loudly (a feed with silent holes
 # is worse than no feed).
 
-_TXN_MAINTENANCE_KINDS = {"compact", "optimize_zorder"}
+_TXN_MAINTENANCE_KINDS = {"compact", "optimize_zorder", "optimize_binpack"}
 
 
 def _txn_version_index(root: str) -> dict[int, str]:
