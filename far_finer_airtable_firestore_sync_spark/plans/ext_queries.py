@@ -3046,8 +3046,56 @@ def _rm3_body(dialect: str, rel: str) -> str:
     term-filtered partial aggregate each time — the second filter is a
     broadcast join against |Q|+{RM3_EXP_TERMS} terms instead of a
     static IN); feedback is a top-k TakeOrdered; the relevance model
-    aggregates only the {RM3_FB_DOCS} feedback docs' postings."""
+    aggregates only the {RM3_FB_DOCS} feedback docs' postings.
+
+    Round 11 (r10 VERDICT #7 — the cold-planning watch item): the
+    body is now composed from fragments so the SPARK side can
+    MATERIALIZE the multi-referenced postings CTE once
+    (``q_rm3_search``: localCheckpoint + temp view, the round-8
+    corpus-grain-CTE rule — Spark inlines a CTE per reference, so
+    the 3x-referenced explode was planned AND executed three times,
+    ~10 s of Catalyst work on a cold session) and inline the 1-row
+    corpus aggregate as literals; DuckDB composes the same fragments
+    textually into the original monolithic body."""
+    return (
+        f"with {_rm3_corpus_ctes(dialect, rel)},\n"
+        + _rm3_tail(dialect, "postings")
+    )
+
+
+def _rm3_corpus_ctes(dialect: str, rel: str) -> str:
+    """The corpus-grain fragment of ``_rm3_body``: words -> n ->
+    postings, as a CTE list (no leading WITH) — DuckDB nests it
+    verbatim; Spark replaces it with a checkpointed view + literal n
+    (see ``q_rm3_search``)."""
     warr = tx.split_ws_safe("text", dialect)
+    return f"""words as (
+  select doc_id, {tx.lsize('warr', dialect)} as dl, warr
+  from (select doc_id, {warr} as warr from {rel})
+),
+n as (select count(*) as n_docs, sum(dl) as total_words from words),
+postings as (
+  select doc_id, dl, {tx.explode_as('warr', 'term', dialect)} from words
+)"""
+
+
+def _rm3_words_sql(dialect: str, rel: str) -> str:
+    """Standalone words/postings/corpus-stat bodies for the Spark
+    materialization path — same text as ``_rm3_corpus_ctes``."""
+    warr = tx.split_ws_safe("text", dialect)
+    words = (
+        f"select doc_id, {tx.lsize('warr', dialect)} as dl, warr "
+        f"from (select doc_id, {warr} as warr from {rel})"
+    )
+    return words
+
+
+def _rm3_tail(dialect: str, postings_rel: str) -> str:
+    """The query-grain half of ``_rm3_body``: seed terms -> BM25 pass
+    1 -> feedback relevance model -> expanded reweighted pass 2, as a
+    CTE list + final SELECT (no leading WITH). Expects relations
+    ``{postings_rel}`` (doc_id, dl, term) and ``n`` (n_docs,
+    total_words) to be in scope."""
     d = "cast({} as double)".format
     intdiv = "div" if dialect == SPARK else "//"
 
@@ -3059,21 +3107,12 @@ def _rm3_body(dialect: str, rel: str) -> str:
             f" * 1000000) as bigint)"
         )
 
-    return f"""
-with words as (
-  select doc_id, {tx.lsize('warr', dialect)} as dl, warr
-  from (select doc_id, {warr} as warr from {rel})
-),
-n as (select count(*) as n_docs, sum(dl) as total_words from words),
-postings as (
-  select doc_id, dl, {tx.explode_as('warr', 'term', dialect)} from words
-),
-seed as (
+    return f"""seed as (
   select 'spark' as term union all select 'window' union all select 'merge'
 ),
 tf1 as (
   select p.doc_id, p.dl, p.term, count(*) as tf
-  from postings p join seed s on p.term = s.term
+  from {postings_rel} p join seed s on p.term = s.term
   group by p.doc_id, p.dl, p.term
 ),
 idf1 as (
@@ -3094,7 +3133,7 @@ fb as (
 ),
 tf_fb as (
   select p.doc_id, p.dl, p.term, count(*) as tf
-  from postings p join fb on p.doc_id = fb.doc_id
+  from {postings_rel} p join fb on p.doc_id = fb.doc_id
   group by p.doc_id, p.dl, p.term
 ),
 rm as (
@@ -3116,7 +3155,7 @@ wq as (
 ),
 tf2 as (
   select p.doc_id, p.dl, p.term, count(*) as tf
-  from postings p join wq on p.term = wq.term
+  from {postings_rel} p join wq on p.term = wq.term
   group by p.doc_id, p.dl, p.term
 ),
 idf2 as (
@@ -3355,11 +3394,36 @@ def q_cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rm3_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RM3-expanded BM25 top-20 over documents (see ``_rm3_body``)."""
+    """RM3-expanded BM25 top-20 over documents (see ``_rm3_body``).
+
+    Materialization (r10 VERDICT #7): the postings explode is
+    referenced by tf1/tf_fb/tf2 — Spark inlines CTEs per reference,
+    so the monolithic body planned and ran the explode THREE times
+    (~10 s cold Catalyst work, the bench watch item). Here the
+    postings checkpoint once (localCheckpoint, eager) into a temp
+    view and the 1-row corpus aggregate inlines as literals; the
+    query-grain tail (``_rm3_tail``) is the same text the DuckDB
+    oracle nests. Two bounded driver actions: the corpus-stat row
+    and the checkpoint trigger."""
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "_ffs_rm3_docs"
     )
-    return spark.sql(_rm3_body(SPARK, "_ffs_rm3_docs"))
+    words = _rm3_words_sql(SPARK, "_ffs_rm3_docs")
+    nd, tw = spark.sql(
+        f"select count(*) as n_docs, sum(dl) as total_words "
+        f"from ({words})"
+    ).first()
+    tw = tw if tw is not None else 0  # empty corpus: sum() is NULL
+    posts = spark.sql(
+        f"select doc_id, dl, {tx.explode_as('warr', 'term', SPARK)} "
+        f"from ({words})"
+    ).localCheckpoint(eager=True)
+    posts.createOrReplaceTempView("_ffs_rm3_postings")
+    return spark.sql(
+        f"with n as (select cast({nd} as bigint) as n_docs, "
+        f"cast({tw} as bigint) as total_words),\n"
+        + _rm3_tail(SPARK, "_ffs_rm3_postings")
+    )
 
 
 def _source_overlap_body(dialect: str, rel: str) -> str:

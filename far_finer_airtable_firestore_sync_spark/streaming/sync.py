@@ -866,20 +866,6 @@ def cdf_extrema_sync(
             )
         base_new = base_new_fn()
         assert base_new is not None  # the batch came from a commit
-        summary = incremental_rollup_extrema(
-            base, changes, base_new, group_col, count_col,
-            sum_map, min_map, max_map,
-        )
-        if bootstrap:
-            # first epoch: every group is touched — the summary IS
-            # the touched set; commit it whole with the marker
-            store.commit(
-                summary.localCheckpoint(),
-                txn=(query_name, str(epoch_id)),
-            )
-            if stats is not None:
-                stats.append({"epoch": int(epoch_id), "bootstrap": True})
-            return
         # touched groups: adds' group keys (non-delete rows carry a
         # post-image) ∪ retractions' old-group keys (non-insert rows
         # carry a pre-image) — structural NULLs excluded by the
@@ -895,6 +881,31 @@ def cdf_extrema_sync(
             )
             .distinct()
         )
+        if not bootstrap:
+            # O(touched) COMPUTE, not just O(touched) write: only
+            # touched groups can change, so the maintenance fold
+            # reads the base summary restricted to them — at 10⁹
+            # groups the per-epoch merge join must not rescan the
+            # whole summary for a sliver batch (round-11 review).
+            base = base.join(
+                touched,
+                base[group_col] == touched["_g"],
+                "left_semi",
+            )
+        summary = incremental_rollup_extrema(
+            base, changes, base_new, group_col, count_col,
+            sum_map, min_map, max_map,
+        )
+        if bootstrap:
+            # first epoch: every group is touched — the summary IS
+            # the touched set; commit it whole with the marker
+            store.commit(
+                summary.localCheckpoint(),
+                txn=(query_name, str(epoch_id)),
+            )
+            if stats is not None:
+                stats.append({"epoch": int(epoch_id), "bootstrap": True})
+            return
         sn = summary.alias("sn")
         value_cols = [
             count_col, *sum_map, *min_map, *max_map,
@@ -1040,8 +1051,16 @@ def cdf_join_sync(
             *fact_cols
         )
         dim_rows = batch_df.filter("_ffs_feed = 'dim'").select(*dim_cols)
-        hi_f = fact_rows.agg(F.max("commit_ms")).first()[0]
-        hi_d = dim_rows.agg(F.max("commit_ms")).first()[0]
+        # one action for both per-feed watermarks (the batch source
+        # is re-read per action — don't pay it twice)
+        hi_f, hi_d = batch_df.agg(
+            F.max(
+                F.when(F.col("_ffs_feed") == "fact", F.col("commit_ms"))
+            ),
+            F.max(
+                F.when(F.col("_ffs_feed") == "dim", F.col("commit_ms"))
+            ),
+        ).first()
         if hi_f is None and hi_d is None:
             return  # empty batch: nothing consumed, markers untouched
         hi_fact = max(int(hi_f or 0), wm_fact)
