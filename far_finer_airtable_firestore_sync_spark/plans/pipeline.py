@@ -121,7 +121,36 @@ class SyncPipeline:
             observations.append(obs_out)
         return post
 
-    def run(self, source: DataFrame, commit: bool = True) -> SyncResult:
+    def run(
+        self,
+        source: DataFrame,
+        commit: bool = True,
+        optimize_policy: Optional[dict] = None,
+    ) -> SyncResult:
+        """Execute the sync.
+
+        ``optimize_policy`` (round 11) runs small-file maintenance
+        OFF the write path after a successful commit — the
+        auto-OPTIMIZE composition a long-lived sync accumulating
+        point-mutation versions needs (every commit writes its own
+        files; the reference's Firestore compacts invisibly,
+        lib/FirestoreWrapper.py:102-123; on parquet the job is
+        explicit but must stay routine and cheap). Keys:
+
+        - ``min_rows_per_file`` (default 500_000): the under-sized
+          threshold handed to ``optimize_binpack``.
+        - ``trigger_small_files`` (default 8): pack only when at
+          least this many under-sized files have accumulated — the
+          debt check is ONE O(filecount) footer listing
+          (``_binpack_classify``), no data scan, so running it every
+          sync is free; packing every sync would churn versions.
+        - ``target_rows_per_file`` (default 1_000_000).
+
+        The pack itself is O(debt): right-sized files hard-link,
+        only the small tail rewrites, and on the transactional
+        backend it publishes through the reconciling CAS loop, so a
+        rival writer's DML mid-pack replays instead of being lost.
+        A triggered pack is reported in ``metrics["optimize"]``."""
         observations: list = []
         metrics = None
         path = None
@@ -148,6 +177,8 @@ class SyncPipeline:
             path = self.store.commit_with(build)
             post = holder["post"]
             metrics = {obs._name: obs.get for obs in holder["obs"]}
+            if optimize_policy is not None:
+                metrics["optimize"] = self._maybe_optimize(optimize_policy)
             return SyncResult(
                 post_state=post, committed_path=path, metrics=metrics
             )
@@ -157,4 +188,40 @@ class SyncPipeline:
             metrics = {
                 obs._name: obs.get for obs in observations
             }
+            if optimize_policy is not None:
+                metrics["optimize"] = self._maybe_optimize(optimize_policy)
         return SyncResult(post_state=post, committed_path=path, metrics=metrics)
+
+    def _maybe_optimize(self, policy: dict) -> dict:
+        """Post-commit small-file maintenance (see :meth:`run`). The
+        debt probe is footer metadata only; below the trigger nothing
+        runs and nothing commits."""
+        import os
+
+        from far_finer_airtable_firestore_sync_spark.sources.store import (
+            _binpack_classify,
+        )
+
+        min_rows = policy.get("min_rows_per_file", 500_000)
+        trigger = policy.get("trigger_small_files", 8)
+        target = policy.get("target_rows_per_file", 1_000_000)
+        # head version dir, either backend shape
+        if hasattr(self.store, "current_version_dir"):
+            vd = self.store.current_version_dir()
+        else:
+            _v, rec = self.store.latest()
+            vd = (
+                os.path.join(self.store.root, rec["version_dir"])
+                if rec is not None
+                else None
+            )
+        if vd is None:
+            return {"triggered": False, "small_files": 0}
+        small, _big = _binpack_classify(vd, min_rows)
+        if len(small) < trigger:
+            return {"triggered": False, "small_files": len(small)}
+        out = self.store.optimize_binpack(
+            min_rows_per_file=min_rows, target_rows_per_file=target
+        )
+        stats = out[1] if isinstance(out, tuple) else {"handle": out}
+        return {"triggered": True, "small_files": len(small), **stats}

@@ -178,6 +178,7 @@ class DocumentStore:
         tag: Optional[str] = None,
         txn: Optional[tuple[str, str]] = None,
         cdf: bool = False,
+        cdf_empty: bool = False,
     ) -> str:
         """Write ``post_state`` as a new immutable version and flip the
         pointer — the atomic 'batch commit' (K7 analog,
@@ -211,6 +212,16 @@ class DocumentStore:
         the streaming source (``sources.cdf_source``) tails these
         sidecars with exactly-once version offsets. Underscore-named,
         so data readers never see it.
+
+        ``cdf_empty=True`` (round 11) writes a ZERO-ROW sidecar with
+        the committed schema and no diff join — for commits the
+        caller KNOWS are row-neutral (maintenance rewrites: compact /
+        optimize_zorder / optimize_binpack with ``cdf=True``). The
+        live change feed then crosses maintenance versions without a
+        hole — Delta CDF's behavior over OPTIMIZE — at the cost of
+        one empty parquet write. The txn log needs no analog: its
+        records carry op kinds and the feed SKIPS maintenance
+        versions outright.
         """
         prev = self.current_version_dir()
         if expected_version is not None and prev != expected_version:
@@ -224,6 +235,25 @@ class DocumentStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out)
+        if cdf_empty:
+            try:
+                like = (
+                    _version_reader(self.spark, out)
+                    .parquet(out)
+                    .filter(F.lit(False))
+                )
+                # coalesce(1): guarantee one schema-carrying file (an
+                # empty multi-partition write can produce no files,
+                # and the stream source anchors its schema on the
+                # newest sidecar's parquet footer)
+                diff_frames(
+                    like, like, self.key_col, include_old=True
+                ).coalesce(1).write.mode("errorifexists").parquet(
+                    os.path.join(out, _CHANGES_DIR)
+                )
+            except Exception:
+                shutil.rmtree(out, ignore_errors=True)
+                raise
         if cdf:
             try:
                 new_df = self.spark.read.parquet(out)
@@ -824,6 +854,7 @@ class DocumentStore:
         self,
         target_rows_per_file: int = 1_000_000,
         partition_by: Optional[list[str]] = None,
+        cdf: bool = False,
     ) -> str:
         """Rewrite the current snapshot with right-sized files.
 
@@ -849,6 +880,12 @@ class DocumentStore:
         once (the rewrite itself), not twice. At 100 TB the old
         ``df.count()`` pre-pass doubled the most expensive routine
         job in the system.
+
+        ``cdf=True`` (round 11) keeps a LIVE change feed hole-free
+        across the maintenance commit: the rewrite is row-neutral by
+        construction, so the sidecar is a zero-row schema stub
+        (``commit(cdf_empty=True)`` — no diff join), exactly Delta
+        CDF's behavior over OPTIMIZE.
         """
         vd = self.current_version_dir()
         if vd is None:
@@ -858,6 +895,7 @@ class DocumentStore:
         return self.commit(
             self.read_version(vd).coalesce(n_files),
             partition_by=partition_by,
+            cdf_empty=cdf,
         )
 
     def optimize_binpack(
@@ -865,6 +903,7 @@ class DocumentStore:
         min_rows_per_file: int = 500_000,
         target_rows_per_file: int = 1_000_000,
         partition_values: Optional[dict[str, Any]] = None,
+        cdf: bool = False,
     ) -> tuple[str, dict]:
         """Delta-OPTIMIZE bin-packing (r10 VERDICT #1): rewrite ONLY
         the current version's under-sized files, hard-linking every
@@ -902,6 +941,19 @@ class DocumentStore:
                 self.spark, vd, out, min_rows_per_file,
                 target_rows_per_file, partition_values,
             )
+            if cdf:
+                # row-neutral maintenance: zero-row sidecar keeps a
+                # live change feed hole-free (see commit(cdf_empty))
+                like = (
+                    _version_reader(self.spark, out)
+                    .parquet(out)
+                    .filter(F.lit(False))
+                )
+                diff_frames(
+                    like, like, self.key_col, include_old=True
+                ).coalesce(1).write.mode("errorifexists").parquet(
+                    os.path.join(out, _CHANGES_DIR)
+                )
         except Exception:
             # no phantom versions (the delete_where guard)
             shutil.rmtree(out, ignore_errors=True)
@@ -1158,6 +1210,7 @@ class DocumentStore:
         y_col: str,
         n_files: int = 32,
         buckets_per_dim: int = 256,
+        cdf: bool = False,
     ) -> str:
         """Re-cluster the current snapshot on a 2-D Z-order (Morton)
         key — the OPTIMIZE ZORDER BY maintenance job as a STORE API
@@ -1179,7 +1232,10 @@ class DocumentStore:
         df = self.read()
         if df is None:
             raise ValueError(f"store {self.root} is empty; nothing to cluster")
-        out = self.commit(zorder_cluster(df, x_col, y_col, n_files, buckets_per_dim))
+        out = self.commit(
+            zorder_cluster(df, x_col, y_col, n_files, buckets_per_dim),
+            cdf_empty=cdf,
+        )
         write_zone_manifest(out)
         return out
 

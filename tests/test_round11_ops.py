@@ -815,3 +815,156 @@ class TestCdfJoinSync:
                 view_cols=["k"], group_col="g", count_col="n",
                 sum_map={},
             )
+
+
+# ---------------------------------------------------------------------------
+# hole-free change feed across single-writer maintenance (round 11)
+# ---------------------------------------------------------------------------
+
+
+class TestMaintenanceCdf:
+    def test_feed_crosses_compact_and_binpack_without_hole(
+        self, spark, tmp_root
+    ):
+        from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+            cdf_rollup_sync,
+        )
+
+        src = DocumentStore(spark, os.path.join(tmp_root, "src"), "k")
+        src.commit(_docs(spark, 1000), cdf=True)
+        roll = DocumentStore(spark, os.path.join(tmp_root, "roll"), "grp")
+        ck = os.path.join(tmp_root, "ck")
+
+        def run_once():
+            q = cdf_rollup_sync(
+                _cdf_stream(spark, src.root), roll, ck,
+                "grp", "n", {"s": "val"}, "mroll",
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        run_once()
+        # maintenance + DML land while the consumer is DOWN; the
+        # restart batch spans BOTH — the maintenance versions must
+        # contribute zero changes, not a hole
+        src.update_where("k % 100 = 0", {"val": "val + 1"}, cdf=True)
+        src.optimize_binpack(min_rows_per_file=100, cdf=True)
+        src.delete_where("k % 7 = 0", cdf=True)
+        src.compact(cdf=True)
+        run_once()
+        got = {tuple(r) for r in roll.read().collect()}
+        want = {
+            tuple(r)
+            for r in src.read()
+            .groupBy("grp")
+            .agg(F.count("*").alias("n"), F.sum("val").alias("s"))
+            .collect()
+        }
+        assert got == want
+
+    def test_maintenance_without_cdf_still_fails_loudly(
+        self, spark, tmp_root
+    ):
+        src = DocumentStore(spark, os.path.join(tmp_root, "s3"), "k")
+        src.commit(_docs(spark, 200), cdf=True)
+        src.compact()  # no sidecar: a genuine hole
+        src.delete_where("k % 5 = 0", cdf=True)
+        from far_finer_airtable_firestore_sync_spark.sources import (
+            cdf_source,
+        )
+
+        assert cdf_source.register(spark)
+        with pytest.raises(Exception, match="without cdf=True"):
+            (
+                spark.read.format("store_cdf")
+                .option("path", src.root)
+                .load()
+                .count()
+            )
+
+    def test_zorder_cdf_writes_empty_sidecar(self, spark, tmp_root):
+        src = DocumentStore(spark, os.path.join(tmp_root, "s4"), "k")
+        src.commit(_docs(spark, 500), cdf=True)
+        out = src.optimize_zorder("k", "val", n_files=2, cdf=True)
+        ch = os.path.join(out, "_changes")
+        assert os.path.isdir(ch)
+        df = spark.read.parquet(ch)
+        assert df.count() == 0
+        assert "change_type" in df.columns and "old_val" in df.columns
+
+
+# ---------------------------------------------------------------------------
+# pipeline auto-OPTIMIZE policy (round 11)
+# ---------------------------------------------------------------------------
+
+
+class TestPipelineAutoOptimize:
+    def _pipeline(self, spark, store):
+        from far_finer_airtable_firestore_sync_spark.config import (
+            Field,
+            SyncSpec,
+            UpdateType,
+        )
+        from far_finer_airtable_firestore_sync_spark.plans.pipeline import (
+            SyncPipeline,
+        )
+
+        spec = SyncSpec(
+            primary_key="k",
+            update_type=UpdateType.UPSERT_CHECKSUM,
+            payload_fields=(
+                Field("k", "string"),
+                Field("grp", "long"),
+                Field("val", "long"),
+            ),
+            table_name="t",
+        )
+        return SyncPipeline(spec, store, dedup_order_col=None)
+
+    def test_hook_packs_accumulated_debt_and_converges(
+        self, spark, tmp_root
+    ):
+        store = DocumentStore(spark, tmp_root, "k")
+        pipe = self._pipeline(spark, store)
+        policy = {"min_rows_per_file": 500, "trigger_small_files": 3}
+        store.commit(_docs(spark, 3000).coalesce(1))
+        # two DML appends: debt below the trigger -> hook stays quiet
+        store.update_where("k % 97 = 0", {"val": "val + 1"})
+        store.update_where("k % 97 = 1", {"val": "val + 1"})
+        n_versions = len(store.list_versions())
+        m = pipe._maybe_optimize(policy)
+        assert m == {"triggered": False, "small_files": 2}
+        assert len(store.list_versions()) == n_versions
+        # a third sliver crosses the trigger -> one pack, converged
+        store.update_where("k % 97 = 2", {"val": "val + 1"})
+        before = store.read()
+        m = pipe._maybe_optimize(policy)
+        assert m["triggered"] and m["n_rewritten"] == 3, m
+        _assert_same(store.read(), before)
+        m = pipe._maybe_optimize(policy)  # fixed point: quiet again
+        assert not m["triggered"], m
+
+    def test_hook_on_transactional_backend(self, spark, tmp_root):
+        b = TransactionalParquetBackend(spark, tmp_root, "k")
+        pipe = self._pipeline(spark, b)
+        policy = {"min_rows_per_file": 500, "trigger_small_files": 2}
+        b.commit(_docs(spark, 3000).coalesce(1))
+        b.update_where("k % 97 = 0", {"val": "val + 1"})
+        b.update_where("k % 97 = 1", {"val": "val + 1"})
+        before = b.read()
+        m = pipe._maybe_optimize(policy)
+        assert m["triggered"], m
+        _v, rec = b.latest()
+        assert rec["op"]["kind"] == "optimize_binpack"
+        _assert_same(b.read(), before)
+
+    def test_run_carries_optimize_metrics(self, spark, tmp_root):
+        store = DocumentStore(spark, tmp_root, "k")
+        pipe = self._pipeline(spark, store)
+        base = _docs(spark, 500).withColumn("k", F.col("k").cast("string"))
+        r = pipe.run(base, optimize_policy={"trigger_small_files": 3})
+        assert "optimize" in r.metrics
+        assert r.metrics["optimize"]["triggered"] in (True, False)
+        assert store.read().count() == 500
