@@ -5105,6 +5105,323 @@ group by nname
 
 
 
+def _q_store_cdf_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-maintained STAR view (fact × TWO dimensions) + rollup
+    from THREE stores' change feeds — ``cdf_star_sync``, the N-dim
+    generalization of the two-store consumer (`store_cdf_join`
+    exercises the same implementation through the delegating
+    one-dim form). Three feeds union into one query; per batch, the
+    affected fact slice (fact changelog keys ∪ one semi-join probe
+    PER dimension) re-joins through the full star against per-feed
+    version-pinned snapshots, and both downstream stores commit
+    O(touched) merges under the composite
+    ``epoch:fact_ms:d0_ms:d1_ms`` marker. The entry forces a restart
+    with BOTH dimensions moving (a nation rename and a customer
+    segment move), plus a fact delete, update, and insert pointing
+    at the moved rows, all landing while the consumer is down; the
+    restarted stream must equal the full recompute on BOTH stores
+    (asserted Spark-side) and an idle third run writes nothing. The
+    second foreign key is a derived column (``o_orderkey % 25``) —
+    a star's fact may carry derived keys; the oracle replays the
+    final three-way join rollup closed-form."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources import cdf_source
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        cdf_star_sync,
+    )
+
+    _utc(spark)
+    assert cdf_source.register(spark)
+    fact0 = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("fc"),
+        F.expr("o_orderkey % 25").alias("fn"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+    ).filter("k % 4 <> 0")
+    dima0 = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("c"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    dimb0 = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nn"),
+        F.col("n_name").alias("nname"),
+    )
+    roots = {
+        n: tempfile.mkdtemp(prefix=f"ffs_star_{n}_")
+        for n in ("fact", "da", "db", "view", "summ", "ck")
+    }
+    _TMP_DIRS.extend(roots.values())
+    fact = DocumentStore(spark, roots["fact"], "k")
+    da = DocumentStore(spark, roots["da"], "c")
+    db = DocumentStore(spark, roots["db"], "nn")
+    da.commit(dima0, cdf=True)
+    db.commit(dimb0, cdf=True)
+    fact.commit(fact0, cdf=True)
+    view = DocumentStore(spark, roots["view"], "k")
+    summ = DocumentStore(spark, roots["summ"], "nname")
+    stats: list = []
+
+    def run_once() -> None:
+        q = cdf_star_sync(
+            spark.readStream.format("store_cdf")
+            .option("path", roots["fact"]).load(),
+            [
+                spark.readStream.format("store_cdf")
+                .option("path", roots["da"]).load(),
+                spark.readStream.format("store_cdf")
+                .option("path", roots["db"]).load(),
+            ],
+            fact, [da, db], view, summ, roots["ck"],
+            fact_key="k", dim_fks=["fc", "fn"], dim_keys=["c", "nn"],
+            view_cols=["k", "fc", "fn", "cents", "seg", "nname"],
+            group_col="nname", count_col="n", sum_map={"s": "cents"},
+            query_name="cdfstar", stats=stats,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def expected() -> tuple[DataFrame, DataFrame]:
+        f = fact.read().alias("f")
+        va = da.read().alias("da")
+        vb = db.read().alias("db")
+        vx = (
+            f.join(va, F.col("f.fc") == F.col("da.c"))
+            .join(vb, F.col("f.fn") == F.col("db.nn"))
+            .select("k", "fc", "fn", "cents", "seg", "nname")
+        )
+        sx = vx.groupBy("nname").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+        )
+        return vx, sx
+
+    run_once()  # bootstrap
+    vx, _sx = expected()
+    _assert_spark_equal(view.read(), vx, "bootstrapped star view")
+    # while the consumer is DOWN: BOTH dims move + fact DML + insert
+    db.update_where("nn = 7", {"nname": "'SHIFTED'"}, cdf=True)
+    da.update_where("c % 100 = 0", {"seg": "'SEGX'"}, cdf=True)
+    fact.delete_where("k % 13 = 0", cdf=True)
+    fact.update_where("k % 17 = 0", {"cents": "cents + 9"}, cdf=True)
+    ins = fact0.filter("k % 101 = 0").select(
+        (F.col("k") + F.lit(10_000_000)).alias("k"),
+        "fc",
+        F.expr("cast(7 as bigint)").alias("fn"),
+        "cents",
+    )
+    fact.merge_into(ins, when_not_matched_insert=True, cdf=True)
+    run_once()  # restart: all three feeds resume from the checkpoint
+    vx, sx = expected()
+    _assert_spark_equal(view.read(), vx, "maintained star view")
+    _assert_spark_equal(summ.read(), sx, "maintained star rollup")
+    # idle third run: exactly-once markers, no commits anywhere
+    nv, ns = len(view.list_versions()), len(summ.list_versions())
+    run_once()
+    assert len(view.list_versions()) == nv, "idle epoch wrote the view"
+    assert len(summ.list_versions()) == ns, "idle epoch wrote summary"
+    return summ.read().select(
+        "nname",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("s").cast("bigint").alias("s"),
+    )
+
+
+_STORE_CDF_STAR_SQL = """
+with f0 as (
+  select o_orderkey as k, o_custkey as fc, o_orderkey % 25 as fn,
+         cast(round(o_totalprice * 100) as bigint) as cents
+  from orders where o_orderkey % 4 <> 0
+),
+f1 as (select * from f0 where k % 13 <> 0),
+f2 as (
+  select k, fc, fn,
+         cents + case when k % 17 = 0 then 9 else 0 end as cents
+  from f1
+),
+ins as (
+  select k + 10000000 as k, fc, cast(7 as bigint) as fn, cents
+  from f0 where k % 101 = 0
+),
+f3 as (select * from f2 union all select * from ins),
+da as (
+  select c_custkey as c,
+         case when c_custkey % 100 = 0 then 'SEGX'
+              else c_mktsegment end as seg
+  from customer
+),
+db as (
+  select n_nationkey as nn,
+         case when n_nationkey = 7 then 'SHIFTED' else n_name end as nname
+  from nation
+)
+select nname, cast(count(*) as bigint) as n,
+       cast(sum(cents) as bigint) as s
+from f3
+join da on f3.fc = da.c
+join db on f3.fn = db.nn
+group by nname
+"""
+
+
+def _q_store_cdf_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED streaming IVM — store → maintained join view → second-
+    tier rollup, each stage tailing the previous stage's OWN change
+    feed (``view_cdf=True``: every view commit/merge the tier-1
+    consumer makes carries a CDF sidecar, so the view is a
+    first-class feed source like any store). Tier 1 maintains
+    fact⋈dim with O(touched) merges; tier 2 is an ordinary
+    ``cdf_rollup_sync`` over the VIEW's feed, grouping by a DIFFERENT
+    column than tier 1's summary — the downstream consumer needs no
+    knowledge that its upstream is itself maintained. Both tiers are
+    forced through a restart: upstream DML (a dimension group move
+    that rewrites every affected view row, and a fact delete that
+    removes an entire tier-2 group) lands while BOTH consumers are
+    down; after each tier replays exactly its missed feed versions,
+    tier 2 must equal the direct aggregate of the maintained view
+    (asserted) and the vanished group must be gone. Each stage's
+    per-epoch cost tracks its own change rate — the compose-forever
+    property batch IVM chains have, now on the streaming path. The
+    oracle replays the two-stage chain closed-form."""
+    import tempfile
+
+    from far_finer_airtable_firestore_sync_spark.sources import cdf_source
+    from far_finer_airtable_firestore_sync_spark.sources.store import (
+        DocumentStore,
+    )
+    from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+        cdf_join_sync,
+        cdf_rollup_sync,
+    )
+
+    _utc(spark)
+    assert cdf_source.register(spark)
+    fact0 = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nk"),
+        F.expr("cast(round(c_acctbal * 100) as bigint)").alias("cents"),
+    ).filter("k % 5 <> 0")
+    dim0 = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("d"),
+        F.col("n_name").alias("nname"),
+    )
+    roots = {
+        n: tempfile.mkdtemp(prefix=f"ffs_chain_{n}_")
+        for n in ("fact", "dim", "view", "summ", "t2", "ck1", "ck2")
+    }
+    _TMP_DIRS.extend(roots.values())
+    fact = DocumentStore(spark, roots["fact"], "k")
+    dim = DocumentStore(spark, roots["dim"], "d")
+    dim.commit(dim0, cdf=True)
+    fact.commit(fact0, cdf=True)
+    view = DocumentStore(spark, roots["view"], "k")
+    summ = DocumentStore(spark, roots["summ"], "nname")
+    tier2 = DocumentStore(spark, roots["t2"], "nk")
+
+    def run_tier1() -> None:
+        q = cdf_join_sync(
+            spark.readStream.format("store_cdf")
+            .option("path", roots["fact"]).load(),
+            spark.readStream.format("store_cdf")
+            .option("path", roots["dim"]).load(),
+            fact, dim, view, summ, roots["ck1"],
+            fact_key="k", dim_fk="nk", dim_key="d",
+            view_cols=["k", "nk", "cents", "nname"],
+            group_col="nname", count_col="n", sum_map={"s": "cents"},
+            query_name="chain1", view_cdf=True,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def run_tier2() -> None:
+        q = cdf_rollup_sync(
+            spark.readStream.format("store_cdf")
+            .option("path", roots["view"]).load(),
+            tier2, roots["ck2"],
+            "nk", "n_rows", {"sum_cents": "cents"}, "chain2",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_tier1()
+    run_tier2()
+    got0 = {tuple(r) for r in tier2.read().collect()}
+    want0 = {
+        tuple(r)
+        for r in view.read()
+        .groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .collect()
+    }
+    assert got0 == want0, "tier-2 bootstrap diverged from the view"
+    # upstream DML while BOTH tiers are down: the dim move rewrites
+    # every nation-7 view row (tier 2 sees updates), the fact delete
+    # removes nation-3 rows entirely (a tier-2 group vanishes)
+    dim.update_where("d = 7", {"nname": "'MOVED'"}, cdf=True)
+    fact.delete_where("nk = 3", cdf=True)
+    fact.update_where("k % 19 = 0", {"cents": "cents + 50"}, cdf=True)
+    run_tier1()
+    run_tier2()
+    got = {tuple(r) for r in tier2.read().collect()}
+    want = {
+        tuple(r)
+        for r in view.read()
+        .groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .collect()
+    }
+    assert got == want, "tier-2 restart diverged from the view"
+    assert tier2.read().filter("nk = 3").count() == 0, (
+        "vanished group must take the matched-DELETE clause"
+    )
+    # idle third runs: neither tier writes anything
+    n1, n2 = len(view.list_versions()), len(tier2.list_versions())
+    run_tier1()
+    run_tier2()
+    assert len(view.list_versions()) == n1
+    assert len(tier2.list_versions()) == n2
+    return tier2.read().select(
+        "nk",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+_STORE_CDF_CHAIN_SQL = """
+with f0 as (
+  select c_custkey as k, c_nationkey as nk,
+         cast(round(c_acctbal * 100) as bigint) as cents
+  from customer where c_custkey % 5 <> 0
+),
+f1 as (select * from f0 where nk <> 3),
+f2 as (
+  select k, nk,
+         cents + case when k % 19 = 0 then 50 else 0 end as cents
+  from f1
+),
+d as (select n_nationkey as dd from nation)
+select nk, cast(count(*) as bigint) as n_rows,
+       cast(sum(cents) as bigint) as sum_cents
+from f2 join d on f2.nk = d.dd
+group by nk
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "typed_projection": _q_typed_projection,
@@ -5177,6 +5494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_txn_clone": _q_store_txn_clone,
         "store_merge_evolution": _q_store_merge_evolution,
         "store_cdf_join": _q_store_cdf_join,
+        "store_cdf_star": _q_store_cdf_star,
+        "store_cdf_chain": _q_store_cdf_chain,
         "salted_agg_revenue": _q_salted_agg,
         "skew_hot_key_unsalted": _q_skew_hot_unsalted,
         "skew_hot_key_salted": _q_skew_hot_salted,
@@ -5260,6 +5579,8 @@ def oracle_sql() -> dict[str, str]:
         "store_txn_clone": _STORE_TXN_CLONE_SQL,
         "store_merge_evolution": _STORE_MERGE_EVO_SQL,
         "store_cdf_join": _STORE_CDF_JOIN_SQL,
+        "store_cdf_star": _STORE_CDF_STAR_SQL,
+        "store_cdf_chain": _STORE_CDF_CHAIN_SQL,
         "salted_agg_revenue": _SALTED_AGG_SQL,
         "skew_hot_key_unsalted": _SKEW_HOT_SQL,
         "skew_hot_key_salted": _SKEW_HOT_SQL,

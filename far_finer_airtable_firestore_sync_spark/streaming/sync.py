@@ -939,71 +939,63 @@ def cdf_extrema_sync(
     )
 
 
-def cdf_join_sync(
+def cdf_star_sync(
     fact_stream: DataFrame,
-    dim_stream: DataFrame,
+    dim_streams: list,
     fact_store: DocumentStore,
-    dim_store: DocumentStore,
+    dim_stores: list,
     view_store: DocumentStore,
     summary_store: DocumentStore,
     checkpoint_dir: str,
     fact_key: str,
-    dim_fk: str,
-    dim_key: str,
+    dim_fks: list,
+    dim_keys: list,
     view_cols: list,
     group_col: str,
     count_col: str,
     sum_map: dict,
-    query_name: str = "cdf_join",
+    query_name: str = "cdf_star",
     stats: Optional[list] = None,
+    view_cdf: bool = False,
 ):
-    """Continuously maintain a JOIN view AND its rollup from TWO
-    stores' change feeds (r10 VERDICT "next round" #2 — the missing
-    rung between the single-feed consumers and the batch star/join
-    IVM): the fact store's and the dimension store's ``store_cdf``
-    feeds union into ONE streaming query (tagged per feed — Spark
-    plans per-source offsets for the combined micro-batch), and each
-    batch drives the affected-slice machinery of
-    ``operators.ivm._join_view_slices``: fact keys touched by the
-    fact changelog, plus fact rows whose dimension row changed,
-    re-join against version-pinned snapshots; the untouched bulk of
-    the view is never read.
+    """Continuously maintain a STAR view (fact x N dimensions) AND its
+    rollup from N+1 stores' change feeds — :func:`cdf_join_sync`
+    generalized to any number of dimensions (the round-10 verdict's
+    "continuously maintained star summary a real pipeline wants");
+    the two-store form delegates here, so there is ONE implementation.
 
-    **Version-pinned recompute legs.** Each side's base is read AS OF
-    the newest commit the batch consumed from THAT feed
-    (``read_as_of(hi_ms)`` — the ``cdf_extrema_sync`` anchor,
-    generalized to two stores): a commit landing upstream while the
-    batch is in flight cannot leak future values into this epoch. A
-    feed contributing no rows this batch pins to its LAST consumed
-    commit, carried in a watermark map that rides the view commit's
-    txn marker (``"epoch:fact_ms:dim_ms"``) — atomic with the flip,
-    restart-safe.
+    All feeds union tagged into one streaming query; each batch:
 
-    **O(touched) writes on both stores.** The view commits through
-    ``merge_into``: the fresh slice upserts, affected keys that LEFT
-    the view (fact deletes, broken joins) ride as tombstone rows
-    whose NULL ``dim_fk`` selects the matched-DELETE clause (a fresh
-    row always carries a non-NULL ``dim_fk`` — it matched the
-    dimension), and untouched view rows stay hard-linked. The
-    summary commits the view's own CDC (``diff_frames`` over
-    old-slice vs fresh) as signed corrections through the same
-    additive merge as :func:`cdf_rollup_sync`. Commit ORDER is
-    summary THEN view, each with its own ``txn`` replay marker: the
-    summary's corrections derive from the PRE-refresh view, so a
-    crash between the two commits replays into (skip summary,
-    re-derive view from the old snapshot) — the one order with no
-    lost or doubled delta.
+    1. collapses every feed's changelog to net per-key changes;
+    2. computes the AFFECTED fact-key set — fact changelog keys ∪,
+       per dimension, fact rows (in the version-pinned NEW fact
+       snapshot) whose foreign key was touched by THAT dimension's
+       changelog (one semi-join probe per dimension, AQE-sized — a
+       backfill-sized dim delta degrades to a shuffle join, never a
+       forced broadcast);
+    3. re-joins only the affected slice through the full star against
+       per-feed version-pinned snapshots (``read_as_of`` at the
+       newest commit EACH feed delivered; a silent feed pins to its
+       last consumed commit, carried in the composite txn marker
+       ``"epoch:fact_ms:d0_ms:...:dN_ms"`` riding the view flip);
+    4. commits O(touched) on both stores — summary FIRST (signed
+       corrections through the additive merge), view SECOND (upserts
+       + departure tombstones whose NULL first-foreign-key selects
+       the matched-DELETE clause) — the one crash-replayable order.
 
-    Constraints (fail-loud): the two feeds' payload columns must be
-    disjoint (the union tags rows, it cannot disambiguate columns);
-    ``view_cols`` must include ``fact_key`` and ``dim_fk``; the dim
-    feed must not lead the fact feed's first commit; NULL group keys
-    are rejected by the merge path (:func:`_delta_merge_guard`).
+    ``view_cdf=True`` makes the maintained view emit its OWN change
+    feed (every view commit/merge passes ``cdf=True``), so a
+    second-tier consumer (:func:`cdf_rollup_sync` & co.) can tail the
+    view like any other store — IVM chains compose: store -> view ->
+    downstream rollup, each stage exactly-once behind its own txn
+    marker, each stage's per-epoch cost tracking its own change rate.
 
-    Per-epoch cost at 100 TB: the two changelogs' shuffles, one
-    semi-join probe of the fact table per leg, the affected slice's
-    re-join, and O(touched) writes — never a view or base rescan.
-    """
+    Constraints (fail-loud): all feeds' payload columns pairwise
+    disjoint; ``view_cols`` must include ``fact_key`` and every
+    foreign key; no dimension feed may lead the fact store's first
+    cdf commit; NULL group keys are rejected by the merge path."""
+    from functools import reduce
+
     from far_finer_airtable_firestore_sync_spark.operators.ivm import (
         collapse_changelog,
         rollup_delta,
@@ -1012,115 +1004,188 @@ def cdf_join_sync(
         diff_frames,
     )
 
+    n_dims = len(dim_streams)
+    if not (len(dim_stores) == len(dim_fks) == len(dim_keys) == n_dims):
+        raise ValueError(
+            "cdf_star_sync: dim_streams/dim_stores/dim_fks/dim_keys "
+            "must be parallel lists"
+        )
     fact_cols = list(fact_stream.columns)
-    dim_cols = list(dim_stream.columns)
-    shared = (set(fact_cols) & set(dim_cols)) - {
-        "change_type", "commit_ms",
-    }
-    if shared:
+    dim_cols = [list(s.columns) for s in dim_streams]
+    all_cols = [("fact", fact_cols)] + [
+        (f"dim{i}", c) for i, c in enumerate(dim_cols)
+    ]
+    for i in range(len(all_cols)):
+        for j in range(i + 1, len(all_cols)):
+            shared = (set(all_cols[i][1]) & set(all_cols[j][1])) - {
+                "change_type", "commit_ms", "commit_version",
+            }
+            if shared:
+                raise ValueError(
+                    f"cdf_star_sync: feed payload columns collide "
+                    f"between {all_cols[i][0]} and {all_cols[j][0]}: "
+                    f"{sorted(shared)} — the tagged union cannot "
+                    "disambiguate them; rename"
+                )
+    missing = [c for c in [fact_key, *dim_fks] if c not in view_cols]
+    if missing:
         raise ValueError(
-            f"cdf_join_sync: feed payload columns collide: {sorted(shared)}"
-            " — the tagged union cannot disambiguate them; rename"
+            f"cdf_star_sync: view_cols must include the fact key and "
+            f"every foreign key (missing {missing}; the first foreign "
+            "key is the tombstone presence witness)"
         )
-    if fact_key not in view_cols or dim_fk not in view_cols:
-        raise ValueError(
-            "cdf_join_sync: view_cols must include fact_key and dim_fk "
-            "(dim_fk is the tombstone presence witness)"
+    tagged = fact_stream.withColumn("_ffs_feed", F.lit("fact"))
+    for i, s in enumerate(dim_streams):
+        tagged = tagged.unionByName(
+            s.withColumn("_ffs_feed", F.lit(f"dim{i}")),
+            allowMissingColumns=True,
         )
-    tagged = fact_stream.withColumn(
-        "_ffs_feed", F.lit("fact")
-    ).unionByName(
-        dim_stream.withColumn("_ffs_feed", F.lit("dim")),
-        allowMissingColumns=True,
-    )
 
-    def _wm(last: Optional[str]) -> tuple[int, int, int]:
-        """Parse 'epoch:fact_ms:dim_ms' (the view marker)."""
+    def _wm(last: Optional[str]) -> tuple[int, list[int]]:
+        """Parse 'epoch:fact_ms:d0_ms:...' (the view marker)."""
         if last is None:
-            return -1, 0, 0
-        e, f_ms, d_ms = last.split(":")
-        return int(e), int(f_ms), int(d_ms)
+            return -1, [0] * (n_dims + 1)
+        parts = [int(x) for x in last.split(":")]
+        return parts[0], parts[1:]
+
+    # Per-feed pin column: a multi-writer log's feed (store_cdf_txn)
+    # carries commit_version — pin and telescope by LOG VERSION there
+    # (version order is authoritative on a lock-free log; two hosts'
+    # wall clocks can interleave against the commit order — the
+    # cdf_extrema_sync rule, per feed). A single-writer store feed
+    # pins by commit_ms via read_as_of. Feeds of the two kinds mix
+    # freely: each pin lives in its own marker slot.
+    feed_cols = [fact_cols] + dim_cols
+    pin_cols = [
+        "commit_version" if "commit_version" in c else "commit_ms"
+        for c in feed_cols
+    ]
+
+    def _pinned_read(store, pin: int, by_version: bool):
+        return (
+            store.read_version(int(pin))
+            if by_version
+            else store.read_as_of(int(pin))
+        )
 
     def sync_batch(batch_df: DataFrame, epoch_id: int) -> None:
         epoch = int(epoch_id)
-        view_last = view_store.last_txn(query_name)
-        v_epoch, wm_fact, wm_dim = _wm(view_last)
+        v_epoch, wms = _wm(view_store.last_txn(query_name))
         if epoch <= v_epoch:
             return  # both commits of this epoch already applied
-        fact_rows = batch_df.filter("_ffs_feed = 'fact'").select(
-            *fact_cols
+        feeds = ["fact"] + [f"dim{i}" for i in range(n_dims)]
+        # one action for every per-feed watermark (the batch source
+        # is re-read per action — don't pay it N+1 times)
+        his = list(
+            batch_df.agg(
+                *[
+                    F.max(
+                        F.when(
+                            F.col("_ffs_feed") == f, F.col(pc)
+                        )
+                    )
+                    for f, pc in zip(feeds, pin_cols)
+                ]
+            ).first()
         )
-        dim_rows = batch_df.filter("_ffs_feed = 'dim'").select(*dim_cols)
-        # one action for both per-feed watermarks (the batch source
-        # is re-read per action — don't pay it twice)
-        hi_f, hi_d = batch_df.agg(
-            F.max(
-                F.when(F.col("_ffs_feed") == "fact", F.col("commit_ms"))
-            ),
-            F.max(
-                F.when(F.col("_ffs_feed") == "dim", F.col("commit_ms"))
-            ),
-        ).first()
-        if hi_f is None and hi_d is None:
+        if all(h is None for h in his):
             return  # empty batch: nothing consumed, markers untouched
-        hi_fact = max(int(hi_f or 0), wm_fact)
-        hi_dim = max(int(hi_d or 0), wm_dim)
+        pins = [max(int(h or 0), wm) for h, wm in zip(his, wms)]
+        hi_fact, dim_pins = pins[0], pins[1:]
         if hi_fact == 0:
             raise ValueError(
-                "cdf_join_sync: dimension feed is active before the "
+                "cdf_star_sync: a dimension feed is active before the "
                 "fact store's first cdf commit — start the consumer "
                 "after the fact store has committed"
             )
-        fact_new = fact_store.read_as_of(hi_fact)
+        fact_rows = batch_df.filter("_ffs_feed = 'fact'").select(
+            *fact_cols
+        )
+        fact_new = _pinned_read(
+            fact_store, hi_fact, pin_cols[0] == "commit_version"
+        )
         assert fact_new is not None  # hi_fact came from a commit
-        dim_new = (
-            dim_store.read_as_of(hi_dim) if hi_dim else None
-        )
-        if dim_new is None:
-            # dim store empty so far: the view must be empty too
-            dim_like = dim_rows.select(
-                *[
-                    c for c in dim_cols
-                    if c not in ("change_type", "commit_ms")
-                    and not c.startswith("old_")
-                ]
-            )
-            dim_new = dim_like.filter(F.lit(False))
+        # telescoping by log version: commit_ms must leave the frame
+        # first (collapse treats every non-key/meta column as payload
+        # and would demand its old_ twin — the cdf_extrema_sync rule)
         fact_changes = collapse_changelog(
-            fact_rows.drop("_ffs_feed"), fact_key
+            fact_rows.drop("commit_ms")
+            if pin_cols[0] == "commit_version"
+            else fact_rows,
+            fact_key,
+            order_col=pin_cols[0],
         )
-        dim_changes = collapse_changelog(
-            dim_rows.drop("_ffs_feed"), dim_key
-        )
-        m_prev = view_store.read()
-        joined = fact_new.alias("f").join(
-            dim_new.alias("d"),
-            F.col(f"f.{dim_fk}") == F.col(f"d.{dim_key}"),
-        )
-        if m_prev is None:
-            m_prev = joined.select(*view_cols).filter(F.lit(False))
-        # affected slice (ivm._join_view_slices, inlined so the fresh
-        # projection uses view_cols rather than m_prev.columns —
-        # identical on every non-bootstrap epoch)
-        from far_finer_airtable_firestore_sync_spark.operators.ivm import (
-            affected_fact_keys,
-        )
-
-        affected = affected_fact_keys(
-            fact_new, fact_changes, dim_changes,
-            fact_key, dim_fk, dim_key,
-        ).localCheckpoint(eager=True)
-        old_slice = m_prev.join(affected, fact_key, "left_semi")
-        fresh = (
-            fact_new.join(affected, fact_key, "left_semi")
-            .alias("f")
-            .join(
-                dim_new.alias("d"),
-                F.col(f"f.{dim_fk}") == F.col(f"d.{dim_key}"),
+        dim_news, dim_changes = [], []
+        for i in range(n_dims):
+            rows = batch_df.filter(f"_ffs_feed = 'dim{i}'").select(
+                *dim_cols[i]
             )
-            .select(*view_cols)
+            new = (
+                _pinned_read(
+                    dim_stores[i],
+                    dim_pins[i],
+                    pin_cols[i + 1] == "commit_version",
+                )
+                if dim_pins[i]
+                else None
+            )
+            if new is None:
+                # dim store empty so far: the star view is empty too
+                new = rows.select(
+                    *[
+                        c for c in dim_cols[i]
+                        if c not in ("change_type", "commit_ms")
+                        and not c.startswith("old_")
+                    ]
+                ).filter(F.lit(False))
+            dim_news.append(new)
+            dim_changes.append(
+                collapse_changelog(
+                    rows.drop("commit_ms")
+                    if pin_cols[i + 1] == "commit_version"
+                    else rows,
+                    dim_keys[i],
+                    order_col=pin_cols[i + 1],
+                )
+            )
+        m_prev = view_store.read()
+
+        def star_join(fact_side: DataFrame) -> DataFrame:
+            j = fact_side.alias("f")
+            for i in range(n_dims):
+                j = j.join(
+                    dim_news[i].alias(f"d{i}"),
+                    F.col(f"f.{dim_fks[i]}")
+                    == F.col(f"d{i}.{dim_keys[i]}"),
+                )
+            return j.select(*view_cols)
+
+        if m_prev is None:
+            m_prev = star_join(fact_new).filter(F.lit(False))
+        # affected fact keys: the fact changelog's keys plus, per
+        # dimension, fact rows whose foreign key that dimension's
+        # changelog touched (Gupta & Mumick delta rules for a
+        # key-preserving star)
+        legs = [fact_changes.select(F.col(fact_key))]
+        for i in range(n_dims):
+            keys = dim_changes[i].select(
+                F.col(dim_keys[i]).alias("_dk")
+            ).distinct()
+            legs.append(
+                fact_new.join(
+                    keys, fact_new[dim_fks[i]] == F.col("_dk"),
+                    "left_semi",
+                ).select(F.col(fact_key))
+            )
+        affected = (
+            reduce(lambda a, b: a.unionByName(b), legs)
+            .distinct()
             .localCheckpoint(eager=True)
         )
+        old_slice = m_prev.join(affected, fact_key, "left_semi")
+        fresh = star_join(
+            fact_new.join(affected, fact_key, "left_semi")
+        ).localCheckpoint(eager=True)
         view_changes = diff_frames(
             old_slice, fresh, fact_key, include_old=True
         )
@@ -1166,10 +1231,13 @@ def cdf_join_sync(
         else:
             s_counts = {"replayed": True}
         # ---- view SECOND (upserts + tombstones through one merge)
-        marker = f"{epoch}:{hi_fact}:{hi_dim}"
+        marker = ":".join(str(x) for x in [epoch, *pins])
         payload = [c for c in view_cols if c != fact_key]
+        witness = dim_fks[0]
         if view_store.read() is None:
-            view_store.commit(fresh, txn=(query_name, marker))
+            view_store.commit(
+                fresh, txn=(query_name, marker), cdf=view_cdf
+            )
             v_counts = {"bootstrap": True}
         else:
             tombstones = (
@@ -1186,12 +1254,13 @@ def cdf_join_sync(
             )
             _o, v_counts = view_store.merge_into(
                 fresh.unionByName(tombstones),
-                # a tombstone's NULL dim_fk witnesses departure; a
-                # fresh row's dim_fk is non-NULL by the join
-                when_matched_delete=f"s.{dim_fk} is null",
+                # a tombstone's NULL foreign key witnesses departure;
+                # a fresh row's foreign keys are non-NULL by the join
+                when_matched_delete=f"s.{witness} is null",
                 when_matched_update={c: f"s.{c}" for c in payload},
                 when_not_matched_insert=True,
                 txn=(query_name, marker),
+                cdf=view_cdf,
             )
         if stats is not None:
             stats.append(
@@ -1200,7 +1269,7 @@ def cdf_join_sync(
                     "summary": s_counts,
                     "view": v_counts,
                     "hi_fact": hi_fact,
-                    "hi_dim": hi_dim,
+                    "dim_pins": dim_pins,
                 }
             )
 
@@ -1209,4 +1278,41 @@ def cdf_join_sync(
         .option("checkpointLocation", checkpoint_dir)
         .queryName(query_name)
         .start()
+    )
+
+
+def cdf_join_sync(
+    fact_stream: DataFrame,
+    dim_stream: DataFrame,
+    fact_store: DocumentStore,
+    dim_store: DocumentStore,
+    view_store: DocumentStore,
+    summary_store: DocumentStore,
+    checkpoint_dir: str,
+    fact_key: str,
+    dim_fk: str,
+    dim_key: str,
+    view_cols: list,
+    group_col: str,
+    count_col: str,
+    sum_map: dict,
+    query_name: str = "cdf_join",
+    stats: Optional[list] = None,
+    view_cdf: bool = False,
+):
+    """Continuously maintain a JOIN view AND its rollup from TWO
+    stores' change feeds (r10 VERDICT "next round" #2) — the
+    one-dimension form of :func:`cdf_star_sync`, which holds the one
+    shared implementation (affected-slice re-join, per-feed version
+    pinning, O(touched) merges on both stores, summary-then-view
+    crash ordering, optional ``view_cdf`` chaining; see its docstring
+    for the full contract). The composite txn marker for one
+    dimension is ``"epoch:fact_ms:dim_ms"`` — byte-identical to the
+    pre-generalization format, so existing view stores and
+    checkpoints resume seamlessly."""
+    return cdf_star_sync(
+        fact_stream, [dim_stream], fact_store, [dim_store],
+        view_store, summary_store, checkpoint_dir,
+        fact_key, [dim_fk], [dim_key], view_cols,
+        group_col, count_col, sum_map, query_name, stats, view_cdf,
     )

@@ -968,3 +968,273 @@ class TestPipelineAutoOptimize:
         assert "optimize" in r.metrics
         assert r.metrics["optimize"]["triggered"] in (True, False)
         assert store.read().count() == 500
+
+
+# ---------------------------------------------------------------------------
+# N-dim star consumer + chained view CDF (round 11, second wave)
+# ---------------------------------------------------------------------------
+
+
+class TestCdfStarSync:
+    def test_two_dim_star_across_restart(self, spark, tmp_root):
+        from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+            cdf_star_sync,
+        )
+
+        fact = DocumentStore(spark, os.path.join(tmp_root, "fact"), "k")
+        da = DocumentStore(spark, os.path.join(tmp_root, "da"), "a")
+        db = DocumentStore(spark, os.path.join(tmp_root, "db"), "b")
+        da.commit(
+            spark.createDataFrame(
+                [(i, f"A{i % 2}") for i in range(6)], "a long, aseg string"
+            ),
+            cdf=True,
+        )
+        db.commit(
+            spark.createDataFrame(
+                [(i, f"B{i % 3}") for i in range(9)], "b long, bseg string"
+            ),
+            cdf=True,
+        )
+        fact.commit(
+            spark.createDataFrame(
+                [(i, i % 6, i % 9, i * 10) for i in range(60)],
+                "k long, fa long, fb long, amt long",
+            ),
+            cdf=True,
+        )
+        view = DocumentStore(spark, os.path.join(tmp_root, "view"), "k")
+        summ = DocumentStore(spark, os.path.join(tmp_root, "summ"), "aseg")
+        stats: list = []
+
+        def run_once():
+            q = cdf_star_sync(
+                _cdf_stream(spark, fact.root),
+                [_cdf_stream(spark, da.root), _cdf_stream(spark, db.root)],
+                fact, [da, db], view, summ,
+                os.path.join(tmp_root, "ck"),
+                fact_key="k", dim_fks=["fa", "fb"], dim_keys=["a", "b"],
+                view_cols=["k", "fa", "fb", "amt", "aseg", "bseg"],
+                group_col="aseg", count_col="n", sum_map={"s": "amt"},
+                query_name="star", stats=stats,
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        def expected():
+            f = fact.read().alias("f")
+            va = da.read().alias("da")
+            vb = db.read().alias("db")
+            vx = (
+                f.join(va, F.col("f.fa") == F.col("da.a"))
+                .join(vb, F.col("f.fb") == F.col("db.b"))
+                .select("k", "fa", "fb", "amt", "aseg", "bseg")
+            )
+            sx = vx.groupBy("aseg").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("amt").alias("s")
+            )
+            return vx, sx
+
+        run_once()
+        vx, sx = expected()
+        _assert_same(view.read(), vx)
+        _assert_same(summ.read(), sx)
+        # while down: BOTH dims move, fact delete + update + insert
+        da.update_where("a = 2", {"aseg": "'AX'"}, cdf=True)
+        db.update_where("b = 4", {"bseg": "'BX'"}, cdf=True)
+        fact.delete_where("k % 10 = 9", cdf=True)
+        fact.update_where("k % 15 = 1", {"amt": "amt + 5"}, cdf=True)
+        fact.merge_into(
+            spark.createDataFrame(
+                [(1000, 2, 4, 77)], "k long, fa long, fb long, amt long"
+            ),
+            when_not_matched_insert=True,
+            cdf=True,
+        )
+        run_once()
+        vx, sx = expected()
+        _assert_same(view.read(), vx)
+        _assert_same(summ.read(), sx)
+        # touched bound: affected = fa=2 rows (10) + fb=4 rows (~7,
+        # overlapping) + deletes (6) + updates (4) + insert (1)
+        vc = stats[-1]["view"]
+        touched = sum(v for v in vc.values() if isinstance(v, int))
+        assert 0 < touched <= 30, stats[-1]
+        # idle run commits nothing on either store
+        nv, ns = len(view.list_versions()), len(summ.list_versions())
+        run_once()
+        assert len(view.list_versions()) == nv
+        assert len(summ.list_versions()) == ns
+
+    def test_chained_view_feed_drives_second_tier(self, spark, tmp_root):
+        from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+            cdf_join_sync,
+            cdf_rollup_sync,
+        )
+
+        fact = DocumentStore(spark, os.path.join(tmp_root, "fact"), "k")
+        dim = DocumentStore(spark, os.path.join(tmp_root, "dim"), "d")
+        dim.commit(
+            spark.createDataFrame(
+                [(i, f"g{i % 3}") for i in range(9)], "d long, seg string"
+            ),
+            cdf=True,
+        )
+        fact.commit(
+            spark.createDataFrame(
+                [(i, i % 9, i) for i in range(45)],
+                "k long, dk long, amt long",
+            ),
+            cdf=True,
+        )
+        view = DocumentStore(spark, os.path.join(tmp_root, "view"), "k")
+        summ = DocumentStore(spark, os.path.join(tmp_root, "summ"), "seg")
+        tier2 = DocumentStore(spark, os.path.join(tmp_root, "t2"), "dk")
+
+        def run_tier1():
+            q = cdf_join_sync(
+                _cdf_stream(spark, fact.root),
+                _cdf_stream(spark, dim.root),
+                fact, dim, view, summ,
+                os.path.join(tmp_root, "ck1"),
+                fact_key="k", dim_fk="dk", dim_key="d",
+                view_cols=["k", "dk", "amt", "seg"],
+                group_col="seg", count_col="n", sum_map={"s": "amt"},
+                query_name="t1", view_cdf=True,
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        def run_tier2():
+            # second-tier consumer tails the VIEW's own change feed,
+            # grouping by a DIFFERENT column than tier 1's summary
+            q = cdf_rollup_sync(
+                _cdf_stream(spark, view.root), tier2,
+                os.path.join(tmp_root, "ck2"),
+                "dk", "n", {"s": "amt"}, "t2",
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        run_tier1()
+        run_tier2()
+        got = {tuple(r) for r in tier2.read().collect()}
+        want = {
+            tuple(r)
+            for r in view.read()
+            .groupBy("dk")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("s"))
+            .collect()
+        }
+        assert got == want
+        # upstream DML while BOTH tiers are down: tier 1 refresh emits
+        # the view's own CDC; tier 2 folds it
+        dim.update_where("d = 4", {"seg": "'gX'"}, cdf=True)
+        fact.delete_where("dk = 7", cdf=True)  # whole dk group leaves
+        run_tier1()
+        run_tier2()
+        got = {tuple(r) for r in tier2.read().collect()}
+        want = {
+            tuple(r)
+            for r in view.read()
+            .groupBy("dk")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("s"))
+            .collect()
+        }
+        assert got == want
+        assert tier2.read().filter("dk = 7").count() == 0
+
+
+class TestCdfJoinTxnFeeds:
+    def test_join_sync_pins_by_log_version_on_txn_feeds(
+        self, spark, tmp_root
+    ):
+        """Both upstreams are lock-free logs tailed via store_cdf_txn:
+        the consumer must pin its recompute legs by LOG VERSION (the
+        feeds carry commit_version), telescope by it, and survive a
+        mid-range maintenance commit the feed skips."""
+        from far_finer_airtable_firestore_sync_spark.sources import (
+            cdf_source,
+        )
+        from far_finer_airtable_firestore_sync_spark.streaming.sync import (
+            cdf_join_sync,
+        )
+
+        assert cdf_source.register_txn(spark)
+        fact = TransactionalParquetBackend(
+            spark, os.path.join(tmp_root, "fact"), "k"
+        )
+        dim = TransactionalParquetBackend(
+            spark, os.path.join(tmp_root, "dim"), "d"
+        )
+        dim.commit(
+            spark.createDataFrame(
+                [(i, f"s{i % 3}") for i in range(8)], "d long, seg string"
+            ),
+            cdf=True,
+        )
+        fact.commit(
+            spark.createDataFrame(
+                [(i, i % 8, i * 3) for i in range(48)],
+                "k long, dk long, amt long",
+            ),
+            cdf=True,
+        )
+        view = DocumentStore(spark, os.path.join(tmp_root, "view"), "k")
+        summ = DocumentStore(spark, os.path.join(tmp_root, "summ"), "seg")
+
+        def feed(root):
+            return (
+                spark.readStream.format("store_cdf_txn")
+                .option("path", root)
+                .load()
+            )
+
+        def run_once():
+            q = cdf_join_sync(
+                feed(fact.root), feed(dim.root),
+                fact, dim, view, summ,
+                os.path.join(tmp_root, "ck"),
+                fact_key="k", dim_fk="dk", dim_key="d",
+                view_cols=["k", "dk", "amt", "seg"],
+                group_col="seg", count_col="n", sum_map={"s": "amt"},
+                query_name="txnjoin",
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        def expected():
+            f, d = fact.read().alias("f"), dim.read().alias("d")
+            return f.join(d, F.col("f.dk") == F.col("d.d")).select(
+                "k", "dk", "amt", "seg"
+            )
+
+        run_once()
+        _assert_same(view.read(), expected())
+        # while down: chained double-update on the same keys (the
+        # version-order telescoping path), a dim move, AND a fact
+        # compact mid-range (the feed skips it; the pin must too)
+        fact.update_where("k % 6 = 0", {"amt": "amt + 10"}, cdf=True)
+        fact.compact()  # maintenance: skipped by the txn feed
+        fact.update_where("k % 12 = 0", {"amt": "amt + 100"}, cdf=True)
+        dim.update_where("d = 5", {"seg": "'sX'"}, cdf=True)
+        fact.delete_where("k % 11 = 3", cdf=True)
+        run_once()
+        _assert_same(view.read(), expected())
+        got = {tuple(r) for r in summ.read().collect()}
+        want = {
+            tuple(r)
+            for r in expected()
+            .groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("s"))
+            .collect()
+        }
+        assert got == want
