@@ -158,25 +158,41 @@ class ChangeFilePartition(InputPartition):
         self.commit_ms = commit_ms
 
 
-def _read_partition(
-    partition: ChangeFilePartition, field_names: list[str]
-) -> Iterator[tuple]:
-    """Executor-side read of one change file: pyarrow columnar read,
-    projected BY NAME onto the query schema (an older sidecar missing
-    a later-added column yields typed NULLs — additive schema
-    evolution tolerated), ``commit_ms`` appended."""
+def _sidecar_batches(
+    path: str, schema: T.StructType, extra: list[tuple[str, int]]
+):
+    """Executor-side read of one change file as ARROW RECORD BATCHES —
+    the Python DataSource API's Arrow path: columns are projected BY
+    NAME onto the query schema (an older sidecar missing a
+    later-added column yields typed NULLs — additive schema evolution
+    tolerated) and the per-partition constants in ``extra``
+    (commit_ms, commit_version) are appended as constant columns.
+    Yielding ``pyarrow.RecordBatch`` instead of row tuples keeps the
+    feed columnar end to end — no ``to_pylist`` materialization and
+    no per-row pickling across the Python/JVM boundary (optimization
+    guide §4: batches, not rows, cross the boundary)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_type
 
-    tbl = pq.read_table(partition.path)
+    tbl = pq.read_table(path)
     n = tbl.num_rows
-    cols = []
-    for name in field_names[:-1]:  # last field is commit_ms
-        if name in tbl.column_names:
-            cols.append(tbl.column(name).to_pylist())
+    arrays, fields = [], []
+    payload = schema.fields[: len(schema.fields) - len(extra)]
+    for f in payload:
+        at = to_arrow_type(f.dataType)
+        if f.name in tbl.column_names:
+            col = tbl.column(f.name)
+            if col.type != at:
+                col = col.cast(at)
         else:
-            cols.append([None] * n)
-    for row in zip(*cols):
-        yield (*row, partition.commit_ms)
+            col = pa.nulls(n, at)
+        arrays.append(col)
+        fields.append(pa.field(f.name, at))
+    for name, value in extra:
+        arrays.append(pa.repeat(pa.scalar(value, pa.int64()), n))
+        fields.append(pa.field(name, pa.int64()))
+    yield from pa.table(arrays, schema=pa.schema(fields)).to_batches()
 
 
 class StoreCDFDataSource(DataSource):
@@ -229,7 +245,7 @@ class StoreCDFBatchReader(DataSourceReader):
 
     def __init__(self, root: str, schema: T.StructType):
         self.root = root
-        self.field_names = [f.name for f in schema.fields]
+        self.schema_ = schema
 
     def partitions(self) -> list[ChangeFilePartition]:
         parts = []
@@ -239,8 +255,11 @@ class StoreCDFBatchReader(DataSourceReader):
                 parts.append(ChangeFilePartition(path, ms))
         return parts
 
-    def read(self, partition: ChangeFilePartition) -> Iterator[tuple]:
-        return _read_partition(partition, self.field_names)
+    def read(self, partition: ChangeFilePartition):
+        return _sidecar_batches(
+            partition.path, self.schema_,
+            [("commit_ms", partition.commit_ms)],
+        )
 
 
 class StoreCDFStreamReader(DataSourceStreamReader):
@@ -254,7 +273,7 @@ class StoreCDFStreamReader(DataSourceStreamReader):
 
     def __init__(self, root: str, schema: T.StructType):
         self.root = root
-        self.field_names = [f.name for f in schema.fields]
+        self.schema_ = schema
 
     def initialOffset(self) -> dict:
         return {"last": ""}
@@ -276,8 +295,11 @@ class StoreCDFStreamReader(DataSourceStreamReader):
                 parts.append(ChangeFilePartition(path, ms))
         return parts
 
-    def read(self, partition: ChangeFilePartition) -> Iterator[tuple]:
-        return _read_partition(partition, self.field_names)
+    def read(self, partition: ChangeFilePartition):
+        return _sidecar_batches(
+            partition.path, self.schema_,
+            [("commit_ms", partition.commit_ms)],
+        )
 
     def commit(self, end: dict) -> None:
         # offsets live in Spark's checkpoint; the source keeps no
@@ -351,25 +373,6 @@ class TxnChangeFilePartition(InputPartition):
         self.path = path
         self.commit_ms = commit_ms
         self.commit_version = commit_version
-
-
-def _read_txn_partition(
-    partition: TxnChangeFilePartition, field_names: list[str]
-) -> Iterator[tuple]:
-    """Arrow-read one change file, projected BY NAME onto the query
-    schema (additive schema evolution tolerated), ``commit_ms`` and
-    ``commit_version`` appended."""
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(partition.path)
-    columns = []
-    for name in field_names[:-2]:  # last two fields are ours
-        if name in tbl.column_names:
-            columns.append(tbl.column(name).to_pylist())
-        else:
-            columns.append([None] * tbl.num_rows)
-    for row in zip(*columns) if columns else []:
-        yield (*row, partition.commit_ms, partition.commit_version)
 
 
 def _txn_feed_partitions(
@@ -457,7 +460,7 @@ class TxnCDFBatchReader(DataSourceReader):
         self, root: str, schema: T.StructType, starting_version: int = 1
     ):
         self.root = root
-        self.field_names = [f.name for f in schema.fields]
+        self.schema_ = schema
         self.starting_version = starting_version
 
     def partitions(self) -> list[TxnChangeFilePartition]:
@@ -465,10 +468,14 @@ class TxnCDFBatchReader(DataSourceReader):
             self.root, _txn_records(self.root, lo=self.starting_version - 1)
         )
 
-    def read(
-        self, partition: TxnChangeFilePartition
-    ) -> Iterator[tuple]:
-        return _read_txn_partition(partition, self.field_names)
+    def read(self, partition: TxnChangeFilePartition):
+        return _sidecar_batches(
+            partition.path, self.schema_,
+            [
+                ("commit_ms", partition.commit_ms),
+                ("commit_version", partition.commit_version),
+            ],
+        )
 
 
 class TxnCDFStreamReader(DataSourceStreamReader):
@@ -482,7 +489,7 @@ class TxnCDFStreamReader(DataSourceStreamReader):
         self, root: str, schema: T.StructType, starting_version: int = 1
     ):
         self.root = root
-        self.field_names = [f.name for f in schema.fields]
+        self.schema_ = schema
         self.starting_version = starting_version
 
     def initialOffset(self) -> dict:
@@ -501,10 +508,14 @@ class TxnCDFStreamReader(DataSourceStreamReader):
             self.root, _txn_records(self.root, lo=lo, hi=hi)
         )
 
-    def read(
-        self, partition: TxnChangeFilePartition
-    ) -> Iterator[tuple]:
-        return _read_txn_partition(partition, self.field_names)
+    def read(self, partition: TxnChangeFilePartition):
+        return _sidecar_batches(
+            partition.path, self.schema_,
+            [
+                ("commit_ms", partition.commit_ms),
+                ("commit_version", partition.commit_version),
+            ],
+        )
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; log records are immutable
