@@ -756,6 +756,7 @@ class TransactionalParquetBackend:
 
         from far_finer_airtable_firestore_sync_spark.sources.store import (
             ConcurrentCommitError,
+            _dv_position_count,
             _hive_partition_cols,
             _link_tree,
             read_with_deletion_vectors,
@@ -777,9 +778,11 @@ class TransactionalParquetBackend:
             updated = snap.filter(predicate).withColumns(
                 {c: F.expr(e).cast(types[c]) for c, e in set_exprs.items()}
             )
-            n = updated.count()
-            if n == 0:
-                return f"txn://{base_v}", 0
+            # n_updated falls out of the mask write (new distinct
+            # positions == predicate matches visible through the prior
+            # mask) — no eager count pre-pass (round 11, the
+            # DocumentStore.update_where shape)
+            prior_total = _dv_position_count(src)
             rel = f"v-{uuid.uuid4().hex}"
             out = os.path.join(self.root, rel)
             _link_tree(src, out)
@@ -788,7 +791,13 @@ class TransactionalParquetBackend:
             # mask BEFORE append (the DocumentStore ordering contract),
             # then right-sized partition-aware append, then drop the
             # now-stale skip sidecars (lossy otherwise)
-            write_deletion_vectors(self.spark, out, predicate, legacy_dir=src)
+            n_total = write_deletion_vectors(
+                self.spark, out, predicate, legacy_dir=src
+            )
+            n = n_total - prior_total
+            if n == 0:  # positions are distinct: equal == no match
+                shutil.rmtree(out)
+                return f"txn://{base_v}", 0
             n_files = max(1, -(-n // 1_000_000))
             writer = updated.coalesce(n_files).write.mode("append")
             pcols = _hive_partition_cols(src)
@@ -868,6 +877,7 @@ class TransactionalParquetBackend:
         test_hook=None,
         cdf: bool = False,
         schema_evolution: bool = False,
+        reject_null_source_key: bool = False,
     ) -> tuple[str, dict]:
         """Multi-clause MERGE INTO on the LOCK-FREE log — the
         cross-host form of ``DocumentStore.merge_into``, completing
@@ -925,9 +935,11 @@ class TransactionalParquetBackend:
                 when_matched_update, update_condition,
                 when_matched_delete, when_not_matched_insert,
                 when_not_matched_by_source_delete, schema_evolution,
+                reject_null_source_key,
             )
             counts = plan["counts"]
             if not any(counts.values()):
+                plan["materialized"].unpersist()
                 return f"txn://{base_v}", counts
             rel = f"v-{uuid.uuid4().hex}"
             out = os.path.join(self.root, rel)
@@ -971,6 +983,11 @@ class TransactionalParquetBackend:
             except Exception:
                 shutil.rmtree(out, ignore_errors=True)
                 raise
+            finally:
+                # the cached clause-tagged join fed its last consumer
+                # (the writes above); release before the CAS attempt —
+                # a rival-forced retry re-derives and re-persists
+                plan["materialized"].unpersist()
             for f in os.listdir(out):
                 if f == "_zone_manifest.json" or f.startswith("_bloom_"):
                     os.remove(os.path.join(out, f))

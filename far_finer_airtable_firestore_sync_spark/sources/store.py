@@ -26,6 +26,7 @@ import time
 import uuid
 from typing import Any, Optional
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1011,9 +1012,14 @@ class DocumentStore:
         updated = snap.filter(predicate).withColumns(
             {c: F.expr(e).cast(dict(snap.dtypes)[c]) for c, e in set_exprs.items()}
         )
-        n = updated.count()
-        if n == 0:
-            return cur, 0
+        # n_updated falls out of the mask write below (new distinct
+        # positions == predicate matches visible through the prior
+        # mask), so the former eager ``updated.count()`` pre-pass —
+        # one full predicate scan per update, purely for the no-op
+        # check — is gone (round 11; the delete_where shape). A no-op
+        # is detected after the mask write and rolls the linked
+        # directory back, exactly like delete_where.
+        prior_total = _dv_position_count(cur)
         rel = _new_version_dir_name(self._next_commit_ms())
         out = os.path.join(self.root, rel)
         _link_tree(cur, out)
@@ -1026,9 +1032,13 @@ class DocumentStore:
         # directory before it can leak into version history (r9
         # ADVICE, medium — same guard as delete_where).
         try:
-            write_deletion_vectors(
+            n_total = write_deletion_vectors(
                 self.spark, out, predicate, legacy_dir=cur
             )
+            n = n_total - prior_total
+            if n == 0:  # positions are distinct: equal count == no match
+                shutil.rmtree(out)
+                return cur, 0
             n_files = max(1, -(-n // 1_000_000))
             # a hive-partitioned version appends PARTITION-AWARE (the
             # layout is recovered from the directory names — an
@@ -1082,6 +1092,7 @@ class DocumentStore:
         expected_version: Optional[str] = None,
         txn: Optional[tuple[str, str]] = None,
         schema_evolution: bool = False,
+        reject_null_source_key: bool = False,
     ) -> tuple[str, dict[str, int]]:
         """Multi-clause MERGE INTO as ONE deletion-vector commit — the
         capstone over the row-level DML machinery: the upsert shape
@@ -1156,9 +1167,11 @@ class DocumentStore:
             when_matched_update, update_condition,
             when_matched_delete, when_not_matched_insert,
             when_not_matched_by_source_delete, schema_evolution,
+            reject_null_source_key,
         )
         counts = plan["counts"]
         if not any(counts.values()):
+            plan["materialized"].unpersist()
             return cur, counts
         appended, touched = plan["appended"], plan["touched"]
         rel = _new_version_dir_name(self._next_commit_ms())
@@ -1198,6 +1211,8 @@ class DocumentStore:
         except Exception:
             shutil.rmtree(out, ignore_errors=True)
             raise
+        finally:
+            plan["materialized"].unpersist()
         for f in os.listdir(out):
             if f == "_zone_manifest.json" or f.startswith("_bloom_"):
                 os.remove(os.path.join(out, f))
@@ -1440,6 +1455,7 @@ def derive_merge_clauses(
     when_not_matched_insert: bool,
     when_not_matched_by_source_delete: Optional[str] = None,
     schema_evolution: bool = False,
+    reject_null_source_key: bool = False,
 ) -> dict:
     """Validate and derive the clause outcomes of a MERGE — the
     engine-independent half shared by
@@ -1460,8 +1476,11 @@ def derive_merge_clauses(
     counters). The single join is tagged per row with its winning
     clause, the counts fold map-side, and every downstream frame
     (updates/deletes/inserts/nbs_deletes/images/touched) is a filter
-    over the same tagged plan, so the physical join is planned once
-    for validation and once for the write — never per clause.
+    over the same tagged plan. Round 11: the tagged join is PERSISTED
+    (``plan["materialized"]`` — callers unpersist when the commit or
+    rejection is done), so the join EXECUTES once — the counts action
+    populates the cache and the DV/append/CDF writes read it back
+    instead of re-running the snap⋈source join per consumer.
 
     ``when_not_matched_by_source_delete`` is Delta's third clause
     family: target rows with NO source match are deleted when the
@@ -1483,7 +1502,15 @@ def derive_merge_clauses(
     must mark the published version mixed-schema
     (:data:`_MIXED_SCHEMA_MARKER`) because untouched linked files
     still carry the narrow schema. Returns the evolved column list as
-    ``plan["columns"]`` and ``plan["evolved"]`` (the new columns)."""
+    ``plan["columns"]`` and ``plan["evolved"]`` (the new columns).
+
+    ``reject_null_source_key=True`` (round 11) folds the streaming
+    consumers' NULL-group-key rejection into the same fused
+    validation action — a NULL source key would silently INSERT a
+    duplicate NULL row every epoch instead of merging (``t.k = s.k``
+    never matches NULL). Requires the fused-guards clause shape
+    (insert enabled, ungated update) so every source row is provably
+    present in the tagged frame."""
     if when_matched_update is None and when_matched_delete is None \
             and not when_not_matched_insert \
             and when_not_matched_by_source_delete is None:
@@ -1510,12 +1537,28 @@ def derive_merge_clauses(
             raise ValueError(
                 f"column {reserved!r} is reserved by merge_into"
             )
-    # ambiguous-source guard: bounded probe, not a full count
-    if source.groupBy(key).count().filter("count > 1").limit(1).count():
-        raise ValueError(
-            "merge_into: source has duplicate keys — per-target-row "
-            "clause outcome would be nondeterministic"
-        )
+    # Ambiguous-source guard. When the clause shape provably tags
+    # EVERY source row (insert enabled + ungated update clause:
+    # matched rows take update-or-delete, unmatched rows insert), the
+    # duplicate-key probe folds into the fused validation aggregate
+    # below — zero extra actions (round 11; guide §1.2 "don't compute
+    # things you throw away": the probe re-scanned the source per
+    # merge). Otherwise — a gated update or disabled insert can DROP
+    # clauseless source rows from the tagged frame — the original
+    # source-level probe runs, preserving the strict contract that a
+    # duplicate key anywhere in the source rejects.
+    fused_guards = (
+        when_not_matched_insert
+        and when_matched_update is not None
+        and update_condition is None
+    )
+    if not fused_guards:
+        # bounded probe, not a full count
+        if source.groupBy(key).count().filter("count > 1").limit(1).count():
+            raise ValueError(
+                "merge_into: source has duplicate keys — per-target-row "
+                "clause outcome would be nondeterministic"
+            )
     # Presence comes from literal marker columns (the diff_frames
     # rule): an outer row's NULL key cannot distinguish "no match"
     # from a NULL-keyed row. The nbs condition is pre-evaluated on
@@ -1554,13 +1597,83 @@ def derive_merge_clauses(
     tagged = fo.withColumn("_ffs_clause", clause).filter(
         F.col("_ffs_clause").isNotNull()
     )
-    # ONE action for all four clause counts (fused validation)
-    crow = tagged.agg(
-        *[
-            F.count(F.when(F.col("_ffs_clause") == c, 1)).alias(c)
-            for c in ("delete", "update", "insert", "nbs_delete")
-        ]
-    ).first()
+    # Materialize the clause-tagged join ONCE (Delta's merge-source
+    # materialization; optimization guide §5 — cache exactly the
+    # frame every consumer re-reads): the validation counts, the DV
+    # key set, the updated/inserted images and the CDF rows are ALL
+    # filters over this one frame, and without the persist each of
+    # those 3-5 actions re-executed the full snap⋈source join — at
+    # 100 TB a merge paid the join several times over. The frame is
+    # O(rows a clause touches) — sliver-sized for routine DML;
+    # MEMORY_AND_DISK spills a backfill-sized merge instead of
+    # evicting or OOMing. The counts aggregate below is the action
+    # that populates the cache; callers unpersist via
+    # ``plan["materialized"]`` once the commit (or rejection) is done.
+    tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE action for all four clause counts (fused validation). On
+    # the fused-guards path the same action ALSO carries the
+    # duplicate-source probe and the NULL-source-key count: a per-key
+    # pre-aggregation (which reuses the join's key partitioning — no
+    # extra exchange) feeds the global fold, so validation costs zero
+    # additional jobs on top of the counts the merge needs anyway.
+    clause_names = ("delete", "update", "insert", "nbs_delete")
+    try:
+        if fused_guards:
+            per_key = tagged.groupBy(
+                F.col(f"s.{key}").alias("_ffs_sk")
+            ).agg(
+                *[
+                    F.count(
+                        F.when(F.col("_ffs_clause") == c, 1)
+                    ).alias(c)
+                    for c in clause_names
+                ],
+                F.count(F.when(s_here, 1)).alias("_ffs_nsrc"),
+            )
+            crow = per_key.agg(
+                *[
+                    F.coalesce(F.sum(c), F.lit(0)).cast("long").alias(c)
+                    for c in clause_names
+                ],
+                F.max("_ffs_nsrc").alias("_ffs_maxsrc"),
+                F.sum(
+                    F.when(
+                        F.col("_ffs_sk").isNull(), F.col("_ffs_nsrc")
+                    ).otherwise(F.lit(0))
+                ).alias("_ffs_nullsrc"),
+            ).first()
+            if reject_null_source_key and (crow["_ffs_nullsrc"] or 0) > 0:
+                raise ValueError(
+                    "cdf summary sync: NULL group key in the change "
+                    "feed — the merge-based summary commit cannot key "
+                    "on NULL (standard MERGE semantics); coalesce the "
+                    "group column upstream or use the batch IVM path"
+                )
+            # the original guard groups NULL keys as one bucket too
+            if (crow["_ffs_maxsrc"] or 0) > 1 \
+                    or (crow["_ffs_nullsrc"] or 0) > 1:
+                raise ValueError(
+                    "merge_into: source has duplicate keys — "
+                    "per-target-row clause outcome would be "
+                    "nondeterministic"
+                )
+        else:
+            if reject_null_source_key:
+                raise ValueError(
+                    "reject_null_source_key requires the fused-guards "
+                    "clause shape (insert enabled, ungated update)"
+                )
+            crow = tagged.agg(
+                *[
+                    F.count(
+                        F.when(F.col("_ffs_clause") == c, 1)
+                    ).alias(c)
+                    for c in clause_names
+                ]
+            ).first()
+    except BaseException:
+        tagged.unpersist()  # a rejected merge must not leak its cache
+        raise
     counts = {
         "updated": crow["update"],
         "deleted": crow["delete"],
@@ -1598,6 +1711,7 @@ def derive_merge_clauses(
         "types": types,
         "columns": list(snap.columns),
         "evolved": extra,
+        "materialized": tagged,
         "updates": updates,
         "deletes": deletes,
         "nbs_deletes": nbs_deletes,
@@ -2113,6 +2227,20 @@ def _dv_position_count(version_dir: str) -> int:
     )
 
 
+def _parquet_footer_rows(path: str) -> int:
+    """Row count of a flat parquet directory from the FOOTERS alone —
+    no Spark job, no data scan. Used where the writer itself needs
+    the row count of what it just wrote (the DV sidecar swap): the
+    directory is local and file-count-small by construction."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(os.path.join(path, f)).num_rows
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+
 def _version_live_rows(version_dir: str) -> int:
     """LIVE row count of a committed version from metadata only:
     parquet footer ``num_rows`` summed over the data files minus the
@@ -2268,7 +2396,12 @@ def write_deletion_vectors(
     new_dv = new_dv.distinct()
     tmp = out + ".tmp-" + uuid.uuid4().hex[:8]
     new_dv.write.mode("errorifexists").parquet(tmp)
-    total = spark.read.parquet(tmp).count()
+    # total = rows of the sidecar just written: sum the parquet
+    # FOOTERS driver-side instead of paying a whole Spark count job —
+    # the sidecar is local, just-written, and O(masked positions)
+    # small in file count (round 11; guide §1.2: this count ran as
+    # its own job after EVERY DML/merge commit)
+    total = _parquet_footer_rows(tmp)
     if total == 0 and not has_existing:
         shutil.rmtree(tmp)
         return 0

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -721,6 +722,13 @@ def cdf_rollup_sync(
         last = store.last_txn(query_name)
         if last is not None and int(epoch_id) <= int(last):
             return  # replay of an already-committed epoch
+        # Persist the per-group corrections: the NULL-group guard, the
+        # merge's duplicate-source guard and the clause-tagged join
+        # each execute this plan, and each execution re-reads the
+        # micro-batch through the Python change-feed source (a
+        # foreachBatch frame is NOT materialized — every action
+        # replays the source; optimization guide §4/§5). One sliver-
+        # sized cache turns 3 feed reads + aggregations into 1.
         delta = rollup_delta(
             batch_df, group_col, list(sum_map.values())
         ).select(
@@ -730,30 +738,45 @@ def cdf_rollup_sync(
                 F.col(f"d_{src}").alias(dst)
                 for dst, src in sum_map.items()
             ],
-        )
-        _delta_merge_guard(delta, group_col)
-        if store.read() is None:
-            # bootstrap: the first batch's corrections ARE the summary
-            init = delta.filter(F.col(count_col) > 0)
-            store.commit(
-                init.localCheckpoint(), txn=(query_name, str(epoch_id))
-            )
-            if stats is not None:
-                stats.append({"epoch": int(epoch_id), "bootstrap": True})
-            return
-        _out, counts = store.merge_into(
-            delta,
-            when_matched_update={
-                count_col: f"t.{count_col} + s.{count_col}",
-                **{
-                    dst: f"coalesce(t.{dst}, 0) + coalesce(s.{dst}, 0)"
-                    for dst in sum_map
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            if store.read() is None:
+                # bootstrap: the first batch's corrections ARE the
+                # summary (no merge runs, so the NULL-group rejection
+                # needs its explicit probe here — once per consumer
+                # lifetime, not per epoch)
+                _delta_merge_guard(delta, group_col)
+                init = delta.filter(F.col(count_col) > 0)
+                store.commit(
+                    init.localCheckpoint(),
+                    txn=(query_name, str(epoch_id)),
+                )
+                if stats is not None:
+                    stats.append(
+                        {"epoch": int(epoch_id), "bootstrap": True}
+                    )
+                return
+            # NULL-group rejection rides the merge's fused validation
+            # action (reject_null_source_key) — zero extra jobs per
+            # epoch vs the former standalone guard + dup-probe pair
+            _out, counts = store.merge_into(
+                delta,
+                when_matched_update={
+                    count_col: f"t.{count_col} + s.{count_col}",
+                    **{
+                        dst: (
+                            f"coalesce(t.{dst}, 0) + coalesce(s.{dst}, 0)"
+                        )
+                        for dst in sum_map
+                    },
                 },
-            },
-            when_matched_delete=f"t.{count_col} + s.{count_col} <= 0",
-            when_not_matched_insert=True,
-            txn=(query_name, str(epoch_id)),
-        )
+                when_matched_delete=f"t.{count_col} + s.{count_col} <= 0",
+                when_not_matched_insert=True,
+                txn=(query_name, str(epoch_id)),
+                reject_null_source_key=True,
+            )
+        finally:
+            delta.unpersist()
         if stats is not None:
             stats.append({"epoch": int(epoch_id), **counts})
 
@@ -850,84 +873,121 @@ def cdf_extrema_sync(
                 return  # empty batch: nothing to fold, no version churn
             base_new_fn = lambda: upstream.read_as_of(int(hi))  # noqa: E731
             changes = collapse_changelog(batch_df, upstream.key_col)
-        base = store.read()
-        bootstrap = base is None
-        if bootstrap:
-            # correctly-typed empty summary derived from the batch
-            base = (
-                changes.filter(F.lit(False))
-                .groupBy(group_col)
-                .agg(
-                    F.count(F.lit(1)).alias(count_col),
-                    *[F.sum(src).alias(dst) for dst, src in sum_map.items()],
-                    *[F.min(src).alias(dst) for dst, src in min_map.items()],
-                    *[F.max(src).alias(dst) for dst, src in max_map.items()],
+        # Persist the collapsed changelog: the touched-group set and
+        # the three maintenance legs inside
+        # ``incremental_rollup_extrema`` (count/sum fold, adds,
+        # retractions) each reference it, and every un-cached
+        # reference replays the Python change-feed source plus the
+        # telescoping window (guide §4/§5). Sliver-sized by
+        # construction — one cache, five consumers.
+        changes = changes.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            base = store.read()
+            bootstrap = base is None
+            if bootstrap:
+                # correctly-typed empty summary derived from the batch
+                base = (
+                    changes.filter(F.lit(False))
+                    .groupBy(group_col)
+                    .agg(
+                        F.count(F.lit(1)).alias(count_col),
+                        *[
+                            F.sum(src).alias(dst)
+                            for dst, src in sum_map.items()
+                        ],
+                        *[
+                            F.min(src).alias(dst)
+                            for dst, src in min_map.items()
+                        ],
+                        *[
+                            F.max(src).alias(dst)
+                            for dst, src in max_map.items()
+                        ],
+                    )
                 )
-            )
-        base_new = base_new_fn()
-        assert base_new is not None  # the batch came from a commit
-        # touched groups: adds' group keys (non-delete rows carry a
-        # post-image) ∪ retractions' old-group keys (non-insert rows
-        # carry a pre-image) — structural NULLs excluded by the
-        # change_type filters, so a surviving NULL is a genuine NULL
-        # group key, which the merge path rejects loudly.
-        touched = (
-            changes.filter("change_type <> 'delete'")
-            .select(F.col(group_col).alias("_g"))
-            .unionByName(
-                changes.filter("change_type <> 'insert'").select(
-                    F.col(f"old_{group_col}").alias("_g")
+            base_new = base_new_fn()
+            assert base_new is not None  # the batch came from a commit
+            # touched groups: adds' group keys (non-delete rows carry a
+            # post-image) ∪ retractions' old-group keys (non-insert
+            # rows carry a pre-image) — structural NULLs excluded by
+            # the change_type filters, so a surviving NULL is a genuine
+            # NULL group key, which the merge path rejects loudly.
+            touched = (
+                changes.filter("change_type <> 'delete'")
+                .select(F.col(group_col).alias("_g"))
+                .unionByName(
+                    changes.filter("change_type <> 'insert'").select(
+                        F.col(f"old_{group_col}").alias("_g")
+                    )
                 )
+                .distinct()
             )
-            .distinct()
-        )
-        if not bootstrap:
-            # O(touched) COMPUTE, not just O(touched) write: only
-            # touched groups can change, so the maintenance fold
-            # reads the base summary restricted to them — at 10⁹
-            # groups the per-epoch merge join must not rescan the
-            # whole summary for a sliver batch (round-11 review).
-            base = base.join(
-                touched,
-                base[group_col] == touched["_g"],
-                "left_semi",
+            if not bootstrap:
+                # O(touched) COMPUTE, not just O(touched) write: only
+                # touched groups can change, so the maintenance fold
+                # reads the base summary restricted to them — at 10⁹
+                # groups the per-epoch merge join must not rescan the
+                # whole summary for a sliver batch (round-11 review).
+                base = base.join(
+                    touched,
+                    base[group_col] == touched["_g"],
+                    "left_semi",
+                )
+            summary = incremental_rollup_extrema(
+                base, changes, base_new, group_col, count_col,
+                sum_map, min_map, max_map,
             )
-        summary = incremental_rollup_extrema(
-            base, changes, base_new, group_col, count_col,
-            sum_map, min_map, max_map,
-        )
-        if bootstrap:
-            # first epoch: every group is touched — the summary IS
-            # the touched set; commit it whole with the marker
-            store.commit(
-                summary.localCheckpoint(),
-                txn=(query_name, str(epoch_id)),
-            )
-            if stats is not None:
-                stats.append({"epoch": int(epoch_id), "bootstrap": True})
-            return
-        sn = summary.alias("sn")
-        value_cols = [
-            count_col, *sum_map, *min_map, *max_map,
-        ]
-        source = (
-            touched.alias("tg")
-            .join(sn, F.col("tg._g") == F.col(f"sn.{group_col}"), "left")
-            .select(
-                F.col("tg._g").alias(group_col),
-                *[F.col(f"sn.{c}").alias(c) for c in value_cols],
-            )
-        )
-        _delta_merge_guard(source, group_col)
-        _out, counts = store.merge_into(
-            source,
-            # a touched group absent from the maintained summary
-            # vanished this epoch: NULL count selects the DELETE leg
-            when_matched_delete=f"s.{count_col} is null",
-            when_matched_update={c: f"s.{c}" for c in value_cols},
-            when_not_matched_insert=True,
-            txn=(query_name, str(epoch_id)),
-        )
+            if bootstrap:
+                # first epoch: every group is touched — the summary IS
+                # the touched set; commit it whole with the marker
+                store.commit(
+                    summary.localCheckpoint(),
+                    txn=(query_name, str(epoch_id)),
+                )
+                if stats is not None:
+                    stats.append(
+                        {"epoch": int(epoch_id), "bootstrap": True}
+                    )
+                return
+            sn = summary.alias("sn")
+            value_cols = [
+                count_col, *sum_map, *min_map, *max_map,
+            ]
+            # Persist the merge source as well: its plan contains the
+            # whole maintenance fold INCLUDING the Gupta–Mumick base
+            # recompute probe, and the NULL-group guard plus the
+            # merge's own validation would otherwise re-run that probe
+            # per action (guide §5 — cache what is re-read).
+            source = (
+                touched.alias("tg")
+                .join(
+                    sn, F.col("tg._g") == F.col(f"sn.{group_col}"), "left"
+                )
+                .select(
+                    F.col("tg._g").alias(group_col),
+                    *[F.col(f"sn.{c}").alias(c) for c in value_cols],
+                )
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                # NULL-group rejection rides the merge's fused
+                # validation action — no standalone guard job
+                _out, counts = store.merge_into(
+                    source,
+                    # a touched group absent from the maintained
+                    # summary vanished this epoch: NULL count selects
+                    # the DELETE leg
+                    when_matched_delete=f"s.{count_col} is null",
+                    when_matched_update={
+                        c: f"s.{c}" for c in value_cols
+                    },
+                    when_not_matched_insert=True,
+                    txn=(query_name, str(epoch_id)),
+                    reject_null_source_key=True,
+                )
+            finally:
+                source.unpersist()
+        finally:
+            changes.unpersist()
         if stats is not None:
             stats.append({"epoch": int(epoch_id), **counts})
 
@@ -1192,6 +1252,9 @@ def cdf_star_sync(
         # ---- summary FIRST (delta merge, the cdf_rollup_sync shape)
         sum_last = summary_store.last_txn(query_name)
         if sum_last is None or epoch > int(sum_last):
+            # persisted for the same reason as cdf_rollup_sync's
+            # delta: the NULL-group guard and the merge's validation
+            # + writes all consume this sliver — cache once
             delta = rollup_delta(
                 view_changes, group_col, list(sum_map.values())
             ).select(
@@ -1201,33 +1264,43 @@ def cdf_star_sync(
                     F.col(f"d_{src}").alias(dst)
                     for dst, src in sum_map.items()
                 ],
-            )
-            _delta_merge_guard(delta, group_col)
-            if summary_store.read() is None:
-                summary_store.commit(
-                    delta.filter(F.col(count_col) > 0).localCheckpoint(),
-                    txn=(query_name, str(epoch)),
-                )
-                s_counts = {"bootstrap": True}
-            else:
-                _o, s_counts = summary_store.merge_into(
-                    delta,
-                    when_matched_update={
-                        count_col: f"t.{count_col} + s.{count_col}",
-                        **{
-                            dst: (
-                                f"coalesce(t.{dst}, 0) + "
-                                f"coalesce(s.{dst}, 0)"
-                            )
-                            for dst in sum_map
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                if summary_store.read() is None:
+                    # bootstrap commit bypasses the merge — the NULL
+                    # group probe runs explicitly, once per lifetime
+                    _delta_merge_guard(delta, group_col)
+                    summary_store.commit(
+                        delta.filter(
+                            F.col(count_col) > 0
+                        ).localCheckpoint(),
+                        txn=(query_name, str(epoch)),
+                    )
+                    s_counts = {"bootstrap": True}
+                else:
+                    # NULL-group rejection rides the merge's fused
+                    # validation action — no standalone guard job
+                    _o, s_counts = summary_store.merge_into(
+                        delta,
+                        when_matched_update={
+                            count_col: f"t.{count_col} + s.{count_col}",
+                            **{
+                                dst: (
+                                    f"coalesce(t.{dst}, 0) + "
+                                    f"coalesce(s.{dst}, 0)"
+                                )
+                                for dst in sum_map
+                            },
                         },
-                    },
-                    when_matched_delete=(
-                        f"t.{count_col} + s.{count_col} <= 0"
-                    ),
-                    when_not_matched_insert=True,
-                    txn=(query_name, str(epoch)),
-                )
+                        when_matched_delete=(
+                            f"t.{count_col} + s.{count_col} <= 0"
+                        ),
+                        when_not_matched_insert=True,
+                        txn=(query_name, str(epoch)),
+                        reject_null_source_key=True,
+                    )
+            finally:
+                delta.unpersist()
         else:
             s_counts = {"replayed": True}
         # ---- view SECOND (upserts + tombstones through one merge)
@@ -1252,16 +1325,28 @@ def cdf_star_sync(
                     ],
                 )
             )
-            _o, v_counts = view_store.merge_into(
-                fresh.unionByName(tombstones),
-                # a tombstone's NULL foreign key witnesses departure;
-                # a fresh row's foreign keys are non-NULL by the join
-                when_matched_delete=f"s.{witness} is null",
-                when_matched_update={c: f"s.{c}" for c in payload},
-                when_not_matched_insert=True,
-                txn=(query_name, marker),
-                cdf=view_cdf,
+            # upserts + tombstones persisted once: the merge's
+            # duplicate-source guard and clause-tagged join both
+            # consume it (fresh is checkpointed, but the tombstone
+            # anti-join against the prior view would re-run per
+            # action)
+            v_source = fresh.unionByName(tombstones).persist(
+                StorageLevel.MEMORY_AND_DISK
             )
+            try:
+                _o, v_counts = view_store.merge_into(
+                    v_source,
+                    # a tombstone's NULL foreign key witnesses
+                    # departure; a fresh row's foreign keys are
+                    # non-NULL by the join
+                    when_matched_delete=f"s.{witness} is null",
+                    when_matched_update={c: f"s.{c}" for c in payload},
+                    when_not_matched_insert=True,
+                    txn=(query_name, marker),
+                    cdf=view_cdf,
+                )
+            finally:
+                v_source.unpersist()
         if stats is not None:
             stats.append(
                 {
