@@ -5002,16 +5002,21 @@ def _q_store_cdf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats: list = []
 
     def run_once() -> None:
+        # ONE multiplexed source for both feeds (round 11): each
+        # Python streaming source costs a dedicated runner process
+        # per query start — the tagged union is identical, the
+        # per-feed offsets identical, the spin-up paid once not twice
+        tagged, fcols = cdf_source.load_feeds(
+            spark, [roots["fact"], roots["dim"]], ["fact", "dim0"]
+        )
         q = cdf_join_sync(
-            spark.readStream.format("store_cdf")
-            .option("path", roots["fact"]).load(),
-            spark.readStream.format("store_cdf")
-            .option("path", roots["dim"]).load(),
+            None, None,
             fact, dim, view, summ, roots["ck"],
             fact_key="k", dim_fk="nk", dim_key="d",
             view_cols=["k", "nk", "cents", "nname"],
             group_col="nname", count_col="n", sum_map={"s": "cents"},
             query_name="cdfjoin", stats=stats,
+            tagged_stream=tagged, feed_cols=fcols,
         )
         try:
             q.processAllAvailable()
@@ -5166,20 +5171,22 @@ def _q_store_cdf_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats: list = []
 
     def run_once() -> None:
+        # ONE multiplexed source for all three feeds (round 11): the
+        # runner-process spin-up is paid once per (re)start, not
+        # three times; tagged union and per-feed offsets identical
+        tagged, fcols = cdf_source.load_feeds(
+            spark,
+            [roots["fact"], roots["da"], roots["db"]],
+            ["fact", "dim0", "dim1"],
+        )
         q = cdf_star_sync(
-            spark.readStream.format("store_cdf")
-            .option("path", roots["fact"]).load(),
-            [
-                spark.readStream.format("store_cdf")
-                .option("path", roots["da"]).load(),
-                spark.readStream.format("store_cdf")
-                .option("path", roots["db"]).load(),
-            ],
+            None, None,
             fact, [da, db], view, summ, roots["ck"],
             fact_key="k", dim_fks=["fc", "fn"], dim_keys=["c", "nn"],
             view_cols=["k", "fc", "fn", "cents", "seg", "nname"],
             group_col="nname", count_col="n", sum_map={"s": "cents"},
             query_name="cdfstar", stats=stats,
+            tagged_stream=tagged, feed_cols=fcols,
         )
         try:
             q.processAllAvailable()
@@ -5323,12 +5330,14 @@ def _q_store_cdf_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier2 = DocumentStore(spark, roots["t2"], "nk")
 
     def run_tier1() -> None:
+        # one multiplexed source for the two tier-1 feeds (round 11)
+        tagged, fcols = cdf_source.load_feeds(
+            spark, [roots["fact"], roots["dim"]], ["fact", "dim0"]
+        )
         q = cdf_join_sync(
-            spark.readStream.format("store_cdf")
-            .option("path", roots["fact"]).load(),
-            spark.readStream.format("store_cdf")
-            .option("path", roots["dim"]).load(),
+            None, None,
             fact, dim, view, summ, roots["ck1"],
+            tagged_stream=tagged, feed_cols=fcols,
             fact_key="k", dim_fk="nk", dim_key="d",
             view_cols=["k", "nk", "cents", "nname"],
             group_col="nname", count_col="n", sum_map={"s": "cents"},

@@ -636,10 +636,16 @@ class TransactionalParquetBackend:
         import time
         import uuid
 
+        from pyspark import StorageLevel
+        from pyspark.sql import functions as F
+
         from far_finer_airtable_firestore_sync_spark.sources.store import (
             ConcurrentCommitError,
+            _POS_FP,
+            _POS_RI,
             _dv_position_count,
             _link_tree,
+            _masked_scan_with_positions,
             write_deletion_vectors,
         )
 
@@ -656,34 +662,51 @@ class TransactionalParquetBackend:
             _link_tree(src, out)
             # inherited _changes describes the predecessor's commit
             shutil.rmtree(os.path.join(out, "_changes"), ignore_errors=True)
-            n_total = write_deletion_vectors(
-                self.spark, out, predicate, legacy_dir=src
-            )
-            if n_total == prior:  # no new positions: publish nothing
-                shutil.rmtree(out, ignore_errors=True)
-                return f"txn://{base_v}", prior
-            if cdf:
-                # predicate DML knows its own delta: the newly masked
-                # rows are the matching rows of the MASKED base — no
-                # diff join (same shape as DocumentStore.delete_where)
-                from far_finer_airtable_firestore_sync_spark.sources.store import (  # noqa: E501
-                    read_with_deletion_vectors,
-                )
-                from pyspark.sql import functions as F
-
-                prior_snap = read_with_deletion_vectors(self.spark, src)
-                cols = [
-                    c for c in prior_snap.columns if c != self.key_col
-                ]
-                types = dict(prior_snap.dtypes)
-                prior_snap.filter(predicate).select(
-                    F.col(self.key_col),
-                    F.lit("delete").alias("change_type"),
-                    *[F.lit(None).cast(types[c]).alias(c) for c in cols],
-                    *[F.col(c).alias(f"old_{c}") for c in cols],
-                ).write.mode("errorifexists").parquet(
-                    os.path.join(out, "_changes")
-                )
+            # ONE-PASS when cdf (round 11, the DocumentStore shape):
+            # the masked matched sliver is computed once; positions
+            # and CDF pre-images project from the same cached frame.
+            matched = None
+            try:
+                if cdf:
+                    matched = _masked_scan_with_positions(
+                        self.spark, src
+                    ).filter(predicate).persist(
+                        StorageLevel.MEMORY_AND_DISK
+                    )
+                    n_total = write_deletion_vectors(
+                        self.spark, out, legacy_dir=src,
+                        positions=matched.select(_POS_FP, _POS_RI),
+                    )
+                else:
+                    n_total = write_deletion_vectors(
+                        self.spark, out, predicate, legacy_dir=src
+                    )
+                if n_total == prior:  # no new positions: publish nothing
+                    shutil.rmtree(out, ignore_errors=True)
+                    return f"txn://{base_v}", prior
+                if cdf:
+                    data_cols = [
+                        c for c in matched.columns
+                        if c not in (_POS_FP, _POS_RI)
+                    ]
+                    cols = [
+                        c for c in data_cols if c != self.key_col
+                    ]
+                    types = dict(matched.dtypes)
+                    matched.select(
+                        F.col(self.key_col),
+                        F.lit("delete").alias("change_type"),
+                        *[
+                            F.lit(None).cast(types[c]).alias(c)
+                            for c in cols
+                        ],
+                        *[F.col(c).alias(f"old_{c}") for c in cols],
+                    ).write.mode("errorifexists").parquet(
+                        os.path.join(out, "_changes")
+                    )
+            finally:
+                if matched is not None:
+                    matched.unpersist()
             record = {
                 "version_dir": rel,
                 "writer": self.writer_id,
@@ -752,14 +775,17 @@ class TransactionalParquetBackend:
         import time
         import uuid
 
+        from pyspark import StorageLevel
         from pyspark.sql import functions as F
 
         from far_finer_airtable_firestore_sync_spark.sources.store import (
             ConcurrentCommitError,
+            _POS_FP,
+            _POS_RI,
             _dv_position_count,
             _hive_partition_cols,
             _link_tree,
-            read_with_deletion_vectors,
+            _masked_scan_with_positions,
             write_deletion_vectors,
         )
 
@@ -770,13 +796,21 @@ class TransactionalParquetBackend:
                     f"store {self.root} is empty; nothing to update"
                 )
             src = os.path.join(self.root, base_rec["version_dir"])
-            snap = read_with_deletion_vectors(self.spark, src)
-            unknown = [c for c in set_exprs if c not in snap.columns]
+            # ONE-PASS (round 11, the DocumentStore.update_where
+            # shape): one masked scan carrying positions; the matched
+            # sliver is cached and positions, images and CDF rows all
+            # project from it — three predicate scans become one.
+            snap_pos = _masked_scan_with_positions(self.spark, src)
+            data_cols = [
+                c for c in snap_pos.columns
+                if c not in (_POS_FP, _POS_RI)
+            ]
+            unknown = [c for c in set_exprs if c not in data_cols]
             if unknown:
                 raise ValueError(f"update_where: unknown columns {unknown}")
-            types = dict(snap.dtypes)
-            updated = snap.filter(predicate).withColumns(
-                {c: F.expr(e).cast(types[c]) for c, e in set_exprs.items()}
+            types = dict(snap_pos.dtypes)
+            matched = snap_pos.filter(predicate).persist(
+                StorageLevel.MEMORY_AND_DISK
             )
             # n_updated falls out of the mask write (new distinct
             # positions == predicate matches visible through the prior
@@ -791,36 +825,48 @@ class TransactionalParquetBackend:
             # mask BEFORE append (the DocumentStore ordering contract),
             # then right-sized partition-aware append, then drop the
             # now-stale skip sidecars (lossy otherwise)
-            n_total = write_deletion_vectors(
-                self.spark, out, predicate, legacy_dir=src
-            )
-            n = n_total - prior_total
-            if n == 0:  # positions are distinct: equal == no match
-                shutil.rmtree(out)
-                return f"txn://{base_v}", 0
-            n_files = max(1, -(-n // 1_000_000))
-            writer = updated.coalesce(n_files).write.mode("append")
-            pcols = _hive_partition_cols(src)
-            if pcols:
-                writer = writer.partitionBy(*pcols)
-            writer.parquet(out)
-            if cdf:
-                cols = [c for c in snap.columns if c != self.key_col]
-                snap.filter(predicate).select(
-                    F.col(self.key_col),
-                    F.lit("update").alias("change_type"),
-                    *[
-                        (
-                            F.expr(set_exprs[c]).cast(types[c])
-                            if c in set_exprs
-                            else F.col(c)
-                        ).alias(c)
-                        for c in cols
-                    ],
-                    *[F.col(c).alias(f"old_{c}") for c in cols],
-                ).write.mode("errorifexists").parquet(
-                    os.path.join(out, "_changes")
+            try:
+                n_total = write_deletion_vectors(
+                    self.spark, out, legacy_dir=src,
+                    positions=matched.select(_POS_FP, _POS_RI),
                 )
+                n = n_total - prior_total
+                if n == 0:  # positions are distinct: equal == no match
+                    shutil.rmtree(out)
+                    return f"txn://{base_v}", 0
+                updated = matched.select(*data_cols).withColumns(
+                    {
+                        c: F.expr(e).cast(types[c])
+                        for c, e in set_exprs.items()
+                    }
+                )
+                n_files = max(1, -(-n // 1_000_000))
+                writer = updated.coalesce(n_files).write.mode("append")
+                pcols = _hive_partition_cols(src)
+                if pcols:
+                    writer = writer.partitionBy(*pcols)
+                writer.parquet(out)
+                if cdf:
+                    cols = [
+                        c for c in data_cols if c != self.key_col
+                    ]
+                    matched.select(
+                        F.col(self.key_col),
+                        F.lit("update").alias("change_type"),
+                        *[
+                            (
+                                F.expr(set_exprs[c]).cast(types[c])
+                                if c in set_exprs
+                                else F.col(c)
+                            ).alias(c)
+                            for c in cols
+                        ],
+                        *[F.col(c).alias(f"old_{c}") for c in cols],
+                    ).write.mode("errorifexists").parquet(
+                        os.path.join(out, "_changes")
+                    )
+            finally:
+                matched.unpersist()
             for f in os.listdir(out):
                 if f == "_zone_manifest.json" or f.startswith("_bloom_"):
                     os.remove(os.path.join(out, f))
@@ -916,9 +962,9 @@ class TransactionalParquetBackend:
             _MIXED_SCHEMA_MARKER,
             _hive_partition_cols,
             _link_tree,
+            _masked_scan_with_positions,
             derive_merge_clauses,
             merge_changes_frame,
-            read_with_deletion_vectors,
             write_deletion_vectors,
         )
 
@@ -929,7 +975,10 @@ class TransactionalParquetBackend:
                     f"store {self.root} is empty; nothing to merge"
                 )
             src = os.path.join(self.root, base_rec["version_dir"])
-            snap = read_with_deletion_vectors(self.spark, src)
+            # ONE-PASS (round 11): positions ride the clause-tagged
+            # join; the DV mask projects off the same cached frame —
+            # no second scan + key semi-join of the version
+            snap = _masked_scan_with_positions(self.spark, src)
             plan = derive_merge_clauses(
                 snap, source, self.key_col,
                 when_matched_update, update_condition,
@@ -953,7 +1002,7 @@ class TransactionalParquetBackend:
                         or counts["deleted_by_source"]:
                     write_deletion_vectors(
                         self.spark, out, legacy_dir=src,
-                        match_keys=plan["touched"], key_col=self.key_col,
+                        positions=plan["touched_positions"],
                     )
                 n_app = counts["updated"] + counts["inserted"]
                 if n_app:

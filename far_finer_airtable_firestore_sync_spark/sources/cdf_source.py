@@ -159,18 +159,21 @@ class ChangeFilePartition(InputPartition):
 
 
 def _sidecar_batches(
-    path: str, schema: T.StructType, extra: list[tuple[str, int]]
+    path: str, schema: T.StructType, extra: list[tuple[str, object]]
 ):
     """Executor-side read of one change file as ARROW RECORD BATCHES —
     the Python DataSource API's Arrow path: columns are projected BY
     NAME onto the query schema (an older sidecar missing a
     later-added column yields typed NULLs — additive schema evolution
-    tolerated) and the per-partition constants in ``extra``
-    (commit_ms, commit_version) are appended as constant columns.
-    Yielding ``pyarrow.RecordBatch`` instead of row tuples keeps the
-    feed columnar end to end — no ``to_pylist`` materialization and
-    no per-row pickling across the Python/JVM boundary (optimization
-    guide §4: batches, not rows, cross the boundary)."""
+    tolerated, and the MULTIPLEXED reader projects each feed's
+    narrower sidecar onto the union schema the same way) and the
+    per-partition constants in ``extra`` (commit_ms, commit_version,
+    feed tag) are appended as constant columns (int64 or string by
+    value type). Yielding ``pyarrow.RecordBatch`` instead of row
+    tuples keeps the feed columnar end to end — no ``to_pylist``
+    materialization and no per-row pickling across the Python/JVM
+    boundary (optimization guide §4: batches, not rows, cross the
+    boundary)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_type
@@ -190,52 +193,118 @@ def _sidecar_batches(
         arrays.append(col)
         fields.append(pa.field(f.name, at))
     for name, value in extra:
-        arrays.append(pa.repeat(pa.scalar(value, pa.int64()), n))
-        fields.append(pa.field(name, pa.int64()))
+        at = pa.string() if isinstance(value, str) else pa.int64()
+        arrays.append(pa.repeat(pa.scalar(value, at), n))
+        fields.append(pa.field(name, at))
     yield from pa.table(arrays, schema=pa.schema(fields)).to_batches()
+
+
+def _newest_sidecar_fields(root: str) -> list:
+    """Arrow fields of the NEWEST committed sidecar — the per-root
+    schema anchor (additive schema evolution means later sidecars
+    carry a SUPERSET of columns; anchoring on the first would
+    silently hide every later-added column; anchoring on the newest
+    projects older files by name with typed NULLs — the read path's
+    contract)."""
+    import pyarrow.parquet as pq
+
+    for v in reversed(_committed_versions(root)):
+        ch = os.path.join(root, v, _CHANGES_DIR)
+        if os.path.isdir(ch):
+            files = [
+                f for f in os.listdir(ch) if f.endswith(".parquet")
+            ]
+            if files:
+                return list(pq.read_schema(os.path.join(ch, files[0])))
+    raise ValueError(
+        f"store {root!r} has no cdf-enabled commits: commit with "
+        "cdf=True before reading the change feed"
+    )
+
+
+#: feed-tag column the MULTIPLEXED reader appends (same name the
+#: consumers' hand-built tagged union used, so downstream code is
+#: byte-identical either way)
+_FEED_COL = "_ffs_feed"
 
 
 class StoreCDFDataSource(DataSource):
     """``spark.read/readStream.format("store_cdf").option("path",
     store_root)`` — batch reads the full recorded feed; streaming
-    tails it with exactly-once version-name offsets."""
+    tails it with exactly-once version-name offsets.
+
+    MULTIPLEXED form (round 11, optimization):
+    ``.option("paths", "root1,root2,...")` with
+    ``.option("tags", "fact,dim0,...")`` tails SEVERAL stores'
+    feeds through ONE source — the schema is the by-name union of
+    the per-root sidecar schemas (typed NULLs where a feed lacks a
+    column — exactly the ``unionByName(allowMissingColumns=True)``
+    frame consumers previously built from N separate sources) plus
+    ``commit_ms`` and a ``_ffs_feed`` tag column. Every Python
+    streaming source costs one dedicated runner PROCESS per query
+    start (~1-1.5 s each: interpreter + pyspark import + handshake;
+    guide §4 — the Python boundary's fixed costs); a star consumer
+    tailing N+1 feeds through one multiplexed source pays that once
+    instead of N+1 times, at every (re)start. Offsets are per-tag
+    version names, so exactly-once replay semantics are unchanged
+    feed by feed."""
 
     @classmethod
     def name(cls) -> str:
         return "store_cdf"
 
-    def schema(self) -> str:
-        import pyarrow.parquet as pq
+    def _mux(self) -> Optional[tuple[list[str], list[str]]]:
+        if "paths" not in self.options:
+            return None
+        roots = [p for p in self.options["paths"].split(",") if p]
+        tags = [
+            t
+            for t in self.options.get(
+                "tags",
+                ",".join(f"feed{i}" for i in range(len(roots))),
+            ).split(",")
+            if t
+        ]
+        if len(tags) != len(roots):
+            raise ValueError(
+                "store_cdf: 'tags' must name one tag per path"
+            )
+        return roots, tags
 
-        root = self.options["path"]
-        # NEWEST sidecar anchors the stream schema: additive schema
-        # evolution means later sidecars carry a SUPERSET of columns —
-        # anchoring on the first would silently hide every
-        # later-added column; anchoring on the newest projects older
-        # files by name with typed NULLs (the read path's contract).
-        for v in reversed(_committed_versions(root)):
-            ch = os.path.join(root, v, _CHANGES_DIR)
-            if os.path.isdir(ch):
-                files = [
-                    f for f in os.listdir(ch) if f.endswith(".parquet")
-                ]
-                if files:
-                    sch = pq.read_schema(os.path.join(ch, files[0]))
-                    cols = ", ".join(
-                        f"`{f.name}` {_arrow_ddl(f)}" for f in sch
-                    )
-                    return f"{cols}, commit_ms bigint"
-        raise ValueError(
-            f"store {root!r} has no cdf-enabled commits: commit with "
-            "cdf=True before reading the change feed"
-        )
+    def schema(self) -> str:
+        mux = self._mux()
+        if mux is None:
+            fields = _newest_sidecar_fields(self.options["path"])
+            cols = ", ".join(
+                f"`{f.name}` {_arrow_ddl(f)}" for f in fields
+            )
+            return f"{cols}, commit_ms bigint"
+        roots, _tags = mux
+        # by-name union across feeds, first occurrence anchors the
+        # type — the unionByName(allowMissingColumns) shape
+        seen: dict[str, str] = {}
+        order: list[str] = []
+        for root in roots:
+            for f in _newest_sidecar_fields(root):
+                if f.name not in seen:
+                    seen[f.name] = _arrow_ddl(f)
+                    order.append(f.name)
+        cols = ", ".join(f"`{n}` {seen[n]}" for n in order)
+        return f"{cols}, commit_ms bigint, `{_FEED_COL}` string"
 
     def reader(self, schema: T.StructType) -> "StoreCDFBatchReader":
+        if self._mux() is not None:
+            raise ValueError(
+                "store_cdf: the multiplexed form is streaming-only"
+            )
         return StoreCDFBatchReader(self.options["path"], schema)
 
     def streamReader(
         self, schema: T.StructType
-    ) -> "StoreCDFStreamReader":
+    ) -> "DataSourceStreamReader":
+        mux = self._mux()
+        if mux is not None:
+            return StoreCDFMuxStreamReader(mux[0], mux[1], schema)
         return StoreCDFStreamReader(self.options["path"], schema)
 
 
@@ -305,6 +374,92 @@ class StoreCDFStreamReader(DataSourceStreamReader):
         # offsets live in Spark's checkpoint; the source keeps no
         # state of its own (versions are immutable until vacuum)
         pass
+
+
+class MuxChangeFilePartition(InputPartition):
+    """One change file of one committed version of one multiplexed
+    feed (picklable plain fields only)."""
+
+    def __init__(self, path: str, commit_ms: int, tag: str):
+        self.path = path
+        self.commit_ms = commit_ms
+        self.tag = tag
+
+
+class StoreCDFMuxStreamReader(DataSourceStreamReader):
+    """Exactly-once CDF tail over SEVERAL stores through one source:
+    the offset is a per-tag map of newest consumed version names, so
+    each feed keeps the exact name-boundary replay semantics of the
+    single-feed reader — one runner process per query instead of one
+    per feed (see :class:`StoreCDFDataSource`)."""
+
+    def __init__(
+        self, roots: list[str], tags: list[str], schema: T.StructType
+    ):
+        self.roots = roots
+        self.tags = tags
+        self.schema_ = schema
+
+    def initialOffset(self) -> dict:
+        return {"last": {t: "" for t in self.tags}}
+
+    def latestOffset(self) -> dict:
+        out = {}
+        for t, r in zip(self.tags, self.roots):
+            versions = _committed_versions(r)
+            out[t] = versions[-1] if versions else ""
+        return {"last": out}
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> list[MuxChangeFilePartition]:
+        lo_map = start.get("last", {})
+        hi_map = end.get("last", {})
+        parts = []
+        for t, r in zip(self.tags, self.roots):
+            lo, hi = lo_map.get(t, ""), hi_map.get(t, "")
+            for v in _committed_versions(r):
+                if not (v > lo and v <= hi):
+                    continue
+                ms = version_commit_ms(v)
+                for path in _change_files(r, v):
+                    parts.append(MuxChangeFilePartition(path, ms, t))
+        return parts
+
+    def read(self, partition: MuxChangeFilePartition):
+        return _sidecar_batches(
+            partition.path, self.schema_,
+            [
+                ("commit_ms", partition.commit_ms),
+                (_FEED_COL, partition.tag),
+            ],
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint
+
+
+def load_feeds(
+    spark, roots: list[str], tags: list[str]
+) -> tuple["DataFrame", list[list[str]]]:  # noqa: F821
+    """One MULTIPLEXED change-feed stream over ``roots`` (tag column
+    ``_ffs_feed``), plus each feed's standalone column list (sidecar
+    columns + ``commit_ms``) — what the star/join consumers need to
+    slice the tagged union back into per-feed frames. Equivalent to N
+    separate ``readStream.format("store_cdf")`` loads unioned
+    ``allowMissingColumns`` — but one Python runner process per query
+    start instead of N (guide §4)."""
+    feed_cols = [
+        [f.name for f in _newest_sidecar_fields(r)] + ["commit_ms"]
+        for r in roots
+    ]
+    stream = (
+        spark.readStream.format("store_cdf")
+        .option("paths", ",".join(roots))
+        .option("tags", ",".join(tags))
+        .load()
+    )
+    return stream, feed_cols
 
 
 def register(spark) -> bool:

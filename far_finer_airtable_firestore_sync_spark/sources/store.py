@@ -451,21 +451,38 @@ class DocumentStore:
         # an inherited _changes sidecar describes the PREDECESSOR's
         # commit — each version's change feed is its own commit only
         shutil.rmtree(os.path.join(out, _CHANGES_DIR), ignore_errors=True)
+        # ONE-PASS when cdf (round 11, the update_where shape): the
+        # masked matched sliver is computed once and both the
+        # positions and the CDF pre-images project from it — the
+        # previous shape paid a second full predicate scan for the
+        # change rows. Without cdf the positions are the only
+        # consumer, so nothing is cached.
+        matched = None
         try:
-            n_total = write_deletion_vectors(
-                self.spark, out, predicate, legacy_dir=cur
-            )
+            if cdf:
+                matched = _masked_scan_with_positions(
+                    self.spark, cur
+                ).filter(predicate).persist(StorageLevel.MEMORY_AND_DISK)
+                n_total = write_deletion_vectors(
+                    self.spark, out, legacy_dir=cur,
+                    positions=matched.select(_POS_FP, _POS_RI),
+                )
+            else:
+                n_total = write_deletion_vectors(
+                    self.spark, out, predicate, legacy_dir=cur
+                )
             if cdf and n_total != prior_total:
                 # newly masked rows == matching rows of the MASKED
                 # prior snapshot (already-masked rows can't re-delete);
                 # the change sidecar needs NO diff join for DML —
                 # predicate DML knows its own delta
-                prior_snap = self.read_version(cur)
-                cols = [
-                    c for c in prior_snap.columns if c != self.key_col
+                data_cols = [
+                    c for c in matched.columns
+                    if c not in (_POS_FP, _POS_RI)
                 ]
-                types = dict(prior_snap.dtypes)
-                prior_snap.filter(predicate).select(
+                cols = [c for c in data_cols if c != self.key_col]
+                types = dict(matched.dtypes)
+                matched.select(
                     F.col(self.key_col),
                     F.lit("delete").alias("change_type"),
                     *[F.lit(None).cast(types[c]).alias(c) for c in cols],
@@ -476,6 +493,9 @@ class DocumentStore:
         except Exception:
             shutil.rmtree(out, ignore_errors=True)
             raise
+        finally:
+            if matched is not None:
+                matched.unpersist()
         if n_total == prior_total:  # positions are distinct: equal
             shutil.rmtree(out)      # count == no new masked rows
             return cur, prior_total
@@ -996,7 +1016,15 @@ class DocumentStore:
         mask + appends into a plain version.
 
         Returns ``(new_version_dir, n_updated)``; an empty match
-        creates NO new version and returns ``(current_dir, 0)``."""
+        creates NO new version and returns ``(current_dir, 0)``.
+
+        ONE-PASS (round 11, guide §1.2/§2.3): the masked snapshot is
+        scanned once, carrying its physical positions
+        (:func:`_masked_scan_with_positions`); the matched sliver is
+        persisted and the deletion-vector positions, the updated
+        images and the CDF rows are all projections of it — the
+        previous shape paid three predicate scans of the full version
+        per update (positions, images, change rows)."""
         cur = self.current_version_dir()
         if cur is None:
             raise ValueError(f"store {self.root} is empty; nothing to update")
@@ -1005,12 +1033,19 @@ class DocumentStore:
                 f"store {self.root}: pointer moved past {expected_version!r} "
                 "since read(); refusing to clobber the concurrent commit"
             )
-        snap = self.read_version(cur)
-        unknown = [c for c in set_exprs if c not in snap.columns]
+        snap_pos = _masked_scan_with_positions(self.spark, cur)
+        data_cols = [
+            c for c in snap_pos.columns if c not in (_POS_FP, _POS_RI)
+        ]
+        unknown = [c for c in set_exprs if c not in data_cols]
         if unknown:
             raise ValueError(f"update_where: unknown columns {unknown}")
-        updated = snap.filter(predicate).withColumns(
-            {c: F.expr(e).cast(dict(snap.dtypes)[c]) for c, e in set_exprs.items()}
+        types = dict(snap_pos.dtypes)
+        # ONE matched-sliver pass: positions, images and CDF rows are
+        # projections of this cached frame (sliver-sized; the DV write
+        # below is the action that populates the cache)
+        matched = snap_pos.filter(predicate).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
         # n_updated falls out of the mask write below (new distinct
         # positions == predicate matches visible through the prior
@@ -1033,12 +1068,19 @@ class DocumentStore:
         # ADVICE, medium — same guard as delete_where).
         try:
             n_total = write_deletion_vectors(
-                self.spark, out, predicate, legacy_dir=cur
+                self.spark, out, legacy_dir=cur,
+                positions=matched.select(_POS_FP, _POS_RI),
             )
             n = n_total - prior_total
             if n == 0:  # positions are distinct: equal count == no match
                 shutil.rmtree(out)
                 return cur, 0
+            updated = matched.select(*data_cols).withColumns(
+                {
+                    c: F.expr(e).cast(types[c])
+                    for c, e in set_exprs.items()
+                }
+            )
             n_files = max(1, -(-n // 1_000_000))
             # a hive-partitioned version appends PARTITION-AWARE (the
             # layout is recovered from the directory names — an
@@ -1054,9 +1096,8 @@ class DocumentStore:
                 # predicate DML knows its own delta: one row per
                 # updated key with the post image (set_exprs applied)
                 # and the pre image — no diff join needed
-                cols = [c for c in snap.columns if c != self.key_col]
-                types = dict(snap.dtypes)
-                snap.filter(predicate).select(
+                cols = [c for c in data_cols if c != self.key_col]
+                matched.select(
                     F.col(self.key_col),
                     F.lit("update").alias("change_type"),
                     *[
@@ -1074,6 +1115,8 @@ class DocumentStore:
         except Exception:
             shutil.rmtree(out, ignore_errors=True)
             raise
+        finally:
+            matched.unpersist()
         for f in os.listdir(out):
             if f == "_zone_manifest.json" or f.startswith("_bloom_"):
                 os.remove(os.path.join(out, f))
@@ -1161,7 +1204,11 @@ class DocumentStore:
                 "since read(); refusing to clobber the concurrent commit"
             )
         key = self.key_col
-        snap = self.read_version(cur)
+        # ONE-PASS (round 11): the masked snapshot carries its
+        # physical positions through the clause-tagged join, so the
+        # deletion-vector mask below projects off the SAME cached
+        # frame — no second scan + key semi-join of the version
+        snap = _masked_scan_with_positions(self.spark, cur)
         plan = derive_merge_clauses(
             snap, source, key,
             when_matched_update, update_condition,
@@ -1173,7 +1220,7 @@ class DocumentStore:
         if not any(counts.values()):
             plan["materialized"].unpersist()
             return cur, counts
-        appended, touched = plan["appended"], plan["touched"]
+        appended = plan["appended"]
         rel = _new_version_dir_name(self._next_commit_ms())
         out = os.path.join(self.root, rel)
         _link_tree(cur, out)
@@ -1185,7 +1232,7 @@ class DocumentStore:
                     or counts["deleted_by_source"]:
                 write_deletion_vectors(
                     self.spark, out, legacy_dir=cur,
-                    match_keys=touched, key_col=key,
+                    positions=plan["touched_positions"],
                 )
             n_app = counts["updated"] + counts["inserted"]
             if n_app:
@@ -1517,7 +1564,23 @@ def derive_merge_clauses(
         raise ValueError("merge_into: no clauses given")
     if key not in source.columns:
         raise ValueError(f"merge_into: source lacks key column {key!r}")
-    extra = [c for c in source.columns if c not in snap.columns]
+    # ONE-PASS positions (round 11): when the caller hands the masked
+    # snapshot WITH its physical positions
+    # (:func:`_masked_scan_with_positions`), the position columns ride
+    # the clause-tagged join's t-side and the deletion-vector mask is
+    # a projection of the SAME cached frame
+    # (``plan["touched_positions"]``) — the previous shape re-scanned
+    # the whole version and semi-joined the touched keys a second
+    # time just to learn the positions.
+    has_pos = _POS_FP in snap.columns and _POS_RI in snap.columns
+    for pos_col in (_POS_FP, _POS_RI):
+        if pos_col in source.columns:
+            raise ValueError(
+                f"column {pos_col!r} is reserved by merge_into's "
+                "one-pass position path; rename it in the source"
+            )
+    payload = [c for c in snap.columns if c not in (_POS_FP, _POS_RI)]
+    extra = [c for c in source.columns if c not in payload]
     if extra and not schema_evolution:
         raise ValueError(
             f"merge_into: source columns {extra} absent from target "
@@ -1527,9 +1590,12 @@ def derive_merge_clauses(
         src_types = dict(source.dtypes)
         for c in extra:
             snap = snap.withColumn(c, F.lit(None).cast(src_types[c]))
+        payload = payload + extra
     types = dict(snap.dtypes)
     if when_matched_update:
-        unknown = [c for c in when_matched_update if c not in types]
+        unknown = [
+            c for c in when_matched_update if c not in payload
+        ]
         if unknown:
             raise ValueError(f"merge_into: unknown columns {unknown}")
     for reserved in ("_ffs_mt", "_ffs_ms", "_ffs_nbs", "_ffs_clause"):
@@ -1684,7 +1750,7 @@ def derive_merge_clauses(
     updates = tagged.filter("_ffs_clause = 'update'")
     inserts = tagged.filter("_ffs_clause = 'insert'")
     nbs_deletes = tagged.filter("_ffs_clause = 'nbs_delete'").select(
-        *[F.col(f"t.{c}").alias(c) for c in snap.columns]
+        *[F.col(f"t.{c}").alias(c) for c in payload]
     )
     upd_images = updates.select(
         *[
@@ -1693,7 +1759,7 @@ def derive_merge_clauses(
                 if when_matched_update and c in when_matched_update
                 else F.col(f"t.{c}")
             ).alias(c)
-            for c in snap.columns
+            for c in payload
         ]
     )
     ins_images = inserts.select(
@@ -1703,13 +1769,13 @@ def derive_merge_clauses(
                 if c in source.columns
                 else F.lit(None).cast(types[c])
             ).alias(c)
-            for c in snap.columns
+            for c in payload
         ]
     )
     return {
         "counts": counts,
         "types": types,
-        "columns": list(snap.columns),
+        "columns": list(payload),
         "evolved": extra,
         "materialized": tagged,
         "updates": updates,
@@ -1721,6 +1787,21 @@ def derive_merge_clauses(
             deletes.select(F.col(f"t.{key}").alias(key))
             .unionByName(updates.select(F.col(f"t.{key}").alias(key)))
             .unionByName(nbs_deletes.select(F.col(key)))
+        ),
+        # positions of every masked row, straight off the cached
+        # tagged join's t-side — None when the caller's snapshot did
+        # not carry positions (then the key-set semi-join form masks)
+        "touched_positions": (
+            tagged.filter(
+                F.col("_ffs_clause").isin(
+                    "delete", "update", "nbs_delete"
+                )
+            ).select(
+                F.col(f"t.{_POS_FP}").alias(_POS_FP),
+                F.col(f"t.{_POS_RI}").alias(_POS_RI),
+            )
+            if has_pos
+            else None
         ),
     }
 
@@ -2295,6 +2376,7 @@ def write_deletion_vectors(
     legacy_dir: Optional[str] = None,
     match_keys: Optional[DataFrame] = None,
     key_col: Optional[str] = None,
+    positions: Optional[DataFrame] = None,
 ) -> int:
     """Row-level DELETE without rewriting data files — the Delta
     deletion-vector shape: rows of the committed version matching
@@ -2335,48 +2417,63 @@ def write_deletion_vectors(
     (:func:`_dv_recover_interrupted_swap`) — never silently served
     unmasked.
 
-    Exactly one of ``predicate`` / ``match_keys`` selects the rows to
-    mask. ``match_keys`` (with ``key_col``) is the KEY-SET form used
-    by :meth:`DocumentStore.merge_into`, whose matched set is defined
-    by a join against an arbitrarily large source — rendering it as an
-    IN-list predicate would put the key set on the driver, so instead
-    the scan LEFT SEMI-joins the key frame (AQE sizes it: a sliver
-    broadcasts, a backfill shuffles)."""
-    if (predicate is None) == (match_keys is None):
+    Exactly one of ``predicate`` / ``match_keys`` / ``positions``
+    selects the rows to mask. ``match_keys`` (with ``key_col``) is
+    the KEY-SET form, whose matched set is defined by a join against
+    an arbitrarily large source — rendering it as an IN-list
+    predicate would put the key set on the driver, so instead the
+    scan LEFT SEMI-joins the key frame (AQE sizes it: a sliver
+    broadcasts, a backfill shuffles). ``positions`` (round 11) is the
+    ONE-PASS form used by the fused DML paths: a frame of
+    already-version-relative ``(_ffs_pos_fp, _ffs_pos_ri)`` positions
+    taken from :func:`_masked_scan_with_positions` — no scan of the
+    version happens here at all; the caller's single matched-sliver
+    pass decided the mask."""
+    if sum(
+        x is not None for x in (predicate, match_keys, positions)
+    ) != 1:
         raise ValueError(
             "write_deletion_vectors: pass exactly one of "
-            "predicate / match_keys"
+            "predicate / match_keys / positions"
         )
     _dv_recover_interrupted_swap(version_dir)
-    df = _version_reader(spark, version_dir).parquet(version_dir)
-    if match_keys is not None:
-        if key_col is None:
-            raise ValueError("match_keys requires key_col")
-        if "_ffs_mk" in df.columns:
-            raise ValueError(
-                "column '_ffs_mk' is reserved by the key-set "
-                "deletion-vector path; rename it in the snapshot"
-            )
-        matching = df.join(
-            match_keys.select(F.col(key_col).alias("_ffs_mk")).distinct(),
-            # null-safe: a NULL-key row selected by a merge clause
-            # (e.g. when_not_matched_by_source_delete) must actually
-            # mask — a plain equi-join would count and CDF-emit the
-            # delete while leaving the row alive in the snapshot
-            df[key_col].eqNullSafe(F.col("_ffs_mk")),
-            "left_semi",
+    if positions is not None:
+        new_dv = positions.select(
+            F.col(_POS_FP).alias("file_path"),
+            F.col(_POS_RI).alias("row_index"),
         )
     else:
-        matching = df.filter(predicate)
-    new_dv = (
-        matching
-        .select(
-            _dv_rel_expr(version_dir, "_metadata.file_path").alias(
-                "file_path"
-            ),
-            F.col("_metadata.row_index").alias("row_index"),
+        df = _version_reader(spark, version_dir).parquet(version_dir)
+        if match_keys is not None:
+            if key_col is None:
+                raise ValueError("match_keys requires key_col")
+            if "_ffs_mk" in df.columns:
+                raise ValueError(
+                    "column '_ffs_mk' is reserved by the key-set "
+                    "deletion-vector path; rename it in the snapshot"
+                )
+            matching = df.join(
+                match_keys.select(
+                    F.col(key_col).alias("_ffs_mk")
+                ).distinct(),
+                # null-safe: a NULL-key row selected by a merge clause
+                # (e.g. when_not_matched_by_source_delete) must
+                # actually mask — a plain equi-join would count and
+                # CDF-emit the delete while leaving the row alive
+                df[key_col].eqNullSafe(F.col("_ffs_mk")),
+                "left_semi",
+            )
+        else:
+            matching = df.filter(predicate)
+        new_dv = (
+            matching
+            .select(
+                _dv_rel_expr(version_dir, "_metadata.file_path").alias(
+                    "file_path"
+                ),
+                F.col("_metadata.row_index").alias("row_index"),
+            )
         )
-    )
     out = os.path.join(version_dir, _DV_DIR)
     has_existing = os.path.isdir(out)
     if has_existing:
@@ -2623,6 +2720,59 @@ def binpack_build(
         "rows_rewritten": rows_small,
         "n_files_written": n_written,
     }
+
+
+#: Position columns the one-pass DML scan carries (version-relative
+#: file path + row index). Reserved in DML-visible snapshots.
+_POS_FP = "_ffs_pos_fp"
+_POS_RI = "_ffs_pos_ri"
+
+
+def _masked_scan_with_positions(
+    spark: SparkSession, version_dir: str
+) -> DataFrame:
+    """Masked snapshot of a version CARRYING its physical positions
+    (version-relative file path + row index) as ordinary columns —
+    the one-pass DML scan (round 11, guide §1.2/§2.3: scan once,
+    decide everything from that pass). ``update_where`` /
+    ``delete_where`` / ``merge_into`` previously scanned the version
+    up to three times per commit (deletion-vector positions, updated
+    images, CDF rows); with the positions riding the masked scan, the
+    matched sliver is computed ONCE and every downstream frame
+    (positions, images, change rows, clause tags) is a projection of
+    it. Positions from the PREDECESSOR directory are valid for the
+    hard-linked successor: ``_link_tree`` preserves relative layout
+    and the files are the same inodes."""
+    data = _version_reader(spark, version_dir).parquet(version_dir)
+    for reserved in (_POS_FP, _POS_RI):
+        if reserved in data.columns:
+            raise ValueError(
+                f"column {reserved!r} is reserved by the DML read "
+                "path; rename it in the snapshot"
+            )
+    data = data.select(
+        "*",
+        _dv_rel_expr(version_dir, "_metadata.file_path").alias(_POS_FP),
+        F.col("_metadata.row_index").alias(_POS_RI),
+    )
+    dv_path = os.path.join(version_dir, _DV_DIR)
+    if not os.path.isdir(dv_path):
+        try:
+            _dv_recover_interrupted_swap(version_dir)
+        except OSError:
+            pass  # a concurrent reader won the recovery rename
+        if not os.path.isdir(dv_path):
+            return data
+    dv = spark.read.parquet(dv_path).select(
+        _dv_rel_expr(version_dir, "file_path").alias("_ffs_dv_fp"),
+        F.col("row_index").alias("_ffs_dv_ri"),
+    )
+    return data.join(
+        dv,
+        (F.col(_POS_FP) == F.col("_ffs_dv_fp"))
+        & (F.col(_POS_RI) == F.col("_ffs_dv_ri")),
+        "left_anti",
+    )
 
 
 def _apply_deletion_vectors(

@@ -1017,6 +1017,8 @@ def cdf_star_sync(
     query_name: str = "cdf_star",
     stats: Optional[list] = None,
     view_cdf: bool = False,
+    tagged_stream: Optional[DataFrame] = None,
+    feed_cols: Optional[list] = None,
 ):
     """Continuously maintain a STAR view (fact x N dimensions) AND its
     rollup from N+1 stores' change feeds — :func:`cdf_join_sync`
@@ -1053,7 +1055,17 @@ def cdf_star_sync(
     Constraints (fail-loud): all feeds' payload columns pairwise
     disjoint; ``view_cols`` must include ``fact_key`` and every
     foreign key; no dimension feed may lead the fact store's first
-    cdf commit; NULL group keys are rejected by the merge path."""
+    cdf commit; NULL group keys are rejected by the merge path.
+
+    ``tagged_stream``/``feed_cols`` (round 11, optimization): a
+    PRE-TAGGED multiplexed stream (``cdf_source.load_feeds`` with
+    tags ``fact, dim0, dim1, ...``) replaces the N+1 separate streams
+    — the consumer's own union-building is skipped (the multiplexed
+    source already emits the identical tagged-union frame) and the
+    query pays ONE Python source runner per (re)start instead of
+    N+1 (guide §4: the Python boundary's per-process fixed cost).
+    ``feed_cols`` lists each feed's standalone columns (fact first),
+    which the per-feed slicing below needs."""
     from functools import reduce
 
     from far_finer_airtable_firestore_sync_spark.operators.ivm import (
@@ -1064,14 +1076,28 @@ def cdf_star_sync(
         diff_frames,
     )
 
-    n_dims = len(dim_streams)
+    if tagged_stream is not None:
+        if not feed_cols:
+            raise ValueError(
+                "cdf_star_sync: tagged_stream requires feed_cols"
+            )
+        if "_ffs_feed" not in tagged_stream.columns:
+            raise ValueError(
+                "cdf_star_sync: tagged_stream lacks the _ffs_feed "
+                "tag column (use cdf_source.load_feeds)"
+            )
+        fact_cols = list(feed_cols[0])
+        dim_cols = [list(c) for c in feed_cols[1:]]
+        n_dims = len(dim_cols)
+    else:
+        n_dims = len(dim_streams)
+        fact_cols = list(fact_stream.columns)
+        dim_cols = [list(s.columns) for s in dim_streams]
     if not (len(dim_stores) == len(dim_fks) == len(dim_keys) == n_dims):
         raise ValueError(
             "cdf_star_sync: dim_streams/dim_stores/dim_fks/dim_keys "
             "must be parallel lists"
         )
-    fact_cols = list(fact_stream.columns)
-    dim_cols = [list(s.columns) for s in dim_streams]
     all_cols = [("fact", fact_cols)] + [
         (f"dim{i}", c) for i, c in enumerate(dim_cols)
     ]
@@ -1094,12 +1120,15 @@ def cdf_star_sync(
             f"every foreign key (missing {missing}; the first foreign "
             "key is the tombstone presence witness)"
         )
-    tagged = fact_stream.withColumn("_ffs_feed", F.lit("fact"))
-    for i, s in enumerate(dim_streams):
-        tagged = tagged.unionByName(
-            s.withColumn("_ffs_feed", F.lit(f"dim{i}")),
-            allowMissingColumns=True,
-        )
+    if tagged_stream is not None:
+        tagged = tagged_stream
+    else:
+        tagged = fact_stream.withColumn("_ffs_feed", F.lit("fact"))
+        for i, s in enumerate(dim_streams):
+            tagged = tagged.unionByName(
+                s.withColumn("_ffs_feed", F.lit(f"dim{i}")),
+                allowMissingColumns=True,
+            )
 
     def _wm(last: Optional[str]) -> tuple[int, list[int]]:
         """Parse 'epoch:fact_ms:d0_ms:...' (the view marker)."""
@@ -1384,6 +1413,8 @@ def cdf_join_sync(
     query_name: str = "cdf_join",
     stats: Optional[list] = None,
     view_cdf: bool = False,
+    tagged_stream: Optional[DataFrame] = None,
+    feed_cols: Optional[list] = None,
 ):
     """Continuously maintain a JOIN view AND its rollup from TWO
     stores' change feeds (r10 VERDICT "next round" #2) — the
@@ -1396,8 +1427,10 @@ def cdf_join_sync(
     pre-generalization format, so existing view stores and
     checkpoints resume seamlessly."""
     return cdf_star_sync(
-        fact_stream, [dim_stream], fact_store, [dim_store],
+        fact_stream, [dim_stream] if dim_stream is not None else [],
+        fact_store, [dim_store],
         view_store, summary_store, checkpoint_dir,
         fact_key, [dim_fk], [dim_key], view_cols,
         group_col, count_col, sum_map, query_name, stats, view_cdf,
+        tagged_stream=tagged_stream, feed_cols=feed_cols,
     )

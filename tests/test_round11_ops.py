@@ -1238,3 +1238,171 @@ class TestCdfJoinTxnFeeds:
             .collect()
         }
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# one-pass DML (optimization round 11): positions-form deletion vectors
+# ---------------------------------------------------------------------------
+
+
+class TestOnePassDml:
+    def test_positions_form_equals_predicate_form(self, spark, tmp_root):
+        from far_finer_airtable_firestore_sync_spark.sources.store import (
+            _POS_FP,
+            _POS_RI,
+            _masked_scan_with_positions,
+            write_deletion_vectors,
+        )
+
+        a = DocumentStore(spark, os.path.join(tmp_root, "a"), "k")
+        b = DocumentStore(spark, os.path.join(tmp_root, "b"), "k")
+        df = _docs(spark).coalesce(3)
+        a.commit(df)
+        b.commit(df)
+        # predicate form on a, positions form on b — identical mask
+        va, _ = a.delete_where("k % 7 = 0")
+        vb_dir = b.current_version_dir()
+        pos = _masked_scan_with_positions(spark, vb_dir).filter(
+            "k % 7 = 0"
+        ).select(_POS_FP, _POS_RI)
+        n = write_deletion_vectors(spark, vb_dir, positions=pos)
+        assert n == _dv_position_count(va)
+        _assert_same(a.read(), b.read())
+
+    def test_update_where_one_pass_accumulates_over_prior_mask(
+        self, spark, tmp_root
+    ):
+        s = DocumentStore(spark, tmp_root, "k")
+        s.commit(_docs(spark))
+        s.delete_where("k % 10 = 0", cdf=True)  # prior mask
+        # the update must not resurrect deleted rows and must merge
+        # its positions with the inherited mask
+        vd, n = s.update_where("k % 5 = 0", {"val": "val + 7"}, cdf=True)
+        want = _docs(spark).filter("k % 10 <> 0").withColumn(
+            "val",
+            F.expr("case when k % 5 = 0 then val + 7 else val end"),
+        )
+        _assert_same(s.read(), want)
+        # exactly the visible matches counted (k%5 minus masked k%10)
+        assert n == 2000 // 5 - 2000 // 10
+        # CDF sidecar rows == the same visible matches, update-typed
+        ch = spark.read.parquet(os.path.join(vd, "_changes"))
+        assert ch.count() == n
+        assert ch.select("change_type").distinct().collect()[0][0] == "update"
+
+    def test_merge_masks_null_key_nbs_delete_via_positions(
+        self, spark, tmp_root
+    ):
+        # a NULL-keyed target row selected by the by-source clause
+        # must actually mask (the eqNullSafe case of the old key-set
+        # semi-join, now covered positionally)
+        s = DocumentStore(spark, tmp_root, "k")
+        base = spark.createDataFrame(
+            [(1, 10), (2, 20), (None, 99)], "k bigint, val bigint"
+        )
+        s.commit(base)
+        src = spark.createDataFrame([(1, 11)], "k bigint, val bigint")
+        _vd, counts = s.merge_into(
+            src,
+            when_matched_update={"val": "s.val"},
+            when_not_matched_insert=True,
+            when_not_matched_by_source_delete="true",
+        )
+        assert counts == {
+            "updated": 1, "deleted": 0, "inserted": 0,
+            "deleted_by_source": 2,
+        }
+        _assert_same(
+            s.read(),
+            spark.createDataFrame([(1, 11)], "k bigint, val bigint"),
+        )
+
+    def test_txn_one_pass_dml_and_merge(self, spark, tmp_root):
+        be = TransactionalParquetBackend(spark, tmp_root, "k", writer_id="w1")
+        be.commit(_docs(spark), cdf=True)
+        be.delete_where("k % 9 = 0", cdf=True)
+        be.update_where("k % 4 = 1", {"val": "val + 3"}, cdf=True)
+        src = spark.range(0, 50).select(
+            (F.col("id") + 10_000).alias("k"),
+            F.lit(1).cast("bigint").alias("grp"),
+            F.lit(0).cast("bigint").alias("val"),
+        )
+        be.merge_into(src, when_matched_update={"val": "s.val"}, cdf=True)
+        want = _docs(spark).filter("k % 9 <> 0").withColumn(
+            "val",
+            F.expr("case when k % 4 = 1 then val + 3 else val end"),
+        ).unionByName(src)
+        _assert_same(be.read(), want)
+
+
+# ---------------------------------------------------------------------------
+# multiplexed change-feed source (optimization round 11)
+# ---------------------------------------------------------------------------
+
+
+class TestMuxCdfSource:
+    def test_mux_equals_separate_union_and_resumes_per_feed(
+        self, spark, tmp_root
+    ):
+        from far_finer_airtable_firestore_sync_spark.sources import (
+            cdf_source,
+        )
+
+        assert cdf_source.register(spark)
+        ra, rb = os.path.join(tmp_root, "a"), os.path.join(tmp_root, "b")
+        ck = os.path.join(tmp_root, "ck")
+        a = DocumentStore(spark, ra, "k")
+        b = DocumentStore(spark, rb, "d")
+        a.commit(
+            spark.range(10).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+            ),
+            cdf=True,
+        )
+        b.commit(
+            spark.range(3).select(
+                F.col("id").alias("d"), F.lit("x").alias("vb")
+            ),
+            cdf=True,
+        )
+        seen: list = []
+
+        def run():
+            tagged, fcols = cdf_source.load_feeds(
+                spark, [ra, rb], ["fact", "dim0"]
+            )
+            assert fcols[0] == [
+                "k", "change_type", "va", "old_va", "commit_ms"
+            ]
+            q = (
+                tagged.writeStream.foreachBatch(
+                    lambda df, e: seen.append(
+                        {
+                            (r["_ffs_feed"], r["change_type"],
+                             r["k"], r["d"], r["va"], r["vb"])
+                            for r in df.collect()
+                        }
+                    )
+                )
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        run()  # batch 1: both feeds' initial commits
+        assert len(seen) == 1
+        want1 = {
+            ("fact", "insert", i, None, i * 2, None) for i in range(10)
+        } | {("dim0", "insert", None, i, None, "x") for i in range(3)}
+        assert seen[0] == want1
+        # while down: only feed A moves — the restart must replay
+        # ONLY A's new version (per-feed offsets)
+        a.update_where("k = 4", {"va": "va + 1"}, cdf=True)
+        run()
+        assert len(seen) == 2
+        assert seen[1] == {("fact", "update", 4, None, 9, None)}
+        run()  # idle: no new versions anywhere -> no batch at all
+        assert len(seen) == 2
