@@ -84,6 +84,10 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
+            # entries may persist reused intermediates (guide §5);
+            # drop them between entries like bench.py does, so one
+            # entry's cache never squeezes the next one's execution
+            spark.catalog.clearCache()
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
             records[name] = {"status": "fail", "error": f"spark: {ex}"[:300]}
