@@ -64,6 +64,14 @@ def main() -> int:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # the default 1g heap survives sf0.01 but a full 268-entry
+        # sf0.1 session accumulates enough broadcast/GC pressure to
+        # flake late entries (observed: dedup_pagerank broadcast OOM
+        # at minute ~14, green standalone) — size like bench.py does
+        .config(
+            "spark.driver.memory",
+            os.environ.get("ORACLE_DRIVER_MEM", "16g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
