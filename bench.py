@@ -52,6 +52,16 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE post-shuffle coalescing mode (round 11, parameterized
+        # for A/B): "true" (Spark default) first maximizes
+        # parallelism; "false" respects advisoryPartitionSizeInBytes,
+        # the production-recommended setting for size-targeted
+        # partitions (guide §2.2). Default stays the Spark default so
+        # the driver's bench remains comparable across rounds.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
