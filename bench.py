@@ -62,6 +62,21 @@ def main() -> None:
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
             os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
         )
+        # Round 12: let AQE re-plan the output partitioning of CACHED
+        # plans (persist()), instead of pinning them at the static
+        # shuffle-partition count. The engine persists sliver-sized
+        # multi-consumer frames on every DML/merge/IVM path (guide §5);
+        # without this, each cached sliver holds `shuffle.partitions`
+        # partitions and EVERY consumer pays that task fan-out — the
+        # r11-documented "cached partitions scan wider" trade, now
+        # reversed. Scale-adaptive by construction (AQE sizes by bytes:
+        # a sliver coalesces, a backfill keeps its width), so the same
+        # default is right at 100 TB. A/B evidence in
+        # OPTIMIZATION_r12.md; parameterized for re-testing.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            os.environ.get("SPARK_GRAFT_CACHE_AQE_PARTITIONING", "true"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

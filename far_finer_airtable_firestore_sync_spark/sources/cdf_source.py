@@ -269,6 +269,16 @@ class StoreCDFDataSource(DataSource):
             raise ValueError(
                 "store_cdf: 'tags' must name one tag per path"
             )
+        # duplicate tags would collapse the per-tag offset map (one
+        # store's version window compared against another's names —
+        # silent replay loss/duplication). Commas inside a path/tag
+        # are rejected in load_feeds, before the options are joined
+        # (r11 ADVICE).
+        if len(set(tags)) != len(tags):
+            raise ValueError(
+                "store_cdf: duplicate feed tags — each multiplexed "
+                "feed needs a distinct tag (offsets are per tag)"
+            )
         return roots, tags
 
     def schema(self) -> str:
@@ -449,6 +459,12 @@ def load_feeds(
     separate ``readStream.format("store_cdf")`` loads unioned
     ``allowMissingColumns`` — but one Python runner process per query
     start instead of N (guide §4)."""
+    bad = [x for x in [*roots, *tags] if "," in x]
+    if bad:
+        raise ValueError(
+            f"load_feeds: {bad} contain ',' — the multiplexed "
+            "options are comma-separated and cannot encode them"
+        )
     feed_cols = [
         [f.name for f in _newest_sidecar_fields(r)] + ["commit_ms"]
         for r in roots

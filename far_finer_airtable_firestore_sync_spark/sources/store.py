@@ -1639,7 +1639,21 @@ def derive_merge_clauses(
     )
     t = t_pre.alias("t")
     s = source.withColumn("_ffs_ms", F.lit(1)).alias("s")
-    fo = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    # Join type (round 12, guide §3.1): target rows with NO source
+    # match can only take the nbs_delete clause — when that clause is
+    # absent they are filtered out of the tagged frame unconditionally,
+    # so preserving them through a FULL outer join is pure waste: at
+    # 100 TB a sliver merge's full-outer emits every target row just
+    # to drop all but the sliver. RIGHT outer (all source rows + their
+    # matches) yields the IDENTICAL tagged frame, emits O(source) rows,
+    # and — unlike full outer, which no broadcast strategy supports —
+    # lets AQE pick a broadcast hash join when a side is small.
+    join_type = (
+        "full_outer"
+        if when_not_matched_by_source_delete is not None
+        else "right_outer"
+    )
+    fo = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), join_type)
     t_here = F.col("t._ffs_mt").isNotNull()
     s_here = F.col("s._ffs_ms").isNotNull()
     # three-valued logic: a NULL delete condition means NOT deleted
@@ -2294,8 +2308,10 @@ def _hive_partition_cols(version_dir: str) -> list[str]:
 def _dv_position_count(version_dir: str) -> int:
     """Number of masked positions recorded in ``version_dir``'s DV
     sidecar, from the parquet FOOTERS (positions are distinct by
-    construction — the writer ends in ``.distinct()``). 0 when the
-    version carries no mask."""
+    construction — the writer deduplicates the scan forms and the
+    one-pass positions form is provably duplicate-free, see
+    :func:`write_deletion_vectors`). 0 when the version carries no
+    mask."""
     import pyarrow.parquet as pq
 
     dv_dir = os.path.join(version_dir, _DV_DIR)
@@ -2442,7 +2458,17 @@ def write_deletion_vectors(
             F.col(_POS_FP).alias("file_path"),
             F.col(_POS_RI).alias("row_index"),
         )
+        # One-pass positions are distinct BY CONSTRUCTION: they come
+        # from :func:`_masked_scan_with_positions`, which emits each
+        # live physical row exactly once AND anti-joins the existing
+        # mask — so they are also disjoint from any inherited sidecar.
+        # The dedup shuffle the other forms need (a raw predicate scan
+        # can re-match already-masked rows) is a provable no-op here;
+        # skipping it removes one exchange from EVERY one-pass DML and
+        # merge commit (round 12, guide §2.4).
+        dedup_needed = False
     else:
+        dedup_needed = True
         df = _version_reader(spark, version_dir).parquet(version_dir)
         if match_keys is not None:
             if key_col is None:
@@ -2490,7 +2516,8 @@ def write_deletion_vectors(
                 "row_index",
             )
         new_dv = existing.unionByName(new_dv)
-    new_dv = new_dv.distinct()
+    if dedup_needed:
+        new_dv = new_dv.distinct()
     tmp = out + ".tmp-" + uuid.uuid4().hex[:8]
     new_dv.write.mode("errorifexists").parquet(tmp)
     # total = rows of the sidecar just written: sum the parquet
@@ -2744,7 +2771,11 @@ def _masked_scan_with_positions(
     hard-linked successor: ``_link_tree`` preserves relative layout
     and the files are the same inodes."""
     data = _version_reader(spark, version_dir).parquet(version_dir)
-    for reserved in (_POS_FP, _POS_RI):
+    # same reserved-name set as _apply_deletion_vectors: the DV
+    # anti-join below aliases the sidecar to _ffs_dv_*, so a snapshot
+    # carrying such a column would fail with an ambiguous-reference
+    # AnalysisException instead of this clear error (r11 ADVICE)
+    for reserved in (_POS_FP, _POS_RI, "_ffs_dv_fp", "_ffs_dv_ri"):
         if reserved in data.columns:
             raise ValueError(
                 f"column {reserved!r} is reserved by the DML read "

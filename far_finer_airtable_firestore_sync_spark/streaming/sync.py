@@ -740,17 +740,21 @@ def cdf_rollup_sync(
             ],
         ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            if store.read() is None:
+            # pointer check, not read(): the bootstrap test needs only
+            # "is the store empty", and building the DataFrame costs a
+            # parquet footer/schema round-trip per epoch (round 12)
+            if store.current_version_dir() is None:
                 # bootstrap: the first batch's corrections ARE the
                 # summary (no merge runs, so the NULL-group rejection
                 # needs its explicit probe here — once per consumer
                 # lifetime, not per epoch)
                 _delta_merge_guard(delta, group_col)
                 init = delta.filter(F.col(count_col) > 0)
-                store.commit(
-                    init.localCheckpoint(),
-                    txn=(query_name, str(epoch_id)),
-                )
+                # commit() runs exactly ONE action on its input and
+                # delta is already persisted (the guard materialized
+                # it), so the former eager localCheckpoint here was a
+                # redundant extra pass + cache (round 12, guide §5)
+                store.commit(init, txn=(query_name, str(epoch_id)))
                 if stats is not None:
                     stats.append(
                         {"epoch": int(epoch_id), "bootstrap": True}
@@ -850,6 +854,19 @@ def cdf_extrema_sync(
         last = store.last_txn(query_name)
         if last is not None and int(epoch_id) <= int(last):
             return  # replay of an already-committed epoch
+        # ONE source read per epoch (round 12, guide §4/§5): the
+        # watermark aggregate and the collapsed-changelog
+        # materialization below both consume the micro-batch, and a
+        # foreachBatch frame is not materialized — each un-cached
+        # action re-reads the Python change-feed source. Cache the
+        # sliver batch for the epoch's duration.
+        batch_df = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            _sync_batch_body(batch_df, epoch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _sync_batch_body(batch_df: DataFrame, epoch_id: int) -> None:
         # Pin the recompute base by LOG VERSION when the feed carries
         # one (the store_cdf_txn source): on a multi-writer log the
         # version order is authoritative, wall clocks are not. The
@@ -939,11 +956,10 @@ def cdf_extrema_sync(
             )
             if bootstrap:
                 # first epoch: every group is touched — the summary IS
-                # the touched set; commit it whole with the marker
-                store.commit(
-                    summary.localCheckpoint(),
-                    txn=(query_name, str(epoch_id)),
-                )
+                # the touched set; commit it whole with the marker.
+                # commit() runs exactly one action on its input, so no
+                # eager localCheckpoint pre-pass (round 12, guide §5)
+                store.commit(summary, txn=(query_name, str(epoch_id)))
                 if stats is not None:
                     stats.append(
                         {"epoch": int(epoch_id), "bootstrap": True}
@@ -1162,6 +1178,17 @@ def cdf_star_sync(
         v_epoch, wms = _wm(view_store.last_txn(query_name))
         if epoch <= v_epoch:
             return  # both commits of this epoch already applied
+        # ONE source read per epoch (round 12, guide §4/§5): the
+        # watermark aggregate and the affected-keys materialization
+        # both consume the micro-batch through the Python change-feed
+        # source — cache the sliver batch for the epoch's duration.
+        batch_df = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            _sync_batch_body(batch_df, epoch, wms)
+        finally:
+            batch_df.unpersist()
+
+    def _sync_batch_body(batch_df: DataFrame, epoch: int, wms) -> None:
         feeds = ["fact"] + [f"dim{i}" for i in range(n_dims)]
         # one action for every per-feed watermark (the batch source
         # is re-read per action — don't pay it N+1 times)
@@ -1238,6 +1265,7 @@ def cdf_star_sync(
                 )
             )
         m_prev = view_store.read()
+        view_bootstrap = m_prev is None
 
         def star_join(fact_side: DataFrame) -> DataFrame:
             j = fact_side.alias("f")
@@ -1295,14 +1323,15 @@ def cdf_star_sync(
                 ],
             ).persist(StorageLevel.MEMORY_AND_DISK)
             try:
-                if summary_store.read() is None:
+                # pointer check, not read() — see cdf_rollup_sync
+                if summary_store.current_version_dir() is None:
                     # bootstrap commit bypasses the merge — the NULL
-                    # group probe runs explicitly, once per lifetime
+                    # group probe runs explicitly, once per lifetime.
+                    # delta is persisted and commit() runs one action:
+                    # no eager localCheckpoint pre-pass (round 12)
                     _delta_merge_guard(delta, group_col)
                     summary_store.commit(
-                        delta.filter(
-                            F.col(count_col) > 0
-                        ).localCheckpoint(),
+                        delta.filter(F.col(count_col) > 0),
                         txn=(query_name, str(epoch)),
                     )
                     s_counts = {"bootstrap": True}
@@ -1336,7 +1365,9 @@ def cdf_star_sync(
         marker = ":".join(str(x) for x in [epoch, *pins])
         payload = [c for c in view_cols if c != fact_key]
         witness = dim_fks[0]
-        if view_store.read() is None:
+        # reuse the bootstrap test from the m_prev read above — a
+        # second read() would rebuild the reader per epoch (round 12)
+        if view_bootstrap:
             view_store.commit(
                 fresh, txn=(query_name, marker), cdf=view_cdf
             )

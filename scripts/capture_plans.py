@@ -31,6 +31,10 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            os.environ.get("SPARK_GRAFT_CACHE_AQE_PARTITIONING", "true"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -45,9 +49,11 @@ def main() -> None:
     qs = e.queries()
     for name in names:
         df = qs[name](spark, sf_dir)
+        # pass the ExplainMode directly (r11 ADVICE: the former
+        # `maxToStringFields() and ExplainMode...` truthiness chain was
+        # obscure and would pass an int if the conf were ever 0)
         plan = df._jdf.queryExecution().explainString(
-            spark._jsparkSession.sessionState().conf().maxToStringFields()
-            and spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
             )
         )

@@ -61,6 +61,12 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .appName("check-oracle")
         .config("spark.sql.shuffle.partitions", "8")
+        # mirror bench.py's cached-plan AQE partitioning (round 12) so
+        # the correctness gate exercises the config the bench runs with
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            os.environ.get("SPARK_GRAFT_CACHE_AQE_PARTITIONING", "true"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
