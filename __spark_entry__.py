@@ -70,6 +70,33 @@ def _assert_spark_equal(got: DataFrame, want: DataFrame, what: str) -> None:
     )
 
 
+def _assert_spark_equal_many(*pairs: tuple[DataFrame, DataFrame, str]) -> None:
+    """Several self-bisect asserts folded into ONE Spark action
+    (round 12, guide §2.6/§1.2): each (got, want, what) contributes
+    its two exceptAll legs tagged with its index, and a single
+    count-by-tag action evaluates all of them — an entry proving two
+    maintained stores pays one job instead of two. Failure still
+    names the diverging side."""
+    from functools import reduce
+
+    legs = []
+    for i, (got, want, _what) in enumerate(pairs):
+        legs.append(got.exceptAll(want).select(F.lit(i).alias("_w")))
+        legs.append(want.exceptAll(got).select(F.lit(i).alias("_w")))
+    bad = (
+        reduce(lambda a, b: a.unionByName(b), legs)
+        .groupBy("_w")
+        .count()
+        .collect()
+    )
+    problems = {int(r["_w"]): int(r["count"]) for r in bad}
+    assert not problems, "; ".join(
+        f"{pairs[i][2]} diverges on {n} rows — store-path bug, "
+        "not oracle"
+        for i, n in sorted(problems.items())
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: UPSERT_CHECKSUM (M4) strategy post-state on sf0.001."""
     return _q_upsert_checksum(_utc(spark), "/root/testdata/sf0.001")
@@ -5072,8 +5099,10 @@ def _q_store_cdf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact.merge_into(ins, when_not_matched_insert=True, cdf=True)
     run_once()  # restart: both feeds resume from their checkpoints
     vx, sx = expected()
-    _assert_spark_equal(view.read(), vx, "maintained join view")
-    _assert_spark_equal(summ.read(), sx, "maintained join rollup")
+    _assert_spark_equal_many(
+        (view.read(), vx, "maintained join view"),
+        (summ.read(), sx, "maintained join rollup"),
+    )
     # O(touched) writes: the restart epoch's view merge touched
     # exactly the affected fact keys, computed independently here
     f1 = fact0.filter("k % 11 <> 0")
@@ -5248,8 +5277,10 @@ def _q_store_cdf_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact.merge_into(ins, when_not_matched_insert=True, cdf=True)
     run_once()  # restart: all three feeds resume from the checkpoint
     vx, sx = expected()
-    _assert_spark_equal(view.read(), vx, "maintained star view")
-    _assert_spark_equal(summ.read(), sx, "maintained star rollup")
+    _assert_spark_equal_many(
+        (view.read(), vx, "maintained star view"),
+        (summ.read(), sx, "maintained star rollup"),
+    )
     # idle third run: exactly-once markers, no commits anywhere
     nv, ns = len(view.list_versions()), len(summ.list_versions())
     run_once()

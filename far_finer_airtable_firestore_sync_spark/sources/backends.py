@@ -786,6 +786,7 @@ class TransactionalParquetBackend:
             _hive_partition_cols,
             _link_tree,
             _masked_scan_with_positions,
+            _run_concurrently,
             write_deletion_vectors,
         )
 
@@ -845,12 +846,12 @@ class TransactionalParquetBackend:
                 pcols = _hive_partition_cols(src)
                 if pcols:
                     writer = writer.partitionBy(*pcols)
-                writer.parquet(out)
+                writes = [lambda: writer.parquet(out)]
                 if cdf:
                     cols = [
                         c for c in data_cols if c != self.key_col
                     ]
-                    matched.select(
+                    changes = matched.select(
                         F.col(self.key_col),
                         F.lit("update").alias("change_type"),
                         *[
@@ -862,9 +863,15 @@ class TransactionalParquetBackend:
                             for c in cols
                         ],
                         *[F.col(c).alias(f"old_{c}") for c in cols],
-                    ).write.mode("errorifexists").parquet(
-                        os.path.join(out, "_changes")
                     )
+                    writes.append(
+                        lambda: changes.write.mode(
+                            "errorifexists"
+                        ).parquet(os.path.join(out, "_changes"))
+                    )
+                # both writes project the cached matched sliver into
+                # disjoint directories — overlap them (guide §2.6)
+                _run_concurrently(*writes)
             finally:
                 matched.unpersist()
             for f in os.listdir(out):
@@ -963,6 +970,7 @@ class TransactionalParquetBackend:
             _hive_partition_cols,
             _link_tree,
             _masked_scan_with_positions,
+            _run_concurrently,
             derive_merge_clauses,
             merge_changes_frame,
             write_deletion_vectors,
@@ -996,13 +1004,20 @@ class TransactionalParquetBackend:
             # inherited _changes describes the predecessor's commit
             shutil.rmtree(os.path.join(out, "_changes"), ignore_errors=True)
             try:
-                # mask BEFORE append (the DocumentStore ordering
-                # contract), then right-sized partition-aware append
+                # mask/append/CDF are projections of the same cached
+                # clause-tagged join into disjoint outputs (the
+                # positions form never scans the commit directory, so
+                # mask-before-append holds by construction) — overlap
+                # the write jobs (round 12, guide §2.6; the
+                # DocumentStore.merge_into shape)
+                writes = []
                 if counts["updated"] or counts["deleted"] \
                         or counts["deleted_by_source"]:
-                    write_deletion_vectors(
-                        self.spark, out, legacy_dir=src,
-                        positions=plan["touched_positions"],
+                    writes.append(
+                        lambda: write_deletion_vectors(
+                            self.spark, out, legacy_dir=src,
+                            positions=plan["touched_positions"],
+                        )
                     )
                 n_app = counts["updated"] + counts["inserted"]
                 if n_app:
@@ -1014,7 +1029,18 @@ class TransactionalParquetBackend:
                     pcols = _hive_partition_cols(src)
                     if pcols:
                         writer = writer.partitionBy(*pcols)
-                    writer.parquet(out)
+                    writes.append(lambda: writer.parquet(out))
+                if cdf:
+                    ch = merge_changes_frame(
+                        plan, self.key_col, plan["columns"],
+                        when_matched_update,
+                    )
+                    writes.append(
+                        lambda: ch.write.mode("errorifexists").parquet(
+                            os.path.join(out, "_changes")
+                        )
+                    )
+                _run_concurrently(*writes)
                 if plan["evolved"]:
                     # linked files keep the narrow schema; readers
                     # footer-merge from now on (_MIXED_SCHEMA_MARKER)
@@ -1022,13 +1048,6 @@ class TransactionalParquetBackend:
                         os.path.join(out, _MIXED_SCHEMA_MARKER), "w"
                     ) as fh:
                         fh.write("")
-                if cdf:
-                    merge_changes_frame(
-                        plan, self.key_col, plan["columns"],
-                        when_matched_update,
-                    ).write.mode("errorifexists").parquet(
-                        os.path.join(out, "_changes")
-                    )
             except Exception:
                 shutil.rmtree(out, ignore_errors=True)
                 raise

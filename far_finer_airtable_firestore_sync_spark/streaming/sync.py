@@ -880,16 +880,52 @@ def cdf_extrema_sync(
             # can interleave against the commit order (and the log's
             # ts_ms has no monotone bump), so ordering the per-key
             # chain by commit_ms could net the WRONG last image
-            changes = collapse_changelog(
-                batch_df.drop("commit_ms"), upstream.key_col,
-                order_col="commit_version",
-            )
+            feed, order_col = batch_df.drop("commit_ms"), "commit_version"
         else:
             hi = batch_df.agg(F.max("commit_ms")).first()[0]
             if hi is None:
                 return  # empty batch: nothing to fold, no version churn
             base_new_fn = lambda: upstream.read_as_of(int(hi))  # noqa: E731
-            changes = collapse_changelog(batch_df, upstream.key_col)
+            feed, order_col = batch_df, "commit_ms"
+        if store.current_version_dir() is None:
+            # ALGEBRAIC bootstrap shortcut (round 12, guide §1.2): the
+            # first epoch's feed starts at the upstream's genesis (the
+            # store feed always does; on the txn feed, a
+            # startingVersion past live history is outside the summary
+            # consumers' contract — it would under-maintain the
+            # incremental path identically), so the collapsed
+            # changelog nets to exactly the pinned snapshot and the
+            # bootstrap summary IS the direct aggregate of base_new —
+            # the telescoping window, three maintenance joins and
+            # recompute probe all cancel on an empty prior summary.
+            base_new = base_new_fn()
+            assert base_new is not None  # the batch came from a commit
+            store.commit(
+                base_new.groupBy(group_col).agg(
+                    F.count(F.lit(1)).alias(count_col),
+                    *[
+                        F.sum(src).alias(dst)
+                        for dst, src in sum_map.items()
+                    ],
+                    *[
+                        F.min(src).alias(dst)
+                        for dst, src in min_map.items()
+                    ],
+                    *[
+                        F.max(src).alias(dst)
+                        for dst, src in max_map.items()
+                    ],
+                ),
+                txn=(query_name, str(epoch_id)),
+            )
+            if stats is not None:
+                stats.append(
+                    {"epoch": int(epoch_id), "bootstrap": True}
+                )
+            return
+        changes = collapse_changelog(
+            feed, upstream.key_col, order_col=order_col
+        )
         # Persist the collapsed changelog: the touched-group set and
         # the three maintenance legs inside
         # ``incremental_rollup_extrema`` (count/sum fold, adds,
@@ -899,29 +935,7 @@ def cdf_extrema_sync(
         # construction — one cache, five consumers.
         changes = changes.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            base = store.read()
-            bootstrap = base is None
-            if bootstrap:
-                # correctly-typed empty summary derived from the batch
-                base = (
-                    changes.filter(F.lit(False))
-                    .groupBy(group_col)
-                    .agg(
-                        F.count(F.lit(1)).alias(count_col),
-                        *[
-                            F.sum(src).alias(dst)
-                            for dst, src in sum_map.items()
-                        ],
-                        *[
-                            F.min(src).alias(dst)
-                            for dst, src in min_map.items()
-                        ],
-                        *[
-                            F.max(src).alias(dst)
-                            for dst, src in max_map.items()
-                        ],
-                    )
-                )
+            base = store.read()  # non-None: bootstrap returned above
             base_new = base_new_fn()
             assert base_new is not None  # the batch came from a commit
             # touched groups: adds' group keys (non-delete rows carry a
@@ -939,32 +953,20 @@ def cdf_extrema_sync(
                 )
                 .distinct()
             )
-            if not bootstrap:
-                # O(touched) COMPUTE, not just O(touched) write: only
-                # touched groups can change, so the maintenance fold
-                # reads the base summary restricted to them — at 10⁹
-                # groups the per-epoch merge join must not rescan the
-                # whole summary for a sliver batch (round-11 review).
-                base = base.join(
-                    touched,
-                    base[group_col] == touched["_g"],
-                    "left_semi",
-                )
+            # O(touched) COMPUTE, not just O(touched) write: only
+            # touched groups can change, so the maintenance fold
+            # reads the base summary restricted to them — at 10⁹
+            # groups the per-epoch merge join must not rescan the
+            # whole summary for a sliver batch (round-11 review).
+            base = base.join(
+                touched,
+                base[group_col] == touched["_g"],
+                "left_semi",
+            )
             summary = incremental_rollup_extrema(
                 base, changes, base_new, group_col, count_col,
                 sum_map, min_map, max_map,
             )
-            if bootstrap:
-                # first epoch: every group is touched — the summary IS
-                # the touched set; commit it whole with the marker.
-                # commit() runs exactly one action on its input, so no
-                # eager localCheckpoint pre-pass (round 12, guide §5)
-                store.commit(summary, txn=(query_name, str(epoch_id)))
-                if stats is not None:
-                    stats.append(
-                        {"epoch": int(epoch_id), "bootstrap": True}
-                    )
-                return
             sn = summary.alias("sn")
             value_cols = [
                 count_col, *sum_map, *min_map, *max_map,
@@ -1311,17 +1313,34 @@ def cdf_star_sync(
         if sum_last is None or epoch > int(sum_last):
             # persisted for the same reason as cdf_rollup_sync's
             # delta: the NULL-group guard and the merge's validation
-            # + writes all consume this sliver — cache once
-            delta = rollup_delta(
-                view_changes, group_col, list(sum_map.values())
-            ).select(
-                F.col(group_col),
-                F.col("d_count").alias(count_col),
-                *[
-                    F.col(f"d_{src}").alias(dst)
-                    for dst, src in sum_map.items()
-                ],
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+            # + writes all consume this sliver — cache once.
+            # ALGEBRAIC bootstrap shortcut (round 12, guide §1.2):
+            # with no prior view, view_changes is all-inserts of
+            # `fresh` by definition, and rollup_delta over pure
+            # inserts is exactly the direct per-group aggregate of
+            # `fresh` — skip the diff join + changelog machinery on
+            # the first epoch (same column names, types and NULL
+            # semantics: sum-of-ones count, sum over post-images).
+            if view_bootstrap:
+                delta = fresh.groupBy(F.col(group_col)).agg(
+                    F.sum(F.lit(1).cast("long")).alias(count_col),
+                    *[
+                        F.sum(src).alias(dst)
+                        for dst, src in sum_map.items()
+                    ],
+                )
+            else:
+                delta = rollup_delta(
+                    view_changes, group_col, list(sum_map.values())
+                ).select(
+                    F.col(group_col),
+                    F.col("d_count").alias(count_col),
+                    *[
+                        F.col(f"d_{src}").alias(dst)
+                        for dst, src in sum_map.items()
+                    ],
+                )
+            delta = delta.persist(StorageLevel.MEMORY_AND_DISK)
             try:
                 # pointer check, not read() — see cdf_rollup_sync
                 if summary_store.current_version_dir() is None:
