@@ -5487,6 +5487,14 @@ group by nk
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """One entry per implemented operator.
+
+    HARNESS CACHE CONTRACT (r11 ADVICE): entries may persist reused
+    intermediates (guide §5) and rely on the harness calling
+    ``spark.catalog.clearCache()`` between entries — bench.py and
+    scripts/check_oracle.py both do — instead of per-entry
+    finally-unpersist blocks; a new harness must do the same or one
+    entry's cache squeezes the next one's execution memory."""
     return {
         "typed_projection": _q_typed_projection,
         "keep_latest_dedup": _q_keep_latest_dedup,

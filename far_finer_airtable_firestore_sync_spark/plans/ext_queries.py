@@ -6231,8 +6231,43 @@ def _ppjoin_body(
     all map-side-combining aggregates, and verification joins only
     candidate pairs. At 100 TB this is the audit path you run on the
     LSH survivors' buckets; t_den/t_num tune selectivity exactly."""
+    return (
+        f"with tok as ({_ppjoin_tok_sql(dialect, rel)}),\n"
+        + _ppjoin_tail(dialect, "tok", t_num, t_den)
+    )
+
+
+def _ppjoin_tok_sql(dialect: str, rel: str) -> str:
+    """The shared tokenization stage of the PPJoin body: per-doc
+    DISTINCT 56-bit shingle digests. Split out (round 12) so the
+    Spark entry can MATERIALIZE it once — the monolithic body's
+    "distinct as ReusedExchange barrier" idiom (r4) stopped holding
+    once AQE broadcast shapes made each consumer's exchange
+    non-identical: the r12 plan audit showed 60 parquet scans / 20
+    explodes and ZERO ReusedExchange, i.e. every tok consumer re-ran
+    the explode+md5 from scan. The DuckDB oracle still nests this
+    text as a CTE (`_ppjoin_body`)."""
     sh = tx.shingles("text", SHINGLE_N, dialect, MAX_CHARS)
     h = tx.hex_to_bigint("substring(md5(tokraw), 1, 14)", dialect)
+    return f"""
+  select distinct doc_id, token from (
+    -- 56-bit md5 digests: every downstream shuffle/join carries
+    -- bigints, never shingle text (the repo's km-digest idiom)
+    select doc_id, {h} as token from (
+      select doc_id, {tx.explode_as(sh, "tokraw", dialect)} from {rel}
+    ) w00 where tokraw <> ''
+  ) w0"""
+
+
+def _ppjoin_tail(
+    dialect: str, tok_rel: str,
+    t_num: int = PPJOIN_T_NUM, t_den: int = PPJOIN_T_DEN,
+) -> str:
+    """Everything after the tokenization stage (see
+    :func:`_ppjoin_tok_sql`); ``tok_rel`` is the tok relation —  a
+    CTE name in the monolithic body, a materialized temp view in the
+    Spark entry. Starts mid-WITH (callers prepend ``with`` and any
+    preceding CTEs)."""
     intdiv = "div" if dialect == SPARK else "//"
     _ppj_intersect = (
         "array_intersect(sa.toks, sb.toks)"
@@ -6240,29 +6275,14 @@ def _ppjoin_body(
         else "list_intersect(sa.toks, sb.toks)"
     )
     return f"""
-with w00 as (
-  select doc_id, {tx.explode_as(sh, "tokraw", dialect)} from {rel}
-),
-w0 as (
-  -- 56-bit md5 digests: every downstream shuffle/join carries
-  -- bigints, never shingle text (the repo's km-digest idiom)
-  select doc_id, {h} as token from w00 where tokraw <> ''
-),
--- shingles() already emits per-doc-distinct grams, so this DISTINCT
--- is a semantic no-op — but it is a deliberate MATERIALIZATION
--- BARRIER: the aggregate's exchange is reused (ReusedExchange) by
--- tok's four consumers, where the bare projection would re-run the
--- explode+md5 from scan per consumer (measured 8.8s vs 11.6s+ at
--- sf0.1)
-tok as (select distinct doc_id, token from w0),
-sizes as (select doc_id, cast(count(*) as bigint) as n from tok group by doc_id),
-df as (select token, cast(count(*) as bigint) as dfreq from tok group by token),
+sizes as (select doc_id, cast(count(*) as bigint) as n from {tok_rel} group by doc_id),
+df as (select token, cast(count(*) as bigint) as dfreq from {tok_rel} group by token),
 ranked as (
   select t.doc_id, t.token, s.n,
          row_number() over (
            partition by t.doc_id order by d.dfreq asc, t.token asc
          ) as rn
-  from tok t
+  from {tok_rel} t
   join df d on t.token = d.token
   join sizes s on t.doc_id = s.doc_id
 ),
@@ -6296,7 +6316,7 @@ sets as (
   select doc_id,
          {"collect_list(token)" if dialect == SPARK else "list(token)"}
            as toks
-  from tok group by doc_id
+  from {tok_rel} group by doc_id
 ),
 inter as (
   select c.id_a, c.id_b,
@@ -6317,9 +6337,22 @@ where i.n_shared * {t_den} >= (sa.n + sb.n - i.n_shared) * {t_num}
 
 def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard>=0.5 near-dup pairs via prefix filtering over the
-    synthesized-dup corpus (see ``_ppjoin_body``)."""
+    synthesized-dup corpus (see ``_ppjoin_body``).
+
+    Materialization (round 12, guide §5 — the r10-#7/rm3 recipe): the
+    tok stage (corpus explode + md5 digests + per-doc distinct) is
+    checkpointed once into a temp view; Spark inlines CTEs per
+    reference and the monolithic body's distinct-as-ReusedExchange
+    barrier no longer held (the r12 plan audit found 60 scans / 20
+    explodes / 0 ReusedExchange — each of tok's four consumers re-ran
+    the explode from scan). The DuckDB oracle nests the identical tok
+    text as a CTE."""
     dedup_corpus(spark, sf_dir).createOrReplaceTempView("_ffs_ppj_docs")
-    return spark.sql(_ppjoin_body(SPARK, "_ffs_ppj_docs"))
+    tok = spark.sql(
+        _ppjoin_tok_sql(SPARK, "_ffs_ppj_docs")
+    ).localCheckpoint(eager=True)
+    tok.createOrReplaceTempView("_ffs_ppj_tok")
+    return spark.sql("with " + _ppjoin_tail(SPARK, "_ffs_ppj_tok"))
 
 
 PMI_MIN_PAIR = 5
