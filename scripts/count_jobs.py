@@ -33,6 +33,10 @@ def main() -> None:
             os.environ.get("SPARK_GRAFT_CACHE_AQE_PARTITIONING", "true"),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # jobsList() is bounded by retainedJobs (default 1000): an
+        # entry past retention would silently under-count and skew
+        # the A/B evidence (r11 ADVICE) — raise far above any entry
+        .config("spark.ui.retainedJobs", "100000")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "32g"))
