@@ -401,7 +401,11 @@ def containment_pairs(
     ties — deterministic)."""
     from far_finer_airtable_firestore_sync_spark.operators._util import spread
 
-    sh = with_shingles(df, text_col, id_col, shingle_n, max_chars)
+    # shingle arrays feed BOTH sides of the verification join —
+    # checkpoint so the corpus explode runs once (round 12, guide §5)
+    sh = with_shingles(
+        df, text_col, id_col, shingle_n, max_chars
+    ).localCheckpoint(eager=True)
     # postings via posexplode-then-substring, NOT the shingle arrays:
     # the per-element substring runs in whole-stage codegen after the
     # explode, where the array-transform lambda is interpreted —
@@ -428,6 +432,12 @@ def containment_pairs(
         )
         .select(F.col(id_col), F.expr(f"substring(_t, _i, {shingle_n})").alias("s"))
         .distinct()
+        # materialize ONCE (round 12, guide §5): the postings feed the
+        # df-cap aggregate AND both sides of the candidate self-join —
+        # Spark re-plans the scan+explode per consumer (the r12 plan
+        # audit found 24 scans / 8 explodes in this entry, zero
+        # ReusedExchange under AQE broadcast shapes)
+        .localCheckpoint(eager=True)
     )
     rare = (
         post.groupBy("s")

@@ -6375,18 +6375,36 @@ def _pmi_body(dialect: str, rel: str) -> str:
     not corpus size); df and pair counts combine map-side. At 100 TB
     first gate the vocabulary on df >= threshold (one broadcast
     semi-join) so pair cardinality tracks the retained vocab."""
+    return (
+        f"with tok as ({_pmi_tok_sql(dialect, rel)}),\n"
+        + _pmi_tail(dialect, "tok")
+    )
+
+
+def _pmi_tok_sql(dialect: str, rel: str) -> str:
+    """The shared tokenization stage of the PMI body (per-doc distinct
+    words). Split out (round 12) so the Spark entry can materialize it
+    once — the monolithic body re-ran the corpus explode per consumer
+    (5 references: the doc count, df, both self-join sides; r12 plan
+    audit: 10 scans / 10 explodes, zero reuse). The DuckDB oracle
+    nests this text as a CTE."""
     w = tx.split_ws_safe("lower(text)", dialect)
     return f"""
-with w0 as (
-  select doc_id, {tx.explode_as(w, "token", dialect)} from {rel}
-),
-tok as (select distinct doc_id, token from w0 where token <> ''),
-n as (select cast(count(distinct doc_id) as bigint) as n_docs from tok),
-df as (select token, cast(count(*) as bigint) as dfreq from tok group by token),
+  select distinct doc_id, token from (
+    select doc_id, {tx.explode_as(w, "token", dialect)} from {rel}
+  ) w0 where token <> ''"""
+
+
+def _pmi_tail(dialect: str, tok_rel: str) -> str:
+    """Everything after the tokenization stage; starts mid-WITH
+    (callers prepend ``with`` and any preceding CTEs)."""
+    return f"""
+n as (select cast(count(distinct doc_id) as bigint) as n_docs from {tok_rel}),
+df as (select token, cast(count(*) as bigint) as dfreq from {tok_rel} group by token),
 pairs as (
   select a.token as word_a, b.token as word_b,
          cast(count(*) as bigint) as n_pair
-  from tok a join tok b on a.doc_id = b.doc_id and a.token < b.token
+  from {tok_rel} a join {tok_rel} b on a.doc_id = b.doc_id and a.token < b.token
   group by a.token, b.token
 ),
 scored as (
@@ -6410,11 +6428,20 @@ limit {PMI_TOPK}
 
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{PMI_TOPK} PMI collocations over documents (see
-    ``_pmi_body``)."""
+    ``_pmi_body``).
+
+    Materialization (round 12, the rm3/ppjoin staging recipe): the
+    tok stage checkpoints once into a temp view; the monolithic body
+    re-ran the corpus explode per consumer. The DuckDB oracle nests
+    the identical tok text as a CTE."""
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "_ffs_pmi_docs"
     )
-    return spark.sql(_pmi_body(SPARK, "_ffs_pmi_docs"))
+    tok = spark.sql(
+        _pmi_tok_sql(SPARK, "_ffs_pmi_docs")
+    ).localCheckpoint(eager=True)
+    tok.createOrReplaceTempView("_ffs_pmi_tok")
+    return spark.sql("with " + _pmi_tail(SPARK, "_ffs_pmi_tok"))
 
 
 #: HLL geometry: p=6 -> m=64 registers; 56-bit digest = 6 bucket bits
